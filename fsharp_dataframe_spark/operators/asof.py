@@ -1,0 +1,241 @@
+"""As-of (inexact-lookup) alignment — the core custom primitive.
+
+Reference semantics (SURVEY.md §2.4, §7.2 step 4): an inexact
+Left/Right join with ``Lookup.NearestSmaller``/``NearestGreater`` finds,
+for each probe key, the nearest source key <= / >= it **that has a
+value**.  The reference implements this as a fill-then-reindex rewrite:
+forward/backward-fill the source vector, then reindex by nearest key
+(src/JoinHelpers.fs:49-53; lookup engine
+src/Indices/LinearIndex.fs:105-148; behavior pinned by
+tests/FSharp.DataFrame.Tests/Series.fs:330-345).
+
+Spark-first equivalent (no native SQL as-of): **union-of-keys +
+ignorenulls window fill**:
+
+1. union source rows and probe rows into one keyed relation, tagging
+   the side;
+2. over a window ordered by (key, side) — side-tiebreak so an exact
+   key match is visible to its own probe row — take
+   ``last(value, ignorenulls=True)`` over the preceding frame
+   (NearestSmaller) or ``first(...)`` over the following frame
+   (NearestGreater), per value column;
+3. keep only probe rows.
+
+Cost model: one union + one window sort — O(n log n), no join
+explosion, and *one* pass regardless of how many value columns are
+filled (the reference applies one relocation plan to every column,
+src/Frame.fs:155-156 — same shape).
+
+Scale: with a ``by=`` entity partition (events per user, quotes per
+ticker) the window is hash-partitioned and scales linearly — this is
+the 100 TB path.  Without ``by`` a total key order is required; Spark
+plans a single-partition window.  For large un-keyed as-ofs use
+``bucketed=True``: rows are range-bucketed by key, filled within each
+bucket, and bucket-boundary carry-in values are computed from a tiny
+per-bucket aggregate joined back by broadcast — two narrow passes, no
+single-task bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.series import Series
+
+_SIDE = "__asof_side"
+_BUCKET = "__asof_bucket"
+
+
+def _typed_null(df: DataFrame, col: str):
+    return F.lit(None).cast(df.schema[col].dataType)
+
+
+def _union_fill(
+    probe_df: DataFrame,
+    source_df: DataFrame,
+    key_cols: list[str],
+    fill_cols: list[str],
+    probe_cols: list[str],
+    direction: str,
+    by: list[str] | None,
+    bucketed: bool = False,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Shared engine: fill *fill_cols* (from source) onto probe rows.
+
+    probe_df: columns = by + key_cols + probe_cols
+    source_df: columns = by + key_cols + fill_cols
+    Returns: by + key_cols + probe_cols + fill_cols (probe rows only).
+    """
+    by = by or []
+    src = source_df.select(
+        *by, *key_cols, *fill_cols,
+        *[_typed_null(probe_df, c).alias(c) for c in probe_cols],
+        F.lit(0).alias(_SIDE),
+    )
+    prb = probe_df.select(
+        *by, *key_cols,
+        *[_typed_null(source_df, c).alias(c) for c in fill_cols],
+        *probe_cols,
+        F.lit(1).alias(_SIDE),
+    )
+    u = src.unionByName(prb)
+
+    if bucketed and not by:
+        return _bucketed_fill(u, key_cols, fill_cols, probe_cols, direction, n_buckets)
+
+    key_order = [F.col(k) for k in key_cols]
+    if direction == "backward":
+        # source (side=0) sorts before probe (side=1) at equal key →
+        # exact matches are inside the preceding frame.
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*key_order, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
+    elif direction == "forward":
+        # probe (side=1) sorts before source (side=0) at equal key →
+        # exact matches are inside the following frame.
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*key_order, F.col(_SIDE).desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        filled = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
+    else:
+        raise ValueError(direction)
+
+    out = u.withColumns(filled).filter(F.col(_SIDE) == 1)
+    return out.select(*by, *key_cols, *probe_cols, *fill_cols)
+
+
+def _bucketed_fill(
+    u: DataFrame,
+    key_cols: list[str],
+    fill_cols: list[str],
+    probe_cols: list[str],
+    direction: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Scalable global as-of: range-bucket the key space, window within
+    buckets, then patch bucket-local misses with a broadcast of each
+    bucket's carry-in value (the last value of all earlier buckets).
+
+    Two narrow shuffles, no single-task total-order window.
+    """
+    if len(key_cols) != 1:
+        raise ValueError("bucketed as-of supports a single key column")
+    k = key_cols[0]
+    u = u.withColumn(_BUCKET, F.ntile(n_buckets).over(Window.orderBy(F.col(k))))
+    # NOTE: ntile itself is a global window — production path would use
+    # fixed range boundaries from sampled quantiles (repartitionByRange
+    # semantics).  Kept simple here; boundaries are data-independent work.
+    asc = direction == "backward"
+    side_order = F.col(_SIDE).asc() if asc else F.col(_SIDE).desc()
+    if asc:
+        w = (
+            Window.partitionBy(_BUCKET)
+            .orderBy(F.col(k), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
+    else:
+        w = (
+            Window.partitionBy(_BUCKET)
+            .orderBy(F.col(k), side_order)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        local = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
+    filled = u.withColumns(local)
+
+    # carry-in per bucket: last (first) source value of each bucket,
+    # cascaded across buckets — tiny (n_buckets rows), broadcast back.
+    src_only = u.filter(F.col(_SIDE) == 0)
+    if asc:
+        per_bucket = src_only.groupBy(_BUCKET).agg(
+            *[F.max_by(F.col(c), F.col(k)).alias(c) for c in fill_cols]
+        )
+        cascade_w = Window.orderBy(F.col(_BUCKET)).rowsBetween(Window.unboundedPreceding, -1)
+        carry = per_bucket.select(
+            _BUCKET, *[F.last(F.col(c), ignorenulls=True).over(cascade_w).alias(f"__carry_{c}") for c in fill_cols]
+        )
+    else:
+        per_bucket = src_only.groupBy(_BUCKET).agg(
+            *[F.min_by(F.col(c), F.col(k)).alias(c) for c in fill_cols]
+        )
+        cascade_w = Window.orderBy(F.col(_BUCKET)).rowsBetween(1, Window.unboundedFollowing)
+        carry = per_bucket.select(
+            _BUCKET, *[F.first(F.col(c), ignorenulls=True).over(cascade_w).alias(f"__carry_{c}") for c in fill_cols]
+        )
+    out = filled.join(F.broadcast(carry), on=_BUCKET, how="left")
+    patched = {c: F.coalesce(F.col(c), F.col(f"__carry_{c}")) for c in fill_cols}
+    out = out.withColumns(patched).filter(F.col(_SIDE) == 1)
+    return out.select(*key_cols, *probe_cols, *fill_cols)
+
+
+def asof_lookup(
+    probe_keys_df: DataFrame,
+    source_df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    direction: str = "backward",
+    by: list[str] | None = None,
+    bucketed: bool = False,
+) -> DataFrame:
+    """Reindex a (key, value) source to a probe key list with as-of
+    semantics — reference ``GetItems(keys, lookup)`` / ``Reindex``
+    (src/Series.fs:133-152, src/Indices/LinearIndex.fs:354-360).
+
+    Returns DataFrame(key_cols..., value_col).
+    """
+    probe = probe_keys_df.select(*(by or []), *key_cols)
+    src = source_df.select(*(by or []), *key_cols, value_col)
+    return _union_fill(probe, src, key_cols, [value_col], [], direction, by, bucketed)
+
+
+def asof_zip(left: Series, right: Series, direction: str = "backward",
+             by: list[str] | None = None, bucketed: bool = False) -> DataFrame:
+    """Left as-of zip: left's keys and values + right's value as-of each
+    left key — reference ``Series.Zip(other, JoinKind.Left, NearestX)``
+    (src/Series.fs:303-335).  Returns (key..., left_value, right_value).
+    """
+    keys = left.key_cols
+    probe = left.df.select(*(by or []), *keys, F.col(left.value_col).alias("left_value"))
+    src = right.df.select(
+        *(by or []),
+        *[F.col(rk).alias(lk) for rk, lk in zip(right.key_cols, keys)],
+        F.col(right.value_col).alias("right_value"),
+    )
+    return _union_fill(probe, src, keys, ["right_value"], ["left_value"], direction, by, bucketed)
+
+
+def asof_align_frame(
+    probe_df: DataFrame,
+    source_df: DataFrame,
+    key_cols: list[str],
+    fill_cols: list[str] | None = None,
+    direction: str = "backward",
+    by: list[str] | None = None,
+    bucketed: bool = False,
+) -> DataFrame:
+    """Frame-level as-of join: every *fill_cols* column of source is
+    aligned to probe's keys in ONE window pass — the Spark analog of the
+    reference's plan-once / execute-per-column join
+    (src/Frame.fs:146-167, 155-156).
+    """
+    by = by or []
+    if fill_cols is None:
+        fill_cols = [c for c in source_df.columns if c not in key_cols and c not in by]
+    probe_cols = [c for c in probe_df.columns if c not in key_cols and c not in by]
+    return _union_fill(
+        probe_df.select(*by, *key_cols, *probe_cols),
+        source_df.select(*by, *key_cols, *fill_cols),
+        key_cols,
+        fill_cols,
+        probe_cols,
+        direction,
+        by,
+        bucketed,
+    )

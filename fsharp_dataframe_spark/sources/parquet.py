@@ -1,0 +1,42 @@
+"""Parquet ingest with timestamp normalization.
+
+Spark (4.x) has no TIMESTAMP(NANOS) type: with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) a
+nanosecond column arrives as LongType nanoseconds-since-epoch.  This
+loader detects those fields from the parquet footer (pyarrow, driver
+side, metadata-only — no data read) and converts them to proper
+microsecond timestamps so downstream temporal operators behave
+identically across tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _nanos_fields(path: str) -> list[str]:
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name for f in schema
+            if str(f.type) == "timestamp[ns]"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    for c in _nanos_fields(path):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md) with normalization."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,89 @@
+"""As-of alignment tests — semantics from the reference's zip/sampling
+tests (tests/FSharp.DataFrame.Tests/Series.fs:288-345, 180-189)."""
+
+from datetime import datetime
+
+from fsharp_dataframe_spark.series import NEAREST_GREATER, NEAREST_SMALLER, Series
+from fsharp_dataframe_spark.comparator import assert_rows_equal, assert_series_equal
+from fsharp_dataframe_spark.operators.asof import asof_zip
+
+
+def sob(spark, pairs, schema="key int, value double", ordered=True):
+    return Series.of_observations(spark, pairs, schema, ordered=ordered)
+
+
+def test_get_items_nearest_smaller_with_missing_before_start(spark):
+    # TestExplicitTimeSamples shape: probe before first key → missing
+    # (tests/.../Series.fs:180-189)
+    src = sob(spark, [(10, 1.0), (13, 2.0), (16, 3.0)])
+    probe = spark.createDataFrame([(5,), (13,), (15,), (99,)], "key int")
+    out = src.get_items(probe, NEAREST_SMALLER)
+    assert_series_equal(out, [(5, None), (13, 2.0), (15, 2.0), (99, 3.0)])
+
+
+def test_get_items_nearest_greater(spark):
+    src = sob(spark, [(10, 1.0), (13, 2.0), (16, 3.0)])
+    probe = spark.createDataFrame([(5,), (14,), (16,), (99,)], "key int")
+    out = src.get_items(probe, NEAREST_GREATER)
+    assert_series_equal(out, [(5, 1.0), (14, 3.0), (16, 3.0), (99, None)])
+
+
+def test_asof_skips_missing_values(spark):
+    # "nearest key with a VALUE": NULL at key 13 must be skipped
+    # (fill-then-reindex rewrite, src/JoinHelpers.fs:49-53)
+    src = sob(spark, [(10, 1.0), (13, None), (16, 3.0)])
+    probe = spark.createDataFrame([(14,), (13,)], "key int")
+    out = src.get_items(probe, NEAREST_SMALLER)
+    assert_series_equal(out, [(13, 1.0), (14, 1.0)])
+
+
+def test_asof_zip_left(spark):
+    left = sob(spark, [(1, 100.0), (5, 500.0), (9, 900.0)])
+    right = sob(spark, [(0, 1.0), (4, 2.0), (20, 9.0)])
+    out = asof_zip(left, right, "backward")
+    assert_rows_equal(out, [(1, 100.0, 1.0), (5, 500.0, 2.0), (9, 900.0, 2.0)], ["key"])
+    out_f = asof_zip(left, right, "forward")
+    assert_rows_equal(out_f, [(1, 100.0, 2.0), (5, 500.0, 9.0), (9, 900.0, 9.0)], ["key"])
+
+
+def test_asof_zip_exact_key_match_included(spark):
+    left = sob(spark, [(4, 40.0)])
+    right = sob(spark, [(4, 1.0), (5, 2.0)])
+    assert_rows_equal(asof_zip(left, right, "backward"), [(4, 40.0, 1.0)], ["key"])
+    assert_rows_equal(asof_zip(left, right, "forward"), [(4, 40.0, 1.0)], ["key"])
+
+
+def test_asof_bucketed_matches_plain(spark):
+    # scalable bucketed path must agree with the single-window path
+    src = sob(spark, [(i * 3, float(i)) for i in range(0, 200)])
+    probe = spark.createDataFrame([(i,) for i in range(0, 600, 7)], "key int")
+    plain = src.get_items(probe, NEAREST_SMALLER).df.orderBy("key").collect()
+    from fsharp_dataframe_spark.operators.asof import asof_lookup
+
+    bucketed = asof_lookup(probe, src.df, ["key"], "value", "backward", bucketed=True)
+    got = bucketed.orderBy("key").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in plain]
+
+    plain_f = src.get_items(probe, NEAREST_GREATER).df.orderBy("key").collect()
+    bucketed_f = asof_lookup(probe, src.df, ["key"], "value", "forward", bucketed=True)
+    assert [tuple(r) for r in bucketed_f.orderBy("key").collect()] == [tuple(r) for r in plain_f]
+
+
+def test_asof_with_by_partition(spark):
+    # per-entity as-of: the 100 TB path
+    left = Series(
+        spark.createDataFrame(
+            [("u1", 5, 1.0), ("u2", 5, 2.0)], "uid string, key int, value double"
+        ).select("uid", "key", "value"),
+        key=["uid", "key"], value="value", ordered=True,
+    )
+    right_df = spark.createDataFrame(
+        [("u1", 3, 30.0), ("u1", 6, 60.0), ("u2", 4, 40.0)],
+        "uid string, key int, rv double",
+    )
+    from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+    out = asof_align_frame(
+        left.df, right_df, key_cols=["key"], fill_cols=["rv"], direction="backward", by=["uid"]
+    )
+    assert_rows_equal(out, [("u1", 5, 1.0, 30.0), ("u2", 5, 2.0, 40.0)], ["uid", "key"])

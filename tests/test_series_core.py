@@ -1,0 +1,137 @@
+"""Series core ops — ports of the reference's literal unit tests
+(tests/FSharp.DataFrame.Tests/Series.fs; cited per test)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.series import (
+    EXCLUSIVE,
+    NEAREST_GREATER,
+    NEAREST_SMALLER,
+    PREFER_RIGHT,
+    KeyConflictError,
+    Series,
+    UnorderedSeriesError,
+)
+from fsharp_dataframe_spark.comparator import assert_series_equal
+
+
+def sob(spark, pairs, schema="key string, value int", ordered=True):
+    return Series.of_observations(spark, pairs, schema, ordered=ordered)
+
+
+def test_diff_forward_backward(spark):
+    # reference: Series.diff on [a=>1;b=>2;c=>3]: diff 2 = [c=>2]; diff -2 = [a=>-2]
+    # (tests/.../Series.fs:74-81)
+    s = sob(spark, [("a", 1), ("b", 2), ("c", 3)])
+    assert_series_equal(s.diff(2), [("c", 2)])
+    assert_series_equal(s.diff(-2), [("a", -2)])
+
+
+def test_union_prefer_left_right(spark):
+    # reference tests/.../Series.fs:84-104
+    s1 = sob(spark, [("a", 1), ("b", 2), ("c", 3)])
+    s2 = sob(spark, [("c", 1), ("d", 4)])
+    assert_series_equal(s1.union(s2), [("a", 1), ("b", 2), ("c", 3), ("d", 4)])
+    assert_series_equal(s1.union(s2, PREFER_RIGHT), [("a", 1), ("b", 2), ("c", 1), ("d", 4)])
+
+
+def test_union_exclusive_throws_on_overlap(spark):
+    s1 = sob(spark, [("a", 1), ("b", 2), ("c", 3)])
+    s2 = sob(spark, [("c", 1), ("d", 4)])
+    with pytest.raises(KeyConflictError):
+        s1.union(s2, EXCLUSIVE)
+
+
+def test_union_exclusive_ok_when_disjoint(spark):
+    s1 = sob(spark, [("a", 1), ("b", 2), ("c", 3)])
+    s2 = sob(spark, [("d", 4)])
+    assert_series_equal(s1.union(s2, EXCLUSIVE), [("a", 1), ("b", 2), ("c", 3), ("d", 4)])
+
+
+def test_group_by_with_missing_group_keys(spark):
+    # grouping: elements with missing handled; reference groups ofNullables
+    # [null;1;null;2] by k%2 → {1: {1=>1, 3=>2}} (tests/.../Series.fs:107-111)
+    s = Series.of_values(spark, [None, 1, None, 2], value_type="int")
+    g = s.drop_missing().group_by(lambda k: k % 2).sum()
+    assert_series_equal(g, [(1, 3)])
+
+
+def test_get_exact_and_asof(spark):
+    s = sob(spark, [(1, 10), (3, 30), (5, None)], schema="key int, value int")
+    assert s.get(3) == 30
+    # nearest smaller skips the missing value at key 5
+    assert s.get(4, NEAREST_SMALLER) == 30
+    assert s.get(5, NEAREST_SMALLER) == 30
+    assert s.get(2, NEAREST_GREATER) == 30
+    with pytest.raises(KeyError):
+        s.get(0, NEAREST_SMALLER)
+
+
+def test_ordered_only_ops_raise_on_unordered(spark):
+    s = sob(spark, [("a", 1)], ordered=False)
+    with pytest.raises(UnorderedSeriesError):
+        s.diff(1)
+    with pytest.raises(UnorderedSeriesError):
+        s.between("a", "b")
+
+
+def test_nan_canonicalized_to_null(spark):
+    # reference: NaN → missing (src/Common/Common.fs:264-276,
+    # tests/.../Vector.fs:24-39); ±Inf is NOT missing
+    s = sob(spark, [("a", 1.0), ("b", float("nan")), ("c", float("inf"))],
+            schema="key string, value double")
+    assert s.count_values() == 2
+    assert s.drop_missing().count_keys() == 2
+
+
+def test_map_values_recanonicalizes_nan(spark):
+    # mapping producing NaN → missing (src/Vectors/ArrayVector.fs:213-223)
+    s = sob(spark, [("a", -1.0), ("b", 4.0)], schema="key string, value double")
+    mapped = s.map_values(lambda v: F.sqrt(v))
+    assert mapped.count_values() == 1
+
+
+def test_slicing(spark):
+    s = sob(spark, [(i, i * 10) for i in range(1, 6)], schema="key int, value int")
+    assert_series_equal(s.between(2, 4), [(2, 20), (3, 30), (4, 40)])
+    assert_series_equal(s.after(3), [(4, 40), (5, 50)])
+    assert_series_equal(s.end_at(2), [(1, 10), (2, 20)])
+
+
+def test_positional_access(spark):
+    s = sob(spark, [("a", 1), ("b", 2), ("c", 3)])
+    assert s.get_at(1) == 2
+    assert s.get_key_at(2) == "c"
+    assert s.first_value() == 1
+    assert s.last_value() == 3
+    assert_series_equal(s.take_last(2), [("b", 2), ("c", 3)])
+
+
+def test_arithmetic_scalar_and_series(spark):
+    s1 = sob(spark, [("a", 1.0), ("b", 2.0)], schema="key string, value double")
+    s2 = sob(spark, [("b", 10.0), ("c", 20.0)], schema="key string, value double")
+    assert_series_equal(s1 + 1, [("a", 2.0), ("b", 3.0)])
+    # series+series: outer align, missing where either side missing
+    assert_series_equal((s1 + s2).drop_missing(), [("b", 12.0)])
+    assert (s1 + s2).count_keys() == 3
+
+
+def test_fill_missing(spark):
+    s = sob(spark, [(1, 1.0), (2, None), (3, None), (4, 4.0)], schema="key int, value double")
+    assert_series_equal(s.fill_missing("forward"), [(1, 1.0), (2, 1.0), (3, 1.0), (4, 4.0)])
+    assert_series_equal(s.fill_missing("backward"), [(1, 1.0), (2, 4.0), (3, 4.0), (4, 4.0)])
+    assert_series_equal(s.fill_missing_with(0.0), [(1, 1.0), (2, 0.0), (3, 0.0), (4, 4.0)])
+    # edges stay missing (src/SeriesModule.fs:641-649)
+    s2 = sob(spark, [(1, None), (2, 2.0)], schema="key int, value double")
+    assert_series_equal(s2.fill_missing("forward"), [(1, None), (2, 2.0)])
+
+
+def test_aggregates(spark):
+    s = sob(spark, [("a", 1.0), ("b", 2.0), ("c", None)], schema="key string, value double")
+    assert s.sum() == 3.0
+    assert s.mean() == 1.5
+    assert s.count_values() == 2
+    assert s.count_keys() == 3
+    assert s.max_by() == ("b", 2.0)
+    assert s.min_by() == ("a", 1.0)

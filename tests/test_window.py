@@ -1,0 +1,91 @@
+"""Window/chunk boundary semantics — pinned by the reference's
+sequence-combinator tests (tests/FSharp.DataFrame.Tests/Common.fs:132-191)."""
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.series import AT_BEGINNING, AT_ENDING, SKIP, Series
+from fsharp_dataframe_spark.comparator import assert_series_equal
+
+
+def sob(spark, pairs, schema="key int, value int", ordered=True):
+    return Series.of_observations(spark, pairs, schema, ordered=ordered)
+
+
+def s1234(spark):
+    return sob(spark, [(i, i) for i in [1, 2, 3, 4]])
+
+
+def test_window_at_beginning(spark):
+    # windows over [1..4], n=3, AtBeginning: [1],[1,2],[1,2,3],[2,3,4]
+    # keyed by last key (Common.fs:132-137)
+    out = s1234(spark).window_size_into(3, F.sum, AT_BEGINNING)
+    assert_series_equal(out, [(1, 1), (2, 3), (3, 6), (4, 9)])
+
+
+def test_window_skip(spark):
+    # only complete windows (Common.fs:139-144)
+    out = s1234(spark).window_size_into(3, F.sum, SKIP)
+    assert_series_equal(out, [(3, 6), (4, 9)])
+
+
+def test_window_at_ending(spark):
+    # complete then incomplete suffix, keyed by FIRST key (Common.fs:146-151)
+    out = s1234(spark).window_size_into(3, F.sum, AT_ENDING)
+    assert_series_equal(out, [(1, 6), (2, 9), (3, 7), (4, 4)])
+
+
+def test_chunk_at_ending(spark):
+    # [1..10] n=3 start-aligned: [1,2,3],[4,5,6],[7,8,9],[10] (Common.fs:177-183)
+    s = sob(spark, [(i, i) for i in range(1, 11)])
+    out = s.chunk_size_into(3, F.sum, AT_ENDING)
+    assert_series_equal(out, [(1, 6), (4, 15), (7, 24), (10, 10)])
+
+
+def test_chunk_at_beginning(spark):
+    # [1..10] n=3 end-aligned: [1],[2,3,4],[5,6,7],[8,9,10] (Common.fs:160-166)
+    s = sob(spark, [(i, i) for i in range(1, 11)])
+    out = s.chunk_size_into(3, F.sum, AT_BEGINNING)
+    assert_series_equal(out, [(1, 1), (2, 9), (5, 18), (8, 27)])
+
+
+def test_chunk_skip(spark):
+    # start-aligned, incomplete dropped (Common.fs:185-191)
+    s = sob(spark, [(i, i) for i in range(1, 11)])
+    out = s.chunk_size_into(3, F.sum, SKIP)
+    assert_series_equal(out, [(1, 6), (4, 15), (7, 24)])
+
+
+def test_chunk_exact_multiple(spark):
+    # length divisible by n: all complete either alignment (Common.fs:152-158, 168-175)
+    s = sob(spark, [(i, i) for i in range(1, 10)])
+    for b in (AT_BEGINNING, AT_ENDING):
+        assert_series_equal(s.chunk_size_into(3, F.sum, b), [(1, 6), (4, 15), (7, 24)])
+
+
+def test_shift(spark):
+    s = sob(spark, [(i, i * 10) for i in [1, 2, 3]])
+    assert_series_equal(s.shift(1), [(2, 10), (3, 20)])
+    assert_series_equal(s.shift(-1), [(1, 20), (2, 30)])
+
+
+def test_pairwise(spark):
+    s = sob(spark, [(i, i * i) for i in [1, 2, 3]])
+    out = s.pairwise(lambda prev, cur: cur - prev)
+    assert_series_equal(out, [(2, 3), (3, 5)])
+
+
+def test_window_dist(spark):
+    # for each key: aggregate values with keys in [k, k+10]
+    s = sob(spark, [(1, 1), (4, 4), (11, 11), (20, 20)])
+    out = s.window_dist_into(10, F.sum)
+    assert_series_equal(out, [(1, 16), (4, 15), (11, 31), (20, 20)])
+
+
+def test_moving_mean_matches_pandas(spark):
+    import pandas as pd
+
+    vals = [float(i * 7 % 13) for i in range(50)]
+    s = sob(spark, [(i, v) for i, v in enumerate(vals)], schema="key int, value double")
+    got = s.window_size_into(5, F.avg, AT_BEGINNING).to_pandas()["value"].tolist()
+    exp = pd.Series(vals).rolling(5, min_periods=1).mean().tolist()
+    assert got == exp
