@@ -1,38 +1,800 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — one entry per implemented operator cluster from
+SURVEY.md §2 (+ the LLM-pipeline operators), each returning a
+DataFrame built through the fsharp_dataframe_spark engine.
+``oracle_sql()`` — DuckDB-equivalent SQL per query.
+
+Conventions:
+- every aggregate/computed column is aliased identically on both sides;
+- float aggregates are rounded (4 decimals) on both sides so summation
+  order across partitions cannot flip the value hash;
+- ``events.ts`` is TIMESTAMP(NANOS) parquet: Spark loads it via
+  sources/parquet.load_table (ns→µs); oracle SQL casts to TIMESTAMP.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark import Frame, Series
+from fsharp_dataframe_spark.sources.parquet import load_table
+
+
+def _frame(spark, sf_dir, name, key=None, ordered=False) -> Frame:
+    return Frame(load_table(spark, sf_dir, name), key=key, ordered=ordered)
+
+
+def _events_series(spark, sf_dir, key=("ts", "event_id"), value="value") -> Series:
+    df = load_table(spark, sf_dir, "events")
+    return Series(df.select(*key, value), key=list(key), value=value, ordered=True)
+
+
+# ----------------------------------------------------------------------
+# flagship
+# ----------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: grouped aggregation with hierarchical keys (SURVEY §2.5)
+    on sf0.001 — reference `groupRowsBy` + `meanBy/sumBy/countBy`."""
+    return q_group_agg(spark, "/root/testdata/sf0.001")
 
+
+# ----------------------------------------------------------------------
+# §2.5 grouping & aggregation
+# ----------------------------------------------------------------------
+
+def q_group_agg(spark, sf) -> DataFrame:
+    """Hierarchical-key grouped aggregates (groupRowsBy + sum/mean/count;
+    reference src/Frame.fs:826-839, src/FrameModule.fs:413-435)."""
+    li = _frame(spark, sf, "lineitem")
+    g = li.filter_rows(F.col("l_shipdate") <= F.lit("1998-09-02")) \
+          .group_rows_by("l_returnflag", "l_linestatus") \
+          .agg_by_level([0, 1], {
+              "l_quantity": F.sum,
+              "l_extendedprice": F.sum,
+              "l_discount": F.avg,
+              "l_orderkey": F.count,
+          }, aliases={"l_quantity": "sum_qty", "l_extendedprice": "sum_price",
+                      "l_discount": "avg_disc", "l_orderkey": "n_rows"})
+    return g.map_cols({
+        "sum_qty": F.round(F.col("sum_qty"), 2),
+        "sum_price": F.round(F.col("sum_price"), 2),
+        "avg_disc": F.round(F.col("avg_disc"), 4),
+    }).df
+
+
+def q_group_stats(spark, sf) -> DataFrame:
+    """Per-group stats incl. stddev/median (Series.sdv/median analogs)."""
+    li = _frame(spark, sf, "lineitem")
+    g = li.group_rows_by("l_returnflag").agg_by_level([0], {
+        "l_quantity": F.stddev_samp,
+        "l_extendedprice": F.median,
+        "l_tax": F.min,
+        "l_discount": F.max,
+    }, aliases={"l_quantity": "sdv_qty", "l_extendedprice": "med_price",
+                "l_tax": "min_tax", "l_discount": "max_disc"})
+    return g.map_cols({
+        "sdv_qty": F.round(F.col("sdv_qty"), 4),
+        "med_price": F.round(F.col("med_price"), 4),
+    }).df
+
+
+def q_stats_melt(spark, sf) -> DataFrame:
+    """Whole-frame per-column aggregate melted to (column, value) —
+    Frame.mean (src/FrameModule.fs:385-407)."""
+    li = _frame(spark, sf, "lineitem")
+    s = li.stats(F.avg, cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return s.map_values(lambda v: F.round(v, 4)).df
+
+
+def q_maxby_minby(spark, sf) -> DataFrame:
+    """max_by/min_by per group (Series.maxBy; reference-bug divergence
+    for minBy noted in SURVEY §7.3)."""
+    o = load_table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.max_by("o_orderkey", "o_totalprice").alias("max_price_order"),
+             F.min_by("o_orderkey", "o_totalprice").alias("min_price_order"))
+    )
+
+
+def q_pivot(spark, sf) -> DataFrame:
+    """unstack/pivot (src/FrameModule.fs:437-448) as conditional agg."""
+    li = _frame(spark, sf, "lineitem")
+    p = li.pivot("l_returnflag", "l_linestatus", "l_quantity", agg=F.sum, values=["F", "O"])
+    return p.map_cols({"F": F.round(F.col("F"), 2), "O": F.round(F.col("O"), 2)}).df
+
+
+# ----------------------------------------------------------------------
+# §2.2 projection / filtering / slicing
+# ----------------------------------------------------------------------
+
+def q_filter_project(spark, sf) -> DataFrame:
+    """Where + Select (src/Series.fs:230-270): row filter + computed
+    column, no aggregation (per-row float ops are order-independent)."""
+    li = _frame(spark, sf, "lineitem")
+    out = li.filter_rows((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05)) \
+            .map_cols({"revenue": F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)})
+    return out.select_cols(["l_orderkey", "l_linenumber", "l_quantity", "revenue"]).df \
+              .select("l_orderkey", "l_linenumber", "l_quantity", "revenue")
+
+
+def q_slice_between(spark, sf) -> DataFrame:
+    """Ordered key-range slice Between/After/Before (src/Series.fs:111-120)."""
+    ev = _events_series(spark, sf)
+    sliced = ev.between("2024-01-10 00:00:00", "2024-01-20 00:00:00", hi_inclusive=False)
+    return sliced.df.select("ts", "event_id", "value")
+
+
+def q_scalar_math(spark, sf) -> DataFrame:
+    """Pointwise math functions (§2.10: Sin/Log/Sqrt/Abs...)."""
+    li = load_table(spark, sf, "lineitem")
+    out = li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_disc"),
+        F.round(F.sin("l_tax"), 6).alias("sin_tax"),
+    )
+    return out
+
+
+# ----------------------------------------------------------------------
+# §2.3/§2.4 set ops, zip, joins
+# ----------------------------------------------------------------------
+
+def q_union_prefer_left(spark, sf) -> DataFrame:
+    """Series.Union PreferLeft (src/Series.fs:346-359): per-user mean
+    of 'click' values, overlaid with 'view' means where no clicks."""
+    ev = load_table(spark, sf, "events")
+    clicks = Series(ev.filter(F.col("event_type") == "click").groupBy("user_id")
+                    .agg(F.round(F.avg("value"), 4).alias("value")),
+                    key="user_id", value="value")
+    views = Series(ev.filter(F.col("event_type") == "view").groupBy("user_id")
+                   .agg(F.round(F.avg("value"), 4).alias("value")),
+                   key="user_id", value="value")
+    return clicks.union(views, "prefer_left").df
+
+
+def q_zip_inner(spark, sf) -> DataFrame:
+    """Series.ZipInner + combine (src/Series.fs:338-343): click mean vs
+    view mean per user, ratio."""
+    ev = load_table(spark, sf, "events")
+    clicks = Series(ev.filter(F.col("event_type") == "click").groupBy("user_id")
+                    .agg(F.avg("value").alias("value")), key="user_id", value="value")
+    views = Series(ev.filter(F.col("event_type") == "view").groupBy("user_id")
+                   .agg(F.avg("value").alias("value")), key="user_id", value="value")
+    out = clicks.zip_into(views, lambda a, b: F.round(a / b, 4), kind="inner")
+    return out.df.withColumnRenamed("value", "click_view_ratio")
+
+
+def q_join_broadcast(spark, sf) -> DataFrame:
+    """Frame.Join exact (src/Frame.fs:146-167) with small-dim broadcast:
+    revenue by nation (TPC-H Q5 shape)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    out = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+    return out
+
+
+def q_frame_join_left(spark, sf) -> DataFrame:
+    """Frame.Join left on row key (disjoint columns)."""
+    o = _frame(spark, sf, "orders", key="o_custkey")
+    cust = Frame(load_table(spark, sf, "customer")
+                 .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_acctbal"),
+                 key="o_custkey")
+    j = o.join(cust, kind="left")
+    return (
+        j.df.groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+def q_append_frames(spark, sf) -> DataFrame:
+    """Frame.Append (src/Frame.fs:171-207): pad-missing column union."""
+    ev = load_table(spark, sf, "events")
+    a = Frame(ev.filter(F.col("event_type") == "click").select("event_id", "ts", "value"))
+    b = Frame(ev.filter(F.col("event_type") == "purchase").select("event_id", "ts", "value", "user_id"))
+    out = a.append(b)
+    return out.df.select("event_id", "ts", "value", "user_id")
+
+
+def q_asof_join(spark, sf) -> DataFrame:
+    """The as-of join (§2.4 inexact; src/JoinHelpers.fs:49-53): for an
+    hourly grid over the events range, the last 'purchase' value
+    at-or-before each grid instant."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    src = Series(ev.select("ts", "value"), key="ts", value="value", ordered=True)
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                    F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("ts"))
+    out = src.get_items(spine, "nearest_smaller")
+    return out.df.select("ts", F.col("value").alias("asof_value"))
+
+
+def q_asof_grouped(spark, sf) -> DataFrame:
+    """Per-entity as-of (the 100 TB path): for each 'error' event, the
+    last 'click' value by the same user at-or-before it."""
+    from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+    ev = load_table(spark, sf, "events")
+    probe = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    src = ev.filter(F.col("event_type") == "click") \
+            .select("user_id", "ts", F.col("value").alias("last_click_value"))
+    out = asof_align_frame(probe, src, key_cols=["ts"], fill_cols=["last_click_value"],
+                           direction="backward", by=["user_id"])
+    return out.select("user_id", "event_id", "ts", "last_click_value")
+
+
+def q_realign(spark, sf) -> DataFrame:
+    """GetItems/Realign exact reindex (src/Series.fs:133-152, 552-559):
+    customer account balances realigned to the full 1..200 key spine."""
+    c = load_table(spark, sf, "customer")
+    s = Series(c.select("c_custkey", "c_acctbal"), key="c_custkey", value="c_acctbal")
+    spine = spark.range(1, 201).select(F.col("id").alias("c_custkey"))
+    return s.get_items(spine).df
+
+
+# ----------------------------------------------------------------------
+# §2.6 windowing / ordered ops
+# ----------------------------------------------------------------------
+
+def q_shift_diff(spark, sf) -> DataFrame:
+    """shift/diff (src/SeriesModule.fs:207-219): day-over-day change of
+    daily event-value sums."""
+    ev = load_table(spark, sf, "events")
+    daily = Series(
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+          .agg(F.round(F.sum("value"), 4).alias("value")),
+        key="day", value="value", ordered=True,
+    )
+    return daily.diff(1).df.withColumnRenamed("value", "day_change")
+
+
+def q_window_moving_avg(spark, sf) -> DataFrame:
+    """windowSizeInto AtBeginning (src/SeriesModule.fs:281-301): 5-row
+    moving average of event values per user."""
+    ev = load_table(spark, sf, "events")
+    s = Series(ev.select("user_id", "event_id", "ts", "value"),
+               key=["user_id", "ts", "event_id"], value="value", ordered=True)
+    out = s.window_size_into(5, F.avg, "at_beginning", by=["user_id"])
+    return out.df.select("user_id", "event_id", F.round(F.col("value"), 4).alias("mov_avg"))
+
+
+def q_chunk_sum(spark, sf) -> DataFrame:
+    """chunkSizeInto start-aligned (src/SeriesModule.fs:383-399): sums
+    of 100-row chunks of the global event stream."""
+    ev = _events_series(spark, sf)
+    out = ev.chunk_size_into(100, F.sum, "at_ending")
+    return out.df.select("ts", "event_id", F.round(F.col("value"), 4).alias("chunk_sum"))
+
+
+def q_pairwise(spark, sf) -> DataFrame:
+    """pairwise/pairwiseWith (src/Series.fs:461-500): consecutive-event
+    value deltas per user."""
+    ev = load_table(spark, sf, "events")
+    s = Series(ev.select("user_id", "ts", "event_id", "value"),
+               key=["user_id", "ts", "event_id"], value="value", ordered=True)
+    out = s.pairwise(lambda prev, cur: F.round(cur - prev, 4), by=["user_id"])
+    return out.df.withColumnRenamed("value", "delta")
+
+
+def q_take_last(spark, sf) -> DataFrame:
+    """takeLast (src/SeriesModule.fs:221-223): last 50 events by time."""
+    ev = _events_series(spark, sf)
+    return ev.take_last(50).df.select("ts", "event_id", "value")
+
+
+# ----------------------------------------------------------------------
+# §2.7 resampling
+# ----------------------------------------------------------------------
+
+def q_resample_daily(spark, sf) -> DataFrame:
+    """resampleEquiv (src/SeriesModule.fs:726-752): daily mean value."""
+    ev = _events_series(spark, sf)
+    out = ev.resample_equiv_into(lambda k: F.date_trunc("day", k),
+                                 lambda v: F.round(F.avg(v), 4))
+    return out.df.select(F.col("ts").alias("day"), F.col("value").alias("avg_value"))
+
+
+def q_resample_uniform(spark, sf) -> DataFrame:
+    """resampleUniform w/ forward fill (src/SeriesModule.fs:781-834):
+    per-hour last 'signup' value over the full hour spine, gaps filled
+    from the previous hour."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "signup")
+    s = Series(ev.select("ts", "value"), key="ts", value="value", ordered=True)
+    out = s.resample_uniform_into(lambda k: F.date_trunc("hour", k), "interval 1 hour",
+                                  lambda v: F.max_by(v, F.col("ts")))
+    return out.df.select(F.col("ts").alias("hour"), F.col("value").alias("filled_value"))
+
+
+def q_sample_time(spark, sf) -> DataFrame:
+    """sampleTimeInto Forward (src/SeriesModule.fs:841-947): first event
+    value per 6-hour bucket (start-aligned grid)."""
+    ev = Series(load_table(spark, sf, "events").select("ts", "value"),
+                key="ts", value="value", ordered=True)
+    # explicit whole-second origin so bucket arithmetic is integral on
+    # both engines (sub-second origin fractions would make floor()
+    # boundaries engine-dependent)
+    origin = ev.df.agg(F.date_trunc("day", F.min("ts"))).collect()[0][0]
+    out = ev.sample_time_into("6 hours", lambda v: F.min_by(v, ev.key),
+                              direction="forward", origin=origin)
+    return out.df.select(F.col("ts").alias("bucket"), F.col("value").alias("first_value"))
+
+
+# ----------------------------------------------------------------------
+# §2.8 missing-data
+# ----------------------------------------------------------------------
+
+def q_fill_forward(spark, sf) -> DataFrame:
+    """fillMissing Direction.Forward (src/SeriesModule.fs:652-655):
+    daily per-user purchase means on the full (user × day) grid, gaps
+    forward-filled per user."""
+    ev = load_table(spark, sf, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("value"))
+    )
+    users = ev.select("user_id").distinct()
+    days = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                  F.date_trunc("day", F.max("ts")).alias("hi")) \
+             .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    grid = users.crossJoin(F.broadcast(days))
+    s = Series(grid.join(purchases, on=["user_id", "day"], how="left"),
+               key=["user_id", "day"], value="value", ordered=True)
+    return s.fill_missing("forward", by=["user_id"]).df
+
+
+def q_drop_missing(spark, sf) -> DataFrame:
+    """dropMissing/dropSparseRows: rows of the user×day purchase grid
+    that have observations."""
+    ev = load_table(spark, sf, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("value"))
+    )
+    users = ev.select("user_id").distinct()
+    days = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                  F.date_trunc("day", F.max("ts")).alias("hi")) \
+             .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    sparse = users.crossJoin(F.broadcast(days)).join(purchases, on=["user_id", "day"], how="left")
+    s = Series(sparse, key=["user_id", "day"], value="value")
+    return s.drop_missing().df
+
+
+# ----------------------------------------------------------------------
+# LLM-pipeline operators (BASELINE.json north star)
+# ----------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf) -> DataFrame:
+    """Exact dedup groups via normalized md5 fingerprint."""
+    from fsharp_dataframe_spark.functions.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup_groups(docs).select("fp", "keep_id", "n_dups")
+
+
+def q_text_stats(spark, sf) -> DataFrame:
+    """Token counting + quality ratios (pure column exprs)."""
+    from fsharp_dataframe_spark.functions import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars_calc"),
+        F.round(TX.punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(c), 4).alias("stopword_ratio"),
+    )
+
+
+def q_lang_hits(spark, sf) -> DataFrame:
+    """Language-ID heuristic scores (integer stopword hits per lang)."""
+    from fsharp_dataframe_spark.functions import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id", "lang",
+        *[TX.lang_hits(c, lang).alias(f"hits_{lang}") for lang in ["en", "fr", "es", "de", "zh"]],
+        TX.lang_id(c).alias("lang_pred"),
+    )
+
+
+def q_ngram_jaccard(spark, sf) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    from fsharp_dataframe_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def q_embed_topk(spark, sf) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 embedding."""
+    from fsharp_dataframe_spark.functions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=20)
+
+
+def q_embed_centroids(spark, sf) -> DataFrame:
+    """Per-label mean embedding norm — array math over embeddings
+    (F.aggregate/zip_with, JVM-side)."""
+    from fsharp_dataframe_spark.functions.similarity import norm
+
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.select("label", norm(F.col("embedding")).alias("n"))
+        .groupBy("label")
+        .agg(F.round(F.avg("n"), 4).alias("avg_norm"), F.count("*").alias("n_vecs"))
+    )
+
+
+def q_minhash_pairs(spark, sf) -> DataFrame:
+    """MinHash+LSH near-dup candidates (no SQL oracle — engine-specific
+    hash family; rows-only check, cross-validated against exact Jaccard
+    in tests)."""
+    from fsharp_dataframe_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.2)
+
+
+def q_simhash_pairs(spark, sf) -> DataFrame:
+    """SimHash near-dup candidates (no SQL oracle — xxhash64 family;
+    rows-only check)."""
+    from fsharp_dataframe_spark.functions.dedup import simhash_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return simhash_pairs(docs, max_hamming=6)
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "group_agg": q_group_agg,
+        "group_stats": q_group_stats,
+        "stats_melt": q_stats_melt,
+        "maxby_minby": q_maxby_minby,
+        "pivot": q_pivot,
+        "filter_project": q_filter_project,
+        "slice_between": q_slice_between,
+        "scalar_math": q_scalar_math,
+        "union_prefer_left": q_union_prefer_left,
+        "zip_inner": q_zip_inner,
+        "join_broadcast": q_join_broadcast,
+        "frame_join_left": q_frame_join_left,
+        "append_frames": q_append_frames,
+        "asof_join": q_asof_join,
+        "asof_grouped": q_asof_grouped,
+        "realign": q_realign,
+        "shift_diff": q_shift_diff,
+        "window_moving_avg": q_window_moving_avg,
+        "chunk_sum": q_chunk_sum,
+        "pairwise": q_pairwise,
+        "take_last": q_take_last,
+        "resample_daily": q_resample_daily,
+        "resample_uniform": q_resample_uniform,
+        "sample_time": q_sample_time,
+        "fill_forward": q_fill_forward,
+        "drop_missing": q_drop_missing,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_hits": q_lang_hits,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embed_topk": q_embed_topk,
+        "embed_centroids": q_embed_centroids,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = {
+        "en": "('the','and','of','to','in','is','that','with')",
+        "fr": "('le','la','les','et','de','des','un','une')",
+        "es": "('el','los','las','y','en','que','por','una')",
+        "de": "('der','die','das','und','nicht','mit','ein','zu')",
+        "zh": "('的','是','了','在','和','有','我','不')",
+    }
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    hits = {k: f"len(list_filter({toks}, x -> x IN {v}))" for k, v in sw.items()}
+    best = "greatest(" + ", ".join(f"h_{k}" for k in sw) + ")"
+    return {
+        "group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(l_orderkey) AS n_rows
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "group_stats": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 4) AS sdv_qty,
+                   round(median(l_extendedprice), 4) AS med_price,
+                   min(l_tax) AS min_tax,
+                   max(l_discount) AS max_disc
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "stats_melt": """
+            SELECT 'l_quantity' AS "column", round(avg(l_quantity), 4) AS value FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', round(avg(l_extendedprice), 4) FROM lineitem
+            UNION ALL SELECT 'l_discount', round(avg(l_discount), 4) FROM lineitem
+            UNION ALL SELECT 'l_tax', round(avg(l_tax), 4) FROM lineitem
+        """,
+        "maxby_minby": """
+            SELECT o_orderpriority,
+                   arg_max(o_orderkey, o_totalprice) AS max_price_order,
+                   arg_min(o_orderkey, o_totalprice) AS min_price_order
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END), 2) AS "F",
+                   round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END), 2) AS "O"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   round(l_extendedprice * (1 - l_discount), 4) AS revenue
+            FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        """,
+        "slice_between": """
+            SELECT ts::TIMESTAMP AS ts, event_id, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        """,
+        "scalar_math": """
+            SELECT l_orderkey, l_linenumber,
+                   round(sqrt(l_quantity), 6) AS sqrt_qty,
+                   round(ln(l_extendedprice), 6) AS ln_price,
+                   round(abs(l_discount - 0.05), 6) AS abs_disc,
+                   round(sin(l_tax), 6) AS sin_tax
+            FROM lineitem
+        """,
+        "union_prefer_left": """
+            WITH c AS (SELECT user_id, round(avg(value),4) AS value FROM events
+                       WHERE event_type='click' GROUP BY user_id),
+                 v AS (SELECT user_id, round(avg(value),4) AS value FROM events
+                       WHERE event_type='view' GROUP BY user_id)
+            SELECT coalesce(c.user_id, v.user_id) AS user_id,
+                   coalesce(c.value, v.value) AS value
+            FROM c FULL OUTER JOIN v USING (user_id)
+        """,
+        "zip_inner": """
+            WITH c AS (SELECT user_id, avg(value) AS value FROM events
+                       WHERE event_type='click' GROUP BY user_id),
+                 v AS (SELECT user_id, avg(value) AS value FROM events
+                       WHERE event_type='view' GROUP BY user_id)
+            SELECT c.user_id AS user_id, round(c.value / v.value, 4) AS click_view_ratio
+            FROM c JOIN v USING (user_id)
+        """,
+        "join_broadcast": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "frame_join_left": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n_orders
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "append_frames": """
+            SELECT event_id, ts::TIMESTAMP AS ts, value, NULL::BIGINT AS user_id
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, ts::TIMESTAMP AS ts, value, user_id
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "asof_join": """
+            WITH p AS (SELECT ts::TIMESTAMP AS ts, value FROM events WHERE event_type='purchase'),
+                 spine AS (
+                   SELECT unnest(generate_series(
+                     date_trunc('hour', (SELECT min(ts) FROM p)),
+                     date_trunc('hour', (SELECT max(ts) FROM p)),
+                     INTERVAL 1 HOUR)) AS ts)
+            SELECT spine.ts AS ts, p.value AS asof_value
+            FROM spine ASOF LEFT JOIN p ON spine.ts >= p.ts
+        """,
+        "asof_grouped": """
+            WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+                       WHERE event_type='error'),
+                 c AS (SELECT user_id, ts::TIMESTAMP AS ts, value AS last_click_value
+                       FROM events WHERE event_type='click')
+            SELECT e.user_id AS user_id, e.event_id AS event_id, e.ts AS ts,
+                   c.last_click_value AS last_click_value
+            FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        "realign": """
+            WITH spine AS (SELECT unnest(generate_series(1, 200)) AS c_custkey)
+            SELECT spine.c_custkey AS c_custkey, c.c_acctbal AS c_acctbal
+            FROM spine LEFT JOIN customer c USING (c_custkey)
+        """,
+        "shift_diff": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(sum(value),4) AS value
+              FROM events GROUP BY 1)
+            SELECT day, round(value - lag(value) OVER (ORDER BY day), 4) AS day_change
+            FROM daily QUALIFY lag(value) OVER (ORDER BY day) IS NOT NULL
+        """,
+        "window_moving_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+            FROM events
+        """,
+        "chunk_sum": """
+            WITH numbered AS (
+              SELECT ts::TIMESTAMP AS ts, event_id, value,
+                     (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS chunk
+              FROM events)
+            SELECT min(ts) AS ts, min(event_id) AS event_id,
+                   round(sum(value), 4) AS chunk_sum
+            FROM numbered GROUP BY chunk
+        """,
+        "pairwise": """
+            SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+            FROM events
+            QUALIFY lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+        """,
+        "take_last": """
+            SELECT ts::TIMESTAMP AS ts, event_id, value FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 50
+        """,
+        "resample_daily": """
+            SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "resample_uniform": """
+            WITH s AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,
+                              arg_max(value, ts) AS v
+                       FROM events WHERE event_type='signup' GROUP BY 1),
+                 spine AS (SELECT unnest(generate_series(
+                     (SELECT min(hour) FROM s), (SELECT max(hour) FROM s),
+                     INTERVAL 1 HOUR)) AS hour)
+            SELECT spine.hour AS hour, s.v AS filled_value
+            FROM spine ASOF LEFT JOIN s ON spine.hour >= s.hour
+        """,
+        "sample_time": """
+            WITH origin AS (SELECT date_trunc('day', min(ts::TIMESTAMP)) AS o FROM events),
+                 b AS (SELECT ts::TIMESTAMP AS ts, value,
+                              (SELECT o FROM origin)
+                              + to_seconds(21600 * (floor(epoch(ts::TIMESTAMP) - epoch((SELECT o FROM origin)))::BIGINT // 21600))
+                              AS bucket
+                       FROM events)
+            SELECT bucket, arg_min(value, ts) AS first_value FROM b GROUP BY bucket
+        """,
+        "fill_forward": """
+            WITH p AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
+                              round(avg(value),4) AS value
+                       FROM events WHERE event_type='purchase' GROUP BY 1, 2),
+                 users AS (SELECT DISTINCT user_id FROM events),
+                 days AS (SELECT unnest(generate_series(
+                     date_trunc('day',(SELECT min(ts::TIMESTAMP) FROM events)),
+                     date_trunc('day',(SELECT max(ts::TIMESTAMP) FROM events)),
+                     INTERVAL 1 DAY)) AS day),
+                 grid AS (SELECT user_id, day FROM users CROSS JOIN days)
+            SELECT grid.user_id AS user_id, grid.day AS day, p.value AS value
+            FROM grid ASOF LEFT JOIN p ON grid.user_id = p.user_id AND grid.day >= p.day
+        """,
+        "drop_missing": """
+            SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
+                   round(avg(value),4) AS value
+            FROM events WHERE event_type='purchase' GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   length(text) AS n_chars_calc,
+                   round(CASE WHEN length(text) > 0 THEN
+                     (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                     ELSE 0 END, 4) AS punct_ratio,
+                   round(CASE WHEN len({toks}) > 0 THEN
+                     len(list_filter({toks}, x -> x IN ('the','and','of','to','in','is','that','with')))::DOUBLE
+                       / len({toks})
+                     ELSE 0 END, 4) AS stopword_ratio
+            FROM documents
+        """,
+        "lang_hits": f"""
+            WITH h AS (
+              SELECT doc_id, lang,
+                     {hits['en']} AS h_en, {hits['fr']} AS h_fr, {hits['es']} AS h_es,
+                     {hits['de']} AS h_de, {hits['zh']} AS h_zh
+              FROM documents)
+            SELECT doc_id, lang,
+                   h_en AS hits_en, h_fr AS hits_fr, h_es AS hits_es,
+                   h_de AS hits_de, h_zh AS hits_zh,
+                   CASE WHEN {best} <= 0 THEN 'und'
+                        WHEN h_en = {best} THEN 'en'
+                        WHEN h_fr = {best} THEN 'fr'
+                        WHEN h_es = {best} THEN 'es'
+                        WHEN h_de = {best} THEN 'de'
+                        ELSE 'zh' END AS lang_pred
+            FROM h
+        """,
+        "ngram_jaccard": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, DISTINCT_SH.shingle FROM toks,
+              LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) DISTINCT_SH),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.2
+        """,
+        "embed_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 4)
+                     AS cosine_sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cosine_sim DESC, vec_id LIMIT 20
+        """,
+        "embed_centroids": """
+            SELECT label,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+                   count(*) AS n_vecs
+            FROM embeddings GROUP BY label
+        """,
+    }
+
+
+if __name__ == "__main__":  # manual smoke
+    from fsharp_dataframe_spark import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    df = entry(spark)
+    df.show(10, False)
+    print("rows:", df.count())

@@ -1,0 +1,205 @@
+"""Deduplication at training-data scale.
+
+Four tiers, cheapest first:
+
+1. **Exact** — hash-groupBy on a normalized fingerprint (md5).  One
+   shuffle on a short key; at 100 TB use it as the first pass — it
+   kills the bulk of duplication for pennies.
+2. **N-gram Jaccard** — exact set overlap via shingle explode +
+   self-join on shingle.  Exact but quadratic in bucket size; apply
+   after candidate generation, or alone at moderate scale.
+3. **MinHash + LSH** — shingle → k minhashes → band buckets →
+   candidate pairs from bucket joins, verified by estimated Jaccard.
+   Near-linear: the only shuffle keys are (band, signature), and
+   candidate verification touches only colliding pairs.
+4. **SimHash** — 64-bit sketch; near-dup = small Hamming distance.
+   Cheapest sketch to store/compare; bucket by rotated prefixes for
+   sub-linear candidate generation.
+
+All pure Column expressions (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.functions.text import fingerprint, tokens
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized fingerprint: one row per
+    distinct content with the keeper id (min) and duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep exactly one row per distinct normalized content (the min id).
+    Implemented as min_by over the fingerprint groups — one shuffle."""
+    keepers = exact_dedup_groups(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    toks = tokens(F.lower(text))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle relation."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    explode → self-join on shingle (the join key distributes by
+    shingle hash; hot shingles are the skew risk — AQE skew-join
+    handles moderate skew, and stopword-only shingles can be dropped
+    upstream for heavy skew).  Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+    """
+    sh = shingle_table(df, id_col, text_col, n).alias("l")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    r = shingle_table(df, id_col, text_col, n).alias("r")
+    pairs = (
+        sh.join(r, on="shingle")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, k: int = 32) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Permutation i is xxhash64(i || shingle) — k independent 64-bit
+    hash families, all computed in ONE pass over the shingle array
+    (array transform + array_min; no explode, no shuffle)."""
+    sh = word_shingles(F.col(text_col), n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda g: F.xxhash64(F.concat(F.lit(str(i) + "|"), g))))
+        for i in range(k)
+    ])
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, k: int = 32, bands: int = 8,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs.
+
+    Signature → `bands` bands of k/bands rows; band signature =
+    xxhash64 of its slice; candidates = ids colliding in any band
+    (shuffle key: (band, signature) — uniform by construction);
+    verification = estimated Jaccard (fraction of equal minhashes)
+    >= threshold.  At 100 TB: linear scan + one groupBy on band keys
+    + pair verification only on collisions.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sigs.select(
+        id_col, "minhash",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]))
+            for b in range(bands)
+        ])).alias("band", "band_sig"),
+    )
+    l = banded.alias("l")
+    rr = banded.alias("r")
+    cand = (
+        l.join(rr, on=["band", "band_sig"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.minhash").alias("mh_a"),
+            F.col("r.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(F.filter(F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda a, b: a == b),
+                          lambda x: x)) / F.lit(k)
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash sketch: sign-sum of per-token hash bits.
+
+    Token hash = xxhash64(token); bit j's vote = +1/-1 by bit value;
+    sketch bit j = 1 if the sum is positive.  Computed with array
+    transforms + aggregate — one pass, no explode."""
+    toks = tokens(F.lower(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # shift amounts must be Python ints (Spark's shiftleft/right take
+    # literals), so the per-bit votes are an unrolled literal array
+    acc = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda a, h: F.zip_with(
+            a,
+            F.array(*[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for j in range(bits)
+            ]),
+            lambda x, y: x + y,
+        ),
+    )
+    sketch = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_j = F.when(F.element_at(acc, j + 1) > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sketch = sketch.bitwiseOR(F.shiftleft(bit_j, j))
+    return sketch
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation buckets on 4 16-bit sketch quarters (any pair
+    within Hamming<=3 of a 64-bit sketch shares at least one equal
+    quarter — pigeonhole); verification = popcount of XOR.
+    """
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    quarters = sh.select(
+        id_col, "sh",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sh"), q * 16).bitwiseAND(F.lit(0xFFFF)) for q in range(4)
+        ])).alias("q", "qv"),
+    )
+    l, r = quarters.alias("l"), quarters.alias("r")
+    cand = (
+        l.join(r, on=["q", "qv"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
+               .select("id_a", "id_b", "hamming")

@@ -1,0 +1,100 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media payloads are opaque ``binary`` columns + a typed
+metadata struct (mime, width/height/duration, source uri).  Decode and
+feature extraction run as Arrow-batched Pandas UDFs over
+``mapInPandas`` — the Spark-side contract (schema, batch shape,
+partitioning) is real and tested; the codec calls themselves are
+STUBBED here (no image/audio libraries in this container) behind
+``DecoderUnavailable`` / a deterministic fake, clearly marked.
+
+Scale notes: payload columns dominate partition size — size
+``spark.sql.files.maxPartitionBytes`` down (or store payloads in
+separate parquet row groups / external object store with a uri column)
+so a partition holds O(100) media rows, and never groupBy a payload
+column (metadata keys only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by the real-decode path: codec libraries are not present
+    in this environment.  The deterministic fake below exercises the
+    identical Spark plumbing."""
+
+
+MEDIA_META = T.StructType([
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("duration_s", T.DoubleType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", MEDIA_META),
+])
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = patterned bytes)."""
+    rows = [
+        (i, bytes([(i * 7 + j) % 256 for j in range(128)]),
+         ("image/png", 32, 32, 1, None) if i % 2 == 0 else ("audio/wav", None, None, None, float(i)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_FEATURE_SCHEMA = "media_id long, feat array<float>, decode_ok boolean"
+
+
+def extract_features(df: DataFrame, real_decode: bool = False, feat_dim: int = 8) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches).
+
+    ``real_decode=True`` raises DecoderUnavailable (no codecs here);
+    the fake path derives a deterministic feature vector from payload
+    bytes so the batch shape / schema / partitioning are fully
+    exercised.
+    """
+
+    def _featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if real_decode:
+                raise DecoderUnavailable(
+                    "image/audio codecs not available in this container; "
+                    "plug a decoder (PIL/torchaudio/ffmpeg) here"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
+                chunks = np.array_split(arr, feat_dim)
+                feats.append([float(c.mean()) for c in chunks])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "feat": feats,
+                "decode_ok": [not real_decode] * len(pdf),
+            })
+
+    return df.mapInPandas(_featurize, schema=_FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: explode frame indices 0..n_frames-1
+    step every_n as rows (decode stubbed).  Shows the fan-out shape:
+    one row per sampled frame, partitioned by media_id."""
+    idx = F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
+                     F.lit(every_n))
+    return df.select("media_id", F.explode(idx).alias("frame_idx"))

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **Brute-force cosine top-k** — the exactness baseline: broadcast the
+  query vector, compute dot/norms with array expressions (JVM-side,
+  codegen), TakeOrderedAndProject for the top-k.  O(N·d) per query —
+  fine for batch scoring; at 100 TB use the bucketed variants.
+- **LSH-bucketed (random hyperplanes)** — deterministic pseudo-random
+  hyperplanes from xxhash64; candidates share a bucket in at least one
+  table.  Sub-linear probes at the cost of recall.
+- **IVF-style (coarse quantizer)** — assign every vector to its nearest
+  of n_cells sampled centroids (one broadcast join); query probes the
+  closest cells only.
+
+All operators avoid Python UDFs: dot products are `F.zip_with` +
+`F.aggregate` over the arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in declared element order (deterministic, double acc)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector.
+
+    The query is a literal array column (broadcast by constant
+    folding); Spark plans the limit as TakeOrderedAndProject — no full
+    sort, no shuffle of the data itself.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 4).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def _hyperplane(seed: int, j: int, dim: int) -> list[Column]:
+    """Deterministic pseudo-random ±1 hyperplane from xxhash64 — no RNG
+    state, reproducible across runs/engines."""
+    return [
+        F.when(F.xxhash64(F.lit(f"hp:{seed}:{j}:{i}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        for i in range(dim)
+    ]
+
+
+def lsh_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id (n_bits sign bits)."""
+    bits = []
+    for j in range(n_bits):
+        plane = F.array(*_hyperplane(seed, j, dim))
+        s = dot(vec, plane)
+        bits.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    acc = F.lit(0).cast("long")
+    for j, b in enumerate(bits):
+        acc = acc.bitwiseOR(F.shiftleft(b, j))
+    return acc
+
+
+def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10, dim: int | None = None,
+             n_bits: int = 12, n_tables: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe only vectors sharing an LSH bucket with
+    the query in any of n_tables hash tables, then exact-rescore.
+
+    Scale: bucket assignment is a narrow map; the candidate fetch is a
+    broadcast-able semi-join on (table, bucket).  Recall tunes with
+    n_bits (bucket size) × n_tables (probes).
+    """
+    dim = dim or len(query_vec)
+    qv = [float(x) for x in query_vec]
+    # the query's bucket per table is computed Spark-side with the same
+    # hash family as the data, guaranteeing identity
+    q = F.array(*[F.lit(x) for x in qv])
+    tables = []
+    for t in range(n_tables):
+        b = lsh_bucket(q, dim, n_bits, seed=t)
+        tables.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+    qb = df.sparkSession.range(1).select(F.explode(F.array(*tables)).alias("s")) \
+        .select(F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+
+    cand_buckets = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     lsh_bucket(F.col(vec_col), dim, n_bits, seed=t).alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("s"),
+    ).select(id_col, vec_col, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+
+    cands = (
+        cand_buckets.join(F.broadcast(qb), on=["tbl", "bucket"], how="left_semi")
+        .dropDuplicates([id_col])
+    )
+    return brute_force_topk(cands, qv, k, id_col, vec_col)
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse cells).
+
+    Centroids are a literal array-of-arrays (broadcast); assignment is
+    an argmin over cells — a narrow map, no shuffle.  Downstream ANN
+    probes only the query's nearest cells.
+    """
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
+    best = F.array_position(sims, F.array_max(sims)) - 1
+    return df.withColumn("ivf_cell", best.cast("int"))

@@ -1,0 +1,136 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All operators are pure Column expressions (whole-stage codegen; no
+Python in the hot path) over a string column:
+
+- tokenization + token counting (whitespace; BPE-ish regex variant)
+- quality scoring (length / punctuation / stopword / digit ratios)
+- language ID (stopword-hit heuristic over a small per-language list)
+- document fingerprinting (normalized md5; rolling-hash variant)
+
+At 100 TB these run embarrassingly parallel per row; the only shuffle
+any downstream use introduces is its own aggregation.  Regex work is
+linear in document length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small, fixed stopword lists (public, common words) for the heuristic
+# language scorer; deliberately tiny so the scorer is cheap and the
+# semantics are SQL-portable for the oracle.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une"],
+    "es": ["el", "los", "las", "y", "en", "que", "por", "una"],
+    "de": ["der", "die", "das", "und", "nicht", "mit", "ein", "zu"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish count: splits on whitespace AND word/non-word
+    boundaries — a cheap stand-in for a BPE tokenizer's granularity."""
+    pieces = F.split(col, r"\s+|(?<=\w)(?=\W)|(?<=\W)(?=\w)")
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (NULL-safe, 0 for empty)."""
+    total = F.length(col)
+    no_punct = F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(total > 0, (total - no_punct) / total).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column) -> Column:
+    total = F.length(col)
+    no_digit = F.length(F.regexp_replace(col, r"[0-9]", ""))
+    return F.when(total > 0, (total - no_digit) / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(col))
+    sw = LANG_STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    n = F.size(toks)
+    return F.when(n > 0, hits / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punctuation
+    soup, not digit soup, some stopwords (prose-like)."""
+    n_tok = token_count(col)
+    len_ok = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_ok
+        + 0.2 * (1.0 - F.least(punct_ratio(col) * 4, F.lit(1.0)))
+        + 0.2 * (1.0 - F.least(digit_ratio(col) * 4, F.lit(1.0)))
+        + 0.2 * F.least(stopword_ratio(col) * 5, F.lit(1.0)),
+        4,
+    )
+
+
+def lang_hits(col: Column, lang: str) -> Column:
+    """Stopword hits for one language (integer — oracle-exact)."""
+    toks = tokens(F.lower(col))
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits with
+    a fixed tie-break order (en > fr > es > de > zh), 'und' if no hits.
+    Deterministic CASE chain — SQL-portable."""
+    hits = {lang: lang_hits(col, lang) for lang in LANG_STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in ["en", "fr", "es", "de", "zh"]:
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed, trimmed text.  Identical across engines
+    (md5 is md5) → exact-dedup key and oracle-checkable."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Rolling-hash document sketch: min of md5-derived hashes over
+    word n-grams — a locality-sensitive 'winnowing'-style fingerprint
+    (robust to small edits, unlike md5-of-all)."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the standard text-analysis columns."""
+    c = F.col(text_col)
+    return df.withColumns({
+        "n_tokens": token_count(c),
+        "n_chars_calc": char_count(c),
+        "punct_ratio": F.round(punct_ratio(c), 4),
+        "stopword_ratio": F.round(stopword_ratio(c), 4),
+        "quality": quality_score(c),
+        "lang_pred": lang_id(c),
+        "fingerprint": fingerprint(c),
+    })

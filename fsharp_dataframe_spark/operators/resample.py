@@ -49,13 +49,14 @@ def resample_equiv(s: Series, proj: Callable[[Column], Column],
     Plain groupBy: map-side partial agg + shuffle on the projected key.
     """
     s._require_ordered("resample_equiv")
+    k0 = s.key_cols[0]  # projection applies to the leading (time) level
     out = (
-        s.df.withColumn(_BUCKET, proj(s.key))
+        s.df.withColumn(_BUCKET, proj(F.col(k0)))
         .groupBy(_BUCKET)
         .agg(agg(s.value).alias(s.value_col))
-        .withColumnRenamed(_BUCKET, s.key_cols[0])
+        .withColumnRenamed(_BUCKET, k0)
     )
-    return Series(out, key=s.key_cols, value=s.value_col, ordered=True, _canonicalize=True)
+    return Series(out, key=[k0], value=s.value_col, ordered=True, _canonicalize=True)
 
 
 def resample_explicit(s: Series, keys: list, direction: str,
@@ -114,7 +115,9 @@ def resample_uniform(s: Series, proj: Callable[[Column], Column], step,
     """
     s._require_ordered("resample_uniform")
     if agg is None:
-        agg = lambda v: F.max_by(v, F.col("__projkey"))  # noqa: E731
+        # lastValue default: order within the chunk by the ORIGINAL key
+        # (the projected key is constant inside a chunk)
+        agg = lambda v: F.max_by(v, s.key)  # noqa: E731
     step_col = F.expr(step) if isinstance(step, str) else F.lit(step)
     grouped = (
         s.df.withColumn("__projkey", proj(s.key))

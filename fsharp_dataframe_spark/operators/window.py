@@ -41,7 +41,11 @@ _VAL = "__winval"
 
 
 def _w(s: Series, by: list[str] | None) -> Window:
-    return Window.partitionBy(*(by or [])).orderBy(*[F.col(k) for k in s.key_cols])
+    """Ordered window; ``by`` columns must be key levels (a Series only
+    carries key+value columns), and order is over the remaining levels."""
+    by = by or []
+    order = [F.col(k) for k in s.key_cols if k not in by] or [F.col(k) for k in s.key_cols]
+    return Window.partitionBy(*by).orderBy(*order)
 
 
 def series_shift(s: Series, n: int, by: list[str] | None = None) -> Series:
@@ -143,11 +147,11 @@ def series_chunk_size(s: Series, n: int, agg: Callable[[Column], Column],
         df = df.withColumn("__chunk", -F.floor(pos_from_end / n))
     else:
         raise ValueError(boundary)
-    first_key = [F.min(F.col(k)).alias(k) for k in s.key_cols]
+    rest = [k for k in s.key_cols if k not in by]
+    first_key = [F.min(F.col(k)).alias(k) for k in rest]
     out = df.groupBy(*by, "__chunk").agg(*first_key, agg(s.value).alias(s.value_col))
-    out = out.select(*by, *s.key_cols, s.value_col)
-    return Series(out, key=(by + s.key_cols) if by else s.key_cols,
-                  value=s.value_col, ordered=True, _canonicalize=True)
+    out = out.select(*s.key_cols, s.value_col)
+    return Series(out, key=s.key_cols, value=s.value_col, ordered=True, _canonicalize=True)
 
 
 def series_window_dist(s: Series, dist, agg: Callable[[Column], Column],

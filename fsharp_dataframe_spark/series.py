@@ -249,11 +249,12 @@ class Series:
         (src/Series.fs:111-120, src/SeriesExtensions.fs:106-125).
         The range predicate pushes down to the parquet scan."""
         self._require_ordered("between")
+        k = F.col(self.key_cols[0])  # range slicing is on the leading key level
         cond = F.lit(True)
         if lo is not None:
-            cond = cond & (self.key >= F.lit(lo) if lo_inclusive else self.key > F.lit(lo))
+            cond = cond & (k >= F.lit(lo) if lo_inclusive else k > F.lit(lo))
         if hi is not None:
-            cond = cond & (self.key <= F.lit(hi) if hi_inclusive else self.key < F.lit(hi))
+            cond = cond & (k <= F.lit(hi) if hi_inclusive else k < F.lit(hi))
         return self._with_df(self.df.filter(cond))
 
     def after(self, k) -> "Series":
@@ -352,7 +353,9 @@ class Series:
         Top-k by key: Spark plans this as a TakeOrderedAndProject (no full
         sort at scale)."""
         self._require_ordered("take_last")
-        return self._with_df(self.df.orderBy(self.key.desc()).limit(n))
+        return self._with_df(
+            self.df.orderBy(*[F.col(k).desc() for k in self.key_cols]).limit(n)
+        )
 
     def lookup_level(self, level: int, key_value) -> "Series":
         """Match one level of a multi-level key — `GetByLevel`/`LookupNOfM`
@@ -554,15 +557,16 @@ class Series:
 
         return resample_explicit(self, keys, direction, agg)
 
-    def resample_uniform_into(self, proj, step, agg) -> "Series":
+    def resample_uniform_into(self, proj, step, agg=None) -> "Series":
         from fsharp_dataframe_spark.operators.resample import resample_uniform
 
         return resample_uniform(self, proj, step, agg)
 
-    def sample_time_into(self, interval: str, agg: Callable[[Column], Column], direction: str = "forward") -> "Series":
+    def sample_time_into(self, interval: str, agg: Callable[[Column], Column],
+                         direction: str = "forward", origin=None) -> "Series":
         from fsharp_dataframe_spark.operators.resample import sample_time
 
-        return sample_time(self, interval, agg, direction)
+        return sample_time(self, interval, agg, direction, origin=origin)
 
     # ------------------------------------------------------------------
     # arithmetic (§2.10) — pointwise scalar ops; series⊙series via zip

@@ -33,7 +33,9 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _nanos_fields(path):
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer DIV: ns values exceed double's 53-bit mantissa, so
+            # float division would round the microseconds
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -34,8 +34,7 @@ def test_resample_uniform_forward_fill(spark):
     rows = [(dt(2012, 5, 25), 1.0), (dt(2012, 5, 26), 2.0),
             (dt(2012, 5, 29), 5.0), (dt(2012, 5, 30), 6.0)]
     s = Series.of_observations(spark, rows, "key timestamp, value double", ordered=True)
-    out = s.resample_uniform_into(lambda k: F.date_trunc("day", k), "interval 1 day",
-                                  lambda v: F.max_by(v, F.col("__projkey")))
+    out = s.resample_uniform_into(lambda k: F.date_trunc("day", k), "interval 1 day")
     assert_series_equal(out, [
         (dt(2012, 5, 25), 1.0), (dt(2012, 5, 26), 2.0), (dt(2012, 5, 27), 2.0),
         (dt(2012, 5, 28), 2.0), (dt(2012, 5, 29), 5.0), (dt(2012, 5, 30), 6.0),

@@ -1,0 +1,105 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every __spark_entry__ query against its DuckDB oracle at a given
+sf dir and reports row-count / schema / value mismatches, comparing
+columns sorted by name with NaN/NULL canonicalization — the same
+contract the driver applies.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from fsharp_dataframe_spark import get_spark
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if (isinstance(v, float) and math.isnan(v)) else v)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    s, o = canon(sdf), canon(odf)
+    if list(s.columns) != list(o.columns):
+        problems.append(f"columns spark={list(s.columns)} oracle={list(o.columns)}")
+        return problems
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            a = pd.to_numeric(sv, errors="coerce")
+            b = pd.to_numeric(ov, errors="coerce")
+            bad = ~(((a - b).abs() < 1e-9) | (a.isna() & b.isna()))
+        else:
+            bad = ~((sv == ov) | (sv.isna() & ov.isna()))
+        if bad.any():
+            i = bad.idxmax()
+            problems.append(f"col {c}: {int(bad.sum())} diffs, first @{i}: "
+                            f"spark={sv[i]!r} oracle={ov[i]!r}")
+    return problems
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_ok = n_bad = 0
+    for name, q in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q(spark, sf).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:200]}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: rows={len(sdf)} (no oracle — rows-only)")
+            n_ok += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {str(e).splitlines()[0][:200]}")
+            n_bad += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_bad += 1
+        else:
+            print(f"OK    {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failing")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
