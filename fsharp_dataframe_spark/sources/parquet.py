@@ -30,6 +30,11 @@ def _nanos_fields(path: str) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    # Runtime SQL conf: must be set on whatever session the caller supplies
+    # (the driver's harness builds its own vanilla SparkSession), not just
+    # on sessions built by get_spark().  Without it, any parquet file with
+    # TIMESTAMP(NANOS) columns fails with PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nanos_fields(path):
         if dict(df.dtypes).get(c) == "bigint":

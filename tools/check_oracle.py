@@ -21,7 +21,6 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entrymod
-from fsharp_dataframe_spark import get_spark
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -64,7 +63,13 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # Deliberately a VANILLA session (no get_spark) so this gate reproduces
+    # the driver's harness, which builds its own plain SparkSession: any
+    # reliance on get_spark()-only session confs fails here first.
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .appName("check_oracle").getOrCreate())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
