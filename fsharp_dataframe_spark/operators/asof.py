@@ -121,17 +121,31 @@ def _bucketed_fill(
 ) -> DataFrame:
     """Scalable global as-of: range-bucket the key space, window within
     buckets, then patch bucket-local misses with a broadcast of each
-    bucket's carry-in value (the last value of all earlier buckets).
+    bucket's carry-in value (the last non-null value of earlier buckets).
 
-    Two narrow shuffles, no single-task total-order window.
+    Bucket boundaries come from sampled quantiles (approxQuantile — the
+    same mechanism repartitionByRange uses), so bucket assignment is a
+    pure function of the key: no global window anywhere in the plan,
+    and rows with equal keys always share a bucket (exact-match
+    side-tiebreaks resolve inside one window partition).
     """
     if len(key_cols) != 1:
         raise ValueError("bucketed as-of supports a single key column")
     k = key_cols[0]
-    u = u.withColumn(_BUCKET, F.ntile(n_buckets).over(Window.orderBy(F.col(k))))
-    # NOTE: ntile itself is a global window — production path would use
-    # fixed range boundaries from sampled quantiles (repartitionByRange
-    # semantics).  Kept simple here; boundaries are data-independent work.
+    kd = F.col(k).cast("double")
+    cuts = (
+        u.select(kd.alias("_kd"))
+        .approxQuantile("_kd", [i / n_buckets for i in range(1, n_buckets)], 0.001)
+    )
+    cuts = sorted({c for c in cuts if c is not None and c == c})
+    if cuts:
+        barr = F.array(*[F.lit(c) for c in cuts])
+        bucket = F.size(F.filter(barr, lambda b: b <= kd))
+    else:
+        # non-numeric or single-valued key space: one bucket (correct,
+        # just not parallel — the plain path's behavior)
+        bucket = F.lit(0)
+    u = u.withColumn(_BUCKET, bucket)
     asc = direction == "backward"
     side_order = F.col(_SIDE).asc() if asc else F.col(_SIDE).desc()
     if asc:
@@ -150,12 +164,17 @@ def _bucketed_fill(
         local = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
     filled = u.withColumns(local)
 
-    # carry-in per bucket: last (first) source value of each bucket,
-    # cascaded across buckets — tiny (n_buckets rows), broadcast back.
+    # carry-in per bucket: last (first) NON-NULL source value of each
+    # bucket — masking the ordering key on null values makes max_by /
+    # min_by skip them, so a bucket whose boundary row has a missing
+    # value still carries its newest *valued* row ("nearest key that
+    # has a value") — cascaded across buckets (n_buckets rows, a
+    # broadcast-scale relation).
     src_only = u.filter(F.col(_SIDE) == 0)
     if asc:
         per_bucket = src_only.groupBy(_BUCKET).agg(
-            *[F.max_by(F.col(c), F.col(k)).alias(c) for c in fill_cols]
+            *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(k))).alias(c)
+              for c in fill_cols]
         )
         cascade_w = Window.orderBy(F.col(_BUCKET)).rowsBetween(Window.unboundedPreceding, -1)
         carry = per_bucket.select(
@@ -163,7 +182,8 @@ def _bucketed_fill(
         )
     else:
         per_bucket = src_only.groupBy(_BUCKET).agg(
-            *[F.min_by(F.col(c), F.col(k)).alias(c) for c in fill_cols]
+            *[F.min_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(k))).alias(c)
+              for c in fill_cols]
         )
         cascade_w = Window.orderBy(F.col(_BUCKET)).rowsBetween(1, Window.unboundedFollowing)
         carry = per_bucket.select(

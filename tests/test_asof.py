@@ -69,6 +69,40 @@ def test_asof_bucketed_matches_plain(spark):
     assert [tuple(r) for r in bucketed_f.orderBy("key").collect()] == [tuple(r) for r in plain_f]
 
 
+def test_asof_bucketed_skips_nulls_at_bucket_boundaries(spark):
+    # every 5th source value missing: a bucket whose newest row is NULL
+    # must carry its newest NON-NULL value, not skip to an older bucket
+    src = sob(spark, [(i * 3, None if i % 5 == 4 else float(i)) for i in range(0, 200)])
+    probe = spark.createDataFrame([(i,) for i in range(0, 600, 7)], "key int")
+    from fsharp_dataframe_spark.operators.asof import asof_lookup
+
+    for direction in ("backward", "forward"):
+        lookup = NEAREST_SMALLER if direction == "backward" else NEAREST_GREATER
+        plain = src.get_items(probe, lookup).df.orderBy("key").collect()
+        bucketed = asof_lookup(probe, src.df, ["key"], "value", direction,
+                               bucketed=True).orderBy("key").collect()
+        assert [tuple(r) for r in bucketed] == [tuple(r) for r in plain], direction
+
+
+def test_asof_bucketed_plan_has_no_global_window(spark):
+    # the point of the bucketed path: no single-partition total-order
+    # window anywhere in the physical plan
+    src = sob(spark, [(i * 3, float(i)) for i in range(0, 200)])
+    probe = spark.createDataFrame([(i,) for i in range(0, 600, 7)], "key int")
+    from fsharp_dataframe_spark.operators.asof import asof_lookup
+
+    plan = asof_lookup(probe, src.df, ["key"], "value", "backward",
+                       bucketed=True)._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    # the data-sized fill window must be hash-partitioned by bucket ...
+    assert "Exchange hashpartitioning(__asof_bucket" in plan
+    # ... and the only single-partition exchange is the n_buckets-row
+    # carry cascade (feeds the broadcast join), never the fill window
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition(__asof_bucket#" in line:
+            assert "], [__asof_bucket" in line, f"fill window not partitioned: {line}"
+
+
 def test_asof_with_by_partition(spark):
     # per-entity as-of: the 100 TB path
     left = Series(
