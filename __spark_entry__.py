@@ -298,6 +298,57 @@ def q_pairwise(spark, sf) -> DataFrame:
     return out.df.withColumnRenamed("value", "delta")
 
 
+def q_window_dist(spark, sf) -> DataFrame:
+    """windowDistInto (src/SeriesModule.fs:318-341): for each day, sum
+    of daily event values over [day, day+7d) — the reference's STRICT
+    distance predicate, native rangeBetween."""
+    ev = load_table(spark, sf, "events")
+    daily = Series(
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+          .agg(F.round(F.sum("value"), 4).alias("value")),
+        key="day", value="value", ordered=True,
+    )
+    out = daily.window_dist_into(7 * 86400, F.sum)
+    return out.df.select(F.col("day"), F.round(F.col("value"), 4).alias("win_sum"))
+
+
+def q_chunk_while(spark, sf) -> DataFrame:
+    """chunkWhile (src/SeriesModule.fs:436-452): sequential 7-day
+    sessions over the daily signup series — a chunk starts where the
+    previous ended, extends while (day - chunk_start) < 7 days.
+    applyInPandas sequential scan; oracle is a recursive CTE."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "signup")
+    daily = Series(
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+          .agg(F.round(F.sum("value"), 4).alias("value")),
+        key="day", value="value", ordered=True,
+    )
+    out = daily.chunk_while_into(
+        lambda f, t: (t - f).days < 7,
+        lambda seg: round(float(seg["value"].sum()), 4),
+    )
+    return out.df.select(F.col("day").alias("chunk_start"), F.col("value").alias("total"))
+
+
+def q_frame_shift_diff(spark, sf) -> DataFrame:
+    """Frame-level diff (src/FrameModule.fs:453-454): day-over-day
+    change of every numeric column of the daily events frame in ONE
+    window pass; rows kept (missing at the boundary)."""
+    ev = load_table(spark, sf, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+             F.count("*").alias("n_events"))
+    )
+    fr = Frame(daily, key="day", ordered=True)
+    d = fr.diff(1)
+    return d.df.select(
+        "day",
+        F.round(F.col("sum_value"), 4).alias("d_value"),
+        F.col("n_events").alias("d_events"),
+    )
+
+
 def q_take_last(spark, sf) -> DataFrame:
     """takeLast (src/SeriesModule.fs:221-223): last 50 events by time."""
     ev = _events_series(spark, sf)
@@ -463,6 +514,30 @@ def q_minhash_pairs(spark, sf) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.2)
 
 
+def q_lsh_topk(spark, sf) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets, exact
+    rescore on candidates (no SQL oracle — xxhash64 hyperplane family;
+    rows-only check; recall bound pinned by tests/test_similarity.py)."""
+    from fsharp_dataframe_spark.functions.similarity import lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, k=20)
+
+
+def q_ivf_assign(spark, sf) -> DataFrame:
+    """IVF coarse-cell assignment: nearest of 8 centroid vectors
+    (embeddings vec_id 0..7) by cosine — broadcast argmin, narrow map."""
+    from fsharp_dataframe_spark.functions.similarity import ivf_assign
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return ivf_assign(emb, cents).select("vec_id", "ivf_cell")
+
+
 def q_simhash_pairs(spark, sf) -> DataFrame:
     """SimHash near-dup candidates (no SQL oracle — xxhash64 family;
     rows-only check)."""
@@ -498,6 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": q_window_moving_avg,
         "chunk_sum": q_chunk_sum,
         "pairwise": q_pairwise,
+        "window_dist": q_window_dist,
+        "chunk_while": q_chunk_while,
+        "frame_shift_diff": q_frame_shift_diff,
         "take_last": q_take_last,
         "resample_daily": q_resample_daily,
         "resample_uniform": q_resample_uniform,
@@ -512,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_centroids": q_embed_centroids,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "lsh_topk": q_lsh_topk,
+        "ivf_assign": q_ivf_assign,
     }
 
 
@@ -671,6 +751,51 @@ def oracle_sql() -> dict[str, str]:
                    round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
             FROM events
             QUALIFY lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+        """,
+        "window_dist": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(sum(value),4) AS v
+              FROM events GROUP BY 1)
+            SELECT day, round(sum(v) OVER (ORDER BY day
+                   RANGE BETWEEN CURRENT ROW AND INTERVAL 6 DAY FOLLOWING), 4) AS win_sum
+            FROM daily
+        """,
+        "chunk_while": """
+            WITH RECURSIVE daily AS (
+              SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(sum(value),4) AS v
+              FROM events WHERE event_type='signup' GROUP BY 1),
+            numbered AS (SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM daily),
+            r AS (
+              SELECT rn, day, v, day AS chunk_start FROM numbered WHERE rn = 1
+              UNION ALL
+              SELECT n.rn, n.day, n.v,
+                     CASE WHEN n.day < r.chunk_start + INTERVAL 7 DAY
+                          THEN r.chunk_start ELSE n.day END
+              FROM numbered n JOIN r ON n.rn = r.rn + 1)
+            SELECT chunk_start, round(sum(v), 4) AS total FROM r GROUP BY 1
+        """,
+        "frame_shift_diff": """
+            WITH daily AS (
+              SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+                     round(sum(value),4) AS sum_value, count(*) AS n_events
+              FROM events GROUP BY 1)
+            SELECT day,
+                   round(sum_value - lag(sum_value) OVER (ORDER BY day), 4) AS d_value,
+                   n_events - lag(n_events) OVER (ORDER BY day) AS d_events
+            FROM daily
+        """,
+        "ivf_assign": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id AS vec_id, cents.cid AS cid,
+                     list_dot_product(e.embedding::DOUBLE[], cents.c)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(cents.c, cents.c))) AS sim
+              FROM embeddings e CROSS JOIN cents)
+            SELECT vec_id, arg_max(cid, sim)::INT AS ivf_cell
+            FROM scored GROUP BY vec_id
         """,
         "take_last": """
             SELECT ts::TIMESTAMP AS ts, event_id, value FROM events

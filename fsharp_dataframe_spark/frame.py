@@ -90,6 +90,40 @@ class Frame:
         return Frame(spark.createDataFrame(records), key=key)
 
     @staticmethod
+    def of_rows(spark, rows: list[tuple], key_name: str = "key") -> "Frame":
+        """Frame from (row_key, {col: value}) pairs — `Frame.ofRows`
+        (src/FrameExtensions.fs:90-196).  Column sets are UNIONED
+        (outer-join construction, src/Frame.fs:765-804): a row lacking
+        a column gets a missing value there."""
+        all_cols: list[str] = []
+        for _, d in rows:
+            for c in d:
+                if c not in all_cols:
+                    all_cols.append(c)
+        recs = [{key_name: k, **{c: d.get(c) for c in all_cols}} for k, d in rows]
+        # createDataFrame sorts dict keys; restore insertion column order
+        df = spark.createDataFrame(recs).select(key_name, *all_cols)
+        return Frame(df, key=key_name)
+
+    @staticmethod
+    def collapse_rows(frames: dict, level_name: str = "group") -> "Frame":
+        """Series-of-frames → one frame with a new leading key level —
+        `collapseRows` (src/Frame.fs:815-818; src/FrameModule.fs:29-58).
+        The union of per-group frames, each tagged with its group key;
+        column sets are unioned with missing padding (unionByName)."""
+        out_df = None
+        key_cols = None
+        for gk, fr in frames.items():
+            tagged = fr.df.select(F.lit(gk).alias(level_name), "*")
+            if key_cols is None:
+                key_cols = [level_name] + fr.key_cols
+            out_df = tagged if out_df is None else out_df.unionByName(
+                tagged, allowMissingColumns=True)
+        if out_df is None:
+            raise ValueError("collapse_rows of empty dict")
+        return Frame(out_df, key=key_cols, ordered=False, _canonicalize=False)
+
+    @staticmethod
     def from_values(spark, triples: list[tuple], row: str = "row", col: str = "col",
                     value: str = "value") -> "Frame":
         """(row, col, value) triples → pivoted frame — `Frame.FromValues`
@@ -223,6 +257,67 @@ class Frame:
         return self._with_df(self.df.orderBy(*[F.col(k).desc() for k in self.key_cols]).limit(n))
 
     # ------------------------------------------------------------------
+    # frame-level ordered ops (§2.6): window / shift / diff
+    # (ref src/FrameModule.fs:71-75, 450-454; src/FrameExtensions.fs:560-565,
+    # 626-631) — ONE window pass over all affected columns, the Spark
+    # analog of the reference's plan-once / execute-per-column model.
+    # ------------------------------------------------------------------
+
+    def _ordered_window(self, by: list[str] | None) -> Window:
+        by = by or []
+        order = [F.col(k) for k in self.key_cols if k not in by] or \
+                [F.col(k) for k in self.key_cols]
+        return Window.partitionBy(*by).orderBy(*order)
+
+    def shift(self, n: int, by: list[str] | None = None) -> "Frame":
+        """`Frame.shift` (src/FrameModule.fs:450-451): every data column
+        shifted by n along row-key order; boundary rows dropped (each
+        per-column Series.shift drops them, so their union does too)."""
+        self._require_ordered("shift")
+        w = self._ordered_window(by)
+        data = self.column_keys
+        shifted = {c: F.lag(F.col(c), n).over(w) for c in data}
+        ok = F.lag(F.lit(1), n).over(w).isNotNull()
+        out = (
+            self.df.withColumns({**shifted, "__ok": ok})
+            .filter(F.col("__ok"))
+            .select(*self.key_cols, *data)
+        )
+        return self._with_df(out)
+
+    def diff(self, n: int, by: list[str] | None = None) -> "Frame":
+        """`Frame.diff` (src/FrameModule.fs:453-454): float-convertible
+        columns become x[k]-x[k-n]; other columns pass through unchanged
+        (SeriesApply strict=false), so row keys are preserved and numeric
+        columns are missing at the first |n| rows."""
+        self._require_ordered("diff")
+        w = self._ordered_window(by)
+        diffed = {c: F.col(c) - F.lag(F.col(c), n).over(w) for c in self.numeric_columns()}
+        return self._with_df(self.df.withColumns(diffed))
+
+    def window_size_into(self, n: int, aggs: dict[str, Callable[[Column], Column]],
+                         boundary: str = "at_beginning",
+                         by: list[str] | None = None) -> "Frame":
+        """`Frame.windowInto` (src/FrameModule.fs:71-75): sliding n-row
+        windows of the frame, each aggregated per column by *aggs* —
+        all columns in one window pass.  Boundary semantics match
+        Series.window_size_into (window keyed by last key AtBeginning /
+        first key AtEnding; Skip keeps only complete windows)."""
+        self._require_ordered("window_size")
+        base = self._ordered_window(by)
+        if boundary in ("at_beginning", "skip"):
+            frame = base.rowsBetween(-(n - 1), 0)
+        elif boundary == "at_ending":
+            frame = base.rowsBetween(0, n - 1)
+        else:
+            raise ValueError(boundary)
+        out = self.df.withColumns({c: agg(F.col(c)).over(frame) for c, agg in aggs.items()})
+        if boundary == "skip":
+            out = out.withColumn("__pos", F.row_number().over(base)).filter(F.col("__pos") >= n)
+        out = out.select(*self.key_cols, *self.column_keys)
+        return self._with_df(out)
+
+    # ------------------------------------------------------------------
     # sorting / indexing (§2.9)
     # ------------------------------------------------------------------
 
@@ -242,7 +337,43 @@ class Frame:
             if dups:
                 raise ValueError(f"duplicate row keys in {key} (reference rejects duplicates)")
         df = self.df
+        if drop:
+            # drop the FORMER key columns (the promoted column always
+            # becomes the key; without drop the old key cols remain as
+            # ordinary data columns)
+            former = [k for k in self.key_cols if k not in key]
+            if former:
+                df = df.drop(*former)
         return Frame(df, key=key, ordered=False, _canonicalize=False)
+
+    def index_rows_with(self, keys: list, key_name: str = "key") -> "Frame":
+        """Replace row keys POSITIONALLY with the given key list —
+        `indexRowsWith` (src/FrameModule.fs:271-290).  Requires ordered
+        rows (position = row_number over key order); the key list is
+        driver-side, zipped in via a broadcast ordinal join."""
+        self._require_ordered("index_rows_with")
+        spark = self.df.sparkSession
+        keys_df = spark.createDataFrame(
+            [(i, k) for i, k in enumerate(keys)], ["__pos", "__newkey"])
+        w = Window.orderBy(*[F.col(k) for k in self.key_cols])
+        pos = self.df.withColumn("__pos", F.row_number().over(w) - 1)
+        out = (
+            pos.join(F.broadcast(keys_df), "__pos", "inner")
+            .select(F.col("__newkey").alias(key_name), *self.column_keys)
+        )
+        return Frame(out, key=key_name, ordered=False, _canonicalize=False)
+
+    def index_cols_with(self, names: list[str]) -> "Frame":
+        """Rename data columns positionally — `indexColsWith`
+        (src/FrameModule.fs:282-290)."""
+        data = self.column_keys
+        if len(names) != len(data):
+            raise ValueError(f"{len(names)} names for {len(data)} columns")
+        out = self.df.select(
+            *self.key_cols,
+            *[F.col(c).alias(nm) for c, nm in zip(data, names)],
+        )
+        return self._with_df(out)
 
     def index_ordinally(self) -> "Frame":
         """0..n-1 row keys — `indexOrdinally` (src/FrameModule.fs:179-181)."""
@@ -253,12 +384,34 @@ class Frame:
         return Frame(out.select(*cols).withColumnRenamed("__ord", "ordinal"),
                      key="ordinal", ordered=True, _canonicalize=False)
 
-    def transpose_stats(self) -> "Frame":
-        raise NotImplementedError(
-            "full transpose is a small-data op (reference warns rows-access is "
-            "slow, src/FrameModule.fs:292-295); use .stats() for the per-column "
-            "aggregate form"
-        )
+    def transpose(self, max_rows: int = 10_000) -> "Frame":
+        """`Frame.transpose` (src/FrameModule.fs:301-303): swap rows and
+        columns via melt + pivot.  The result has one column per input
+        ROW, so this is inherently a small-data op (the reference itself
+        warns row access is the slow path, src/FrameModule.fs:292-295);
+        an explicit ``max_rows`` guard refuses frames whose transpose
+        would be pathologically wide.  Values go through a string cast
+        (a transposed row mixes the source columns' types — the
+        reference's ObjectSeries equivalent)."""
+        if len(self.key_cols) != 1:
+            raise ValueError("transpose requires a single-level row key")
+        n = self.df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"transpose of >{max_rows} rows would create >{max_rows} columns; "
+                "raise max_rows explicitly if you really want this"
+            )
+        rk = self.key_cols[0]
+        data = self.column_keys
+        melt_expr = F.explode(F.array(*[
+            F.struct(F.lit(c).alias("col"), F.col(c).cast("string").alias("val"))
+            for c in data
+        ])).alias("kv")
+        long = self.df.select(F.col(rk).cast("string").alias("__rk"), melt_expr) \
+                      .select("__rk", "kv.col", "kv.val")
+        out = long.groupBy("col").pivot("__rk").agg(F.first("val"))
+        return Frame(out.withColumnRenamed("col", "column"), key="column",
+                     ordered=False, _canonicalize=False)
 
     # ------------------------------------------------------------------
     # joins / zip / append (§2.3, §2.4)

@@ -77,26 +77,39 @@ def lsh_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 0) -> Column
 
 
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10, dim: int | None = None,
-             n_bits: int = 12, n_tables: int = 4,
+             n_bits: int = 12, n_tables: int = 4, probe_radius: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: probe only vectors sharing an LSH bucket with
-    the query in any of n_tables hash tables, then exact-rescore.
+    """Approximate top-k: probe vectors whose LSH bucket is within
+    ``probe_radius`` bit-flips of the query's bucket in any of
+    n_tables hash tables, then exact-rescore the candidates.
 
-    Scale: bucket assignment is a narrow map; the candidate fetch is a
-    broadcast-able semi-join on (table, bucket).  Recall tunes with
-    n_bits (bucket size) × n_tables (probes).
+    Multi-probe (radius 1 = the query bucket plus its n_bits Hamming-1
+    neighbors) trades a slightly larger probe list — still only
+    n_tables × (1 + n_bits) bucket keys, broadcast-joined — for a large
+    recall gain, letting n_bits stay high enough to keep buckets small
+    at scale.  Data-side work is unchanged: one bucket id per table per
+    row, a narrow map; the candidate fetch is a broadcast semi-join.
+    Recall tunes with n_bits × n_tables × probe_radius.
     """
     dim = dim or len(query_vec)
     qv = [float(x) for x in query_vec]
-    # the query's bucket per table is computed Spark-side with the same
-    # hash family as the data, guaranteeing identity
+    # the query's buckets are computed Spark-side with the same hash
+    # family as the data, guaranteeing identity
     q = F.array(*[F.lit(x) for x in qv])
-    tables = []
+    probes = []
     for t in range(n_tables):
         b = lsh_bucket(q, dim, n_bits, seed=t)
-        tables.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
-    qb = df.sparkSession.range(1).select(F.explode(F.array(*tables)).alias("s")) \
+        probes.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+        if probe_radius >= 1:
+            for j in range(n_bits):
+                flipped = b.bitwiseXOR(F.lit(1 << j))
+                probes.append(F.struct(F.lit(t).alias("tbl"), flipped.alias("bucket")))
+    qb = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.array(*probes)).alias("s"))
         .select(F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+        .distinct()
+    )
 
     cand_buckets = df.select(
         F.col(id_col), F.col(vec_col),

@@ -148,36 +148,147 @@ def series_chunk_size(s: Series, n: int, agg: Callable[[Column], Column],
     else:
         raise ValueError(boundary)
     rest = [k for k in s.key_cols if k not in by]
-    first_key = [F.min(F.col(k)).alias(k) for k in rest]
-    out = df.groupBy(*by, "__chunk").agg(*first_key, agg(s.value).alias(s.value_col))
-    out = out.select(*s.key_cols, s.value_col)
+    # chunk key = the FIRST ROW's full key: min over a struct of the key
+    # levels (lexicographic = key order), not independent per-column
+    # mins, which could compose a key belonging to no actual row
+    first_key = F.min(F.struct(*[F.col(k) for k in rest])).alias("__fk")
+    out = df.groupBy(*by, "__chunk").agg(first_key, agg(s.value).alias(s.value_col))
+    out = out.select(*by, *[F.col(f"__fk.{k}").alias(k) for k in rest], s.value_col)
     return Series(out, key=s.key_cols, value=s.value_col, ordered=True, _canonicalize=True)
 
 
 def series_window_dist(s: Series, dist, agg: Callable[[Column], Column],
                        by: list[str] | None = None) -> Series:
     """Windows by key distance — `windowDistInto`
-    (src/SeriesModule.fs:318-341): for each key k, aggregate values with
-    keys in [k, k + dist].  `rangeBetween` keeps this a native window
-    (no self-join).  *dist* is in key units (numeric key) — for
-    timestamp keys pass seconds and the key is range-ordered on its
-    epoch value.
+    (src/SeriesModule.fs:318-341): a window starts at every key k and
+    holds values whose keys satisfy ``(key - k) < dist`` — the
+    reference predicate is STRICT, so a key at exactly k + dist is
+    excluded.  `rangeBetween` keeps this a native window (no
+    self-join): for integral order columns (ints, timestamps as epoch
+    seconds) the frame is rangeBetween(0, dist - 1) ≡ [k, k + dist).
+    For fractional keys the exclusive bound is not frame-expressible;
+    rangeBetween(0, dist) is used and the boundary divergence (keys at
+    exactly k + dist included) is accepted.  *dist* is in key units —
+    for timestamp keys pass seconds.
     """
     s._require_ordered("window_dist")
-    key = s.key_cols[0]
+    by = by or []
+    # the range-order level is the first key level NOT covered by the
+    # partition columns (with by=[entity], that's the time level)
+    key = next((k for k in s.key_cols if k not in by), s.key_cols[0])
     kcol = F.col(key)
     df = s.df
     order_col = key
+    dtype = dict(df.dtypes)[key]
     # rangeBetween needs a numeric ordering column; timestamps → epoch seconds
-    if dict(df.dtypes)[key].startswith("timestamp"):
+    if dtype.startswith("timestamp"):
         df = df.withColumn("__ord", F.unix_timestamp(kcol))
-        order_col = "__ord"
+        order_col, dtype = "__ord", "bigint"
+    integral = dtype in ("tinyint", "smallint", "int", "bigint")
+    hi = dist - 1 if integral else dist
     w = (
-        Window.partitionBy(*(by or []))
+        Window.partitionBy(*by)
         .orderBy(F.col(order_col))
-        .rangeBetween(0, dist)
+        .rangeBetween(0, hi)
     )
     out = df.withColumn(_VAL, agg(s.value).over(w)).select(
         *s.key_cols, F.col(_VAL).alias(s.value_col)
     )
     return s._with_df(out, canonicalize=True)
+
+
+def _while_schema(s: Series, out_type: str):
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    val_type = _parse_datatype_string(out_type)
+    fields = [s.df.schema[k] for k in s.key_cols]
+    return StructType(fields + [StructField(s.value_col, val_type, True)])
+
+
+def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode: str) -> Series:
+    """Shared predicate-window/chunk engine.
+
+    Arbitrary key predicates are inherently sequential (the reference
+    scans the key sequence, src/Common/Common.fs:507-547), so this runs
+    as `applyInPandas` over ``by=`` partitions — per-entity sequential
+    scan, embarrassingly parallel across entities (the 100 TB path).
+    Without ``by`` the whole series is one group; use the native
+    `series_window_dist` / `series_chunk_size` forms where the
+    predicate allows.
+
+    cond: Python ``(first_key, current_key) -> bool`` over the first
+    non-``by`` key level.  agg: ``(pandas sub-frame) -> scalar`` — the
+    sub-frame carries the key and value columns of the segment.
+    """
+    import pandas as pd
+
+    s._require_ordered(mode)
+    by = by or []
+    rest = [k for k in s.key_cols if k not in by] or s.key_cols
+    okey = rest[0]
+    key_cols = s.key_cols
+    value_col = s.value_col
+    schema = _while_schema(s, out_type)
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(rest, ignore_index=True)
+        keys = pdf[okey].tolist()
+        n = len(pdf)
+        rows = []
+        if mode == "window_while":
+            # one window per start i, covering [i, first j where cond
+            # fails); empty if cond(k_i, k_i) is itself false
+            for i in range(n):
+                j = i
+                while j < n and cond(keys[i], keys[j]):
+                    j += 1
+                seg = pdf.iloc[i:j]
+                key_vals = [pdf.iloc[i][k] for k in key_cols]
+                rows.append((*key_vals, agg(seg) if len(seg) else None))
+        else:  # chunk_while: sequential, start row always included
+            i = 0
+            while i < n:
+                j = i + 1
+                while j < n and cond(keys[i], keys[j]):
+                    j += 1
+                seg = pdf.iloc[i:j]
+                key_vals = [pdf.iloc[i][k] for k in key_cols]
+                rows.append((*key_vals, agg(seg)))
+                i = j
+        return pd.DataFrame(rows, columns=key_cols + [value_col])
+
+    if by:
+        grouped = s.df.groupBy(*by)
+    else:
+        grouped = s.df.withColumn("__g", F.lit(0)).groupBy("__g")
+        schema = schema  # __g not in output schema → dropped automatically
+    out = grouped.applyInPandas(fn, schema)
+    return Series(out, key=s.key_cols, value=s.value_col, ordered=True, _canonicalize=True)
+
+
+def series_window_while(s: Series, cond, agg, by: list[str] | None = None,
+                        out_type: str = "double") -> Series:
+    """`windowWhileInto` (src/SeriesModule.fs:336-352): a window starts
+    at every element and extends while ``cond(first_key, current_key)``
+    holds; ends at the FIRST failure.  Window keyed by its first key.
+    Pinned by tests/FSharp.DataFrame.Tests/Common.fs:119-125.
+    """
+    return _while_apply(s, cond, agg, by, out_type, "window_while")
+
+
+def series_chunk_while(s: Series, cond, agg, by: list[str] | None = None,
+                       out_type: str = "double") -> Series:
+    """`chunkWhileInto` (src/SeriesModule.fs:436-452): adjacent chunks;
+    a chunk starts where the previous ended, always contains its start
+    row, and extends while ``cond(first_key, current_key)`` holds.
+    Chunk keyed by its first key.  Pinned by
+    tests/FSharp.DataFrame.Tests/Common.fs:109-117.
+    """
+    return _while_apply(s, cond, agg, by, out_type, "chunk_while")
+
+
+def series_chunk_dist(s: Series, dist, agg, by: list[str] | None = None,
+                      out_type: str = "double") -> Series:
+    """`chunkDistInto` (src/SeriesModule.fs:416-423): chunkWhile with
+    the strict distance predicate ``(current - first) < dist``."""
+    return series_chunk_while(s, lambda f, t: (t - f) < dist, agg, by, out_type)

@@ -543,6 +543,24 @@ class Series:
 
         return series_window_dist(self, dist, agg, by=by)
 
+    def window_while_into(self, cond, agg, by: list[str] | None = None,
+                          out_type: str = "double") -> "Series":
+        from fsharp_dataframe_spark.operators.window import series_window_while
+
+        return series_window_while(self, cond, agg, by=by, out_type=out_type)
+
+    def chunk_while_into(self, cond, agg, by: list[str] | None = None,
+                         out_type: str = "double") -> "Series":
+        from fsharp_dataframe_spark.operators.window import series_chunk_while
+
+        return series_chunk_while(self, cond, agg, by=by, out_type=out_type)
+
+    def chunk_dist_into(self, dist, agg, by: list[str] | None = None,
+                        out_type: str = "double") -> "Series":
+        from fsharp_dataframe_spark.operators.window import series_chunk_dist
+
+        return series_chunk_dist(self, dist, agg, by=by, out_type=out_type)
+
     # ------------------------------------------------------------------
     # resampling (§2.7) — delegated to operators.resample
     # ------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""ANN operators: recall bound for LSH top-k vs brute force on
+clustered data, IVF cell assignment sanity (functions/similarity.py).
+
+The driver's synthetic embeddings are near-uniform (top-10 cosine ≈
+0.3, hyperplane collision p ≈ 0.6/bit), where sub-linear ANN is
+information-theoretically useless — so the recall bound is pinned on
+PLANTED clustered data (the near-duplicate regime ANN exists for),
+and the uniform table gets a candidate-correctness check instead.
+"""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.sources.parquet import load_table
+from fsharp_dataframe_spark.functions.similarity import (
+    brute_force_topk, ivf_assign, lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+DIM = 32
+
+
+def _clustered(spark, n_clusters=20, per_cluster=25, noise=0.15, seed=11):
+    """Deterministic clustered vectors: center + small noise, cosine
+    within a cluster ≈ 0.95+."""
+    rng = random.Random(seed)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [rng.gauss(0, 1) for _ in range(DIM)]
+        nrm = math.sqrt(sum(x * x for x in center))
+        center = [x / nrm for x in center]
+        for _ in range(per_cluster):
+            v = [x + rng.gauss(0, noise / math.sqrt(DIM)) for x in center]
+            rows.append((vid, c, v))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id int, cluster int, embedding array<double>"), rows
+
+
+def test_lsh_topk_recall_on_clustered_data(spark):
+    df, rows = _clustered(spark)
+    df = df.cache()
+    # query = first vector of cluster 3, excluded from the corpus
+    qvec = rows[3 * 25][2]
+    corpus = df.filter(F.col("vec_id") != 3 * 25)
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, qvec, k=10).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(corpus, qvec, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_lsh_candidates_carry_exact_scores(spark):
+    # every id LSH returns must carry the same exact cosine the
+    # brute-force path computes (the rescore is exact, only the
+    # candidate set is approximate)
+    emb = load_table(spark, SF, "embeddings").cache()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    others = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"]: r["cosine_sim"]
+             for r in brute_force_topk(others, qvec, k=500).collect()}
+    got = lsh_topk(others, qvec, k=20).collect()
+    # candidate count is data-dependent (uniform data collides rarely);
+    # what must hold is non-emptiness and exact rescoring
+    assert len(got) >= 1
+    for r in got:
+        assert r["cosine_sim"] == exact[r["vec_id"]]
+
+
+def test_ivf_assign_self_cells(spark):
+    # a centroid's own vector must land in its own cell (cos=1)
+    emb = load_table(spark, SF, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    out = ivf_assign(emb, cents)
+    own = out.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    assert [r["ivf_cell"] for r in own] == list(range(8))
+    # every vector is assigned to a valid cell
+    n_bad = out.filter((F.col("ivf_cell") < 0) | (F.col("ivf_cell") >= 8)).count()
+    assert n_bad == 0

@@ -75,10 +75,63 @@ def test_pairwise(spark):
 
 
 def test_window_dist(spark):
-    # for each key: aggregate values with keys in [k, k+10]
+    # for each key k: aggregate values with keys in [k, k+10) — the
+    # reference predicate (ekey - skey) < dist is STRICT, so key 11 is
+    # NOT in key 1's window (src/SeriesModule.fs:318-319)
     s = sob(spark, [(1, 1), (4, 4), (11, 11), (20, 20)])
     out = s.window_dist_into(10, F.sum)
-    assert_series_equal(out, [(1, 16), (4, 15), (11, 31), (20, 20)])
+    assert_series_equal(out, [(1, 5), (4, 15), (11, 31), (20, 20)])
+
+
+def test_window_while_reference_shape(spark):
+    # Seq.windowedWhile (t - f < 10) [1;4;11;12;13;15;20;25] →
+    # [1,4],[4..13],[11..20],[12..20],[13..20],[15,20],[20,25],[25]
+    # (tests/FSharp.DataFrame.Tests/Common.fs:119-125); keyed by first key
+    keys = [1, 4, 11, 12, 13, 15, 20, 25]
+    s = sob(spark, [(k, k) for k in keys])
+    out = s.window_while_into(lambda f, t: t - f < 10, lambda seg: float(seg["value"].sum()))
+    exp = [(1, 5.0), (4, 40.0), (11, 71.0), (12, 60.0), (13, 48.0),
+           (15, 35.0), (20, 45.0), (25, 25.0)]
+    assert_series_equal(out, exp)
+
+
+def test_chunk_while_reference_shape(spark):
+    # Seq.chunkedWhile (t - f < 10) [1;4;11;12;13;15;20;25] →
+    # [1,4],[11,12,13,15,20],[25] (Common.fs:109-113); keyed by first key
+    keys = [1, 4, 11, 12, 13, 15, 20, 25]
+    s = sob(spark, [(k, k) for k in keys])
+    out = s.chunk_while_into(lambda f, t: t - f < 10, lambda seg: float(seg["value"].sum()))
+    assert_series_equal(out, [(1, 5.0), (11, 71.0), (25, 25.0)])
+    # chunk_dist is the same predicate packaged
+    out2 = s.chunk_dist_into(10, lambda seg: float(seg["value"].sum()))
+    assert_series_equal(out2, [(1, 5.0), (11, 71.0), (25, 25.0)])
+
+
+def test_while_ops_lose_no_values(spark):
+    # property pinned by Common.fs:115-117 / 127-129: chunks partition
+    # the input; windows cover every element
+    import random
+
+    rng = random.Random(7)
+    keys = sorted(rng.sample(range(1000), 60))
+    s = sob(spark, [(k, 1) for k in keys])
+    chunks = s.chunk_while_into(lambda f, t: t - f < 25, lambda seg: float(len(seg)))
+    total = sum(v for _, v in chunks.to_pandas().itertuples(index=False))
+    assert total == len(keys)
+
+
+def test_window_while_by_partition(spark):
+    # per-entity predicate windows — the scale path
+    s = Series(
+        spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 4, 4.0), ("a", 20, 20.0), ("b", 2, 2.0), ("b", 3, 3.0)],
+            "uid string, key int, value double",
+        ),
+        key=["uid", "key"], value="value", ordered=True,
+    )
+    out = s.chunk_while_into(lambda f, t: t - f < 10, lambda seg: float(seg["value"].sum()), by=["uid"])
+    assert sorted(tuple(r) for r in out.df.collect()) == [
+        ("a", 1, 5.0), ("a", 20, 20.0), ("b", 2, 5.0)]
 
 
 def test_moving_mean_matches_pandas(spark):
