@@ -32,11 +32,14 @@ HEADLINE = [
     "resample_daily",
     "resample_uniform",
     "fill_forward",
+    "window_dist",
+    "chunk_while",
     "dedup_exact",
     "text_stats",
     "ngram_jaccard",
     "minhash_pairs",
     "embed_topk",
+    "lsh_topk",
 ]
 
 
@@ -49,6 +52,14 @@ def main():
         shuffle_partitions=cpus,
     )
     qs = entrymod.queries()
+    # warm-up OUTSIDE the timed loop: JVM/codegen spin-up, parquet
+    # footer reads, and the first-shuffle machinery otherwise land in
+    # whichever query runs first and masks round-over-round deltas
+    t0 = time.time()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["group_agg"](spark, sf_dir).count()
+    qs["asof_join"](spark, sf_dir).count()
+    print(f"# warmup: {time.time()-t0:.2f}s", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = qs[name]

@@ -54,11 +54,16 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
-def _hyperplane(seed: int, j: int, dim: int) -> list[Column]:
-    """Deterministic pseudo-random ±1 hyperplane from xxhash64 — no RNG
-    state, reproducible across runs/engines."""
+def _hyperplane_weights(seed: int, j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane — sha256 of the
+    coordinate label, computed DRIVER-side so the Spark plan carries
+    plain double literals (an earlier expression-tree variant of this,
+    64 nested CASE WHENs per plane × 48 planes, spent more time in
+    codegen than in the data)."""
+    import hashlib
+
     return [
-        F.when(F.xxhash64(F.lit(f"hp:{seed}:{j}:{i}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        1.0 if hashlib.sha256(f"hp:{seed}:{j}:{i}".encode()).digest()[0] & 1 else -1.0
         for i in range(dim)
     ]
 
@@ -67,13 +72,28 @@ def lsh_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 0) -> Column
     """Random-hyperplane LSH bucket id (n_bits sign bits)."""
     bits = []
     for j in range(n_bits):
-        plane = F.array(*_hyperplane(seed, j, dim))
+        plane = F.array(*[F.lit(w) for w in _hyperplane_weights(seed, j, dim)])
         s = dot(vec, plane)
         bits.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
     acc = F.lit(0).cast("long")
     for j, b in enumerate(bits):
         acc = acc.bitwiseOR(F.shiftleft(b, j))
     return acc
+
+
+def _py_bucket(vec: list[float], dim: int, n_bits: int, seed: int) -> int:
+    """Driver-side bucket of a literal vector — the same weights and
+    the same left-to-right IEEE-double fold order as lsh_bucket, so the
+    sign (and thus the bucket) is bit-identical to the Spark path."""
+    acc_bits = 0
+    for j in range(n_bits):
+        w = _hyperplane_weights(seed, j, dim)
+        s = 0.0
+        for i in range(dim):
+            s += float(vec[i]) * w[i]
+        if s > 0:
+            acc_bits |= 1 << j
+    return acc_bits
 
 
 def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10, dim: int | None = None,
@@ -93,23 +113,17 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10, dim: int | None
     """
     dim = dim or len(query_vec)
     qv = [float(x) for x in query_vec]
-    # the query's buckets are computed Spark-side with the same hash
-    # family as the data, guaranteeing identity
-    q = F.array(*[F.lit(x) for x in qv])
-    probes = []
+    # the query's buckets are computed driver-side with the identical
+    # weight family and fold order as the data path (bit-identical
+    # doubles), so no Spark job is needed for the probe list
+    probes = set()
     for t in range(n_tables):
-        b = lsh_bucket(q, dim, n_bits, seed=t)
-        probes.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+        b = _py_bucket(qv, dim, n_bits, seed=t)
+        probes.add((t, b))
         if probe_radius >= 1:
             for j in range(n_bits):
-                flipped = b.bitwiseXOR(F.lit(1 << j))
-                probes.append(F.struct(F.lit(t).alias("tbl"), flipped.alias("bucket")))
-    qb = (
-        df.sparkSession.range(1)
-        .select(F.explode(F.array(*probes)).alias("s"))
-        .select(F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
-        .distinct()
-    )
+                probes.add((t, b ^ (1 << j)))
+    qb = df.sparkSession.createDataFrame(sorted(probes), "tbl int, bucket long")
 
     cand_buckets = df.select(
         F.col(id_col), F.col(vec_col),
