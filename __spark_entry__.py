@@ -514,6 +514,26 @@ def q_minhash_pairs(spark, sf) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.2)
 
 
+def q_media_features(spark, sf) -> DataFrame:
+    """Multimodal plumbing: Arrow-batched mapInPandas featurization of
+    binary media payloads + metadata-driven frame-sample fan-out (no
+    SQL oracle — binary/mapInPandas pipeline; rows-only check; batch
+    schema pinned by tests/test_multimodal.py)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        extract_features, frame_sample_plan, make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=64)
+    feats = extract_features(media, real_decode="auto")
+    samples = frame_sample_plan(media, every_n=1).groupBy("media_id") \
+        .agg(F.count("*").alias("n_sampled"))
+    return (
+        feats.join(samples, "media_id")
+        .select("media_id", F.round(F.element_at("feat", 1), 2).alias("feat0"),
+                "decode_ok", "n_sampled")
+    )
+
+
 def q_lsh_topk(spark, sf) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets, exact
     rescore on candidates (no SQL oracle — xxhash64 hyperplane family;
@@ -592,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_assign": q_ivf_assign,
+        "media_features": q_media_features,
     }
 
 

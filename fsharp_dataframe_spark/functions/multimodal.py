@@ -58,34 +58,85 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
 _FEATURE_SCHEMA = "media_id long, feat array<float>, decode_ok boolean"
 
 
-def extract_features(df: DataFrame, real_decode: bool = False, feat_dim: int = 8) -> DataFrame:
+def _byte_features(payload: bytes | None, feat_dim: int) -> list[float]:
+    """Deterministic payload-byte features — the fallback featurizer."""
+    import numpy as np
+
+    arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
+    return [float(c.mean()) for c in np.array_split(arr, feat_dim)]
+
+
+def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
+    """Real image decode via PIL (optional dependency): grayscale the
+    image, split into feat_dim horizontal bands, mean intensity per
+    band.  Returns None when the payload is not a decodable image."""
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise DecoderUnavailable(
+            "PIL not installed; install pillow for real image decode "
+            "(audio/video need torchaudio/ffmpeg plugged in here)"
+        ) from e
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("L")
+    except Exception:
+        return None
+    arr = np.asarray(img, dtype=np.float32)
+    return [float(b.mean()) for b in np.array_split(arr, feat_dim, axis=0)]
+
+
+def extract_features(df: DataFrame, real_decode: bool | str = False,
+                     feat_dim: int = 8) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches).
 
-    ``real_decode=True`` raises DecoderUnavailable (no codecs here);
-    the fake path derives a deterministic feature vector from payload
-    bytes so the batch shape / schema / partitioning are fully
-    exercised.
+    real_decode=False  — deterministic payload-byte features (always
+                         available; exercises the identical batch
+                         shape / schema / partition plumbing).
+    real_decode=True   — PIL image decode; raises DecoderUnavailable
+                         if pillow is missing.  Rows whose payload is
+                         not a decodable image get decode_ok=False and
+                         the byte-feature fallback.
+    real_decode="auto" — PIL when importable, else the fake path.
     """
 
+    if real_decode is True:
+        # fail fast driver-side rather than from inside an executor task
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise DecoderUnavailable(
+                "PIL not installed; install pillow for real image decode"
+            ) from e
+
     def _featurize(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
+        use_real = bool(real_decode)
+        if real_decode == "auto":
+            try:
+                import PIL  # noqa: F401
+            except ImportError:
+                use_real = False
         for pdf in batches:
-            if real_decode:
-                raise DecoderUnavailable(
-                    "image/audio codecs not available in this container; "
-                    "plug a decoder (PIL/torchaudio/ffmpeg) here"
-                )
-            feats = []
+            feats, oks = [], []
             for payload in pdf["payload"]:
-                arr = np.frombuffer(payload or b"\x00", dtype=np.uint8).astype(np.float32)
-                chunks = np.array_split(arr, feat_dim)
-                feats.append([float(c.mean()) for c in chunks])
+                decoded = None
+                if use_real:
+                    decoded = _pil_features(payload, feat_dim)
+                if decoded is not None:
+                    feats.append(decoded)
+                    oks.append(True)
+                else:
+                    feats.append(_byte_features(payload, feat_dim))
+                    oks.append(False if use_real else True)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "feat": feats,
-                "decode_ok": [not real_decode] * len(pdf),
+                "decode_ok": oks,
             })
 
     return df.mapInPandas(_featurize, schema=_FEATURE_SCHEMA)
