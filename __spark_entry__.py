@@ -282,9 +282,10 @@ def q_window_moving_avg(spark, sf) -> DataFrame:
 
 def q_chunk_sum(spark, sf) -> DataFrame:
     """chunkSizeInto start-aligned (src/SeriesModule.fs:383-399): sums
-    of 100-row chunks of the global event stream."""
+    of 100-row chunks of the global event stream — bucketed positions
+    (census offsets, operators/bucketed.py), no global window."""
     ev = _events_series(spark, sf)
-    out = ev.chunk_size_into(100, F.sum, "at_ending")
+    out = ev.chunk_size_into(100, F.sum, "at_ending", bucketed=True)
     return out.df.select("ts", "event_id", F.round(F.col("value"), 4).alias("chunk_sum"))
 
 

@@ -1,0 +1,184 @@
+"""Scale path for UN-KEYED (global) ordered-series ops.
+
+A series with no ``by=`` entity partition needs a total key order;
+Spark's naive plan is a single-partition window — the one shape that
+cannot survive a 100× scale-up.  This module replaces it with:
+
+1. **range buckets** from sampled quantiles (`approxQuantile`, the
+   mechanism behind repartitionByRange): bucket id is a pure function
+   of the key, so equal keys share a bucket and no global sort exists;
+2. a **driver-side bucket census** (one cheap count-by-bucket job,
+   n_buckets rows): buckets are greedily merged until each holds at
+   least ``min_rows`` rows, and the running-total start offset of each
+   bucket becomes a PLAIN LITERAL in the final plan;
+3. per-bucket `row_number` + literal offset = exact global position —
+   hash-partitioned, no single-partition exchange anywhere;
+4. for lag/lead ops, a **halo**: the last/first ``halo`` rows of every
+   bucket are replicated into the neighbouring bucket as ghost rows
+   (possible because step 2 guarantees bucket size ≥ halo), windows run
+   inside buckets only, ghosts are dropped after.
+
+Cost: one quantile scan + one census aggregate up front, then a single
+hash shuffle on bucket id — versus the plain path's total-order sort
+into one task.  Correctness is pinned by equivalence tests against the
+plain path (tests/test_bucketed.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_B = "__gbucket"
+_GHOST = "__ghost"
+
+
+def _bucket_expr(key_col: Column, cuts: list[float]) -> Column:
+    kd = key_col.cast("double")
+    barr = F.array(*[F.lit(c) for c in cuts])
+    return F.size(F.filter(barr, lambda b: b <= kd))
+
+
+def bucket_census(
+    df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    min_rows: int = 1,
+) -> tuple[Column, dict[int, int], dict[int, int], int]:
+    """Compute (bucket_expr, remap, offsets, total).
+
+    bucket_expr assigns a RAW bucket; ``remap[raw] -> merged`` merges
+    adjacent raw buckets (greedy, left-to-right) until each merged
+    bucket holds >= min_rows rows; ``offsets[merged]`` is the global
+    position of the merged bucket's first row.  Two small jobs
+    (quantile sketch + census aggregate); everything else is literal.
+    """
+    k = key_cols[0]
+    kd = F.col(k).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.select(kd.alias("_kd")).approxQuantile("_kd", probs, 0.001)
+    cuts = sorted({c for c in cuts if c is not None and c == c})
+    if cuts:
+        bexpr = _bucket_expr(F.col(k), cuts)
+    else:
+        bexpr = F.lit(0)
+    counts = {
+        r["b"]: r["n"]
+        for r in df.select(bexpr.alias("b")).groupBy("b").agg(F.count("*").alias("n")).collect()
+    }
+    # greedy merge so every merged bucket has >= min_rows (the halo
+    # guarantee); the trailing remainder merges into the last group
+    remap: dict[int, int] = {}
+    merged_counts: list[int] = []
+    acc = 0
+    for raw in sorted(counts):
+        remap[raw] = len(merged_counts)
+        acc += counts[raw]
+        if acc >= min_rows:
+            merged_counts.append(acc)
+            acc = 0
+    if acc > 0:  # tail short of min_rows → fold into previous group
+        if merged_counts:
+            merged_counts[-1] += acc
+            last = len(merged_counts) - 1
+            for raw, m in remap.items():
+                if m > last:
+                    remap[raw] = last
+        else:
+            merged_counts.append(acc)
+    offsets: dict[int, int] = {}
+    run = 0
+    for m, n in enumerate(merged_counts):
+        offsets[m] = run
+        run += n
+    if not offsets:  # empty input
+        offsets = {0: 0}
+    return bexpr, remap, offsets, run
+
+
+def _remap_expr(raw: Column, remap: dict[int, int]) -> Column:
+    if not remap or all(k == v for k, v in remap.items()):
+        return raw
+    pairs = []
+    for k, v in remap.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.coalesce(F.element_at(F.create_map(*pairs), raw + F.lit(0)), raw)
+
+
+def _offset_expr(bucket: Column, offsets: dict[int, int]) -> Column:
+    pairs = []
+    for k, v in offsets.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.coalesce(F.element_at(F.create_map(*pairs), bucket + F.lit(0)), F.lit(0))
+
+
+def with_global_positions(
+    df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 64,
+    pos_col: str = "__gpos",
+) -> tuple[DataFrame, int]:
+    """Exact 0-based global position along key order WITHOUT a global
+    window: per-bucket row_number + literal census offset.  Returns
+    (df_with_pos, total_rows) — the census knows the total for free."""
+    bexpr, remap, offsets, total = bucket_census(df, key_cols, n_buckets, min_rows=1)
+    b = _remap_expr(bexpr, remap)
+    out = df.withColumn(_B, b)
+    w = Window.partitionBy(_B).orderBy(*[F.col(k) for k in key_cols])
+    out = out.withColumn(
+        pos_col,
+        (_offset_expr(F.col(_B), offsets) + F.row_number().over(w) - 1).cast("long"),
+    )
+    return out.drop(_B), total
+
+
+def haloed_lag_frame(
+    df: DataFrame,
+    key_cols: list[str],
+    halo_back: int = 0,
+    halo_fwd: int = 0,
+    n_buckets: int = 64,
+) -> tuple[DataFrame, Window, Column]:
+    """Bucketed substrate for lag/lead ops of bounded reach.
+
+    Returns (augmented_df, window_spec, keep_cond): augmented_df holds
+    every original row plus ghost replicas of each bucket's boundary
+    rows in the neighbouring bucket (halo_back trailing rows copied
+    forward, halo_fwd leading rows copied backward); window_spec
+    partitions by bucket and orders by key; keep_cond selects the
+    original (non-ghost) rows.  Census merging guarantees every bucket
+    holds >= max(halo_back, halo_fwd) rows, so one-hop replication is
+    complete.
+    """
+    need = max(halo_back, halo_fwd, 1)
+    bexpr, remap, offsets, total = bucket_census(df, key_cols, n_buckets, min_rows=need)
+    n_merged = len(offsets)
+    b = _remap_expr(bexpr, remap)
+    base = df.withColumn(_B, b)
+    parts = [base.withColumn(_GHOST, F.lit(False))]
+    order = [F.col(k) for k in key_cols]
+    if halo_back and n_merged > 1:
+        w_desc = Window.partitionBy(_B).orderBy(*[c.desc() for c in order])
+        tail = (
+            base.withColumn("__rn", F.row_number().over(w_desc))
+            .filter((F.col("__rn") <= halo_back) & (F.col(_B) < n_merged - 1))
+            .drop("__rn")
+            .withColumn(_B, F.col(_B) + 1)
+            .withColumn(_GHOST, F.lit(True))
+        )
+        parts.append(tail)
+    if halo_fwd and n_merged > 1:
+        w_asc = Window.partitionBy(_B).orderBy(*order)
+        head = (
+            base.withColumn("__rn", F.row_number().over(w_asc))
+            .filter((F.col("__rn") <= halo_fwd) & (F.col(_B) > 0))
+            .drop("__rn")
+            .withColumn(_B, F.col(_B) - 1)
+            .withColumn(_GHOST, F.lit(True))
+        )
+        parts.append(head)
+    aug = parts[0]
+    for p in parts[1:]:
+        aug = aug.unionByName(p)
+    w = Window.partitionBy(_B).orderBy(*order)
+    return aug, w, ~F.col(_GHOST)

@@ -48,32 +48,50 @@ def _w(s: Series, by: list[str] | None) -> Window:
     return Window.partitionBy(*by).orderBy(*order)
 
 
-def series_shift(s: Series, n: int, by: list[str] | None = None) -> Series:
+def _lag_substrate(s: Series, n: int, by: list[str] | None, bucketed: bool,
+                   n_buckets: int):
+    """(df, window, keep_cond) for a lag/lead of reach |n|.  With
+    ``bucketed`` (and no by=) the substrate is the halo-replicated
+    bucket frame from operators.bucketed — no single-partition window;
+    otherwise the plain (possibly by=-partitioned) window."""
+    if bucketed and not by:
+        from fsharp_dataframe_spark.operators.bucketed import haloed_lag_frame
+
+        return haloed_lag_frame(
+            s.df, s.key_cols,
+            halo_back=n if n > 0 else 0,
+            halo_fwd=-n if n < 0 else 0,
+            n_buckets=n_buckets,
+        )
+    return s.df, _w(s, by), F.lit(True)
+
+
+def series_shift(s: Series, n: int, by: list[str] | None = None,
+                 bucketed: bool = False, n_buckets: int = 64) -> Series:
     """`shift n`: value at key[i] becomes value[i-n]; boundary keys
     dropped (reference builds it from WindowSize(|n|+1, Skip))."""
     s._require_ordered("shift")
-    w = _w(s, by)
+    df, w, keep = _lag_substrate(s, n, by, bucketed, n_buckets)
     shifted = F.lag(s.value, n).over(w)  # lag handles negative n as lead
     in_range = F.lag(F.lit(1), n).over(w).isNotNull()
     out = (
-        s.df.withColumn(_VAL, shifted)
-        .withColumn("__ok", in_range)
+        df.withColumns({_VAL: shifted, "__ok": in_range & keep})
         .filter(F.col("__ok"))
         .select(*s.key_cols, F.col(_VAL).alias(s.value_col))
     )
     return s._with_df(out)
 
 
-def series_diff(s: Series, n: int, by: list[str] | None = None) -> Series:
+def series_diff(s: Series, n: int, by: list[str] | None = None,
+                bucketed: bool = False, n_buckets: int = 64) -> Series:
     """`diff n`: x[k] - x[k-n]; boundary keys dropped
     (tests/FSharp.DataFrame.Tests/Series.fs:74-81)."""
     s._require_ordered("diff")
-    w = _w(s, by)
+    df, w, keep = _lag_substrate(s, n, by, bucketed, n_buckets)
     d = s.value - F.lag(s.value, n).over(w)
     in_range = F.lag(F.lit(1), n).over(w).isNotNull()
     out = (
-        s.df.withColumn(_VAL, d)
-        .withColumn("__ok", in_range)
+        df.withColumns({_VAL: d, "__ok": in_range & keep})
         .filter(F.col("__ok"))
         .select(*s.key_cols, F.col(_VAL).alias(s.value_col))
     )
@@ -81,17 +99,17 @@ def series_diff(s: Series, n: int, by: list[str] | None = None) -> Series:
 
 
 def series_pairwise(s: Series, f: Callable[[Column, Column], Column] | None = None,
-                    by: list[str] | None = None) -> Series:
+                    by: list[str] | None = None,
+                    bucketed: bool = False, n_buckets: int = 64) -> Series:
     """(prev, cur) combined by *f* (default: struct pair) — `Pairwise`
     (src/Series.fs:461-500).  One key shorter (first key dropped)."""
     s._require_ordered("pairwise")
-    w = _w(s, by)
+    df, w, keep = _lag_substrate(s, 1, by, bucketed, n_buckets)
     prev = F.lag(s.value, 1).over(w)
     in_range = F.lag(F.lit(1), 1).over(w).isNotNull()
     combined = f(prev, s.value) if f else F.struct(prev.alias("prev"), s.value.alias("cur"))
     out = (
-        s.df.withColumn(_VAL, combined)
-        .withColumn("__ok", in_range)
+        df.withColumns({_VAL: combined, "__ok": in_range & keep})
         .filter(F.col("__ok"))
         .select(*s.key_cols, F.col(_VAL).alias(s.value_col))
     )
@@ -99,28 +117,47 @@ def series_pairwise(s: Series, f: Callable[[Column, Column], Column] | None = No
 
 
 def series_window_size(s: Series, n: int, agg: Callable[[Column], Column],
-                       boundary: str = AT_BEGINNING, by: list[str] | None = None) -> Series:
+                       boundary: str = AT_BEGINNING, by: list[str] | None = None,
+                       bucketed: bool = False, n_buckets: int = 64) -> Series:
     """Sliding n-row windows aggregated by *agg* — `windowSizeInto`
     (src/SeriesModule.fs:281-301).  *agg* receives the value Column and
     must return a window-aggregable Column expression (F.sum/avg/...).
+
+    ``bucketed=True`` (global series): halo-replicated range buckets
+    instead of a single-partition window; completeness for Skip is
+    decided by the in-frame row count, not a global row_number.
     """
     s._require_ordered("window_size")
-    base = _w(s, by)
+    if bucketed and not by:
+        from fsharp_dataframe_spark.operators.bucketed import haloed_lag_frame
+
+        df, base, keep = haloed_lag_frame(
+            s.df, s.key_cols,
+            halo_back=n - 1 if boundary in (AT_BEGINNING, SKIP) else 0,
+            halo_fwd=n - 1 if boundary == AT_ENDING else 0,
+            n_buckets=n_buckets,
+        )
+    else:
+        df, base, keep = s.df, _w(s, by), F.lit(True)
     if boundary in (AT_BEGINNING, SKIP):
         frame = base.rowsBetween(-(n - 1), 0)  # keyed by last key of window
     elif boundary == AT_ENDING:
         frame = base.rowsBetween(0, n - 1)  # keyed by first key of window
     else:
         raise ValueError(boundary)
-    out = s.df.withColumn(_VAL, agg(s.value).over(frame))
+    out = df.withColumns({_VAL: agg(s.value).over(frame), "__keep": keep})
     if boundary == SKIP:
-        out = out.withColumn(_POS, F.row_number().over(base)).filter(F.col(_POS) >= n)
-    out = out.select(*s.key_cols, F.col(_VAL).alias(s.value_col))
+        # complete ⇔ the frame actually holds n rows (equals the
+        # row_number>=n test on the plain path, and counts halo ghosts
+        # on the bucketed path — exactly the true sliding window)
+        out = out.withColumn(_N, F.count(F.lit(1)).over(frame)).filter(F.col(_N) >= n)
+    out = out.filter(F.col("__keep")).select(*s.key_cols, F.col(_VAL).alias(s.value_col))
     return s._with_df(out, canonicalize=True)
 
 
 def series_chunk_size(s: Series, n: int, agg: Callable[[Column], Column],
-                      boundary: str = AT_ENDING, by: list[str] | None = None) -> Series:
+                      boundary: str = AT_ENDING, by: list[str] | None = None,
+                      bucketed: bool = False, n_buckets: int = 64) -> Series:
     """Non-overlapping n-row chunks — `chunkSizeInto`
     (src/SeriesModule.fs:383-399).  Chunk keyed by its FIRST key.
 
@@ -129,20 +166,32 @@ def series_chunk_size(s: Series, n: int, agg: Callable[[Column], Column],
     incomplete chunk first.  Skip: incomplete chunk dropped (semantics
     tests/FSharp.DataFrame.Tests/Common.fs:152-191; Skip composes with
     either alignment — here Skip alone means start-aligned + drop).
+
+    ``bucketed=True`` (global series): exact positions come from the
+    bucket census (operators.bucketed) — literal offsets + per-bucket
+    row_number, and the total row count is a census literal, so no
+    global window and no whole-relation count exist in the plan.
     """
     s._require_ordered("chunk_size")
     by = by or []
-    base = _w(s, by)
-    cw = Window.partitionBy(*by)
-    df = s.df.withColumn(_POS, F.row_number().over(base) - 1)
+    if bucketed and not by:
+        from fsharp_dataframe_spark.operators.bucketed import with_global_positions
+
+        df, total = with_global_positions(s.df, s.key_cols, n_buckets, pos_col=_POS)
+        n_total = F.lit(total)
+    else:
+        base = _w(s, by)
+        cw = Window.partitionBy(*by)
+        df = s.df.withColumn(_POS, F.row_number().over(base) - 1)
+        n_total = F.count(F.lit(1)).over(cw)
     if boundary in (AT_ENDING, SKIP):
         chunk_id = F.floor(F.col(_POS) / n)
         df = df.withColumn("__chunk", chunk_id)
         if boundary == SKIP:
-            df = df.withColumn(_N, F.count(F.lit(1)).over(cw))
+            df = df.withColumn(_N, n_total)
             df = df.filter((F.col("__chunk") + 1) * n <= F.col(_N))
     elif boundary == AT_BEGINNING:
-        df = df.withColumn(_N, F.count(F.lit(1)).over(cw))
+        df = df.withColumn(_N, n_total)
         pos_from_end = F.col(_N) - 1 - F.col(_POS)
         df = df.withColumn("__chunk", -F.floor(pos_from_end / n))
     else:

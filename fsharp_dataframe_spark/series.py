@@ -511,32 +511,33 @@ class Series:
     # ordered-series ops (§2.6) — delegated to operators.window
     # ------------------------------------------------------------------
 
-    def shift(self, n: int, by: list[str] | None = None) -> "Series":
+    def shift(self, n: int, by: list[str] | None = None, bucketed: bool = False) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_shift
 
-        return series_shift(self, n, by=by)
+        return series_shift(self, n, by=by, bucketed=bucketed)
 
-    def diff(self, n: int, by: list[str] | None = None) -> "Series":
+    def diff(self, n: int, by: list[str] | None = None, bucketed: bool = False) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_diff
 
-        return series_diff(self, n, by=by)
+        return series_diff(self, n, by=by, bucketed=bucketed)
 
-    def pairwise(self, f: Callable[[Column, Column], Column] | None = None, by: list[str] | None = None) -> "Series":
+    def pairwise(self, f: Callable[[Column, Column], Column] | None = None,
+                 by: list[str] | None = None, bucketed: bool = False) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_pairwise
 
-        return series_pairwise(self, f, by=by)
+        return series_pairwise(self, f, by=by, bucketed=bucketed)
 
     def window_size_into(self, n: int, agg: Callable[[Column], Column], boundary: str = AT_BEGINNING,
-                         by: list[str] | None = None) -> "Series":
+                         by: list[str] | None = None, bucketed: bool = False) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_window_size
 
-        return series_window_size(self, n, agg, boundary, by=by)
+        return series_window_size(self, n, agg, boundary, by=by, bucketed=bucketed)
 
     def chunk_size_into(self, n: int, agg: Callable[[Column], Column], boundary: str = AT_BEGINNING,
-                        by: list[str] | None = None) -> "Series":
+                        by: list[str] | None = None, bucketed: bool = False) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_chunk_size
 
-        return series_chunk_size(self, n, agg, boundary, by=by)
+        return series_chunk_size(self, n, agg, boundary, by=by, bucketed=bucketed)
 
     def window_dist_into(self, dist, agg: Callable[[Column], Column], by: list[str] | None = None) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_window_dist

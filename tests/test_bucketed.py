@@ -1,0 +1,66 @@
+"""Bucketed (no-global-window) variants of un-keyed ordered ops must
+match the plain single-window path exactly, and their physical plans
+must contain no data-sized single-partition exchange
+(operators/bucketed.py)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.series import AT_BEGINNING, AT_ENDING, SKIP, Series
+from fsharp_dataframe_spark.operators.bucketed import with_global_positions
+
+
+def _series(spark, n=500, dup_heavy=False):
+    rng = random.Random(3)
+    if dup_heavy:
+        # few distinct keys → raw quantile buckets collapse, exercising
+        # census merging; duplicates are disambiguated by a second level
+        keys = sorted(rng.choice(range(5)) for _ in range(n))
+        rows = [(k, i, float(rng.randint(0, 99))) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "key int, sub int, value double")
+        return Series(df, key=["key", "sub"], value="value", ordered=True)
+    rows = [(i * 3, float(rng.randint(0, 99))) for i in range(n)]
+    df = spark.createDataFrame(rows, "key int, value double")
+    return Series(df, key="key", value="value", ordered=True)
+
+
+def _collect(s):
+    return [tuple(r) for r in s.df.orderBy(*s.key_cols).collect()]
+
+
+def test_global_positions_exact(spark):
+    s = _series(spark)
+    out, total = with_global_positions(s.df, s.key_cols, n_buckets=8)
+    assert total == 500
+    got = [r["__gpos"] for r in out.orderBy("key").collect()]
+    assert got == list(range(500))
+
+
+def test_bucketed_shift_diff_pairwise_match_plain(spark):
+    for dup in (False, True):
+        s = _series(spark, dup_heavy=dup)
+        for n in (1, 3, -2):
+            assert _collect(s.shift(n, bucketed=True)) == _collect(s.shift(n)), (dup, n)
+        assert _collect(s.diff(2, bucketed=True)) == _collect(s.diff(2)), dup
+        p1 = _collect(s.pairwise(lambda a, b: b - a, bucketed=True))
+        assert p1 == _collect(s.pairwise(lambda a, b: b - a)), dup
+
+
+def test_bucketed_window_chunk_match_plain(spark):
+    s = _series(spark)
+    for boundary in (AT_BEGINNING, AT_ENDING, SKIP):
+        w_b = _collect(s.window_size_into(5, F.sum, boundary, bucketed=True))
+        w_p = _collect(s.window_size_into(5, F.sum, boundary))
+        assert w_b == w_p, boundary
+        c_b = _collect(s.chunk_size_into(7, F.sum, boundary, bucketed=True))
+        c_p = _collect(s.chunk_size_into(7, F.sum, boundary))
+        assert c_b == c_p, boundary
+
+
+def test_bucketed_plan_has_no_global_exchange(spark):
+    s = _series(spark)
+    for made in (s.shift(2, bucketed=True), s.chunk_size_into(7, F.sum, "skip", bucketed=True),
+                 s.window_size_into(5, F.sum, "at_beginning", bucketed=True)):
+        plan = made.df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan[:2000]
