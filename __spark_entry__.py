@@ -393,8 +393,119 @@ def q_sample_time(spark, sf) -> DataFrame:
     return out.df.select(F.col("ts").alias("bucket"), F.col("value").alias("first_value"))
 
 
+def q_lookup_time_fwd(spark, sf) -> DataFrame:
+    """lookupTime / Sample with NearestGreater (src/SeriesModule.fs:
+    971-1000): for an hourly grid, the FIRST purchase value at-or-after
+    each grid instant — the forward as-of."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    src = Series(ev.select("ts", "value"), key="ts", value="value", ordered=True)
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                    F.date_trunc("hour", F.max("ts")).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("ts"))
+    out = src.get_items(spine, "nearest_greater")
+    return out.df.select("ts", F.col("value").alias("next_value"))
+
+
+def q_index_ordinal(spark, sf) -> DataFrame:
+    """indexOrdinally (src/Series.fs:566-573) with bucketed census
+    positions (no global window): every 97th event by global position."""
+    ev = _events_series(spark, sf)
+    out = ev.index_ordinally(bucketed=True)
+    return out.df.filter(F.col("key") % 97 == 0) \
+        .select("key", F.round(F.col("value"), 4).alias("value"))
+
+
+def q_lookup_level(spark, sf) -> DataFrame:
+    """GetByLevel / LookupNOfM (src/Indices/MultiKey.fs:114-159): match
+    one level of a hierarchical key — a pushed-down filter."""
+    ev = load_table(spark, sf, "events")
+    s = Series(ev.select("user_id", "ts", "event_id", "value"),
+               key=["user_id", "ts", "event_id"], value="value", ordered=True)
+    uid = ev.agg(F.min("user_id")).collect()[0][0]
+    return s.lookup_level(0, uid).df.select("user_id", "ts", "event_id", "value")
+
+
+def q_first_last(spark, sf) -> DataFrame:
+    """firstKey/lastKey/firstValue/lastValue (src/SeriesModule.fs:199-202)
+    — endpoint scalars of the ordered purchase series, re-assembled
+    into one row (each is an engine action)."""
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    s = Series(ev.select("ts", "value"), key="ts", value="value", ordered=True)
+    row = [(s.first_key(), s.last_key(),
+            round(s.first_value(), 4), round(s.last_value(), 4))]
+    return spark.createDataFrame(
+        row, "first_key timestamp, last_key timestamp, first_value double, last_value double")
+
+
+def q_frame_zip(spark, sf) -> DataFrame:
+    """Frame.Zip cell-wise (src/Frame.fs:103-142): daily click frame ⊕
+    daily view frame — shared columns combined with +, inner rows."""
+    ev = load_table(spark, sf, "events")
+
+    def daily(t):
+        return Frame(
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.count("*").alias("n_events")),
+            key="day",
+        )
+
+    z = daily("click").zip_frames(daily("view"), lambda a, b: a + b, kind="inner")
+    return z.df.select("day", F.round(F.col("sum_value"), 4).alias("sum_value"), "n_events")
+
+
 # ----------------------------------------------------------------------
 # §2.8 missing-data
+# ----------------------------------------------------------------------
+
+
+def q_fill_constant(spark, sf) -> DataFrame:
+    """fillMissingWith c (src/SeriesModule.fs:624-627) on the sparse
+    user×day purchase grid."""
+    ev = load_table(spark, sf, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("value"))
+    )
+    users = ev.select("user_id").distinct()
+    days = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                  F.date_trunc("day", F.max("ts")).alias("hi")) \
+             .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    grid = users.crossJoin(F.broadcast(days))
+    s = Series(grid.join(purchases, on=["user_id", "day"], how="left"),
+               key=["user_id", "day"], value="value")
+    return s.fill_missing_with(-1.0).df
+
+
+def q_drop_sparse(spark, sf) -> DataFrame:
+    """dropSparseRows / rowsDense (src/FrameModule.fs:519-554): user×day
+    grid with click and purchase means; keep only rows dense in both."""
+    ev = load_table(spark, sf, "events")
+
+    def per_day(t, alias):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.round(F.avg("value"), 4).alias(alias))
+        )
+
+    users = ev.select("user_id").distinct()
+    days = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                  F.date_trunc("day", F.max("ts")).alias("hi")) \
+             .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    grid = (
+        users.crossJoin(F.broadcast(days))
+        .join(per_day("click", "click_avg"), on=["user_id", "day"], how="left")
+        .join(per_day("purchase", "purchase_avg"), on=["user_id", "day"], how="left")
+    )
+    fr = Frame(grid, key=["user_id", "day"])
+    return fr.drop_sparse_rows().df
+
+
+# ----------------------------------------------------------------------
+# §2.8 missing-data (original entries)
 # ----------------------------------------------------------------------
 
 def q_fill_forward(spark, sf) -> DataFrame:
@@ -603,6 +714,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_time": q_sample_time,
         "fill_forward": q_fill_forward,
         "drop_missing": q_drop_missing,
+        "lookup_time_fwd": q_lookup_time_fwd,
+        "index_ordinal": q_index_ordinal,
+        "lookup_level": q_lookup_level,
+        "first_last": q_first_last,
+        "frame_zip": q_frame_zip,
+        "fill_constant": q_fill_constant,
+        "drop_sparse": q_drop_sparse,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_hits": q_lang_hits,
@@ -863,6 +981,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
                    round(avg(value),4) AS value
             FROM events WHERE event_type='purchase' GROUP BY 1, 2
+        """,
+        "lookup_time_fwd": """
+            WITH p AS (SELECT ts::TIMESTAMP AS ts, value FROM events WHERE event_type='purchase'),
+                 spine AS (
+                   SELECT unnest(generate_series(
+                     date_trunc('hour', (SELECT min(ts) FROM p)),
+                     date_trunc('hour', (SELECT max(ts) FROM p)),
+                     INTERVAL 1 HOUR)) AS ts)
+            SELECT spine.ts AS ts, p.value AS next_value
+            FROM spine ASOF LEFT JOIN p ON spine.ts <= p.ts
+        """,
+        "index_ordinal": """
+            WITH numbered AS (
+              SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS key
+              FROM events)
+            SELECT key, round(value, 4) AS value FROM numbered WHERE key % 97 = 0
+        """,
+        "lookup_level": """
+            SELECT user_id, ts::TIMESTAMP AS ts, event_id, value
+            FROM events WHERE user_id = (SELECT min(user_id) FROM events)
+        """,
+        "first_last": """
+            SELECT min(ts::TIMESTAMP) AS first_key, max(ts::TIMESTAMP) AS last_key,
+                   round(arg_min(value, ts) FILTER (value IS NOT NULL), 4) AS first_value,
+                   round(arg_max(value, ts) FILTER (value IS NOT NULL), 4) AS last_value
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "frame_zip": """
+            WITH c AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+                              round(sum(value),4) AS sum_value, count(*) AS n_events
+                       FROM events WHERE event_type='click' GROUP BY 1),
+                 v AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+                              round(sum(value),4) AS sum_value, count(*) AS n_events
+                       FROM events WHERE event_type='view' GROUP BY 1)
+            SELECT c.day AS day, round(c.sum_value + v.sum_value, 4) AS sum_value,
+                   c.n_events + v.n_events AS n_events
+            FROM c JOIN v USING (day)
+        """,
+        "fill_constant": """
+            WITH p AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
+                              round(avg(value),4) AS value
+                       FROM events WHERE event_type='purchase' GROUP BY 1, 2),
+                 users AS (SELECT DISTINCT user_id FROM events),
+                 days AS (SELECT unnest(generate_series(
+                     date_trunc('day',(SELECT min(ts::TIMESTAMP) FROM events)),
+                     date_trunc('day',(SELECT max(ts::TIMESTAMP) FROM events)),
+                     INTERVAL 1 DAY)) AS day)
+            SELECT u.user_id AS user_id, d.day AS day,
+                   coalesce(p.value, -1.0) AS value
+            FROM users u CROSS JOIN days d
+            LEFT JOIN p ON p.user_id = u.user_id AND p.day = d.day
+        """,
+        "drop_sparse": """
+            WITH c AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
+                              round(avg(value),4) AS click_avg
+                       FROM events WHERE event_type='click' GROUP BY 1, 2),
+                 p AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
+                              round(avg(value),4) AS purchase_avg
+                       FROM events WHERE event_type='purchase' GROUP BY 1, 2)
+            SELECT c.user_id AS user_id, c.day AS day, c.click_avg AS click_avg,
+                   p.purchase_avg AS purchase_avg
+            FROM c JOIN p ON c.user_id = p.user_id AND c.day = p.day
         """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -377,14 +377,22 @@ class Series:
         """
         return self._with_df(self.df, ordered=True)
 
-    def index_ordinally(self) -> "Series":
-        """0..n-1 keys — `indexOrdinally` (src/Series.fs:566-573)."""
+    def index_ordinally(self, bucketed: bool = False) -> "Series":
+        """0..n-1 keys — `indexOrdinally` (src/Series.fs:566-573).
+        ``bucketed=True`` computes exact positions from the bucket
+        census (operators/bucketed.py) — no global window."""
         self._require_ordered("index_ordinally")
-        w = self._w()
-        out = (
-            self.df.withColumn("_ord", F.row_number().over(w) - 1)
-            .select(F.col("_ord").alias("key"), self.value_col)
-        )
+        if bucketed:
+            from fsharp_dataframe_spark.operators.bucketed import with_global_positions
+
+            pos_df, _ = with_global_positions(self.df, self.key_cols, pos_col="_ord")
+            out = pos_df.select(F.col("_ord").alias("key"), self.value_col)
+        else:
+            w = self._w()
+            out = (
+                self.df.withColumn("_ord", F.row_number().over(w) - 1)
+                .select(F.col("_ord").alias("key"), self.value_col)
+            )
         return Series(out, key="key", value=self.value_col, ordered=True, _canonicalize=False)
 
     def drop_key(self, k) -> "Series":
