@@ -1,0 +1,10 @@
+from fsharp_dataframe_spark.streaming.ops import (  # noqa: F401
+    read_stream_parquet,
+    run_to_memory,
+    stream_exact_dedup,
+    stream_latest_by,
+    stream_resample_equiv,
+    stream_sample_time,
+    stream_session_windows,
+    stream_text_quality,
+)

@@ -1,0 +1,153 @@
+"""Structured-Streaming variants of the time-series operators (§2.7).
+
+The reference has NO streaming operators (SURVEY.md §2.7 streaming
+note) — these are the parity-plus upgrades its batch resampling API
+maps onto when the events table is a stream:
+
+- ``sampleTime``      → tumbling `F.window(ts, interval)` + watermark;
+- ``resampleEquiv``   → keyed aggregation on a key projection + watermark;
+- exact dedup         → `withWatermark + dropDuplicates` (stateful,
+                        bounded state — the streaming ingest tier of
+                        functions/dedup.exact_dedup);
+- latest-per-entity   → `max_by(value, ts)` per key (update mode), the
+                        streaming face of the as-of "last value";
+- sessionization      → `F.session_window(ts, gap)` (native stateful
+                        session windows).
+
+All are plan constructors over an unbounded DataFrame: identical
+Column expressions to the batch operators, so Catalyst plans the
+incremental execution.  Each aggregation carries a watermark so state
+is bounded — required for append sinks and the only shape that
+survives an unbounded 100 TB/day stream.
+
+``run_to_memory`` drives a stream to completion synchronously for
+tests (availableNow trigger + memory sink), per the public pattern of
+testing streams against a static parquet directory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Parquet-directory stream (each file = a micro-batch of the same
+    schema).  Streams need an explicit schema — no inference job runs
+    on an unbounded source."""
+    return spark.readStream.format("parquet").schema(schema).load(path)
+
+
+def stream_sample_time(
+    sdf: DataFrame,
+    interval: str,
+    aggs: dict[str, Column],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming `sampleTime` (batch analog src/SeriesModule.fs:841-947):
+    tumbling windows of *interval*, aggregated by *aggs*; late rows
+    beyond *watermark* are dropped, closing windows for append output."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), interval).alias("w"))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("bucket"), *aggs.keys())
+    )
+
+
+def stream_resample_equiv(
+    sdf: DataFrame,
+    interval: str,
+    aggs: dict[str, Column],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming `resampleEquiv` (src/SeriesModule.fs:726-752): the key
+    projection must be a time truncation on a stream (only window /
+    session_window grouping keeps the watermark eviction contract), so
+    the projection is expressed as a tumbling-window interval — e.g.
+    ``date_trunc('day', ts)`` ≡ interval '1 day'."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), interval).alias("w"))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("key"), *aggs.keys())
+    )
+
+
+def stream_exact_dedup(
+    sdf: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per id within the
+    watermark horizon — bounded state, the streaming ingest tier in
+    front of the batch dedup cascade (functions/dedup.py)."""
+    return sdf.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
+
+
+def stream_latest_by(
+    sdf: DataFrame,
+    by: list[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Latest value per entity — the streaming face of the as-of 'last
+    value at-or-before now' (update-mode sink)."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*by)
+        .agg(F.max_by(F.col(value_col), F.col(ts_col)).alias("latest_value"),
+             F.max(ts_col).alias("latest_ts"))
+    )
+
+
+def stream_session_windows(
+    sdf: DataFrame,
+    gap: str,
+    by: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sessionization via native session windows — the streaming analog
+    of `chunkWhile` with a gap predicate (stateful, merge-on-overlap)."""
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(*by, F.session_window(F.col(ts_col), gap).alias("s"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(*by, F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"), "n_events", "sum_value")
+    )
+
+
+def stream_text_quality(sdf: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless per-document text stats — the batch Column exprs from
+    functions/text.py applied 1:1 to a stream (no state, no watermark)."""
+    from fsharp_dataframe_spark.functions import text as TX
+
+    c = F.col(text_col)
+    return sdf.withColumns({
+        "n_tokens": TX.token_count(c),
+        "punct_ratio": F.round(TX.punct_ratio(c), 4),
+        "stopword_ratio": F.round(TX.stopword_ratio(c), 4),
+        "lang_pred": TX.lang_id(c),
+    })
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming plan to completion synchronously (availableNow
+    + memory sink) and return the result table name — test harness."""
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
