@@ -379,6 +379,24 @@ def q_resample_uniform(spark, sf) -> DataFrame:
     return out.df.select(F.col("ts").alias("hour"), F.col("value").alias("filled_value"))
 
 
+def q_resample_keys(spark, sf) -> DataFrame:
+    """resample with EXPLICIT boundary keys, Forward direction
+    (src/Series.fs:388-441): weekly boundaries over the events range;
+    empty chunks kept (NULL value)."""
+    from datetime import timedelta
+
+    ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    s = Series(ev.select("ts", "value"), key="ts", value="value", ordered=True)
+    lo, hi = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
+                    F.max("ts").alias("hi")).collect()[0]
+    keys, k = [], lo
+    while k <= hi:
+        keys.append(k)
+        k = k + timedelta(days=7)
+    out = s.resample_into(keys, "forward", lambda v: F.round(F.sum(v), 4))
+    return out.df.select(F.col("ts").alias("week_start"), F.col("value").alias("week_sum"))
+
+
 def q_sample_time(spark, sf) -> DataFrame:
     """sampleTimeInto Forward (src/SeriesModule.fs:841-947): first event
     value per 6-hour bucket (start-aligned grid)."""
@@ -679,6 +697,18 @@ def q_simhash_pairs(spark, sf) -> DataFrame:
     return simhash_pairs(docs, max_hamming=6)
 
 
+def q_near_dedup(spark, sf) -> DataFrame:
+    """Production near-dedup cascade: LSH candidates → exact Jaccard
+    verification on candidates only.  Output values are EXACT Jaccard,
+    so the oracle is the all-pairs exact query restricted to pairs the
+    cascade found — the pytest cross-check additionally pins recall
+    >= 0.9 vs the full exact tier (tests/test_dedup.py)."""
+    from fsharp_dataframe_spark.functions.dedup import near_dedup_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return near_dedup_pairs(docs, threshold=0.2)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -710,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_shift_diff": q_frame_shift_diff,
         "take_last": q_take_last,
         "resample_daily": q_resample_daily,
+        "resample_keys": q_resample_keys,
         "resample_uniform": q_resample_uniform,
         "sample_time": q_sample_time,
         "fill_forward": q_fill_forward,
@@ -729,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_centroids": q_embed_centroids,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "near_dedup": q_near_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_assign": q_ivf_assign,
         "media_features": q_media_features,
@@ -944,6 +976,21 @@ def oracle_sql() -> dict[str, str]:
         "resample_daily": """
             SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1
+        """,
+        "resample_keys": """
+            WITH p AS (SELECT ts::TIMESTAMP AS ts, value FROM events
+                       WHERE event_type='purchase'),
+                 bounds AS (SELECT date_trunc('day', min(ts)) AS lo, max(ts) AS hi FROM p),
+                 spine AS (SELECT unnest(generate_series(
+                     (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                     INTERVAL 7 DAY)) AS week_start),
+                 assigned AS (
+                   SELECT p.value, s.week_start
+                   FROM p ASOF JOIN spine s ON p.ts >= s.week_start),
+                 g AS (SELECT week_start, round(sum(value),4) AS week_sum
+                       FROM assigned GROUP BY 1)
+            SELECT spine.week_start AS week_start, g.week_sum AS week_sum
+            FROM spine LEFT JOIN g USING (week_start)
         """,
         "resample_uniform": """
             WITH s AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hour,

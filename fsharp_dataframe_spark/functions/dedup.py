@@ -155,6 +155,47 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3) -> DataFrame:
+    """EXACT n-gram Jaccard computed only for the given candidate
+    (id_a, id_b) pairs — the verification tier.
+
+    Unlike the all-pairs shingle self-join (quadratic in hot-shingle
+    bucket size), this joins each pair to its two docs' distinct
+    shingle ARRAYS and intersects them per pair: cost is
+    O(|pairs| · doc_len), independent of shingle frequency skew —
+    the only shape that survives when candidates come from LSH at
+    100 TB."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size(F.col("_sh_a")) + F.size(F.col("_sh_b")) - inter
+    return j.select(
+        "id_a", "id_b",
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+def near_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 3, k: int = 32, bands: int = 8,
+                     threshold: float = 0.5, candidate_margin: float = 0.15) -> DataFrame:
+    """The production near-dedup cascade: MinHash+LSH candidate
+    generation (linear, banded) → EXACT Jaccard verification on the
+    candidates only (jaccard_verify_pairs) → threshold filter.
+
+    The LSH estimate admits candidates down to ``threshold -
+    candidate_margin`` so near-threshold pairs are not lost to
+    signature noise; the exact verification then decides.  Both stages
+    are skew-safe: no all-pairs join ever touches the full corpus."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, n, k, bands,
+                              threshold=max(0.0, threshold - candidate_margin))
+    exact = jaccard_verify_pairs(df, cands, id_col, text_col, n)
+    return exact.filter(F.col("jaccard") >= threshold)
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash sketch: sign-sum of per-token hash bits.
 

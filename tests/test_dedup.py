@@ -1,0 +1,69 @@
+"""Dedup cascade cross-validation (functions/dedup.py): LSH candidates
+vs exact Jaccard, the verification tier, and the production cascade."""
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.sources.parquet import load_table
+from fsharp_dataframe_spark.functions.dedup import (
+    exact_dedup, jaccard_verify_pairs, minhash_lsh_pairs,
+    near_dedup_pairs, ngram_jaccard_pairs, simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_exact_dedup_keeps_one_per_content(spark):
+    docs = _docs(spark)
+    kept = exact_dedup(docs)
+    n_fp = docs.select(F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))) \
+               .distinct().count()
+    assert kept.count() == n_fp
+
+
+def test_jaccard_verify_matches_allpairs_join(spark):
+    # the pair-verification tier must reproduce the all-pairs exact
+    # values on the pairs both produce
+    docs = _docs(spark)
+    exact = ngram_jaccard_pairs(docs, threshold=0.2)
+    verified = jaccard_verify_pairs(docs, exact.select("id_a", "id_b"))
+    ex = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    ve = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert ex == ve
+
+
+def test_near_dedup_cascade_matches_exact_tier(spark):
+    # cascade output ⊆ exact all-pairs output, with identical values;
+    # on the planted driver duplicates recall is total
+    docs = _docs(spark)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    cascade = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in near_dedup_pairs(docs, threshold=0.2).collect()}
+    assert set(cascade) <= set(exact)
+    for k, v in cascade.items():
+        assert exact[k] == v
+    recall = len(cascade) / len(exact) if exact else 1.0
+    assert recall >= 0.9, f"cascade recall {recall}"
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    docs = _docs(spark)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in minhash_lsh_pairs(docs, threshold=0.1).collect()}
+    shared = set(exact) & set(est)
+    assert shared, "no overlapping pairs to compare"
+    for k in shared:
+        assert abs(exact[k] - est[k]) < 0.35  # k=32 signature noise bound
+
+
+def test_simhash_pairs_respect_hamming_bound(spark):
+    docs = _docs(spark)
+    out = simhash_pairs(docs, max_hamming=6).collect()
+    assert all(r["hamming"] <= 6 for r in out)
+    assert all(r["id_a"] < r["id_b"] for r in out)
