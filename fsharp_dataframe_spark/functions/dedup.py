@@ -70,6 +70,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     upstream for heavy skew).  Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
     """
+    # Shape notes (both alternatives measured at sf0.1):
+    # - join sides stay NARROW (id, shingle); doc shingle-counts come
+    #   from a separate tiny aggregate broadcast-joined onto the
+    #   aggregated pairs.  Carrying n_sh inline through the explode is
+    #   40x worse: project collapsing pushes size(word_shingles(text))
+    #   AFTER the Generate, re-tokenizing per exploded shingle row.
+    # - a posting-list variant (collect_list per shingle + double
+    #   explode) is ~25x worse: hot shingles expand quadratically
+    #   inside single tasks, while the sort-merge join streams them.
     sh = shingle_table(df, id_col, text_col, n).alias("l")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     r = shingle_table(df, id_col, text_col, n).alias("r")
@@ -82,7 +91,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
     out = (
-        pairs.join(sa, "id_a").join(sb, "id_b")
+        pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -225,6 +234,31 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return sketch
 
 
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  bits: int = 64) -> DataFrame:
+    """(id, sh) sketches via explode + groupBy — one xxhash64 per token
+    and ``bits`` trivial partial-aggregating sums, instead of the
+    Column-expression form's per-token 64-wide array fold (which
+    allocates a vote array per token).  Bit-identical to `simhash`:
+    vote_j = Σ(±1 per token) = 2·Σbit_j − n, same >0 threshold."""
+    toks = tokens(F.lower(F.col(text_col)))
+    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
+    h = F.xxhash64(F.col("__tok"))
+    aggs = [
+        F.sum(
+            F.when(F.col("__tok").isNotNull(),
+                   F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).otherwise(F.lit(0))
+        ).alias(f"__b{j}")
+        for j in range(bits)
+    ]
+    g = ex.groupBy(id_col).agg(*aggs)
+    sketch = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_j = F.when(F.col(f"__b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        sketch = sketch.bitwiseOR(F.shiftleft(bit_j, j))
+    return g.select(F.col(id_col), sketch.alias("sh"))
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
@@ -233,7 +267,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     within Hamming<=3 of a 64-bit sketch shares at least one equal
     quarter — pigeonhole); verification = popcount of XOR.
     """
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    sh = simhash_table(df, id_col, text_col)
     quarters = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*[
