@@ -106,6 +106,19 @@ class Frame:
         return Frame(df, key=key_name)
 
     @staticmethod
+    def of_rows_ordinal(spark, rows: list[dict]) -> "Frame":
+        """`Frame.ofRowsOrdinal` (src/FrameExtensions.fs:150-158):
+        rows with 0..n-1 ordinal keys."""
+        return Frame.of_rows(spark, list(enumerate(rows)), key_name="ordinal")
+
+    @staticmethod
+    def of_row_keys(spark, keys: list, key_name: str = "key") -> "Frame":
+        """`Frame.ofRowKeys` (src/FrameExtensions.fs:160-167): a frame
+        with row keys and no columns yet."""
+        return Frame(spark.createDataFrame([(k,) for k in keys], [key_name]),
+                     key=key_name)
+
+    @staticmethod
     def collapse_rows(frames: dict, level_name: str = "group") -> "Frame":
         """Series-of-frames → one frame with a new leading key level —
         `collapseRows` (src/Frame.fs:815-818; src/FrameModule.fs:29-58).
@@ -190,11 +203,24 @@ class Frame:
         s = self[col]
         return s.cast(cast_to) if cast_to else s
 
-    def add_col(self, name: str, series_or_col: Series | Column) -> "Frame":
+    def add_col(self, name: str, series_or_col) -> "Frame":
         """`AddSeries/addCol` (src/Frame.fs:315-380): a Column expression
-        is added in place; a Series is left-joined on the row key."""
+        is added in place; a Series is left-joined on the row key; a
+        plain Python sequence is zipped POSITIONALLY along row-key order
+        — padded with missing / trimmed to the row count, the reference
+        seq overload (src/Frame.fs:323-342)."""
         if isinstance(series_or_col, Column):
             return self._with_df(self.df.withColumn(name, series_or_col), canonicalize=True)
+        if isinstance(series_or_col, (list, tuple)):
+            self._require_ordered("add_col(sequence)")
+            from fsharp_dataframe_spark.operators.bucketed import with_global_positions
+
+            spark = self.df.sparkSession
+            vals = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(series_or_col)], ["__pos", name])
+            pos, _ = with_global_positions(self.df, self.key_cols, pos_col="__pos")
+            out = pos.join(F.broadcast(vals), "__pos", "left").drop("__pos")
+            return self._with_df(out)
         s = series_or_col
         rhs = s.df.select(
             *[F.col(a).alias(b) for a, b in zip(s.key_cols, self.key_cols)],
@@ -202,6 +228,22 @@ class Frame:
         )
         out = self.df.join(rhs, on=self.key_cols, how="left")
         return self._with_df(out)
+
+    def rows(self) -> Series:
+        """Row-series view — `frame.Rows` (src/Frame.fs:223-254): one
+        struct of all data columns per row key."""
+        v = F.struct(*[F.col(c) for c in self.column_keys])
+        out = self.df.select(*self.key_cols, v.alias("row"))
+        return Series(out, key=self.key_cols, value="row",
+                      ordered=self.ordered, _canonicalize=False)
+
+    def rows_dense(self) -> Series:
+        """`RowsDense` (src/Frame.fs:229-254): rows with any missing
+        cell are dropped before the struct view."""
+        return Series(self.drop_sparse_rows().df.select(
+            *self.key_cols,
+            F.struct(*[F.col(c) for c in self.column_keys]).alias("row")),
+            key=self.key_cols, value="row", ordered=self.ordered, _canonicalize=False)
 
     def drop_col(self, *names: str) -> "Frame":
         """`DropSeries` (src/Frame.fs:359-362)."""

@@ -58,6 +58,39 @@ AT_ENDING = "at_ending"
 SKIP = "skip"
 
 
+class WindowSize:
+    """Aggregation spec — reference `WindowSize(n, Boundary)`
+    (src/Indices/Index.fs:35-52)."""
+
+    def __init__(self, n: int, boundary: str = AT_BEGINNING):
+        self.n, self.boundary = n, boundary
+
+
+class ChunkSize:
+    def __init__(self, n: int, boundary: str = AT_ENDING):
+        self.n, self.boundary = n, boundary
+
+
+class WindowDist:
+    def __init__(self, dist):
+        self.dist = dist
+
+
+class ChunkDist:
+    def __init__(self, dist):
+        self.dist = dist
+
+
+class WindowWhile:
+    def __init__(self, cond):
+        self.cond = cond
+
+
+class ChunkWhile:
+    def __init__(self, cond):
+        self.cond = cond
+
+
 def _as_list(x) -> list:
     if x is None:
         return []
@@ -194,16 +227,40 @@ class Series:
         (src/Series.fs:281-286)."""
         return self.map_values(f)
 
-    def map_keys(self, f: Callable[[Column], Column]) -> "Series":
-        """Rewrite keys — `Series.SelectKeys` (src/Series.fs:273-278).
-        Orderedness is not preserved (key transform may reorder)."""
-        k = self.key_cols[0]
+    def map_keys(self, f: Callable[[Column], Column], level: int = 0) -> "Series":
+        """Rewrite one key level — `Series.SelectKeys` (src/Series.fs:273-278).
+        Multi-level keys pick the level to rewrite (reference tuple-key
+        mapping); orderedness is not preserved (transform may reorder)."""
+        k = self.key_cols[level]
         out = self.df.withColumn(k, f(F.col(k)))
         return self._with_df(out, ordered=False)
 
     def where(self, pred: Callable[[Column, Column], Column]) -> "Series":
-        """Predicate on (key, value) — `Series.Where` (src/Series.fs:230-245)."""
+        """Predicate on (key, value) — `Series.Where` (src/Series.fs:230-245).
+        SQL three-valued logic drops rows where the predicate is NULL —
+        matching the reference, whose predicate never sees missing."""
         return self._with_df(self.df.filter(pred(self.key, self.value)))
+
+    def where_all(self, pred: Callable[[Column, Column], Column]) -> "Series":
+        """Predicate that SEES missing — `Series.WhereOptional`/`filterAll`
+        (src/Series.fs:248-256): the value Column is nullable and the
+        predicate may test ``isNull`` (e.g. keep only missing keys)."""
+        return self._with_df(self.df.filter(pred(self.key, self.value)))
+
+    def where_indexed(self, pred: Callable[[Column, Column, Column], Column],
+                      bucketed: bool = True) -> "Series":
+        """`Series.Where` ordinal overload (src/Series.fs:236-240): the
+        predicate also receives the 0-based position along key order —
+        positions from the bucket census (no global window)."""
+        self._require_ordered("where_indexed")
+        if bucketed:
+            from fsharp_dataframe_spark.operators.bucketed import with_global_positions
+
+            df, _ = with_global_positions(self.df, self.key_cols, pos_col="__idx")
+        else:
+            df = self.df.withColumn("__idx", F.row_number().over(self._w()) - 1)
+        out = df.filter(pred(self.key, self.value, F.col("__idx"))).drop("__idx")
+        return self._with_df(out)
 
     def filter_values(self, pred: Callable[[Column], Column]) -> "Series":
         return self._with_df(self.df.filter(pred(self.value)))
@@ -569,6 +626,27 @@ class Series:
         from fsharp_dataframe_spark.operators.window import series_chunk_dist
 
         return series_chunk_dist(self, dist, agg, by=by, out_type=out_type)
+
+    def aggregate_into(self, spec, agg, by: list[str] | None = None, **kw) -> "Series":
+        """`Series.Aggregate` umbrella (src/Series.fs:514-523): dispatch
+        on an ``Aggregation`` spec — WindowSize/ChunkSize (boundary
+        flags), WindowWhile/ChunkWhile (predicates), WindowDist/
+        ChunkDist (distances) — reference src/Indices/Index.fs:35-52.
+        *agg* is a Column aggregator for the native specs and a
+        pandas-segment function for the While specs."""
+        if isinstance(spec, WindowSize):
+            return self.window_size_into(spec.n, agg, spec.boundary, by=by, **kw)
+        if isinstance(spec, ChunkSize):
+            return self.chunk_size_into(spec.n, agg, spec.boundary, by=by, **kw)
+        if isinstance(spec, WindowDist):
+            return self.window_dist_into(spec.dist, agg, by=by, **kw)
+        if isinstance(spec, ChunkDist):
+            return self.chunk_dist_into(spec.dist, agg, by=by, **kw)
+        if isinstance(spec, WindowWhile):
+            return self.window_while_into(spec.cond, agg, by=by, **kw)
+        if isinstance(spec, ChunkWhile):
+            return self.chunk_while_into(spec.cond, agg, by=by, **kw)
+        raise TypeError(f"unknown Aggregation spec: {spec!r}")
 
     # ------------------------------------------------------------------
     # resampling (§2.7) — delegated to operators.resample
