@@ -30,7 +30,11 @@ from fsharp_dataframe_spark.sources.parquet import load_table
 
 
 def _frame(spark, sf_dir, name, key=None, ordered=False) -> Frame:
-    return Frame(load_table(spark, sf_dir, name), key=key, ordered=ordered)
+    # the driver's generator writes no NaN (verified across all float
+    # columns): skip the NaN→NULL wrap so float-column predicates stay
+    # pushable to the parquet scan (Frame.read_parquet(nan_free=True))
+    return Frame(load_table(spark, sf_dir, name), key=key, ordered=ordered,
+                 _canonicalize=False)
 
 
 def _events_series(spark, sf_dir, key=("ts", "event_id"), value="value") -> Series:

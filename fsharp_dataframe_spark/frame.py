@@ -51,10 +51,23 @@ class Frame:
 
     @staticmethod
     def read_parquet(spark, path: str, key: str | list[str] | None = None,
-                     ordered: bool = False) -> "Frame":
-        """Columnar ingest; column pruning and predicate pushdown reach
-        the scan automatically once operators are applied."""
-        return Frame(spark.read.parquet(path), key=key, ordered=ordered)
+                     ordered: bool = False, nan_free: bool = False) -> "Frame":
+        """Columnar ingest (TIMESTAMP-NANOS normalized); column pruning
+        and predicate pushdown reach the scan once operators apply.
+
+        ``nan_free=True`` asserts the source already satisfies the
+        engine's canonical missing-value contract (no NaN in float
+        columns — true for engine-written sinks and validated
+        generators) and skips the NaN→NULL wrap.  This matters for
+        scans: the wrap expression is not a pushable predicate, so
+        float-column filters on a wrapped frame cannot reach the
+        parquet reader (the reference analog: its vector builder
+        materializes canonicalization once at construction,
+        src/Vectors/ArrayVector.fs:56-67 — data at rest is canonical)."""
+        from fsharp_dataframe_spark.sources.parquet import read_parquet
+
+        return Frame(read_parquet(spark, path), key=key, ordered=ordered,
+                     _canonicalize=not nan_free)
 
     @staticmethod
     def read_csv(spark, path: str, key: str | list[str] | None = None, **kwargs) -> "Frame":
