@@ -156,6 +156,28 @@ def q_scalar_math(spark, sf) -> DataFrame:
 # §2.3/§2.4 set ops, zip, joins
 # ----------------------------------------------------------------------
 
+def q_frame_arith(spark, sf) -> DataFrame:
+    """Frame⊙scalar and frame⊙series arithmetic (§2.10,
+    src/Frame.fs:442-586): numeric columns only, non-numeric pass
+    through; series operand aligns on the row key."""
+    o = load_table(spark, sf, "orders")
+    fr = Frame(o.select("o_orderkey", "o_totalprice"), key="o_orderkey",
+               _canonicalize=False)
+    doubled = fr * 2.0
+    weight = Series(o.select("o_orderkey", ((F.col("o_custkey") % 10) / 10.0).alias("w")),
+                    key="o_orderkey", value="w", _canonicalize=False)
+    scaled = doubled * weight
+    return scaled.df.select(
+        "o_orderkey", F.round(F.col("o_totalprice"), 4).alias("weighted2x"))
+
+
+def q_cast_types(spark, sf) -> DataFrame:
+    """As<'R>/changeType column conversion (§2.10, src/Series.fs:793-818)."""
+    o = _frame(spark, sf, "orders", key="o_orderkey")
+    s = o.get_series("o_totalprice", cast_to="bigint")
+    return s.df.select("o_orderkey", F.col("o_totalprice").alias("price_long"))
+
+
 def q_union_prefer_left(spark, sf) -> DataFrame:
     """Series.Union PreferLeft (src/Series.fs:346-359): per-user mean
     of 'click' values, overlaid with 'view' means where no clicks."""
@@ -725,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxby_minby": q_maxby_minby,
         "pivot": q_pivot,
         "filter_project": q_filter_project,
+        "frame_arith": q_frame_arith,
+        "cast_types": q_cast_types,
         "slice_between": q_slice_between,
         "scalar_math": q_scalar_math,
         "union_prefer_left": q_union_prefer_left,
@@ -822,6 +846,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_quantity,
                    round(l_extendedprice * (1 - l_discount), 4) AS revenue
             FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        """,
+        "frame_arith": """
+            SELECT o_orderkey,
+                   round(o_totalprice * 2 * ((o_custkey % 10) / 10.0), 4) AS weighted2x
+            FROM orders
+        """,
+        "cast_types": """
+            SELECT o_orderkey, CAST(trunc(o_totalprice) AS BIGINT) AS price_long
+            FROM orders
         """,
         "slice_between": """
             SELECT ts::TIMESTAMP AS ts, event_id, value FROM events
