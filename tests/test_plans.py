@@ -1,0 +1,68 @@
+"""Physical-plan regression guards: the scale properties the engine
+promises must be visible in the executed plans, not just fast today.
+Plus the whole-group pandas lambda path (§2.11)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from fsharp_dataframe_spark.series import Series
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return entry.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_project_pushes_float_predicates(spark):
+    plan = _plan(spark, "filter_project")
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    assert "LessThan(l_discount," in plan  # plan string truncates the list
+
+
+def test_group_agg_pushes_date_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "group_agg")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # projection needs 6 columns; the scan must not read the rest
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in schema_line and "l_shipmode" not in schema_line
+
+
+def test_join_broadcast_uses_broadcast_joins(spark):
+    plan = _plan(spark, "join_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_sum_has_no_single_partition_exchange(spark):
+    plan = _plan(spark, "chunk_sum")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_asof_grouped_partitions_by_entity(spark):
+    plan = _plan(spark, "asof_grouped")
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_embed_topk_take_ordered(spark):
+    # top-k must be TakeOrderedAndProject, not a full sort
+    plan = _plan(spark, "embed_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_grouped_apply_in_pandas(spark):
+    s = Series(
+        spark.createDataFrame(
+            [("a", 1, 1.0), ("a", 2, 3.0), ("b", 1, 10.0)],
+            "g string, key int, value double"),
+        key=["g", "key"], value="value")
+    gs = s.group_by_level([0])
+
+    def span(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"g": [pdf["g"].iloc[0]],
+                             "span": [float(pdf["value"].max() - pdf["value"].min())]})
+
+    out = gs.apply_in_pandas(span, "g string, span double")
+    assert {r["g"]: r["span"] for r in out.collect()} == {"a": 2.0, "b": 0.0}
