@@ -38,6 +38,8 @@ HEADLINE = [
     "text_stats",
     "ngram_jaccard",
     "minhash_pairs",
+    "near_dedup",
+    "simhash_pairs",
     "embed_topk",
     "lsh_topk",
 ]

@@ -153,3 +153,34 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
     best = F.array_position(sims, F.array_max(sims)) - 1
     return df.withColumn("ivf_cell", best.cast("int"))
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    num = s_a = s_b = 0.0
+    for x, y in zip(a, b):
+        num += x * y
+        s_a += x * x
+        s_b += y * y
+    return num / ((s_a ** 0.5) * (s_b ** 0.5))
+
+
+def ivf_topk(df: DataFrame, centroids: list[list[float]], query_vec: list[float],
+             k: int = 10, n_probe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF search: probe only the ``n_probe`` cells whose centroids are
+    nearest the query, exact-rescore inside them.
+
+    The query's probe cells are a driver-side argsort over the (small)
+    centroid list; the data-side filter is ``ivf_cell IN (...)`` — with
+    the assignment materialized (or the table partitioned by cell, the
+    production layout) this prunes all other cells at the scan.
+    Recall/cost tune with n_probe.  At 100 TB: write the corpus
+    partitioned by ivf_cell so the probe filter becomes partition
+    pruning, not even a scan."""
+    qv = [float(x) for x in query_vec]
+    order = sorted(range(len(centroids)),
+                   key=lambda i: -_py_cosine(qv, centroids[i]))
+    probe = order[:n_probe]
+    assigned = df if "ivf_cell" in df.columns else ivf_assign(df, centroids, vec_col)
+    cands = assigned.filter(F.col("ivf_cell").isin(probe))
+    return brute_force_topk(cands, qv, k, id_col, vec_col)

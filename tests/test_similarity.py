@@ -68,6 +68,22 @@ def test_lsh_candidates_carry_exact_scores(spark):
         assert r["cosine_sim"] == exact[r["vec_id"]]
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    # centroids = the true cluster centers' first members; probing the
+    # query's cell must recover the brute-force top-k (same cluster)
+    df, rows = _clustered(spark)
+    df = df.cache()
+    cents = [rows[c * 25][2] for c in range(20)]
+    qvec = rows[5 * 25][2]
+    corpus = df.filter(F.col("vec_id") != 5 * 25)
+    exact = {r["vec_id"] for r in brute_force_topk(corpus, qvec, k=10).collect()}
+    from fsharp_dataframe_spark.functions.similarity import ivf_topk
+
+    approx = {r["vec_id"] for r in ivf_topk(corpus, cents, qvec, k=10, n_probe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ivf recall@10 = {recall}"
+
+
 def test_ivf_assign_self_cells(spark):
     # a centroid's own vector must land in its own cell (cos=1)
     emb = load_table(spark, SF, "embeddings")
