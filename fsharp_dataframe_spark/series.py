@@ -139,6 +139,12 @@ class Series:
         df = spark.createDataFrame(rows, f"key long, value {value_type}")
         return Series(df, key="key", value="value", ordered=True)
 
+    @staticmethod
+    def of_nullables(spark, values: Iterable, value_type: str = "double") -> "Series":
+        """`Series.ofNullables` (src/SeriesExtensions.fs:25-29): ordinal
+        keys, None entries become missing."""
+        return Series.of_values(spark, values, value_type)
+
     # ------------------------------------------------------------------
     # metadata / plumbing
     # ------------------------------------------------------------------
@@ -313,6 +319,29 @@ class Series:
         if hi is not None:
             cond = cond & (k <= F.lit(hi) if hi_inclusive else k < F.lit(hi))
         return self._with_df(self.df.filter(cond))
+
+    def __getitem__(self, item) -> "Series":
+        """Slice sugar — reference ``s.[lo .. hi]`` (`GetSlice`,
+        src/Series.fs:111-120): ``s[lo:hi]`` is an inclusive key-range
+        slice; open ends supported (``s[lo:]``, ``s[:hi]``)."""
+        if isinstance(item, slice):
+            if item.step is not None:
+                raise ValueError("key-range slices have no step")
+            return self.between(item.start, item.stop)
+        return self.get(item)
+
+    def stat_summary(self) -> dict:
+        """`Series.stat` (src/SeriesModule.fs:62-65, Math.NET
+        DescriptiveStatistics analog): count/mean/sdv/min/max of the
+        non-missing values, one aggregate pass."""
+        row = self.df.agg(
+            F.count(self.value).alias("count"),
+            F.avg(self.value).alias("mean"),
+            F.stddev_samp(self.value).alias("sdv"),
+            F.min(self.value).alias("min"),
+            F.max(self.value).alias("max"),
+        ).collect()[0]
+        return row.asDict()
 
     def after(self, k) -> "Series":
         return self.between(lo=k, lo_inclusive=False)

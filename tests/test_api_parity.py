@@ -75,6 +75,21 @@ def test_add_col_sequence_pads_and_trims(spark):
     assert out2.df.count() == 3
 
 
+def test_slice_sugar_and_stat_summary(spark):
+    s = sob(spark, [(i, float(i)) for i in range(10)])
+    assert_series_equal(s[3:5], [(3, 3.0), (4, 4.0), (5, 5.0)])
+    assert_series_equal(s[8:], [(8, 8.0), (9, 9.0)])
+    assert s[4] == 4.0
+    st = s.stat_summary()
+    assert st["count"] == 10 and st["mean"] == 4.5
+    assert st["min"] == 0.0 and st["max"] == 9.0
+
+
+def test_of_nullables(spark):
+    s = Series.of_nullables(spark, [1.0, None, 3.0])
+    assert s.count_keys() == 3 and s.count_values() == 2
+
+
 def test_of_rows_ordinal_and_row_keys(spark):
     fr = Frame.of_rows_ordinal(spark, [{"a": 1.0}, {"a": 2.0}])
     assert [tuple(r) for r in fr.df.orderBy("ordinal").collect()] == [(0, 1.0), (1, 2.0)]
