@@ -247,13 +247,15 @@ def q_append_frames(spark, sf) -> DataFrame:
 def q_asof_join(spark, sf) -> DataFrame:
     """The as-of join (§2.4 inexact; src/JoinHelpers.fs:49-53): for an
     hourly grid over the events range, the last 'purchase' value
-    at-or-before each grid instant."""
+    at-or-before each grid instant.  Global (un-keyed) as-of →
+    bucketed=True: range buckets + carry cascade, no single-partition
+    window."""
     ev = load_table(spark, sf, "events").filter(F.col("event_type") == "purchase")
     src = Series(ev.select("ts", "value"), key="ts", value="value", ordered=True)
     bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
                     F.date_trunc("hour", F.max("ts")).alias("hi"))
     spine = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("ts"))
-    out = src.get_items(spine, "nearest_smaller")
+    out = src.get_items(spine, "nearest_smaller", bucketed=True)
     return out.df.select("ts", F.col("value").alias("asof_value"))
 
 
@@ -446,7 +448,7 @@ def q_lookup_time_fwd(spark, sf) -> DataFrame:
     bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
                     F.date_trunc("hour", F.max("ts")).alias("hi"))
     spine = bounds.select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("ts"))
-    out = src.get_items(spine, "nearest_greater")
+    out = src.get_items(spine, "nearest_greater", bucketed=True)
     return out.df.select("ts", F.col("value").alias("next_value"))
 
 

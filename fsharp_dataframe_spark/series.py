@@ -355,7 +355,8 @@ class Series:
     def end_at(self, k) -> "Series":
         return self.between(hi=k, hi_inclusive=True)
 
-    def get_items(self, keys_df: DataFrame | "Series", lookup: str = EXACT) -> "Series":
+    def get_items(self, keys_df: DataFrame | "Series", lookup: str = EXACT,
+                  bucketed: bool = False) -> "Series":
         """Reindex to a new key list; missing where not found — `GetItems`
         / `Realign` (src/Series.fs:133-152, 552-559).
 
@@ -379,6 +380,7 @@ class Series:
             key_cols=self.key_cols,
             value_col=self.value_col,
             direction="backward" if lookup == NEAREST_SMALLER else "forward",
+            bucketed=bucketed,
         )
         return self._with_df(out, ordered=False)
 
