@@ -662,6 +662,17 @@ def q_embed_centroids(spark, sf) -> DataFrame:
     )
 
 
+def q_embed_near_dup(spark, sf) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact small-N tier
+    (cosine_pairs_exact); the scale path is the LSH-bucketed
+    cosine_near_dup_pairs cascade (recall pinned by
+    tests/test_similarity.py)."""
+    from fsharp_dataframe_spark.functions.similarity import cosine_pairs_exact
+
+    emb = load_table(spark, sf, "embeddings")
+    return cosine_pairs_exact(emb, threshold=0.4)
+
+
 def q_minhash_pairs(spark, sf) -> DataFrame:
     """MinHash+LSH near-dup candidates (no SQL oracle — engine-specific
     hash family; rows-only check, cross-validated against exact Jaccard
@@ -788,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embed_topk": q_embed_topk,
         "embed_centroids": q_embed_centroids,
+        "embed_near_dup": q_embed_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "near_dedup": q_near_dedup,
@@ -1194,6 +1206,17 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine_sim
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cosine_sim DESC, vec_id LIMIT 20
+        """,
+        "embed_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+                     AS cosine_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
         """,
         "embed_centroids": """
             SELECT label,

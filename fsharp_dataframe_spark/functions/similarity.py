@@ -155,6 +155,53 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     return df.withColumn("ivf_cell", best.cast("int"))
 
 
+def cosine_pairs_exact(df: DataFrame, threshold: float = 0.9,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine near-duplicates (id_a < id_b, cosine >=
+    threshold).  Quadratic — the small-N verification tier; at scale
+    use cosine_near_dup_pairs (bucketed candidates, same verify)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None = None,
+                          n_bits: int = 10, n_tables: int = 6,
+                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs at scale: candidates collide in a
+    random-hyperplane LSH bucket in ANY of n_tables tables (high-cosine
+    pairs collide with probability (1-θ/π)^n_bits per table), then the
+    exact cosine verifies.  Like the MinHash cascade, no all-pairs join
+    ever touches the corpus; the shuffle keys are (table, bucket)."""
+    dim = dim or len(df.select(vec_col).first()[0])
+    buckets = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     lsh_bucket(F.col(vec_col), dim, n_bits, seed=t).alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("s"),
+    ).select(id_col, vec_col, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cands = (
+        l.join(r, on=["tbl", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                F.col(f"l.{vec_col}").alias("_va"), F.col(f"r.{vec_col}").alias("_vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def _py_cosine(a: list[float], b: list[float]) -> float:
     num = s_a = s_b = 0.0
     for x, y in zip(a, b):

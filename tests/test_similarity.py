@@ -68,6 +68,28 @@ def test_lsh_candidates_carry_exact_scores(spark):
         assert r["cosine_sim"] == exact[r["vec_id"]]
 
 
+def test_cosine_near_dup_cascade_recall(spark):
+    # scale-path cascade (LSH buckets -> exact cosine verify) must
+    # recover >= 90% of the exact near-dup pairs on clustered data,
+    # with identical cosine values on the pairs it finds
+    from fsharp_dataframe_spark.functions.similarity import (
+        cosine_near_dup_pairs, cosine_pairs_exact,
+    )
+
+    df, _ = _clustered(spark, n_clusters=10, per_cluster=10)
+    df = df.cache()
+    exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in cosine_pairs_exact(df, threshold=0.9).collect()}
+    casc = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in cosine_near_dup_pairs(df, threshold=0.9).collect()}
+    assert set(casc) <= set(exact)
+    for k, v in casc.items():
+        assert exact[k] == v
+    assert exact, "clustered data must contain near-dup pairs"
+    recall = len(casc) / len(exact)
+    assert recall >= 0.9, f"cascade recall {recall}"
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     # centroids = the true cluster centers' first members; probing the
     # query's cell must recover the brute-force top-k (same cluster)
