@@ -632,6 +632,22 @@ def q_lang_hits(spark, sf) -> DataFrame:
     )
 
 
+def q_text_quality(spark, sf) -> DataFrame:
+    """Composite quality scoring + BPE-ish sub-word counts + digit
+    ratio (functions/text.py) — the filter columns of a training-data
+    quality pipeline."""
+    from fsharp_dataframe_spark.functions import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.bpe_ish_token_count(c).alias("n_subtok"),
+        F.round(TX.digit_ratio(c), 4).alias("digit_ratio"),
+        TX.quality_score(c).alias("quality"),
+    )
+
+
 def q_ngram_jaccard(spark, sf) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
     from fsharp_dataframe_spark.functions.dedup import ngram_jaccard_pairs
@@ -796,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_hits": q_lang_hits,
+        "text_quality": q_text_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "embed_topk": q_embed_topk,
         "embed_centroids": q_embed_centroids,
@@ -1176,6 +1193,29 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_de = {best} THEN 'de'
                         ELSE 'zh' END AS lang_pred
             FROM h
+        """,
+        "text_quality": f"""
+            WITH m AS (
+              SELECT doc_id, text,
+                     len({toks}) AS n_tok,
+                     len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS n_subtok,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                       ELSE 0 END AS punct_r,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                       ELSE 0 END AS digit_r,
+                     CASE WHEN len({toks}) > 0 THEN
+                       len(list_filter({toks}, x -> x IN ('the','and','of','to','in','is','that','with')))::DOUBLE
+                         / len({toks})
+                       ELSE 0 END AS stop_r
+              FROM documents)
+            SELECT doc_id, n_subtok, round(digit_r, 4) AS digit_ratio,
+                   round(0.4 * least(n_tok / 20.0, 1.0)
+                       + 0.2 * (1.0 - least(punct_r * 4, 1.0))
+                       + 0.2 * (1.0 - least(digit_r * 4, 1.0))
+                       + 0.2 * least(stop_r * 5, 1.0), 4) AS quality
+            FROM m
         """,
         "ngram_jaccard": f"""
             WITH toks AS (

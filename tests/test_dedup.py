@@ -62,6 +62,23 @@ def test_minhash_estimates_track_exact_jaccard(spark):
         assert abs(exact[k] - est[k]) < 0.35  # k=32 signature noise bound
 
 
+def test_rolling_fingerprint_properties(spark):
+    from fsharp_dataframe_spark.functions.text import rolling_fingerprint
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(0, base),
+         (1, "THE  quick   brown fox jumps over the lazy dog again and again today"),
+         (2, "completely different content with no shared phrases at all here now")],
+        "doc_id long, text string")
+    fps = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    # case/whitespace-insensitive: same sketch
+    assert fps[0] == fps[1]
+    # disjoint content: different sketch
+    assert fps[0] != fps[2]
+
+
 def test_simhash_pairs_respect_hamming_bound(spark):
     docs = _docs(spark)
     out = simhash_pairs(docs, max_hamming=6).collect()
