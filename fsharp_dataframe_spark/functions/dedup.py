@@ -261,17 +261,25 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
-
-    Candidate generation buckets on 4 16-bit sketch quarters (any pair
-    within Hamming<=3 of a 64-bit sketch shares at least one equal
-    quarter — pigeonhole); verification = popcount of XOR.
+    """Near-dup pairs by SimHash Hamming distance — COMPLETE for the
+    given bound: the 64-bit sketch is cut into ``max_hamming + 1``
+    disjoint pieces, so any pair within the bound shares at least one
+    equal piece (pigeonhole) and is generated as a candidate;
+    verification = popcount of XOR.  Piece width shrinks as the bound
+    grows (the candidate/recall trade is explicit, not silent).
     """
+    n_pieces = max_hamming + 1
+    widths = [64 // n_pieces + (1 if i < 64 % n_pieces else 0) for i in range(n_pieces)]
+    offs, o = [], 0
+    for w in widths:
+        offs.append((o, w))
+        o += w
     sh = simhash_table(df, id_col, text_col)
     quarters = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*[
-            F.shiftright(F.col("sh"), q * 16).bitwiseAND(F.lit(0xFFFF)) for q in range(4)
+            F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in offs
         ])).alias("q", "qv"),
     )
     l, r = quarters.alias("l"), quarters.alias("r")

@@ -84,3 +84,22 @@ def test_simhash_pairs_respect_hamming_bound(spark):
     out = simhash_pairs(docs, max_hamming=6).collect()
     assert all(r["hamming"] <= 6 for r in out)
     assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_simhash_candidate_generation_is_complete(spark):
+    # pigeonhole pieces = max_hamming+1: every pair within the bound
+    # must be found — cross-check against brute-force sketch distances
+    from fsharp_dataframe_spark.functions.dedup import simhash_table
+
+    docs = _docs(spark)
+    sk = simhash_table(docs)
+    a = sk.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sk.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("h") <= 6)
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert got == exact
