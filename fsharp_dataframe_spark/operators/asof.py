@@ -169,7 +169,13 @@ def _bucketed_fill(
     # min_by skip them, so a bucket whose boundary row has a missing
     # value still carries its newest *valued* row ("nearest key that
     # has a value") — cascaded across buckets (n_buckets rows, a
-    # broadcast-scale relation).
+    # broadcast-scale relation).  The cascade runs over a COMPLETE
+    # bucket spine: buckets holding only probe rows have no per_bucket
+    # row, and without the spine their probes would read a NULL carry
+    # instead of the newest earlier bucket's value (bug surfaced at
+    # sparse scale factors where many buckets contain no source rows).
+    n_merged = len(cuts) + 1 if cuts else 1
+    spine = u.sparkSession.range(n_merged).select(F.col("id").cast("int").alias(_BUCKET))
     src_only = u.filter(F.col(_SIDE) == 0)
     if asc:
         per_bucket = src_only.groupBy(_BUCKET).agg(
@@ -177,7 +183,7 @@ def _bucketed_fill(
               for c in fill_cols]
         )
         cascade_w = Window.orderBy(F.col(_BUCKET)).rowsBetween(Window.unboundedPreceding, -1)
-        carry = per_bucket.select(
+        carry = spine.join(per_bucket, _BUCKET, "left").select(
             _BUCKET, *[F.last(F.col(c), ignorenulls=True).over(cascade_w).alias(f"__carry_{c}") for c in fill_cols]
         )
     else:
@@ -186,7 +192,7 @@ def _bucketed_fill(
               for c in fill_cols]
         )
         cascade_w = Window.orderBy(F.col(_BUCKET)).rowsBetween(1, Window.unboundedFollowing)
-        carry = per_bucket.select(
+        carry = spine.join(per_bucket, _BUCKET, "left").select(
             _BUCKET, *[F.first(F.col(c), ignorenulls=True).over(cascade_w).alias(f"__carry_{c}") for c in fill_cols]
         )
     out = filled.join(F.broadcast(carry), on=_BUCKET, how="left")

@@ -84,6 +84,21 @@ def test_asof_bucketed_skips_nulls_at_bucket_boundaries(spark):
         assert [tuple(r) for r in bucketed] == [tuple(r) for r in plain], direction
 
 
+def test_asof_bucketed_sparse_source_dense_probe(spark):
+    # few source rows + many probes → most range buckets contain NO
+    # source rows; their probes must read the carry cascade, not NULL
+    # (regression: carry relation once only held non-empty buckets)
+    src = sob(spark, [(0, 10.0), (500, 20.0), (990, 30.0)])
+    probe = spark.createDataFrame([(i,) for i in range(0, 1000, 3)], "key int")
+    for direction, lookup in (("backward", NEAREST_SMALLER), ("forward", NEAREST_GREATER)):
+        from fsharp_dataframe_spark.operators.asof import asof_lookup
+
+        plain = src.get_items(probe, lookup).df.orderBy("key").collect()
+        bucketed = asof_lookup(probe, src.df, ["key"], "value", direction,
+                               bucketed=True).orderBy("key").collect()
+        assert [tuple(r) for r in bucketed] == [tuple(r) for r in plain], direction
+
+
 def test_asof_bucketed_plan_has_no_global_window(spark):
     # the point of the bucketed path: no single-partition total-order
     # window anywhere in the physical plan
