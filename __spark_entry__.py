@@ -179,27 +179,37 @@ def q_cast_types(spark, sf) -> DataFrame:
 
 
 def q_union_prefer_left(spark, sf) -> DataFrame:
-    """Series.Union PreferLeft (src/Series.fs:346-359): per-user mean
-    of 'click' values, overlaid with 'view' means where no clicks."""
+    """Series.Union PreferLeft (src/Series.fs:346-359): per-user total
+    of 'click' values, overlaid with 'view' totals where no clicks.
+    Totals are summed as integer ten-thousandths so the value is
+    independent of float summation order across partitions (a
+    round(avg,4) variant flipped 4th-decimal ties at sf0.1)."""
     ev = load_table(spark, sf, "events")
-    clicks = Series(ev.filter(F.col("event_type") == "click").groupBy("user_id")
-                    .agg(F.round(F.avg("value"), 4).alias("value")),
-                    key="user_id", value="value")
-    views = Series(ev.filter(F.col("event_type") == "view").groupBy("user_id")
-                   .agg(F.round(F.avg("value"), 4).alias("value")),
-                   key="user_id", value="value")
-    return clicks.union(views, "prefer_left").df
+
+    def totals(t):
+        return Series(
+            ev.filter(F.col("event_type") == t).groupBy("user_id")
+            .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value")),
+            key="user_id", value="value")
+
+    return totals("click").union(totals("view"), "prefer_left").df
 
 
 def q_zip_inner(spark, sf) -> DataFrame:
     """Series.ZipInner + combine (src/Series.fs:338-343): click mean vs
     view mean per user, ratio."""
     ev = load_table(spark, sf, "events")
-    clicks = Series(ev.filter(F.col("event_type") == "click").groupBy("user_id")
-                    .agg(F.avg("value").alias("value")), key="user_id", value="value")
-    views = Series(ev.filter(F.col("event_type") == "view").groupBy("user_id")
-                   .agg(F.avg("value").alias("value")), key="user_id", value="value")
-    out = clicks.zip_into(views, lambda a, b: F.round(a / b, 4), kind="inner")
+
+    def totals(t):
+        # integer ten-thousandth sums: order-independent, so the ratio
+        # below is deterministic across partitionings
+        return Series(
+            ev.filter(F.col("event_type") == t).groupBy("user_id")
+            .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value")),
+            key="user_id", value="value")
+
+    out = totals("click").zip_into(totals("view"), lambda a, b: F.round(a / b, 4),
+                                   kind="inner")
     return out.df.withColumnRenamed("value", "click_view_ratio")
 
 
@@ -900,19 +910,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
         "union_prefer_left": """
-            WITH c AS (SELECT user_id, round(avg(value),4) AS value FROM events
-                       WHERE event_type='click' GROUP BY user_id),
-                 v AS (SELECT user_id, round(avg(value),4) AS value FROM events
-                       WHERE event_type='view' GROUP BY user_id)
+            WITH c AS (SELECT user_id, sum(round(value * 10000)::BIGINT) AS value
+                       FROM events WHERE event_type='click' GROUP BY user_id),
+                 v AS (SELECT user_id, sum(round(value * 10000)::BIGINT) AS value
+                       FROM events WHERE event_type='view' GROUP BY user_id)
             SELECT coalesce(c.user_id, v.user_id) AS user_id,
                    coalesce(c.value, v.value) AS value
             FROM c FULL OUTER JOIN v USING (user_id)
         """,
         "zip_inner": """
-            WITH c AS (SELECT user_id, avg(value) AS value FROM events
-                       WHERE event_type='click' GROUP BY user_id),
-                 v AS (SELECT user_id, avg(value) AS value FROM events
-                       WHERE event_type='view' GROUP BY user_id)
+            WITH c AS (SELECT user_id, sum(round(value * 10000)::BIGINT) AS value
+                       FROM events WHERE event_type='click' GROUP BY user_id),
+                 v AS (SELECT user_id, sum(round(value * 10000)::BIGINT) AS value
+                       FROM events WHERE event_type='view' GROUP BY user_id)
             SELECT c.user_id AS user_id, round(c.value / v.value, 4) AS click_view_ratio
             FROM c JOIN v USING (user_id)
         """,
