@@ -42,6 +42,17 @@ def _events_series(spark, sf_dir, key=("ts", "event_id"), value="value") -> Seri
     return Series(df.select(*key, value), key=list(key), value=value, ordered=True)
 
 
+def _isum(c, scale: int = 10000):
+    """Exact order-independent sum: integer ten-thousandth units.
+
+    Double summation order varies with partitioning, and the driver's
+    harness partitions differently from this repo's gate — at sf0.1
+    that flipped 4th-decimal roundings.  Summing round(x*scale) as
+    BIGINT is exact on both engines, so every downstream division /
+    rounding is deterministic."""
+    return F.sum(F.round(c * scale).cast("long"))
+
+
 # ----------------------------------------------------------------------
 # flagship
 # ----------------------------------------------------------------------
@@ -63,31 +74,39 @@ def q_group_agg(spark, sf) -> DataFrame:
     g = li.filter_rows(F.col("l_shipdate") <= F.lit("1998-09-02")) \
           .group_rows_by("l_returnflag", "l_linestatus") \
           .agg_by_level([0, 1], {
-              "l_quantity": F.sum,
-              "l_extendedprice": F.sum,
-              "l_discount": F.avg,
+              "l_quantity": _isum,
+              "l_extendedprice": _isum,
+              "l_discount": _isum,
               "l_orderkey": F.count,
           }, aliases={"l_quantity": "sum_qty", "l_extendedprice": "sum_price",
                       "l_discount": "avg_disc", "l_orderkey": "n_rows"})
     return g.map_cols({
-        "sum_qty": F.round(F.col("sum_qty"), 2),
-        "sum_price": F.round(F.col("sum_price"), 2),
-        "avg_disc": F.round(F.col("avg_disc"), 4),
+        "sum_qty": F.round(F.col("sum_qty") / 10000.0, 2),
+        "sum_price": F.round(F.col("sum_price") / 10000.0, 2),
+        "avg_disc": F.round(F.col("avg_disc") / F.col("n_rows") / 10000.0, 4),
     }).df
 
 
 def q_group_stats(spark, sf) -> DataFrame:
     """Per-group stats incl. stddev/median (Series.sdv/median analogs)."""
+    def sdv_exact(c):
+        # stddev from exact integer sums: sqrt((Σx² − (Σx)²/n)/(n−1));
+        # identical double arithmetic on both engines
+        x = F.round(c * 10000).cast("long")
+        n = F.count(c)
+        s1 = F.sum(x).cast("double")
+        s2 = F.sum(x * x).cast("double")
+        return F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / 10000.0, 4)
+
     li = _frame(spark, sf, "lineitem")
     g = li.group_rows_by("l_returnflag").agg_by_level([0], {
-        "l_quantity": F.stddev_samp,
+        "l_quantity": sdv_exact,
         "l_extendedprice": F.median,
         "l_tax": F.min,
         "l_discount": F.max,
     }, aliases={"l_quantity": "sdv_qty", "l_extendedprice": "med_price",
                 "l_tax": "min_tax", "l_discount": "max_disc"})
     return g.map_cols({
-        "sdv_qty": F.round(F.col("sdv_qty"), 4),
         "med_price": F.round(F.col("med_price"), 4),
     }).df
 
@@ -96,7 +115,8 @@ def q_stats_melt(spark, sf) -> DataFrame:
     """Whole-frame per-column aggregate melted to (column, value) —
     Frame.mean (src/FrameModule.fs:385-407)."""
     li = _frame(spark, sf, "lineitem")
-    s = li.stats(F.avg, cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    s = li.stats(lambda c: _isum(c) / F.count(c) / 10000.0,
+                 cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
     return s.map_values(lambda v: F.round(v, 4)).df
 
 
@@ -225,7 +245,8 @@ def q_join_broadcast(spark, sf) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        .agg(F.round(_isum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) / 10000.0, 2)
+             .alias("revenue"),
              F.count("*").alias("n_rows"))
     )
     return out
@@ -240,7 +261,7 @@ def q_frame_join_left(spark, sf) -> DataFrame:
     j = o.join(cust, kind="left")
     return (
         j.df.groupBy("c_mktsegment")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        .agg(F.round(_isum(F.col("o_totalprice")) / 10000.0, 2).alias("sum_price"),
              F.count("*").alias("n_orders"))
     )
 
@@ -302,10 +323,11 @@ def q_shift_diff(spark, sf) -> DataFrame:
     ev = load_table(spark, sf, "events")
     daily = Series(
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-          .agg(F.round(F.sum("value"), 4).alias("value")),
+          .agg(_isum(F.col("value")).alias("value")),
         key="day", value="value", ordered=True,
     )
-    return daily.diff(1).df.withColumnRenamed("value", "day_change")
+    out = daily.diff(1)
+    return out.df.select("day", F.round(F.col("value") / 10000.0, 4).alias("day_change"))
 
 
 def q_window_moving_avg(spark, sf) -> DataFrame:
@@ -323,8 +345,9 @@ def q_chunk_sum(spark, sf) -> DataFrame:
     of 100-row chunks of the global event stream — bucketed positions
     (census offsets, operators/bucketed.py), no global window."""
     ev = _events_series(spark, sf)
-    out = ev.chunk_size_into(100, F.sum, "at_ending", bucketed=True)
-    return out.df.select("ts", "event_id", F.round(F.col("value"), 4).alias("chunk_sum"))
+    out = ev.chunk_size_into(100, _isum, "at_ending", bucketed=True)
+    return out.df.select("ts", "event_id",
+                         F.round(F.col("value") / 10000.0, 4).alias("chunk_sum"))
 
 
 def q_pairwise(spark, sf) -> DataFrame:
@@ -344,11 +367,11 @@ def q_window_dist(spark, sf) -> DataFrame:
     ev = load_table(spark, sf, "events")
     daily = Series(
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-          .agg(F.round(F.sum("value"), 4).alias("value")),
+          .agg(_isum(F.col("value")).alias("value")),
         key="day", value="value", ordered=True,
     )
     out = daily.window_dist_into(7 * 86400, F.sum)
-    return out.df.select(F.col("day"), F.round(F.col("value"), 4).alias("win_sum"))
+    return out.df.select(F.col("day"), F.round(F.col("value") / 10000.0, 4).alias("win_sum"))
 
 
 def q_chunk_while(spark, sf) -> DataFrame:
@@ -359,14 +382,15 @@ def q_chunk_while(spark, sf) -> DataFrame:
     ev = load_table(spark, sf, "events").filter(F.col("event_type") == "signup")
     daily = Series(
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-          .agg(F.round(F.sum("value"), 4).alias("value")),
+          .agg(_isum(F.col("value")).alias("value")),
         key="day", value="value", ordered=True,
     )
     out = daily.chunk_while_into(
         lambda f, t: (t - f).days < 7,
-        lambda seg: round(float(seg["value"].sum()), 4),
+        lambda seg: float(seg["value"].sum()),  # int64 units: exact
     )
-    return out.df.select(F.col("day").alias("chunk_start"), F.col("value").alias("total"))
+    return out.df.select(F.col("day").alias("chunk_start"),
+                         F.round(F.col("value") / 10000.0, 4).alias("total"))
 
 
 def q_frame_shift_diff(spark, sf) -> DataFrame:
@@ -376,14 +400,14 @@ def q_frame_shift_diff(spark, sf) -> DataFrame:
     ev = load_table(spark, sf, "events")
     daily = (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+        .agg(_isum(F.col("value")).alias("sum_value"),
              F.count("*").alias("n_events"))
     )
     fr = Frame(daily, key="day", ordered=True)
     d = fr.diff(1)
     return d.df.select(
         "day",
-        F.round(F.col("sum_value"), 4).alias("d_value"),
+        F.round(F.col("sum_value") / 10000.0, 4).alias("d_value"),
         F.col("n_events").alias("d_events"),
     )
 
@@ -402,7 +426,7 @@ def q_resample_daily(spark, sf) -> DataFrame:
     """resampleEquiv (src/SeriesModule.fs:726-752): daily mean value."""
     ev = _events_series(spark, sf)
     out = ev.resample_equiv_into(lambda k: F.date_trunc("day", k),
-                                 lambda v: F.round(F.avg(v), 4))
+                                 lambda v: F.round(_isum(v) / F.count(v) / 10000.0, 4))
     return out.df.select(F.col("ts").alias("day"), F.col("value").alias("avg_value"))
 
 
@@ -431,7 +455,7 @@ def q_resample_keys(spark, sf) -> DataFrame:
     while k <= hi:
         keys.append(k)
         k = k + timedelta(days=7)
-    out = s.resample_into(keys, "forward", lambda v: F.round(F.sum(v), 4))
+    out = s.resample_into(keys, "forward", lambda v: F.round(_isum(v) / 10000.0, 4))
     return out.df.select(F.col("ts").alias("week_start"), F.col("value").alias("week_sum"))
 
 
@@ -502,13 +526,14 @@ def q_frame_zip(spark, sf) -> DataFrame:
         return Frame(
             ev.filter(F.col("event_type") == t)
             .groupBy(F.date_trunc("day", "ts").alias("day"))
-            .agg(F.round(F.sum("value"), 4).alias("sum_value"),
+            .agg(_isum(F.col("value")).alias("sum_value"),
                  F.count("*").alias("n_events")),
             key="day",
         )
 
     z = daily("click").zip_frames(daily("view"), lambda a, b: a + b, kind="inner")
-    return z.df.select("day", F.round(F.col("sum_value"), 4).alias("sum_value"), "n_events")
+    return z.df.select("day", F.round(F.col("sum_value") / 10000.0, 4).alias("sum_value"),
+                       "n_events")
 
 
 # ----------------------------------------------------------------------
@@ -523,7 +548,7 @@ def q_fill_constant(spark, sf) -> DataFrame:
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.round(F.avg("value"), 4).alias("value"))
+        .agg(F.round(_isum(F.col("value")) / F.count("value") / 10000.0, 4).alias("value"))
     )
     users = ev.select("user_id").distinct()
     days = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
@@ -544,7 +569,7 @@ def q_drop_sparse(spark, sf) -> DataFrame:
         return (
             ev.filter(F.col("event_type") == t)
             .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-            .agg(F.round(F.avg("value"), 4).alias(alias))
+            .agg(F.round(_isum(F.col("value")) / F.count("value") / 10000.0, 4).alias(alias))
         )
 
     users = ev.select("user_id").distinct()
@@ -572,7 +597,7 @@ def q_fill_forward(spark, sf) -> DataFrame:
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.round(F.avg("value"), 4).alias("value"))
+        .agg(F.round(_isum(F.col("value")) / F.count("value") / 10000.0, 4).alias("value"))
     )
     users = ev.select("user_id").distinct()
     days = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
@@ -591,7 +616,7 @@ def q_drop_missing(spark, sf) -> DataFrame:
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.round(F.avg("value"), 4).alias("value"))
+        .agg(F.round(_isum(F.col("value")) / F.count("value") / 10000.0, 4).alias("value"))
     )
     users = ev.select("user_id").distinct()
     days = ev.agg(F.date_trunc("day", F.min("ts")).alias("lo"),
@@ -684,7 +709,8 @@ def q_embed_centroids(spark, sf) -> DataFrame:
     return (
         emb.select("label", norm(F.col("embedding")).alias("n"))
         .groupBy("label")
-        .agg(F.round(F.avg("n"), 4).alias("avg_norm"), F.count("*").alias("n_vecs"))
+        .agg(F.round(_isum(F.col("n")) / F.count("n") / 10000.0, 4).alias("avg_norm"),
+             F.count("*").alias("n_vecs"))
     )
 
 
@@ -850,26 +876,33 @@ def oracle_sql() -> dict[str, str]:
     return {
         "group_agg": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   round(sum(round(l_quantity * 10000)::BIGINT) / 10000.0, 2) AS sum_qty,
+                   round(sum(round(l_extendedprice * 10000)::BIGINT) / 10000.0, 2) AS sum_price,
+                   round(sum(round(l_discount * 10000)::BIGINT) / count(l_orderkey) / 10000.0, 4) AS avg_disc,
                    count(l_orderkey) AS n_rows
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "group_stats": """
             SELECT l_returnflag,
-                   round(stddev_samp(l_quantity), 4) AS sdv_qty,
+                   round(sqrt((sum((round(l_quantity * 10000)::BIGINT) * (round(l_quantity * 10000)::BIGINT))::DOUBLE
+                               - sum(round(l_quantity * 10000)::BIGINT)::DOUBLE
+                                 * sum(round(l_quantity * 10000)::BIGINT)::DOUBLE / count(l_quantity))
+                              / (count(l_quantity) - 1)) / 10000.0, 4) AS sdv_qty,
                    round(median(l_extendedprice), 4) AS med_price,
                    min(l_tax) AS min_tax,
                    max(l_discount) AS max_disc
             FROM lineitem GROUP BY l_returnflag
         """,
         "stats_melt": """
-            SELECT 'l_quantity' AS "column", round(avg(l_quantity), 4) AS value FROM lineitem
-            UNION ALL SELECT 'l_extendedprice', round(avg(l_extendedprice), 4) FROM lineitem
-            UNION ALL SELECT 'l_discount', round(avg(l_discount), 4) FROM lineitem
-            UNION ALL SELECT 'l_tax', round(avg(l_tax), 4) FROM lineitem
+            SELECT 'l_quantity' AS "column",
+                   round(sum(round(l_quantity * 10000)::BIGINT) / count(l_quantity) / 10000.0, 4) AS value FROM lineitem
+            UNION ALL SELECT 'l_extendedprice',
+                   round(sum(round(l_extendedprice * 10000)::BIGINT) / count(l_extendedprice) / 10000.0, 4) FROM lineitem
+            UNION ALL SELECT 'l_discount',
+                   round(sum(round(l_discount * 10000)::BIGINT) / count(l_discount) / 10000.0, 4) FROM lineitem
+            UNION ALL SELECT 'l_tax',
+                   round(sum(round(l_tax * 10000)::BIGINT) / count(l_tax) / 10000.0, 4) FROM lineitem
         """,
         "maxby_minby": """
             SELECT o_orderpriority,
@@ -928,7 +961,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_broadcast": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(round(l_extendedprice * (1 - l_discount) * 10000)::BIGINT) / 10000.0, 2) AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -938,7 +971,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "frame_join_left": """
             SELECT c_mktsegment,
-                   round(sum(o_totalprice), 2) AS sum_price,
+                   round(sum(round(o_totalprice * 10000)::BIGINT) / 10000.0, 2) AS sum_price,
                    count(*) AS n_orders
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -976,9 +1009,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shift_diff": """
             WITH daily AS (
-              SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(sum(value),4) AS value
+              SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+                     sum(round(value * 10000)::BIGINT) AS value
               FROM events GROUP BY 1)
-            SELECT day, round(value - lag(value) OVER (ORDER BY day), 4) AS day_change
+            SELECT day, round((value - lag(value) OVER (ORDER BY day)) / 10000.0, 4) AS day_change
             FROM daily QUALIFY lag(value) OVER (ORDER BY day) IS NOT NULL
         """,
         "window_moving_avg": """
@@ -993,7 +1027,7 @@ def oracle_sql() -> dict[str, str]:
                      (row_number() OVER (ORDER BY ts, event_id) - 1) // 100 AS chunk
               FROM events)
             SELECT min(ts) AS ts, min(event_id) AS event_id,
-                   round(sum(value), 4) AS chunk_sum
+                   round(sum(round(value * 10000)::BIGINT) / 10000.0, 4) AS chunk_sum
             FROM numbered GROUP BY chunk
         """,
         "pairwise": """
@@ -1004,15 +1038,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_dist": """
             WITH daily AS (
-              SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(sum(value),4) AS v
+              SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+                     sum(round(value * 10000)::BIGINT) AS v
               FROM events GROUP BY 1)
             SELECT day, round(sum(v) OVER (ORDER BY day
-                   RANGE BETWEEN CURRENT ROW AND INTERVAL 6 DAY FOLLOWING), 4) AS win_sum
+                   RANGE BETWEEN CURRENT ROW AND INTERVAL 6 DAY FOLLOWING) / 10000.0, 4) AS win_sum
             FROM daily
         """,
         "chunk_while": """
             WITH RECURSIVE daily AS (
-              SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(sum(value),4) AS v
+              SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+                     sum(round(value * 10000)::BIGINT) AS v
               FROM events WHERE event_type='signup' GROUP BY 1),
             numbered AS (SELECT day, v, row_number() OVER (ORDER BY day) AS rn FROM daily),
             r AS (
@@ -1022,15 +1058,15 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN n.day < r.chunk_start + INTERVAL 7 DAY
                           THEN r.chunk_start ELSE n.day END
               FROM numbered n JOIN r ON n.rn = r.rn + 1)
-            SELECT chunk_start, round(sum(v), 4) AS total FROM r GROUP BY 1
+            SELECT chunk_start, round(sum(v) / 10000.0, 4) AS total FROM r GROUP BY 1
         """,
         "frame_shift_diff": """
             WITH daily AS (
               SELECT date_trunc('day', ts::TIMESTAMP) AS day,
-                     round(sum(value),4) AS sum_value, count(*) AS n_events
+                     sum(round(value * 10000)::BIGINT) AS sum_value, count(*) AS n_events
               FROM events GROUP BY 1)
             SELECT day,
-                   round(sum_value - lag(sum_value) OVER (ORDER BY day), 4) AS d_value,
+                   round((sum_value - lag(sum_value) OVER (ORDER BY day)) / 10000.0, 4) AS d_value,
                    n_events - lag(n_events) OVER (ORDER BY day) AS d_events
             FROM daily
         """,
@@ -1052,7 +1088,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ts DESC, event_id DESC LIMIT 50
         """,
         "resample_daily": """
-            SELECT date_trunc('day', ts::TIMESTAMP) AS day, round(avg(value), 4) AS avg_value
+            SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+                   round(sum(round(value * 10000)::BIGINT) / count(value) / 10000.0, 4) AS avg_value
             FROM events GROUP BY 1
         """,
         "resample_keys": """
@@ -1065,7 +1102,8 @@ def oracle_sql() -> dict[str, str]:
                  assigned AS (
                    SELECT p.value, s.week_start
                    FROM p ASOF JOIN spine s ON p.ts >= s.week_start),
-                 g AS (SELECT week_start, round(sum(value),4) AS week_sum
+                 g AS (SELECT week_start,
+                              round(sum(round(value * 10000)::BIGINT) / 10000.0, 4) AS week_sum
                        FROM assigned GROUP BY 1)
             SELECT spine.week_start AS week_start, g.week_sum AS week_sum
             FROM spine LEFT JOIN g USING (week_start)
@@ -1091,7 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fill_forward": """
             WITH p AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
-                              round(avg(value),4) AS value
+                              round(sum(round(value * 10000)::BIGINT) / count(value) / 10000.0, 4) AS value
                        FROM events WHERE event_type='purchase' GROUP BY 1, 2),
                  users AS (SELECT DISTINCT user_id FROM events),
                  days AS (SELECT unnest(generate_series(
@@ -1104,7 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drop_missing": """
             SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
-                   round(avg(value),4) AS value
+                   round(sum(round(value * 10000)::BIGINT) / count(value) / 10000.0, 4) AS value
             FROM events WHERE event_type='purchase' GROUP BY 1, 2
         """,
         "lookup_time_fwd": """
@@ -1135,18 +1173,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "frame_zip": """
             WITH c AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day,
-                              round(sum(value),4) AS sum_value, count(*) AS n_events
+                              sum(round(value * 10000)::BIGINT) AS sum_value,
+                              count(*) AS n_events
                        FROM events WHERE event_type='click' GROUP BY 1),
                  v AS (SELECT date_trunc('day', ts::TIMESTAMP) AS day,
-                              round(sum(value),4) AS sum_value, count(*) AS n_events
+                              sum(round(value * 10000)::BIGINT) AS sum_value,
+                              count(*) AS n_events
                        FROM events WHERE event_type='view' GROUP BY 1)
-            SELECT c.day AS day, round(c.sum_value + v.sum_value, 4) AS sum_value,
+            SELECT c.day AS day, round((c.sum_value + v.sum_value) / 10000.0, 4) AS sum_value,
                    c.n_events + v.n_events AS n_events
             FROM c JOIN v USING (day)
         """,
         "fill_constant": """
             WITH p AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
-                              round(avg(value),4) AS value
+                              round(sum(round(value * 10000)::BIGINT) / count(value) / 10000.0, 4) AS value
                        FROM events WHERE event_type='purchase' GROUP BY 1, 2),
                  users AS (SELECT DISTINCT user_id FROM events),
                  days AS (SELECT unnest(generate_series(
@@ -1160,10 +1200,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "drop_sparse": """
             WITH c AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
-                              round(avg(value),4) AS click_avg
+                              round(sum(round(value * 10000)::BIGINT) / count(value) / 10000.0, 4) AS click_avg
                        FROM events WHERE event_type='click' GROUP BY 1, 2),
                  p AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
-                              round(avg(value),4) AS purchase_avg
+                              round(sum(round(value * 10000)::BIGINT) / count(value) / 10000.0, 4) AS purchase_avg
                        FROM events WHERE event_type='purchase' GROUP BY 1, 2)
             SELECT c.user_id AS user_id, c.day AS day, c.click_avg AS click_avg,
                    p.purchase_avg AS purchase_avg
@@ -1270,7 +1310,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embed_centroids": """
             SELECT label,
-                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+                   round(sum(round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 10000)::BIGINT)
+                         / count(*) / 10000.0, 4) AS avg_norm,
                    count(*) AS n_vecs
             FROM embeddings GROUP BY label
         """,
