@@ -565,6 +565,31 @@ class Frame:
         out = self.df.groupBy(*group_cols).agg(*exprs)
         return Frame(out, key=group_cols, ordered=False, _canonicalize=False)
 
+    def cube_by(self, cols: list[str], aggs: dict[str, Callable[[Column], Column]],
+                aliases: dict[str, str] | None = None) -> DataFrame:
+        """Parity-plus (SURVEY §2.5 note): grouping-set cube over the
+        given columns — the reference has no grouping sets; Spark gives
+        them free."""
+        aliases = aliases or {}
+        exprs = [agg(F.col(c)).alias(aliases.get(c, c)) for c, agg in aggs.items()]
+        return self.df.cube(*cols).agg(*exprs)
+
+    def rollup_by(self, cols: list[str], aggs: dict[str, Callable[[Column], Column]],
+                  aliases: dict[str, str] | None = None) -> DataFrame:
+        """Parity-plus: hierarchical rollup over the given columns."""
+        aliases = aliases or {}
+        exprs = [agg(F.col(c)).alias(aliases.get(c, c)) for c, agg in aggs.items()]
+        return self.df.rollup(*cols).agg(*exprs)
+
+    def rank_within(self, by: list[str], order_col: str, method: str = "rank",
+                    ascending: bool = False, out_col: str = "rank") -> "Frame":
+        """Parity-plus: rank/dense_rank/row_number per group (the
+        reference has no ranking windows; SURVEY §2.6 note)."""
+        fns = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}
+        o = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+        w = Window.partitionBy(*by).orderBy(o)
+        return self._with_df(self.df.withColumn(out_col, fns[method]().over(w)))
+
     def stats(self, agg: Callable[[Column], Column], cols: list[str] | None = None,
               col_name: str = "column", value_name: str = "value") -> Series:
         """Per-numeric-column whole-frame aggregate → series keyed by

@@ -75,6 +75,23 @@ def test_positional_access(spark):
     assert s.try_get(99) is None
 
 
+def test_cube_rollup_rank_parity_plus(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+        "g string, h string, v double")
+    fr = Frame(df, key=None)
+    cube = fr.cube_by(["g", "h"], {"v": F.sum}, aliases={"v": "s"}).collect()
+    # cube of 2 cols over 3 distinct combos: combos + per-g + per-h + grand
+    assert len(cube) == 3 + 2 + 2 + 1
+    grand = [r for r in cube if r["g"] is None and r["h"] is None]
+    assert grand[0]["s"] == 6.0
+    roll = fr.rollup_by(["g"], {"v": F.sum}, aliases={"v": "s"}).collect()
+    assert {(r["g"], r["s"]) for r in roll} == {("a", 3.0), ("b", 3.0), (None, 6.0)}
+    ranked = fr.rank_within(["g"], "v", "row_number", out_col="rn")
+    top = {(r["g"], r["h"]) for r in ranked.df.filter(F.col("rn") == 1).collect()}
+    assert top == {("a", "y"), ("b", "x")}
+
+
 def test_series_append_disjoint_and_conflict(spark):
     a = Series.of_observations(spark, [(1, 1.0)], "key int, value double")
     b = Series.of_observations(spark, [(2, 2.0)], "key int, value double")
