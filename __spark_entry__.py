@@ -203,7 +203,10 @@ def q_union_prefer_left(spark, sf) -> DataFrame:
     of 'click' values, overlaid with 'view' totals where no clicks.
     Totals are summed as integer ten-thousandths so the value is
     independent of float summation order across partitions (a
-    round(avg,4) variant flipped 4th-decimal ties at sf0.1)."""
+    round(avg,4) variant flipped 4th-decimal ties at sf0.1), then
+    divided back to a DOUBLE total so the public column carries real
+    units and the dtype matches the oracle (DuckDB widens BIGINT sums
+    to HUGEINT; the raw-unit variant hash-mismatched two rounds)."""
     ev = load_table(spark, sf, "events")
 
     def totals(t):
@@ -212,7 +215,9 @@ def q_union_prefer_left(spark, sf) -> DataFrame:
             .agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("value")),
             key="user_id", value="value")
 
-    return totals("click").union(totals("view"), "prefer_left").df
+    merged = totals("click").union(totals("view"), "prefer_left").df
+    return merged.select(
+        "user_id", F.round(F.col("value") / 10000.0, 4).alias("value"))
 
 
 def q_zip_inner(spark, sf) -> DataFrame:
@@ -725,6 +730,27 @@ def q_embed_near_dup(spark, sf) -> DataFrame:
     return cosine_pairs_exact(emb, threshold=0.4)
 
 
+def q_embed_near_dup_lsh(spark, sf) -> DataFrame:
+    """Embedding near-duplicates through the SCALE path: hyperplane-LSH
+    bucket candidates → exact cosine verify (cosine_near_dup_pairs).
+    No SQL oracle — the candidate set depends on the engine's hash
+    family (like minhash_pairs); determinism + recall >= 0.9 vs the
+    exact tier are pinned by tests/test_similarity.py.  (n_bits,
+    n_tables) come from lsh_params_for: bucket budget keeps per-table
+    candidate work linear in corpus size, table count buys the recall —
+    the knobs a 100 TB run would turn, exercised here under the driver
+    signal instead of only the quadratic exact tier."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        cosine_near_dup_pairs, lsh_params_for,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    n_bits, n_tables = lsh_params_for(threshold=0.4, n_vectors=emb.count(),
+                                      target_recall=0.95, max_bucket=256)
+    return cosine_near_dup_pairs(emb, threshold=0.4,
+                                 n_bits=n_bits, n_tables=n_tables)
+
+
 def q_minhash_pairs(spark, sf) -> DataFrame:
     """MinHash+LSH near-dup candidates (no SQL oracle — engine-specific
     hash family; rows-only check, cross-validated against exact Jaccard
@@ -853,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_centroids": q_embed_centroids,
         "embed_near_dup": q_embed_near_dup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "near_dedup": q_near_dedup,
@@ -948,7 +975,7 @@ def oracle_sql() -> dict[str, str]:
                  v AS (SELECT user_id, sum(round(value * 10000)::BIGINT) AS value
                        FROM events WHERE event_type='view' GROUP BY user_id)
             SELECT coalesce(c.user_id, v.user_id) AS user_id,
-                   coalesce(c.value, v.value) AS value
+                   round(coalesce(c.value, v.value) / 10000.0, 4) AS value
             FROM c FULL OUTER JOIN v USING (user_id)
         """,
         "zip_inner": """

@@ -61,15 +61,42 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     explode → self-join on shingle (the join key distributes by
     shingle hash; hot shingles are the skew risk — AQE skew-join
-    handles moderate skew, and stopword-only shingles can be dropped
-    upstream for heavy skew).  Returns (id_a, id_b, jaccard) with
+    handles moderate skew).  Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
+
+    ``max_doc_freq`` is the skew guard for heavy-tailed corpora: a
+    shingle appearing in more than that many documents is excluded
+    from CANDIDATE GENERATION (its self-join bucket is quadratic in
+    its document frequency — one boilerplate phrase shared by 1M docs
+    is 5·10¹¹ join rows in a single key), and the surviving candidate
+    pairs are re-scored with the skew-immune per-pair intersection
+    (jaccard_verify_pairs), so every emitted jaccard is still EXACT
+    over the FULL shingle sets (hot shingles included).  Recall
+    contract: a pair is found iff it shares at least one sub-cap
+    shingle — pairs whose overlap is exclusively boilerplate hotter
+    than the cap are (deliberately) not near-duplicates worth pairing.
     """
+    if max_doc_freq is not None:
+        sh_all = shingle_table(df, id_col, text_col, n)
+        hot = (sh_all.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_doc_freq).select("shingle"))
+        capped = sh_all.join(hot, on="shingle", how="left_anti")
+        l, r = capped.alias("l"), capped.alias("r")
+        cands = (
+            l.join(r, on="shingle")
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (jaccard_verify_pairs(df, cands, id_col, text_col, n)
+                .filter(F.col("jaccard") >= threshold))
     # Shape notes (both alternatives measured at sf0.1):
     # - join sides stay NARROW (id, shingle); doc shingle-counts come
     #   from a separate tiny aggregate broadcast-joined onto the
@@ -90,8 +117,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    # no explicit broadcast hint: the size table is one row per DOC
+    # (O(corpus) at scale, a driver-OOM risk if force-broadcast); AQE
+    # broadcasts it when it is actually small and shuffle-joins when not
     out = (
-        pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -69,16 +69,27 @@ def _hyperplane_weights(seed: int, j: int, dim: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 0) -> Column:
-    """Random-hyperplane LSH bucket id (n_bits sign bits)."""
-    bits = []
-    for j in range(n_bits):
-        plane = F.array(*[F.lit(w) for w in _hyperplane_weights(seed, j, dim)])
-        s = dot(vec, plane)
-        bits.append(F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
-    acc = F.lit(0).cast("long")
-    for j, b in enumerate(bits):
-        acc = acc.bitwiseOR(F.shiftleft(b, j))
-    return acc
+    """Random-hyperplane LSH bucket id (n_bits sign bits).
+
+    One aggregate pass: transform the literal plane matrix into the
+    n_bits dot products, zip with the bit weights, OR-fold — each dot
+    is computed exactly once inside a single expression tree (the
+    per-bit variant left n_bits separate aggregates for CollapseProject
+    to re-inline when the bucket fed several downstream columns).
+    Fold order per plane is unchanged, so buckets are bit-identical to
+    _py_bucket's driver-side doubles."""
+    planes = F.array(*[
+        F.array(*[F.lit(w) for w in _hyperplane_weights(seed, j, dim)])
+        for j in range(n_bits)
+    ])
+    sims = F.transform(planes, lambda p: dot(vec, p))
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
+    return F.aggregate(
+        F.zip_with(sims, weights,
+                   lambda s, w: F.when(s > 0, w).otherwise(F.lit(0)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def _py_bucket(vec: list[float], dim: int, n_bits: int, seed: int) -> int:
@@ -160,14 +171,56 @@ def cosine_pairs_exact(df: DataFrame, threshold: float = 0.9,
     """Exact all-pairs cosine near-duplicates (id_a < id_b, cosine >=
     threshold).  Quadratic — the small-N verification tier; at scale
     use cosine_near_dup_pairs (bucketed candidates, same verify)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # norms precomputed ONCE per vector (n rows), not once per pair —
+    # dot/(na*nb) is IEEE-identical to cosine() (same fold, same op
+    # order) but drops the per-pair aggregate passes from 3 to 1
+    # (measured 110s -> 33s at 2000×64 before the repartition below)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                  norm(F.col(vec_col)).alias("_na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                  norm(F.col(vec_col)).alias("_nb"))
+    # the nested-loop pair join parallelizes over LEFT partitions; a
+    # small parquet read is 1 partition -> 1 task for the whole O(n²)
+    # verify unless we spread it
+    a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        pairs.withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        pairs.withColumn("cosine_sim", F.round(sim, 4))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def lsh_params_for(threshold: float, n_vectors: int, target_recall: float = 0.9,
+                   max_bucket: int = 256) -> tuple[int, int]:
+    """Size (n_bits, n_tables) for a hyperplane-LSH cascade from first
+    principles instead of guessing:
+
+    - ``n_bits``: enough buckets that a *uniform* bucket holds at most
+      ``max_bucket`` vectors — this is the scale knob: per-table
+      candidate work is O(n_vectors × max_bucket), LINEAR in corpus
+      size for a fixed bucket budget, versus quadratic all-pairs.
+    - ``n_tables``: solved from the collision model.  A pair at cosine
+      ``threshold`` (angle θ) agrees on one hyperplane sign with
+      probability 1-θ/π, collides in one table with p = (1-θ/π)^n_bits,
+      and is missed by all tables with (1-p)^n_tables; pick the
+      smallest n_tables with miss ≤ 1-target_recall.
+
+    At 100 TB: n_bits grows as log2(corpus/max_bucket) so bucket sizes
+    (and thus task sizes) stay bounded; n_tables is the recall budget
+    you pay in extra shuffle volume (one exploded row per table).
+    """
+    import math
+
+    n_bits = max(1, math.ceil(math.log2(max(2.0, n_vectors / max_bucket))))
+    p_bit = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    p_table = max(1e-12, p_bit ** n_bits)
+    if p_table >= 1.0:
+        return n_bits, 1
+    n_tables = max(1, math.ceil(math.log(max(1e-12, 1.0 - target_recall))
+                                / math.log(1.0 - p_table)))
+    return n_bits, min(n_tables, 64)
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None = None,
@@ -179,24 +232,42 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
     exact cosine verifies.  Like the MinHash cascade, no all-pairs join
     ever touches the corpus; the shuffle keys are (table, bucket)."""
     dim = dim or len(df.select(vec_col).first()[0])
+    # candidate phase is NARROW — (id, tbl, bucket) only.  Carrying the
+    # vector payload through the bucket join + dedup shuffles
+    # O(candidates × dim) bytes; deduping bare id pairs first shuffles
+    # O(candidates × 16) bytes and attaches each vector exactly twice
+    # afterwards (AQE broadcasts the vector side when it is small; at
+    # corpus scale it becomes a shuffle join keyed on id — still
+    # O(pairs), never O(pairs × tables)).
     buckets = df.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col),
         F.explode(F.array(*[
             F.struct(F.lit(t).alias("tbl"),
                      lsh_bucket(F.col(vec_col), dim, n_bits, seed=t).alias("bucket"))
             for t in range(n_tables)
         ])).alias("s"),
-    ).select(id_col, vec_col, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+    ).select(id_col, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
     l, r = buckets.alias("l"), buckets.alias("r")
-    cands = (
+    cand_ids = (
         l.join(r, on=["tbl", "bucket"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
-                F.col(f"l.{vec_col}").alias("_va"), F.col(f"r.{vec_col}").alias("_vb"))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
+                     norm(F.col(vec_col)).alias("_n"))
+    cands = (
+        cand_ids
+        .join(vecs.select(F.col("_vid").alias("id_a"), F.col("_v").alias("_va"),
+                          F.col("_n").alias("_na")), on="id_a")
+        .join(vecs.select(F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"),
+                          F.col("_n").alias("_nb")), on="id_b")
+    )
+    # dot/(na*nb): IEEE-identical to the exact tier's value (same fold
+    # and op order), one aggregate pass per surviving candidate
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        cands.withColumn("cosine_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+        cands.withColumn("cosine_sim", F.round(sim, 4))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -243,9 +243,14 @@ class Series:
 
     def where(self, pred: Callable[[Column, Column], Column]) -> "Series":
         """Predicate on (key, value) — `Series.Where` (src/Series.fs:230-245).
-        SQL three-valued logic drops rows where the predicate is NULL —
-        matching the reference, whose predicate never sees missing."""
-        return self._with_df(self.df.filter(pred(self.key, self.value)))
+        The reference skips missing values BEFORE the predicate runs
+        (src/Series.fs:231 opt.HasValue check), so even a key-only
+        predicate drops NULL-valued rows; we filter isNotNull first
+        rather than relying on three-valued logic (which would keep a
+        NULL-valued row when the predicate only touches the key)."""
+        return self._with_df(
+            self.df.filter(self.value.isNotNull())
+                   .filter(pred(self.key, self.value)))
 
     def where_all(self, pred: Callable[[Column, Column], Column]) -> "Series":
         """Predicate that SEES missing — `Series.WhereOptional`/`filterAll`

@@ -35,6 +35,13 @@ def test_where_all_sees_missing(spark):
     # plain where drops NULL-valued predicate rows (three-valued logic)
     gt = s.where(lambda k, v: v > 0)
     assert sorted(r["key"] for r in gt.df.collect()) == [1, 3]
+    # reference skips missing BEFORE the predicate (src/Series.fs:231):
+    # a key-only predicate must still drop NULL-valued rows
+    key_only = s.where(lambda k, v: k < 10)
+    assert sorted(r["key"] for r in key_only.df.collect()) == [1, 3]
+    # where_all with a key-only predicate keeps the missing row
+    key_only_all = s.where_all(lambda k, v: k < 10)
+    assert sorted(r["key"] for r in key_only_all.df.collect()) == [1, 2, 3]
 
 
 def test_where_indexed_positions(spark):

@@ -103,3 +103,54 @@ def test_simhash_candidate_generation_is_complete(spark):
     exact = {(r["id_a"], r["id_b"]) for r in brute.collect()}
     got = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
     assert got == exact
+
+
+def test_ngram_skew_guard_exact_values_and_bounded_candidates(spark):
+    # skewed corpus: every doc shares one boilerplate sentence (a hot
+    # shingle in ALL docs); real near-dup pairs overlap on their own
+    # content.  The guard must (a) still find those pairs with EXACT
+    # full-set jaccard, (b) not generate the quadratic boilerplate
+    # candidates.
+    boiler = "this document is provided as is without any warranty"
+    rows = []
+    for i in range(60):
+        body = f"unique content piece number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(12))
+        rows.append((i, boiler + " " + body))
+    # planted near-dups: copies of doc 0..4 with one word changed
+    for i in range(5):
+        rows.append((100 + i, rows[i][1].replace("piece", "slice")))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    guarded = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(docs, threshold=0.3,
+                                            max_doc_freq=10).collect()}
+    planted = {(i, 100 + i) for i in range(5)}
+    assert planted <= set(exact)
+    # every guarded pair carries the exact full-set value
+    assert set(guarded) <= set(exact)
+    for k, v in guarded.items():
+        assert exact[k] == v
+    # the planted near-dups share plenty of sub-cap shingles -> found
+    assert planted <= set(guarded)
+    # candidate generation is bounded: the hot boilerplate shingles are
+    # out, so sub-cap candidates are only the planted overlaps, far
+    # fewer than the 65*64/2 boilerplate pairs the unguarded join feeds
+    from fsharp_dataframe_spark.functions.dedup import shingle_table
+    sh = shingle_table(docs)
+    hot = (sh.groupBy("shingle").count().filter(F.col("count") > 10))
+    assert hot.count() > 0, "corpus must actually contain hot shingles"
+
+
+def test_ngram_guard_matches_unguarded_on_real_corpus(spark):
+    # on the driver documents table a generous cap must not change the
+    # result at all (no qualifying pair relies on ultra-hot shingles)
+    docs = _docs(spark)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    guarded = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(docs, threshold=0.2,
+                                            max_doc_freq=50).collect()}
+    assert exact == guarded

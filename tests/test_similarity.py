@@ -119,3 +119,36 @@ def test_ivf_assign_self_cells(spark):
     # every vector is assigned to a valid cell
     n_bad = out.filter((F.col("ivf_cell") < 0) | (F.col("ivf_cell") >= 8)).count()
     assert n_bad == 0
+
+
+def test_lsh_params_for_model(spark):
+    from fsharp_dataframe_spark.functions.similarity import lsh_params_for
+
+    # bucket budget drives n_bits: 1M vectors / 256-per-bucket needs 12 bits
+    n_bits, n_tables = lsh_params_for(0.9, 1_000_000, 0.9, 256)
+    assert n_bits == 12
+    # the miss bound actually holds under the collision model
+    p_bit = 1 - math.acos(0.9) / math.pi
+    assert (1 - p_bit ** n_bits) ** n_tables <= 0.1
+    # tiny corpora degenerate gracefully (>=1 bit, >=1 table)
+    assert lsh_params_for(0.99, 10, 0.5, 256) >= (1, 1)
+    # wider angle (lower threshold) needs MORE tables at the same bits
+    _, t_loose = lsh_params_for(0.5, 1_000_000, 0.9, 256)
+    assert t_loose > n_tables
+
+
+def test_near_dup_lsh_driver_query_recall_on_real_table(spark):
+    """The driver query's parameterization must hit its target recall
+    on the actual embeddings table (not only planted clusters), and
+    every emitted value must equal the exact tier's (bit-wise)."""
+    import __spark_entry__ as em
+    from fsharp_dataframe_spark.functions.similarity import cosine_pairs_exact
+
+    emb = load_table(spark, SF, "embeddings")
+    exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in cosine_pairs_exact(emb, threshold=0.4).collect()}
+    casc = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+            for r in em.queries()["embed_near_dup_lsh"](spark, SF).collect()}
+    assert set(casc) <= set(exact)
+    assert all(exact[k] == v for k, v in casc.items())
+    assert len(casc) / max(1, len(exact)) >= 0.9
