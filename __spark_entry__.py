@@ -398,6 +398,28 @@ def q_chunk_while(spark, sf) -> DataFrame:
                          F.round(F.col("value") / 10000.0, 4).alias("total"))
 
 
+def q_chunk_dist(spark, sf) -> DataFrame:
+    """chunkDist (src/SeriesModule.fs:416-423): 6-hour event sessions —
+    a chunk starts at an event, extends while (ts - start) < 6h, the
+    next chunk starts at the first event at/after start+6h.  Runs the
+    BUCKETED pointer-chase path (operators/window.py
+    series_chunk_dist_bucketed — no single sequential task); the oracle
+    replays the recurrence as a recursive CTE.  Values are exact
+    integer ten-thousandth sums divided back in Spark (Python round is
+    banker's — ties would diverge)."""
+    ev = load_table(spark, sf, "events")
+    s = Series(ev.select(F.unix_micros(F.col("ts")).alias("key"), "value"),
+               key="key", value="value", ordered=True)
+
+    def agg(seg):
+        return float((seg["value"] * 10000).round().astype("int64").sum())
+
+    out = s.chunk_dist_into(21_600_000_000, agg)
+    return out.df.select(
+        F.col("key").alias("chunk_start_us"),
+        F.round(F.col("value") / 10000.0, 4).alias("chunk_sum"))
+
+
 def q_frame_shift_diff(spark, sf) -> DataFrame:
     """Frame-level diff (src/FrameModule.fs:453-454): day-over-day
     change of every numeric column of the daily events frame in ONE
@@ -856,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise": q_pairwise,
         "window_dist": q_window_dist,
         "chunk_while": q_chunk_while,
+        "chunk_dist": q_chunk_dist,
         "frame_shift_diff": q_frame_shift_diff,
         "take_last": q_take_last,
         "resample_daily": q_resample_daily,
@@ -1086,6 +1109,23 @@ def oracle_sql() -> dict[str, str]:
                           THEN r.chunk_start ELSE n.day END
               FROM numbered n JOIN r ON n.rn = r.rn + 1)
             SELECT chunk_start, round(sum(v) / 10000.0, 4) AS total FROM r GROUP BY 1
+        """,
+        "chunk_dist": """
+            WITH RECURSIVE k AS (
+              SELECT epoch_us(ts::TIMESTAMP) AS key,
+                     round(value * 10000)::BIGINT AS u
+              FROM events),
+            starts(s) AS (
+              SELECT min(key) FROM k
+              UNION ALL
+              SELECT (SELECT min(key) FROM k WHERE key >= s + 21600000000)
+              FROM starts
+              WHERE (SELECT min(key) FROM k WHERE key >= s + 21600000000) IS NOT NULL)
+            SELECT chunk_start_us, round(sum(u) / 10000.0, 4) AS chunk_sum
+            FROM (
+              SELECT (SELECT max(s) FROM starts WHERE s <= k.key) AS chunk_start_us, u
+              FROM k)
+            GROUP BY 1
         """,
         "frame_shift_diff": """
             WITH daily AS (

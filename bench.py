@@ -34,6 +34,7 @@ HEADLINE = [
     "fill_forward",
     "window_dist",
     "chunk_while",
+    "chunk_dist",
     "dedup_exact",
     "text_stats",
     "ngram_jaccard",
@@ -41,6 +42,7 @@ HEADLINE = [
     "near_dedup",
     "simhash_pairs",
     "embed_topk",
+    "embed_near_dup_lsh",
     "lsh_topk",
 ]
 

@@ -525,6 +525,44 @@ class Frame:
         cols += [F.col(c) for c in l_only + r_only]
         return self._with_df(joined.select(*cols), canonicalize=True)
 
+    def zip_align_frames(self, other: "Frame", op: Callable[[Column, Column], Column],
+                         col_kind: str = "inner", lookup: str = "nearest_smaller") -> "Frame":
+        """`Frame.zipAlign` (src/Frame.fs:103-142): align *other*'s rows
+        to THIS frame's row keys with an as-of lookup, then combine the
+        SHARED columns cell-wise with *op*.  ``col_kind`` picks the
+        surviving column set: 'inner' keeps shared columns only, 'left'
+        additionally passes this frame's exclusive columns through
+        untouched.  Row join kind is left (this frame is the spine) —
+        the only row kind the reference exercises with inexact lookups
+        (tests/FSharp.DataFrame.Tests/Frame.fs:322-470, the
+        market-cap/EV scenario).  One as-of pass aligns every column
+        (the plan-once shape of asof_align_frame)."""
+        if col_kind not in ("inner", "left"):
+            raise ValueError("col_kind must be inner|left")
+        if lookup not in ("nearest_smaller", "nearest_greater"):
+            raise ValueError("lookup must be nearest_smaller|nearest_greater")
+        shared = [c for c in self.column_keys if c in other.column_keys]
+        l_only = [c for c in self.column_keys if c not in shared]
+        from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+        direction = "backward" if lookup == "nearest_smaller" else "forward"
+        src = other.df.select(
+            *[F.col(a).alias(b) for a, b in zip(other.key_cols, self.key_cols)],
+            *[F.col(c).alias(f"__r_{c}") for c in shared],
+        )
+        aligned = asof_align_frame(
+            self.df.select(*self.key_cols, *shared, *l_only), src,
+            key_cols=self.key_cols,
+            fill_cols=[f"__r_{c}" for c in shared],
+            direction=direction,
+        )
+        cols = [F.col(k) for k in self.key_cols]
+        cols += [op(F.col(c), F.col(f"__r_{c}")).alias(c) for c in shared]
+        if col_kind == "left":
+            cols += [F.col(c) for c in l_only]
+        return Frame(aligned.select(*cols), key=self.key_cols,
+                     ordered=self.ordered, _canonicalize=True)
+
     def append(self, other: "Frame") -> "Frame":
         """Union column sets, append rows — `Frame.Append`
         (src/Frame.fs:171-207): missing columns padded with NULL.

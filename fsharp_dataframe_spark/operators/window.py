@@ -337,7 +337,153 @@ def series_chunk_while(s: Series, cond, agg, by: list[str] | None = None,
 
 
 def series_chunk_dist(s: Series, dist, agg, by: list[str] | None = None,
-                      out_type: str = "double") -> Series:
+                      out_type: str = "double", bucketed: bool = True,
+                      n_buckets: int = 64) -> Series:
     """`chunkDistInto` (src/SeriesModule.fs:416-423): chunkWhile with
-    the strict distance predicate ``(current - first) < dist``."""
+    the strict distance predicate ``(current - first) < dist``.
+
+    Unlike arbitrary chunkWhile predicates (inherently sequential), the
+    distance form has enough structure to parallelize: chunk starts obey
+    ``s_{i+1} = first key >= s_i + dist``, a pointer-chase whose only
+    cross-bucket state is the open chunk's start key.  With no ``by=``
+    and a single numeric key level the default path is therefore
+    series_chunk_dist_bucketed (no single-partition stage); pass
+    ``bucketed=False`` to force the sequential reference shape."""
+    if not by and bucketed and len(s.key_cols) == 1:
+        from pyspark.sql.types import NumericType
+
+        if isinstance(s.df.schema[s.key_cols[0]].dataType, NumericType):
+            return series_chunk_dist_bucketed(s, dist, agg, out_type, n_buckets)
     return series_chunk_while(s, lambda f, t: (t - f) < dist, agg, by, out_type)
+
+
+def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
+                               n_buckets: int = 64) -> Series:
+    """Global (un-keyed) chunkDist WITHOUT a single sequential task.
+
+    The recurrence ``start_{i+1} = first key >= start_i + dist`` looks
+    sequential, but all any bucket needs from its predecessors is ONE
+    number — the open chunk's start key at bucket entry — and that
+    entry state can only be (a) "fresh" or (b) a key within ``dist``
+    of the bucket's first key.  So:
+
+    1. range-bucket the keys (operators.bucketed census, no sort);
+    2. per bucket (parallel applyInPandas): backward DP computes
+       ``exit_if_started_at(k)`` for every key in O(n_b); emit it only
+       for the possible FIRST-starts — keys in
+       ``[first_b, first_b + dist]`` plus their one successor (the
+       image of ``min key >= t`` over all feasible entry states);
+    3. driver cascade (n_buckets dict lookups, no data): thread the
+       open-chunk start through the per-bucket maps, recording each
+       bucket's true entry state;
+    4. per bucket (parallel): re-derive the in-bucket orbit from the
+       (now literal) entry state, label every row with its chunk start,
+       then groupBy(chunk_start) + applyInPandas for the aggregate —
+       chunks crossing bucket borders meet again in that hash shuffle.
+
+    Driver-side data is the candidate maps: O(n_buckets × keys within
+    one dist-window of a bucket start) — boundary data only, tiny
+    whenever chunks are smaller than buckets (the sensible regime; the
+    plain sequential path remains for the degenerate one).  Equivalence
+    vs the sequential reference shape is pinned by tests/test_window.py
+    and tests/test_bucketed.py.
+    """
+    import bisect
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    from fsharp_dataframe_spark.operators.bucketed import (
+        _remap_expr, bucket_census,
+    )
+
+    s._require_ordered("chunk_dist")
+    k = s.key_cols[0]
+    value_col = s.value_col
+    dist_f = float(dist)
+
+    bexpr, remap, offsets, total = bucket_census(s.df, s.key_cols, n_buckets, min_rows=1)
+    out_schema = StructType([
+        s.df.schema[k],
+        StructField(value_col, _parse_datatype_string(out_type), True),
+    ])
+    if total == 0:
+        empty = s.df.sparkSession.createDataFrame([], out_schema)
+        return Series(empty, key=[k], value=value_col, ordered=True,
+                      _canonicalize=True)
+
+    base = s.df.withColumn("__cb", _remap_expr(bexpr, remap))
+
+    cand_schema = StructType([
+        StructField("__cb", _parse_datatype_string("int"), False),
+        StructField("cand", _parse_datatype_string("double"), False),
+        StructField("exit", _parse_datatype_string("double"), False),
+    ])
+
+    def cand_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        keys = np.sort(pdf[k].to_numpy(dtype="float64"))
+        n = len(keys)
+        exits = np.empty(n)
+        for i in range(n - 1, -1, -1):
+            j = int(np.searchsorted(keys, keys[i] + dist_f, side="left"))
+            exits[i] = keys[i] if j >= n else exits[j]
+        hi = int(np.searchsorted(keys, keys[0] + dist_f, side="right"))
+        m = min(hi + 1, n)
+        return pd.DataFrame({
+            "__cb": [int(pdf["__cb"].iloc[0])] * m,
+            "cand": keys[:m],
+            "exit": exits[:m],
+        })
+
+    cand_rows = (base.select("__cb", k).groupBy("__cb")
+                 .applyInPandas(cand_fn, cand_schema).collect())
+    by_bucket: dict[int, list[tuple[float, float]]] = {}
+    for r in cand_rows:
+        by_bucket.setdefault(r["__cb"], []).append((r["cand"], r["exit"]))
+
+    open_start: float | None = None
+    entry: dict[int, float] = {}
+    for bkt in sorted(by_bucket):
+        lst = sorted(by_bucket[bkt])
+        cand_keys = [c for c, _ in lst]
+        if open_start is None:
+            entry[bkt] = lst[0][0]
+            open_start = lst[0][1]
+            continue
+        entry[bkt] = open_start
+        i = bisect.bisect_left(cand_keys, open_start + dist_f)
+        if i < len(lst):
+            open_start = lst[i][1]
+        # else: the open chunk swallows the whole bucket — carry unchanged
+
+    chunk_col_type = s.df.schema[k].dataType
+    mid_schema = StructType([
+        s.df.schema[k], s.df.schema[value_col],
+        StructField("__chunk", chunk_col_type, False),
+    ])
+
+    def assign_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(k, ignore_index=True)
+        keys = pdf[k].to_numpy(dtype="float64")
+        n = len(keys)
+        starts = [entry[int(pdf["__cb"].iloc[0])]]
+        while True:
+            j = int(np.searchsorted(keys, starts[-1] + dist_f, side="left"))
+            if j >= n:
+                break
+            starts.append(float(keys[j]))
+        idx = np.searchsorted(np.asarray(starts), keys, side="right") - 1
+        out = pdf[[k, value_col]].copy()
+        out["__chunk"] = [starts[i] for i in idx]
+        return out
+
+    labeled = base.groupBy("__cb").applyInPandas(assign_fn, mid_schema)
+
+    def agg_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(k, ignore_index=True)
+        return pd.DataFrame([[pdf["__chunk"].iloc[0], agg(pdf)]],
+                            columns=[k, value_col])
+
+    out = labeled.groupBy("__chunk").applyInPandas(agg_fn, out_schema)
+    return Series(out, key=[k], value=value_col, ordered=True, _canonicalize=True)

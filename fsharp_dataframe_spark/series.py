@@ -603,10 +603,11 @@ class Series:
 
         return series_zip(self, other, kind, lookup)
 
-    def zip_into(self, other: "Series", f: Callable[[Column, Column], Column], kind: str = "inner") -> "Series":
+    def zip_into(self, other: "Series", f: Callable[[Column, Column], Column],
+                 kind: str = "inner", lookup: str = EXACT) -> "Series":
         from fsharp_dataframe_spark.operators.align import series_zip_into
 
-        return series_zip_into(self, other, f, kind)
+        return series_zip_into(self, other, f, kind, lookup)
 
     # ------------------------------------------------------------------
     # ordered-series ops (§2.6) — delegated to operators.window
@@ -658,10 +659,12 @@ class Series:
         return series_chunk_while(self, cond, agg, by=by, out_type=out_type)
 
     def chunk_dist_into(self, dist, agg, by: list[str] | None = None,
-                        out_type: str = "double") -> "Series":
+                        out_type: str = "double", bucketed: bool = True,
+                        n_buckets: int = 64) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_chunk_dist
 
-        return series_chunk_dist(self, dist, agg, by=by, out_type=out_type)
+        return series_chunk_dist(self, dist, agg, by=by, out_type=out_type,
+                                 bucketed=bucketed, n_buckets=n_buckets)
 
     def aggregate_into(self, spec, agg, by: list[str] | None = None, **kw) -> "Series":
         """`Series.Aggregate` umbrella (src/Series.fs:514-523): dispatch

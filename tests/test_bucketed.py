@@ -64,3 +64,33 @@ def test_bucketed_plan_has_no_global_exchange(spark):
                  s.window_size_into(5, F.sum, "at_beginning", bucketed=True)):
         plan = made.df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_bucketed_chunk_dist_matches_sequential(spark):
+    # the pointer-chase chunk recurrence across buckets must reproduce
+    # the sequential reference shape on irregular keys with gaps
+    # (gap > dist forces fresh starts; dist > range collapses to one
+    # chunk that swallows every bucket)
+    import random
+
+    from fsharp_dataframe_spark.operators.window import (
+        series_chunk_dist_bucketed, series_chunk_while,
+    )
+
+    rng = random.Random(13)
+    keys = sorted(rng.sample(range(0, 4000), 500))
+    df = spark.createDataFrame([(k, float(rng.randint(0, 9))) for k in keys],
+                               "key int, value double")
+    s = Series(df, key="key", value="value", ordered=True)
+    agg = lambda seg: float(seg["value"].sum())
+    for dist in (5, 37, 900, 10_000):
+        seq = series_chunk_while(s, lambda f, t: (t - f) < dist, agg, None, "double")
+        buck = series_chunk_dist_bucketed(s, dist, agg, n_buckets=16)
+        assert _collect(buck) == _collect(seq), f"dist={dist}"
+
+
+def test_bucketed_chunk_dist_plan_has_no_global_exchange(spark):
+    s = _series(spark)
+    out = s.chunk_dist_into(7, lambda seg: float(seg["value"].sum()))
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
