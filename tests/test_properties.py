@@ -78,3 +78,52 @@ def test_asof_matches_pandas_merge_asof(spark, src_keys, probe_keys):
     for _, row in model.iterrows():
         exp = None if pd.isna(row["value"]) else row["value"]
         assert got[row["key"]] == exp
+
+
+VALS = st.lists(
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              allow_infinity=False, width=64),
+    min_size=1, max_size=25)
+
+
+@given(vals=VALS)
+@settings(**SETTINGS)
+def test_nan_from_mapping_becomes_missing_on_aggregates(spark, vals):
+    """The reference canonicalizes NaN produced by a mapping function
+    back to *missing* (src/Vectors/ArrayVector.fs:213-223), and every
+    aggregate then SKIPS it (src/Common/Common.fs:331-361).  Property:
+    for any input values, sqrt() — NaN on negatives — must aggregate
+    exactly like the reference model (python sum/count over the
+    non-negative subset), and the NaN keys must read back as missing."""
+    import math
+
+    s = sob(spark, list(enumerate(vals)))
+    mapped = s.map_values(lambda c: F.sqrt(c))
+    ok = {k: math.sqrt(v) for k, v in enumerate(vals) if v >= 0}
+    obs = dict(mapped.observations())
+    assert set(obs) == set(ok)
+    for k, v in obs.items():
+        assert abs(v - ok[k]) < 1e-12
+    assert mapped.count_values() == len(ok)
+    got_sum = mapped.sum()
+    if ok:
+        assert got_sum is not None and abs(got_sum - sum(ok.values())) < 1e-9
+        mean = mapped.mean()
+        assert abs(mean - sum(ok.values()) / len(ok)) < 1e-9
+    else:
+        assert got_sum is None or got_sum == 0.0
+
+
+@given(vals=st.lists(st.floats(min_value=0.1, max_value=100), min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_infinity_is_not_missing(spark, vals):
+    """±Infinity is NOT missing in the reference
+    (tests/FSharp.DataFrame.Tests/Common.fs:18-28) — canonicalization
+    must drop only NaN, never infinities."""
+    s = sob(spark, list(enumerate(vals)))
+    # positive × inf = inf (double overflow semantics; ANSI division
+    # by zero throws in Spark 4, so build the infinity by product)
+    mapped = s.map_values(lambda c: c * F.lit(float("inf")))
+    obs = dict(mapped.observations())
+    assert set(obs) == set(range(len(vals)))
+    assert all(v == float("inf") for v in obs.values())
