@@ -827,6 +827,23 @@ def q_ivf_assign(spark, sf) -> DataFrame:
     return ivf_assign(emb, cents).select("vec_id", "ivf_cell")
 
 
+def q_ivf_topk(spark, sf) -> DataFrame:
+    """IVF search end-to-end: probe the 2 cells whose centroids are
+    nearest the query, exact-rescore inside them (top-20 by cosine).
+    At 100 TB the corpus is written partitioned by ivf_cell so the
+    probe filter is partition pruning; here the oracle replays probe
+    selection + in-cell rescoring in SQL."""
+    from fsharp_dataframe_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), cents, qvec, k=20, n_probe=2)
+
+
 def q_simhash_pairs(spark, sf) -> DataFrame:
     """SimHash near-dup candidates (no SQL oracle — xxhash64 family;
     rows-only check)."""
@@ -908,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup": q_near_dedup,
         "lsh_topk": q_lsh_topk,
         "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
     }
 
@@ -1149,6 +1167,34 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN cents)
             SELECT vec_id, arg_max(cid, sim)::INT AS ivf_cell
             FROM scored GROUP BY vec_id
+        """,
+        "ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            probe AS (
+              SELECT cid FROM cents, q
+              ORDER BY list_dot_product(qv, c)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c, c))) DESC,
+                       cid
+              LIMIT 2),
+            assigned AS (
+              SELECT vec_id, arg_max(cid, sim)::INT AS cell FROM (
+                SELECT e.vec_id AS vec_id, cents.cid AS cid,
+                       list_dot_product(e.embedding::DOUBLE[], cents.c)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(cents.c, cents.c))) AS sim
+                FROM embeddings e CROSS JOIN cents)
+              GROUP BY vec_id)
+            SELECT e.vec_id AS vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine_sim
+            FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id, q
+            WHERE e.vec_id <> 0 AND a.cell IN (SELECT cid FROM probe)
+            ORDER BY cosine_sim DESC, e.vec_id
+            LIMIT 20
         """,
         "take_last": """
             SELECT ts::TIMESTAMP AS ts, event_id, value FROM events

@@ -44,6 +44,7 @@ HEADLINE = [
     "embed_topk",
     "embed_near_dup_lsh",
     "lsh_topk",
+    "ivf_topk",
 ]
 
 
