@@ -39,6 +39,18 @@ def _bucket_expr(key_col: Column, cuts: list[float]) -> Column:
     return F.size(F.filter(barr, lambda b: b <= kd))
 
 
+def range_cuts(df: DataFrame, key_col: str, n_buckets: int = 64) -> list[float]:
+    """Quantile cut points for range bucketing (one sketch job).  The
+    bucket id from `_bucket_expr` is a pure function of the key, so no
+    census is needed when the consumer tolerates sparse/unbalanced raw
+    bucket ids (e.g. the chunk_dist carry cascade, which iterates
+    whatever ids exist)."""
+    kd = F.col(key_col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.select(kd.alias("_kd")).approxQuantile("_kd", probs, 0.001)
+    return sorted({c for c in cuts if c is not None and c == c})
+
+
 def bucket_census(
     df: DataFrame,
     key_cols: list[str],

@@ -394,26 +394,23 @@ def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
     import pandas as pd
     from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
-    from fsharp_dataframe_spark.operators.bucketed import (
-        _remap_expr, bucket_census,
-    )
+    from fsharp_dataframe_spark.operators.bucketed import _bucket_expr, range_cuts
 
     s._require_ordered("chunk_dist")
     k = s.key_cols[0]
     value_col = s.value_col
     dist_f = float(dist)
 
-    bexpr, remap, offsets, total = bucket_census(s.df, s.key_cols, n_buckets, min_rows=1)
+    # cuts only — no census job: the carry cascade iterates whatever
+    # raw bucket ids exist (sparse ids with gaps are fine), so one
+    # quantile sketch replaces the census's extra count-by-bucket pass
+    cuts = range_cuts(s.df, k, n_buckets)
+    bexpr = _bucket_expr(F.col(k), cuts) if cuts else F.lit(0)
     out_schema = StructType([
         s.df.schema[k],
         StructField(value_col, _parse_datatype_string(out_type), True),
     ])
-    if total == 0:
-        empty = s.df.sparkSession.createDataFrame([], out_schema)
-        return Series(empty, key=[k], value=value_col, ordered=True,
-                      _canonicalize=True)
-
-    base = s.df.withColumn("__cb", _remap_expr(bexpr, remap))
+    base = s.df.withColumn("__cb", bexpr)
 
     cand_schema = StructType([
         StructField("__cb", _parse_datatype_string("int"), False),

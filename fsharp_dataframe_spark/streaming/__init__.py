@@ -2,6 +2,7 @@ from fsharp_dataframe_spark.streaming.ops import (  # noqa: F401
     read_stream_parquet,
     run_to_memory,
     stream_exact_dedup,
+    stream_fill_forward,
     stream_latest_by,
     stream_resample_equiv,
     stream_sample_time,

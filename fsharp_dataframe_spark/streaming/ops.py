@@ -9,6 +9,9 @@ maps onto when the events table is a stream:
 - exact dedup         → `withWatermark + dropDuplicates` (stateful,
                         bounded state — the streaming ingest tier of
                         functions/dedup.exact_dedup);
+- forward-fill (LOCF) → `applyInPandasWithState` custom stateful tier
+                        (one state row per entity, carry across
+                        micro-batches and restarts);
 - latest-per-entity   → `max_by(value, ts)` per key (update mode), the
                         streaming face of the as-of "last value";
 - sessionization      → `F.session_window(ts, gap)` (native stateful
@@ -31,6 +34,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
@@ -125,6 +129,63 @@ def stream_session_windows(
     )
 
 
+def stream_fill_forward(
+    sdf: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming forward-fill (LOCF) per entity — the custom STATEFUL
+    operator tier (`applyInPandasWithState`): the streaming face of the
+    batch directional fill (§2.8, src/Series.fs fillMissing Direction
+    semantics).
+
+    State per key = the last observed (event-time, value); each
+    micro-batch's rows are sorted by event time, missing values are
+    filled from the carry, and the carry survives across micro-batches
+    (and restarts, via the checkpoint) so a batch that begins with
+    missing rows fills from the previous batch's last observation.
+    State is one row per entity — bounded regardless of stream length.
+    Arrival-order caveat (standard for custom state): a row arriving in
+    a LATER micro-batch than a row with greater event time is filled
+    from the newest state seen so far, exactly like the reference's
+    sequential scan would if replayed in arrival order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_field = sdf.schema[key_col]
+    ts_field = sdf.schema[ts_col]
+    val_field = sdf.schema[value_col]
+    out_schema = T.StructType([key_field, ts_field, val_field])
+    state_schema = T.StructType([T.StructField("last_value", val_field.dataType, True)])
+
+    def fn(key, pdfs, state):
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, ignore_index=True)
+            vals = pdf[value_col].tolist()
+            for i, v in enumerate(vals):
+                if v is None or v != v:  # None or NaN → missing
+                    vals[i] = last
+                else:
+                    last = v
+            pdf[value_col] = vals
+            out.append(pdf[[key_col, ts_col, value_col]])
+        state.update((last,))
+        yield pd.concat(out) if out else pd.DataFrame(
+            columns=[key_col, ts_col, value_col])
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
 def stream_text_quality(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     """Stateless per-document text stats — the batch Column exprs from
     functions/text.py applied 1:1 to a stream (no state, no watermark)."""
@@ -139,15 +200,20 @@ def stream_text_quality(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
-def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append",
+                  checkpoint: str | None = None):
     """Drive a streaming plan to completion synchronously (availableNow
-    + memory sink) and return the result table name — test harness."""
-    q = (
+    + memory sink) and return the result table name — test harness.
+    Pass ``checkpoint`` to make state survive a stop/start cycle (the
+    restart test for stateful operators)."""
+    w = (
         sdf.writeStream.outputMode(output_mode)
         .format("memory").queryName(name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.processAllAvailable()
     q.stop()
     return name

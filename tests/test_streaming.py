@@ -105,3 +105,57 @@ def test_stream_text_quality_stateless(spark):
            for r in docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"),
                                 TX.lang_id(F.col("text")).alias("lang_pred")).collect()}
     assert got == exp
+
+
+def test_stream_fill_forward_state_survives_batches_and_restart(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-entity
+    LOCF fill whose carry must survive (a) micro-batch boundaries and
+    (b) a full stop/start cycle through the checkpoint.  Phase 2's
+    first rows are missing for every key — they can only be filled
+    from phase 1's state."""
+    from datetime import datetime
+
+    from fsharp_dataframe_spark.streaming import stream_fill_forward
+
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id int, ts timestamp, value double"
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    phase1 = [(1, ts(0), 10.0), (1, ts(1), None), (1, ts(2), 20.0),
+              (2, ts(0), None), (2, ts(1), 5.0)]
+    phase2 = [(1, ts(3), None), (1, ts(4), 30.0),
+              (2, ts(3), None), (2, ts(4), None)]
+
+    outdir = str(tmp_path / "out")
+
+    def run_phase(batch_schema):
+        # memory sink cannot recover from a checkpoint — a file sink can
+        q = (stream_fill_forward(read_stream_parquet(spark, d, batch_schema))
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame(phase1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    batch_schema = spark.read.parquet(d).schema
+    run_phase(batch_schema)
+    got1 = {(r["user_id"], r["ts"]): r["value"]
+            for r in spark.read.parquet(outdir).collect()}
+    assert got1[(1, ts(1))] == 10.0      # filled within the batch
+    assert got1[(2, ts(0))] is None      # nothing before it to carry
+
+    spark.createDataFrame(phase2, schema).coalesce(1).write.mode("append").parquet(d)
+    run_phase(batch_schema)
+    got2 = {(r["user_id"], r["ts"]): r["value"]
+            for r in spark.read.parquet(outdir).collect()}
+    # the restarted query processes ONLY the new file (checkpoint),
+    # filling its leading missing rows from the carried state
+    assert got2[(1, ts(3))] == 20.0      # phase-1 carry across restart
+    assert got2[(1, ts(4))] == 30.0
+    assert got2[(2, ts(3))] == 5.0
+    assert got2[(2, ts(4))] == 5.0
+    assert len(got2) == len(phase1) + len(phase2)
