@@ -206,7 +206,14 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     """
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
-    best = F.array_position(sims, F.array_max(sims)) - 1
+    # lambda-let: bind sims once — argmax references it twice, and a
+    # bare column reference would re-inline the whole n_cells×dim
+    # transform into each (CollapseProject re-inlines multiply-used
+    # projections; visible in .explain as the filter computing the
+    # transform twice)
+    best = F.element_at(
+        F.transform(F.array(sims),
+                    lambda s: F.array_position(s, F.array_max(s))), 1) - 1
     return df.withColumn("ivf_cell", best.cast("int"))
 
 

@@ -66,3 +66,32 @@ def test_grouped_apply_in_pandas(spark):
 
     out = gs.apply_in_pandas(span, "g string, span double")
     assert {r["g"]: r["span"] for r in out.collect()} == {"a": 2.0, "b": 0.0}
+
+
+def test_near_dup_lsh_plan_has_no_cartesian_product(spark):
+    # the scale-path cascade must never plan an all-pairs join: no
+    # CartesianProduct / BroadcastNestedLoopJoin anywhere — candidates
+    # come from equi-joins on (tbl, bucket) and id attach joins
+    plan = _plan(spark, "embed_near_dup_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_plan_is_equi_join_only(spark):
+    plan = _plan(spark, "minhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dist_plan_has_no_single_partition_exchange(spark):
+    plan = _plan(spark, "chunk_dist")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_topk_prunes_with_cell_filter_and_take_ordered(spark):
+    # probe filter reaches the scan as an IN (cells...) predicate (the
+    # cell alias is inlined by the optimizer) and the final top-k is
+    # TakeOrderedAndProject, not a global sort
+    plan = _plan(spark, "ivf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert " IN (" in plan
