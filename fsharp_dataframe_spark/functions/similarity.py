@@ -235,12 +235,37 @@ def cosine_pairs_exact(df: DataFrame, threshold: float = 0.9,
     # verify unless we spread it
     a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    sim = dot_batch(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.withColumn("cosine_sim", F.round(sim, 4))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def dot_batch(a: Column, b: Column) -> Column:
+    """Arrow-batched pairwise dot product, bit-identical to dot().
+
+    For candidate-verify stages that score millions of (va, vb) pairs:
+    the Column form is an interpreted higher-order-function chain (see
+    lsh_buckets_all), while this UDF accumulates over the dimension
+    axis in the SAME left-to-right IEEE order as F.aggregate's fold —
+    identical doubles, vectorized throughput."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def f(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.stack(va.to_numpy()).astype(np.float64)
+        mb = np.stack(vb.to_numpy()).astype(np.float64)
+        out = np.zeros(len(va))
+        for k in range(ma.shape[1]):  # fold order identical to dot()
+            out += ma[:, k] * mb[:, k]
+        return pd.Series(out)
+
+    return f(a, b)
 
 
 def lsh_params_for(threshold: float, n_vectors: int, target_recall: float = 0.9,
@@ -314,8 +339,9 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
                           F.col("_n").alias("_nb")), on="id_b")
     )
     # dot/(na*nb): IEEE-identical to the exact tier's value (same fold
-    # and op order), one aggregate pass per surviving candidate
-    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # and op order); the Arrow-batched dot because candidates number in
+    # the millions and the Column HOF chain is interpreted
+    sim = dot_batch(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         cands.withColumn("cosine_sim", F.round(sim, 4))
         .filter(F.col("cosine_sim") >= threshold)
