@@ -64,6 +64,13 @@ def main():
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     qs["group_agg"](spark, sf_dir).count()
     qs["asof_join"](spark, sf_dir).count()
+    # spin up the Python/Arrow UDF workers too (one per core) so the
+    # first pandas-UDF query measures its plan, not worker cold-start
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda v: v * 1.0, "double")
+    spark.range(10_000).repartition(cpus).select(
+        _warm(F.col("id").cast("double"))).count()
     print(f"# warmup: {time.time()-t0:.2f}s", file=sys.stderr)
     timings: dict[str, float] = {}
     for name in HEADLINE:
