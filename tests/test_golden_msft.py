@@ -82,3 +82,55 @@ def test_msft_monthly_resample(spark):
     monthly = s.resample_equiv_into(lambda k: F.date_trunc("month", k), F.avg)
     n = monthly.df.count()
     assert 250 <= n <= 320  # ~26 years of months
+
+
+def test_zip_row_key_kinds_exact(spark):
+    # Frame.fs:134-145: zipAlign with Exact lookup across the four row
+    # join kinds — surviving row-key sets are the reference's literals
+    df1 = Frame(spark.createDataFrame([(1, 1), (2, 2)], "key int, A int"),
+                key="key", ordered=True)
+    df2 = Frame(spark.createDataFrame([(2, 2), (3, 3)], "key int, A int"),
+                key="key", ordered=True)
+    keys = lambda fr: sorted(r["key"] for r in fr.df.collect())
+    add = lambda a, b: a + b
+    assert keys(df1.zip_frames(df2, add, kind="inner")) == [2]
+    assert keys(df1.zip_frames(df2, add, kind="outer")) == [1, 2, 3]
+    assert keys(df1.zip_frames(df2, add, kind="left")) == [1, 2]
+    assert keys(df1.zip_frames(df2, add, kind="right")) == [2, 3]
+
+
+def test_zip_subtract_msft_self_is_zero(spark):
+    # Frame.fs:148-154: every zipped value of msft - msft is 0
+    fr1, fr2 = msft(spark), msft(spark)
+    z = fr1.zip_frames(fr2, lambda a, b: a - b)
+    data_cols = [c for c in z.column_keys]
+    assert len(data_cols) == 6
+    nonzero = z.df.filter(
+        " OR ".join(f"(`{c}` <> 0 OR `{c}` IS NULL)" for c in data_cols)).count()
+    assert nonzero == 0
+    assert z.df.count() == 6527
+
+
+def test_zip_subtract_msft_with_rows_dropped(spark):
+    # Frame.fs:156-162: left frame sliced to 2000+; zip keeps the
+    # left row count (inner on the subset) and still all-zero
+    fr1 = msft(spark)
+    sliced = Frame(fr1.df.filter(F.col("Date") >= "2000-01-01"),
+                   key="Date", ordered=True)
+    n = sliced.df.count()
+    z = sliced.zip_frames(msft(spark), lambda a, b: a - b, kind="inner")
+    assert z.df.count() == n
+    bad = z.df.filter(" OR ".join(
+        f"(`{c}` <> 0 OR `{c}` IS NULL)" for c in z.column_keys)).count()
+    assert bad == 0
+
+
+def test_zip_subtract_msft_with_column_dropped(spark):
+    # Frame.fs:164-170: a column present on one side only passes
+    # through untouched (sum > 0); shared columns subtract to zero
+    fr1 = msft(spark).drop_col("Adj Close")
+    z = fr1.zip_frames(msft(spark), lambda a, b: a - b)
+    adj = z.df.agg(F.sum("`Adj Close`")).first()[0]
+    assert adj is not None and adj > 0.0
+    low = z.df.agg(F.sum("Low")).first()[0]
+    assert low == 0.0
