@@ -206,8 +206,73 @@ def series_chunk_size(s: Series, n: int, agg: Callable[[Column], Column],
     return Series(out, key=s.key_cols, value=s.value_col, ordered=True, _canonicalize=True)
 
 
+def series_window_dist_bucketed(s: Series, dist, agg: Callable[[Column], Column],
+                                n_buckets: int = 64) -> Series:
+    """Global (un-keyed) windowDist WITHOUT a single-partition window.
+
+    The range-frame analog of the halo trick: quantile cut points are
+    MERGED until every bucket spans at least ``dist`` in KEY space, so
+    a window [k, k+dist) starting anywhere in bucket i can only reach
+    into bucket i+1 — one-hop ghost replication (bucket i+1's first
+    dist-range of rows copied into bucket i) makes every in-bucket
+    range window complete.  One quantile sketch job, one hash shuffle
+    on bucket id, no global sort.
+    """
+    from fsharp_dataframe_spark.operators.bucketed import range_cuts
+
+    s._require_ordered("window_dist")
+    key = s.key_cols[0]
+    kcol = F.col(key)
+    df = s.df
+    order_col = key
+    dtype = dict(df.dtypes)[key]
+    if dtype.startswith("timestamp"):
+        df = df.withColumn("__ord", F.unix_timestamp(kcol))
+        order_col, dtype = "__ord", "bigint"
+    integral = dtype in ("tinyint", "smallint", "int", "bigint")
+    hi = dist - 1 if integral else dist
+    dist_f = float(dist)
+
+    cuts = range_cuts(df, order_col, n_buckets)
+    # merge cuts until adjacent intervals span >= dist (the one-hop
+    # completeness guarantee); a window never reaches past the next cut
+    merged: list[float] = []
+    for c in cuts:
+        if not merged or c - merged[-1] >= dist_f:
+            merged.append(c)
+    if not merged:
+        # degenerate: one bucket — fall through to a single range window
+        # over one partition (the data is one quantile-less sliver)
+        w = Window.orderBy(F.col(order_col)).rangeBetween(0, hi)
+        out = df.withColumn(_VAL, agg(s.value).over(w)).select(
+            *s.key_cols, F.col(_VAL).alias(s.value_col))
+        return s._with_df(out, canonicalize=True)
+
+    ocol = F.col(order_col).cast("double")
+    barr = F.array(*[F.lit(c) for c in merged])
+    b = F.size(F.filter(barr, lambda x: x <= ocol))
+    base = df.withColumn("__wb", b).withColumn("__ghost", F.lit(False))
+    # ghost: bucket i>=1 starts at merged[i-1]; its rows with
+    # key < start + dist also serve bucket i-1's trailing windows
+    start = F.element_at(barr, F.col("__wb"))
+    ghosts = (
+        base.filter((F.col("__wb") >= 1) & (ocol < start + F.lit(dist_f)))
+        .withColumn("__wb", F.col("__wb") - 1)
+        .withColumn("__ghost", F.lit(True))
+    )
+    aug = base.unionByName(ghosts)
+    w = Window.partitionBy("__wb").orderBy(F.col(order_col)).rangeBetween(0, hi)
+    out = (
+        aug.withColumn(_VAL, agg(s.value).over(w))
+        .filter(~F.col("__ghost"))
+        .select(*s.key_cols, F.col(_VAL).alias(s.value_col))
+    )
+    return s._with_df(out, canonicalize=True)
+
+
 def series_window_dist(s: Series, dist, agg: Callable[[Column], Column],
-                       by: list[str] | None = None) -> Series:
+                       by: list[str] | None = None,
+                       bucketed: bool = True) -> Series:
     """Windows by key distance — `windowDistInto`
     (src/SeriesModule.fs:318-341): a window starts at every key k and
     holds values whose keys satisfy ``(key - k) < dist`` — the
@@ -219,9 +284,16 @@ def series_window_dist(s: Series, dist, agg: Callable[[Column], Column],
     rangeBetween(0, dist) is used and the boundary divergence (keys at
     exactly k + dist included) is accepted.  *dist* is in key units —
     for timestamp keys pass seconds.
+
+    With no ``by=`` and a single key level the global form routes to
+    series_window_dist_bucketed (dist-wide range buckets + one-hop
+    ghosts — no single-partition window); pass ``bucketed=False`` on
+    the Series method to force the plain shape.
     """
     s._require_ordered("window_dist")
     by = by or []
+    if bucketed and not by and len(s.key_cols) == 1:
+        return series_window_dist_bucketed(s, dist, agg)
     # the range-order level is the first key level NOT covered by the
     # partition columns (with by=[entity], that's the time level)
     key = next((k for k in s.key_cols if k not in by), s.key_cols[0])

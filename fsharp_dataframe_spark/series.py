@@ -641,10 +641,11 @@ class Series:
 
         return series_chunk_size(self, n, agg, boundary, by=by, bucketed=bucketed)
 
-    def window_dist_into(self, dist, agg: Callable[[Column], Column], by: list[str] | None = None) -> "Series":
+    def window_dist_into(self, dist, agg: Callable[[Column], Column],
+                         by: list[str] | None = None, bucketed: bool = True) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_window_dist
 
-        return series_window_dist(self, dist, agg, by=by)
+        return series_window_dist(self, dist, agg, by=by, bucketed=bucketed)
 
     def window_while_into(self, cond, agg, by: list[str] | None = None,
                           out_type: str = "double") -> "Series":

@@ -94,3 +94,28 @@ def test_bucketed_chunk_dist_plan_has_no_global_exchange(spark):
     out = s.chunk_dist_into(7, lambda seg: float(seg["value"].sum()))
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_bucketed_window_dist_matches_plain(spark):
+    # dist-wide range buckets + one-hop ghosts must equal the plain
+    # single-window shape for dists smaller/larger than bucket widths
+    from fsharp_dataframe_spark.operators.window import (
+        series_window_dist, series_window_dist_bucketed,
+    )
+
+    rng = random.Random(5)
+    keys = sorted(rng.sample(range(0, 3000), 400))
+    df = spark.createDataFrame([(k, float(rng.randint(0, 9))) for k in keys],
+                               "key int, value double")
+    s = Series(df, key="key", value="value", ordered=True)
+    for dist in (4, 150, 9999):
+        plain = _collect(series_window_dist(s, dist, F.sum, bucketed=False))
+        buck = _collect(series_window_dist_bucketed(s, dist, F.sum))
+        assert buck == plain, f"dist={dist}"
+
+
+def test_bucketed_window_dist_plan_has_no_global_exchange(spark):
+    s = _series(spark)
+    out = s.window_dist_into(9, F.sum)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
