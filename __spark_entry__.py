@@ -718,6 +718,34 @@ def q_ngram_jaccard(spark, sf) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+def q_clean_corpus(spark, sf) -> DataFrame:
+    """Training-data pipeline CAPSTONE — the dedup/quality operators
+    composed end-to-end the way a corpus-cleaning job runs them:
+    exact dedup (fingerprint keepers) → near-duplicate removal (drop
+    the larger id of any exact-Jaccard >= 0.5 pair among keepers — a
+    deterministic, SQL-replicable rule) → quality gate (>= 20 sub-word
+    tokens, digit ratio <= 0.2).  Every stage is one of the audited
+    operators (functions/dedup.py, functions/text.py); the oracle
+    replays the whole pipeline in SQL."""
+    from fsharp_dataframe_spark.functions import text as TX
+    from fsharp_dataframe_spark.functions.dedup import (
+        exact_dedup, ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    kept = exact_dedup(docs)
+    dupes = (ngram_jaccard_pairs(kept, threshold=0.5)
+             .select(F.col("id_b").alias("doc_id")).distinct())
+    survivors = kept.join(dupes, on="doc_id", how="left_anti")
+    c = F.col("text")
+    out = survivors.select(
+        "doc_id",
+        TX.bpe_ish_token_count(c).alias("n_subtok"),
+        F.round(TX.digit_ratio(c), 4).alias("digit_ratio"),
+    )
+    return out.filter((F.col("n_subtok") >= 20) & (F.col("digit_ratio") <= 0.2))
+
+
 def q_embed_topk(spark, sf) -> DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 embedding."""
     from fsharp_dataframe_spark.functions.similarity import brute_force_topk
@@ -916,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_hits": q_lang_hits,
         "text_quality": q_text_quality,
         "ngram_jaccard": q_ngram_jaccard,
+        "clean_corpus": q_clean_corpus,
         "embed_topk": q_embed_topk,
         "embed_centroids": q_embed_centroids,
         "embed_near_dup": q_embed_near_dup,
@@ -1399,6 +1428,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.2
+        """,
+        "clean_corpus": """
+            WITH keepers AS (
+              SELECT min(doc_id) AS doc_id
+              FROM documents
+              GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+            kd AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN keepers k ON d.doc_id = k.doc_id),
+            toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM kd),
+            sh AS (
+              SELECT doc_id, DISTINCT_SH.shingle FROM toks,
+              LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) DISTINCT_SH),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            neardup AS (
+              SELECT DISTINCT id_b AS doc_id FROM pairs
+              JOIN sizes sa ON sa.doc_id = pairs.id_a
+              JOIN sizes sb ON sb.doc_id = pairs.id_b
+              WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+            survivors AS (
+              SELECT kd.doc_id, kd.text FROM kd
+              LEFT JOIN neardup n ON kd.doc_id = n.doc_id
+              WHERE n.doc_id IS NULL),
+            scored AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS n_subtok,
+                     round(CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                       ELSE 0 END, 4) AS digit_ratio
+              FROM survivors)
+            SELECT doc_id, n_subtok, digit_ratio FROM scored
+            WHERE n_subtok >= 20 AND digit_ratio <= 0.2
         """,
         "embed_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

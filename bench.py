@@ -36,6 +36,7 @@ HEADLINE = [
     "chunk_while",
     "chunk_dist",
     "dedup_exact",
+    "clean_corpus",
     "text_stats",
     "ngram_jaccard",
     "minhash_pairs",
