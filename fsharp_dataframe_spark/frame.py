@@ -724,3 +724,18 @@ class Frame:
 
     def __truediv__(self, other):
         return self._arith(other, lambda a, b: a / b)
+
+    # reflected forms — the reference supports scalar-on-left frame
+    # arithmetic (2.0 - df, 2.0 / df: tests/.../Frame.fs:62-82); only
+    # scalar/Series reach these (Frame+Frame binds the normal form)
+    def __radd__(self, other):
+        return self._arith(other, lambda a, b: b + a)
+
+    def __rsub__(self, other):
+        return self._arith(other, lambda a, b: b - a)
+
+    def __rmul__(self, other):
+        return self._arith(other, lambda a, b: b * a)
+
+    def __rtruediv__(self, other):
+        return self._arith(other, lambda a, b: b / a)

@@ -134,3 +134,19 @@ def test_zip_subtract_msft_with_column_dropped(spark):
     assert adj is not None and adj > 0.0
     low = z.df.agg(F.sum("Low")).first()[0]
     assert low == 0.0
+
+
+def test_msft_reflected_scalar_and_series_arithmetic(spark):
+    # Frame.fs:62-106: scalar-on-left forms (2.0 - df, 2.0 / df) and
+    # frame ⊙ series — both operand orders, non-commutative ops pinned
+    fr = msft(spark).order_rows()
+    base = {r["Date"]: r["Open"] for r in fr.df.collect()}
+    inv = {r["Date"]: r["Open"] for r in (2.0 - fr).df.collect()}
+    assert all(inv[d] == 2.0 - base[d] for d in base)
+    recip = {r["Date"]: r["Open"] for r in (2.0 / fr).df.collect()}
+    assert all(recip[d] == 2.0 / base[d] for d in base)
+    opens = fr.get_series("Open")
+    # df - series: every numeric column reduced by that row's Open
+    diff = {r["Date"]: r["High"] for r in (fr - opens).df.collect()}
+    high = {r["Date"]: r["High"] for r in fr.df.collect()}
+    assert all(diff[d] == high[d] - base[d] for d in base)
