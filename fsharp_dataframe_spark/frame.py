@@ -663,11 +663,20 @@ class Frame:
         return self._with_df(self.df.fillna(const))
 
     def fill_missing(self, direction: str = "forward", cols: list[str] | None = None,
-                     by: list[str] | None = None) -> "Frame":
+                     by: list[str] | None = None, bucketed: bool = True) -> "Frame":
         """Directional fill on every (or selected) data column — one
-        window pass for all columns."""
+        window pass for all columns.  The global (no-``by``) form uses
+        the bucketed carry cascade (operators/bucketed.py), same as the
+        Series fill."""
         self._require_ordered("fill_missing(direction)")
         cols = cols or self.column_keys
+        if not by and bucketed:
+            from fsharp_dataframe_spark.operators.bucketed import (
+                bucketed_directional_fill,
+            )
+
+            out = bucketed_directional_fill(self.df, self.key_cols, cols, direction)
+            return self._with_df(out)
         w = Window.partitionBy(*(by or [])).orderBy(*[F.col(k) for k in self.key_cols])
         if direction == "forward":
             w = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -194,3 +194,68 @@ def haloed_lag_frame(
         aug = aug.unionByName(p)
     w = Window.partitionBy(_B).orderBy(*order)
     return aug, w, ~F.col(_GHOST)
+
+
+def bucketed_directional_fill(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | str,
+    direction: str = "forward",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global forward/backward fill WITHOUT a single-partition window.
+
+    The fill's reach is unbounded (a value can carry across the whole
+    series), so halos don't apply — but the cross-bucket state is one
+    value per filled column per bucket: fill inside each range bucket,
+    take each bucket's last (first) non-null ORIGINAL value per column,
+    cascade those over the tiny bucket spine (n_buckets rows — the same
+    broadcast carry the bucketed as-of uses), and patch rows the
+    in-bucket fill left NULL.  The carry spine is every bucket that HAS
+    rows, so a bucket whose values are all missing still receives the
+    carry from its predecessors (sparse-bucket completeness, pinned by
+    tests).  All columns share one window pass and one carry join.
+    """
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    order = [F.col(c) for c in key_cols]
+    cuts = range_cuts(df, key_cols[0], n_buckets)
+    b = _bucket_expr(F.col(key_cols[0]), cuts) if cuts else F.lit(0)
+    base = df.withColumn(_B, b)
+    if direction == "forward":
+        w_in = Window.partitionBy(_B).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0)
+        fill_in = {c: F.last(F.col(c), ignorenulls=True).over(w_in)
+                   for c in value_cols}
+        edges = [F.max_by(F.col(c),
+                          F.when(F.col(c).isNotNull(), F.struct(*order)))
+                 .alias(f"__edge_{c}") for c in value_cols]
+        cascade_w = Window.orderBy(F.col(_B)).rowsBetween(
+            Window.unboundedPreceding, -1)
+        carry_picks = [F.last(F.col(f"__edge_{c}"), ignorenulls=True)
+                       .over(cascade_w).alias(f"__carry_{c}") for c in value_cols]
+    elif direction == "backward":
+        w_in = Window.partitionBy(_B).orderBy(*order).rowsBetween(
+            0, Window.unboundedFollowing)
+        fill_in = {c: F.first(F.col(c), ignorenulls=True).over(w_in)
+                   for c in value_cols}
+        edges = [F.min_by(F.col(c),
+                          F.when(F.col(c).isNotNull(), F.struct(*order)))
+                 .alias(f"__edge_{c}") for c in value_cols]
+        cascade_w = Window.orderBy(F.col(_B)).rowsBetween(
+            1, Window.unboundedFollowing)
+        carry_picks = [F.first(F.col(f"__edge_{c}"), ignorenulls=True)
+                       .over(cascade_w).alias(f"__carry_{c}") for c in value_cols]
+    else:
+        raise ValueError(direction)
+    filled = base.withColumns(fill_in)
+    spine = base.select(_B).distinct()
+    per_bucket = base.groupBy(_B).agg(*edges)
+    carry = spine.join(per_bucket, _B, "left").select(F.col(_B), *carry_picks)
+    out = (
+        filled.join(F.broadcast(carry), on=_B, how="left")
+        .withColumns({c: F.coalesce(F.col(c), F.col(f"__carry_{c}"))
+                      for c in value_cols})
+        .drop(_B, *[f"__carry_{c}" for c in value_cols])
+    )
+    return out

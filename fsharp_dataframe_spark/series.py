@@ -509,15 +509,28 @@ class Series:
         out = self.df.withColumn(self.value_col, F.coalesce(self.value, f(self.key)))
         return self._with_df(out, canonicalize=True)
 
-    def fill_missing(self, direction: str = "forward", by: list[str] | None = None) -> "Series":
+    def fill_missing(self, direction: str = "forward", by: list[str] | None = None,
+                     bucketed: bool = True) -> "Series":
         """Directional fill — `fillMissing Direction.Forward/Backward`
         (src/SeriesModule.fs:652-655; engine src/Vectors/ArrayVector.fs:80-101).
 
         Forward = last non-null over preceding keys; values at the edges
         may remain missing — exactly the reference semantics.  Pass
-        ``by=`` to partition the fill per entity (the scalable form).
+        ``by=`` to partition the fill per entity; the global (no-``by``)
+        form defaults to the bucketed carry-cascade path (per-bucket
+        fill + one cascaded edge value per bucket — no data-sized
+        single-partition window; ``bucketed=False`` forces the plain
+        shape).
         """
         self._require_ordered("fill_missing(direction)")
+        if not by and bucketed:
+            from fsharp_dataframe_spark.operators.bucketed import (
+                bucketed_directional_fill,
+            )
+
+            out = bucketed_directional_fill(
+                self.df, self.key_cols, self.value_col, direction)
+            return self._with_df(out)
         w = Window.partitionBy(*(by or [])).orderBy(*self._key_order())
         if direction == "forward":
             w = w.rowsBetween(Window.unboundedPreceding, 0)

@@ -119,3 +119,47 @@ def test_bucketed_window_dist_plan_has_no_global_exchange(spark):
     out = s.window_dist_into(9, F.sum)
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_bucketed_directional_fill_matches_plain(spark):
+    # the carry cascade must equal the single-window fill, including
+    # buckets whose values are ALL missing (carry crosses them) and
+    # missing runs at the series edges (stay missing)
+    rng = random.Random(9)
+    rows = []
+    for i in range(400):
+        v = None if (i < 3 or i > 396 or rng.random() < 0.4) else float(i)
+        rows.append((i * 2, v))
+    # a long all-missing stretch spanning several buckets
+    rows[100:140] = [(k, None) for k, _ in rows[100:140]]
+    df = spark.createDataFrame(rows, "key int, value double")
+    s = Series(df, key="key", value="value", ordered=True)
+    for direction in ("forward", "backward"):
+        plain = _collect(s.fill_missing(direction, bucketed=False))
+        buck = _collect(s.fill_missing(direction))
+        assert buck == plain, direction
+
+
+def test_bucketed_fill_plan_no_data_sized_single_partition(spark):
+    # the only single-partition window allowed is the n_buckets-row
+    # carry spine; the data-path fill must partition by bucket
+    s = _series(spark)
+    out = s.fill_missing("forward")
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__gbucket" in plan, plan[:2000]
+
+
+def test_bucketed_frame_fill_matches_plain(spark):
+    from fsharp_dataframe_spark.frame import Frame
+
+    rng = random.Random(11)
+    rows = [(i, None if rng.random() < 0.5 else float(i),
+             None if rng.random() < 0.5 else float(i * 2)) for i in range(300)]
+    df = spark.createDataFrame(rows, "key int, a double, b double")
+    fr = Frame(df, key="key", ordered=True)
+    for direction in ("forward", "backward"):
+        plain = [tuple(r) for r in fr.fill_missing(direction, bucketed=False)
+                 .df.orderBy("key").collect()]
+        buck = [tuple(r) for r in fr.fill_missing(direction)
+                .df.orderBy("key").collect()]
+        assert buck == plain, direction
