@@ -381,6 +381,18 @@ def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode
     if by:
         grouped = s.df.groupBy(*by)
     else:
+        # mirror Spark's own WindowExec warning: an arbitrary-predicate
+        # scan over the whole series is ONE task; the distance forms
+        # (chunk_dist/window_dist) have parallel paths — route there
+        # when the predicate allows
+        import warnings
+
+        warnings.warn(
+            f"global (no by=) {mode} runs as a single sequential task; "
+            "use chunk_dist/window_dist for distance predicates or pass "
+            "by= for per-entity parallelism",
+            stacklevel=3,
+        )
         grouped = s.df.withColumn("__g", F.lit(0)).groupBy("__g")
         schema = schema  # __g not in output schema → dropped automatically
     out = grouped.applyInPandas(fn, schema)
