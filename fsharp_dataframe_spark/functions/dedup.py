@@ -290,9 +290,12 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # hash once, then plain bit-count sums (no per-row CASE WHEN): the
     # ±1 vote sum is 2·cnt_j − n, so vote_j > 0 ⟺ 2·cnt_j > n — exact
     # integers, bit-identical sketches at half the expression width.
-    # sum() skips the NULL row explode_outer adds for empty docs, and
-    # count(__tok) counts only real tokens, so n matches.
-    h = F.xxhash64(F.col("__tok"))
+    # xxhash64(NULL) is the seed (42), NOT NULL, so the NULL row that
+    # explode_outer adds for empty docs must be nulled explicitly or
+    # sum() would count 42's bits; with the guard, empty docs get
+    # all-NULL bit sums (NULL > 0 is NULL → bit 0) and sketch to 0,
+    # bit-identical with simhash()'s empty-array fold.
+    h = F.when(F.col("__tok").isNotNull(), F.xxhash64(F.col("__tok")))
     aggs = [F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
             for j in range(bits)]
     g = ex.groupBy(id_col).agg(*aggs, F.count(F.col("__tok")).alias("__n"))

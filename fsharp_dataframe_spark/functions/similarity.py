@@ -120,9 +120,19 @@ def lsh_buckets_all(vec: Column, dim: int, n_bits: int, n_tables: int) -> Column
 
     @pandas_udf("array<long>")
     def f(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
+        n = len(vs)
+        if n == 0:
             return pd.Series([], dtype=object)
-        m = np.stack(vs.to_numpy()).astype(np.float64)
+        vals = vs.to_numpy()
+        # NULL / wrong-length vectors would make np.stack throw (None
+        # becomes a scalar) and fail the whole task; give them a NULL
+        # bucket array instead — posexplode then skips them, matching
+        # the old per-bit Column expression's NULL propagation
+        ok = [i for i in range(n) if vals[i] is not None and len(vals[i]) == dim]
+        res = pd.Series([None] * n, dtype=object)
+        if not ok:
+            return res
+        m = np.stack([vals[i] for i in ok]).astype(np.float64)
         sims = np.zeros((m.shape[0], planes.shape[1]))
         for k in range(dim):  # fold order identical to dot()'s aggregate
             sims += m[:, k:k + 1] * planes[k:k + 1, :]
@@ -130,7 +140,9 @@ def lsh_buckets_all(vec: Column, dim: int, n_bits: int, n_tables: int) -> Column
         out = np.zeros((m.shape[0], n_tables), dtype=np.int64)
         for t in range(n_tables):  # integer sums: order-free, exact
             out[:, t] = bits[:, t * n_bits:(t + 1) * n_bits] @ weights
-        return pd.Series(list(out))
+        for row, i in enumerate(ok):
+            res.iloc[i] = out[row]
+        return res
 
     return f(vec)
 
@@ -256,14 +268,27 @@ def dot_batch(a: Column, b: Column) -> Column:
 
     @pandas_udf("double")
     def f(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.stack(va.to_numpy()).astype(np.float64)
-        mb = np.stack(vb.to_numpy()).astype(np.float64)
-        out = np.zeros(len(va))
-        for k in range(ma.shape[1]):  # fold order identical to dot()
-            out += ma[:, k] * mb[:, k]
-        return pd.Series(out)
+        n = len(va)
+        if n == 0:
+            return pd.Series([], dtype="Float64")
+        av, bv = va.to_numpy(), vb.to_numpy()
+        # NULL or length-mismatched sides would make np.stack throw and
+        # kill the task; score them NULL instead (the Column form's
+        # zip_with also yields NULL there).  Valid rows are batched by
+        # length so ragged corpora still vectorize.
+        res = pd.Series([pd.NA] * n, dtype="Float64")
+        bylen: dict[int, list[int]] = {}
+        for i in range(n):
+            if av[i] is not None and bv[i] is not None and len(av[i]) == len(bv[i]):
+                bylen.setdefault(len(av[i]), []).append(i)
+        for length, idxs in bylen.items():
+            ma = np.stack([av[i] for i in idxs]).astype(np.float64)
+            mb = np.stack([bv[i] for i in idxs]).astype(np.float64)
+            acc = np.zeros(len(idxs))
+            for k in range(length):  # fold order identical to dot()
+                acc += ma[:, k] * mb[:, k]
+            res.iloc[idxs] = acc
+        return res
 
     return f(a, b)
 

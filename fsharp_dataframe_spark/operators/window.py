@@ -28,6 +28,7 @@ pass an entity partition or pre-chunk by key range.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import Column, Window
@@ -231,14 +232,22 @@ def series_window_dist_bucketed(s: Series, dist, agg: Callable[[Column], Column]
         order_col, dtype = "__ord", "bigint"
     integral = dtype in ("tinyint", "smallint", "int", "bigint")
     hi = dist - 1 if integral else dist
-    dist_f = float(dist)
+    # keep ALL key comparisons in the key's own type: the quantile
+    # sketch returns float cuts (fine — cut placement only affects
+    # balance), but the bucket-id and ghost comparisons below decide
+    # CORRECTNESS, and float64 silently loses integer precision above
+    # 2^53 (epoch nanoseconds).  For integral keys the cuts are
+    # floored to ints and all arithmetic stays in bigint.
+    dist_n = int(dist) if integral else float(dist)
 
     cuts = range_cuts(df, order_col, n_buckets)
+    if integral:
+        cuts = sorted({int(math.floor(c)) for c in cuts})
     # merge cuts until adjacent intervals span >= dist (the one-hop
     # completeness guarantee); a window never reaches past the next cut
-    merged: list[float] = []
+    merged: list = []
     for c in cuts:
-        if not merged or c - merged[-1] >= dist_f:
+        if not merged or c - merged[-1] >= dist_n:
             merged.append(c)
     if not merged:
         # degenerate: one bucket — fall through to a single range window
@@ -248,15 +257,19 @@ def series_window_dist_bucketed(s: Series, dist, agg: Callable[[Column], Column]
             *s.key_cols, F.col(_VAL).alias(s.value_col))
         return s._with_df(out, canonicalize=True)
 
-    ocol = F.col(order_col).cast("double")
+    ocol = F.col(order_col) if integral else F.col(order_col).cast("double")
     barr = F.array(*[F.lit(c) for c in merged])
     b = F.size(F.filter(barr, lambda x: x <= ocol))
     base = df.withColumn("__wb", b).withColumn("__ghost", F.lit(False))
     # ghost: bucket i>=1 starts at merged[i-1]; its rows with
-    # key < start + dist also serve bucket i-1's trailing windows
-    start = F.element_at(barr, F.col("__wb"))
+    # key < start + dist also serve bucket i-1's trailing windows.
+    # greatest(__wb, 1) keeps element_at total — __wb=0 rows are
+    # filtered out by the first conjunct, but ANSI element_at(.., 0)
+    # always raises, and relying on And short-circuit order surviving
+    # the optimizer is fragile.
+    start = F.element_at(barr, F.greatest(F.col("__wb"), F.lit(1)))
     ghosts = (
-        base.filter((F.col("__wb") >= 1) & (ocol < start + F.lit(dist_f)))
+        base.filter((F.col("__wb") >= 1) & (ocol < start + F.lit(dist_n)))
         .withColumn("__wb", F.col("__wb") - 1)
         .withColumn("__ghost", F.lit(True))
     )
@@ -364,7 +377,10 @@ def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode
                 while j < n and cond(keys[i], keys[j]):
                     j += 1
                 seg = pdf.iloc[i:j]
-                key_vals = [pdf.iloc[i][k] for k in key_cols]
+                # column-first indexing: pdf.iloc[i][k] builds a row
+                # Series upcast to the common dtype (float64), which
+                # silently rounds int64 keys above 2^53
+                key_vals = [pdf[k].iloc[i] for k in key_cols]
                 rows.append((*key_vals, agg(seg) if len(seg) else None))
         else:  # chunk_while: sequential, start row always included
             i = 0
@@ -373,7 +389,10 @@ def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode
                 while j < n and cond(keys[i], keys[j]):
                     j += 1
                 seg = pdf.iloc[i:j]
-                key_vals = [pdf.iloc[i][k] for k in key_cols]
+                # column-first indexing: pdf.iloc[i][k] builds a row
+                # Series upcast to the common dtype (float64), which
+                # silently rounds int64 keys above 2^53
+                key_vals = [pdf[k].iloc[i] for k in key_cols]
                 rows.append((*key_vals, agg(seg)))
                 i = j
         return pd.DataFrame(rows, columns=key_cols + [value_col])
@@ -467,29 +486,56 @@ def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
 
     Driver-side data is the candidate maps: O(n_buckets × keys within
     one dist-window of a bucket start) — boundary data only, tiny
-    whenever chunks are smaller than buckets (the sensible regime; the
-    plain sequential path remains for the degenerate one).  Equivalence
-    vs the sequential reference shape is pinned by tests/test_window.py
-    and tests/test_bucketed.py.
+    whenever chunks are smaller than buckets.  That regime is ENFORCED,
+    not assumed: when ``dist`` is at least the narrowest bucket span
+    (so a bucket's dist-window could cover the whole bucket and the
+    candidate collect would pull ~the full key column to the driver),
+    the call falls back to the sequential reference shape instead.
+    Equivalence vs the sequential path is pinned by
+    tests/test_window.py and tests/test_bucketed.py.
     """
     import bisect
+    import warnings
 
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+    from pyspark.sql.types import IntegralType, StructField, StructType, _parse_datatype_string
 
     from fsharp_dataframe_spark.operators.bucketed import _bucket_expr, range_cuts
 
     s._require_ordered("chunk_dist")
     k = s.key_cols[0]
     value_col = s.value_col
-    dist_f = float(dist)
+    key_type = s.df.schema[k].dataType
+    # key arithmetic stays in the key's OWN type: float64 is exact for
+    # double keys but silently rounds integers above 2^53 (epoch
+    # nanoseconds), and the sequential path it must match uses exact
+    # Python ints
+    integral = isinstance(key_type, IntegralType)
+    dist_n = int(dist) if integral else float(dist)
 
     # cuts only — no census job: the carry cascade iterates whatever
     # raw bucket ids exist (sparse ids with gaps are fine), so one
     # quantile sketch replaces the census's extra count-by-bucket pass
     cuts = range_cuts(s.df, k, n_buckets)
-    bexpr = _bucket_expr(F.col(k), cuts) if cuts else F.lit(0)
+    spans = [b - a for a, b in zip(cuts, cuts[1:])]
+    if len(cuts) < 2 or float(dist) >= min(spans):
+        # degenerate regime: chunks are bucket-scale or the data is a
+        # quantile-less sliver — candidate maps would be ~the whole
+        # column.  The output here is tiny (≤ ~n_buckets chunks), so
+        # the sequential scan's single task is the honest plan.
+        warnings.warn(
+            "global chunk_dist: dist >= bucket key spacing — falling back "
+            "to the sequential single-task path (chunks are bucket-scale; "
+            "raise n_buckets only if the key range genuinely spans many "
+            "chunks)",
+            stacklevel=3,
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return series_chunk_while(
+                s, lambda f, t: (t - f) < dist, agg, None, out_type)
+    bexpr = _bucket_expr(F.col(k), cuts)
     out_schema = StructType([
         s.df.schema[k],
         StructField(value_col, _parse_datatype_string(out_type), True),
@@ -498,18 +544,18 @@ def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
 
     cand_schema = StructType([
         StructField("__cb", _parse_datatype_string("int"), False),
-        StructField("cand", _parse_datatype_string("double"), False),
-        StructField("exit", _parse_datatype_string("double"), False),
+        StructField("cand", key_type, False),
+        StructField("exit", key_type, False),
     ])
 
     def cand_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        keys = np.sort(pdf[k].to_numpy(dtype="float64"))
+        keys = np.sort(pdf[k].to_numpy())
         n = len(keys)
-        exits = np.empty(n)
+        exits = np.empty(n, dtype=keys.dtype)
         for i in range(n - 1, -1, -1):
-            j = int(np.searchsorted(keys, keys[i] + dist_f, side="left"))
+            j = int(np.searchsorted(keys, keys[i] + dist_n, side="left"))
             exits[i] = keys[i] if j >= n else exits[j]
-        hi = int(np.searchsorted(keys, keys[0] + dist_f, side="right"))
+        hi = int(np.searchsorted(keys, keys[0] + dist_n, side="right"))
         m = min(hi + 1, n)
         return pd.DataFrame({
             "__cb": [int(pdf["__cb"].iloc[0])] * m,
@@ -519,12 +565,15 @@ def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
 
     cand_rows = (base.select("__cb", k).groupBy("__cb")
                  .applyInPandas(cand_fn, cand_schema).collect())
-    by_bucket: dict[int, list[tuple[float, float]]] = {}
+    # collected values arrive as exact Python scalars (int for integral
+    # keys), so the cascade arithmetic below matches the sequential
+    # path bit-for-bit at any key magnitude
+    by_bucket: dict[int, list[tuple]] = {}
     for r in cand_rows:
         by_bucket.setdefault(r["__cb"], []).append((r["cand"], r["exit"]))
 
-    open_start: float | None = None
-    entry: dict[int, float] = {}
+    open_start = None
+    entry: dict[int, object] = {}
     for bkt in sorted(by_bucket):
         lst = sorted(by_bucket[bkt])
         cand_keys = [c for c, _ in lst]
@@ -533,7 +582,7 @@ def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
             open_start = lst[0][1]
             continue
         entry[bkt] = open_start
-        i = bisect.bisect_left(cand_keys, open_start + dist_f)
+        i = bisect.bisect_left(cand_keys, open_start + dist_n)
         if i < len(lst):
             open_start = lst[i][1]
         # else: the open chunk swallows the whole bucket — carry unchanged
@@ -546,15 +595,16 @@ def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
 
     def assign_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(k, ignore_index=True)
-        keys = pdf[k].to_numpy(dtype="float64")
+        keys = pdf[k].to_numpy()
         n = len(keys)
         starts = [entry[int(pdf["__cb"].iloc[0])]]
         while True:
-            j = int(np.searchsorted(keys, starts[-1] + dist_f, side="left"))
+            j = int(np.searchsorted(keys, starts[-1] + dist_n, side="left"))
             if j >= n:
                 break
-            starts.append(float(keys[j]))
-        idx = np.searchsorted(np.asarray(starts), keys, side="right") - 1
+            starts.append(keys[j].item())
+        idx = np.searchsorted(np.asarray(starts, dtype=keys.dtype), keys,
+                              side="right") - 1
         out = pdf[[k, value_col]].copy()
         out["__chunk"] = [starts[i] for i in idx]
         return out

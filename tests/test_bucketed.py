@@ -114,6 +114,53 @@ def test_bucketed_window_dist_matches_plain(spark):
         assert buck == plain, f"dist={dist}"
 
 
+def test_chunk_dist_guard_falls_back_when_dist_spans_buckets(spark):
+    # dist >= bucket key spacing would make the candidate collect pull
+    # ~the whole key column to the driver; the guard must reroute to the
+    # sequential path (with a warning) and still produce exact results
+    import warnings
+
+    from fsharp_dataframe_spark.operators.window import (
+        series_chunk_dist_bucketed, series_chunk_while,
+    )
+
+    s = _series(spark)  # keys 0..1497, 64-bucket spacing ~23
+    agg = lambda seg: float(seg["value"].sum())
+    dist = 400
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        buck = series_chunk_dist_bucketed(s, dist, agg)
+        got = _collect(buck)
+    assert any("falling back" in str(w.message) for w in caught)
+    seq = series_chunk_while(s, lambda f, t: (t - f) < dist, agg, None, "double")
+    assert got == _collect(seq)
+
+
+def test_bucketed_paths_exact_above_2_53(spark):
+    # integer keys above 2^53 (epoch nanoseconds) are NOT representable
+    # in float64; the bucketed chunk_dist/window_dist arithmetic must
+    # stay in int64 and match the exact sequential/plain shapes
+    from fsharp_dataframe_spark.operators.window import (
+        series_chunk_dist_bucketed, series_chunk_while,
+        series_window_dist, series_window_dist_bucketed,
+    )
+
+    base = 2 ** 53 + 1  # odd: rounds to 2^53 in float64
+    rng = random.Random(7)
+    keys = sorted(rng.sample(range(base, base + 3000), 400))
+    df = spark.createDataFrame([(k, float(rng.randint(0, 9))) for k in keys],
+                               "key long, value double")
+    s = Series(df, key="key", value="value", ordered=True)
+    agg = lambda seg: float(seg["value"].sum())
+    for dist in (4, 11):
+        seq = series_chunk_while(s, lambda f, t: (t - f) < dist, agg, None, "double")
+        buck = series_chunk_dist_bucketed(s, dist, agg, n_buckets=16)
+        assert _collect(buck) == _collect(seq), f"chunk dist={dist}"
+        plain = _collect(series_window_dist(s, dist, F.sum, bucketed=False))
+        wbuck = _collect(series_window_dist_bucketed(s, dist, F.sum, n_buckets=16))
+        assert wbuck == plain, f"window dist={dist}"
+
+
 def test_bucketed_window_dist_plan_has_no_global_exchange(spark):
     s = _series(spark)
     out = s.window_dist_into(9, F.sum)

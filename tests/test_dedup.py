@@ -105,6 +105,26 @@ def test_simhash_candidate_generation_is_complete(spark):
     assert got == exact
 
 
+def test_simhash_table_bit_identical_including_empty_docs(spark):
+    # simhash_table must match the Column-expression simhash() on every
+    # doc, INCLUDING empty/whitespace-only docs: xxhash64(NULL) is the
+    # seed (42), so the explode_outer NULL row must not vote — empty
+    # docs sketch to 0 (the empty-array fold), not 42.
+    from fsharp_dataframe_spark.functions.dedup import simhash, simhash_table
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, ""),
+         (2, "   "),
+         (3, "one more perfectly ordinary document body here")],
+        "doc_id long, text string")
+    expr = {r["doc_id"]: r["sh"] for r in
+            df.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    tab = {r["doc_id"]: r["sh"] for r in simhash_table(df).collect()}
+    assert tab == expr
+    assert tab[1] == 0 and tab[2] == 0
+
+
 def test_ngram_skew_guard_exact_values_and_bounded_candidates(spark):
     # skewed corpus: every doc shares one boilerplate sentence (a hot
     # shingle in ALL docs); real near-dup pairs overlap on their own

@@ -90,6 +90,39 @@ def test_cosine_near_dup_cascade_recall(spark):
     assert recall >= 0.9, f"cascade recall {recall}"
 
 
+def test_null_and_ragged_vectors_dont_kill_tasks(spark):
+    # NULL embeddings (None rows) and wrong-length vectors made the
+    # Arrow UDFs' np.stack throw, failing whole tasks; they must instead
+    # score/bucket NULL and drop out of the results, like the Column
+    # expressions they replaced
+    from fsharp_dataframe_spark.functions.similarity import (
+        cosine_near_dup_pairs, dot_batch, lsh_buckets_all,
+    )
+
+    df, rows = _clustered(spark, n_clusters=6, per_cluster=8)
+    dirty = df.unionByName(spark.createDataFrame(
+        [(900, -1, None), (901, -1, [1.0, 2.0])],
+        "vec_id int, cluster int, embedding array<double>"))
+    # bucketing: clean vectors keep their buckets, dirty rows get NULL
+    b = dirty.select("vec_id", lsh_buckets_all(
+        F.col("embedding"), DIM, 8, 2).alias("bk")).collect()
+    by_id = {r["vec_id"]: r["bk"] for r in b}
+    assert by_id[900] is None and by_id[901] is None
+    assert all(v is not None for k, v in by_id.items() if k < 900)
+    # pair scoring: NULL/ragged sides score NULL (dropped by threshold)
+    p = dirty.alias("x").crossJoin(dirty.alias("y")).select(
+        F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib"),
+        dot_batch(F.col("x.embedding"), F.col("y.embedding")).alias("d"))
+    nulls = {(r["ia"], r["ib"]) for r in p.filter(F.col("d").isNull()).collect()}
+    assert all(900 in pr or 901 in pr for pr in nulls)
+    assert any(900 in pr for pr in nulls)
+    # end-to-end cascade on the dirty corpus: runs, and never pairs 900/901
+    out = cosine_near_dup_pairs(dirty, threshold=0.9).collect()
+    assert out, "clean near-dup pairs must survive"
+    assert all(r["id_a"] not in (900, 901) and r["id_b"] not in (900, 901)
+               for r in out)
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     # centroids = the true cluster centers' first members; probing the
     # query's cell must recover the brute-force top-k (same cluster)
