@@ -733,7 +733,15 @@ def q_clean_corpus(spark, sf) -> DataFrame:
     )
 
     docs = load_table(spark, sf, "documents")
-    kept = exact_dedup(docs)
+    # stage boundary: the deduped corpus feeds BOTH the near-dup pair
+    # join (twice, via the shingle self-join) and the survivor
+    # anti-join — persist it once instead of recomputing the
+    # fingerprint groupBy per consumer.  At cluster scale this is
+    # where a real pipeline writes the intermediate corpus to parquet;
+    # MEMORY_AND_DISK is the in-session equivalent.
+    from pyspark import StorageLevel
+
+    kept = exact_dedup(docs).persist(StorageLevel.MEMORY_AND_DISK)
     dupes = (ngram_jaccard_pairs(kept, threshold=0.5)
              .select(F.col("id_b").alias("doc_id")).distinct())
     survivors = kept.join(dupes, on="doc_id", how="left_anti")
@@ -884,9 +892,13 @@ def q_simhash_pairs(spark, sf) -> DataFrame:
 def q_near_dedup(spark, sf) -> DataFrame:
     """Production near-dedup cascade: LSH candidates → exact Jaccard
     verification on candidates only.  Output values are EXACT Jaccard,
-    so the oracle is the all-pairs exact query restricted to pairs the
-    cascade found — the pytest cross-check additionally pins recall
-    >= 0.9 vs the full exact tier (tests/test_dedup.py)."""
+    and the cascade's recall on this corpus is TOTAL (deterministic
+    xxhash64 band family; verified cascade == exact tier at sf0.001,
+    0.01 and 0.1), so the oracle is simply the all-pairs exact SQL —
+    a hash mismatch here means a recall regression, which is exactly
+    what the hard signal should catch.  The pytest cross-check pins
+    recall >= 0.9 on planted duplicates independently
+    (tests/test_dedup.py)."""
     from fsharp_dataframe_spark.functions.dedup import near_dedup_pairs
 
     docs = load_table(spark, sf, "documents")
@@ -1457,6 +1469,30 @@ def _all_oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.2
+        """,
+        # the cascade's deterministic recall is total on this corpus
+        # (see q_near_dedup), so its oracle is the exact all-pairs SQL;
+        # the filter applies to the ROUNDED value because the Spark
+        # side thresholds round(jaccard, 4)
+        "near_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, DISTINCT_SH.shingle FROM toks,
+              LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) DISTINCT_SH),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2
         """,
         "clean_corpus": """
             WITH keepers AS (
