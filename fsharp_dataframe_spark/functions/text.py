@@ -122,6 +122,77 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
+# ---------------------------------------------------------------------
+# PII scrubbing / URL analysis (parity-plus: corpus-cleaning staples)
+# ---------------------------------------------------------------------
+
+# deliberately conservative, SQL-portable regexes (no lookbehind): a
+# corpus scrubber optimizes for recall on the common shapes and accepts
+# some false positives — the replacement token keeps documents usable.
+PII_PATTERNS: dict[str, str] = {
+    # local-part@domain.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # international-ish phone runs: optional +CC, separators, 7+ digits
+    "phone": r"\+?\d[\d ().-]{6,}\d",
+    # IPv4 dotted quad
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # 13-19 digit card-shaped runs with optional space/dash groups
+    "card": r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,7}\b",
+}
+# order matters: longer/more-specific shapes first so e.g. a card
+# number is not half-eaten by the phone pattern
+PII_ORDER = ("email", "card", "ip", "phone")
+
+URL_PATTERN = r"https?://[^\s<>\"')\]]+"
+
+
+def scrub_pii(col: Column, kinds: tuple[str, ...] = PII_ORDER) -> Column:
+    """Replace PII-shaped spans with ``<KIND>`` tokens — one
+    regexp_replace per kind, chained, whole-stage codegen, linear in
+    document length (the 100 TB shape: embarrassingly parallel, no
+    shuffle)."""
+    out = col
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(col: Column, kinds: tuple[str, ...] = PII_ORDER) -> Column:
+    """Struct of per-kind match counts — the audit signal (how much got
+    scrubbed) without materializing the matches."""
+    return F.struct(*[
+        F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[k]), F.lit(0))).alias(k)
+        for k in kinds
+    ])
+
+
+def extract_urls(col: Column) -> Column:
+    """All http(s) URLs in the document (array<string>)."""
+    return F.regexp_extract_all(col, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-ish domain of a URL: the host, lowercased, port and
+    leading ``www.`` stripped.  parse_url is JVM-native."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def domain_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-domain corpus stats: how many docs cite a domain and how
+    often (C4-style source accounting).  explode(extract_urls) →
+    groupBy(domain): ONE shuffle keyed by domain; hot domains are a
+    groupBy skew (bounded by agg partial-combine), never a join."""
+    urls = df.select(F.col(id_col),
+                     F.explode(extract_urls(F.col(text_col))).alias("url"))
+    return (urls.withColumn("domain", url_domain(F.col("url")))
+            .filter(F.col("domain").isNotNull())
+            .groupBy("domain")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count("*").alias("n_urls")))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the standard text-analysis columns."""
     c = F.col(text_col)

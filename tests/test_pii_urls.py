@@ -1,0 +1,80 @@
+"""PII scrubbing and URL/domain analysis (functions/text.py) — corpus
+cleaning parity-plus operators, cross-checked against DuckDB regexes
+on the real documents table."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.functions.text import (
+    PII_PATTERNS, domain_stats, extract_urls, pii_counts, scrub_pii,
+    url_domain,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scrub_pii_replaces_each_kind(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at alice.smith+x@example.co.uk or call +1 (555) 123-4567"),
+         (2, "server 192.168.10.1 charged card 4111 1111 1111 1111 today"),
+         (3, "nothing sensitive here at all")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["clean"] for r in
+           df.select("doc_id", scrub_pii(F.col("text")).alias("clean")).collect()}
+    assert "<EMAIL>" in out[1] and "alice" not in out[1]
+    assert "<PHONE>" in out[1] and "4567" not in out[1]
+    assert "<IP>" in out[2] and "192.168" not in out[2]
+    assert "<CARD>" in out[2] and "4111" not in out[2]
+    assert out[3] == "nothing sensitive here at all"
+
+
+def test_pii_counts_struct(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.com and c@d.org but only one ip 10.0.0.1")],
+        "doc_id int, text string")
+    r = df.select(pii_counts(F.col("text")).alias("p")).first()["p"]
+    assert r["email"] == 2 and r["ip"] == 1 and r["card"] == 0
+
+
+def test_url_extraction_and_domains(spark):
+    df = spark.createDataFrame(
+        [(1, 'see https://www.Example.com/path?q=1 and http://sub.other.org:8080/x '
+             "plus (https://example.com/two) trailing"),
+         (2, "no links")],
+        "doc_id int, text string")
+    urls = df.select("doc_id", F.explode(extract_urls(F.col("text"))).alias("u"))
+    got = [r["u"] for r in urls.filter(F.col("doc_id") == 1).collect()]
+    assert len(got) == 3
+    doms = {r["d"] for r in urls.select(url_domain(F.col("u")).alias("d")).collect()}
+    assert doms == {"example.com", "sub.other.org"}
+
+
+def test_domain_stats_counts_docs_and_urls(spark):
+    df = spark.createDataFrame(
+        [(1, "x https://a.com/1 y https://a.com/2 z https://b.net/"),
+         (2, "https://a.com/3"),
+         (3, "plain text")],
+        "doc_id int, text string")
+    rows = {r["domain"]: (r["n_docs"], r["n_urls"])
+            for r in domain_stats(df).collect()}
+    assert rows == {"a.com": (2, 3), "b.net": (1, 1)}
+
+
+def test_email_scrub_matches_duckdb_on_documents(spark):
+    # cross-engine pin on real corpus text: the email regex (the only
+    # PII kind whose pattern syntax is identical across engines) must
+    # find the same per-doc match counts as DuckDB
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF, "documents")
+    got = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(PII_PATTERNS["email"]), F.lit(0))).alias("n"),
+    ).collect()}
+    con = duckdb.connect()
+    exp = {r[0]: r[1] for r in con.execute(f"""
+        SELECT doc_id, len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+        FROM '{SF}/documents.parquet'
+    """).fetchall()}
+    assert got == exp
