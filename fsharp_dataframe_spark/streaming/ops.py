@@ -94,6 +94,90 @@ def stream_exact_dedup(
     return sdf.withWatermark(ts_col, watermark).dropDuplicates(id_cols)
 
 
+def stream_near_dup_candidates(
+    sdf: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Streaming near-duplicate CANDIDATES: documents arriving within
+    one watermark horizon of each other that collide in a MinHash LSH
+    band — the streaming ingest face of the batch cascade
+    (functions/dedup.py minhash_lsh_pairs; same band construction, so
+    a candidate pair here is a candidate pair there).
+
+    Shape: per-doc band signatures (narrow map, no state) → watermarked
+    stream-stream SELF-join on (band, band_sig) with a bounded time
+    range — Spark keeps only one horizon of band keys in state, so
+    state is O(rate × watermark), independent of corpus size.  The
+    exact-Jaccard verify tier stays a batch job over the emitted
+    candidate ids (verification needs full documents; at 100 TB you
+    do not hold the corpus in stream state).
+
+    Returns (id_a, id_b, band) — deduplication of multi-band
+    collisions is the downstream batch verify's first groupBy (a
+    streaming dropDuplicates here would hold every emitted pair in
+    state for the horizon for no correctness gain).
+    """
+    from fsharp_dataframe_spark.functions.dedup import word_shingles
+
+    r = k // bands
+    # the batch path's explode→groupBy signature (minhash_signatures)
+    # would be a stateful aggregation here, and Spark does not allow a
+    # stream-stream join downstream of one — so the signature is a
+    # single aggregate-fold over the shingle array: ONE reference to
+    # the (expensive) shingle construction, k mins updated per shingle.
+    # Interpreted HOF, slower per row than the batch shape — the
+    # streaming ingest trade is bounded state and legal plan shape,
+    # not batch throughput.  Signatures are BIT-IDENTICAL to
+    # minhash_signatures (same xxhash64 family, same "i|shingle"
+    # preimage), so candidates here are candidates there.
+    sh = word_shingles(F.col(text_col), n)
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), k)
+    sig = F.aggregate(
+        sh, init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.concat(F.lit(str(i) + "|"), s))
+                      for i in range(k)]),
+            lambda a, h: F.least(a, h)))
+    banded = sdf.select(
+        F.col(id_col), F.col(ts_col), sig.alias("__mh"),
+    ).select(
+        id_col, ts_col,
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[F.col("__mh")[b * r + j].cast("string")
+                                          for j in range(r)]))
+            for b in range(bands)
+        ])).alias("band", "band_sig"),
+    ).withWatermark(ts_col, watermark)
+
+    l = banded.alias("l")
+    rr = banded.alias("r")
+    # bounded-range condition: required for stream-stream state cleanup
+    return (
+        l.join(
+            rr,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            # symmetric bound: id order is independent of arrival order,
+            # so the range must cover r before OR after l; both
+            # inequalities are still watermark-bounded, so state on each
+            # side is one horizon deep
+            & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {watermark}"))
+            & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {watermark}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.band").alias("band"))
+    )
+
+
 def stream_latest_by(
     sdf: DataFrame,
     by: list[str],

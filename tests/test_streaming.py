@@ -76,6 +76,36 @@ def test_stream_latest_by_matches_batch(spark, events_stream_dir):
     assert got == exp
 
 
+def test_stream_near_dup_candidates_match_batch_bands(spark, tmp_path):
+    # the stream-stream band join must produce exactly the batch LSH
+    # candidate pairs (same xxhash64 signature family) for docs within
+    # one watermark horizon of each other
+    import datetime
+
+    from fsharp_dataframe_spark.functions.dedup import minhash_lsh_pairs
+    from fsharp_dataframe_spark.streaming.ops import stream_near_dup_candidates
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    t0 = datetime.datetime(2024, 1, 1)
+    timed = docs.select(
+        "doc_id", "text",
+        F.to_timestamp(F.lit(t0) + F.make_interval(
+            secs=F.col("doc_id").cast("double") % 60)).alias("ts"))
+    d = str(tmp_path / "docs_stream")
+    timed.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, timed.schema)
+    out = stream_near_dup_candidates(s, watermark="10 minutes")
+    name = run_to_memory(out, "t_neardup")
+    got = {(r["id_a"], r["id_b"])
+           for r in spark.sql(f"SELECT DISTINCT id_a, id_b FROM {name}").collect()}
+    # batch candidates = pairs sharing any band (threshold 0: keep all
+    # LSH collisions, the candidate tier the stream mirrors)
+    exp = {(r["id_a"], r["id_b"])
+           for r in minhash_lsh_pairs(timed, threshold=0.0).collect()}
+    assert got == exp
+    assert got, "planted duplicates must collide"
+
+
 def test_stream_session_windows_runs(spark, events_stream_dir):
     s = _events_stream(spark, events_stream_dir)
     out = stream_session_windows(s, "2 hours", ["user_id"])
