@@ -229,6 +229,44 @@ def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
     )
 
 
+def contamination_overlap(docs: DataFrame, benchmark: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          bench_text_col: str | None = None,
+                          n: int = 3) -> DataFrame:
+    """Benchmark DECONTAMINATION: per training document, its distinct
+    word n-gram shingles that appear in ANY benchmark document.
+
+    The training-data hygiene step run before every model train: eval
+    benchmarks must not leak into the corpus, and the standard test is
+    n-gram overlap.  Returns (id_col, n_sh, n_hit, contamination)
+    where contamination = n_hit / n_sh; filter contamination >= τ (or
+    n_hit >= k) to quarantine.
+
+    Scale shape: the benchmark side is SMALL by nature (eval sets are
+    thousands of documents, not billions), so its distinct shingle set
+    is broadcast and the probe is a map-side LEFT SEMI join — the
+    corpus-side shingle relation never shuffles on the shingle key.
+    For a benchmark too large to broadcast, drop the hint and the same
+    plan degrades to a shuffle semi-join, still O(corpus shingles).
+    """
+    bench_sh = (
+        shingle_table(benchmark, id_col=id_col,
+                      text_col=bench_text_col or text_col, n=n)
+        .select("shingle").distinct()
+    )
+    doc_sh = shingle_table(docs, id_col=id_col, text_col=text_col, n=n)
+    sizes = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    hits = (doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+            .groupBy(id_col).agg(F.count("*").alias("n_hit")))
+    return (
+        sizes.join(hits, id_col, "left")
+        .select(F.col(id_col), F.col("n_sh"),
+                F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+                F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_sh"), 4)
+                 .alias("contamination"))
+    )
+
+
 def near_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                      n: int = 3, k: int = 32, bands: int = 8,
                      threshold: float = 0.5, candidate_margin: float = 0.15) -> DataFrame:

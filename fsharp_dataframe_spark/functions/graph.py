@@ -1,0 +1,140 @@
+"""Distributed graph helpers for the dedup pipeline.
+
+The reference library has no graph operators; this module exists for
+the training-data use case the near-duplicate detectors feed: pair
+lists (from minhash_lsh_pairs / simhash_pairs / cosine_near_dup_pairs
+/ ngram_jaccard_pairs) are EDGES, and "keep one document per duplicate
+group" needs the connected components of that graph, not just the
+pairs.  Transitivity matters: if A~B and B~C, dropping "the larger of
+each pair" keeps A and C even though they may be mutual near-dups
+through B — component-wise canonicalization is the correct endpoint.
+
+Algorithm: alternating large-star / small-star contraction (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC 2014) — the shuffle-native formulation:
+every round is a groupBy(node) + join, converges in O(log^2 n) rounds
+(2-4 in practice for near-dup graphs, whose components are shallow),
+and never materializes a component as a single task's worth of data.
+That is the property that matters at 100 TB: label-propagation needs
+diameter rounds (a pathological dup-chain makes that O(n)), and a
+driver-side union-find needs all edges on one machine; star
+contraction needs neither.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set, canonical (hi > lo), self-loops dropped."""
+    e = edges.select(F.col(src).cast("long").alias("a"),
+                     F.col(dst).cast("long").alias("b"))
+    e = e.filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                 & (F.col("a") != F.col("b")))
+    return e.select(F.greatest("a", "b").alias("hi"),
+                    F.least("a", "b").alias("lo")).dropDuplicates()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # directed both ways; for each u: m = min(neighbors ∪ {u}); connect
+    # every LARGER neighbor v to m.  (v > u >= m, so output is canonical
+    # and self-loop-free by construction.)
+    d = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+    m = d.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (d.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .dropDuplicates())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # canonical (hi, lo) already points large → small; for each hi:
+    # m = min of its smaller neighbors; connect hi and every non-min
+    # smaller neighbor to m.
+    m = e.groupBy("hi").agg(F.min("lo").alias("m"))
+    moved = (e.join(m, "hi")
+             .filter(F.col("lo") != F.col("m"))
+             .select(F.col("lo").alias("hi"), F.col("m").alias("lo")))
+    root = m.select(F.col("hi"), F.col("m").alias("lo"))
+    return moved.union(root).dropDuplicates()
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 30) -> DataFrame:
+    """Connected components of an undirected graph given as an edge list.
+
+    Returns (node BIGINT, component BIGINT) for every node that appears
+    in `edges`, where component = the smallest node id reachable from
+    it.  Nodes with no edges simply don't appear — callers wanting
+    singleton components left-join and coalesce to the node id (see
+    duplicate_clusters).
+
+    Scale shape: each round is one groupBy + one join on node ids (no
+    component ever gathers into a single task); lineage is cut with an
+    eager localCheckpoint per round so the plan stays O(1) deep across
+    iterations — on a real cluster with fault-tolerance requirements,
+    point SparkContext.setCheckpointDir at durable storage and swap
+    localCheckpoint for checkpoint.  Convergence is checked with a
+    single count+hash aggregate per round (edge sets are compared by
+    (count, sum(xxhash64)) — no driver-side edge materialization).
+    """
+    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+
+    def sig(df: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-free and overflow-free under ANSI mode (a
+        # sum() of xxhash64 values throws ARITHMETIC_OVERFLOW); edges
+        # are distinct post-dropDuplicates so xor-cancellation of
+        # repeated rows cannot happen
+        r = df.agg(F.count("*").alias("n"),
+                   F.coalesce(F.expr("bit_xor(xxhash64(hi, lo))"),
+                              F.lit(0)).alias("h")).first()
+        return (r["n"], r["h"])
+
+    prev = sig(e)
+    if prev[0] == 0:
+        return e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = sig(e2)
+        e.unpersist()
+        e = e2
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # fixed point of small-star is a star forest: every edge is
+    # (member, root); roots appear only on the lo side.
+    members = e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    roots = e.select(F.col("lo").alias("node"),
+                     F.col("lo").alias("component")).dropDuplicates()
+    return members.union(roots)
+
+
+def duplicate_clusters(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       pair_cols: tuple[str, str] = ("id_a", "id_b")) -> DataFrame:
+    """Component-wise duplicate clustering: every document labelled with
+    its duplicate-cluster id (= min doc id in its connected component of
+    the near-dup pair graph), the cluster size, and whether it is the
+    canonical survivor.  `keep one per cluster` = filter is_canonical.
+
+    Returns (id_col, cluster_id, cluster_size, is_canonical), one row
+    per input document (singletons form their own cluster of size 1).
+    """
+    cc = connected_components(pairs, src=pair_cols[0], dst=pair_cols[1])
+    asg = (docs.select(F.col(id_col).cast("long").alias(id_col))
+           .join(cc, on=F.col(id_col) == F.col("node"), how="left")
+           .select(id_col,
+                   F.coalesce("component", id_col).alias("cluster_id")))
+    sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    # cluster cardinality is tiny relative to the corpus (one row per
+    # cluster) — at scale AQE broadcasts it; the alternative window
+    # over partitionBy(cluster_id) would shuffle the full corpus twice.
+    return (asg.join(sizes, "cluster_id")
+            .select(id_col, "cluster_id", "cluster_size",
+                    (F.col(id_col) == F.col("cluster_id")).alias("is_canonical")))

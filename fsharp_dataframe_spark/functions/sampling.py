@@ -1,0 +1,168 @@
+"""Deterministic sampling / splitting / sharding for training-data
+pipelines.
+
+Everything here is HASH-deterministic, never rand()-based: a 100 TB
+pipeline re-runs stages, re-partitions inputs, and retries tasks, so a
+row's split/sample fate must be a pure function of the row (Spark's
+rand() is seeded per-partition — a repartition reassigns every row).
+The hash is the first 8 hex digits of md5, which every engine in the
+stack can compute (Spark `conv(substring(md5(x),1,8),16,10)`, DuckDB
+`('0x' || substring(md5(x),1,8))::BIGINT`), so the DuckDB oracles
+replay splits EXACTLY — and so would a downstream pandas/Polars
+consumer checking a sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.column import Column
+
+from fsharp_dataframe_spark.functions.text import bpe_ish_token_count
+
+_SCALE = float(1 << 32)
+
+
+def hash32(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform BIGINT in [0, 2^32) from md5(value||salt) —
+    the portable primitive every split/sample here builds on."""
+    return F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))),
+                              1, 8), 16, 10).cast("long")
+
+
+def hash_unit(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform double in [0, 1): hash32 / 2^32.
+
+    32 hash bits give ~2.3e-10 resolution — plenty for split fractions,
+    and small enough that the integer fits a BIGINT in every engine.
+    """
+    return hash32(col, salt) / F.lit(_SCALE)
+
+
+def split_bounds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(label, exclusive upper hash32 bound) per split, in order.
+
+    Bounds are EXACT integers (floor of the cumulative fraction of
+    2^32), so split membership is an integer compare — no accumulated
+    float thresholds (0.8 + 0.1 = 0.9000000000000001 would disagree
+    with an oracle's literal 0.9 for ~1 hash value in 10^16; integer
+    bounds make Spark, SQL oracles, and any other engine agree on
+    every row).  The last bound is exactly 2^32.
+    """
+    total = sum(weights.values())
+    items = list(weights.items())
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in items[:-1]:
+        acc += w
+        bounds.append((name, int((acc / total) * _SCALE)))
+    bounds.append((items[-1][0], 1 << 32))
+    return bounds
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float] | None = None,
+               salt: str = "", split_col: str = "split") -> DataFrame:
+    """Assign every row a deterministic split label ("train"/"test"/...)
+    with the given weights (need not sum to 1; they are normalized).
+
+    Pure narrow projection — no shuffle, no state, stable under
+    re-partitioning and incremental ingest (a new row's label never
+    depends on other rows).  Change `salt` to draw a fresh split.
+    """
+    weights = weights or {"train": 0.9, "test": 0.1}
+    h = hash32(F.col(id_col), salt)
+    expr = None
+    bounds = split_bounds(weights)
+    for name, hi in bounds[:-1]:
+        cond = h < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = bounds[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, expr)
+
+
+def stratified_hash_sample(df: DataFrame, id_col: str,
+                           fractions: float | dict[str, float],
+                           strata_col: str | None = None,
+                           salt: str = "") -> DataFrame:
+    """Deterministic (repartition-stable) sample: keep a row iff
+    hash_unit(id) < fraction, optionally with a per-stratum fraction
+    map (strata_col value -> fraction; absent strata keep nothing).
+
+    Unlike DataFrame.sample / sampleBy, the kept set is a pure function
+    of ids — reruns, retries and incremental appends agree on it.
+    """
+    u = hash_unit(F.col(id_col), salt)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("strata_col required with a fractions dict")
+        pairs = []
+        for k, v in fractions.items():
+            pairs.extend([F.lit(k), F.lit(float(v))])
+        frac = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(strata_col).cast("string")),
+            F.lit(0.0))
+    else:
+        frac = F.lit(float(fractions))
+    return df.filter(u < frac)
+
+
+def with_global_weighted_cumsum(df: DataFrame, key_cols: list[str],
+                                weight_col: str, n_buckets: int = 64,
+                                cum_col: str = "__gcum") -> tuple[DataFrame, int]:
+    """EXCLUSIVE global prefix sum of an integer weight along key order,
+    without a global window: quantile range buckets on the leading key,
+    one per-bucket sum census (n_buckets rows to the driver), then an
+    intra-bucket window cumsum plus the bucket's literal offset — the
+    weighted sibling of bucketed.with_global_positions.  Keys must be
+    unique (ties would make the prefix order nondeterministic).
+
+    Returns (df + cum_col, grand_total).
+    """
+    from fsharp_dataframe_spark.operators.bucketed import (
+        _bucket_expr, _offset_expr, range_cuts,
+    )
+
+    cuts = range_cuts(df, key_cols[0], n_buckets)
+    b = _bucket_expr(F.col(key_cols[0]), cuts) if cuts else F.lit(0)
+    tmp = df.withColumn("__wb", b)
+    per = {r["__wb"]: r["s"] or 0
+           for r in tmp.groupBy("__wb")
+                       .agg(F.sum(F.col(weight_col).cast("long")).alias("s"))
+                       .collect()}
+    offsets: dict[int, int] = {}
+    run = 0
+    for k in sorted(per):
+        offsets[k] = run
+        run += per[k]
+    w = (Window.partitionBy("__wb").orderBy(*[F.col(k) for k in key_cols])
+         .rowsBetween(Window.unboundedPreceding, -1))
+    out = tmp.withColumn(
+        cum_col,
+        (_offset_expr(F.col("__wb"), offsets)
+         + F.coalesce(F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0))
+         ).cast("long"))
+    return out.drop("__wb"), run
+
+
+def pack_shards(df: DataFrame, target_tokens: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 64) -> DataFrame:
+    """Pack documents (in id order) into contiguous shards of ~target
+    tokens: shard = floor(exclusive_prefix_tokens / target).
+
+    This is offset binning, the contiguous-shard discipline a training
+    run wants (shard boundaries are reproducible byte offsets into the
+    token stream, shards differ from target by at most one document).
+    The prefix sum runs on the bucketed substrate — no global window,
+    no single-task sort, one tiny census collect — so the plan is the
+    same shape at 100 TB.
+
+    Returns (id_col, n_tokens, shard).
+    """
+    wdf = df.select(F.col(id_col),
+                    bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_tokens"))
+    out, _total = with_global_weighted_cumsum(wdf, [id_col], "n_tokens", n_buckets)
+    return out.select(
+        id_col, "n_tokens",
+        F.floor(F.col("__gcum") / F.lit(int(target_tokens))).cast("long").alias("shard"))
