@@ -905,21 +905,85 @@ def q_near_dedup(spark, sf) -> DataFrame:
     return near_dedup_pairs(docs, threshold=0.2)
 
 
+def q_dedup_clusters(spark, sf) -> DataFrame:
+    """Duplicate CLUSTERING: connected components of the near-dup pair
+    graph (alternating large-star/small-star contraction,
+    functions/graph.py) — every document labelled with its cluster id
+    (= min doc id in its component), cluster size, and whether it is
+    the canonical survivor.  Transitivity is the point: A~B, B~C must
+    collapse to ONE survivor even when A~C was never a pair.  The
+    oracle replays the component closure as a recursive CTE."""
+    from fsharp_dataframe_spark.functions.dedup import ngram_jaccard_pairs
+    from fsharp_dataframe_spark.functions.graph import duplicate_clusters
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2).select("id_a", "id_b")
+    out = duplicate_clusters(docs, pairs)
+    return out.withColumn("is_canonical", F.col("is_canonical").cast("long"))
+
+
+def q_decontaminate(spark, sf) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 97 != 0)
+    whose 3-gram shingles overlap the pseudo-benchmark set
+    (doc_id % 97 == 0) — broadcast semi-join of corpus shingles
+    against the benchmark's distinct shingle set
+    (functions/dedup.contamination_overlap)."""
+    from fsharp_dataframe_spark.functions.dedup import contamination_overlap
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = contamination_overlap(train, bench)
+    return out.filter(F.col("n_hit") > 0)
+
+
+def q_hash_split(spark, sf) -> DataFrame:
+    """Deterministic md5 train/valid/test split (functions/sampling.py):
+    exact integer hash-bound labels, aggregated per split (any label
+    flip moves a row's count AND its price mass, so the aggregate
+    pins every row's label)."""
+    from fsharp_dataframe_spark.functions.sampling import hash_split
+
+    orders = load_table(spark, sf, "orders")
+    s = hash_split(orders, "o_orderkey",
+                   {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="v1")
+    return (s.groupBy("split")
+            .agg(F.count("*").alias("n_rows"),
+                 F.round(_isum(F.col("o_totalprice")) / 10000.0, 2)
+                 .alias("sum_price")))
+
+
+def q_pack_shards(spark, sf) -> DataFrame:
+    """Token-budget contiguous sharding (functions/sampling.pack_shards):
+    shard = floor(exclusive prefix tokens / target) along doc_id order,
+    computed on the bucketed prefix-sum substrate (no global window)."""
+    from fsharp_dataframe_spark.functions.sampling import pack_shards
+
+    docs = load_table(spark, sf, "documents")
+    return pack_shards(docs, target_tokens=5000)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
 # The driver's correctness harness checks the FIRST 50 entries of
-# queries(); these seven stay implemented and oracle-checked locally
+# queries(); these stay implemented and oracle-checked locally
 # (tests/test_oracle_extra.py + tools/check_oracle.py) but are held out
 # of the driver registry so every DECLARED query gets a driver row.
 # Each one's operator is also pinned by a sibling driver query:
 # append→union_prefer_left/realign, pairwise→shift_diff,
 # take_last→index_ordinal, sample_time→resample_*/lookup_time_fwd,
 # frame_zip→zip_inner/frame_arith, fill_constant→fill_forward,
-# drop_sparse→drop_missing.
+# drop_sparse→drop_missing, cast_types→scalar_math (same As<'R> casts
+# plus math fns), stats_melt→group_stats+pivot (the stats and the
+# melt/unstack shape), frame_shift_diff→shift_diff+frame_zip (series
+# shift/diff semantics; frame-level multi-column fan-out),
+# pack_shards→chunk_sum/index_ordinal (the bucketed census substrate).
 EXTRA_QUERIES = ("append_frames", "pairwise", "take_last", "sample_time",
-                 "frame_zip", "fill_constant", "drop_sparse")
+                 "frame_zip", "fill_constant", "drop_sparse",
+                 "cast_types", "stats_melt", "frame_shift_diff",
+                 "pack_shards")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -997,6 +1061,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
+        "pack_shards": q_pack_shards,
     }
 
 
@@ -1560,6 +1628,95 @@ def _all_oracle_sql() -> dict[str, str]:
                          / count(*) / 10000.0, 4) AS avg_norm,
                    count(*) AS n_vecs
             FROM embeddings GROUP BY label
+        """,
+        # duplicate clustering: component closure of the near-dup pair
+        # graph as a recursive CTE (reachability enumeration + min
+        # label; exact because components are small at oracle scale —
+        # the Spark side's star contraction is the form that scales)
+        "dedup_clusters": """
+            WITH RECURSIVE
+            toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, DISTINCT_SH.shingle FROM toks,
+              LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) DISTINCT_SH),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            rawp AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT id_a, id_b FROM rawp
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            r(u, lbl) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN r ON r.u = e.v),
+            comp AS (SELECT u, min(lbl) AS cluster_id FROM r GROUP BY u),
+            asg AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.u = d.doc_id)
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   (doc_id = cluster_id)::BIGINT AS is_canonical
+            FROM asg
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, DISTINCT_SH.shingle FROM toks,
+              LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) DISTINCT_SH),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+            tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hit FROM tr
+              WHERE shingle IN (SELECT shingle FROM bench)
+              GROUP BY doc_id)
+            SELECT s.doc_id, s.n_sh, h.n_hit,
+                   round(h.n_hit::DOUBLE / s.n_sh, 4) AS contamination
+            FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        # integer hash bounds from sampling.split_bounds for
+        # {train:0.8, valid:0.1, test:0.1}: floor(0.8*2^32),
+        # floor(0.9*2^32) — EXACT integers so both engines agree on
+        # every row (never accumulate float thresholds in SQL)
+        "hash_split": """
+            WITH h AS (
+              SELECT o_totalprice,
+                     ('0x' || substring(md5(o_orderkey::VARCHAR || 'v1'), 1, 8))::BIGINT AS hv
+              FROM orders),
+            lab AS (
+              SELECT CASE WHEN hv < 3435973836 THEN 'train'
+                          WHEN hv < 3865470566 THEN 'valid'
+                          ELSE 'test' END AS split,
+                     o_totalprice FROM h)
+            SELECT split, count(*) AS n_rows,
+                   round(sum(round(o_totalprice * 10000)::BIGINT) / 10000.0, 2) AS sum_price
+            FROM lab GROUP BY split
+        """,
+        "pack_shards": """
+            WITH w AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))::BIGINT AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+              FROM w)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(pre::DOUBLE / 5000) AS BIGINT) AS shard
+            FROM c
         """,
     }
 

@@ -46,6 +46,10 @@ HEADLINE = [
     "embed_near_dup_lsh",
     "lsh_topk",
     "ivf_topk",
+    "dedup_clusters",
+    "decontaminate",
+    "hash_split",
+    "pack_shards",
 ]
 
 
@@ -57,7 +61,7 @@ def main():
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    qs = entrymod.queries()
+    qs = entrymod._all_queries()  # incl. locally-checked extras (pack_shards)
     # warm-up OUTSIDE the timed loop: JVM/codegen spin-up, parquet
     # footer reads, and the first-shuffle machinery otherwise land in
     # whichever query runs first and masks round-over-round deltas

@@ -81,23 +81,24 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     single count+hash aggregate per round (edge sets are compared by
     (count, sum(xxhash64)) — no driver-side edge materialization).
     """
-    e = _canon(edges, src, dst).localCheckpoint(eager=True)
-
     def sig(df: DataFrame) -> tuple[int, int]:
         # bit_xor: order-free and overflow-free under ANSI mode (a
         # sum() of xxhash64 values throws ARITHMETIC_OVERFLOW); edges
         # are distinct post-dropDuplicates so xor-cancellation of
-        # repeated rows cannot happen
+        # repeated rows cannot happen.  The checkpoint is LAZY and this
+        # aggregate is the action that materializes it — one job per
+        # round, not two.
         r = df.agg(F.count("*").alias("n"),
                    F.coalesce(F.expr("bit_xor(xxhash64(hi, lo))"),
                               F.lit(0)).alias("h")).first()
         return (r["n"], r["h"])
 
+    e = _canon(edges, src, dst).localCheckpoint(eager=False)
     prev = sig(e)
     if prev[0] == 0:
         return e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = sig(e2)
         e.unpersist()
         e = e2
