@@ -95,3 +95,35 @@ def test_ivf_topk_prunes_with_cell_filter_and_take_ordered(spark):
     plan = _plan(spark, "ivf_topk")
     assert "TakeOrderedAndProject" in plan
     assert " IN (" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_semi_join(spark):
+    # corpus shingles must probe a BROADCAST left-semi of the benchmark
+    # shingle set — a shuffle of the corpus on the shingle key would be
+    # the 100 TB bottleneck
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    idx = plan.find("LeftSemi")
+    assert "SortMergeJoin" not in plan[:idx]  # semi probe not shuffled
+
+
+def test_hash_split_is_shuffle_free_until_final_agg(spark):
+    # the split label is a pure narrow projection: exactly ONE exchange
+    # (the 3-group aggregate), nothing for the labelling itself
+    plan = _plan(spark, "hash_split")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pack_shards_has_no_global_window(spark):
+    # prefix sums run per-bucket + literal offsets; a global (empty
+    # partitionBy) window would plan Exchange SinglePartition
+    plan = entry._all_queries()["pack_shards"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_dedup_clusters_assignment_joins_are_equi(spark):
+    plan = _plan(spark, "dedup_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -189,3 +189,28 @@ def test_stream_fill_forward_state_survives_batches_and_restart(spark, tmp_path)
     assert got2[(2, ts(3))] == 5.0
     assert got2[(2, ts(4))] == 5.0
     assert len(got2) == len(phase1) + len(phase2)
+
+
+def test_stateless_pipeline_ops_run_on_streams(spark, tmp_path):
+    # hash_split / quality gates / PII scrub are pure narrow
+    # projections, so the SAME functions apply to a readStream
+    # DataFrame unchanged — the unified-API ingest story: label and
+    # gate documents at ingest time, no batch/stream code fork
+    from fsharp_dataframe_spark.functions.sampling import hash_split
+    from fsharp_dataframe_spark.functions.text import quality_score, scrub_pii
+
+    docs = load_table(spark, SF, "documents").limit(100)
+    d = str(tmp_path / "docs_split_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    out = hash_split(s, "doc_id", {"train": 0.9, "test": 0.1}, salt="s").select(
+        "doc_id", "split", F.round(quality_score(F.col("text")), 4).alias("q"),
+        scrub_pii(F.col("text")).alias("clean"))
+    name = run_to_memory(out, "t_stateless")
+    got = {(r["doc_id"], r["split"], r["q"])
+           for r in spark.sql(f"SELECT doc_id, split, q FROM {name}").collect()}
+    exp = {(r["doc_id"], r["split"], r["q"])
+           for r in hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1}, salt="s")
+           .select("doc_id", "split",
+                   F.round(quality_score(F.col("text")), 4).alias("q")).collect()}
+    assert got == exp and len(got) == 100
