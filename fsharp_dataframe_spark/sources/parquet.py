@@ -47,3 +47,55 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) with normalization."""
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def save_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                 partition_by: list[str] | None = None,
+                 sort_by: list[str] | None = None,
+                 max_records_per_file: int | None = None,
+                 compression: str | None = None) -> None:
+    """Scale-aware parquet sink.
+
+    The write SHAPE decides every downstream read's cost at 100 TB:
+
+    - ``partition_by``: hive-style directory partitioning → partition
+      PRUNING (a reader filtering on the partition column never lists,
+      let alone scans, the other directories).  The data is first
+      repartitioned BY the partition columns so each output directory
+      is written by the tasks owning its rows — without this, every
+      task appends a file to every directory and a 1000-task × 1000-
+      partition write melts the namenode with a million small files.
+    - ``sort_by``: sortWithinPartitions before writing → parquet
+      row-group min/max stats become narrow and disjoint, so range
+      predicates skip whole row groups (zone-map behavior for free).
+    - ``max_records_per_file``: bounds file size so a single task's
+      output stays splittable and memory-sized.
+    """
+    w = df
+    if partition_by:
+        w = w.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        w = w.sortWithinPartitions(*[F.col(c) for c in sort_by])
+    writer = w.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def save_bucketed_table(df: DataFrame, name: str, bucket_by: list[str],
+                        n_buckets: int, sort_by: list[str] | None = None,
+                        mode: str = "overwrite") -> None:
+    """Persist as a BUCKETED managed table (`bucketBy` requires the
+    table catalog, not a bare path): rows are hash-bucketed on the join
+    key at write time, so joins/aggregations between co-bucketed tables
+    need NO shuffle at read time — the Exchange disappears from the
+    plan (tests/test_sink.py pins this).  This is how repeatedly-joined
+    100 TB fact tables amortize their shuffle: pay it once at write."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.format("parquet").saveAsTable(name)

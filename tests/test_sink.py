@@ -1,0 +1,87 @@
+"""Write-side scale shape (sources/parquet.save_parquet /
+save_bucketed_table): partition pruning, row-group stats from
+sort_by, and shuffle-free co-bucketed joins — checked in the plans
+and footers, not just round-trip values."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.sources.parquet import (
+    load_table, read_parquet, save_bucketed_table, save_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    p = str(tmp_path / "orders_part")
+    save_parquet(orders, p, partition_by=["o_orderpriority"])
+    # one directory per priority, no file fan-out explosion: each
+    # directory's rows were written by the tasks owning them
+    dirs = [d for d in os.listdir(p) if d.startswith("o_orderpriority=")]
+    assert len(dirs) == orders.select("o_orderpriority").distinct().count()
+    back = spark.read.parquet(p).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
+    assert back.count() == orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_sorted_write_produces_narrow_row_group_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    li = load_table(spark, SF, "lineitem")
+    p = str(tmp_path / "li_sorted")
+    save_parquet(li.repartition(1), p, sort_by=["l_orderkey"],
+                 max_records_per_file=100000)
+    f = glob.glob(f"{p}/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    idx = next(i for i in range(md.num_columns)
+               if md.row_group(0).column(i).path_in_schema == "l_orderkey")
+    # row groups must be disjoint, ascending ranges — the property that
+    # lets a range predicate skip whole row groups
+    prev_max = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        assert st is not None and st.has_min_max
+        if prev_max is not None:
+            assert st.min >= prev_max
+        prev_max = st.max
+
+
+def test_cobucketed_join_plans_without_exchange(spark, tmp_path):
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):  # orphans from killed runs
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    save_bucketed_table(orders, "t_orders_b", ["o_orderkey"], 4,
+                        sort_by=["o_orderkey"])
+    save_bucketed_table(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                        "t_lineitem_b", ["o_orderkey"], 4,
+                        sort_by=["o_orderkey"])
+    # at sf0.001 AQE would just broadcast one side (correctly —
+    # broadcast beats bucketing at toy sizes); pin the shuffle-join
+    # path the bucketing exists for, as it would plan on two 100 TB
+    # fact tables where neither side broadcasts
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("t_orders_b")
+             .join(spark.table("t_lineitem_b").hint("merge"), "o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the whole point of co-bucketing: the join needs NO shuffle
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert j.count() == orders.join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey").count()
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
