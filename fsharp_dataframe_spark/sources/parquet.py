@@ -35,6 +35,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # on sessions built by get_spark().  Without it, any parquet file with
     # TIMESTAMP(NANOS) columns fails with PARQUET_TYPE_ILLEGAL.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) columns: Spark 4 infers
+    # TIMESTAMP_NTZ by default, a type that refuses numeric casts and so
+    # breaks every key-arithmetic path (range bucketing, as-of distance,
+    # resampling).  Disabling the inference reads the stored micros as
+    # UTC-epoch TimestampType (LTZ) — the engine's canonical temporal
+    # type, identical to what the nanos conversion below produces.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in _nanos_fields(path):
         if dict(df.dtypes).get(c) == "bigint":
