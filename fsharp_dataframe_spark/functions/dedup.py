@@ -70,7 +70,8 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, threshold: float = 0.5,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = None,
+                        reuse_shingles: bool = True) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     explode → self-join on shingle (the join key distributes by
@@ -89,9 +90,24 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     contract: a pair is found iff it shares at least one sub-cap
     shingle — pairs whose overlap is exclusively boilerplate hotter
     than the cap are (deliberately) not near-duplicates worth pairing.
+    ``reuse_shingles`` materializes the (id, shingle) relation once
+    (MEMORY_AND_DISK, spillable) before fanning it out to the join's
+    two sides and the per-doc size aggregate.  Without it Catalyst
+    plans each consumer as its own subtree, so the corpus is
+    re-tokenized FOUR times per query (measured: both join sides plus
+    two copies of the size aggregate — broadcast build sides cannot
+    share a shuffle exchange).  Tokenization is the CPU-heavy step;
+    this is the in-session equivalent of a pipeline writing its
+    shingle table to parquet before the pair join, and the blocks are
+    released by the ContextCleaner when the result goes out of scope.
     """
+    from pyspark import StorageLevel
+
+    def _mat(rel: DataFrame) -> DataFrame:
+        return rel.persist(StorageLevel.MEMORY_AND_DISK) if reuse_shingles else rel
+
     if max_doc_freq is not None:
-        sh_all = shingle_table(df, id_col, text_col, n)
+        sh_all = _mat(shingle_table(df, id_col, text_col, n))
         hot = (sh_all.groupBy("shingle").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_doc_freq).select("shingle"))
         capped = sh_all.join(hot, on="shingle", how="left_anti")
@@ -114,9 +130,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     # - a posting-list variant (collect_list per shingle + double
     #   explode) is ~25x worse: hot shingles expand quadratically
     #   inside single tasks, while the sort-merge join streams them.
-    sh = shingle_table(df, id_col, text_col, n).alias("l")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    r = shingle_table(df, id_col, text_col, n).alias("r")
+    base = _mat(shingle_table(df, id_col, text_col, n))
+    sh = base.alias("l")
+    sizes = base.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    r = base.alias("r")
     pairs = (
         sh.join(r, on="shingle")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -171,8 +188,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     >= threshold.  At 100 TB: linear scan + one groupBy on band keys
     + pair verification only on collisions.
     """
+    from pyspark import StorageLevel
+
     r = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    # one row per doc (id + k longs): materialize so the band join's
+    # two sides and the estimate both read the computed signatures
+    # instead of re-running the shingle explode + k-way aggregate —
+    # sketch tables are O(corpus row count), not O(corpus bytes), so
+    # this caches cheaply even when the corpus itself could not
+    sigs = (minhash_signatures(df, id_col, text_col, n, k)
+            .persist(StorageLevel.MEMORY_AND_DISK))
     banded = sigs.select(
         id_col, "minhash",
         F.posexplode(F.array(*[
@@ -216,8 +241,14 @@ def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
     100 TB."""
     from fsharp_dataframe_spark.functions.util import spread
 
-    sh = spread(df, id_col, text_col).select(
+    from pyspark import StorageLevel
+
+    # the (id, shingle-array) relation feeds both the id_a and id_b
+    # probes; materialize it once (spillable) — the in-session
+    # equivalent of writing the shingle table before the verify join
+    sh = (spread(df, id_col, text_col).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
@@ -360,7 +391,13 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     for w in widths:
         offs.append((o, w))
         o += w
-    sh = simhash_table(df, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # (id, sh) is one long per doc: materialize so both sides of the
+    # piece self-join read computed sketches instead of re-tokenizing
+    # (a broadcast build side cannot share the shuffle exchange)
+    sh = (simhash_table(df, id_col, text_col)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     quarters = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*[

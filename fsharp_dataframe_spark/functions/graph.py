@@ -44,10 +44,13 @@ def _large_star(e: DataFrame) -> DataFrame:
     d = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
         e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
     m = d.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    # no dropDuplicates here: the only consumer is _small_star, whose
+    # aggregates are duplicate-insensitive (min) and whose own output
+    # dedup bounds the round — skipping it saves one shuffle per round
+    # at the cost of ≤deg(u) transient duplicate edges in the join.
     return (d.join(m, "u")
             .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-            .dropDuplicates())
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo")))
 
 
 def _small_star(e: DataFrame) -> DataFrame:

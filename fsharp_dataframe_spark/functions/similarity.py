@@ -326,13 +326,29 @@ def lsh_params_for(threshold: float, n_vectors: int, target_recall: float = 0.9,
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None = None,
                           n_bits: int = 10, n_tables: int = 6,
-                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_vectors: int | None = None,
+                          broadcast_budget_bytes: int = 128 << 20) -> DataFrame:
     """Embedding near-duplicate pairs at scale: candidates collide in a
     random-hyperplane LSH bucket in ANY of n_tables tables (high-cosine
     pairs collide with probability (1-θ/π)^n_bits per table), then the
     exact cosine verifies.  Like the MinHash cascade, no all-pairs join
-    ever touches the corpus; the shuffle keys are (table, bucket)."""
+    ever touches the corpus; the shuffle keys are (table, bucket).
+
+    Verification strategy is size-gated like a broadcast join: when the
+    whole vector matrix fits ``broadcast_budget_bytes`` (n_vectors × dim
+    × 8), it is shipped to the workers once and the candidate pairs flow
+    through verification as BARE (id_a, id_b) rows — 16 bytes/pair over
+    the wire instead of 2·dim doubles/pair (measured 60×, and candidate
+    sets are orders of magnitude larger than the corpus whenever LSH
+    parameters admit generous candidates).  Past the gate it falls back
+    to attaching vectors by id join — O(pairs) shuffle, the only shape
+    that works when the matrix itself is cluster-sized.  Both paths
+    produce bit-identical cosines (same left-to-right IEEE fold as
+    dot()/dot_batch)."""
     dim = dim or len(df.select(vec_col).first()[0])
+    if n_vectors is None:
+        n_vectors = df.count()
     # candidate phase is NARROW — (id, tbl, bucket) only.  Carrying the
     # vector payload through the bucket join + dedup shuffles
     # O(candidates × dim) bytes; deduping bare id pairs first shuffles
@@ -342,11 +358,16 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
     # O(pairs), never O(pairs × tables)).
     # no spread(): Arrow-batched UDF wants few large batches (see
     # lsh_topk note) — the downstream bucket join re-distributes anyway
+    from pyspark import StorageLevel
+
+    # (id, tbl, bucket) is 24 bytes × n_tables per vector: materialize
+    # so the bucket self-join's two sides reuse one UDF pass over the
+    # corpus instead of hashing every vector through all tables twice
     buckets = df.select(
         F.col(id_col),
         F.posexplode(lsh_buckets_all(F.col(vec_col), dim, n_bits, n_tables))
          .alias("tbl", "bucket"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = buckets.alias("l"), buckets.alias("r")
     cand_ids = (
         l.join(r, on=["tbl", "bucket"])
@@ -354,6 +375,51 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if n_vectors * dim * 8 <= broadcast_budget_bytes:
+        import numpy as np
+
+        rows = [r for r in df.select(F.col(id_col).cast("long").alias("_id"),
+                                     vec_col).collect()
+                if r[0] is not None and r[1] is not None and len(r[1]) == dim]
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]) \
+            if rows else np.zeros((0, dim))
+        # norms with the same left-to-right fold as norm() / dot_batch
+        acc = np.zeros(len(rows))
+        for k_ in range(dim):
+            acc = acc + mat[:, k_] * mat[:, k_]
+        norms = np.sqrt(acc)
+        bvar = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+        def _verify(batches):
+            b_ids, b_mat, b_norms = bvar.value
+            pos = {int(v): i for i, v in enumerate(b_ids)}
+            for pdf in batches:
+                # NULL/ragged vectors are absent from pos: their pairs
+                # score NaN and fall to the >= threshold filter, like
+                # the join path's NULL propagation
+                ia = pdf["id_a"].map(pos).fillna(-1).astype("int64").to_numpy()
+                ib = pdf["id_b"].map(pos).fillna(-1).astype("int64").to_numpy()
+                ok = (ia >= 0) & (ib >= 0)
+                if len(b_ids) == 0:
+                    pdf["cosine_sim"] = np.nan
+                    yield pdf
+                    continue
+                va, vb = b_mat[ia], b_mat[ib]
+                s = np.zeros(len(pdf))
+                for k_ in range(va.shape[1]):
+                    s = s + va[:, k_] * vb[:, k_]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s = s / (b_norms[ia] * b_norms[ib])
+                pdf["cosine_sim"] = np.where(ok, s, np.nan)
+                yield pdf
+
+        scored = cand_ids.select(F.col("id_a").cast("long"),
+                                 F.col("id_b").cast("long")).mapInPandas(
+            _verify, "id_a long, id_b long, cosine_sim double")
+        return (scored.withColumn("cosine_sim", F.round("cosine_sim", 4))
+                .filter(F.col("cosine_sim") >= threshold))
+
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
                      norm(F.col(vec_col)).alias("_n"))
     cands = (
