@@ -718,6 +718,23 @@ def q_ngram_jaccard(spark, sf) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+def q_rep_quality(spark, sf) -> DataFrame:
+    """Gopher-style repetition quality metrics (functions/quality.py,
+    definitions in its module docstring — Rae et al. 2021 §A1.1): one
+    narrow Arrow-batched pass per document, NO shuffle.  The oracle
+    replays every metric in SQL via unnest+group CTEs; both sides
+    compute identical integer counts and divide in double, so the
+    value hash pins the exact definitions."""
+    from fsharp_dataframe_spark.functions.quality import repetition_stats
+
+    docs = load_table(spark, sf, "documents")
+    out = repetition_stats(docs, top_ns=(2, 3, 4), dup_ns=(5, 10))
+    frac_cols = [c for c in out.columns if c.endswith("_frac")]
+    return out.select(
+        "doc_id", "n_lines",
+        *[F.round(F.col(c), 4).alias(c) for c in frac_cols])
+
+
 def q_clean_corpus(spark, sf) -> DataFrame:
     """Training-data pipeline CAPSTONE — the dedup/quality operators
     composed end-to-end the way a corpus-cleaning job runs them:
@@ -1048,6 +1065,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_hits": q_lang_hits,
         "text_quality": q_text_quality,
+        "rep_quality": q_rep_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "clean_corpus": q_clean_corpus,
         "embed_topk": q_embed_topk,
@@ -1066,6 +1084,62 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_shards": q_pack_shards,
     }
+
+
+def _rep_quality_sql() -> str:
+    """DuckDB replay of functions/quality.repetition_stats for
+    top_ns=(2,3,4), dup_ns=(5,10): same integer counts (line/gram
+    occurrences × lengths), same double divisions, rounded at 4dp on
+    both sides."""
+    def grams(n: int) -> str:
+        join = " || ' ' || ".join("toks[i]" if j == 0 else f"toks[i+{j}]"
+                                  for j in range(n))
+        return (f"list_transform(range(1, len(toks) - {n - 2}), "
+                f"i -> {join})")
+
+    def gram_counts(n: int) -> str:
+        return (f"SELECT doc_id, g, count(*) AS c, length(g) AS l FROM "
+                f"(SELECT doc_id, unnest({grams(n)}) AS g FROM base) "
+                f"GROUP BY 1, 2")
+
+    tops = ",\n            ".join(
+        f"t{n} AS (SELECT doc_id, max(c * l) AS m FROM ({gram_counts(n)}) "
+        f"GROUP BY 1)" for n in (2, 3, 4))
+    dups = ",\n            ".join(
+        f"d{n} AS (SELECT doc_id, sum(c * l) FILTER (WHERE c > 1) AS s "
+        f"FROM ({gram_counts(n)}) GROUP BY 1)" for n in (5, 10))
+    top_cols = ",\n                   ".join(
+        f"round(coalesce(t{n}.m::DOUBLE / nullif(b.tlen, 0), 0), 4) "
+        f"AS top{n}_char_frac" for n in (2, 3, 4))
+    dup_cols = ",\n                   ".join(
+        f"round(coalesce(d{n}.s::DOUBLE / nullif(b.tlen, 0), 0), 4) "
+        f"AS dup{n}_char_frac" for n in (5, 10))
+    return f"""
+            WITH base AS (
+              SELECT doc_id, length(text) AS tlen,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+                     list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+              FROM documents),
+            lc AS (SELECT doc_id, line, count(*) AS c, length(line) AS l
+                   FROM (SELECT doc_id, unnest(lines) AS line FROM base)
+                   GROUP BY 1, 2),
+            lstat AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_dist,
+                             sum((c - 1) * l) AS dupc, sum(c * l) AS totc
+                      FROM lc GROUP BY 1),
+            {tops},
+            {dups}
+            SELECT b.doc_id,
+                   coalesce(l.n_lines, 0) AS n_lines,
+                   round(coalesce((l.n_lines - l.n_dist)::DOUBLE / l.n_lines, 0), 4) AS dup_line_frac,
+                   round(coalesce(l.dupc::DOUBLE / nullif(l.totc, 0), 0), 4) AS dup_line_char_frac,
+                   {top_cols},
+                   {dup_cols}
+            FROM base b
+            LEFT JOIN lstat l USING (doc_id)
+            LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN t4 USING (doc_id)
+            LEFT JOIN d5 USING (doc_id) LEFT JOIN d10 USING (doc_id)
+        """
 
 
 def _all_oracle_sql() -> dict[str, str]:
@@ -1518,6 +1592,7 @@ def _all_oracle_sql() -> dict[str, str]:
                        + 0.2 * least(stop_r * 5, 1.0), 4) AS quality
             FROM m
         """,
+        "rep_quality": _rep_quality_sql(),
         "ngram_jaccard": f"""
             WITH toks AS (
               SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t

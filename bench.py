@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_exact",
     "clean_corpus",
     "text_stats",
+    "rep_quality",
     "ngram_jaccard",
     "minhash_pairs",
     "near_dedup",

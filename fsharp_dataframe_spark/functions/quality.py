@@ -1,0 +1,156 @@
+"""Repetition-based quality metrics for training corpora.
+
+The reference library has no text-quality operators; this module adds
+the repetition family popularized by Gopher's quality filtering (Rae
+et al. 2021, "Scaling Language Models: ... Gopher", §A1.1) and used in
+essentially every public LLM-corpus pipeline since (C4, RefinedWeb,
+Dolma): documents dominated by repeated lines or repeated n-grams are
+boilerplate/spam and should be filtered before training.
+
+Metric definitions (documented here because several public variants
+exist; both the Spark path and the SQL oracle in __spark_entry__.py
+implement exactly these):
+
+- ``dup_line_frac``      = (n_lines − n_distinct_lines) / n_lines
+- ``dup_line_char_frac`` = Σ_over-distinct-lines (cnt−1)·len(line) /
+                           Σ cnt·len(line)  — characters in occurrences
+                           beyond a line's first, over all line chars
+- ``top{n}_char_frac``   = max_over-n-grams cnt·len(gram) / len(text)
+                           — characters covered by the single most
+                           repeated word n-gram (count × joined length)
+- ``dup{n}_char_frac``   = Σ_over-n-grams-with-cnt>1 cnt·len(gram) /
+                           len(text) — characters covered by ALL
+                           repeated n-grams; overlapping occurrences
+                           are counted per occurrence (the cheap upper
+                           bound every public implementation uses, so
+                           values can exceed 1 on pathological docs)
+
+Lines split on '\\n' with empty lines dropped; words split on
+whitespace runs, lowercased, empties dropped (same token family as
+functions/text.tokens).
+
+Scale shape: every metric is a function of ONE document, so the whole
+extraction is a narrow per-row map — NO shuffle, no explode+groupBy
+round-trip through a corpus-wide (doc, gram) key.  Python-per-doc via
+an Arrow-batched pandas UDF is the honest implementation: the pure
+Column-HOF form needs O(tokens²) nested higher-order functions per
+n (interpreted, not codegen'd), and the explode+groupBy form shuffles
+~10 gram rows per token of corpus.  One UDF pass computing ALL the
+metrics amortizes tokenization exactly the way public pipeline taggers
+(Dolma, DataTrove) batch their per-doc scorers.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_WS = re.compile(r"\s+")
+
+#: (metric name, output Spark type) in output order
+_FIELDS = [
+    ("n_lines", "bigint"),
+    ("dup_line_frac", "double"),
+    ("dup_line_char_frac", "double"),
+]
+
+
+def _doc_metrics(text: str | None, top_ns: tuple[int, ...],
+                 dup_ns: tuple[int, ...]) -> list:
+    if text is None:
+        return [0, 0.0, 0.0] + [0.0] * (len(top_ns) + len(dup_ns))
+    lines = [ln for ln in text.split("\n") if ln != ""]
+    n_lines = len(lines)
+    if n_lines:
+        lc = Counter(lines)
+        tot_chars = sum(len(ln) for ln in lines)
+        dup_line_frac = (n_lines - len(lc)) / n_lines
+        dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items() if c > 1)
+        dup_line_char_frac = dup_chars / tot_chars if tot_chars else 0.0
+    else:
+        dup_line_frac = dup_line_char_frac = 0.0
+    toks = [t for t in _WS.split(text.lower()) if t != ""]
+    tlen = len(text)
+    out = [n_lines, dup_line_frac, dup_line_char_frac]
+    for n in top_ns:
+        if tlen == 0 or len(toks) < n:
+            out.append(0.0)
+            continue
+        grams = Counter(" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+        out.append(max(c * len(g) for g, c in grams.items()) / tlen)
+    for n in dup_ns:
+        if tlen == 0 or len(toks) < n:
+            out.append(0.0)
+            continue
+        grams = Counter(" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+        out.append(sum(c * len(g) for g, c in grams.items() if c > 1) / tlen)
+    return out
+
+
+def _metrics_udf(top_ns: tuple[int, ...], dup_ns: tuple[int, ...]):
+    cols = _FIELDS + [(f"top{n}_char_frac", "double") for n in top_ns] \
+                   + [(f"dup{n}_char_frac", "double") for n in dup_ns]
+
+    @pandas_udf(
+        "struct<" + ", ".join(f"{c}: {t}" for c, t in cols) + ">")
+    def metrics(texts: pd.Series) -> pd.DataFrame:
+        rows = [_doc_metrics(t, top_ns, dup_ns) for t in texts]
+        return pd.DataFrame(rows, columns=[c for c, _ in cols])
+
+    return metrics, [c for c, _ in cols]
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_ns: tuple[int, ...] = (2, 3, 4),
+                     dup_ns: tuple[int, ...] = (5, 10)) -> DataFrame:
+    """Per-document repetition metrics (see module docstring for the
+    exact definitions): (id, n_lines, dup_line_frac,
+    dup_line_char_frac, top{n}_char_frac..., dup{n}_char_frac...).
+
+    Narrow per-row map — embarrassingly parallel, zero shuffle."""
+    from fsharp_dataframe_spark.functions.util import spread
+
+    metrics, names = _metrics_udf(top_ns, dup_ns)
+    out = spread(df, id_col, text_col).select(
+        F.col(id_col), metrics(F.col(text_col)).alias("_m"))
+    return out.select(id_col, *[F.col(f"_m.{c}").alias(c) for c in names])
+
+
+#: Gopher's published repetition thresholds (Rae et al. 2021 table A1):
+#: a document is kept only if every metric is BELOW its cap.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup10_char_frac": 0.10,
+}
+
+
+def repetition_filter(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      thresholds: dict[str, float] | None = None) -> DataFrame:
+    """Drop documents whose repetition metrics exceed the thresholds
+    (default: Gopher's published caps).  Returns the surviving rows of
+    ``df`` unchanged — metrics are computed, applied, and discarded in
+    one narrow pass (no shuffle, no second scan)."""
+    th = dict(GOPHER_REPETITION_THRESHOLDS if thresholds is None else thresholds)
+    top_ns = tuple(sorted(int(k[3:-10]) for k in th if k.startswith("top")))
+    dup_ns = tuple(sorted(int(k[3:-10]) for k in th
+                          if k.startswith("dup") and not k.startswith("dup_line")))
+    metrics, _ = _metrics_udf(top_ns or (2,), dup_ns or (5,))
+    cond = F.lit(True)
+    for name, cap in th.items():
+        cond = cond & (F.col("_m")[name] <= F.lit(float(cap)))
+    return (df.withColumn("_m", metrics(F.col(text_col)))
+            .filter(cond).drop("_m"))
