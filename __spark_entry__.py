@@ -718,6 +718,35 @@ def q_ngram_jaccard(spark, sf) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+def q_corpus_stats(spark, sf) -> DataFrame:
+    """Per-language corpus rollup — the summary table every corpus
+    pipeline reports before training: doc count, total/median/p95
+    token counts (EXACT percentiles — sort-based, deterministic, no
+    float-sum ordering hazard), and mean quality score carried as
+    integer ten-thousandths (_isum) so the average is order-exact.
+    One shuffle on the lang key; partial aggregation map-side."""
+    from fsharp_dataframe_spark.functions import text as TX
+
+    docs = load_table(spark, sf, "documents")
+    c = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        TX.token_count(c).alias("n_tok"),
+        F.round(TX.quality_score(c), 4).alias("q"),
+    )
+    return (per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.percentile("n_tok", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("n_tok", F.lit(0.95)).alias("p95_tokens"),
+        _isum(F.col("q")).alias("q_units"),
+    ).select(
+        "lang", "n_docs", "total_tokens", "p50_tokens", "p95_tokens",
+        F.round(F.col("q_units") / F.col("n_docs") / 10000.0, 4)
+         .alias("mean_quality"),
+    ))
+
+
 def q_rep_quality(spark, sf) -> DataFrame:
     """Gopher-style repetition quality metrics (functions/quality.py,
     definitions in its module docstring — Rae et al. 2021 §A1.1): one
@@ -1065,6 +1094,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_hits": q_lang_hits,
         "text_quality": q_text_quality,
+        "corpus_stats": q_corpus_stats,
         "rep_quality": q_rep_quality,
         "ngram_jaccard": q_ngram_jaccard,
         "clean_corpus": q_clean_corpus,
@@ -1591,6 +1621,34 @@ def _all_oracle_sql() -> dict[str, str]:
                        + 0.2 * (1.0 - least(digit_r * 4, 1.0))
                        + 0.2 * least(stop_r * 5, 1.0), 4) AS quality
             FROM m
+        """,
+        "corpus_stats": f"""
+            WITH m AS (
+              SELECT lang,
+                     len({toks}) AS n_tok,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                       ELSE 0 END AS punct_r,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                       ELSE 0 END AS digit_r,
+                     CASE WHEN len({toks}) > 0 THEN
+                       len(list_filter({toks}, x -> x IN ('the','and','of','to','in','is','that','with')))::DOUBLE
+                         / len({toks})
+                       ELSE 0 END AS stop_r
+              FROM documents),
+            q AS (
+              SELECT lang, n_tok,
+                     round(0.4 * least(n_tok / 20.0, 1.0)
+                         + 0.2 * (1.0 - least(punct_r * 4, 1.0))
+                         + 0.2 * (1.0 - least(digit_r * 4, 1.0))
+                         + 0.2 * least(stop_r * 5, 1.0), 4) AS qual
+              FROM m)
+            SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+                   quantile_cont(n_tok, 0.5) AS p50_tokens,
+                   quantile_cont(n_tok, 0.95) AS p95_tokens,
+                   round(sum(round(qual * 10000)::BIGINT) / count(*) / 10000.0, 4) AS mean_quality
+            FROM q GROUP BY lang
         """,
         "rep_quality": _rep_quality_sql(),
         "ngram_jaccard": f"""

@@ -39,6 +39,7 @@ HEADLINE = [
     "clean_corpus",
     "text_stats",
     "rep_quality",
+    "corpus_stats",
     "ngram_jaccard",
     "minhash_pairs",
     "near_dedup",
