@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -282,6 +284,66 @@ def stream_text_quality(sdf: DataFrame, text_col: str = "text") -> DataFrame:
         "stopword_ratio": F.round(TX.stopword_ratio(c), 4),
         "lang_pred": TX.lang_id(c),
     })
+
+
+def stream_decontaminate(sdf: DataFrame, benchmark: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         bench_text_col: str | None = None,
+                         n: int = 3, max_hits: int = 0) -> DataFrame:
+    """Streaming benchmark decontamination: drop documents whose
+    word-n-gram shingles overlap the (static, batch) benchmark set in
+    more than ``max_hits`` shingles.
+
+    Same hit semantics as the batch ``contamination_overlap``
+    (functions/dedup.py) and the same smallness contract — eval sets
+    are thousands of documents, so their distinct shingle set is
+    collected once and broadcast to the workers.  Each micro-batch is
+    then a stateless narrow map (an Arrow-batched per-doc membership
+    count): no stream-side explode, no aggregation state, no
+    watermark needed — the shape that keeps up with an unbounded
+    ingest stream.  For a benchmark too large to broadcast, run the
+    batch operator on landed data instead; a stream-side shuffle join
+    against a corpus-scale "benchmark" has no bounded-state form."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from fsharp_dataframe_spark.functions.dedup import shingle_table
+
+    bench_sh = frozenset(
+        r["shingle"]
+        for r in shingle_table(benchmark, id_col=id_col,
+                               text_col=bench_text_col or text_col, n=n)
+        .select("shingle").distinct().collect())
+    bvar = sdf.sparkSession.sparkContext.broadcast(bench_sh)
+    ws = re.compile(r"\s+")
+
+    @pandas_udf("int")
+    def n_hits(texts: pd.Series) -> pd.Series:
+        bset = bvar.value
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            toks = [x for x in ws.split(t.lower()) if x != ""]
+            grams = {" ".join(toks[i:i + n])
+                     for i in range(max(len(toks) - n + 1, 0))}
+            out.append(sum(1 for g in grams if g in bset))
+        return pd.Series(out, dtype="int32")
+
+    return (sdf.withColumn("_n_hit", n_hits(F.col(text_col)))
+            .filter(F.col("_n_hit") <= max_hits).drop("_n_hit"))
+
+
+def stream_repetition_filter(sdf: DataFrame, text_col: str = "text",
+                             thresholds: dict[str, float] | None = None) -> DataFrame:
+    """Gopher repetition filtering on a stream: the batch operator
+    (functions/quality.repetition_filter) is a stateless per-row map,
+    so it applies to an unbounded DataFrame unchanged."""
+    from fsharp_dataframe_spark.functions.quality import repetition_filter
+
+    return repetition_filter(sdf, text_col=text_col, thresholds=thresholds)
 
 
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append",

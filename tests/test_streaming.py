@@ -214,3 +214,42 @@ def test_stateless_pipeline_ops_run_on_streams(spark, tmp_path):
            .select("doc_id", "split",
                    F.round(quality_score(F.col("text")), 4).alias("q")).collect()}
     assert got == exp and len(got) == 100
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    from fsharp_dataframe_spark.functions.dedup import contamination_overlap
+    from fsharp_dataframe_spark.streaming import stream_decontaminate
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    d = str(tmp_path / "train_stream")
+    train.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, train.schema)
+    name = run_to_memory(stream_decontaminate(s, bench, max_hits=0),
+                         "t_decontam")
+    got = {r["doc_id"] for r in
+           spark.sql(f"SELECT doc_id FROM {name}").collect()}
+    # batch oracle: docs with zero benchmark-shingle hits
+    exp = {r["doc_id"] for r in
+           contamination_overlap(train, bench)
+           .filter(F.col("n_hit") == 0).collect()}
+    assert got == exp and got
+
+
+def test_stream_repetition_filter_matches_batch(spark, tmp_path):
+    from fsharp_dataframe_spark.functions.quality import repetition_filter
+    from fsharp_dataframe_spark.streaming import stream_repetition_filter
+
+    rows = [(1, " ".join(["spam"] * 40)),
+            (2, " ".join(f"w{i}" for i in range(40))),
+            (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "rep_stream")
+    docs.repartition(2).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    name = run_to_memory(stream_repetition_filter(s), "t_repfilter")
+    got = {r["doc_id"] for r in
+           spark.sql(f"SELECT doc_id FROM {name}").collect()}
+    exp = {r["doc_id"] for r in repetition_filter(docs).collect()}
+    assert got == exp == {2, 3}
