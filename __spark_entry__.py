@@ -823,6 +823,33 @@ def q_embed_centroids(spark, sf) -> DataFrame:
     )
 
 
+def q_ivf_train(spark, sf) -> DataFrame:
+    """IVF coarse-quantizer TRAINING (functions/similarity.kmeans_fit):
+    two Lloyd iterations from the deterministic smallest-id init, then
+    the trained assignment summarized per cell (count + order-exact
+    mean cosine-to-centroid).  Centroids live on the driver (k×dim
+    doubles); each iteration is ONE job — broadcast-literal argmin
+    assignment (narrow map) + dim partial-aggregating sums, no explode,
+    no shuffle of vectors.  The oracle replays both iterations in SQL
+    (argmin via window rank, per-dim means via zipped unnest)."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        cosine, ivf_assign, kmeans_fit,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=8, max_iter=2, tol=0.0)
+    assigned = ivf_assign(emb, cents)
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    sim = cosine(F.col("embedding"), F.element_at(carr, F.col("ivf_cell") + 1))
+    return (assigned.select(F.col("ivf_cell").alias("cell"), sim.alias("s"))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_vecs"),
+                 _isum(F.col("s")).alias("_su"))
+            .select("cell", "n_vecs",
+                    F.round(F.col("_su") / F.col("n_vecs") / 10000.0, 4)
+                     .alias("mean_sim")))
+
+
 def q_embed_near_dup(spark, sf) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — exact small-N tier
     (cosine_pairs_exact); the scale path is the LSH-bucketed
@@ -1108,6 +1135,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
+        "ivf_train": q_ivf_train,
         "media_features": q_media_features,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
@@ -1169,6 +1197,48 @@ def _rep_quality_sql() -> str:
             LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
             LEFT JOIN t4 USING (doc_id)
             LEFT JOIN d5 USING (doc_id) LEFT JOIN d10 USING (doc_id)
+        """
+
+
+def _ivf_train_sql() -> str:
+    """DuckDB replay of two Lloyd iterations (q_ivf_train): cosine
+    argmin via window rank (ties -> lowest cell, matching Spark's
+    array_position-of-array_max), per-dim centroid means via zipped
+    unnest, empty cells inheriting the previous centroid."""
+    cos = ("(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))")
+
+    def assign(src_cents: str, name: str, keep_sim: bool = False) -> str:
+        sim = cos.format(a="e.v", b=f"{src_cents}.c")
+        extra = ", sim" if keep_sim else ""
+        return (f"{name} AS (SELECT vec_id, v, cell{extra} FROM ("
+                f"SELECT e.vec_id, e.v, {src_cents}.cell, {sim} AS sim, "
+                f"row_number() OVER (PARTITION BY e.vec_id "
+                f"ORDER BY {sim} DESC, {src_cents}.cell) AS rn "
+                f"FROM e CROSS JOIN {src_cents}) WHERE rn = 1)")
+
+    def recenter(asg: str, prev: str, out: str) -> str:
+        return (
+            f"m_{out} AS (SELECT cell, pos, avg(x) AS m FROM ("
+            f"SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos "
+            f"FROM {asg}) GROUP BY 1, 2), "
+            f"r_{out} AS (SELECT cell, list(m ORDER BY pos) AS c "
+            f"FROM m_{out} GROUP BY 1), "
+            f"{out} AS (SELECT {prev}.cell, coalesce(r_{out}.c, {prev}.c) AS c "
+            f"FROM {prev} LEFT JOIN r_{out} USING (cell))")
+
+    return f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, v AS c
+                   FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+            {assign('c0', 'a0')},
+            {recenter('a0', 'c0', 'c1')},
+            {assign('c1', 'a1')},
+            {recenter('a1', 'c1', 'c2')},
+            {assign('c2', 'af', keep_sim=True)}
+            SELECT cell, count(*) AS n_vecs,
+                   round(sum(round(sim * 10000)::BIGINT) / count(*) / 10000.0, 4) AS mean_sim
+            FROM af GROUP BY cell
         """
 
 
@@ -1410,6 +1480,7 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT vec_id, arg_max(cid, sim)::INT AS ivf_cell
             FROM scored GROUP BY vec_id
         """,
+        "ivf_train": _ivf_train_sql(),
         "ivf_topk": """
             WITH cents AS (
               SELECT vec_id AS cid, embedding::DOUBLE[] AS c

@@ -48,6 +48,7 @@ HEADLINE = [
     "embed_near_dup_lsh",
     "lsh_topk",
     "ivf_topk",
+    "ivf_train",
     "dedup_clusters",
     "decontaminate",
     "hash_split",

@@ -229,6 +229,54 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     return df.withColumn("ivf_cell", best.cast("int"))
 
 
+def kmeans_fit(df: DataFrame, k: int = 8, dim: int | None = None,
+               max_iter: int = 10, tol: float = 1e-6,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               metric: str = "cosine") -> list[list[float]]:
+    """Train IVF coarse centroids with Lloyd's iterations, distributed
+    the only way that scales: centroids live on the DRIVER (k × dim
+    doubles — kilobytes), the corpus never moves.
+
+    Per iteration ONE Spark job: broadcast-literal argmin assignment
+    (ivf_assign — narrow map, no shuffle of vectors) then
+    groupBy(cell) with ``dim`` partial-aggregating sums — map-side
+    combine reduces every partition to ≤ k rows before the single
+    k-row shuffle.  No explode (which would shuffle n·dim rows), no
+    per-iteration cache of the corpus.  Iteration stops when no
+    centroid moves more than ``tol`` (L∞) or at ``max_iter``.
+
+    Init is DETERMINISTIC: the k vectors with the smallest ids —
+    reproducible across runs/engines (k-means++ trades determinism
+    for seeding quality; callers wanting it can pass better centroids
+    straight to ivf_assign).  ``metric='cosine'`` assigns by cosine
+    (the similarity the IVF search probes with); empty cells keep
+    their previous centroid.
+    """
+    if metric != "cosine":
+        raise ValueError("only metric='cosine' is implemented")
+    rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    cents = [list(map(float, r[1])) for r in rows]
+    dim = dim or len(cents[0])
+    for _ in range(max_iter):
+        assigned = ivf_assign(df, cents, vec_col)
+        agg = (assigned.groupBy("ivf_cell").agg(
+            F.count("*").alias("_n"),
+            *[F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"_s{i}")
+              for i in range(dim)]).collect())
+        new_cents = list(cents)
+        for r in agg:
+            if r["ivf_cell"] is None or r["_n"] == 0:
+                continue
+            new_cents[r["ivf_cell"]] = [r[f"_s{i}"] / r["_n"]
+                                        for i in range(dim)]
+        shift = max(abs(a - b) for c0, c1 in zip(cents, new_cents)
+                    for a, b in zip(c0, c1))
+        cents = new_cents
+        if shift <= tol:
+            break
+    return cents
+
+
 def cosine_pairs_exact(df: DataFrame, threshold: float = 0.9,
                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact all-pairs cosine near-duplicates (id_a < id_b, cosine >=

@@ -185,3 +185,49 @@ def test_near_dup_lsh_driver_query_recall_on_real_table(spark):
     assert set(casc) <= set(exact)
     assert all(exact[k] == v for k, v in casc.items())
     assert len(casc) / max(1, len(exact)) >= 0.9
+
+
+def test_kmeans_fit_recovers_planted_blobs(spark):
+    import numpy as np
+
+    from fsharp_dataframe_spark.functions.similarity import ivf_assign, kmeans_fit
+
+    rng = np.random.default_rng(7)
+    blobs = [np.array([10.0, 0.0, 0.0]), np.array([0.0, 10.0, 0.0]),
+             np.array([0.0, 0.0, 10.0])]
+    rows = []
+    for i in range(90):
+        c = blobs[i % 3] + rng.normal(0, 0.1, 3)
+        rows.append((i, [float(x) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, max_iter=8)
+    # every trained centroid points at one blob (cosine > 0.99), and
+    # the three blobs are each claimed by exactly one centroid
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    claimed = {int(np.argmax([cos(c, b) for b in blobs])) for c in cents}
+    assert claimed == {0, 1, 2}
+    assert all(max(cos(c, b) for b in blobs) > 0.99 for c in cents)
+    # assignment agrees with blob membership (cells are a relabeling)
+    got = {r["vec_id"]: r["ivf_cell"]
+           for r in ivf_assign(df, cents).select("vec_id", "ivf_cell").collect()}
+    for i in range(90):
+        for j in range(90):
+            if i % 3 == j % 3:
+                assert got[i] == got[j]
+
+
+def test_kmeans_fit_deterministic_and_empty_cell_safe(spark):
+    from fsharp_dataframe_spark.functions.similarity import kmeans_fit
+
+    # k=4 over 3 tight blobs -> at least one cell may go empty; its
+    # centroid must survive (inherit previous), and training must be
+    # reproducible run-to-run
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = kmeans_fit(df, k=4, max_iter=3)
+    c2 = kmeans_fit(df, k=4, max_iter=3)
+    assert c1 == c2
+    assert len(c1) == 4 and all(len(c) == 3 for c in c1)
