@@ -1052,11 +1052,16 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # plus math fns), stats_melt→group_stats+pivot (the stats and the
 # melt/unstack shape), frame_shift_diff→shift_diff+frame_zip (series
 # shift/diff semantics; frame-level multi-column fan-out),
-# pack_shards→chunk_sum/index_ordinal (the bucketed census substrate).
+# pack_shards→chunk_sum/index_ordinal (the bucketed census substrate),
+# text_stats→corpus_stats+text_quality (same token/ratio exprs under
+# oracle), embed_centroids→ivf_train (same array-math grouped rollup,
+# now with trained cells), embed_near_dup→embed_topk (exact cosine
+# values) + embed_near_dup_lsh (the pair cascade under driver signal).
 EXTRA_QUERIES = ("append_frames", "pairwise", "take_last", "sample_time",
                  "frame_zip", "fill_constant", "drop_sparse",
                  "cast_types", "stats_melt", "frame_shift_diff",
-                 "pack_shards")
+                 "pack_shards", "text_stats", "embed_centroids",
+                 "embed_near_dup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
