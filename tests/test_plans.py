@@ -127,3 +127,36 @@ def test_dedup_clusters_assignment_joins_are_equi(spark):
     plan = _plan(spark, "dedup_clusters")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rep_quality_is_shuffle_free(spark):
+    # the repetition metrics are a per-document narrow map: no KEY
+    # shuffle anywhere — the only allowed Exchange is spread()'s
+    # deliberate round-robin rebalance of a few-file input, which a
+    # many-partition production scan wouldn't need.  That property is
+    # what lets the same operator run unchanged on a stream and scale
+    # linearly
+    plan = _plan(spark, "rep_quality")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_corpus_stats_single_shuffle_on_lang(spark):
+    # one aggregation shuffle keyed by lang; nothing else moves
+    plan = _plan(spark, "corpus_stats")
+    assert plan.count("Exchange hashpartitioning(lang") >= 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ivf_train_assignment_never_shuffles_vectors(spark):
+    # the trained assignment is a narrow map over broadcast-literal
+    # centroids; the only exchange is the final k-row cell aggregate
+    from fsharp_dataframe_spark.functions.similarity import ivf_assign, kmeans_fit
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = kmeans_fit(emb, k=4, max_iter=1)
+    plan = ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
