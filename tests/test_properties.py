@@ -127,3 +127,59 @@ def test_infinity_is_not_missing(spark, vals):
     obs = dict(mapped.observations())
     assert set(obs) == set(range(len(vals)))
     assert all(v == float("inf") for v in obs.values())
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=2000),
+                     min_size=2, max_size=40, unique=True),
+       dist=st.integers(min_value=1, max_value=300))
+@settings(**SETTINGS)
+def test_chunk_dist_bucketed_matches_sequential(spark, keys, dist):
+    # the carry cascade (per-bucket DP + driver boundary thread) must
+    # equal the sequential recurrence on ANY key distribution; when the
+    # degenerate-regime guard trips it falls back, which is equality by
+    # construction — hypothesis explores both regimes
+    import warnings
+
+    s = sob(spark, [(k, k % 7) for k in sorted(keys)])
+    agg = lambda seg: float(seg["value"].sum())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        seq = s.chunk_dist_into(dist, agg, bucketed=False)
+        buck = s.chunk_dist_into(dist, agg, bucketed=True, n_buckets=4)
+    assert sorted(map(tuple, seq.df.collect())) == \
+        sorted(map(tuple, buck.df.collect()))
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=500),
+                     min_size=1, max_size=30, unique=True),
+       dist=st.integers(min_value=1, max_value=120))
+@settings(**SETTINGS)
+def test_window_dist_bucketed_matches_plain(spark, keys, dist):
+    import warnings
+
+    s = sob(spark, [(k, k % 5) for k in sorted(keys)])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        plain = s.window_dist_into(dist, F.sum, bucketed=False)
+        buck = s.window_dist_into(dist, F.sum, bucketed=True)
+    assert sorted(map(tuple, plain.df.collect())) == \
+        sorted(map(tuple, buck.df.collect()))
+
+
+@given(vals=st.lists(st.one_of(st.none(),
+                               st.integers(min_value=-50, max_value=50)),
+                     min_size=1, max_size=25),
+       direction=st.sampled_from(["forward", "backward"]))
+@settings(**SETTINGS)
+def test_global_fill_bucketed_matches_plain(spark, vals, direction):
+    import warnings
+
+    pairs = [(i, None if v is None else float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(pairs, "key int, value double")
+    s = Series(df, key="key", value="value", ordered=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        plain = s.fill_missing(direction, bucketed=False)
+        buck = s.fill_missing(direction, bucketed=True)
+    assert sorted(map(tuple, plain.df.collect())) == \
+        sorted(map(tuple, buck.df.collect()))
