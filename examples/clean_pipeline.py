@@ -1,0 +1,112 @@
+"""End-to-end corpus-cleaning pipeline — every stage is one of the
+engine's audited operators, composed the way a production training-data
+job runs them:
+
+    raw parquet/JSONL
+      → exact dedup            (fingerprint groupBy, keep min id)
+      → near-dedup             (MinHash-LSH candidates → exact Jaccard
+                                verify → connected-component clusters →
+                                keep one canonical doc per cluster)
+      → benchmark decontamination (broadcast shingle semi-join)
+      → repetition filter      (Gopher thresholds, zero-shuffle)
+      → quality gate           (token/punct/digit/stopword heuristics)
+      → deterministic split    (salted hash, stable under re-ingest)
+      → token-budget sharding  (bucketed prefix sum, no global window)
+      → partitioned parquet    (split-partitioned, shard-sorted)
+
+Run:  python examples/clean_pipeline.py [sf_dir] [out_dir]
+
+Defaults: sf_dir=/root/testdata/sf0.001, out_dir=/tmp/clean_corpus_out.
+Prints one JSON line per stage with the surviving row count — the
+audit trail a real pipeline logs.  Every stage is lazy; Spark runs the
+whole cascade as a handful of jobs at the final writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark import get_spark
+from fsharp_dataframe_spark.functions.dedup import (
+    contamination_overlap,
+    exact_dedup,
+    near_dedup_pairs,
+)
+from fsharp_dataframe_spark.functions.graph import duplicate_clusters
+from fsharp_dataframe_spark.functions.quality import repetition_filter
+from fsharp_dataframe_spark.functions.sampling import hash_split, pack_shards
+from fsharp_dataframe_spark.functions.text import bpe_ish_token_count, quality_score
+from fsharp_dataframe_spark.sources.parquet import load_table, save_parquet
+
+
+def clean_corpus(spark, sf_dir: str, out_dir: str,
+                 near_dup_threshold: float = 0.5,
+                 max_bench_hits: int = 0,
+                 min_quality: float = 0.5,
+                 split_weights: dict[str, float] | None = None,
+                 shard_tokens: int = 20_000) -> dict[str, int]:
+    """Run the full cascade; returns {stage: surviving_rows}."""
+    counts: dict[str, int] = {}
+    docs = load_table(spark, sf_dir, "documents")
+    counts["raw"] = docs.count()
+
+    # 1. exact dedup — kills byte-identical duplication for one shuffle
+    kept = exact_dedup(docs)
+    counts["exact_dedup"] = kept.count()
+
+    # 2. near-dedup: LSH candidates → exact verify → components →
+    #    canonical survivor per cluster (transitivity-correct)
+    pairs = near_dedup_pairs(kept, threshold=near_dup_threshold)
+    clusters = duplicate_clusters(kept, pairs)
+    survivors = kept.join(
+        clusters.filter(F.col("is_canonical")).select("doc_id"),
+        on="doc_id", how="left_semi")
+    counts["near_dedup"] = survivors.count()
+
+    # 3. decontamination vs the held-out benchmark slice
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    overlap = contamination_overlap(survivors, bench)
+    clean = survivors.join(
+        overlap.filter(F.col("n_hit") <= max_bench_hits).select("doc_id"),
+        on="doc_id", how="left_semi")
+    counts["decontaminated"] = clean.count()
+
+    # 4. repetition + heuristic quality gates (both narrow maps)
+    unrepetitive = repetition_filter(clean)
+    quality = unrepetitive.filter(
+        F.round(quality_score(F.col("text")), 4) >= min_quality)
+    counts["quality"] = quality.count()
+
+    # 5. deterministic split + token-budget shards, then the writes
+    split = hash_split(quality, "doc_id",
+                       split_weights or {"train": 0.95, "heldout": 0.05},
+                       salt="clean-v1")
+    with_tokens = split.withColumn(
+        "n_tokens", bpe_ish_token_count(F.col("text")))
+    sharded = with_tokens.join(
+        pack_shards(with_tokens, shard_tokens).select("doc_id", "shard"),
+        on="doc_id")
+    counts["final"] = sharded.count()
+
+    save_parquet(sharded, out_dir, partition_by=["split"],
+                 sort_by=["shard", "doc_id"])
+    return counts
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/clean_corpus_out"
+    spark = get_spark(app_name="clean-pipeline-example")
+    counts = clean_corpus(spark, sf_dir, out_dir)
+    for stage, n in counts.items():
+        print(json.dumps({"stage": stage, "rows": n}))
+
+
+if __name__ == "__main__":
+    main()

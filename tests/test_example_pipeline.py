@@ -1,0 +1,31 @@
+"""The examples/clean_pipeline.py cascade must run end-to-end and
+write a readable split-partitioned corpus."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples"))
+
+from clean_pipeline import clean_corpus  # noqa: E402
+
+
+def test_clean_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    counts = clean_corpus(spark, "/root/testdata/sf0.001", out)
+    order = ["raw", "exact_dedup", "near_dedup", "decontaminated",
+             "quality", "final"]
+    assert list(counts) == order
+    # each stage only ever removes rows (final re-attaches shards 1:1)
+    for a, b in zip(order[:-1], order[1:]):
+        assert counts[b] <= counts[a]
+    assert counts["final"] > 0
+    # the written corpus is split-partitioned, shard-labeled, and
+    # holds exactly the surviving rows
+    back = spark.read.parquet(out)
+    assert counts["final"] == back.count()
+    assert {"doc_id", "text", "split", "shard", "n_tokens"} <= set(back.columns)
+    splits = {r["split"] for r in back.select("split").distinct().collect()}
+    assert splits <= {"train", "heldout"} and "train" in splits
+    # hive partition pruning is available to readers
+    assert any(p.startswith("split=") for p in os.listdir(out))
