@@ -1,6 +1,7 @@
 from fsharp_dataframe_spark.streaming.ops import (  # noqa: F401
     read_stream_parquet,
     run_to_memory,
+    stream_corpus_stats,
     stream_decontaminate,
     stream_exact_dedup,
     stream_repetition_filter,

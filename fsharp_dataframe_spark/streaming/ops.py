@@ -346,6 +346,34 @@ def stream_repetition_filter(sdf: DataFrame, text_col: str = "text",
     return repetition_filter(sdf, text_col=text_col, thresholds=thresholds)
 
 
+def stream_corpus_stats(sdf: DataFrame, lang_col: str = "lang",
+                        text_col: str = "text") -> DataFrame:
+    """Streaming per-language corpus rollup (the batch q_corpus_stats
+    counters): doc count, total tokens, and order-exact mean quality
+    in integer ten-thousandth units.  State is ONE row per language —
+    bounded by key cardinality, not stream length, so no watermark is
+    needed; run it in update mode for a live ingest dashboard.  The
+    exact percentiles of the batch rollup are deliberately absent:
+    their state is every observed value, which is unbounded on a
+    stream — land the data and compute them in batch."""
+    from fsharp_dataframe_spark.functions import text as TX
+
+    c = F.col(text_col)
+    per_doc = sdf.select(
+        F.col(lang_col).alias("lang"),
+        TX.token_count(c).alias("_n_tok"),
+        (F.round(F.round(TX.quality_score(c), 4) * 10000)
+         .cast("long")).alias("_q_units"),
+    )
+    return (per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_n_tok").alias("total_tokens"),
+        F.sum("_q_units").alias("_qu"))
+        .select("lang", "n_docs", "total_tokens",
+                F.round(F.col("_qu") / F.col("n_docs") / 10000.0, 4)
+                 .alias("mean_quality")))
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append",
                   checkpoint: str | None = None):
     """Drive a streaming plan to completion synchronously (availableNow

@@ -253,3 +253,18 @@ def test_stream_repetition_filter_matches_batch(spark, tmp_path):
            spark.sql(f"SELECT doc_id FROM {name}").collect()}
     exp = {r["doc_id"] for r in repetition_filter(docs).collect()}
     assert got == exp == {2, 3}
+
+
+def test_stream_corpus_stats_matches_batch(spark, tmp_path):
+    from fsharp_dataframe_spark.streaming import stream_corpus_stats
+
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path / "docs_stats_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    name = run_to_memory(stream_corpus_stats(s), "t_cstats",
+                         output_mode="complete")
+    got = {tuple(r) for r in spark.sql(
+        f"SELECT lang, n_docs, total_tokens, mean_quality FROM {name}").collect()}
+    exp = {tuple(r) for r in stream_corpus_stats(docs).collect()}
+    assert got == exp and len(got) >= 2
