@@ -42,6 +42,7 @@ from fsharp_dataframe_spark.functions.graph import duplicate_clusters
 from fsharp_dataframe_spark.functions.quality import repetition_filter
 from fsharp_dataframe_spark.functions.sampling import hash_split, pack_shards
 from fsharp_dataframe_spark.functions.text import bpe_ish_token_count, quality_score
+from fsharp_dataframe_spark.functions.util import cache_scope
 from fsharp_dataframe_spark.sources.parquet import load_table, save_parquet
 
 
@@ -51,7 +52,23 @@ def clean_corpus(spark, sf_dir: str, out_dir: str,
                  min_quality: float = 0.5,
                  split_weights: dict[str, float] | None = None,
                  shard_tokens: int = 20_000) -> dict[str, int]:
-    """Run the full cascade; returns {stage: surviving_rows}."""
+    """Run the full cascade; returns {stage: surviving_rows}.
+
+    The sketch relations the dedup operators persist (shingle tables,
+    MinHash signatures) are scoped to this function: the stages are
+    lazy, so the FINAL write re-walks the whole cascade and reuses the
+    caches — they must stay alive until then, and cache_scope releases
+    them deterministically on exit instead of leaving the blocks to
+    the ContextCleaner."""
+    with cache_scope():
+        return _clean_corpus(spark, sf_dir, out_dir, near_dup_threshold,
+                             max_bench_hits, min_quality, split_weights,
+                             shard_tokens)
+
+
+def _clean_corpus(spark, sf_dir, out_dir, near_dup_threshold,
+                  max_bench_hits, min_quality, split_weights,
+                  shard_tokens) -> dict[str, int]:
     counts: dict[str, int] = {}
     docs = load_table(spark, sf_dir, "documents")
     counts["raw"] = docs.count()

@@ -98,13 +98,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     two copies of the size aggregate — broadcast build sides cannot
     share a shuffle exchange).  Tokenization is the CPU-heavy step;
     this is the in-session equivalent of a pipeline writing its
-    shingle table to parquet before the pair join, and the blocks are
-    released by the ContextCleaner when the result goes out of scope.
+    shingle table to parquet before the pair join.  Blocks are released
+    deterministically via util.release_cached()/cache_scope() (pipeline
+    callers) or by the ContextCleaner when the result goes out of scope.
     """
-    from pyspark import StorageLevel
+    from fsharp_dataframe_spark.functions.util import track_persist
 
     def _mat(rel: DataFrame) -> DataFrame:
-        return rel.persist(StorageLevel.MEMORY_AND_DISK) if reuse_shingles else rel
+        return track_persist(rel) if reuse_shingles else rel
 
     if max_doc_freq is not None:
         sh_all = _mat(shingle_table(df, id_col, text_col, n))
@@ -188,7 +189,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     >= threshold.  At 100 TB: linear scan + one groupBy on band keys
     + pair verification only on collisions.
     """
-    from pyspark import StorageLevel
+    from fsharp_dataframe_spark.functions.util import track_persist
 
     r = k // bands
     # one row per doc (id + k longs): materialize so the band join's
@@ -196,8 +197,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # instead of re-running the shingle explode + k-way aggregate —
     # sketch tables are O(corpus row count), not O(corpus bytes), so
     # this caches cheaply even when the corpus itself could not
-    sigs = (minhash_signatures(df, id_col, text_col, n, k)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    sigs = track_persist(minhash_signatures(df, id_col, text_col, n, k))
     banded = sigs.select(
         id_col, "minhash",
         F.posexplode(F.array(*[
@@ -239,16 +239,13 @@ def jaccard_verify_pairs(df: DataFrame, pairs: DataFrame,
     O(|pairs| · doc_len), independent of shingle frequency skew —
     the only shape that survives when candidates come from LSH at
     100 TB."""
-    from fsharp_dataframe_spark.functions.util import spread
-
-    from pyspark import StorageLevel
+    from fsharp_dataframe_spark.functions.util import spread, track_persist
 
     # the (id, shingle-array) relation feeds both the id_a and id_b
     # probes; materialize it once (spillable) — the in-session
     # equivalent of writing the shingle table before the verify join
-    sh = (spread(df, id_col, text_col).select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = track_persist(spread(df, id_col, text_col).select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("_sh")))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
@@ -391,13 +388,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     for w in widths:
         offs.append((o, w))
         o += w
-    from pyspark import StorageLevel
+    from fsharp_dataframe_spark.functions.util import track_persist
 
     # (id, sh) is one long per doc: materialize so both sides of the
     # piece self-join read computed sketches instead of re-tokenizing
     # (a broadcast build side cannot share the shuffle exchange)
-    sh = (simhash_table(df, id_col, text_col)
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = track_persist(simhash_table(df, id_col, text_col))
     quarters = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*[

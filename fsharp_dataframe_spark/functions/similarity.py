@@ -251,9 +251,20 @@ def kmeans_fit(df: DataFrame, k: int = 8, dim: int | None = None,
     straight to ivf_assign).  ``metric='cosine'`` assigns by cosine
     (the similarity the IVF search probes with); empty cells keep
     their previous centroid.
+
+    Recentering accumulates in FIXED-POINT integer millionths (the
+    _isum trick): a raw double sum's value depends on partition /
+    combine order, so near-tied boundary vectors could flip cells
+    across partitionings or engines.  Summing round(x·10⁶) as int64 is
+    exact and order-independent, making the trained centroids
+    partition-layout-invariant and replayable step-for-step by the
+    DuckDB ivf_train oracle.  Bound: |Σ round(x·10⁶)| must stay under
+    2⁵³ for the int→double division to be exact — holds up to ~10⁹
+    unit-normalized vectors per cell per dimension.
     """
     if metric != "cosine":
         raise ValueError("only metric='cosine' is implemented")
+    scale = 10 ** 6
     rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
     cents = [list(map(float, r[1])) for r in rows]
     dim = dim or len(cents[0])
@@ -261,13 +272,14 @@ def kmeans_fit(df: DataFrame, k: int = 8, dim: int | None = None,
         assigned = ivf_assign(df, cents, vec_col)
         agg = (assigned.groupBy("ivf_cell").agg(
             F.count("*").alias("_n"),
-            *[F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"_s{i}")
+            *[F.sum(F.round(F.element_at(F.col(vec_col), i + 1) * scale)
+                    .cast("long")).alias(f"_s{i}")
               for i in range(dim)]).collect())
         new_cents = list(cents)
         for r in agg:
             if r["ivf_cell"] is None or r["_n"] == 0:
                 continue
-            new_cents[r["ivf_cell"]] = [r[f"_s{i}"] / r["_n"]
+            new_cents[r["ivf_cell"]] = [r[f"_s{i}"] / r["_n"] / scale
                                         for i in range(dim)]
         shift = max(abs(a - b) for c0, c1 in zip(cents, new_cents)
                     for a, b in zip(c0, c1))
@@ -393,10 +405,20 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
     to attaching vectors by id join — O(pairs) shuffle, the only shape
     that works when the matrix itself is cluster-sized.  Both paths
     produce bit-identical cosines (same left-to-right IEEE fold as
-    dot()/dot_batch)."""
+    dot()/dot_batch).
+
+    The broadcast path additionally requires an INTEGRAL id column (its
+    worker-side lookup table is keyed on int64); string/decimal ids take
+    the join path regardless of size, and the broadcast path casts its
+    ids back to the input dtype so both paths return identical
+    schemas."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     dim = dim or len(df.select(vec_col).first()[0])
     if n_vectors is None:
         n_vectors = df.count()
+    id_type = df.schema[id_col].dataType
+    integral_id = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
     # candidate phase is NARROW — (id, tbl, bucket) only.  Carrying the
     # vector payload through the bucket join + dedup shuffles
     # O(candidates × dim) bytes; deduping bare id pairs first shuffles
@@ -406,16 +428,16 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
     # O(pairs), never O(pairs × tables)).
     # no spread(): Arrow-batched UDF wants few large batches (see
     # lsh_topk note) — the downstream bucket join re-distributes anyway
-    from pyspark import StorageLevel
+    from fsharp_dataframe_spark.functions.util import track_persist
 
     # (id, tbl, bucket) is 24 bytes × n_tables per vector: materialize
     # so the bucket self-join's two sides reuse one UDF pass over the
     # corpus instead of hashing every vector through all tables twice
-    buckets = df.select(
+    buckets = track_persist(df.select(
         F.col(id_col),
         F.posexplode(lsh_buckets_all(F.col(vec_col), dim, n_bits, n_tables))
          .alias("tbl", "bucket"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     l, r = buckets.alias("l"), buckets.alias("r")
     cand_ids = (
         l.join(r, on=["tbl", "bucket"])
@@ -423,7 +445,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    if n_vectors * dim * 8 <= broadcast_budget_bytes:
+    if integral_id and n_vectors * dim * 8 <= broadcast_budget_bytes:
         import numpy as np
 
         rows = [r for r in df.select(F.col(id_col).cast("long").alias("_id"),
@@ -466,7 +488,10 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
                                  F.col("id_b").cast("long")).mapInPandas(
             _verify, "id_a long, id_b long, cosine_sim double")
         return (scored.withColumn("cosine_sim", F.round("cosine_sim", 4))
-                .filter(F.col("cosine_sim") >= threshold))
+                .filter(F.col("cosine_sim") >= threshold)
+                .select(F.col("id_a").cast(id_type).alias("id_a"),
+                        F.col("id_b").cast(id_type).alias("id_b"),
+                        "cosine_sim"))
 
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
                      norm(F.col(vec_col)).alias("_n"))

@@ -2,7 +2,66 @@
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
+
+# Sketch relations ((id, shingle), minhash signatures, simhash
+# sketches, LSH buckets) are persisted MEMORY_AND_DISK so one
+# tokenization pass feeds a self-join's two sides.  They are lazy:
+# the blocks only exist after the CALLER materializes the result, so
+# the operator cannot unpersist before returning.  Without a release
+# hook a long session composing these operators accumulates cached
+# blocks until the ContextCleaner gets around to them; this registry
+# gives pipelines a deterministic release point.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() + register for release_cached()/cache_scope()."""
+    from pyspark import StorageLevel
+
+    df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every sketch relation cached by the corpus operators
+    since the last release.  Call after materializing a pipeline stage
+    (count/write); returns how many relations were released.  Safe to
+    call any time — unpersist() is lazy-blocking=False and idempotent."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.pop().unpersist()
+        n += 1
+    return n
+
+
+@contextmanager
+def cache_scope():
+    """Scope sketch caches to a pipeline stage::
+
+        with cache_scope():
+            pairs = ngram_jaccard_pairs(docs)
+            pairs.write.parquet(out)       # materialize INSIDE
+        # sketch blocks released here
+
+    Only relations persisted inside the scope are released; persists
+    tracked before entry are left alone (nesting-safe)."""
+    mark = len(_TRACKED_PERSISTS)
+    try:
+        yield
+    finally:
+        while len(_TRACKED_PERSISTS) > mark:
+            _TRACKED_PERSISTS.pop().unpersist()
+
+
+# spread() is called repeatedly on the same relations inside one query
+# (shingle tables feed joins and size aggregates); .rdd.getNumPartitions
+# materializes a physical plan + Python RDD conversion each time, and on
+# a parquet scan triggers file listing.  Memoize per semantic plan.
+_NPART_CACHE: dict[tuple[int, int], int] = {}
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -21,6 +80,18 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     """
     sel = df.select(*cols) if cols else df
     p = df.sparkSession.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() >= p:
+    try:
+        key = (id(df.sparkSession), sel.semanticHash())
+    except Exception:
+        key = None
+    if key is not None and key in _NPART_CACHE:
+        n = _NPART_CACHE[key]
+    else:
+        n = sel.rdd.getNumPartitions()
+        if key is not None:
+            if len(_NPART_CACHE) > 1024:
+                _NPART_CACHE.clear()
+            _NPART_CACHE[key] = n
+    if n >= p:
         return sel
     return sel.repartition(p)

@@ -15,33 +15,77 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _nanos_fields(path: str) -> list[str]:
+def _footer_schema(path: str):
     try:
-        import pyarrow.parquet as pq
         import pyarrow.dataset as ds
 
-        schema = ds.dataset(path, format="parquet").schema
-        return [
-            f.name for f in schema
-            if str(f.type) == "timestamp[ns]"
-        ]
+        return ds.dataset(path, format="parquet").schema
     except Exception:
+        return None
+
+
+def _nanos_fields(path: str) -> list[str]:
+    schema = _footer_schema(path)
+    if schema is None:
         return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+def _ntz_fields(path: str) -> list[str]:
+    """Fields stored as parquet TIMESTAMP(isAdjustedToUTC=false) —
+    wall-clock local time per the parquet spec (pyarrow: timestamp
+    without tz, excluding the ns case handled separately)."""
+    schema = _footer_schema(path)
+    if schema is None:
+        return []
+    import pyarrow as pa
+
+    return [f.name for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.tz is None
+            and f.type.unit != "ns"]
+
+
+def read_parquet(spark: SparkSession, path: str, ntz: str = "utc",
+                 _warn_ntz: bool = True) -> DataFrame:
+    """Read parquet with the engine's timestamp normalization.
+
+    ``ntz`` controls TIMESTAMP(isAdjustedToUTC=false) columns — per the
+    parquet spec those are WALL-CLOCK local times:
+
+    - ``"utc"`` (default): read the stored micros as UTC-epoch
+      TimestampType (LTZ), the engine's canonical temporal type.  This
+      matches how the engine and the driver testdata write timestamps
+      (wall-clock == UTC), but REINTERPRETS foreign files whose NTZ
+      columns genuinely mean local time — a warning is emitted naming
+      the affected columns (footer metadata check, no data read).
+    - ``"keep"``: preserve TIMESTAMP_NTZ.  NTZ refuses numeric casts,
+      so key-arithmetic operators (range bucketing, as-of distance,
+      resampling) require an explicit cast by the caller.
+    """
+    if ntz not in ("utc", "keep"):
+        raise ValueError(f"ntz must be 'utc' or 'keep', got {ntz!r}")
     # Runtime SQL conf: must be set on whatever session the caller supplies
     # (the driver's harness builds its own vanilla SparkSession), not just
     # on sessions built by get_spark().  Without it, any parquet file with
     # TIMESTAMP(NANOS) columns fails with PARQUET_TYPE_ILLEGAL.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Parquet TIMESTAMP(isAdjustedToUTC=false) columns: Spark 4 infers
-    # TIMESTAMP_NTZ by default, a type that refuses numeric casts and so
-    # breaks every key-arithmetic path (range bucketing, as-of distance,
-    # resampling).  Disabling the inference reads the stored micros as
-    # UTC-epoch TimestampType (LTZ) — the engine's canonical temporal
-    # type, identical to what the nanos conversion below produces.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # NTZ-inference conf is consulted at schema-inference time (the
+    # eager spark.read.parquet below), so setting it per-read scopes the
+    # reinterpretation to THIS loader's files rather than silently
+    # changing the session for foreign reads.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled",
+                   "true" if ntz == "keep" else "false")
+    if ntz == "utc" and _warn_ntz:
+        reinterpreted = _ntz_fields(path)
+        if reinterpreted:
+            import warnings
+
+            warnings.warn(
+                f"read_parquet(ntz='utc'): columns {reinterpreted} are "
+                f"stored as parquet TIMESTAMP(isAdjustedToUTC=false) "
+                f"(wall-clock local time) and are being read as UTC-epoch "
+                f"instants; pass ntz='keep' to preserve TIMESTAMP_NTZ",
+                stacklevel=2)
     df = spark.read.parquet(path)
     for c in _nanos_fields(path):
         if dict(df.dtypes).get(c) == "bigint":
@@ -52,8 +96,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table (TESTDATA.md) with normalization."""
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    """Load one driver testdata table (TESTDATA.md) with normalization.
+
+    The testdata's NTZ timestamps are DEFINED as UTC wall-clock
+    (TESTDATA.md), so the foreign-file reinterpretation warning is
+    suppressed for this known-provenance path."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet", _warn_ntz=False)
 
 
 def save_parquet(df: DataFrame, path: str, mode: str = "overwrite",

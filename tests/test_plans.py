@@ -12,7 +12,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
-    return entry.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    # _all_queries: plan guards must keep running for queries rotated
+    # into the held-out set (the driver window rotation, r5)
+    return entry._all_queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_filter_project_pushes_float_predicates(spark):

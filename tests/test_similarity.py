@@ -231,3 +231,42 @@ def test_kmeans_fit_deterministic_and_empty_cell_safe(spark):
     c2 = kmeans_fit(df, k=4, max_iter=3)
     assert c1 == c2
     assert len(c1) == 4 and all(len(c) == 3 for c in c1)
+
+
+def test_near_dup_string_ids_take_join_path_with_same_results(spark):
+    # ADVICE r4: the broadcast verify path casts ids to long, so a
+    # string id column would lookup-miss every vector and silently drop
+    # all pairs.  Non-integral ids must route to the join path and
+    # return the SAME pairs/cosines as integral ids, with the id dtype
+    # preserved.
+    from fsharp_dataframe_spark.functions.similarity import cosine_near_dup_pairs
+
+    df, _ = _clustered(spark, n_clusters=6, per_cluster=8)
+    df = df.cache()
+    by_int = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+              for r in cosine_near_dup_pairs(df, threshold=0.9).collect()}
+    sdf = df.select(F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+                    .alias("vec_id"), "embedding")
+    out = cosine_near_dup_pairs(sdf, threshold=0.9)
+    assert dict(out.dtypes)["id_a"] == "string"
+    by_str = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out.collect()}
+    # map string pairs back: ordering differs ("doc-10" < "doc-9"), so
+    # compare as unordered pairs
+    canon_int = {frozenset(k): v for k, v in by_int.items()}
+    canon_str = {frozenset(int(x.removeprefix("doc-")) for x in k): v
+                 for k, v in by_str.items()}
+    assert canon_int == canon_str
+    assert canon_int, "clustered data must contain near-dup pairs"
+
+
+def test_near_dup_broadcast_path_preserves_id_dtype(spark):
+    # both sides of the 128MB broadcast gate must return identical
+    # schemas: int input ids come back int (not widened to long)
+    from fsharp_dataframe_spark.functions.similarity import cosine_near_dup_pairs
+
+    df, _ = _clustered(spark, n_clusters=4, per_cluster=6)
+    small = cosine_near_dup_pairs(df, threshold=0.9)          # broadcast path
+    forced = cosine_near_dup_pairs(df, threshold=0.9,
+                                   broadcast_budget_bytes=0)  # join path
+    assert dict(small.dtypes)["id_a"] == "int"
+    assert dict(small.dtypes) == dict(forced.dtypes)

@@ -85,3 +85,36 @@ def test_cobucketed_join_plans_without_exchange(spark, tmp_path):
         li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey").count()
     spark.sql("DROP TABLE IF EXISTS t_orders_b")
     spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_read_parquet_ntz_modes(spark, tmp_path):
+    # ADVICE r4: foreign parquet TIMESTAMP(isAdjustedToUTC=false) means
+    # wall-clock local time; the default utc reinterpretation must WARN
+    # (not silently shift), and ntz='keep' must preserve TIMESTAMP_NTZ
+    import datetime
+    import warnings
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fsharp_dataframe_spark.sources.parquet import read_parquet
+
+    p = str(tmp_path / "foreign_ntz.parquet")
+    t = pa.table({"id": [1, 2],
+                  "ts": pa.array([datetime.datetime(2024, 1, 1, 12, 0),
+                                  datetime.datetime(2024, 6, 1, 0, 30)],
+                                 type=pa.timestamp("us"))})
+    pq.write_table(t, p)
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = read_parquet(spark, p)
+        assert any("isAdjustedToUTC=false" in str(x.message) for x in w)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+    kept = read_parquet(spark, p, ntz="keep")
+    assert dict(kept.dtypes)["ts"] == "timestamp_ntz"
+    # stored micros identical either way — 'utc' relabels, never shifts
+    a = [r["ts"].replace(tzinfo=None) for r in df.orderBy("id").collect()]
+    b = [r["ts"] for r in kept.orderBy("id").collect()]
+    assert a == b

@@ -47,7 +47,23 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return problems
     for c in s.columns:
         sv, ov = s[c], o[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+        # The driver hashes EXACT values: an int64 11757 vs a float64
+        # 11757.0 is a hash mismatch even though values compare equal.
+        # DuckDB widens integer sum() to HUGEINT (-> float64 via pandas)
+        # unless the oracle casts ::BIGINT — flag the dtype-kind drift
+        # here so it can never reach the driver again (bit r1/r2
+        # union_prefer_left and r4 corpus_stats/rep_quality).
+        s_int = pd.api.types.is_integer_dtype(sv)
+        o_int = pd.api.types.is_integer_dtype(ov)
+        s_flt = pd.api.types.is_float_dtype(sv)
+        o_flt = pd.api.types.is_float_dtype(ov)
+        if (s_int and o_flt) or (s_flt and o_int):
+            problems.append(
+                f"col {c}: dtype-kind drift spark={sv.dtype} oracle={ov.dtype} "
+                f"(driver's exact hasher will mismatch — cast the oracle, "
+                f"e.g. sum(x)::BIGINT)")
+            continue
+        if s_flt or o_flt:
             a = pd.to_numeric(sv, errors="coerce")
             b = pd.to_numeric(ov, errors="coerce")
             bad = ~(((a - b).abs() < 1e-9) | (a.isna() & b.isna()))
