@@ -108,20 +108,52 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         return track_persist(rel) if reuse_shingles else rel
 
     if max_doc_freq is not None:
+        # Guarded EXACT path, decomposed so no second tokenization pass
+        # and no per-pair full-array intersect are needed:
+        #   inter(a,b) = inter_subcap(a,b) + |hot(a) ∩ hot(b)|
+        # inter_subcap falls out of the capped self-join's aggregation
+        # (the same count shape as the unguarded path, minus hot keys);
+        # the hot correction joins per-doc HOT-shingle arrays, which
+        # are tiny by construction — a doc holds at most a handful of
+        # above-cap boilerplate shingles, so the per-pair payload is
+        # bytes, not the full shingle set.  Union uses FULL set sizes,
+        # so every emitted jaccard is exact over the full sets.
         sh_all = _mat(shingle_table(df, id_col, text_col, n))
         hot = (sh_all.groupBy("shingle").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_doc_freq).select("shingle"))
-        capped = sh_all.join(hot, on="shingle", how="left_anti")
+        # capped feeds BOTH self-join sides: materialize it too, or the
+        # anti-join against the hot set runs once per side
+        capped = _mat(sh_all.join(hot, on="shingle", how="left_anti"))
+        sizes = sh_all.groupBy(id_col).agg(F.count("*").alias("n_sh"))
         l, r = capped.alias("l"), capped.alias("r")
-        cands = (
+        pairs = (
             l.join(r, on="shingle")
             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+            .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("_inter_sub"))
         )
-        return (jaccard_verify_pairs(df, cands, id_col, text_col, n)
-                .filter(F.col("jaccard") >= threshold))
+        hot_arrays = (sh_all.join(hot, on="shingle")
+                      .groupBy(id_col)
+                      .agg(F.collect_list("shingle").alias("_hot")))
+        empty = F.array().cast("array<string>")
+        ha = hot_arrays.select(F.col(id_col).alias("id_a"),
+                               F.col("_hot").alias("_hot_a"))
+        hb = hot_arrays.select(F.col(id_col).alias("id_b"),
+                               F.col("_hot").alias("_hot_b"))
+        sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+        inter = (F.col("_inter_sub")
+                 + F.size(F.array_intersect(F.coalesce(F.col("_hot_a"), empty),
+                                            F.coalesce(F.col("_hot_b"), empty))))
+        return (
+            pairs.join(ha, "id_a", "left").join(hb, "id_b", "left")
+            .join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.round(inter / (F.col("na") + F.col("nb") - inter), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     # Shape notes (both alternatives measured at sf0.1):
     # - join sides stay NARROW (id, shingle); doc shingle-counts come
     #   from a separate tiny aggregate broadcast-joined onto the

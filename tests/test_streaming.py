@@ -268,3 +268,38 @@ def test_stream_corpus_stats_matches_batch(spark, tmp_path):
         f"SELECT lang, n_docs, total_tokens, mean_quality FROM {name}").collect()}
     exp = {tuple(r) for r in stream_corpus_stats(docs).collect()}
     assert got == exp and len(got) >= 2
+
+
+def test_stream_corpus_stats_matches_duckdb_oracle(spark, tmp_path):
+    """The HARD streaming signal (r4 VERDICT ask #7): the streaming
+    rollup's output is compared against the BATCH ORACLE SQL — the
+    same DuckDB contract the driver applies to q_corpus_stats — not
+    merely against the batch run of the same Spark code.  The stream
+    omits the exact percentiles (unbounded state), so the oracle is
+    projected to the streaming columns; the strict comparator (dtype
+    kind + exact values) is the one tools/check_oracle.py uses."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming import stream_corpus_stats
+
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path / "docs_oracle_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    name = run_to_memory(stream_corpus_stats(s), "t_cstats_oracle",
+                         output_mode="complete")
+    got = spark.sql(
+        f"SELECT lang, n_docs, total_tokens, mean_quality FROM {name}"
+    ).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.execute(
+        "SELECT lang, n_docs, total_tokens, mean_quality FROM ("
+        + entrymod._all_oracle_sql()["corpus_stats"] + ")").df()
+    con.close()
+    problems = compare("stream_corpus_stats", got, oracle)
+    assert not problems, "; ".join(problems)
