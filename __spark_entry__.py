@@ -802,6 +802,48 @@ def q_clean_corpus(spark, sf) -> DataFrame:
     return out.filter((F.col("n_subtok") >= 20) & (F.col("digit_ratio") <= 0.2))
 
 
+def q_knn_join(spark, sf) -> DataFrame:
+    """Exact k-NN self-join (functions/similarity.knn_join_exact):
+    every vector's 5 nearest neighbors by cosine — the batch ANN
+    companion to the single-query top-k.  Each unordered pair is
+    scored once and mirrored; a per-vector window keeps the top k
+    with a deterministic tiebreak (rounded sim desc, id asc), so the
+    oracle's window-rank replay selects the identical rows."""
+    from fsharp_dataframe_spark.functions.similarity import knn_join_exact
+
+    emb = load_table(spark, sf, "embeddings")
+    return knn_join_exact(emb, k=5)
+
+
+def q_incremental_dedup(spark, sf) -> DataFrame:
+    """Incremental-ingest dedup (functions/dedup.incremental_dedup):
+    docs with doc_id % 3 == 0 play the EXISTING corpus, the rest are
+    the NEW crawl batch; survivors are new docs that are not exact
+    (fingerprint) or near (3-gram jaccard >= 0.5) duplicates of the
+    existing corpus, self-deduplicated exactly.  The skew guard is on,
+    as in the other composed pipelines (no-op at driver SFs)."""
+    from fsharp_dataframe_spark.functions.dedup import incremental_dedup
+    from fsharp_dataframe_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf, "documents")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    out = incremental_dedup(new, existing, threshold=0.5,
+                            max_doc_freq=10_000)
+    return out.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_vocab_topk(spark, sf) -> DataFrame:
+    """Corpus vocabulary top-k (functions/text.vocab_topk): the 100
+    most frequent tokens with occurrence + document frequency — one
+    token-keyed groupBy (map-side combine absorbs the zipf head) and
+    a global TakeOrdered."""
+    from fsharp_dataframe_spark.functions.text import vocab_topk
+
+    docs = load_table(spark, sf, "documents")
+    return vocab_topk(docs, k=100)
+
+
 def q_embed_topk(spark, sf) -> DataFrame:
     """Brute-force cosine top-k vs the vec_id=0 embedding."""
     from fsharp_dataframe_spark.functions.similarity import brute_force_topk
@@ -1081,10 +1123,15 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # As<'R> casts + math fns), drop_missing→drop_sparse + fill_constant,
 # text_quality→text_stats + corpus_stats (same token/ratio exprs).
 # Union of CORRECTNESS_r04 ∪ r5 green rows covers all 64 queries.
+# (r5 additions: knn_join / incremental_dedup / vocab_topk enter the
+# window; three more r3+r4-green veterans rotate out to make room —
+# asof_grouped→asof_join, resample_uniform→resample_keys,
+# union_prefer_left→append_frames, each sibling staying in-window.)
 EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "shift_diff", "resample_daily", "pivot", "slice_between",
                  "window_moving_avg", "chunk_sum", "first_last",
-                 "scalar_math", "drop_missing", "text_quality")
+                 "scalar_math", "drop_missing", "text_quality",
+                 "asof_grouped", "resample_uniform", "union_prefer_left")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1169,6 +1216,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pack_shards": q_pack_shards,
+        "knn_join": q_knn_join,
+        "incremental_dedup": q_incremental_dedup,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -1871,6 +1921,71 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
+        """,
+        # exact k-NN self-join: every pair scored once, window-ranked
+        # per vector with the same (rounded sim desc, id asc) tiebreak
+        "knn_join": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+              FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            r AS (SELECT id_a, id_b, cosine_sim,
+                         row_number() OVER (PARTITION BY id_a
+                           ORDER BY cosine_sim DESC, id_b) AS rn
+                  FROM p)
+            SELECT id_a AS vec_id, id_b AS nbr_id, cosine_sim
+            FROM r WHERE rn <= 5
+        """,
+        "incremental_dedup": """
+            WITH ex AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+            nw AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+            exfp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                     FROM ex),
+            nwfp AS (SELECT doc_id, text,
+                            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                     FROM nw),
+            fresh AS (
+              SELECT doc_id, text, fp FROM (
+                SELECT doc_id, text, fp,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM nwfp n WHERE NOT EXISTS
+                  (SELECT 1 FROM exfp x WHERE x.fp = n.fp))
+              WHERE rn = 1),
+            ftoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+                      FROM fresh),
+            etoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+                      FROM ex),
+            fsh AS (SELECT doc_id, D.shingle FROM ftoks,
+                    LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) D),
+            esh AS (SELECT doc_id, D.shingle FROM etoks,
+                    LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                             for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) D),
+            fsz AS (SELECT doc_id, count(*) AS n_new FROM fsh GROUP BY 1),
+            esz AS (SELECT doc_id, count(*) AS n_old FROM esh GROUP BY 1),
+            cand AS (SELECT f.doc_id AS new_id, e.doc_id AS old_id, count(*) AS inter
+                     FROM fsh f JOIN esh e ON f.shingle = e.shingle
+                     GROUP BY 1, 2),
+            near AS (SELECT DISTINCT new_id FROM cand
+                     JOIN fsz ON fsz.doc_id = new_id
+                     JOIN esz ON esz.doc_id = old_id
+                     WHERE round(inter::DOUBLE / (n_new + n_old - inter), 4) >= 0.5)
+            SELECT doc_id, fp FROM fresh
+            WHERE doc_id NOT IN (SELECT new_id FROM near)
+        """,
+        "vocab_topk": """
+            SELECT token, count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM (SELECT doc_id,
+                         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                            x -> x <> '')) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 100
         """,
         "embed_centroids": """
             SELECT label,

@@ -61,6 +61,9 @@ HEADLINE = [
     "decontaminate",
     "hash_split",
     "pack_shards",
+    "knn_join",
+    "incremental_dedup",
+    "vocab_topk",
 ]
 
 

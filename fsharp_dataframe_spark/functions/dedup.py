@@ -121,6 +121,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         sh_all = _mat(shingle_table(df, id_col, text_col, n))
         hot = (sh_all.groupBy("shingle").agg(F.count("*").alias("_df"))
                .filter(F.col("_df") > max_doc_freq).select("shingle"))
+        # ADAPTIVE: when the corpus has no shingle above the cap (the
+        # clean common case) the whole hot machinery — two anti-joins,
+        # hot-array aggregates, correction joins — is dead weight
+        # (measured +4s at sf0.1).  Probing emptiness is one small
+        # aggregate over the ALREADY-PERSISTED shingle relation, whose
+        # materialization the final action reuses; with skew present
+        # the guarded plan below runs, which is the point of the cap.
+        if reuse_shingles and hot.isEmpty():
+            return _ngram_pairs_plain(sh_all, id_col, threshold)
         # capped feeds BOTH self-join sides: materialize it too, or the
         # anti-join against the hot set runs once per side
         capped = _mat(sh_all.join(hot, on="shingle", how="left_anti"))
@@ -164,9 +173,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     #   explode) is ~25x worse: hot shingles expand quadratically
     #   inside single tasks, while the sort-merge join streams them.
     base = _mat(shingle_table(df, id_col, text_col, n))
-    sh = base.alias("l")
-    sizes = base.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    r = base.alias("r")
+    return _ngram_pairs_plain(base, id_col, threshold)
+
+
+def _ngram_pairs_plain(shingles: DataFrame, id_col: str,
+                       threshold: float) -> DataFrame:
+    """All-pairs exact jaccard from an (id, shingle) relation: shingle
+    self-join → per-pair intersection counts → size join."""
+    sh = shingles.alias("l")
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    r = shingles.alias("r")
     pairs = (
         sh.join(r, on="shingle")
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -342,6 +358,104 @@ def near_dedup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
                               threshold=max(0.0, threshold - candidate_margin))
     exact = jaccard_verify_pairs(df, cands, id_col, text_col, n)
     return exact.filter(F.col("jaccard") >= threshold)
+
+
+def cross_near_dup_pairs(new: DataFrame, existing: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 3, threshold: float = 0.5,
+                         max_doc_freq: int | None = None) -> DataFrame:
+    """DIRECTIONAL near-duplicate pairs between a NEW batch and an
+    EXISTING corpus — the incremental-ingest hygiene step: freshly
+    crawled data must be deduplicated against what is already in the
+    training set, not only against itself.  Returns (new_id, old_id,
+    jaccard >= threshold); drop each new doc with any row here.
+
+    Shape: one shingle relation per side, joined on shingle — the
+    candidate space is new×existing co-occurrence, never existing²
+    (the expensive side is never self-joined; re-ingesting a batch is
+    |new|-bounded work however large the corpus grew).  With
+    ``max_doc_freq``, shingles hotter than the cap IN THE EXISTING
+    CORPUS are excluded from candidate generation and corrected
+    exactly per pair, as in ngram_jaccard_pairs."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    sh_new = track_persist(shingle_table(new, id_col, text_col, n))
+    sh_old = track_persist(shingle_table(existing, id_col, text_col, n))
+    sizes_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n_new"))
+    sizes_old = sh_old.groupBy(id_col).agg(F.count("*").alias("n_old"))
+    j_new, j_old, hot_new, hot_old = sh_new, sh_old, None, None
+    if max_doc_freq is not None:
+        hot = (sh_old.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_doc_freq).select("shingle"))
+        # adaptive, as in ngram_jaccard_pairs: the hot-correction
+        # machinery only enters the plan when the existing corpus
+        # actually has above-cap shingles (emptiness probe runs over
+        # the persisted relation the final action reuses)
+        if not hot.isEmpty():
+            j_new = sh_new.join(hot, on="shingle", how="left_anti")
+            j_old = sh_old.join(hot, on="shingle", how="left_anti")
+            hot_new = (sh_new.join(hot, on="shingle").groupBy(id_col)
+                       .agg(F.collect_list("shingle").alias("_hot_a")))
+            hot_old = (sh_old.join(hot, on="shingle").groupBy(id_col)
+                       .agg(F.collect_list("shingle").alias("_hot_b")))
+    pairs = (
+        j_new.alias("l").join(j_old.alias("r"), on="shingle")
+        .groupBy(F.col(f"l.{id_col}").alias("new_id"),
+                 F.col(f"r.{id_col}").alias("old_id"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    inter = F.col("_inter")
+    if hot_new is not None:
+        empty = F.array().cast("array<string>")
+        pairs = (pairs
+                 .join(hot_new.select(F.col(id_col).alias("new_id"), "_hot_a"),
+                       "new_id", "left")
+                 .join(hot_old.select(F.col(id_col).alias("old_id"), "_hot_b"),
+                       "old_id", "left"))
+        inter = inter + F.size(F.array_intersect(
+            F.coalesce(F.col("_hot_a"), empty),
+            F.coalesce(F.col("_hot_b"), empty)))
+    out = (
+        pairs
+        .join(sizes_new.select(F.col(id_col).alias("new_id"), "n_new"), "new_id")
+        .join(sizes_old.select(F.col(id_col).alias("old_id"), "n_old"), "old_id")
+        .withColumn("jaccard",
+                    F.round(inter / (F.col("n_new") + F.col("n_old") - inter), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
+    return out
+
+
+def incremental_dedup(new: DataFrame, existing: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, threshold: float = 0.5,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Keep the rows of ``new`` that survive ingest against an existing
+    corpus: (1) not an EXACT duplicate of any existing doc (fingerprint
+    anti-join — broadcast-able when the fingerprint set is extracted,
+    shuffle semi-join otherwise), (2) not a NEAR duplicate (>= threshold
+    n-gram jaccard vs any existing doc), and (3) self-deduplicated
+    exactly (the new batch can contain its own duplicates).  This is
+    the composed incremental-ingest operator a training pipeline runs
+    per crawl batch."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    old_fps = (existing.select(fingerprint(F.col(text_col)).alias("fp"))
+               .distinct())
+    fresh = (new.withColumn("_fp", fingerprint(F.col(text_col)))
+             .join(old_fps, F.col("_fp") == F.col("fp"), "left_anti")
+             .drop("_fp"))
+    # stage boundary: the exact-deduped batch feeds the near-dup pair
+    # join (via its shingle table) AND the final anti-join — persist
+    # it once instead of re-running fingerprint+anti-join+groupBy per
+    # consumer (the in-session analog of writing the intermediate
+    # batch to parquet; measured 14.9s → ~8s at sf0.1)
+    fresh = track_persist(exact_dedup(fresh, id_col, text_col))
+    near = (cross_near_dup_pairs(fresh, existing, id_col, text_col, n,
+                                 threshold, max_doc_freq)
+            .select(F.col("new_id").alias(id_col)).distinct())
+    return fresh.join(near, on=id_col, how="left_anti")
 
 
 def simhash(text: Column, bits: int = 64) -> Column:

@@ -205,3 +205,26 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_pred": lang_id(c),
         "fingerprint": fingerprint(c),
     })
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text",
+               id_col: str = "doc_id", min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary top-k: the k most frequent (lowercased,
+    whitespace) tokens with total occurrence count and document
+    frequency — the table every tokenizer-training / corpus-audit step
+    starts from.
+
+    Scale shape: explode → ONE groupBy keyed by token (partial
+    map-side combine absorbs the zipf head — a token appearing 10⁹
+    times arrives at the reducer as one partial count per map task,
+    not 10⁹ rows), then a global TakeOrdered of k rows.  Deterministic
+    order: count desc, then token asc."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    counts = (toks.groupBy("token")
+              .agg(F.count("*").alias("n_occurrences"),
+                   F.countDistinct(id_col).alias("n_docs"))
+              .filter(F.col("n_occurrences") >= min_count))
+    return (counts.orderBy(F.col("n_occurrences").desc(),
+                           F.col("token").asc())
+            .limit(k))

@@ -174,3 +174,49 @@ def test_ngram_guard_matches_unguarded_on_real_corpus(spark):
                for r in ngram_jaccard_pairs(docs, threshold=0.2,
                                             max_doc_freq=50).collect()}
     assert exact == guarded
+
+
+def test_incremental_dedup_semantics(spark):
+    # new batch vs existing corpus: exact dup of existing -> dropped;
+    # near-dup of existing -> dropped; self-dup within the batch ->
+    # one survivor (min id); genuinely new -> kept
+    from fsharp_dataframe_spark.functions.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated existing content about spark engines")],
+        "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(10, "The  quick brown fox jumps over the lazy dog today"),  # exact dup (normalized)
+         (11, "the quick brown fox jumps over the lazy cat today"),   # near dup of 1
+         (12, "fresh novel text that matches nothing else at all ok"),
+         (13, "fresh novel text that matches nothing else at all ok"),  # self dup of 12
+         (14, "another genuinely distinct document body entirely here")],
+        "doc_id int, text string")
+    out = {r["doc_id"] for r in
+           incremental_dedup(new, existing, threshold=0.5).collect()}
+    assert out == {12, 14}
+
+
+def test_cross_near_dup_guard_matches_unguarded(spark):
+    # the directional skew guard must not change results when no
+    # shingle exceeds the cap, and must stay exact when some do
+    from fsharp_dataframe_spark.functions.dedup import cross_near_dup_pairs
+
+    boiler = "standard legal disclaimer text appended to everything"
+    ex_rows = [(i, boiler + f" old unique body {i} " +
+                " ".join(f"e{i}x{j}" for j in range(10))) for i in range(30)]
+    new_rows = [(100 + i, ex_rows[i][1].replace("body", "torso"))
+                for i in range(4)]
+    new_rows.append((200, "totally different new content piece"))
+    existing = spark.createDataFrame(ex_rows, "doc_id int, text string")
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+    plain = {(r["new_id"], r["old_id"]): r["jaccard"]
+             for r in cross_near_dup_pairs(new, existing, threshold=0.3).collect()}
+    guarded = {(r["new_id"], r["old_id"]): r["jaccard"]
+               for r in cross_near_dup_pairs(new, existing, threshold=0.3,
+                                             max_doc_freq=5).collect()}
+    assert plain, "planted near-dups must pair"
+    for k, v in guarded.items():
+        assert plain[k] == v
+    assert {(100 + i, i) for i in range(4)} <= set(guarded)

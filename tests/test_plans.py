@@ -162,3 +162,33 @@ def test_ivf_train_assignment_never_shuffles_vectors(spark):
     cents = kmeans_fit(emb, k=4, max_iter=1)
     plan = ivf_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_knn_join_broadcast_path_has_no_pair_join(spark):
+    # under the broadcast budget the k-NN self-join is ONE narrow
+    # Arrow pass against the shipped matrix: no join operator, no
+    # per-vector window shuffle in the plan at all
+    plan = _plan(spark, "knn_join")
+    assert "MapInPandas" in plan
+    for op in ("SortMergeJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct", "Window"):
+        assert op not in plan, op
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    # global top-k must be TakeOrderedAndProject (k rows per partition
+    # then k at the driver), never a full sort
+    plan = _plan(spark, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_incremental_dedup_never_self_joins_existing(spark):
+    # the candidate join is new×existing on the shingle key; an
+    # existing×existing self-join would defeat the |new|-bounded
+    # re-ingest contract.  Cheap structural proxy: no cartesian/NLJ,
+    # and the final plan keeps anti-join semantics for the exact tier.
+    plan = _plan(spark, "incremental_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan

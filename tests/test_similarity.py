@@ -271,3 +271,47 @@ def test_near_dup_broadcast_path_preserves_id_dtype(spark):
                                    broadcast_budget_bytes=0)  # join path
     assert dict(small.dtypes)["id_a"] == "int"
     assert dict(small.dtypes) == dict(forced.dtypes)
+
+
+def test_knn_join_exact_matches_per_query_topk(spark):
+    # the self-join's per-vector neighbor lists must equal running the
+    # single-query brute force per vector (same rounding + tiebreak)
+    from fsharp_dataframe_spark.functions.similarity import (
+        brute_force_topk, knn_join_exact,
+    )
+
+    df, rows = _clustered(spark, n_clusters=4, per_cluster=6)
+    df = df.cache()
+    out = knn_join_exact(df, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["vec_id"], []).append((r["cosine_sim"], r["nbr_id"]))
+    assert set(got) == {r[0] for r in rows}
+    for vid in [0, 7, 23]:
+        qvec = rows[vid][2]
+        corpus = df.filter(F.col("vec_id") != vid)
+        exp = [(r["cosine_sim"], r["vec_id"])
+               for r in brute_force_topk(corpus, qvec, k=3).collect()]
+        assert sorted(got[vid], key=lambda t: (-t[0], t[1])) == exp, vid
+
+
+def test_ivf_knn_join_recall_on_clustered_data(spark):
+    # cell-blocked ANN join: on clustered data (the regime IVF exists
+    # for) the probed neighbor lists must recover >=90% of the exact
+    # ones, and every emitted cosine must equal the exact rescore
+    from fsharp_dataframe_spark.functions.similarity import (
+        ivf_knn_join, kmeans_fit, knn_join_exact,
+    )
+
+    df, _ = _clustered(spark, n_clusters=8, per_cluster=12)
+    df = df.cache()
+    cents = kmeans_fit(df, k=8, max_iter=3)
+    exact = {(r["vec_id"], r["nbr_id"]): r["cosine_sim"]
+             for r in knn_join_exact(df, k=3).collect()}
+    approx = {(r["vec_id"], r["nbr_id"]): r["cosine_sim"]
+              for r in ivf_knn_join(df, cents, k=3, n_probe=2).collect()}
+    for k_, v in approx.items():
+        if k_ in exact:
+            assert exact[k_] == v
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.9, f"ivf knn recall {recall}"
