@@ -220,3 +220,29 @@ def test_cross_near_dup_guard_matches_unguarded(spark):
     for k, v in guarded.items():
         assert plain[k] == v
     assert {(100 + i, i) for i in range(4)} <= set(guarded)
+
+
+def test_incremental_dedup_idempotent_and_disjoint(spark):
+    # property: (a) running the survivors through incremental_dedup
+    # again against the same corpus changes nothing (idempotence);
+    # (b) survivors' fingerprints are disjoint from the existing
+    # corpus's; (c) survivors joined with existing produce no pair at
+    # or above the threshold
+    from fsharp_dataframe_spark.functions.dedup import (
+        cross_near_dup_pairs, incremental_dedup,
+    )
+    from fsharp_dataframe_spark.functions.text import fingerprint
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    existing = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    s1 = incremental_dedup(new, existing, threshold=0.5).cache()
+    s2 = incremental_dedup(s1, existing, threshold=0.5)
+    assert ({r["doc_id"] for r in s1.select("doc_id").collect()}
+            == {r["doc_id"] for r in s2.select("doc_id").collect()})
+    ex_fps = {r[0] for r in existing.select(
+        fingerprint(F.col("text"))).collect()}
+    s1_fps = {r[0] for r in s1.select(fingerprint(F.col("text"))).collect()}
+    assert not (ex_fps & s1_fps)
+    assert cross_near_dup_pairs(s1, existing, threshold=0.5).count() == 0

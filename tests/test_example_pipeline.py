@@ -29,3 +29,18 @@ def test_clean_pipeline_end_to_end(spark, tmp_path):
     assert splits <= {"train", "heldout"} and "train" in splits
     # hive partition pruning is available to readers
     assert any(p.startswith("split=") for p in os.listdir(out))
+
+
+def test_incremental_ingest_end_to_end(spark, tmp_path):
+    from incremental_ingest import ingest_batch
+
+    out = str(tmp_path / "ingest")
+    counts = ingest_batch(spark, "/root/testdata/sf0.001", out)
+    assert list(counts) == ["batch", "deduped", "quality"]
+    assert 0 < counts["quality"] <= counts["deduped"] <= counts["batch"]
+    back = spark.read.parquet(out)
+    assert back.count() == counts["quality"]
+    assert any(p.startswith("ingest_batch=") for p in os.listdir(out))
+    # every sketch cache was released by the pipeline's cache_scope
+    from fsharp_dataframe_spark.functions import util
+    assert util._TRACKED_PERSISTS == []

@@ -118,3 +118,32 @@ def test_read_parquet_ntz_modes(spark, tmp_path):
     a = [r["ts"].replace(tzinfo=None) for r in df.orderBy("id").collect()]
     b = [r["ts"] for r in kept.orderBy("id").collect()]
     assert a == b
+
+
+def test_orc_round_trip_with_partitioning_and_pushdown(spark, tmp_path):
+    # parity-plus ORC source/sink: partitioned write prunes directories,
+    # filter pushdown reaches the ORC scan, values round-trip exactly
+    from fsharp_dataframe_spark.sources.orc import read_orc, save_orc
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    out = str(tmp_path / "orders_orc")
+    save_orc(orders, out, partition_by=["o_orderpriority"],
+             sort_by=["o_orderkey"])
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum("o_totalprice"), F.min("o_orderkey"),
+                   F.max("o_orderkey")).collect()[0]
+    b = back.agg(F.sum("o_totalprice"), F.min("o_orderkey"),
+                 F.max("o_orderkey")).collect()[0]
+    assert (a[1], a[2]) == (b[1], b[2])
+    assert abs(a[0] - b[0]) < 1e-6
+    # partition pruning: a filter on the partition column reads only
+    # that directory (PartitionFilters in the scan)
+    q = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    # predicate pushdown on a data column reaches the ORC scan
+    q2 = back.filter(F.col("o_orderkey") < 100)
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan2 and "LessThan(o_orderkey" in plan2
