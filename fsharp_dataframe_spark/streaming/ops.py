@@ -374,6 +374,78 @@ def stream_corpus_stats(sdf: DataFrame, lang_col: str = "lang",
                  .alias("mean_quality")))
 
 
+def stream_vocab_heavy_hitters(sdf: DataFrame, text_col: str = "text",
+                               m: int = 1024, n_shards: int = 8) -> DataFrame:
+    """Streaming corpus vocabulary with BOUNDED state: per-shard
+    Misra–Gries summaries (Misra & Gries 1982, "Finding repeated
+    elements"; the batched decrement form of Metwally et al.'s
+    space-saving family).  The streaming face of the batch
+    ``vocab_topk`` — exact token counts on a stream need a counter per
+    DISTINCT token, which is unbounded; Misra–Gries keeps at most
+    ``m`` counters and guarantees, per emitted token,
+
+        est_count <= true_count <= est_count + max_err
+
+    where ``max_err`` is the shard's cumulative decrement (0 until the
+    summary ever overflows ``m`` — the estimate is EXACT while the
+    shard vocabulary fits).
+
+    Scale shape: tokens are sharded by hash into ``n_shards``
+    independent summaries (the groupBy key), so state is m×n_shards
+    counters total, the per-task merge work is bounded, and — because
+    a token belongs to exactly one shard — shard summaries partition
+    the vocabulary: global heavy hitters are the union of shard
+    outputs, no cross-shard merge step.  Each micro-batch emits the
+    updated summary rows for the shards it touched (update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fsharp_dataframe_spark.functions.text import tokens
+
+    toks = sdf.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    sharded = toks.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("token")), F.lit(n_shards)).cast("int"))
+    out_schema = T.StructType([
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+        T.StructField("max_err", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("toks", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("err", T.LongType()),
+    ])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            s_toks, s_counts, err = state.get
+            d = dict(zip(s_toks, [int(c) for c in s_counts]))
+        else:
+            d, err = {}, 0
+        for pdf in pdfs:
+            for t, c in pdf["token"].value_counts().items():
+                d[t] = d.get(t, 0) + int(c)
+        if len(d) > m:
+            # batched Misra–Gries decrement: subtract the (m+1)-th
+            # largest count from everything, drop the non-positive —
+            # at most m counters survive, error grows by the decrement
+            dec = sorted(d.values(), reverse=True)[m]
+            d = {t: c - dec for t, c in d.items() if c - dec > 0}
+            err += dec
+        state.update((list(d.keys()), list(d.values()), err))
+        yield pd.DataFrame({
+            "shard": key[0],
+            "token": list(d.keys()),
+            "est_count": list(d.values()),
+            "max_err": err,
+        })
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+
+
 def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append",
                   checkpoint: str | None = None):
     """Drive a streaming plan to completion synchronously (availableNow

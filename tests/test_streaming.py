@@ -303,3 +303,104 @@ def test_stream_corpus_stats_matches_duckdb_oracle(spark, tmp_path):
     con.close()
     problems = compare("stream_corpus_stats", got, oracle)
     assert not problems, "; ".join(problems)
+
+
+def _latest_summary(spark, name):
+    # update-mode memory sink appends each batch's emissions; the
+    # current summary for a token is its LAST emitted row
+    return spark.sql(f"""
+        SELECT shard, token, est_count, max_err FROM (
+          SELECT *, row_number() OVER (PARTITION BY shard, token
+            ORDER BY mono DESC) AS rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono FROM {name}))
+        WHERE rn = 1""")
+
+
+def test_stream_vocab_heavy_hitters_exact_when_state_fits(spark, tmp_path):
+    # with m larger than any shard's vocabulary, Misra-Gries never
+    # decrements: every emitted count is EXACT and equals the batch
+    # vocab count, with max_err = 0
+    from fsharp_dataframe_spark.functions.text import tokens
+    from fsharp_dataframe_spark.streaming import stream_vocab_heavy_hitters
+
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path / "vocab_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    name = run_to_memory(stream_vocab_heavy_hitters(s, m=100_000),
+                         "t_vocab_exact", output_mode="update")
+    got = {r["token"]: (r["est_count"], r["max_err"])
+           for r in _latest_summary(spark, name).collect()}
+    exp = {r["token"]: r["n"] for r in docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n")).collect()}
+    assert {t: c for t, (c, _) in got.items()} == exp
+    assert all(e == 0 for _, e in got.values())
+
+
+def test_stream_vocab_heavy_hitters_bounded_state_small_m(spark, tmp_path):
+    # with a tiny m the summary must stay bounded (<= m counters per
+    # shard) and every emitted estimate must satisfy the Misra-Gries
+    # bound est <= true <= est + max_err against the batch truth
+    from fsharp_dataframe_spark.functions.text import tokens
+    from fsharp_dataframe_spark.streaming import stream_vocab_heavy_hitters
+
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path / "vocab_stream_small")
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    name = run_to_memory(stream_vocab_heavy_hitters(s, m=5, n_shards=4),
+                         "t_vocab_small", output_mode="update")
+    summary = _latest_summary(spark, name).collect()
+    per_shard = {}
+    for r in summary:
+        per_shard.setdefault(r["shard"], []).append(r)
+    assert per_shard and all(len(v) <= 5 for v in per_shard.values())
+    exp = {r["token"]: r["n"] for r in docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n")).collect()}
+    for r in summary:
+        true = exp[r["token"]]
+        assert r["est_count"] <= true <= r["est_count"] + r["max_err"], r
+
+
+def test_stream_vocab_heavy_hitters_state_survives_restart(spark, tmp_path):
+    """The Misra-Gries summaries must accumulate across a stop/start
+    cycle: phase 2's counts add onto phase 1's checkpointed state, so
+    the final estimate for a token seen in both phases is the TOTAL."""
+    from fsharp_dataframe_spark.streaming import stream_vocab_heavy_hitters
+
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    schema = "doc_id int, text string"
+
+    def sink(batch_df, batch_id):
+        # parquet sinks reject update mode; foreachBatch is the
+        # standard recoverable escape hatch for update-mode stateful
+        # output (it still replays through the checkpoint)
+        batch_df.write.mode("append").parquet(outdir)
+
+    def run_phase(batch_schema):
+        q = (stream_vocab_heavy_hitters(
+                read_stream_parquet(spark, d, batch_schema), m=1000)
+             .writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    phase1 = [(1, "alpha beta alpha"), (2, "beta gamma")]
+    phase2 = [(3, "alpha delta"), (4, "beta beta")]
+    spark.createDataFrame(phase1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    batch_schema = spark.read.parquet(d).schema
+    run_phase(batch_schema)
+    spark.createDataFrame(phase2, schema).coalesce(1).write.mode("append").parquet(d)
+    run_phase(batch_schema)
+    rows = spark.read.parquet(outdir).collect()
+    latest = {}
+    for r in rows:  # last write wins: phase-2 emissions carry totals
+        latest[r["token"]] = max(latest.get(r["token"], 0), r["est_count"])
+    assert latest["alpha"] == 3   # 2 in phase 1 + 1 in phase 2
+    assert latest["beta"] == 4    # 2 + 2
+    assert latest["gamma"] == 1 and latest["delta"] == 1
