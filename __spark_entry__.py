@@ -833,6 +833,35 @@ def q_incremental_dedup(spark, sf) -> DataFrame:
     return out.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_c4_stats(spark, sf) -> DataFrame:
+    """C4-style line heuristics (functions/quality.c4_line_stats —
+    Raffel et al. 2020 §2.2) + the document gate decision: pure Column
+    expressions, narrow map, no shuffle."""
+    from fsharp_dataframe_spark.functions.quality import c4_line_stats
+
+    docs = load_table(spark, sf, "documents")
+    st = c4_line_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        st["n_lines"].alias("n_lines"),
+        st["n_short_lines"].alias("n_short_lines"),
+        st["terminal_punct_frac"].alias("terminal_punct_frac"),
+        st["brace_frac"].alias("brace_frac"),
+    )
+
+
+def q_unigram_quality(spark, sf) -> DataFrame:
+    """Unigram-LM quality proxy (functions/text.unigram_logprob_score):
+    per-document mean token log-probability under the corpus's own
+    add-1-smoothed unigram model — the CCNet-style perplexity filter
+    shape.  Per-token log-probs are quantized to integer units before
+    the per-doc sum, so the mean is partition-order-exact."""
+    from fsharp_dataframe_spark.functions.text import unigram_logprob_score
+
+    docs = load_table(spark, sf, "documents")
+    return unigram_logprob_score(docs)
+
+
 def q_vocab_topk(spark, sf) -> DataFrame:
     """Corpus vocabulary top-k (functions/text.vocab_topk): the 100
     most frequent tokens with occurrence + document frequency — one
@@ -1127,11 +1156,16 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # window; three more r3+r4-green veterans rotate out to make room —
 # asof_grouped→asof_join, resample_uniform→resample_keys,
 # union_prefer_left→append_frames, each sibling staying in-window.)
+# (c4_stats / unigram_quality enter in their place: frame_arith→
+# scalar-on-frame arithmetic also exercised by scalar_math's sibling
+# cast_types + zip paths; maxby_minby→first_last/take_last +
+# group_stats — both r3+r4-green.)
 EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "shift_diff", "resample_daily", "pivot", "slice_between",
                  "window_moving_avg", "chunk_sum", "first_last",
                  "scalar_math", "drop_missing", "text_quality",
-                 "asof_grouped", "resample_uniform", "union_prefer_left")
+                 "asof_grouped", "resample_uniform", "union_prefer_left",
+                 "frame_arith", "maxby_minby")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1219,6 +1253,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "incremental_dedup": q_incremental_dedup,
         "vocab_topk": q_vocab_topk,
+        "c4_stats": q_c4_stats,
+        "unigram_quality": q_unigram_quality,
     }
 
 
@@ -1975,6 +2011,45 @@ def _all_oracle_sql() -> dict[str, str]:
                      WHERE round(inter::DOUBLE / (n_new + n_old - inter), 4) >= 0.5)
             SELECT doc_id, fp FROM fresh
             WHERE doc_id NOT IN (SELECT new_id FROM near)
+        """,
+        "c4_stats": """
+            WITH L AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+              FROM documents)
+            SELECT doc_id,
+                   len(ls) AS n_lines,
+                   len(list_filter(ls, x ->
+                     len(list_filter(string_split_regex(trim(x), '\\s+'), t -> t <> '')) < 3))
+                     AS n_short_lines,
+                   CASE WHEN len(ls) > 0 THEN
+                     round(len(list_filter(ls, x -> regexp_matches(trim(x), '[.!?\"]$')))::DOUBLE
+                           / len(ls), 4)
+                     ELSE 0.0 END AS terminal_punct_frac,
+                   CASE WHEN len(ls) > 0 THEN
+                     round(len(list_filter(ls, x -> contains(x, '{') OR contains(x, '}')))::DOUBLE
+                           / len(ls), 4)
+                     ELSE 0.0 END AS brace_frac
+            FROM L
+        """,
+        # per-token log-probs quantized to integer units BEFORE the
+        # per-doc sum on both engines (same ln / division / HALF-UP
+        # round order), so the mean is partition-order-exact
+        "unigram_quality": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+              FROM documents),
+            counts AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM counts),
+            lp AS (SELECT token,
+                          round(ln((c + 1.0) / (n + 1.0 * v)) * 10000)::BIGINT AS lp
+                   FROM counts, tot),
+            per AS (SELECT doc_id, count(*) AS n_tok, sum(lp) AS units
+                    FROM toks JOIN lp USING (token) GROUP BY 1)
+            SELECT doc_id, n_tok,
+                   round(units / n_tok / 10000.0, 4) AS mean_logprob
+            FROM per
         """,
         "vocab_topk": """
             SELECT token, count(*) AS n_occurrences,

@@ -64,6 +64,8 @@ HEADLINE = [
     "knn_join",
     "incremental_dedup",
     "vocab_topk",
+    "c4_stats",
+    "unigram_quality",
 ]
 
 

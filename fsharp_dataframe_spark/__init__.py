@@ -27,7 +27,9 @@ from fsharp_dataframe_spark.session import get_spark
 from fsharp_dataframe_spark.series import Series
 from fsharp_dataframe_spark.frame import Frame
 from fsharp_dataframe_spark.missing import nan_to_null, canonicalize_missing
+from fsharp_dataframe_spark.functions.util import cache_scope, release_cached
 
-__all__ = ["get_spark", "Series", "Frame", "nan_to_null", "canonicalize_missing"]
+__all__ = ["get_spark", "Series", "Frame", "nan_to_null",
+           "canonicalize_missing", "cache_scope", "release_cached"]
 
 __version__ = "0.1.0"

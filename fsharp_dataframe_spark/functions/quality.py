@@ -154,3 +154,71 @@ def repetition_filter(df: DataFrame, id_col: str = "doc_id",
         cond = cond & (F.col("_m")[name] <= F.lit(float(cap)))
     return (df.withColumn("_m", metrics(F.col(text_col)))
             .filter(cond).drop("_m"))
+
+
+# ----------------------------------------------------------------------
+# C4-style line/document heuristics (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+# §2.2 — the published C4 cleaning rules, re-expressed as pure Column
+# expressions: narrow maps, no shuffle, stream-applicable unchanged)
+# ----------------------------------------------------------------------
+
+def c4_line_stats(text):
+    """Per-document C4 line heuristics as a struct Column:
+
+    - ``n_lines``: non-empty lines
+    - ``n_short_lines``: lines with < 3 whitespace tokens (C4 drops
+      lines with too few words)
+    - ``terminal_punct_frac``: fraction of lines ending in terminal
+      punctuation (. ! ? ") — C4 keeps only such lines
+    - ``brace_frac``: fraction of lines containing '{' or '}' (code
+      contamination signal; C4 drops pages with braces)
+    """
+    from pyspark.sql import functions as F
+
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n = F.size(lines)
+    short = F.size(F.filter(
+        lines, lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                         lambda t: t != "")) < 3))
+    term = F.size(F.filter(
+        lines, lambda l: F.trim(l).rlike(r'[.!?"]$')))
+    brace = F.size(F.filter(lines, lambda l: l.contains("{") | l.contains("}")))
+    zero = F.lit(0.0)
+    return F.struct(
+        n.alias("n_lines"),
+        short.alias("n_short_lines"),
+        F.when(n > 0, F.round(term / n, 4)).otherwise(zero)
+         .alias("terminal_punct_frac"),
+        F.when(n > 0, F.round(brace / n, 4)).otherwise(zero)
+         .alias("brace_frac"),
+    )
+
+
+def c4_filter(df, text_col: str = "text",
+              min_words: int = 5,
+              max_brace_frac: float = 0.0,
+              min_terminal_punct_frac: float = 0.5,
+              blocklist: tuple[str, ...] = ("lorem ipsum",)):
+    """Document-level C4 gate: >= min_words tokens, no (or bounded)
+    brace lines, most lines ending in terminal punctuation, and none
+    of the blocklist phrases (C4 drops any page containing
+    "lorem ipsum" or bad words; the tiny default list is the published
+    placeholder-text rule — extend with a real blocklist in
+    production).  All pure Column expressions — applies to streams
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from fsharp_dataframe_spark.functions.text import token_count
+
+    c = F.col(text_col)
+    st = c4_line_stats(c)
+    cond = (
+        (token_count(c) >= min_words)
+        & (st["brace_frac"] <= max_brace_frac)
+        & (st["terminal_punct_frac"] >= min_terminal_punct_frac)
+    )
+    low = F.lower(c)
+    for phrase in blocklist:
+        cond = cond & ~low.contains(phrase.lower())
+    return df.filter(cond)

@@ -228,3 +228,59 @@ def vocab_topk(df: DataFrame, k: int = 50, text_col: str = "text",
     return (counts.orderBy(F.col("n_occurrences").desc(),
                            F.col("token").asc())
             .limit(k))
+
+
+def unigram_logprob_score(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          train_df: DataFrame | None = None,
+                          alpha: float = 1.0) -> DataFrame:
+    """Corpus-trained unigram language-model quality proxy: each
+    document's mean token log-probability under an add-alpha-smoothed
+    unigram model — the cheap stand-in for the KenLM-perplexity
+    filters of published pipelines (CCNet, Wenzek et al. 2020): docs
+    whose tokens are globally unusual (gibberish, boilerplate soup,
+    wrong language) score low and can be thresholded.
+
+    Train counts come from ``train_df`` (default: score the corpus
+    against itself).  Two passes, both scale-shaped: (1) ONE
+    token-keyed groupBy for counts (+ a 2-scalar total fetch);
+    (2) explode → join tokens to counts (AQE broadcasts the count
+    table while it is small; at web-corpus vocabulary it degrades to
+    a shuffle join, still O(tokens)) → per-doc aggregate.  Unseen
+    tokens get the smoothed floor log(alpha / (N + alpha·V)).
+
+    Determinism: per-token log-probs are quantized to integer
+    ten-thousandths BEFORE the per-doc sum (the _isum trick), so the
+    mean is partition-order-exact and oracle-replayable.
+    """
+    from fsharp_dataframe_spark.functions.util import spread
+
+    train_src = train_df if train_df is not None else df
+    train_toks = spread(train_src, text_col).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    counts = train_toks.groupBy("token").agg(F.count("*").alias("_c"))
+    tot = counts.agg(F.sum("_c"), F.count("*")).first()
+    n_total, v_size = int(tot[0] or 0), int(tot[1] or 0)
+    denom = float(n_total + alpha * v_size)
+    floor_units = None
+    if denom > 0:
+        import math
+
+        # HALF-UP like F.round / DuckDB round (Python round() is
+        # banker's): log of a positive ratio < 1 is negative
+        x = math.log(alpha / denom) * 10000
+        floor_units = int(math.copysign(math.floor(abs(x) + 0.5), x))
+    logp_units = F.round(F.log((F.col("_c") + F.lit(float(alpha))) / F.lit(denom))
+                         * 10000).cast("long")
+    doc_toks = spread(df, id_col, text_col).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+    scored = (doc_toks.join(counts.select("token", logp_units.alias("_lp")),
+                            on="token", how="left")
+              .select(id_col, F.coalesce(F.col("_lp"),
+                                         F.lit(floor_units)).alias("_lp")))
+    return (scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        F.sum("_lp").alias("_units"))
+        .select(id_col, "n_tok",
+                F.round(F.col("_units") / F.col("n_tok") / 10000.0, 4)
+                 .alias("mean_logprob")))

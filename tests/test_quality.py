@@ -67,3 +67,66 @@ def test_repetition_filter_drops_spam(spark):
 def test_gopher_thresholds_cover_declared_metrics():
     ns = {k for k in GOPHER_REPETITION_THRESHOLDS}
     assert {"dup_line_frac", "top2_char_frac", "dup5_char_frac"} <= ns
+
+
+def test_c4_line_stats_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.quality import c4_line_stats
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 'A good sentence here.\nAnother proper line!\nshort one\n'),
+        (2, 'code { return 1; }\nreal text ends well.'),
+        (3, '\n\n  \n'),  # only blank lines
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    st = c4_line_stats(F.col("text"))
+    got = {r["doc_id"]: (r["s"]["n_lines"], r["s"]["n_short_lines"],
+                         r["s"]["terminal_punct_frac"], r["s"]["brace_frac"])
+           for r in df.select("doc_id", st.alias("s")).collect()}
+    # doc 1: 3 non-empty lines; "short one" has 2 tokens (<3); two end
+    # in terminal punctuation
+    assert got[1] == (3, 1, round(2 / 3, 4), 0.0)
+    # doc 2: brace line + one good line
+    assert got[2] == (2, 0, 0.5, 0.5)
+    # doc 3: no non-empty lines -> zero fractions
+    assert got[3] == (0, 0, 0.0, 0.0)
+
+
+def test_c4_filter_gates(spark):
+    from fsharp_dataframe_spark.functions.quality import c4_filter
+
+    rows = [
+        (1, "This is a perfectly fine document sentence.\nIt ends with punctuation."),
+        (2, "lorem ipsum dolor sit amet and more filler text here."),  # blocklist
+        (3, "int main() {\nreturn 0;\n}"),                             # braces
+        (4, "no terminal punctuation on this line at all\nnor here"),  # punct frac
+        (5, "Tiny."),                                                  # < min_words
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    kept = {r["doc_id"] for r in c4_filter(df).collect()}
+    assert kept == {1}
+
+
+def test_unigram_logprob_score_semantics(spark):
+    # frequent-token docs must outscore rare-token docs; scoring a
+    # separate df against a train corpus uses the smoothed floor for
+    # unseen tokens
+    import math
+
+    from fsharp_dataframe_spark.functions.text import unigram_logprob_score
+
+    rows = [(i, "common common common") for i in range(9)] + [(9, "rareword")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["mean_logprob"]
+           for r in unigram_logprob_score(df).collect()}
+    assert out[0] > out[9]
+    # hand-check: N=28 tokens (27 common + 1 rare), V=2
+    # p_common=(27+1)/(28+2)=28/30; p_rare=(1+1)/30
+    assert out[0] == round(round(math.log(28 / 30) * 10000) / 10000.0, 4)
+    assert out[9] == round(round(math.log(2 / 30) * 10000) / 10000.0, 4)
+    # unseen tokens against a train corpus -> the alpha floor
+    new = spark.createDataFrame([(100, "unseen tokens only")],
+                                "doc_id int, text string")
+    floor = round(round(math.log(1 / 30) * 10000) / 10000.0, 4)
+    got = unigram_logprob_score(new, train_df=df).collect()[0]
+    assert got["mean_logprob"] == floor

@@ -121,6 +121,12 @@ def main():
         else:
             print(f"OK    {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
             n_ok += 1
+        # release per-query sketch caches: 67 queries' worth of
+        # persisted shingle/signature relations otherwise pile up in
+        # one session (correctness gate — timings here aren't compared)
+        from fsharp_dataframe_spark.functions.util import release_cached
+
+        release_cached()
     print(f"\n{n_ok} ok, {n_bad} failing")
     sys.exit(1 if n_bad else 0)
 
