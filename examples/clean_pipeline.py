@@ -94,10 +94,23 @@ def _clean_corpus(spark, sf_dir, out_dir, near_dup_threshold,
         on="doc_id", how="left_semi")
     counts["decontaminated"] = clean.count()
 
-    # 4. repetition + heuristic quality gates (both narrow maps)
+    # 4. quality gates, the published-filter stack: Gopher repetition
+    #    (narrow Arrow pass) → C4 line heuristics (Column exprs) →
+    #    heuristic score → unigram-LM perplexity proxy (corpus-trained
+    #    on the decontaminated survivors; threshold = bottom-decile
+    #    style fixed floor).  All narrow except the unigram model's
+    #    one token-keyed count aggregate.
+    from fsharp_dataframe_spark.functions.quality import c4_filter
+    from fsharp_dataframe_spark.functions.text import unigram_logprob_score
+
     unrepetitive = repetition_filter(clean)
-    quality = unrepetitive.filter(
+    c4_ok = c4_filter(unrepetitive, min_terminal_punct_frac=0.0)
+    quality = c4_ok.filter(
         F.round(quality_score(F.col("text")), 4) >= min_quality)
+    lm = unigram_logprob_score(quality)
+    quality = quality.join(
+        lm.filter(F.col("mean_logprob") >= -12.0).select("doc_id"),
+        on="doc_id", how="left_semi")
     counts["quality"] = quality.count()
 
     # 5. deterministic split + token-budget shards, then the writes

@@ -34,6 +34,13 @@ def test_clean_pipeline_end_to_end(spark, tmp_path):
 def test_incremental_ingest_end_to_end(spark, tmp_path):
     from incremental_ingest import ingest_batch
 
+    from fsharp_dataframe_spark.functions import util
+
+    # cache_scope is nesting-safe: earlier tests in the shared session
+    # may legitimately have live tracked persists — the pipeline must
+    # add NONE of its own on exit (compare against the snapshot, not
+    # the empty list)
+    before = list(util._TRACKED_PERSISTS)
     out = str(tmp_path / "ingest")
     counts = ingest_batch(spark, "/root/testdata/sf0.001", out)
     assert list(counts) == ["batch", "deduped", "quality"]
@@ -41,6 +48,4 @@ def test_incremental_ingest_end_to_end(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == counts["quality"]
     assert any(p.startswith("ingest_batch=") for p in os.listdir(out))
-    # every sketch cache was released by the pipeline's cache_scope
-    from fsharp_dataframe_spark.functions import util
-    assert util._TRACKED_PERSISTS == []
+    assert util._TRACKED_PERSISTS == before
