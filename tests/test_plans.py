@@ -192,3 +192,24 @@ def test_incremental_dedup_never_self_joins_existing(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_c4_stats_is_narrow_and_pruned(spark):
+    # pure per-document Column exprs: no key shuffle, and the scan
+    # reads only doc_id + text.  Pruning is a property of the COLD
+    # parquet scan — an earlier test's .cache() of the documents table
+    # would otherwise substitute an InMemoryRelation with all columns
+    spark.catalog.clearCache()
+    plan = _plan(spark, "c4_stats")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in schema_line and "lang" not in schema_line
+
+
+def test_unigram_quality_single_token_shuffles(spark):
+    # two token-keyed aggregations (count training, per-doc score) and
+    # the score join — no single-partition exchange anywhere
+    plan = _plan(spark, "unigram_quality")
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
