@@ -404,3 +404,24 @@ def test_stream_vocab_heavy_hitters_state_survives_restart(spark, tmp_path):
     assert latest["alpha"] == 3   # 2 in phase 1 + 1 in phase 2
     assert latest["beta"] == 4    # 2 + 2
     assert latest["gamma"] == 1 and latest["delta"] == 1
+
+
+def test_c4_filter_runs_on_streams(spark, tmp_path):
+    # c4_filter is pure Column expressions, so the SAME gate applies
+    # to a readStream DataFrame unchanged and keeps exactly the batch
+    # survivors
+    from fsharp_dataframe_spark.functions.quality import c4_filter
+
+    docs = load_table(spark, SF, "documents").limit(150)
+    d = str(tmp_path / "docs_c4_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    name = run_to_memory(
+        c4_filter(s, min_terminal_punct_frac=0.0).select("doc_id"),
+        "t_c4_stream")
+    got = {r["doc_id"] for r in spark.sql(
+        f"SELECT doc_id FROM {name}").collect()}
+    exp = {r["doc_id"] for r in
+           c4_filter(docs, min_terminal_punct_frac=0.0)
+           .select("doc_id").collect()}
+    assert got == exp and got
