@@ -183,3 +183,44 @@ def test_global_fill_bucketed_matches_plain(spark, vals, direction):
         buck = s.fill_missing(direction, bucketed=True)
     assert sorted(map(tuple, plain.df.collect())) == \
         sorted(map(tuple, buck.df.collect()))
+
+
+def test_vocab_topk_ordering_and_conservation(spark):
+    # top-k rows are ordered (count desc, token asc), counts are
+    # positive, n_docs <= n_occurrences, and the top-k total never
+    # exceeds the corpus token count
+    from pyspark.sql import functions as F
+
+    from fsharp_dataframe_spark.functions.text import token_count, vocab_topk
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = vocab_topk(docs, k=25).collect()
+    assert rows
+    keys = [(-r["n_occurrences"], r["token"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(0 < r["n_docs"] <= r["n_occurrences"] for r in rows)
+    total = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    assert sum(r["n_occurrences"] for r in rows) <= total
+
+
+def test_unigram_scores_bounded_by_floor_and_zero(spark):
+    # every mean log-prob lies in [floor, 0): probabilities are < 1,
+    # and no doc can average below the least-likely token's log-prob
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fsharp_dataframe_spark.functions.text import (
+        tokens, unigram_logprob_score,
+    )
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = unigram_logprob_score(docs).collect()
+    assert out
+    stats = (docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+             .agg(F.count("*"), F.countDistinct("t")).collect()[0])
+    n, v = int(stats[0]), int(stats[1])
+    floor = math.log(1.0 / (n + v))  # least-likely: count-1 token
+    assert all(floor - 1e-6 <= r["mean_logprob"] < 0 for r in out)
