@@ -974,20 +974,29 @@ def q_minhash_pairs(spark, sf) -> DataFrame:
 
 def q_media_features(spark, sf) -> DataFrame:
     """Multimodal plumbing: Arrow-batched mapInPandas featurization of
-    binary media payloads + metadata-driven frame-sample fan-out (no
-    SQL oracle — binary/mapInPandas pipeline; rows-only check; batch
-    schema pinned by tests/test_multimodal.py)."""
+    binary media payloads + metadata-driven frame-sample fan-out.
+
+    The fake media payloads are closed-form (payload[j] = (i*7+j)%256,
+    make_fake_media), so the full pipeline — byte-band mean features
+    computed INSIDE the Pandas UDF from the actual binary payloads,
+    plus the stepped frame-sampling fan-out — is replayed exactly by a
+    DuckDB oracle over range(64).  real_decode=False pins decode_ok
+    deterministically (the "auto" path's decode_ok depends on whether
+    PIL is importable in the running environment); feat0 is cast to
+    double BEFORE rounding so both engines round the same exact k/16
+    rational (the float32 band mean is exact: ≤4096/16)."""
     from fsharp_dataframe_spark.functions.multimodal import (
         extract_features, frame_sample_plan, make_fake_media,
     )
 
     media = make_fake_media(spark, n=64)
-    feats = extract_features(media, real_decode="auto")
-    samples = frame_sample_plan(media, every_n=1).groupBy("media_id") \
+    feats = extract_features(media, real_decode=False)
+    samples = frame_sample_plan(media, every_n=3).groupBy("media_id") \
         .agg(F.count("*").alias("n_sampled"))
     return (
         feats.join(samples, "media_id")
-        .select("media_id", F.round(F.element_at("feat", 1), 2).alias("feat0"),
+        .select("media_id",
+                F.round(F.element_at("feat", 1).cast("double"), 2).alias("feat0"),
                 "decode_ok", "n_sampled")
     )
 
@@ -2068,6 +2077,25 @@ def _all_oracle_sql() -> dict[str, str]:
                          / count(*) / 10000.0, 4) AS avg_norm,
                    count(*) AS n_vecs
             FROM embeddings GROUP BY label
+        """,
+        # multimodal featurize + frame-sample replay: the fake media is
+        # closed-form (payload[j] = (i*7+j)%256, 128 bytes; every 4th
+        # row a video with n_frames=(i%13)+2 — make_fake_media), so the
+        # mapInPandas byte-band features and the stepped frame-sample
+        # fan-out replay exactly over range(64).  feat0 = mean of band-0
+        # bytes j=0..15 (np.array_split(128, 8) → 16-byte bands; the
+        # float32 mean is exact: sum ≤ 4096, /16 a power of two);
+        # n_sampled = len(sequence(0, n_frames-1, 3)).
+        "media_features": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     CASE WHEN i % 4 = 3 THEN (i % 13) + 2 ELSE 1 END AS n_frames
+              FROM range(0, 64) t(i))
+            SELECT media_id,
+                   round(list_avg([(media_id * 7 + j) % 256 for j in range(0, 16)]), 2) AS feat0,
+                   true AS decode_ok,
+                   ((n_frames - 1) // 3 + 1)::BIGINT AS n_sampled
+            FROM m
         """,
         # duplicate clustering: component closure of the near-dup pair
         # graph as a recursive CTE (reachability enumeration + min

@@ -46,12 +46,21 @@ MEDIA_SCHEMA = T.StructType([
 
 
 def make_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table (payload = patterned bytes)."""
-    rows = [
-        (i, bytes([(i * 7 + j) % 256 for j in range(128)]),
-         ("image/png", 32, 32, 1, None) if i % 2 == 0 else ("audio/wav", None, None, None, float(i)))
-        for i in range(n)
-    ]
+    """Deterministic fake media table (payload = patterned bytes,
+    ``payload[j] = (i*7 + j) % 256``) — CLOSED FORM by design, so the
+    whole decode→featurize→frame-sample pipeline is replayable by a
+    pure-SQL oracle (q_media_features replays it over range(n) in
+    DuckDB).  Every 4th row is a multi-frame video so the
+    frame-sampling fan-out is exercised with varying n_frames."""
+    def meta(i: int):
+        if i % 4 == 3:
+            return ("video/mp4", 16, 16, (i % 13) + 2, float(i) / 4.0)
+        if i % 2 == 0:
+            return ("image/png", 32, 32, 1, None)
+        return ("audio/wav", None, None, None, float(i))
+
+    rows = [(i, bytes([(i * 7 + j) % 256 for j in range(128)]), meta(i))
+            for i in range(n)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
