@@ -1043,12 +1043,20 @@ def q_ivf_topk(spark, sf) -> DataFrame:
 
 
 def q_simhash_pairs(spark, sf) -> DataFrame:
-    """SimHash near-dup candidates (no SQL oracle — xxhash64 family;
-    rows-only check)."""
+    """SimHash near-dup pairs, oracle-exact: the md5 hash family's
+    per-token hash is byte-identical across engines, so the DuckDB
+    oracle replays the ENTIRE sketch construction (64 bit-vote sums →
+    majority bits → two 32-bit sketch halves) and the Hamming bound as
+    an all-pairs popcount — while the Spark side still runs the real
+    pigeonhole candidate path (complete for the bound, so both
+    enumerate exactly the pairs with hamming <= 6).  The production
+    default stays xxh64 (one JVM-native hash/token); the families
+    share every line of sketch/pair code except the hash expression,
+    and tests pin the xxh64 path (tests/test_dedup.py)."""
     from fsharp_dataframe_spark.functions.dedup import simhash_pairs
 
     docs = load_table(spark, sf, "documents")
-    return simhash_pairs(docs, max_hamming=6)
+    return simhash_pairs(docs, max_hamming=6, hash_family="md5")
 
 
 def q_near_dedup(spark, sf) -> DataFrame:
@@ -1367,6 +1375,49 @@ def _ivf_train_sql() -> str:
                    round(sum(round(sim * 10000)::BIGINT) / count(*) / 10000.0, 4) AS mean_sim
             FROM af GROUP BY cell
         """
+
+
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """DuckDB replay of the md5-family SimHash pipeline
+    (functions/dedup.py simhash_table/simhash_pairs): md5 is
+    byte-identical across engines, so the oracle rebuilds every sketch
+    from scratch — per-token 32-bit hash halves parsed from the hex
+    digest, 64 majority-vote bit sums, two 32-bit sketch halves
+    (avoids BIGINT bit-63 overflow in strict DuckDB arithmetic) — and
+    enumerates ALL pairs within the Hamming bound by popcount.  The
+    Spark side generates candidates via pigeonhole pieces, which is
+    complete for the bound, so both sides emit exactly the same pairs.
+    Empty/whitespace-only docs sketch to 0 on both sides (explode_outer
+    + NULL-sum guard in Spark; LEFT JOIN + coalesce here)."""
+    lo_sums = ", ".join(f"sum((lo >> {j}) & 1) AS c{j}" for j in range(32))
+    hi_sums = ", ".join(f"sum((hi >> {j}) & 1) AS c{j + 32}" for j in range(32))
+    slo = " + ".join(f"(CASE WHEN 2*c{j} > n THEN {1 << j}::BIGINT ELSE 0 END)"
+                     for j in range(32))
+    shi = " + ".join(f"(CASE WHEN 2*c{j + 32} > n THEN {1 << j}::BIGINT ELSE 0 END)"
+                     for j in range(32))
+    ham = "bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi))"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS tok
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+          FROM tok),
+        c AS (SELECT doc_id, count(*) AS n, {lo_sums}, {hi_sums}
+              FROM h GROUP BY doc_id),
+        sk AS (SELECT doc_id, {slo} AS slo, {shi} AS shi FROM c),
+        alldocs AS (
+          SELECT d.doc_id, coalesce(sk.slo, 0) AS slo, coalesce(sk.shi, 0) AS shi
+          FROM documents d LEFT JOIN sk USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ({ham})::INTEGER AS hamming
+        FROM alldocs a JOIN alldocs b ON a.doc_id < b.doc_id
+        WHERE {ham} <= {max_hamming}
+    """
 
 
 def _all_oracle_sql() -> dict[str, str]:
@@ -2086,6 +2137,7 @@ def _all_oracle_sql() -> dict[str, str]:
         # bytes j=0..15 (np.array_split(128, 8) → 16-byte bands; the
         # float32 mean is exact: sum ≤ 4096, /16 a power of two);
         # n_sampled = len(sequence(0, n_frames-1, 3)).
+        "simhash_pairs": _simhash_pairs_sql(max_hamming=6),
         "media_features": """
             WITH m AS (
               SELECT i AS media_id,

@@ -488,12 +488,20 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
 
 def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  bits: int = 64) -> DataFrame:
-    """(id, sh) sketches via explode + groupBy — one xxhash64 per token
-    and ``bits`` trivial partial-aggregating sums, instead of the
+                  bits: int = 64, hash_family: str = "xxh64") -> DataFrame:
+    """(id, sh) sketches via explode + groupBy — one token hash per
+    token and ``bits`` trivial partial-aggregating sums, instead of the
     Column-expression form's per-token 64-wide array fold (which
     allocates a vote array per token).  Bit-identical to `simhash`:
-    vote_j = Σ(±1 per token) = 2·Σbit_j − n, same >0 threshold."""
+    vote_j = Σ(±1 per token) = 2·Σbit_j − n, same >0 threshold.
+
+    ``hash_family`` picks the per-token hash: "xxh64" (default — one
+    JVM-native hash, the production hot path) or "md5" (two 32-bit
+    halves parsed from the md5 hex digest — ~2× more expression work,
+    but md5 is byte-identical across engines, so an md5-family sketch
+    is replayable by a DuckDB SQL oracle; the driver's simhash_pairs
+    query runs this family for exactly that hard signal).
+    """
     from fsharp_dataframe_spark.functions.util import spread
 
     toks = tokens(F.lower(F.col(text_col)))
@@ -507,9 +515,27 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # sum() would count 42's bits; with the guard, empty docs get
     # all-NULL bit sums (NULL > 0 is NULL → bit 0) and sketch to 0,
     # bit-identical with simhash()'s empty-array fold.
-    h = F.when(F.col("__tok").isNotNull(), F.xxhash64(F.col("__tok")))
-    aggs = [F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
-            for j in range(bits)]
+    if hash_family == "md5":
+        if bits != 64:
+            raise ValueError("md5 hash_family supports bits=64 only")
+        # bit j < 32 comes from the LOW half (md5 hex chars 9-16), bit
+        # j >= 32 from the HIGH half (chars 1-8): each half parses to a
+        # 32-bit value via conv(hex, 16, 10), overflow-free in a long.
+        dig = F.md5(F.col("__tok"))
+        hi = F.conv(F.substring(dig, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(dig, 9, 8), 16, 10).cast("long")
+
+        def bit(j: int):
+            src = lo if j < 32 else hi
+            return F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
+    elif hash_family == "xxh64":
+        h = F.when(F.col("__tok").isNotNull(), F.xxhash64(F.col("__tok")))
+
+        def bit(j: int):
+            return F.shiftright(h, j).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    aggs = [F.sum(bit(j)).alias(f"__c{j}") for j in range(bits)]
     g = ex.groupBy(id_col).agg(*aggs, F.count(F.col("__tok")).alias("__n"))
     sketch = F.lit(0).cast("long")
     for j in range(bits):
@@ -520,13 +546,15 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 8) -> DataFrame:
+                  max_hamming: int = 8, hash_family: str = "xxh64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — COMPLETE for the
     given bound: the 64-bit sketch is cut into ``max_hamming + 1``
     disjoint pieces, so any pair within the bound shares at least one
     equal piece (pigeonhole) and is generated as a candidate;
     verification = popcount of XOR.  Piece width shrinks as the bound
     grows (the candidate/recall trade is explicit, not silent).
+    ``hash_family`` — see simhash_table ("md5" gives an engine-
+    replayable sketch at ~2× token-hash expression cost).
     """
     n_pieces = max_hamming + 1
     widths = [64 // n_pieces + (1 if i < 64 % n_pieces else 0) for i in range(n_pieces)]
@@ -539,7 +567,8 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # (id, sh) is one long per doc: materialize so both sides of the
     # piece self-join read computed sketches instead of re-tokenizing
     # (a broadcast build side cannot share the shuffle exchange)
-    sh = track_persist(simhash_table(df, id_col, text_col))
+    sh = track_persist(simhash_table(df, id_col, text_col,
+                                     hash_family=hash_family))
     quarters = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*[
