@@ -963,13 +963,20 @@ def q_embed_near_dup_lsh(spark, sf) -> DataFrame:
 
 
 def q_minhash_pairs(spark, sf) -> DataFrame:
-    """MinHash+LSH near-dup candidates (no SQL oracle — engine-specific
-    hash family; rows-only check, cross-validated against exact Jaccard
-    in tests)."""
+    """MinHash+LSH near-dup pairs, oracle-exact: the md5 hash family's
+    permutation hashes are byte-identical across engines (fixed-width
+    lowercase hex orders lexicographically == numerically, so MIN over
+    digest prefixes IS the minhash), letting the DuckDB oracle replay
+    the ENTIRE pipeline — shingles → 32 permutation minima → 8 banded
+    md5 signatures → collision candidates → estimated-Jaccard filter.
+    A hash mismatch means the banding or signature math drifted.  The
+    production default stays xxh64 (JVM-native); the families share
+    every line of banding/estimate code except the hash expression,
+    and tests pin the xxh64 path (tests/test_dedup.py)."""
     from fsharp_dataframe_spark.functions.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.2)
+    return minhash_lsh_pairs(docs, threshold=0.2, hash_family="md5")
 
 
 def q_media_features(spark, sf) -> DataFrame:
@@ -1375,6 +1382,44 @@ def _ivf_train_sql() -> str:
                    round(sum(round(sim * 10000)::BIGINT) / count(*) / 10000.0, 4) AS mean_sim
             FROM af GROUP BY cell
         """
+
+
+def _minhash_pairs_sql(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
+    """DuckDB replay of the md5-family MinHash+LSH pipeline
+    (functions/dedup.py minhash_signatures/minhash_lsh_pairs): distinct
+    word 3-gram shingles → k permutation minima (MIN over 15-hex-char
+    md5 prefixes — lexicographic == numeric for fixed-width lowercase
+    hex) → ``bands`` band signatures (md5 of the comma-joined slice,
+    compared only for equality) → band-collision candidates → estimated
+    Jaccard (equal-component fraction) >= threshold.  Byte-identical
+    md5 on both engines makes every stage replayable."""
+    r = k // bands
+    mins = ", ".join(
+        f"min(substr(md5('{i}|' || shingle), 1, 15)) AS h{i}" for i in range(k))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM mh".format(
+            b=b, concat=" || ',' || ".join(f"h{b * r + j}" for j in range(r)))
+        for b in range(bands))
+    eq = " + ".join(f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+                    for i in range(k))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, DISTINCT_SH.shingle FROM toks,
+          LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                   for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) DISTINCT_SH),
+        mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        bands AS ({band_rows}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id)
+        SELECT id_a, id_b, round(({eq}) / {k}.0, 4) AS est_jaccard
+        FROM cand JOIN mh a ON a.doc_id = id_a JOIN mh b ON b.doc_id = id_b
+        WHERE round(({eq}) / {k}.0, 4) >= {threshold}
+    """
 
 
 def _simhash_pairs_sql(max_hamming: int = 6) -> str:
@@ -2137,6 +2182,7 @@ def _all_oracle_sql() -> dict[str, str]:
         # bytes j=0..15 (np.array_split(128, 8) → 16-byte bands; the
         # float32 mean is exact: sum ≤ 4096, /16 a power of two);
         # n_sampled = len(sequence(0, n_frames-1, 3)).
+        "minhash_pairs": _minhash_pairs_sql(threshold=0.2),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=6),
         "media_features": """
             WITH m AS (

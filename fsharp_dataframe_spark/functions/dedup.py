@@ -204,52 +204,76 @@ def _ngram_pairs_plain(shingles: DataFrame, id_col: str,
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       n: int = 3, k: int = 32) -> DataFrame:
+                       n: int = 3, k: int = 32,
+                       hash_family: str = "xxh64") -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Permutation i is xxhash64(i || shingle) — k independent 64-bit
-    hash families.  Shingles are built ONCE per document (explode),
-    each shingle is hashed k times, and k partial-aggregating F.min
-    reduce to the signature — one shuffle keyed by id.
+    Permutation i is hash(i || shingle) — k independent hash families.
+    Shingles are built ONCE per document (explode), each shingle is
+    hashed k times, and k partial-aggregating F.min reduce to the
+    signature — one shuffle keyed by id.
+
+    ``hash_family``: "xxh64" (default; array<long> signature, one
+    JVM-native hash per permutation — the production hot path) or
+    "md5" (array<string> of 15-hex-char digest prefixes; the numeric
+    MIN is taken LEXICOGRAPHICALLY, which for fixed-width lowercase
+    hex equals numeric order — and md5 is byte-identical across
+    engines, so an md5-family signature is replayable by a DuckDB
+    oracle, the hard signal the driver's minhash query runs with).
 
     The earlier one-projection form (array_min(transform(sh, ...)) per
     permutation) was 30× slower: Catalyst's project collapsing inlines
     the shingle-construction expression into every one of the k
     branches, so tokenization ran k times per row.
     """
+    if hash_family == "md5":
+        def perm(i: int):
+            return F.substring(
+                F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle"))), 1, 15)
+    elif hash_family == "xxh64":
+        def perm(i: int):
+            return F.xxhash64(F.concat(F.lit(str(i) + "|"), F.col("shingle")))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     sh = shingle_table(df, id_col, text_col, n)
     mins = sh.groupBy(id_col).agg(*[
-        F.min(F.xxhash64(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"_h{i}")
-        for i in range(k)
+        F.min(perm(i)).alias(f"_h{i}") for i in range(k)
     ])
     return mins.select(F.col(id_col), F.array(*[f"_h{i}" for i in range(k)]).alias("minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3, k: int = 32, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      hash_family: str = "xxh64") -> DataFrame:
     """MinHash+LSH near-duplicate pairs.
 
     Signature → `bands` bands of k/bands rows; band signature =
-    xxhash64 of its slice; candidates = ids colliding in any band
+    hash of its slice; candidates = ids colliding in any band
     (shuffle key: (band, signature) — uniform by construction);
     verification = estimated Jaccard (fraction of equal minhashes)
     >= threshold.  At 100 TB: linear scan + one groupBy on band keys
     + pair verification only on collisions.
+    ``hash_family`` — see minhash_signatures ("md5" is replayable by a
+    DuckDB oracle; band signatures then hash with md5 too, used only
+    for equality so the digest string itself is the join key).
     """
     from fsharp_dataframe_spark.functions.util import track_persist
 
     r = k // bands
-    # one row per doc (id + k longs): materialize so the band join's
-    # two sides and the estimate both read the computed signatures
-    # instead of re-running the shingle explode + k-way aggregate —
-    # sketch tables are O(corpus row count), not O(corpus bytes), so
-    # this caches cheaply even when the corpus itself could not
-    sigs = track_persist(minhash_signatures(df, id_col, text_col, n, k))
+    band_hash = F.md5 if hash_family == "md5" else F.xxhash64
+    # one row per doc (id + k minhash components): materialize so the
+    # band join's two sides and the estimate both read the computed
+    # signatures instead of re-running the shingle explode + k-way
+    # aggregate — sketch tables are O(corpus row count), not O(corpus
+    # bytes), so this caches cheaply even when the corpus itself could
+    # not
+    sigs = track_persist(minhash_signatures(df, id_col, text_col, n, k,
+                                            hash_family=hash_family))
     banded = sigs.select(
         id_col, "minhash",
         F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]))
+            band_hash(F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]))
             for b in range(bands)
         ])).alias("band", "band_sig"),
     )
