@@ -862,6 +862,46 @@ def q_unigram_quality(spark, sf) -> DataFrame:
     return unigram_logprob_score(docs)
 
 
+def q_dedup_spans(spark, sf) -> DataFrame:
+    """Exact duplicate-SPAN removal (functions/dedup.py
+    remove_duplicate_spans — the token-gram analog of Lee et al. 2022
+    suffix-array ExactSubstr, remove-all semantics): every token
+    inside any 10-gram occurring >= 2 times corpus-wide is deleted and
+    the documents reassembled.  Fully relational (gram-hash groupBy +
+    semi-join + anti-join), so the oracle replays it stage by stage:
+    md5 gram hashes are byte-identical across engines."""
+    from fsharp_dataframe_spark.functions.dedup import remove_duplicate_spans
+
+    docs = load_table(spark, sf, "documents")
+    return remove_duplicate_spans(docs, k=10)
+
+
+def q_sample_stratified(spark, sf) -> DataFrame:
+    """Per-language deterministic quota sample (functions/sampling.py
+    stratified_sample): exactly min(20, n_lang) docs per language,
+    ranked by md5(lang|doc_id) — the hash_split determinism contract
+    applied to per-group top-k; the oracle replays the rank as a SQL
+    window over the same md5 order."""
+    from fsharp_dataframe_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    return stratified_sample(docs, "lang", 20).select("doc_id", "lang", "rk")
+
+
+def q_lang_mix(spark, sf) -> DataFrame:
+    """Temperature-based multilingual sampling weights
+    (functions/sampling.py language_mix_weights, alpha-sampling of
+    Conneau & Lample 2019): per-language corpus share p, resampled
+    share q ∝ p^0.5, and the per-doc boost q/p.  alpha=0.5 so the
+    power is sqrt (IEEE-exact in both engines) and the normalizer
+    accumulates in fixed-point integer units (partition-order
+    exact)."""
+    from fsharp_dataframe_spark.functions.sampling import language_mix_weights
+
+    docs = load_table(spark, sf, "documents")
+    return language_mix_weights(docs, alpha=0.5)
+
+
 def q_vocab_topk(spark, sf) -> DataFrame:
     """Corpus vocabulary top-k (functions/text.vocab_topk): the 100
     most frequent tokens with occurrence + document frequency — one
@@ -1010,8 +1050,21 @@ def q_media_features(spark, sf) -> DataFrame:
 
 def q_lsh_topk(spark, sf) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets, exact
-    rescore on candidates (no SQL oracle — xxhash64 hyperplane family;
-    rows-only check; recall bound pinned by tests/test_similarity.py)."""
+    rescore on candidates.  Deliberately rows-only: the test
+    embeddings are near-isotropic (no pair above cosine 0.5 at any
+    SF — measured), so the top-20 boundary sits at cosine ~0.28,
+    where the hyperplane collision probability (1 − θ/π ≈ 0.59 per
+    bit) makes TOTAL recall unreachable without degenerate parameters
+    (the collision model says ~370 tables at n_bits=12, or probing a
+    third of the corpus per table at n_bits=6/radius 2 — a brute scan
+    wearing an LSH costume).  A brute-force-SQL oracle would therefore
+    measure the DATA's LSH-hardness, not the operator's correctness.
+    The operator's contract — candidates are exactly the
+    bucket-collision set, rescoring is exact, recall rises
+    monotonically with n_bits×n_tables×radius — is pinned by
+    tests/test_similarity.py on planted-neighbor corpora where recall
+    IS total; the exact top-k path has its own oracle row
+    (embed_topk)."""
     from fsharp_dataframe_spark.functions.similarity import lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
@@ -1184,12 +1237,18 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # scalar-on-frame arithmetic also exercised by scalar_math's sibling
 # cast_types + zip paths; maxby_minby→first_last/take_last +
 # group_stats — both r3+r4-green.)
+# (dedup_spans / sample_stratified / lang_mix enter in their place:
+# join_broadcast→asof_join + append_frames (Frame.Join machinery),
+# fill_forward→fill_constant (fill family), lookup_level→
+# lookup_time_fwd + index_ordinal (level/positional lookup) — all
+# three r3+r4-green veterans with in-window siblings.)
 EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "shift_diff", "resample_daily", "pivot", "slice_between",
                  "window_moving_avg", "chunk_sum", "first_last",
                  "scalar_math", "drop_missing", "text_quality",
                  "asof_grouped", "resample_uniform", "union_prefer_left",
-                 "frame_arith", "maxby_minby")
+                 "frame_arith", "maxby_minby",
+                 "join_broadcast", "fill_forward", "lookup_level")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1279,6 +1338,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "c4_stats": q_c4_stats,
         "unigram_quality": q_unigram_quality,
+        "dedup_spans": q_dedup_spans,
+        "sample_stratified": q_sample_stratified,
+        "lang_mix": q_lang_mix,
     }
 
 
@@ -2182,6 +2244,53 @@ def _all_oracle_sql() -> dict[str, str]:
         # bytes j=0..15 (np.array_split(128, 8) → 16-byte bands; the
         # float32 mean is exact: sum ≤ 4096, /16 a power of two);
         # n_sampled = len(sequence(0, n_frames-1, 3)).
+        # duplicate-span removal replay (k=10, min_count=2): same gram
+        # md5s, same >=2 count, coverage via the per-doc start list (the
+        # list-comprehension form is fine at oracle scale; the Spark
+        # side is the relational anti-join that scales)
+        "dedup_spans": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+9], ' ')) AS gh
+              FROM toks, LATERAL unnest(range(1, greatest(len(t) - 9, 0) + 1)) u(i)),
+            d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+            starts AS (
+              SELECT doc_id, list(pos) AS ps FROM g JOIN d USING (gh) GROUP BY doc_id),
+            kept AS (
+              SELECT t.doc_id, len(t.t) AS n,
+                     [t.t[i+1] FOR i IN range(0, len(t.t))
+                      IF len(list_filter(coalesce(s.ps, []), p -> p <= i AND i < p + 10)) = 0] AS kt
+              FROM toks t LEFT JOIN starts s USING (doc_id))
+            SELECT doc_id, coalesce(array_to_string(kt, ' '), '') AS clean_text,
+                   (n - len(kt))::BIGINT AS n_tokens_removed
+            FROM kept
+        """,
+        # per-language quota replay: row_number over the identical
+        # md5(lang|id) order
+        "sample_stratified": """
+            SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(lang || '|' || doc_id::VARCHAR), doc_id
+                     )::INTEGER AS rk
+              FROM documents)
+            WHERE rk <= 20
+        """,
+        # alpha-sampling replay: q ∝ n^0.5 via sqrt (IEEE-exact), the
+        # normalizer in fixed-point BIGINT units exactly as Spark
+        "lang_mix": """
+            WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+            s AS (SELECT lang, n_docs, round(sqrt(n_docs) * 1e6)::BIGINT AS sv FROM c),
+            t AS (SELECT sum(n_docs)::BIGINT AS tot, sum(sv)::BIGINT AS den FROM s)
+            SELECT lang, n_docs,
+                   round(n_docs / tot::DOUBLE, 4) AS p,
+                   round(sv / den::DOUBLE, 4) AS q,
+                   round((sv / den::DOUBLE) / (n_docs / tot::DOUBLE), 4) AS boost
+            FROM s, t
+        """,
         "minhash_pairs": _minhash_pairs_sql(threshold=0.2),
         "simhash_pairs": _simhash_pairs_sql(max_hamming=6),
         "media_features": """

@@ -66,6 +66,9 @@ HEADLINE = [
     "vocab_topk",
     "c4_stats",
     "unigram_quality",
+    "dedup_spans",
+    "sample_stratified",
+    "lang_mix",
 ]
 
 

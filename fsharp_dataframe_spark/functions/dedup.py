@@ -614,3 +614,75 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 20,
+                           min_count: int = 2) -> DataFrame:
+    """Exact duplicate-SPAN removal: delete every token that lies
+    inside any k-token gram occurring >= ``min_count`` times across
+    the corpus (within-document repeats included) — the token-gram
+    analog of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), with remove-ALL semantics (the conservative
+    variant: no canonical copy survives; document-level near-dedup
+    keeps canonicals, this pass targets boilerplate fragments).
+
+    Returns one row per input row: (id, clean_text,
+    n_tokens_removed).  Whitespace is normalized to single spaces in
+    the reassembled text (tokens are whitespace-split).
+
+    100 TB shape — every stage is LINEAR and relational; there is no
+    per-document expression whose cost grows with the document's
+    duplication level (a boilerplate-heavy 100k-token doc is the rule,
+    not the edge case, in web corpora):
+
+    1. gram hashes as one per-doc array projection (md5 of the joined
+       slice: 128-bit, collision-free at corpus scale and
+       byte-identical across engines for the SQL oracle; the k× text
+       blowup is per-row transient — only 32-char hashes are exploded
+       into the shuffle.  A rolling hash would make it O(n); measured
+       irrelevant here, tokenization dominates);
+    2. posexplode → (id, pos, gh), groupBy(gh) count >= min_count —
+       one shuffle on the hash, uniform by construction;
+    3. covered token indices = semi-join + explode(sequence(pos,
+       pos+k-1)) + per-doc dedup — O(k · duplicated occurrences)
+       rows, NOT O(corpus);
+    4. kept tokens = posexplode(tokens) anti-join covered on
+       (id, idx), reassembled per doc by array_sort(collect_list) —
+       grouping is bounded by single-document size.
+    """
+    from fsharp_dataframe_spark.functions.util import spread, track_persist
+
+    toks = tokens(F.col(text_col))
+    base = track_persist(
+        spread(df, id_col, text_col)
+        .select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")))
+    starts = F.when(F.col("_n") >= k,
+                    F.sequence(F.lit(0), F.col("_n") - k)
+                    ).otherwise(F.array().cast("array<int>"))
+    ghs = F.transform(starts,
+                      lambda p: F.md5(F.concat_ws(" ", F.slice(F.col("_t"), p + 1, k))))
+    grams = base.select(F.col(id_col), F.posexplode(ghs).alias("pos", "gh"))
+    dup = (grams.groupBy("gh").count()
+           .filter(F.col("count") >= min_count).select("gh"))
+    covered = (
+        grams.join(dup, "gh", "left_semi")
+        .select(F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("idx"))
+        .dropDuplicates([id_col, "idx"])
+    )
+    tok_rows = base.select(F.col(id_col), F.posexplode("_t").alias("idx", "tok"))
+    clean = (
+        tok_rows.join(covered, [id_col, "idx"], "left_anti")
+        .groupBy(id_col)
+        .agg(F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                 lambda s: s["tok"])).alias("clean_text"),
+             F.count("*").alias("_n_kept"))
+    )
+    return (
+        base.join(clean, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+                (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_tokens_removed"))
+    )

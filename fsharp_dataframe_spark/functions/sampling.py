@@ -166,3 +166,72 @@ def pack_shards(df: DataFrame, target_tokens: int,
     return out.select(
         id_col, "n_tokens",
         F.floor(F.col("__gcum") / F.lit(int(target_tokens))).cast("long").alias("shard"))
+
+
+def stratified_sample(df: DataFrame, group_col: str, k: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exactly min(k, group size) rows per group, deterministically:
+    rank by md5(group|id) — a uniform, ingest/partition/retry-stable
+    order (the same determinism contract as hash_split; md5 so a SQL
+    oracle replays it byte-identically) — and keep the k smallest.
+
+    Balanced eval-set / per-language quota construction.  One shuffle
+    on the group key; the per-group rank is a window sort, which Spark
+    spills for giant groups — at extreme group sizes (10^10-row
+    languages) pre-thin first with hash_split to a few × k per group,
+    then rank exactly (the hash order makes the two-phase result
+    identical to the one-phase one).
+
+    Returns the input columns plus ``rk`` (1-based rank within the
+    group).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", F.col(group_col), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))
+
+
+def language_mix_weights(df: DataFrame, lang_col: str = "lang",
+                         alpha: float = 0.5) -> DataFrame:
+    """Temperature-based multilingual sampling weights (the
+    alpha-sampling of multilingual pretraining: q_l ∝ p_l^alpha with
+    p_l the corpus share of language l — Conneau & Lample 2019,
+    arXiv:1901.07291 §3.1; mC4/mT5 use the same scheme).  Lower alpha
+    flattens the mix toward low-resource languages; ``boost`` =
+    q_l / p_l is the per-document up/down-sampling factor a sampler
+    applies.
+
+    One groupBy on the language key plus a single-row total joined
+    back (Catalyst broadcasts it); the language table is tiny by
+    nature, so every arithmetic step after the count is effectively
+    driver-scale while staying in the plan.
+
+    Determinism: because q only needs p^alpha UP TO NORMALIZATION,
+    N^alpha cancels and q_l = n_l^alpha / Σ n_m^alpha — so the
+    normalizer is accumulated in FIXED-POINT integer units
+    (round(n^alpha · 10^6)), never as a raw double sum whose value
+    depends on partition/combine order (the _isum hazard).  alpha=0.5
+    computes n^alpha via sqrt (IEEE-exact in every engine, so the SQL
+    oracle matches bit-for-bit); other alphas use pow (correct to
+    ~1 ulp — cross-engine oracle comparisons should stick to 0.5).
+
+    Returns (lang, n_docs, p, q, boost) with p/q/boost rounded 4dp.
+    """
+    counts = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").alias("n_docs"))
+    nw = (F.sqrt(F.col("n_docs")) if alpha == 0.5
+          else F.pow(F.col("n_docs"), F.lit(alpha)))
+    scored = counts.withColumn("_s", F.round(nw * 1e6).cast("long"))
+    totals = scored.agg(F.sum("n_docs").alias("_tot"),
+                        F.sum("_s").alias("_den"))
+    p = F.col("n_docs") / F.col("_tot")
+    q = F.col("_s") / F.col("_den")
+    return (
+        scored.crossJoin(F.broadcast(totals))
+        .select("lang", "n_docs",
+                F.round(p, 4).alias("p"),
+                F.round(q, 4).alias("q"),
+                F.round(q / p, 4).alias("boost"))
+    )

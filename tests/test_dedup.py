@@ -246,3 +246,39 @@ def test_incremental_dedup_idempotent_and_disjoint(spark):
     s1_fps = {r[0] for r in s1.select(fingerprint(F.col("text"))).collect()}
     assert not (ex_fps & s1_fps)
     assert cross_near_dup_pairs(s1, existing, threshold=0.5).count() == 0
+
+
+def test_remove_duplicate_spans_hand_checked(spark):
+    from fsharp_dataframe_spark.functions.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame([
+        (0, "a b c d e f g h"),      # shares 3-gram "c d e" with doc 1
+        (1, "x y c d e z w q"),
+        (2, "p q r s t u v w"),      # untouched
+        (3, "m m m m m m"),          # within-doc repeats count too
+        (4, ""),                     # empty doc survives as empty
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in remove_duplicate_spans(docs, k=3).collect()}
+    assert got == {
+        0: ("a b f g h", 3),
+        1: ("x y z w q", 3),
+        2: ("p q r s t u v w", 0),
+        3: ("", 6),
+        4: ("", 0),
+    }
+
+
+def test_remove_duplicate_spans_hash_family_and_xxh_agree(spark):
+    # exact duplicate docs lose every gram; remove-all semantics means
+    # BOTH copies empty out — and a doc shorter than k is never touched
+    from fsharp_dataframe_spark.functions.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six"),
+         (1, "one two three four five six"),
+         (2, "short doc")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"]
+           for r in remove_duplicate_spans(docs, k=5).collect()}
+    assert got == {0: "", 1: "", 2: "short doc"}

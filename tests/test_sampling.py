@@ -124,3 +124,44 @@ def test_contamination_flags_planted_duplicates(spark):
         (F.col("n_hit") > F.col("n_sh")) | (F.col("contamination") > 1.0)
         | (F.col("contamination") < 0.0)).count()
     assert bad == 0
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from fsharp_dataframe_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, SF, "documents")
+    out = stratified_sample(docs, "lang", 7)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lang: min(7, n) for lang, n in sizes.items()}
+    # deterministic under repartition (the hash order is data-only)
+    a = sorted((r["lang"], r["doc_id"]) for r in out.collect())
+    b = sorted((r["lang"], r["doc_id"]) for r in
+               stratified_sample(docs.repartition(13), "lang", 7).collect())
+    assert a == b
+    # rank matches the md5 order computed in python
+    one = sorted(((r["rk"], r["doc_id"]) for r in
+                  out.filter(F.col("lang") == "en").collect()))
+    ids = [r["doc_id"] for r in docs.filter(F.col("lang") == "en").collect()]
+    exp = sorted(ids, key=lambda i: (hashlib.md5(f"en|{i}".encode()).hexdigest(), i))[:7]
+    assert [d for _, d in one] == exp
+
+
+def test_language_mix_weights_math(spark):
+    from fsharp_dataframe_spark.functions.sampling import language_mix_weights
+
+    docs = load_table(spark, SF, "documents")
+    rows = language_mix_weights(docs, alpha=0.5).collect()
+    assert abs(sum(r["p"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["q"] for r in rows) - 1.0) < 1e-3
+    # alpha<1 flattens: rare langs boosted, dominant langs damped
+    rare = min(rows, key=lambda r: r["n_docs"])
+    dom = max(rows, key=lambda r: r["n_docs"])
+    if rare["n_docs"] < dom["n_docs"]:
+        assert rare["boost"] > 1.0 > dom["boost"]
+    # alpha=1 is the identity mix
+    ident = language_mix_weights(docs, alpha=1.0).collect()
+    assert all(abs(r["p"] - r["q"]) <= 1e-3 and abs(r["boost"] - 1.0) <= 1e-3
+               for r in ident)
