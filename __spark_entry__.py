@@ -1449,15 +1449,17 @@ def _ivf_train_sql() -> str:
 def _minhash_pairs_sql(k: int = 32, bands: int = 8, threshold: float = 0.2) -> str:
     """DuckDB replay of the md5-family MinHash+LSH pipeline
     (functions/dedup.py minhash_signatures/minhash_lsh_pairs): distinct
-    word 3-gram shingles → k permutation minima (MIN over 15-hex-char
-    md5 prefixes — lexicographic == numeric for fixed-width lowercase
-    hex) → ``bands`` band signatures (md5 of the comma-joined slice,
-    compared only for equality) → band-collision candidates → estimated
-    Jaccard (equal-component fraction) >= threshold.  Byte-identical
-    md5 on both engines makes every stage replayable."""
+    word 3-gram shingles → k permutation minima (MIN over 8-hex-char
+    md5 lanes — permutation i is lane i%4 of digest i//4; lexicographic
+    == numeric for fixed-width lowercase hex) → ``bands`` band
+    signatures (md5 of the comma-joined slice, compared only for
+    equality) → band-collision candidates → estimated Jaccard
+    (equal-component fraction) >= threshold.  Byte-identical md5 on
+    both engines makes every stage replayable."""
     r = k // bands
     mins = ", ".join(
-        f"min(substr(md5('{i}|' || shingle), 1, 15)) AS h{i}" for i in range(k))
+        f"min(substr(md5('{i // 4}|' || shingle), {1 + 8 * (i % 4)}, 8)) AS h{i}"
+        for i in range(k))
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS sig FROM mh".format(
             b=b, concat=" || ',' || ".join(f"h{b * r + j}" for j in range(r)))

@@ -68,3 +68,28 @@ def test_frame_sample_plan_fanout(spark):
     counts = out.groupBy("media_id").agg(F.count("*").alias("n")).collect()
     assert len(counts) == 10
     assert all(r["n"] >= 1 for r in counts)
+
+
+def test_read_media_binary_source(spark, tmp_path):
+    from fsharp_dataframe_spark.functions.multimodal import extract_features
+    from fsharp_dataframe_spark.sources.binary import read_media
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(bytes(range(64)))
+    (d / "b.wav").write_bytes(bytes(range(128)))
+    (d / "notes.txt").write_text("not media")
+
+    out = read_media(spark, str(d), glob="*.{png,wav}")
+    rows = {r["source_path"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert set(rows) == {"a.png", "b.wav"}
+    assert rows["a.png"]["meta"]["mime"] == "image/png"
+    assert rows["b.wav"]["meta"]["mime"] == "audio/wav"
+    assert bytes(rows["a.png"]["payload"]) == bytes(range(64))
+    # ids deterministic across re-listings
+    again = {r["source_path"]: r["media_id"] for r in
+             read_media(spark, str(d), glob="*.{png,wav}").collect()}
+    assert all(again[r["source_path"]] == r["media_id"] for r in rows.values())
+    # plugs into the featurize pipeline unchanged
+    feats = extract_features(out).collect()
+    assert len(feats) == 2 and all(len(r["feat"]) == 8 for r in feats)
