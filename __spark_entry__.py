@@ -902,6 +902,32 @@ def q_lang_mix(spark, sf) -> DataFrame:
     return language_mix_weights(docs, alpha=0.5)
 
 
+def q_sessionize(spark, sf) -> DataFrame:
+    """Gap-based sessionization of the event log
+    (functions/events.session_stats): 30-minute inactivity gap, one
+    shuffle on user_id, lag + running sum inside the per-key window,
+    integer-microsecond boundary arithmetic so the oracle replays
+    session membership exactly.  Per-session rollup: event count,
+    start/end, whole-second duration, fixed-point-exact value sum."""
+    from fsharp_dataframe_spark.functions.events import session_stats
+
+    ev = load_table(spark, sf, "events")
+    return session_stats(ev, gap_seconds=1800)
+
+
+def q_bm25_search(spark, sf) -> DataFrame:
+    """Okapi BM25 top-k lexical search (functions/search.bm25_topk,
+    Robertson & Zaragoza 2009 §3.3) for a 3-term query over the
+    documents corpus: explode pre-filtered to the query terms (the
+    shuffle carries only matching tokens), broadcast df_t join,
+    per-(doc,term) contributions quantized to integer millionths
+    before the per-doc sum, global TakeOrderedAndProject."""
+    from fsharp_dataframe_spark.functions.search import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_topk(docs, "spark merge vector", k=50)
+
+
 def q_vocab_topk(spark, sf) -> DataFrame:
     """Corpus vocabulary top-k (functions/text.vocab_topk): the 100
     most frequent tokens with occurrence + document frequency — one
@@ -1242,13 +1268,18 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # fill_forward→fill_constant (fill family), lookup_level→
 # lookup_time_fwd + index_ordinal (level/positional lookup) — all
 # three r3+r4-green veterans with in-window siblings.)
+# (sessionize / bm25_search enter in their place: lang_hits→
+# text_stats carries the same lang-ID column exprs (lang_pred) +
+# corpus_stats groups on lang; ivf_topk→ivf_assign (same argmin
+# assign) + embed_topk (same exact rescore) — both r3+r4-green.)
 EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "shift_diff", "resample_daily", "pivot", "slice_between",
                  "window_moving_avg", "chunk_sum", "first_last",
                  "scalar_math", "drop_missing", "text_quality",
                  "asof_grouped", "resample_uniform", "union_prefer_left",
                  "frame_arith", "maxby_minby",
-                 "join_broadcast", "fill_forward", "lookup_level")
+                 "join_broadcast", "fill_forward", "lookup_level",
+                 "lang_hits", "ivf_topk")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1341,7 +1372,50 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "sample_stratified": q_sample_stratified,
         "lang_mix": q_lang_mix,
+        "sessionize": q_sessionize,
+        "bm25_search": q_bm25_search,
     }
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75, k: int = 50) -> str:
+    """DuckDB replay of functions/search.bm25_topk for the query
+    "spark merge vector": same tokenization, same expression
+    association, per-(doc,term) contributions quantized to integer
+    millionths before the per-doc sum.  Float constants are injected
+    via repr() (shortest-roundtrip), so DuckDB parses the IDENTICAL
+    doubles Spark's literals carry — k1+1 is computed in Python once,
+    not re-derived as a SQL expression whose rounding could differ."""
+    from fsharp_dataframe_spark.functions.search import query_terms
+
+    terms = ", ".join(f"'{t}'" for t in query_terms("spark merge vector"))
+    k1p1, one_m_b = repr(float(k1 + 1.0)), repr(float(1.0 - b))
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        toks AS (SELECT doc_id, len(t)::BIGINT AS dl, unnest(t) AS token
+                 FROM base),
+        tot AS (SELECT count(*)::BIGINT AS n_docs,
+                       coalesce(sum(len(t)), 0)::BIGINT AS tok FROM base),
+        tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf, min(dl) AS dl
+               FROM toks WHERE token IN ({terms}) GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df_t
+                  FROM tf GROUP BY 1),
+        per AS (
+          SELECT doc_id,
+                 sum(round((((ln(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
+                              * tf) * {k1p1})
+                            / (tf + {k1!r} * ({one_m_b}
+                               + ({b!r} * dl) / (tok / n_docs))))
+                           * 1000000)::BIGINT)::BIGINT AS units,
+                 count(*)::BIGINT AS n_hit
+          FROM tf JOIN dfreq USING (token), tot
+          GROUP BY doc_id)
+        SELECT doc_id, round(units / 1000000.0, 4) AS score, n_hit
+        FROM per ORDER BY score DESC, doc_id LIMIT {k}
+    """
 
 
 def _rep_quality_sql() -> str:
@@ -2395,6 +2469,32 @@ def _all_oracle_sql() -> dict[str, str]:
                    CAST(floor(pre::DOUBLE / 5000) AS BIGINT) AS shard
             FROM c
         """,
+        # gap sessionization replay: integer-microsecond lag/break
+        # inside the same (us, event_id)-ordered per-user window; the
+        # window sum is cast ::BIGINT (DuckDB widens to HUGEINT),
+        # duration uses // (floor division on BIGINT, == Spark's
+        # positive-double cast-to-long)
+        "sessionize": """
+            WITH l AS (
+              SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *, CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                                      THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) AS session_idx
+              FROM l)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end,
+                   ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT
+                     AS duration_s,
+                   round(sum(round(value * 10000)::BIGINT) / 10000.0, 2) AS sum_value
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "bm25_search": _bm25_sql(),
     }
 
 

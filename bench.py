@@ -69,6 +69,8 @@ HEADLINE = [
     "dedup_spans",
     "sample_stratified",
     "lang_mix",
+    "sessionize",
+    "bm25_search",
 ]
 
 

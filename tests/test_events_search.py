@@ -1,0 +1,113 @@
+"""Unit semantics for batch sessionization and BM25 search.
+
+The driver-facing oracles (sessionize / bm25_search) pin both against
+DuckDB on real tables; these tests pin the hand-checkable edge
+semantics — gap boundaries, tie-breaks, idf monotonicity — on tiny
+constructed inputs.
+"""
+
+import datetime as dt
+import math
+
+import pytest
+
+from fsharp_dataframe_spark.functions.events import session_stats, sessionize
+from fsharp_dataframe_spark.functions.search import (
+    bm25_topk, doc_term_freq, query_terms,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v)
+         for (u, e, s, v) in rows],
+        "user_id long, event_id long, ts timestamp, value double")
+
+
+def test_sessionize_gap_boundary_is_inclusive(spark):
+    # 0s, +1800s (exactly the gap: SAME session), +3601s (> gap: break)
+    df = _ev(spark, [(1, 1, 0, 1.0), (1, 2, 1800, 1.0), (1, 3, 5401, 1.0)])
+    out = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, gap_seconds=1800).collect()}
+    assert out == {1: 1, 2: 1, 3: 2}
+
+
+def test_sessionize_per_key_independent(spark):
+    df = _ev(spark, [(1, 1, 0, 1.0), (2, 2, 10, 1.0),
+                     (1, 3, 10_000, 1.0), (2, 4, 20, 1.0)])
+    out = {r["event_id"]: (r["user_id"], r["session_idx"])
+           for r in sessionize(df, gap_seconds=1800).collect()}
+    assert out == {1: (1, 1), 3: (1, 2), 2: (2, 1), 4: (2, 1)}
+
+
+def test_sessionize_ties_break_on_order_col(spark):
+    # two events at the identical timestamp: lag order (and therefore
+    # the break flag) must follow event_id, not partition luck
+    df = _ev(spark, [(1, 2, 0, 1.0), (1, 1, 0, 1.0), (1, 3, 9000, 1.0)])
+    out = sessionize(df, gap_seconds=1800).collect()
+    assert {r["event_id"]: r["session_idx"] for r in out} == {1: 1, 2: 1, 3: 2}
+
+
+def test_session_stats_rollup(spark):
+    df = _ev(spark, [(7, 1, 0, 1.5), (7, 2, 60, 2.25), (7, 3, 10_000, 4.0)])
+    rows = {r["session_idx"]: r
+            for r in session_stats(df, gap_seconds=1800).collect()}
+    assert rows[1]["n_events"] == 2
+    assert rows[1]["duration_s"] == 60
+    assert rows[1]["sum_value"] == pytest.approx(3.75)
+    assert rows[2]["n_events"] == 1
+    assert rows[2]["duration_s"] == 0
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+
+
+def test_query_terms_dedup_lower_sort():
+    assert query_terms("  Spark  spark MERGE ") == ["merge", "spark"]
+    assert query_terms("") == []
+
+
+def test_doc_term_freq_tf_and_dl(spark):
+    df = _docs(spark, ["a b a c", "b b"])
+    out = {(r["doc_id"], r["token"]): (r["tf"], r["dl"])
+           for r in doc_term_freq(df, ["a", "b"]).collect()}
+    assert out == {(0, "a"): (2, 4), (0, "b"): (1, 4), (1, "b"): (2, 2)}
+
+
+def test_bm25_ranks_term_matches_sensibly(spark):
+    # "rare" appears only in doc 0; "common" in every doc.  Doc 0 must
+    # outrank docs that only match the common term, and every returned
+    # score is positive with n_hit counting distinct matched terms.
+    df = _docs(spark, ["rare common filler filler",
+                       "common filler filler filler",
+                       "common filler filler filler",
+                       "filler filler filler filler"])
+    rows = bm25_topk(df, "rare common", k=10).collect()
+    assert rows[0]["doc_id"] == 0 and rows[0]["n_hit"] == 2
+    got = {r["doc_id"] for r in rows}
+    assert got == {0, 1, 2}  # doc 3 matches nothing
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_bm25_tf_saturation(spark):
+    # BM25's tf saturation: 10 repeats of the term beats 1 repeat, but
+    # by far less than 10x (k1 bounds the tf term at k1+1)
+    df = _docs(spark, ["t " + "x " * 9, ("t " * 10).strip(),
+                       "x x x x x x x x x x"])
+    rows = {r["doc_id"]: r["score"] for r in bm25_topk(df, "t", k=10).collect()}
+    assert rows[0] < rows[1] < rows[0] * 3
+
+
+def test_bm25_empty_query_raises(spark):
+    df = _docs(spark, ["a"])
+    with pytest.raises(ValueError):
+        bm25_topk(df, "   ")
+
+
+def test_bm25_idf_monotone_in_df():
+    # the RSJ idf itself: rarer terms get strictly larger idf
+    n = 100
+    idf = lambda dfreq: math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    assert idf(1) > idf(10) > idf(99) > 0

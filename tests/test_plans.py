@@ -213,3 +213,24 @@ def test_unigram_quality_single_token_shuffles(spark):
     plan = _plan(spark, "unigram_quality")
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_shuffle_on_user(spark):
+    # ONE Exchange hashpartitioning(user_id) feeds the lag window, the
+    # running-sum window AND the per-session aggregate (all share the
+    # key); no single-partition exchange anywhere
+    plan = _plan(spark, "sessionize")
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_bm25_search_filters_before_groupby_and_broadcasts_dfreq(spark):
+    # the query-term filter must sit under the tf aggregation (the
+    # shuffle carries only matching tokens), df_t arrives by broadcast,
+    # and the top-k is TakeOrderedAndProject, not a global sort
+    plan = _plan(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert " IN (merge,spark,vector)" in plan
