@@ -149,6 +149,8 @@ def main():
     spark.range(10_000).repartition(cpus).select(
         _warm(F.col("id").cast("double"))).count()
     print(f"# warmup: {time.time()-t0:.2f}s", file=sys.stderr)
+    from fsharp_dataframe_spark.functions.util import release_cached
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = qs[name]
@@ -156,6 +158,10 @@ def main():
         n = q(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+        # release the query's persisted sketch relations so 41 queries'
+        # cached blocks don't pile up in one session (storage-memory
+        # pressure evicts/recomputes and skews later timings)
+        release_cached()
     total = round(sum(timings.values()), 3)
     _report_deltas(timings)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -425,3 +425,36 @@ def test_c4_filter_runs_on_streams(spark, tmp_path):
            c4_filter(docs, min_terminal_punct_frac=0.0)
            .select("doc_id").collect()}
     assert got == exp and got
+
+
+def test_stream_sessions_match_batch_sessionize(spark, events_stream_dir):
+    """Stream session_window vs batch functions/events.sessionize on the
+    same data.  The engines disagree only when a consecutive same-user
+    gap is EXACTLY the session gap (session_window splits at >= gap,
+    the batch operator at > gap — both published conventions), so first
+    prove the corpus has no exact-gap adjacency, then require identical
+    per-user session counts and identical total event coverage."""
+    from pyspark.sql import Window
+
+    from fsharp_dataframe_spark.functions.events import sessionize
+
+    GAP_S = 7200
+    ev = load_table(spark, SF, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    exact_gap = (ev.withColumn("_d", us - F.lag(us).over(w))
+                 .filter(F.col("_d") == GAP_S * 1_000_000).count())
+    assert exact_gap == 0, "corpus hits the boundary; pick another gap"
+
+    s = _events_stream(spark, events_stream_dir)
+    name = run_to_memory(stream_session_windows(s, "2 hours", ["user_id"]),
+                         "t_sessions_eq", output_mode="complete")
+    got = {(r["user_id"], r["n_sessions"], r["n_events"]) for r in spark.sql(
+        f"SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events "
+        f"FROM {name} GROUP BY user_id").collect()}
+    exp = {(r["user_id"], r["n_sessions"], r["n_events"]) for r in
+           sessionize(ev, gap_seconds=GAP_S)
+           .groupBy("user_id")
+           .agg(F.countDistinct("session_idx").alias("n_sessions"),
+                F.count("*").alias("n_events")).collect()}
+    assert got == exp
