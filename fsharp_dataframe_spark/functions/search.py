@@ -94,11 +94,20 @@ def bm25_topk(df: DataFrame, query: str, k: int = 20,
     if n_docs == 0:
         return tfdl.select(F.col(id_col), F.lit(0.0).alias("score"),
                            F.lit(0).cast("long").alias("n_hit")).limit(0)
-    avgdl = total_tokens / n_docs  # exact BIGINT/BIGINT -> double
 
     # tfdl is unique per (doc, term), so document frequency is a plain
     # count — no countDistinct expand
     dfreq = tfdl.groupBy("token").agg(F.count("*").alias("df_t"))
+    return _bm25_score(tfdl, dfreq, n_docs, total_tokens, k, id_col, k1, b)
+
+
+def _bm25_score(tfdl: DataFrame, dfreq: DataFrame, n_docs: int,
+                total_tokens: int, k: int, id_col: str,
+                k1: float, b: float) -> DataFrame:
+    """Shared scoring core: (id, token, tf, dl) postings + (token, df_t)
+    stats → top-k.  Both the direct path and the index-backed path end
+    here, so their results are bit-identical by construction."""
+    avgdl = total_tokens / n_docs  # exact BIGINT/BIGINT -> double
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
                 / (F.col("df_t") + 0.5))
     scored = tfdl.join(F.broadcast(dfreq), on="token")
@@ -115,3 +124,66 @@ def bm25_topk(df: DataFrame, query: str, k: int = 20,
                     F.col("n_hit").cast("long"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def build_term_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_range_files: int | None = None) -> None:
+    """Persist an inverted index as three parquet relations under
+    ``path``: ``postings/`` (id, token, tf, dl — range-partitioned AND
+    sorted by token, so every file and row group carries disjoint
+    token min/max stats), ``stats/`` (token, df_t), ``meta/`` (one row:
+    n_docs, total_tokens).
+
+    This is the pay-once artifact of a corpus search pipeline: the
+    token sort turns parquet min/max statistics into a zone map, so a
+    query-time ``token IN (...)`` filter skips every file and row
+    group whose token range can't contain a query term — the read cost
+    of a 3-term search is a handful of row groups, not the index.
+    """
+    from fsharp_dataframe_spark.functions.util import cache_scope
+
+    spark = df.sparkSession
+    # terminal operation (three writes): scope the postings persist so
+    # its blocks are released when the build finishes
+    with cache_scope():
+        tfdl = track_persist(doc_term_freq(df, None, id_col, text_col))
+        n_files = n_range_files or spark.sparkContext.defaultParallelism
+        (tfdl.repartitionByRange(n_files, "token")
+             .sortWithinPartitions("token", id_col)
+             .write.mode("overwrite").parquet(f"{path}/postings"))
+        (tfdl.groupBy("token").agg(F.count("*").alias("df_t"))
+             .repartitionByRange(max(1, n_files // 4), "token")
+             .sortWithinPartitions("token")
+             .write.mode("overwrite").parquet(f"{path}/stats"))
+        meta = df.select(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(F.size(tokens(F.lower(F.col(text_col))))
+                             .cast("long")), F.lit(0)).alias("total_tokens"))
+        meta.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def bm25_topk_indexed(spark, path: str, query: str, k: int = 20,
+                      id_col: str = "doc_id",
+                      k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 top-k against a persisted term index (build_term_index):
+    no tokenization at query time — the postings and stats scans are
+    filtered to the query terms, which parquet's token-sorted min/max
+    stats prune down to a handful of row groups (the filter shows up
+    as PushedFilters in the scan; tests pin it).  Results are
+    bit-identical to bm25_topk on the corpus the index was built from
+    (same scoring core, same integer totals)."""
+    terms = query_terms(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    m = spark.read.parquet(f"{path}/meta").first()
+    n_docs, total_tokens = int(m["n_docs"]), int(m["total_tokens"])
+    if n_docs == 0:
+        empty = spark.read.parquet(f"{path}/postings").limit(0)
+        return empty.select(F.col(id_col), F.lit(0.0).alias("score"),
+                            F.lit(0).cast("long").alias("n_hit"))
+    tfdl = (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("token").isin(terms)))
+    dfreq = (spark.read.parquet(f"{path}/stats")
+             .filter(F.col("token").isin(terms)))
+    return _bm25_score(tfdl, dfreq, n_docs, total_tokens, k, id_col, k1, b)

@@ -111,3 +111,37 @@ def test_bm25_idf_monotone_in_df():
     n = 100
     idf = lambda dfreq: math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
     assert idf(1) > idf(10) > idf(99) > 0
+
+
+def test_term_index_roundtrip_bit_identical(spark, tmp_path):
+    """bm25_topk_indexed over a built index returns exactly what
+    bm25_topk returns on the source corpus — same scoring core, same
+    integer totals, so scores match to the last bit, not a tolerance."""
+    from fsharp_dataframe_spark.functions.search import (
+        bm25_topk_indexed, build_term_index,
+    )
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    idx = str(tmp_path / "term_index")
+    build_term_index(docs, idx)
+    direct = bm25_topk(docs, "spark merge vector", k=25).collect()
+    indexed = bm25_topk_indexed(spark, idx, "spark merge vector", k=25).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+
+
+def test_term_index_scan_pushes_token_filter(spark, tmp_path):
+    """The query-time token filter must reach the parquet scan
+    (PushedFilters: In(token, ...)), so the token-sorted row-group
+    stats can prune — the property that makes index reads O(query),
+    not O(index)."""
+    from fsharp_dataframe_spark.functions.search import (
+        bm25_topk_indexed, build_term_index,
+    )
+
+    df = _docs(spark, ["a b c", "b c d", "c d e"])
+    idx = str(tmp_path / "tiny_index")
+    build_term_index(df, idx)
+    plan = (bm25_topk_indexed(spark, idx, "b d", k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [In(token" in plan

@@ -49,3 +49,15 @@ def test_incremental_ingest_end_to_end(spark, tmp_path):
     assert back.count() == counts["quality"]
     assert any(p.startswith("ingest_batch=") for p in os.listdir(out))
     assert util._TRACKED_PERSISTS == before
+
+
+def test_search_pipeline_end_to_end(spark, tmp_path):
+    from search_pipeline import search_corpus
+
+    out = search_corpus(spark, "/root/testdata/sf0.001",
+                        str(tmp_path / "idx"), ["spark merge", "window"])
+    assert len(out) == 2
+    for r in out:
+        assert r["hits"] and all(h["score"] > 0 for h in r["hits"])
+        scores = [h["score"] for h in r["hits"]]
+        assert scores == sorted(scores, reverse=True)
