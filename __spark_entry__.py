@@ -928,6 +928,32 @@ def q_bm25_search(spark, sf) -> DataFrame:
     return bm25_topk(docs, "spark merge vector", k=50)
 
 
+def q_funnel(spark, sf) -> DataFrame:
+    """Ordered event funnel (functions/events.funnel): users who
+    viewed, then clicked strictly after their first view, then
+    purchased strictly after that — first-touch anchors, integer-µs
+    boundaries, per-stage persisted survivor tables so the chain is
+    linear work.  The oracle replays the chain as dependent CTEs."""
+    from fsharp_dataframe_spark.functions.events import funnel
+
+    ev = load_table(spark, sf, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+def q_profile_cols(spark, sf) -> DataFrame:
+    """Column profile of the orders table
+    (functions/profile.profile_columns): per-column row/null/exact
+    distinct counts and numeric min/max — one pruned scan per column
+    unioned into a single plan (the multi-countDistinct Expand
+    alternative duplicates every row per column)."""
+    from fsharp_dataframe_spark.functions.profile import profile_columns
+
+    orders = load_table(spark, sf, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderpriority"])
+
+
 def q_vocab_topk(spark, sf) -> DataFrame:
     """Corpus vocabulary top-k (functions/text.vocab_topk): the 100
     most frequent tokens with occurrence + document frequency — one
@@ -1272,6 +1298,11 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # text_stats carries the same lang-ID column exprs (lang_pred) +
 # corpus_stats groups on lang; ivf_topk→ivf_assign (same argmin
 # assign) + embed_topk (same exact rescore) — both r3+r4-green.)
+# (funnel / profile_cols enter in their place: lookup_time_fwd→
+# sample_time + index_ordinal (lookupTime/positional machinery;
+# lookup_level's sibling index_ordinal stays in-window);
+# dedup_exact→clean_corpus + incremental_dedup (both compose
+# exact_dedup as their first stage) — both r3+r4-green.)
 EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "shift_diff", "resample_daily", "pivot", "slice_between",
                  "window_moving_avg", "chunk_sum", "first_last",
@@ -1279,7 +1310,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "asof_grouped", "resample_uniform", "union_prefer_left",
                  "frame_arith", "maxby_minby",
                  "join_broadcast", "fill_forward", "lookup_level",
-                 "lang_hits", "ivf_topk")
+                 "lang_hits", "ivf_topk",
+                 "lookup_time_fwd", "dedup_exact")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1374,6 +1406,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": q_lang_mix,
         "sessionize": q_sessionize,
         "bm25_search": q_bm25_search,
+        "funnel": q_funnel,
+        "profile_cols": q_profile_cols,
     }
 
 
@@ -2495,6 +2529,69 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_idx
         """,
         "bm25_search": _bm25_sql(),
+        # funnel replay: dependent CTEs, one per stage — stage k's
+        # anchor is the min event time strictly after stage k-1's,
+        # first-touch convention, integer-µs compares
+        "funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(epoch_us(ts)) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+              GROUP BY 1),
+            s3 AS (
+              SELECT e.user_id, min(epoch_us(e.ts)) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+              GROUP BY 1),
+            c AS (
+              SELECT 1::BIGINT AS step_idx, 'view' AS step,
+                     (SELECT count(*) FROM s1)::BIGINT AS n_keys
+              UNION ALL SELECT 2::BIGINT, 'click',
+                     (SELECT count(*) FROM s2)::BIGINT
+              UNION ALL SELECT 3::BIGINT, 'purchase',
+                     (SELECT count(*) FROM s3)::BIGINT)
+            SELECT step_idx, step, n_keys,
+                   CASE WHEN step_idx = 1 THEN NULL
+                        ELSE round(n_keys::DOUBLE /
+                                   lag(n_keys) OVER (ORDER BY step_idx), 4)
+                   END AS conversion
+            FROM c
+        """,
+        "profile_cols": """
+            SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                   min(o_orderkey)::DOUBLE AS min_val,
+                   max(o_orderkey)::DOUBLE AS max_val
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*)::BIGINT,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_custkey)::BIGINT,
+                   min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*)::BIGINT,
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_orderstatus)::BIGINT,
+                   NULL::DOUBLE, NULL::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*)::BIGINT,
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_totalprice)::BIGINT,
+                   min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*)::BIGINT,
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_orderpriority)::BIGINT,
+                   NULL::DOUBLE, NULL::DOUBLE
+            FROM orders
+        """,
     }
 
 

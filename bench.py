@@ -71,6 +71,8 @@ HEADLINE = [
     "lang_mix",
     "sessionize",
     "bm25_search",
+    "funnel",
+    "profile_cols",
 ]
 
 

@@ -55,6 +55,65 @@ def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
              .drop("__brk")
 
 
+def funnel(df: DataFrame, steps: list[str], key_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: how many keys performed step 1, then
+    step 2 STRICTLY after their first step 1, then step 3 strictly
+    after that, ...  The canonical product-analytics query (first-touch
+    convention: each step anchors at the EARLIEST qualifying time, which
+    maximizes the remaining window for later steps, so first-touch
+    counts are the upper bound over anchor choices).
+
+    Shape: one pre-aggregation per step keyed by (key, step) — the
+    heavy shuffle happens ONCE over rows matching any step — then a
+    chain of len(steps)-1 joins between per-key single-row tables,
+    each keyed by key_col (AQE picks broadcast when a stage's
+    survivor set is small, the common funnel case).  Boundary
+    arithmetic is integer microseconds.  Returns one row per step:
+    (step_idx, step, n_keys, conversion) with conversion =
+    n_keys / step-1 count rounded 4dp.
+    """
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    us = F.unix_micros(F.col(ts_col))
+    # per-stage survivor tables are persisted (key + anchor time —
+    # tiny), so stage k reads stage k-1's cached rows instead of
+    # re-deriving the whole chain: total work is LINEAR in steps.
+    # Each stage's count() both reports the funnel level and
+    # materializes the cache the next stage joins against.
+    reached = track_persist(
+        df.filter(F.col(type_col) == steps[0])
+          .groupBy(key_col).agg(F.min(us).alias("_t")))
+    counts = [reached.count()]
+    for s in steps[1:]:
+        # first-touch anchor: earliest occurrence of s STRICTLY after
+        # the previous anchor, for keys still in the funnel (the join
+        # keeps this |survivors|-bounded; AQE broadcasts the survivor
+        # table when it has shrunk, the common funnel case)
+        reached = track_persist(
+            df.filter(F.col(type_col) == s)
+              .select(F.col(key_col), us.alias("_eus"))
+              .join(reached, on=key_col)
+              .filter(F.col("_eus") > F.col("_t"))
+              .groupBy(key_col)
+              .agg(F.min("_eus").alias("_t")))
+        counts.append(reached.count())
+    import math
+
+    spark = df.sparkSession
+    rows = []
+    for i, (s, n) in enumerate(zip(steps, counts)):
+        prev = counts[i - 1] if i else None
+        # HALF-UP like SQL round (Python round() is banker's)
+        conv = (math.floor(n / prev * 10000 + 0.5) / 10000.0
+                if prev else None)
+        rows.append((i + 1, s, n, conv))
+    return spark.createDataFrame(
+        rows, "step_idx long, step string, n_keys long, conversion double")
+
+
 def session_stats(df: DataFrame, key_col: str = "user_id",
                   ts_col: str = "ts", gap_seconds: int = 1800,
                   order_col: str = "event_id",

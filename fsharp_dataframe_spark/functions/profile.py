@@ -1,0 +1,63 @@
+"""Column-level data profiling: the one-table audit a pipeline runs
+before trusting a new source (null rates, exact cardinalities, numeric
+ranges) — the frame-wide sibling of the per-series stats family
+(reference src/SeriesModule.fs:183-188 countValues/countKeys,
+src/FrameModule.fs:385-404 frame-wide mean/sdv/countValues melt the
+same per-column facts; this adds nulls + exact cardinality + range in
+one declared plan).
+
+Scale shape: ONE aggregation branch per column, unioned into a single
+plan — each branch's parquet scan is pruned to ITS column (ReadSchema
+shows one field), so profiling an N-column 100 TB table reads each
+column once and nothing twice.  Exact distinct counts deliberately run
+per-branch: a single multi-countDistinct aggregate plans an Expand
+that duplicates every row once per distinct column — O(rows × cols)
+shuffle — while per-branch distincts stay O(rows) each with map-side
+partial aggregation.  Pass ``exact_distinct=False`` to swap in
+approx_count_distinct (HLL, one pass, ~2% error) when exactness isn't
+worth the shuffle at the target scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    exact_distinct: bool = True) -> DataFrame:
+    """One row per column: (column, n_rows, n_null, n_distinct,
+    min_val, max_val) — min/max as doubles for numeric columns, NULL
+    otherwise (a uniform schema beats per-type string formatting,
+    which no two engines render identically).
+
+    n_distinct counts non-null values (SQL count-distinct semantics).
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(cols) if cols is not None else list(fields)
+    branches = []
+    for c in cols:
+        if c not in fields:
+            raise ValueError(f"no such column: {c}")
+        col = F.col(c)
+        nd = (F.countDistinct(col) if exact_distinct
+              else F.approx_count_distinct(col))
+        if isinstance(fields[c], NumericType):
+            mn = F.min(col).cast("double")
+            mx = F.max(col).cast("double")
+        else:
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+        branches.append(
+            df.select(col).agg(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_null"),
+                nd.cast("long").alias("n_distinct"),
+                mn.alias("min_val"),
+                mx.alias("max_val"),
+            ))
+    return reduce(DataFrame.unionAll, branches)

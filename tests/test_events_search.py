@@ -145,3 +145,56 @@ def test_term_index_scan_pushes_token_filter(spark, tmp_path):
     plan = (bm25_topk_indexed(spark, idx, "b d", k=5)
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [In(token" in plan
+
+
+def test_funnel_strictly_after_semantics(spark):
+    # A: full ordered funnel; B: view only; C: click BEFORE view (must
+    # not count); D: click at exactly the view time (not strictly
+    # after — must not count)
+    df = _ev_typed(spark, [
+        (1, 1, 0, "view"), (1, 2, 10, "click"), (1, 3, 20, "purchase"),
+        (2, 4, 0, "view"), (2, 5, 5, "purchase"),
+        (3, 6, 5, "click"), (3, 7, 10, "view"),
+        (4, 8, 10, "view"), (4, 9, 10, "click"),
+    ])
+    from fsharp_dataframe_spark.functions.events import funnel
+
+    out = {r["step"]: (r["n_keys"], r["conversion"])
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"] == (4, None)
+    assert out["click"] == (1, 0.25)
+    assert out["purchase"] == (1, 1.0)
+
+
+def _ev_typed(spark, rows):
+    return spark.createDataFrame(
+        [(u, e, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), t)
+         for (u, e, s, t) in rows],
+        "user_id long, event_id long, ts timestamp, event_type string")
+
+
+def test_profile_columns_facts(spark):
+    from fsharp_dataframe_spark.functions.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "x"), (2, None, "y"), (3, 4.0, None), (3, 4.0, "y")],
+        "a long, b double, c string")
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert out["a"]["n_rows"] == 4 and out["a"]["n_null"] == 0
+    assert out["a"]["n_distinct"] == 3
+    assert out["a"]["min_val"] == 1.0 and out["a"]["max_val"] == 3.0
+    assert out["b"]["n_null"] == 1 and out["b"]["n_distinct"] == 2
+    assert out["c"]["n_null"] == 1 and out["c"]["n_distinct"] == 2
+    assert out["c"]["min_val"] is None and out["c"]["max_val"] is None
+    with pytest.raises(ValueError):
+        profile_columns(df, ["nope"])
+
+
+def test_profile_columns_approx_mode(spark):
+    from fsharp_dataframe_spark.functions.profile import profile_columns
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS m")
+    out = {r["column"]: r["n_distinct"]
+           for r in profile_columns(df, exact_distinct=False).collect()}
+    # HLL ~2% error: distinct(id)=1000, distinct(m)=7
+    assert abs(out["id"] - 1000) <= 50 and out["m"] == 7
