@@ -940,6 +940,18 @@ def q_funnel(spark, sf) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_retention(spark, sf) -> DataFrame:
+    """Daily cohort retention over the event log
+    (functions/events.retention): cohort = epoch-anchored day of each
+    user's first event; cells = distinct active users per (cohort,
+    day offset); all boundaries integer-µs floor division so the
+    oracle reproduces every cell."""
+    from fsharp_dataframe_spark.functions.events import retention
+
+    ev = load_table(spark, sf, "events")
+    return retention(ev, period_seconds=86400)
+
+
 def q_profile_cols(spark, sf) -> DataFrame:
     """Column profile of the orders table
     (functions/profile.profile_columns): per-column row/null/exact
@@ -1303,6 +1315,9 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # lookup_level's sibling index_ordinal stays in-window);
 # dedup_exact→clean_corpus + incremental_dedup (both compose
 # exact_dedup as their first stage) — both r3+r4-green.)
+# (retention enters in its place: chunk_dist→window_dist (same
+# bucketed global-distance machinery) + chunk_sum's cited sibling
+# pack_shards stays in-window — r3+r4-green.)
 EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "shift_diff", "resample_daily", "pivot", "slice_between",
                  "window_moving_avg", "chunk_sum", "first_last",
@@ -1311,7 +1326,7 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "frame_arith", "maxby_minby",
                  "join_broadcast", "fill_forward", "lookup_level",
                  "lang_hits", "ivf_topk",
-                 "lookup_time_fwd", "dedup_exact")
+                 "lookup_time_fwd", "dedup_exact", "chunk_dist")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1408,6 +1423,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "funnel": q_funnel,
         "profile_cols": q_profile_cols,
+        "retention": q_retention,
     }
 
 
@@ -2559,6 +2575,26 @@ def _all_oracle_sql() -> dict[str, str]:
                                    lag(n_keys) OVER (ORDER BY step_idx), 4)
                    END AS conversion
             FROM c
+        """,
+        # cohort retention replay: epoch-anchored day periods via //
+        # (BIGINT floor division == Spark's positive-double floor),
+        # make_timestamp(µs) for the cohort label
+        "retention": """
+            WITH f AS (
+              SELECT user_id,
+                     (min(epoch_us(ts)) // 86400000000) AS cp
+              FROM events GROUP BY 1),
+            e AS (SELECT user_id, (epoch_us(ts) // 86400000000) AS ep
+                  FROM events),
+            c AS (SELECT e.user_id, f.cp, (e.ep - f.cp) AS off
+                  FROM e JOIN f USING (user_id)),
+            a AS (SELECT cp, off, count(DISTINCT user_id)::BIGINT AS n_active
+                  FROM c GROUP BY 1, 2),
+            s AS (SELECT cp, count(*)::BIGINT AS n_cohort FROM f GROUP BY 1)
+            SELECT make_timestamp(cp * 86400000000) AS cohort_start,
+                   off::BIGINT AS "offset", n_active, n_cohort,
+                   round(n_active::DOUBLE / n_cohort, 4) AS rate
+            FROM a JOIN s USING (cp)
         """,
         "profile_cols": """
             SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n_rows,

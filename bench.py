@@ -73,6 +73,7 @@ HEADLINE = [
     "bm25_search",
     "funnel",
     "profile_cols",
+    "retention",
 ]
 
 

@@ -114,6 +114,44 @@ def funnel(df: DataFrame, steps: list[str], key_col: str = "user_id",
         rows, "step_idx long, step string, n_keys long, conversion double")
 
 
+def retention(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
+              period_seconds: int = 7 * 86400,
+              max_offset: int | None = None) -> DataFrame:
+    """Cohort retention: keys are cohorted by the period of their FIRST
+    event (period 0); for every (cohort, offset) the count of distinct
+    keys active offset periods later, plus the rate against the cohort
+    size.  Periods are fixed-width windows of ``period_seconds``
+    anchored at the epoch — integer-microsecond floor division, so a
+    SQL oracle reproduces every cell.
+
+    Shape: one key-keyed shuffle for first-event times, a join of the
+    (narrow) events projection to its key's cohort — AQE broadcasts
+    the first-event table while it is small; at web scale it degrades
+    to a co-partitioned shuffle join, still O(events) — and ONE
+    (cohort, offset)-keyed distinct-count aggregate.  Returns
+    (cohort_start timestamp, offset, n_active, n_cohort, rate 4dp),
+    offset 0 row = cohort size by construction.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    p_us = int(period_seconds) * 1_000_000
+    firsts = (df.groupBy(key_col)
+              .agg(F.floor(F.min(us) / p_us).cast("long").alias("_cp")))
+    ev = df.select(F.col(key_col), F.floor(us / p_us).cast("long").alias("_ep"))
+    cells = (ev.join(firsts, on=key_col)
+             .withColumn("_off", (F.col("_ep") - F.col("_cp")).cast("long")))
+    if max_offset is not None:
+        cells = cells.filter(F.col("_off") <= max_offset)
+    active = (cells.groupBy("_cp", "_off")
+              .agg(F.countDistinct(key_col).alias("n_active")))
+    sizes = firsts.groupBy("_cp").agg(F.count("*").alias("n_cohort"))
+    return (active.join(sizes, on="_cp")
+            .select(
+                F.timestamp_micros(F.col("_cp") * p_us).alias("cohort_start"),
+                F.col("_off").alias("offset"),
+                "n_active", "n_cohort",
+                F.round(F.col("n_active") / F.col("n_cohort"), 4).alias("rate")))
+
+
 def session_stats(df: DataFrame, key_col: str = "user_id",
                   ts_col: str = "ts", gap_seconds: int = 1800,
                   order_col: str = "event_id",

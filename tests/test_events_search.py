@@ -198,3 +198,31 @@ def test_profile_columns_approx_mode(spark):
            for r in profile_columns(df, exact_distinct=False).collect()}
     # HLL ~2% error: distinct(id)=1000, distinct(m)=7
     assert abs(out["id"] - 1000) <= 50 and out["m"] == 7
+
+
+def test_retention_cells(spark):
+    # period 100s; users 1,2 first in period 0; user 3 first in period 1.
+    # period-0 cohort: both active at offset 0; only user 2 returns in
+    # offset 1; user 1 returns at offset 3.
+    from fsharp_dataframe_spark.functions.events import retention
+
+    df = _ev(spark, [
+        (1, 1, 10, 0.0), (2, 2, 20, 0.0),       # cohort 0
+        (2, 3, 150, 0.0),                        # offset 1
+        (1, 4, 310, 0.0),                        # offset 3
+        (3, 5, 130, 0.0), (3, 6, 140, 0.0),      # cohort 1, offset 0 only
+    ])
+    out = {(r["cohort_start"].second + r["cohort_start"].minute * 60,
+            r["offset"]): (r["n_active"], r["n_cohort"], r["rate"])
+           for r in retention(df, period_seconds=100).collect()}
+    # timestamps floor to epoch-anchored 100s periods; dt(2024,1,1)
+    # epoch is a multiple of 100s (86400*diff days), so periods align
+    # at :00/:40/:20 second marks — key on (offset) per cohort size
+    by_cohort = {}
+    for (sec, off), v in out.items():
+        by_cohort.setdefault(sec, {})[off] = v
+    big = next(v for v in by_cohort.values() if v[0][1] == 2)
+    small = next(v for v in by_cohort.values() if v[0][1] == 1)
+    assert big[0] == (2, 2, 1.0) and big[1] == (1, 2, 0.5) and big[3] == (1, 2, 0.5)
+    assert 2 not in big
+    assert small[0] == (1, 1, 1.0) and len(small) == 1
