@@ -688,6 +688,21 @@ class Frame:
             raise ValueError(direction)
         return self._with_df(self.df.withColumns(exprs))
 
+    def describe(self, cols: list[str] | None = None,
+                 exact_distinct: bool = True):
+        """Per-column audit of the frame's data columns (frame-wide
+        melt of the reference's per-series facts — countValues
+        src/SeriesModule.fs:183-188, frame-wide stat maps
+        src/FrameModule.fs:385-404): one row per column with row/null/
+        distinct counts and numeric min/max.  Returns a plain
+        DataFrame (the profile is a report, not a keyed frame).
+        Delegates to functions/profile.profile_columns — one pruned
+        scan per column, no multi-countDistinct Expand."""
+        from fsharp_dataframe_spark.functions.profile import profile_columns
+
+        return profile_columns(self.df, cols or self.column_keys,
+                               exact_distinct=exact_distinct)
+
     def drop_sparse_rows(self) -> "Frame":
         """`dropSparseRows` (src/FrameModule.fs:519-532): drop rows with
         any missing data column."""

@@ -103,6 +103,30 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+def strip_html(col: Column) -> Column:
+    """Remove markup from web-crawled text: script/style blocks with
+    their contents, then remaining tags, then the common entities,
+    then whitespace collapse — the extraction step every web-corpus
+    pipeline (C4, CCNet-style) runs before quality filtering.  Pure
+    regexp_replace chain (codegen, SQL-portable, no lookbehind); a
+    real pipeline may swap in a DOM extractor upstream, but the
+    regex tier is the cheap always-on pass."""
+    c = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def collapse_whitespace(col: Column) -> Column:
+    """Trim + collapse runs of whitespace to single spaces — the
+    normalization fingerprint() applies, exposed for pipelines that
+    want normalized text as a column."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
 def fingerprint(col: Column) -> Column:
     """Normalized-content fingerprint: md5 of lowercased,
     whitespace-collapsed, trimmed text.  Identical across engines

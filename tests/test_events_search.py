@@ -226,3 +226,15 @@ def test_retention_cells(spark):
     assert big[0] == (2, 2, 1.0) and big[1] == (1, 2, 0.5) and big[3] == (1, 2, 0.5)
     assert 2 not in big
     assert small[0] == (1, 1, 1.0) and len(small) == 1
+
+
+def test_frame_describe_delegates_to_profiler(spark):
+    from fsharp_dataframe_spark.frame import Frame
+
+    df = spark.createDataFrame([(1, 10.0, None), (2, None, "x")],
+                               "k long, v double, s string")
+    f = Frame(df, key=["k"])
+    out = {r["column"]: r for r in f.describe().collect()}
+    assert set(out) == {"v", "s"}  # data columns only, not the key
+    assert out["v"]["n_null"] == 1 and out["v"]["max_val"] == 10.0
+    assert out["s"]["n_distinct"] == 1

@@ -78,3 +78,28 @@ def test_email_scrub_matches_duckdb_on_documents(spark):
         FROM '{SF}/documents.parquet'
     """).fetchall()}
     assert got == exp
+
+
+def test_strip_html(spark):
+    from fsharp_dataframe_spark.functions.text import strip_html
+
+    rows = [
+        ("<html><head><style>p{color:red}</style></head>"
+         "<body><p>Hello <b>world</b></p><!-- note --></body></html>",
+         "Hello world"),
+        ("<script>var x = '<p>';</script>before &amp; after&nbsp;end",
+         "before & after end"),
+        ("no markup at all", "no markup at all"),
+        ("a &lt;tag&gt; literal &quot;q&quot; &#39;s&#39;",
+         "a <tag> literal \"q\" 's'"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "t string")
+    got = [r[0] for r in df.select(strip_html(F.col("t"))).collect()]
+    assert got == [w for _, w in rows]
+
+
+def test_collapse_whitespace(spark):
+    from fsharp_dataframe_spark.functions.text import collapse_whitespace
+
+    df = spark.createDataFrame([("  a\t b\n\nc  ",)], "t string")
+    assert df.select(collapse_whitespace(F.col("t"))).first()[0] == "a b c"

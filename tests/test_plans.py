@@ -234,3 +234,24 @@ def test_bm25_search_filters_before_groupby_and_broadcasts_dfreq(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert " IN (merge,spark,vector)" in plan
+
+
+def test_profile_cols_one_pruned_scan_per_column_no_expand(spark):
+    # each union branch scans ONLY its column (ReadSchema one field);
+    # no Expand operator (the multi-countDistinct plan shape this
+    # implementation exists to avoid)
+    spark.catalog.clearCache()
+    plan = _plan(spark, "profile_cols")
+    assert "Expand" not in plan
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(schema_lines) == 5
+    for l in schema_lines:
+        # struct<one_field:type> — exactly one comma-free field list
+        assert l.count(":") >= 1 and "," not in l.split("struct<", 1)[1]
+
+
+def test_retention_no_single_partition_exchange_no_expand(spark):
+    plan = _plan(spark, "retention")
+    assert "Exchange SinglePartition" not in plan
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan

@@ -224,3 +224,41 @@ def test_unigram_scores_bounded_by_floor_and_zero(spark):
     n, v = int(stats[0]), int(stats[1])
     floor = math.log(1.0 / (n + v))  # least-likely: count-1 token
     assert all(floor - 1e-6 <= r["mean_logprob"] < 0 for r in out)
+
+
+# events: (user, seconds) pairs with unique (user, sec) — sessionize
+# must agree with a direct sequential reference on any input
+EVENTSETS = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3),
+              st.integers(min_value=0, max_value=10_000)),
+    min_size=1, max_size=25, unique=True)
+
+
+@given(evs=EVENTSETS, gap=st.integers(min_value=1, max_value=5_000))
+@settings(**SETTINGS)
+def test_sessionize_matches_sequential_reference(spark, evs, gap):
+    import datetime as dt
+
+    from fsharp_dataframe_spark.functions.events import sessionize
+
+    rows = [(u, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+            for i, (u, s) in enumerate(evs)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, gap_seconds=gap).collect()}
+
+    # sequential reference: per user, sorted by (sec, event_id), break
+    # when the gap strictly exceeds `gap`
+    exp = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(evs):
+        by_user.setdefault(u, []).append((s, i))
+    for u, items in by_user.items():
+        items.sort()
+        idx, prev = 0, None
+        for s, i in items:
+            if prev is None or s - prev > gap:
+                idx += 1
+            exp[i] = idx
+            prev = s
+    assert got == exp
