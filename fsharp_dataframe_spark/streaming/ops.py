@@ -272,6 +272,75 @@ def stream_fill_forward(
     )
 
 
+def stream_funnel_state(
+    sdf: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming funnel progression — the stateful sibling of the
+    batch functions/events.funnel: per-key state is (stage reached,
+    anchor event-time), each micro-batch's events are replayed in
+    event-time order through the step machine (a step counts only
+    STRICTLY after the previous step's first-touch anchor), and the
+    op emits one row per key whose stage ADVANCED this batch.  State
+    is two scalars per key — bounded regardless of stream length —
+    and survives restarts via the checkpoint.
+
+    Arrival-order caveat (standard for custom state, same contract as
+    stream_fill_forward): an event arriving in a later micro-batch
+    than an event with greater event time is applied in arrival
+    order, so cross-batch disorder can miss progressions a batch
+    replay would count.  Funnel counts are monotone in data seen, so
+    the streaming result converges to the batch result whenever each
+    key's events land in event-time order across batches (one batch =
+    always exact).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_field = sdf.schema[key_col]
+    out_schema = T.StructType([
+        key_field,
+        T.StructField("stage", T.LongType(), False),
+        T.StructField("anchor_us", T.LongType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("stage", T.LongType(), True),
+        T.StructField("anchor_us", T.LongType(), True),
+    ])
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def fn(key, pdfs, state):
+        stage, anchor = (state.get if state.exists else (0, None))
+        stage = int(stage or 0)
+        start = stage
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, ignore_index=True)
+            us = (pdf[ts_col].astype("datetime64[us]").astype("int64")).tolist()
+            types = pdf[type_col].tolist()
+            for t, u in zip(types, us):
+                if stage >= len(steps):
+                    break
+                want = steps[stage]
+                if t == want and (stage == 0 or u > anchor):
+                    anchor = u
+                    stage += 1
+        state.update((stage, anchor))
+        if stage > start:
+            yield pd.DataFrame({key_col: [key[0]], "stage": [stage],
+                                "anchor_us": [anchor]})
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
 def stream_text_quality(sdf: DataFrame, text_col: str = "text") -> DataFrame:
     """Stateless per-document text stats — the batch Column exprs from
     functions/text.py applied 1:1 to a stream (no state, no watermark)."""

@@ -458,3 +458,65 @@ def test_stream_sessions_match_batch_sessionize(spark, events_stream_dir):
            .agg(F.countDistinct("session_idx").alias("n_sessions"),
                 F.count("*").alias("n_events")).collect()}
     assert got == exp
+
+
+def test_stream_funnel_matches_batch_single_batch(spark, events_stream_dir):
+    """One availableNow batch ⇒ each key's full history replays in
+    event-time order, so per-level counts (keys with max stage >= k)
+    must equal the batch funnel exactly."""
+    from fsharp_dataframe_spark.functions.events import funnel
+    from fsharp_dataframe_spark.streaming.ops import stream_funnel_state
+
+    steps = ["view", "click", "purchase"]
+    s = _events_stream(spark, events_stream_dir)
+    name = run_to_memory(stream_funnel_state(s, steps), "t_funnel_eq")
+    rows = spark.sql(
+        f"SELECT user_id, max(stage) AS st FROM {name} GROUP BY user_id"
+    ).collect()
+    got = {k: sum(1 for r in rows if r["st"] >= k) for k in (1, 2, 3)}
+    exp = {r["step_idx"]: r["n_keys"]
+           for r in funnel(load_table(spark, SF, "events"), steps).collect()}
+    assert got == exp
+
+
+def test_stream_funnel_state_carries_across_restart(spark, tmp_path):
+    """A key that did 'view' in phase 1 and 'click' in phase 2 advances
+    to stage 2 only if phase 1's anchor survived the checkpoint."""
+    from datetime import datetime
+
+    from fsharp_dataframe_spark.streaming.ops import stream_funnel_state
+
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    schema = "user_id int, ts timestamp, event_type string"
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    phase1 = [(1, ts(0), "view"), (2, ts(0), "click")]
+    phase2 = [(1, ts(2), "click"), (2, ts(2), "view"), (1, ts(3), "purchase")]
+
+    def run_phase(batch_schema):
+        q = (stream_funnel_state(
+                read_stream_parquet(spark, d, batch_schema),
+                ["view", "click", "purchase"])
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame(phase1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    batch_schema = spark.read.parquet(d).schema
+    run_phase(batch_schema)
+    spark.createDataFrame(phase2, schema).coalesce(1).write.mode("append").parquet(d)
+    run_phase(batch_schema)
+
+    rows = spark.read.parquet(outdir).collect()
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["stage"])
+    # user 1: view → click → purchase across the restart = stage 3
+    # user 2: click BEFORE its view never counts; view in phase 2 = stage 1
+    assert final == {1: 3, 2: 1}
