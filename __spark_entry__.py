@@ -940,6 +940,18 @@ def q_funnel(spark, sf) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_key_skew(spark, sf) -> DataFrame:
+    """Join-key skew audit (functions/profile.key_skew_stats): the 20
+    heaviest o_custkey values of the orders table with counts, corpus
+    share, and key-space totals — the table a pipeline reads before
+    choosing salting/AQE-skew-join for a 100 TB join.  Deterministic
+    (count desc, key asc) tie-break; TakeOrdered, not a global sort."""
+    from fsharp_dataframe_spark.functions.profile import key_skew_stats
+
+    orders = load_table(spark, sf, "orders")
+    return key_skew_stats(orders, "o_custkey", top_n=20)
+
+
 def q_retention(spark, sf) -> DataFrame:
     """Daily cohort retention over the event log
     (functions/events.retention): cohort = epoch-anchored day of each
@@ -1318,6 +1330,9 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # (retention enters in its place: chunk_dist→window_dist (same
 # bucketed global-distance machinery) + chunk_sum's cited sibling
 # pack_shards stays in-window — r3+r4-green.)
+# (key_skew enters in its place: ngram_jaccard→clean_corpus +
+# dedup_clusters + near_dedup's verify tier all compose the same
+# shingle/jaccard machinery in-window — r3+r4-green.)
 EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "shift_diff", "resample_daily", "pivot", "slice_between",
                  "window_moving_avg", "chunk_sum", "first_last",
@@ -1326,7 +1341,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "frame_arith", "maxby_minby",
                  "join_broadcast", "fill_forward", "lookup_level",
                  "lang_hits", "ivf_topk",
-                 "lookup_time_fwd", "dedup_exact", "chunk_dist")
+                 "lookup_time_fwd", "dedup_exact", "chunk_dist",
+                 "ngram_jaccard")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1424,6 +1440,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "profile_cols": q_profile_cols,
         "retention": q_retention,
+        "key_skew": q_key_skew,
     }
 
 
@@ -2575,6 +2592,17 @@ def _all_oracle_sql() -> dict[str, str]:
                                    lag(n_keys) OVER (ORDER BY step_idx), 4)
                    END AS conversion
             FROM c
+        """,
+        "key_skew": """
+            WITH c AS (
+              SELECT o_custkey AS key, count(*) AS n_rows
+              FROM orders GROUP BY 1),
+            t AS (SELECT sum(n_rows)::BIGINT AS total_rows,
+                         count(*)::BIGINT AS n_keys FROM c)
+            SELECT key, n_rows,
+                   round(n_rows::DOUBLE / total_rows, 6) AS share,
+                   total_rows, n_keys
+            FROM c, t ORDER BY n_rows DESC, key LIMIT 20
         """,
         # cohort retention replay: epoch-anchored day periods via //
         # (BIGINT floor division == Spark's positive-double floor),

@@ -74,6 +74,7 @@ HEADLINE = [
     "funnel",
     "profile_cols",
     "retention",
+    "key_skew",
 ]
 
 

@@ -26,6 +26,32 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import NumericType
 
 
+def key_skew_stats(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """The pre-join skew audit: the ``top_n`` heaviest values of a
+    prospective join/aggregation key with row counts and corpus share,
+    plus the key-space totals every row carries (total_rows, n_keys).
+    A key whose top value holds 1% of 100 TB is a 1 TB single-task
+    shuffle partition — this is the table you read before deciding on
+    salting / AQE skew-join / the max_doc_freq-style cap.
+
+    One count aggregate on the key (map-side combine absorbs the hot
+    keys — the skew being measured never concentrates in the shuffle
+    measuring it), a 2-scalar total, and a TakeOrdered top-n with a
+    deterministic (count desc, key asc) tie-break.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_rows"))
+    totals = counts.agg(F.sum("n_rows").cast("long").alias("total_rows"),
+                        F.count("*").alias("n_keys"))
+    top = (counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+           .limit(top_n))
+    return (top.crossJoin(F.broadcast(totals))
+            .select("key", "n_rows",
+                    F.round(F.col("n_rows") / F.col("total_rows"), 6)
+                     .alias("share"),
+                    "total_rows", "n_keys"))
+
+
 def profile_columns(df: DataFrame, cols: list[str] | None = None,
                     exact_distinct: bool = True) -> DataFrame:
     """One row per column: (column, n_rows, n_null, n_distinct,

@@ -238,3 +238,14 @@ def test_frame_describe_delegates_to_profiler(spark):
     assert set(out) == {"v", "s"}  # data columns only, not the key
     assert out["v"]["n_null"] == 1 and out["v"]["max_val"] == 10.0
     assert out["s"]["n_distinct"] == 1
+
+
+def test_key_skew_stats(spark):
+    from fsharp_dataframe_spark.functions.profile import key_skew_stats
+
+    df = spark.createDataFrame([(k,) for k in [1] * 6 + [2] * 3 + [3]],
+                               "k long")
+    rows = key_skew_stats(df, "k", top_n=2).collect()
+    assert [(r["key"], r["n_rows"]) for r in rows] == [(1, 6), (2, 3)]
+    assert rows[0]["share"] == 0.6
+    assert rows[0]["total_rows"] == 10 and rows[0]["n_keys"] == 3
