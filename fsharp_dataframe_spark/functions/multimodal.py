@@ -151,6 +151,85 @@ def extract_features(df: DataFrame, real_decode: bool | str = False,
     return df.mapInPandas(_featurize, schema=_FEATURE_SCHEMA)
 
 
+def resize_media(df: DataFrame, target_w: int, target_h: int,
+                 real_decode: bool | str = False) -> DataFrame:
+    """Image resize via mapInPandas — the same Arrow batch shape a real
+    thumbnailing pass has, returning MEDIA_SCHEMA rows with updated
+    meta (width/height = target) and the resized payload.
+
+    real_decode=False  — deterministic fake: payload bytes are
+                         re-sampled to target_w*target_h by striding
+                         the source bytes (pure arithmetic, so tests
+                         and oracles can predict every byte).
+    real_decode=True   — PIL decode → resize → re-encode PNG; raises
+                         DecoderUnavailable without pillow (rows that
+                         fail decode keep the fake-path payload).
+    real_decode="auto" — PIL when importable, else the fake path.
+
+    Non-image rows (mime not image/*) pass through unchanged — a
+    resize pass over a mixed-modality table must not touch audio.
+    """
+    if real_decode is True:
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise DecoderUnavailable(
+                "PIL not installed; install pillow for real image resize"
+            ) from e
+
+    n_out = int(target_w) * int(target_h)
+
+    def _fake_resize(payload: bytes | None) -> bytes | None:
+        if payload is None or len(payload) == 0:
+            return payload
+        # stride-resample source bytes to n_out samples: byte j of the
+        # output is source[floor(j * len / n_out)] — deterministic and
+        # length-exact, the arithmetic skeleton of nearest-neighbor
+        step = len(payload) / n_out
+        return bytes(payload[int(j * step)] for j in range(n_out))
+
+    def _pil_resize(payload: bytes) -> bytes | None:
+        try:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(payload))
+            out = io.BytesIO()
+            img.resize((target_w, target_h)).save(out, format="PNG")
+            return out.getvalue()
+        except Exception:
+            return None
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        use_real = bool(real_decode)
+        if real_decode == "auto":
+            try:
+                import PIL  # noqa: F401
+            except ImportError:
+                use_real = False
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                mime = (meta or {}).get("mime") or ""
+                if not mime.startswith("image/"):
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                resized = _pil_resize(payload) if use_real else None
+                payloads.append(resized if resized is not None
+                                else _fake_resize(payload))
+                new_meta = dict(meta)
+                new_meta["width"], new_meta["height"] = target_w, target_h
+                metas.append(new_meta)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "payload": payloads, "meta": metas})
+
+    return df.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: explode frame indices 0..n_frames-1
     step every_n as rows (decode stubbed).  Shows the fan-out shape:

@@ -93,3 +93,27 @@ def test_read_media_binary_source(spark, tmp_path):
     # plugs into the featurize pipeline unchanged
     feats = extract_features(out).collect()
     assert len(feats) == 2 and all(len(r["feat"]) == 8 for r in feats)
+
+
+def test_resize_media_fake_path_deterministic(spark):
+    from fsharp_dataframe_spark.functions.multimodal import (
+        make_fake_media, resize_media,
+    )
+
+    media = make_fake_media(spark, n=12)
+    out = resize_media(media, 4, 4).collect()
+    by_id = {r["media_id"]: r for r in out}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert set(by_id) == set(src)
+    for mid, r in by_id.items():
+        mime = src[mid]["meta"]["mime"]
+        if mime.startswith("image/"):
+            # stride-resampled to exactly 16 bytes, meta updated
+            p = src[mid]["payload"]
+            step = len(p) / 16
+            assert r["payload"] == bytes(p[int(j * step)] for j in range(16))
+            assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        else:
+            # non-images pass through untouched
+            assert r["payload"] == src[mid]["payload"]
+            assert r["meta"] == src[mid]["meta"]
