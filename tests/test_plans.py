@@ -255,3 +255,31 @@ def test_retention_no_single_partition_exchange_no_expand(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_plan_audit_flags_and_passes(spark):
+    from pyspark.sql import functions as F
+
+    from fsharp_dataframe_spark.plan_audit import assert_scales, audit
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    # a scale-clean query: pruned scan, key-partitioned agg
+    good = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert audit(good) == []
+    assert_scales(good)
+
+    # cartesian product
+    bad_cross = li.limit(10).crossJoin(li.limit(10).select(
+        F.col("l_orderkey").alias("b")))
+    assert {k for k, _ in audit(bad_cross)} >= {"cartesian"}
+
+    # row-at-a-time Python UDF
+    plus = F.udf(lambda x: x + 1, "long")
+    bad_udf = li.select(plus(F.col("l_orderkey")))
+    assert {k for k, _ in audit(bad_udf)} >= {"python_udf"}
+
+    # allow-list suppresses accepted smells (the limit(10)s also plan
+    # SinglePartition exchanges — accepted here, they carry 10 rows)
+    assert audit(bad_cross,
+                 allow=("cartesian", "rdd_scan", "single_partition")) == []
