@@ -283,3 +283,59 @@ def test_plan_audit_flags_and_passes(spark):
     # SinglePartition exchanges — accepted here, they carry 10 rows)
     assert audit(bad_cross,
                  allow=("cartesian", "rdd_scan", "single_partition")) == []
+
+
+# Blanket plan audit over EVERY registered query.  The allow map is
+# the documented list of accepted smells — each one bounded by
+# construction, not by luck:
+#   single_partition — 1-row scalar finals (global min/max, per-column
+#     aggregates, 1-row totals) or the bucketed substrate's carry
+#     window (n_buckets rows, data-size-independent)
+#   cartesian — broadcast crossJoin of a ONE-ROW totals/offsets table
+#     (BroadcastNestedLoopJoin by plan, 1 row by construction)
+#   rdd_scan — driver-built SMALL literal tables (explicit resample
+#     keys, LSH plane literals, fake media, k-row funnel results) or
+#     localCheckpoint scans (dedup_clusters' contraction rounds)
+_AUDIT_ALLOW = {
+    "stats_melt": ("single_partition",),
+    "asof_join": ("single_partition",),
+    "shift_diff": ("single_partition",),
+    "frame_shift_diff": ("single_partition",),
+    "resample_keys": ("rdd_scan",),
+    "resample_uniform": ("single_partition",),
+    "fill_forward": ("cartesian", "single_partition"),
+    "drop_missing": ("cartesian", "single_partition"),
+    "lookup_time_fwd": ("single_partition",),
+    "first_last": ("rdd_scan",),
+    "fill_constant": ("cartesian", "single_partition"),
+    "drop_sparse": ("cartesian", "single_partition"),
+    "lsh_topk": ("rdd_scan",),
+    "media_features": ("rdd_scan",),
+    "dedup_clusters": ("rdd_scan",),
+    # the exact small-N tier IS all-pairs by contract (the quadratic
+    # oracle baseline; the scale path is embed_near_dup_lsh, audited
+    # clean)
+    "embed_near_dup": ("cartesian",),
+    "lang_mix": ("cartesian", "single_partition"),
+    "funnel": ("rdd_scan",),
+    "profile_cols": ("single_partition",),
+    "key_skew": ("cartesian", "single_partition"),
+}
+
+
+def test_every_query_passes_plan_audit(spark):
+    """No registered query may grow a scale smell beyond its documented
+    allowance — a new SinglePartition exchange or cartesian product in
+    ANY of the 76 queries fails here before it reaches a cluster."""
+    from fsharp_dataframe_spark.functions.util import release_cached
+    from fsharp_dataframe_spark.plan_audit import audit
+
+    failures = []
+    for name, q in entry._all_queries().items():
+        try:
+            found = audit(q(spark, SF), allow=_AUDIT_ALLOW.get(name, ()))
+        finally:
+            release_cached()
+        if found:
+            failures.append((name, sorted({k for k, _ in found})))
+    assert not failures, failures
