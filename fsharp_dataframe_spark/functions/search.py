@@ -23,7 +23,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from fsharp_dataframe_spark.functions.text import tokens
 from fsharp_dataframe_spark.functions.util import spread, track_persist
@@ -124,6 +124,59 @@ def _bm25_score(tfdl: DataFrame, dfreq: DataFrame, n_docs: int,
                     F.col("n_hit").cast("long"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def bm25_topk_batch(df: DataFrame, queries: dict[str, str], k: int = 20,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Score MANY queries in ONE corpus pass — the eval-set /
+    contamination-triage shape (10k benchmark queries against a
+    corpus must not mean 10k scans).  One tokenization filtered to
+    the union of all query terms, one broadcast (query_id, token)
+    expansion join, one (query_id, doc) aggregate, and a per-query
+    window top-k (partitioned by query_id — parallel across queries,
+    k-bounded within one).
+
+    Per-(doc, term) scoring is identical to bm25_topk (same integer
+    quantization), so each query's rows equal its single-query result.
+    Returns (query_id, id, score, n_hit, rank).
+    """
+    pairs = [(qid, t) for qid, q in queries.items() for t in query_terms(q)]
+    if not pairs:
+        raise ValueError("no query has any tokens")
+    union_terms = sorted({t for _, t in pairs})
+    tfdl = track_persist(doc_term_freq(df, union_terms, id_col, text_col))
+    totals = df.select(
+        F.count("*").alias("n"),
+        F.sum(F.size(tokens(F.lower(F.col(text_col)))).cast("long")).alias("tok"),
+    ).first()
+    n_docs, total_tokens = int(totals["n"]), int(totals["tok"] or 0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = total_tokens / n_docs
+
+    dfreq = tfdl.groupBy("token").agg(F.count("*").alias("df_t"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(pairs, "query_id string, token string")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    norm = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl") / F.lit(float(avgdl)))
+    contrib = idf * F.col("tf") * F.lit(float(k1 + 1.0)) / norm
+    units = F.round(contrib * 1_000_000).cast("long")
+    scored = (tfdl.join(F.broadcast(qdf), on="token")
+              .join(F.broadcast(dfreq), on="token")
+              .groupBy("query_id", id_col)
+              .agg(F.sum(units).alias("_units"),
+                   F.count("*").alias("n_hit")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (scored
+            .select("query_id", F.col(id_col),
+                    F.round(F.col("_units") / 1_000_000.0, 4).alias("score"),
+                    F.col("n_hit").cast("long"))
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
 
 
 def build_term_index(df: DataFrame, path: str, id_col: str = "doc_id",

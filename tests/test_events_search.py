@@ -249,3 +249,22 @@ def test_key_skew_stats(spark):
     assert [(r["key"], r["n_rows"]) for r in rows] == [(1, 6), (2, 3)]
     assert rows[0]["share"] == 0.6
     assert rows[0]["total_rows"] == 10 and rows[0]["n_keys"] == 3
+
+
+def test_bm25_batch_equals_per_query(spark):
+    """Each query's rows in the one-pass batch scorer must equal its
+    single-query bm25_topk result (same quantized scoring core)."""
+    from fsharp_dataframe_spark.functions.search import bm25_topk_batch
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    queries = {"q1": "spark merge vector", "q2": "window hash join",
+               "q3": "customer"}
+    batch = bm25_topk_batch(docs, queries, k=10).collect()
+    for qid, q in queries.items():
+        single = [(r["doc_id"], r["score"], r["n_hit"])
+                  for r in bm25_topk(docs, q, k=10).collect()]
+        got = [(r["doc_id"], r["score"], r["n_hit"])
+               for r in sorted((r for r in batch if r["query_id"] == qid),
+                               key=lambda r: r["rank"])]
+        assert got == single, qid
