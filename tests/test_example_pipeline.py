@@ -61,3 +61,14 @@ def test_search_pipeline_end_to_end(spark, tmp_path):
         assert r["hits"] and all(h["score"] > 0 for h in r["hits"])
         scores = [h["score"] for h in r["hits"]]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_events_analytics_end_to_end(spark):
+    from events_analytics import analyze_events
+
+    out = analyze_events(spark, "/root/testdata/sf0.001")
+    assert out["sessions"]["n_sessions"] > 0
+    steps = [s["n_keys"] for s in out["funnel"]]
+    assert len(steps) == 3 and steps == sorted(steps, reverse=True)
+    assert out["retention"]["n_cells"] > 0
+    assert 0 < out["key_skew"]["heaviest_user_share"] < 1
