@@ -56,13 +56,22 @@ def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
 
 
 def funnel(df: DataFrame, steps: list[str], key_col: str = "user_id",
-           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+           ts_col: str = "ts", type_col: str = "event_type",
+           within_seconds: int | None = None) -> DataFrame:
     """Ordered funnel analysis: how many keys performed step 1, then
     step 2 STRICTLY after their first step 1, then step 3 strictly
     after that, ...  The canonical product-analytics query (first-touch
-    convention: each step anchors at the EARLIEST qualifying time, which
-    maximizes the remaining window for later steps, so first-touch
-    counts are the upper bound over anchor choices).
+    convention: each step anchors at the EARLIEST qualifying time,
+    which — unconstrained — maximizes the remaining window for later
+    steps, so first-touch counts are the upper bound over anchor
+    choices).
+
+    ``within_seconds`` adds the conversion-window variant: every later
+    step must also land within that many seconds of the key's FIRST
+    step-1 event (the "convert within 7 days of first touch" metric).
+    Note the first-touch caveat: with a window, a key whose first
+    step 1 was too early is not re-anchored to a later step 1 — the
+    standard first-touch-window convention, stated rather than hidden.
 
     Shape: one pre-aggregation per step keyed by (key, step) — the
     heavy shuffle happens ONCE over rows matching any step — then a
@@ -85,20 +94,25 @@ def funnel(df: DataFrame, steps: list[str], key_col: str = "user_id",
     # materializes the cache the next stage joins against.
     reached = track_persist(
         df.filter(F.col(type_col) == steps[0])
-          .groupBy(key_col).agg(F.min(us).alias("_t")))
+          .groupBy(key_col).agg(F.min(us).alias("_t"))
+          .withColumn("_t0", F.col("_t")))
     counts = [reached.count()]
     for s in steps[1:]:
         # first-touch anchor: earliest occurrence of s STRICTLY after
         # the previous anchor, for keys still in the funnel (the join
         # keeps this |survivors|-bounded; AQE broadcasts the survivor
         # table when it has shrunk, the common funnel case)
+        cond = F.col("_eus") > F.col("_t")
+        if within_seconds is not None:
+            cond = cond & (F.col("_eus") - F.col("_t0")
+                           <= int(within_seconds) * 1_000_000)
         reached = track_persist(
             df.filter(F.col(type_col) == s)
               .select(F.col(key_col), us.alias("_eus"))
               .join(reached, on=key_col)
-              .filter(F.col("_eus") > F.col("_t"))
+              .filter(cond)
               .groupBy(key_col)
-              .agg(F.min("_eus").alias("_t")))
+              .agg(F.min("_eus").alias("_t"), F.min("_t0").alias("_t0")))
         counts.append(reached.count())
     import math
 

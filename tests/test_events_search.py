@@ -268,3 +268,22 @@ def test_bm25_batch_equals_per_query(spark):
                for r in sorted((r for r in batch if r["query_id"] == qid),
                                key=lambda r: r["rank"])]
         assert got == single, qid
+
+
+def test_funnel_within_window(spark):
+    # user 1 converts within 60s of first view; user 2's purchase falls
+    # outside the window (click inside, purchase at +120s)
+    from fsharp_dataframe_spark.functions.events import funnel
+
+    df = _ev_typed(spark, [
+        (1, 1, 0, "view"), (1, 2, 30, "click"), (1, 3, 50, "purchase"),
+        (2, 4, 0, "view"), (2, 5, 40, "click"), (2, 6, 120, "purchase"),
+    ])
+    out = {r["step"]: r["n_keys"]
+           for r in funnel(df, ["view", "click", "purchase"],
+                           within_seconds=60).collect()}
+    assert out == {"view": 2, "click": 2, "purchase": 1}
+    # unconstrained: both convert
+    out2 = {r["step"]: r["n_keys"]
+            for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out2["purchase"] == 2
