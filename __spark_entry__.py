@@ -940,6 +940,20 @@ def q_funnel(spark, sf) -> DataFrame:
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def q_bpe_pairs(spark, sf) -> DataFrame:
+    """BPE merge-0 pair statistics (functions/bpe.char_pair_counts):
+    top-20 adjacent character pairs over the corpus vocabulary,
+    frequency-weighted — the first iteration of distributed tokenizer
+    training.  Substring arithmetic, so the oracle replays it
+    byte-for-byte; deterministic (count desc, pair asc) order."""
+    from fsharp_dataframe_spark.functions.bpe import char_pair_counts
+
+    docs = load_table(spark, sf, "documents")
+    return (char_pair_counts(docs)
+            .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+            .limit(20))
+
+
 def q_key_skew(spark, sf) -> DataFrame:
     """Join-key skew audit (functions/profile.key_skew_stats): the 20
     heaviest o_custkey values of the orders table with counts, corpus
@@ -1342,7 +1356,10 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "join_broadcast", "fill_forward", "lookup_level",
                  "lang_hits", "ivf_topk",
                  "lookup_time_fwd", "dedup_exact", "chunk_dist",
-                 "ngram_jaccard")
+                 "ngram_jaccard",
+                 # new this round, held out pending next rotation (the
+                 # local oracle gate covers it; window stays at 50)
+                 "bpe_pairs")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1441,6 +1458,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_cols": q_profile_cols,
         "retention": q_retention,
         "key_skew": q_key_skew,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -2592,6 +2610,20 @@ def _all_oracle_sql() -> dict[str, str]:
                                    lag(n_keys) OVER (ORDER BY step_idx), 4)
                    END AS conversion
             FROM c
+        """,
+        "bpe_pairs": """
+            WITH w AS (
+              SELECT word, count(*) AS n FROM (
+                SELECT unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS word
+                FROM documents) GROUP BY 1),
+            p AS (
+              SELECT unnest(list_transform(range(1, length(word)),
+                                           i -> word[i:i+1])) AS pair, n
+              FROM w WHERE length(word) >= 2)
+            SELECT pair, sum(n)::BIGINT AS n_pairs
+            FROM p GROUP BY 1 ORDER BY n_pairs DESC, pair LIMIT 20
         """,
         "key_skew": """
             WITH c AS (
