@@ -75,6 +75,7 @@ HEADLINE = [
     "profile_cols",
     "retention",
     "key_skew",
+    "bpe_pairs",
 ]
 
 

@@ -141,6 +141,40 @@ def save_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_bytes: int = 256 * 1024 * 1024,
+                    sort_by: list[str] | None = None) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_bytes`` files (the maintenance job every incremental
+    pipeline needs — a stream or per-batch append leaves thousands of
+    KB-sized files whose open/footer cost dominates reads at scale).
+
+    File count = ceil(input bytes / target); ``sort_by`` optionally
+    re-sorts within files so row-group stats stay narrow after
+    compaction.  Writes to ``dst`` (never in place — the swap is the
+    caller's transactional rename/catalog move).  Returns the number
+    of files written."""
+    import math
+
+    from pyspark.sql import functions as _F
+
+    df = read_parquet(spark, src)
+    # size the input through the Hadoop FileSystem of the path's
+    # scheme (works for hdfs://, s3a://, file:// alike) — a local
+    # glob would lie on a cluster store
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = int(fs.getContentSummary(jpath).getLength())
+    n = max(1, math.ceil(total / max(1, int(target_bytes))))
+    w = df.repartition(n)
+    if sort_by:
+        w = w.sortWithinPartitions(*[_F.col(c) for c in sort_by])
+    w.write.mode("overwrite").parquet(dst)
+    return sum(1 for _ in fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(dst + "/*.parquet")) or [])
+
+
 def zorder_column(df: DataFrame, cols: list[str], bits: int = 16) -> "F.Column":
     """Z-order (Morton) key over 2+ numeric/timestamp columns: each
     column is min-max scaled to ``bits`` bits (one tiny stats action),

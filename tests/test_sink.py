@@ -188,3 +188,22 @@ def test_zorder_write_narrows_rowgroup_stats_in_both_dims(spark, tmp_path):
     assert sum(wv) / len(wv) < 0.6
     # round-trip: no rows lost or duplicated
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from fsharp_dataframe_spark.sources.parquet import (
+        compact_parquet, load_table,
+    )
+
+    src = str(tmp_path / "fragmented")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(20).write.parquet(src)  # 20 tiny files
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 20
+
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_bytes=64 * 1024 * 1024,
+                        sort_by=["ts"])
+    assert n == 1  # tiny input fits one target-sized file
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
