@@ -98,21 +98,30 @@ def bpe_train(df: DataFrame, n_merges: int,
     """
     from fsharp_dataframe_spark.functions.util import track_persist
 
-    words = track_persist(
-        word_counts(df, text_col)
-        .withColumn("sym", F.split("word", "").cast("array<string>")))
-    merges: list[tuple[str, str]] = []
-    for _ in range(int(n_merges)):
-        best = (symbol_pair_counts(words)
-                .orderBy(F.col("n_pairs").desc(), F.col("a").asc(),
-                         F.col("b").asc())
-                .limit(1).collect())
-        if not best:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        words = track_persist(apply_merge(words, a, b))
-        words.count()  # materialize this round, keep lineage flat
+    from fsharp_dataframe_spark.functions.util import cache_scope
+
+    # terminal operation (returns a plain list): scope every round's
+    # persist so nothing stays cached after training, and release each
+    # superseded round eagerly — n_merges can be 10k+, so leaking one
+    # vocabulary-table copy per merge is a real storage-pressure bug
+    with cache_scope():
+        words = track_persist(
+            word_counts(df, text_col)
+            .withColumn("sym", F.split("word", "").cast("array<string>")))
+        merges: list[tuple[str, str]] = []
+        for _ in range(int(n_merges)):
+            best = (symbol_pair_counts(words)
+                    .orderBy(F.col("n_pairs").desc(), F.col("a").asc(),
+                             F.col("b").asc())
+                    .limit(1).collect())
+            if not best:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            prev = words
+            words = track_persist(apply_merge(words, a, b))
+            words.count()  # materialize this round, keep lineage flat
+            prev.unpersist()
     return merges
 
 

@@ -48,8 +48,10 @@ def sessionize(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
     prev = F.lag(us).over(w)
     brk = F.when(prev.isNull() | (us - prev > gap_seconds * 1_000_000), 1) \
            .otherwise(0)
-    run = Window.partitionBy(key_col).orderBy(us, F.col(order_col)) \
-                .rowsBetween(Window.unboundedPreceding, 0)
+    # the running sum MUST use the identical partition/order spec as
+    # the lag (derived, not restated — a drifting tie-break between
+    # the two would make session membership nondeterministic)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn("__brk", brk) \
              .withColumn(session_col, F.sum("__brk").over(run).cast("long")) \
              .drop("__brk")
@@ -82,7 +84,7 @@ def funnel(df: DataFrame, steps: list[str], key_col: str = "user_id",
     (step_idx, step, n_keys, conversion) with conversion =
     n_keys / step-1 count rounded 4dp.
     """
-    from fsharp_dataframe_spark.functions.util import track_persist
+    from fsharp_dataframe_spark.functions.util import cache_scope, track_persist
 
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -91,29 +93,32 @@ def funnel(df: DataFrame, steps: list[str], key_col: str = "user_id",
     # tiny), so stage k reads stage k-1's cached rows instead of
     # re-deriving the whole chain: total work is LINEAR in steps.
     # Each stage's count() both reports the funnel level and
-    # materializes the cache the next stage joins against.
-    reached = track_persist(
-        df.filter(F.col(type_col) == steps[0])
-          .groupBy(key_col).agg(F.min(us).alias("_t"))
-          .withColumn("_t0", F.col("_t")))
-    counts = [reached.count()]
-    for s in steps[1:]:
-        # first-touch anchor: earliest occurrence of s STRICTLY after
-        # the previous anchor, for keys still in the funnel (the join
-        # keeps this |survivors|-bounded; AQE broadcasts the survivor
-        # table when it has shrunk, the common funnel case)
-        cond = F.col("_eus") > F.col("_t")
-        if within_seconds is not None:
-            cond = cond & (F.col("_eus") - F.col("_t0")
-                           <= int(within_seconds) * 1_000_000)
+    # materializes the cache the next stage joins against.  The whole
+    # chain is scoped: funnel is TERMINAL (the returned frame is a
+    # driver-built literal), so no cache outlives the call.
+    with cache_scope():
         reached = track_persist(
-            df.filter(F.col(type_col) == s)
-              .select(F.col(key_col), us.alias("_eus"))
-              .join(reached, on=key_col)
-              .filter(cond)
-              .groupBy(key_col)
-              .agg(F.min("_eus").alias("_t"), F.min("_t0").alias("_t0")))
-        counts.append(reached.count())
+            df.filter(F.col(type_col) == steps[0])
+              .groupBy(key_col).agg(F.min(us).alias("_t"))
+              .withColumn("_t0", F.col("_t")))
+        counts = [reached.count()]
+        for s in steps[1:]:
+            # first-touch anchor: earliest occurrence of s STRICTLY
+            # after the previous anchor, for keys still in the funnel
+            # (the join keeps this |survivors|-bounded; AQE broadcasts
+            # the survivor table when it has shrunk, the common case)
+            cond = F.col("_eus") > F.col("_t")
+            if within_seconds is not None:
+                cond = cond & (F.col("_eus") - F.col("_t0")
+                               <= int(within_seconds) * 1_000_000)
+            reached = track_persist(
+                df.filter(F.col(type_col) == s)
+                  .select(F.col(key_col), us.alias("_eus"))
+                  .join(reached, on=key_col)
+                  .filter(cond)
+                  .groupBy(key_col)
+                  .agg(F.min("_eus").alias("_t"), F.min("_t0").alias("_t0")))
+            counts.append(reached.count())
     import math
 
     spark = df.sparkSession
@@ -148,9 +153,18 @@ def retention(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
     """
     us = F.unix_micros(F.col(ts_col))
     p_us = int(period_seconds) * 1_000_000
+
+    def floordiv(c):
+        # exact integer floor division: (c - pmod(c, p)) is a floor
+        # multiple for ANY sign, and dividing an exact multiple is
+        # exact — plain c / p is IEEE double division whose ulp
+        # exceeds 1µs resolution for large timestamps with small
+        # periods (the oracle's `//` would then disagree)
+        return ((c - F.pmod(c, F.lit(p_us))) / F.lit(p_us)).cast("long")
+
     firsts = (df.groupBy(key_col)
-              .agg(F.floor(F.min(us) / p_us).cast("long").alias("_cp")))
-    ev = df.select(F.col(key_col), F.floor(us / p_us).cast("long").alias("_ep"))
+              .agg(floordiv(F.min(us)).alias("_cp")))
+    ev = df.select(F.col(key_col), floordiv(us).alias("_ep"))
     cells = (ev.join(firsts, on=key_col)
              .withColumn("_off", (F.col("_ep") - F.col("_cp")).cast("long")))
     if max_offset is not None:

@@ -98,6 +98,29 @@ def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
     return [float(b.mean()) for b in np.array_split(arr, feat_dim, axis=0)]
 
 
+def _require_pil(what: str) -> None:
+    """Driver-side fail-fast for real_decode=True (better than an
+    executor-task stack trace)."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise DecoderUnavailable(
+            f"PIL not installed; install pillow for {what}") from e
+
+
+def _resolve_real_decode(real_decode) -> bool:
+    """Executor-side resolution of the real_decode flag: 'auto' means
+    PIL-if-importable; True/False pass through."""
+    if real_decode == "auto":
+        try:
+            import PIL  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+    return bool(real_decode)
+
+
 def extract_features(df: DataFrame, real_decode: bool | str = False,
                      feat_dim: int = 8) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches).
@@ -113,23 +136,12 @@ def extract_features(df: DataFrame, real_decode: bool | str = False,
     """
 
     if real_decode is True:
-        # fail fast driver-side rather than from inside an executor task
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise DecoderUnavailable(
-                "PIL not installed; install pillow for real image decode"
-            ) from e
+        _require_pil("real image decode")
 
     def _featurize(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        use_real = bool(real_decode)
-        if real_decode == "auto":
-            try:
-                import PIL  # noqa: F401
-            except ImportError:
-                use_real = False
+        use_real = _resolve_real_decode(real_decode)
         for pdf in batches:
             feats, oks = [], []
             for payload in pdf["payload"]:
@@ -170,12 +182,7 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
     resize pass over a mixed-modality table must not touch audio.
     """
     if real_decode is True:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise DecoderUnavailable(
-                "PIL not installed; install pillow for real image resize"
-            ) from e
+        _require_pil("real image resize")
 
     n_out = int(target_w) * int(target_h)
 
@@ -204,12 +211,7 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
     def _resize(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        use_real = bool(real_decode)
-        if real_decode == "auto":
-            try:
-                import PIL  # noqa: F401
-            except ImportError:
-                use_real = False
+        use_real = _resolve_real_decode(real_decode)
         for pdf in batches:
             payloads, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):

@@ -114,10 +114,13 @@ def strip_html(col: Column) -> Column:
     c = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+    # &amp; LAST: replacing it first would fabricate new entities from
+    # nested escapes ('&amp;lt;' must become the literal '&lt;', not
+    # angle-bracket junk)
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(c, r"\s+", " "))
+    return collapse_whitespace(c)
 
 
 def collapse_whitespace(col: Column) -> Column:

@@ -311,21 +311,26 @@ def stream_funnel_state(
         T.StructField("stage", T.LongType(), True),
         T.StructField("anchor_us", T.LongType(), True),
     ])
-    step_of = {s: i for i, s in enumerate(steps)}
-
     def fn(key, pdfs, state):
         stage, anchor = (state.get if state.exists else (0, None))
         stage = int(stage or 0)
         start = stage
-        for pdf in pdfs:
+        # a group arrives as MULTIPLE Arrow chunks (split at
+        # maxRecordsPerBatch) that are NOT time-ordered across chunks:
+        # concatenate first, sort ONCE, then replay — sorting each
+        # chunk independently would mis-order hot keys (>10k events/
+        # batch) and silently miss progressions
+        chunks = [pdf for pdf in pdfs]
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        if pdf is not None and len(pdf):
             pdf = pdf.sort_values(ts_col, ignore_index=True)
             us = (pdf[ts_col].astype("datetime64[us]").astype("int64")).tolist()
             types = pdf[type_col].tolist()
             for t, u in zip(types, us):
                 if stage >= len(steps):
                     break
-                want = steps[stage]
-                if t == want and (stage == 0 or u > anchor):
+                if t == steps[stage] and (stage == 0 or u > anchor):
                     anchor = u
                     stage += 1
         state.update((stage, anchor))

@@ -103,3 +103,14 @@ def test_collapse_whitespace(spark):
 
     df = spark.createDataFrame([("  a\t b\n\nc  ",)], "t string")
     assert df.select(collapse_whitespace(F.col("t"))).first()[0] == "a b c"
+
+
+def test_strip_html_nested_entities_single_unescape(spark):
+    # '&amp;lt;' is the ESCAPED text '&lt;' — one unescape pass must
+    # yield the literal '&lt;', never fabricate '<' (amp replaced last)
+    from fsharp_dataframe_spark.functions.text import strip_html
+
+    df = spark.createDataFrame([("use &amp;lt;b&amp;gt; for bold",)],
+                               "t string")
+    assert df.select(strip_html(F.col("t"))).first()[0] == \
+        "use &lt;b&gt; for bold"

@@ -326,7 +326,7 @@ _AUDIT_ALLOW = {
 def test_every_query_passes_plan_audit(spark):
     """No registered query may grow a scale smell beyond its documented
     allowance — a new SinglePartition exchange or cartesian product in
-    ANY of the 76 queries fails here before it reaches a cluster."""
+    ANY registered query fails here before it reaches a cluster."""
     from fsharp_dataframe_spark.functions.util import release_cached
     from fsharp_dataframe_spark.plan_audit import audit
 

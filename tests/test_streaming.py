@@ -520,3 +520,39 @@ def test_stream_funnel_state_carries_across_restart(spark, tmp_path):
     # user 1: view → click → purchase across the restart = stage 3
     # user 2: click BEFORE its view never counts; view in phase 2 = stage 1
     assert final == {1: 3, 2: 1}
+
+
+def test_stream_funnel_multi_chunk_group_is_time_ordered(spark, tmp_path):
+    """Force the Arrow iterator to split one key's batch into many
+    chunks (maxRecordsPerBatch=4): the replay must still be globally
+    event-time ordered, so a progression whose steps land in different
+    chunks is not missed."""
+    from datetime import datetime, timedelta
+
+    from fsharp_dataframe_spark.streaming.ops import stream_funnel_state
+
+    d = str(tmp_path / "in")
+    schema = "user_id int, ts timestamp, event_type string"
+    base = datetime(2024, 1, 1)
+    # 30 events for ONE user, written in REVERSE time order so chunk 1
+    # holds the latest events; correct replay still finds
+    # view(t0) -> click(t1) -> purchase(t2)
+    rows = [(1, base + timedelta(seconds=29 - i), "error") for i in range(27)]
+    rows += [(1, base + timedelta(seconds=0), "view"),
+             (1, base + timedelta(seconds=1), "click"),
+             (1, base + timedelta(seconds=2), "purchase")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(d)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        s = read_stream_parquet(spark, d, spark.read.parquet(d).schema)
+        name = run_to_memory(
+            stream_funnel_state(s, ["view", "click", "purchase"]),
+            "t_funnel_chunks")
+        stages = [r["stage"] for r in
+                  spark.sql(f"SELECT stage FROM {name}").collect()]
+        assert max(stages) == 3
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
