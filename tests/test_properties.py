@@ -262,3 +262,45 @@ def test_sessionize_matches_sequential_reference(spark, evs, gap):
             exp[i] = idx
             prev = s
     assert got == exp
+
+
+FUNNEL_EVENTS = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=4),      # user
+              st.integers(min_value=0, max_value=500),    # sec
+              st.sampled_from(["view", "click", "purchase", "noise"])),
+    min_size=1, max_size=30)
+
+
+@given(evs=FUNNEL_EVENTS)
+@settings(**SETTINGS)
+def test_funnel_matches_sequential_reference(spark, evs):
+    import datetime as dt
+
+    from fsharp_dataframe_spark.functions.events import funnel
+
+    rows = [(u, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), t)
+            for i, (u, s, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    got = {r["step"]: r["n_keys"] for r in funnel(df, steps).collect()}
+
+    # sequential reference: greedy first-touch state machine per user
+    # over time-ordered events (ties at equal seconds cannot advance
+    # two stages — strict > — so any stable order gives the same count)
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, s, t in evs:
+        by_user.setdefault(u, []).append((s, t))
+    exp = {s: 0 for s in steps}
+    for items in by_user.values():
+        items.sort(key=lambda x: x[0])
+        stage, anchor = 0, None
+        for s, t in items:
+            if stage >= len(steps):
+                break
+            if t == steps[stage] and (stage == 0 or s > anchor):
+                anchor = s
+                stage += 1
+        for k in range(stage):
+            exp[steps[k]] += 1
+    assert got == exp
