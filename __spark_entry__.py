@@ -954,6 +954,19 @@ def q_bpe_pairs(spark, sf) -> DataFrame:
             .limit(20))
 
 
+def q_doc_keywords(spark, sf) -> DataFrame:
+    """Per-document TF-IDF keywords (functions/search.doc_keywords):
+    top-3 distinctive terms per doc under the smoothed idf, corpus-wide
+    document frequencies, scores quantized to integer millionths
+    before the per-doc window rank; output restricted to doc_id < 50
+    to keep the compared set bounded (the df statistics still come
+    from the FULL corpus)."""
+    from fsharp_dataframe_spark.functions.search import doc_keywords
+
+    docs = load_table(spark, sf, "documents")
+    return doc_keywords(docs, k=3).filter(F.col("doc_id") < 50)
+
+
 def q_key_skew(spark, sf) -> DataFrame:
     """Join-key skew audit (functions/profile.key_skew_stats): the 20
     heaviest o_custkey values of the orders table with counts, corpus
@@ -1367,8 +1380,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "lookup_time_fwd", "dedup_exact", "chunk_dist",
                  "ngram_jaccard",
                  # new this round, held out pending next rotation (the
-                 # local oracle gate covers it; window stays at 50)
-                 "bpe_pairs")
+                 # local oracle gate covers them; window stays at 50)
+                 "bpe_pairs", "doc_keywords")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1468,6 +1481,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "key_skew": q_key_skew,
         "bpe_pairs": q_bpe_pairs,
+        "doc_keywords": q_doc_keywords,
     }
 
 
@@ -2619,6 +2633,27 @@ def _all_oracle_sql() -> dict[str, str]:
                                    lag(n_keys) OVER (ORDER BY step_idx), 4)
                    END AS conversion
             FROM c
+        """,
+        "doc_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT token, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+            sc AS (SELECT doc_id, token, tf,
+                          round((tf * (ln((1.0 + n) / (df_t + 1.0)) + 1.0))
+                                * 1000000)::BIGINT AS units
+                   FROM tf JOIN dfq USING (token), tot),
+            rk AS (SELECT *, row_number() OVER
+                     (PARTITION BY doc_id ORDER BY units DESC, token) AS rank
+                   FROM sc)
+            SELECT doc_id, token, tf, round(units / 1000000.0, 4) AS score,
+                   rank::BIGINT AS rank
+            FROM rk WHERE rank <= 3 AND doc_id < 50
         """,
         "bpe_pairs": """
             WITH w AS (

@@ -76,6 +76,7 @@ HEADLINE = [
     "retention",
     "key_skew",
     "bpe_pairs",
+    "doc_keywords",
 ]
 
 

@@ -179,6 +179,42 @@ def bm25_topk_batch(df: DataFrame, queries: dict[str, str], k: int = 20,
             .filter(F.col("rank") <= k))
 
 
+def doc_keywords(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Top-k distinctive terms per document by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df_t)) + 1, the sklearn-style smooth variant —
+    strictly positive, so common-everywhere terms still rank below
+    rare ones without sign flips).
+
+    Shape: one corpus tokenization → (doc, term) tf groupBy; document
+    frequencies join back on the term key (the df table is
+    vocabulary-sized — AQE broadcasts it while small and
+    shuffle-joins at web scale, both O(tokens)); per-doc top-k is a
+    doc-partitioned window (parallel across docs, k-bounded within
+    one).  Scores quantized to integer millionths before ranking —
+    deterministic, oracle-replayable.  Returns
+    (id, token, tf, score, rank).
+    """
+    tfdl = track_persist(doc_term_freq(df, None, id_col, text_col))
+    n_docs = df.count()
+    if n_docs == 0:
+        return (tfdl.select(F.col(id_col), F.col("token"), F.col("tf"),
+                            F.lit(0.0).alias("score"),
+                            F.lit(0).cast("long").alias("rank")).limit(0))
+    dfreq = tfdl.groupBy("token").agg(F.count("*").alias("df_t"))
+    idf = F.log((F.lit(1.0 + n_docs)) / (F.col("df_t") + 1.0)) + F.lit(1.0)
+    units = F.round(F.col("tf") * idf * 1_000_000).cast("long")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_units").desc(), F.col("token").asc())
+    return (tfdl.join(dfreq, on="token")
+            .withColumn("_units", units)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(F.col(id_col), "token", "tf",
+                    F.round(F.col("_units") / 1_000_000.0, 4).alias("score"),
+                    "rank"))
+
+
 def build_term_index(df: DataFrame, path: str, id_col: str = "doc_id",
                      text_col: str = "text",
                      n_range_files: int | None = None) -> None:

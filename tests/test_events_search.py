@@ -287,3 +287,21 @@ def test_funnel_within_window(spark):
     out2 = {r["step"]: r["n_keys"]
             for r in funnel(df, ["view", "click", "purchase"]).collect()}
     assert out2["purchase"] == 2
+
+
+def test_doc_keywords_ranks_distinctive_terms(spark):
+    from fsharp_dataframe_spark.functions.search import doc_keywords
+
+    # 'zebra' appears in doc 0 only; 'common' in every doc — at EQUAL
+    # tf the rare term must outrank the ubiquitous one
+    df = _docs(spark, ["zebra common", "common filler",
+                       "common filler", "common filler"])
+    rows = doc_keywords(df, k=2).collect()
+    d0 = sorted((r for r in rows if r["doc_id"] == 0),
+                key=lambda r: r["rank"])
+    assert d0[0]["token"] == "zebra" and d0[0]["rank"] == 1
+    assert all(r["score"] > 0 for r in rows)
+    # rank is dense 1..k per doc, deterministic tie-break by token
+    for did in {r["doc_id"] for r in rows}:
+        ranks = sorted(r["rank"] for r in rows if r["doc_id"] == did)
+        assert ranks == list(range(1, len(ranks) + 1))
