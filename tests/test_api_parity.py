@@ -103,3 +103,15 @@ def test_of_rows_ordinal_and_row_keys(spark):
     fk = Frame.of_row_keys(spark, ["r1", "r2"])
     assert fk.column_keys == []
     assert fk.df.count() == 2
+
+
+def test_driver_entry_contract(spark):
+    """The driver smoke-checks entry(): it must run, produce rows, and
+    keep a stable schema across rounds — pin all three."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["l_returnflag", "l_linestatus", "sum_qty",
+                          "sum_price", "avg_disc", "n_rows"]
