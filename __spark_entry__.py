@@ -1313,6 +1313,39 @@ def q_pack_shards(spark, sf) -> DataFrame:
     return pack_shards(docs, target_tokens=5000)
 
 
+def q_semantic_dedup(spark, sf) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540; functions/similarity.semantic_dedup): coarse
+    cells from 8 deterministic seed centroids (vec_id 0..7 — the same
+    SQL-replayable seeding as ivf_assign), within-cell cosine >= 0.4
+    pairs (cell-blocked join — Σ|cell|², not n²), transitive closure
+    via the alternating-star component contraction, min-id survivor
+    per semantic-duplicate group.  The oracle replays assignment, the
+    blocked pair tier, and the closure as a recursive CTE — the cell
+    blocking is part of the pinned contract, not fuzzed recall."""
+    from fsharp_dataframe_spark.functions.similarity import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    out = semantic_dedup(emb, cents, threshold=0.4)
+    return out.withColumn("is_canonical", F.col("is_canonical").cast("long"))
+
+
+def q_chunk_docs(spark, sf) -> DataFrame:
+    """Token-budget document chunking with overlap
+    (functions/sampling.chunk_documents): max 32 whitespace tokens per
+    chunk, 4-token overlap (stride 28), final partial chunk kept —
+    pure narrow Column work (no shuffle, no UDF), integer-exact chunk
+    count so the oracle replays slicing byte-identically."""
+    from fsharp_dataframe_spark.functions.sampling import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, max_tokens=32, overlap=4)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1369,6 +1402,14 @@ def q_pack_shards(spark, sf) -> DataFrame:
 # (key_skew enters in its place: ngram_jaccard→clean_corpus +
 # dedup_clusters + near_dedup's verify tier all compose the same
 # shingle/jaccard machinery in-window — r3+r4-green.)
+# (bpe_pairs / doc_keywords / semantic_dedup / chunk_docs enter in
+# their place — four veterans rotate out, each with in-window
+# siblings: group_stats→corpus_stats + stats_melt (same grouped
+# stats), filter_project→cast_types + text_stats (filter+project
+# everywhere), embed_topk→knn_join + lsh_topk (same exact cosine
+# rescore), ivf_assign→ivf_train (replays the identical assignment
+# argmin per iteration) + semantic_dedup (composes ivf_assign
+# directly) — all r3+r4-green or r4-green with multi-query overlap.)
 EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "shift_diff", "resample_daily", "pivot", "slice_between",
                  "window_moving_avg", "chunk_sum", "first_last",
@@ -1379,9 +1420,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "lang_hits", "ivf_topk",
                  "lookup_time_fwd", "dedup_exact", "chunk_dist",
                  "ngram_jaccard",
-                 # new this round, held out pending next rotation (the
-                 # local oracle gate covers them; window stays at 50)
-                 "bpe_pairs", "doc_keywords")
+                 "group_stats", "filter_project", "embed_topk",
+                 "ivf_assign")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1482,6 +1522,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "bpe_pairs": q_bpe_pairs,
         "doc_keywords": q_doc_keywords,
+        "semantic_dedup": q_semantic_dedup,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -2668,6 +2710,66 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM w WHERE length(word) >= 2)
             SELECT pair, sum(n)::BIGINT AS n_pairs
             FROM p GROUP BY 1 ORDER BY n_pairs DESC, pair LIMIT 20
+        """,
+        # replays cell assignment (the ivf_assign oracle), the
+        # within-cell cosine pair tier, and the component closure as a
+        # recursive CTE — the cell blocking is part of the contract
+        "semantic_dedup": """
+            WITH RECURSIVE
+            cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id AS vid, cents.cid AS cid,
+                     list_dot_product(e.embedding::DOUBLE[], cents.c)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(cents.c, cents.c))) AS sim
+              FROM embeddings e CROSS JOIN cents),
+            assigned AS (
+              SELECT vid, arg_max(cid, sim)::INT AS cell
+              FROM scored GROUP BY vid),
+            vecs AS (
+              SELECT a.vid, a.cell, e.embedding::DOUBLE[] AS emb,
+                     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+              FROM assigned a JOIN embeddings e ON e.vec_id = a.vid),
+            p AS (
+              SELECT x.vid AS id_a, y.vid AS id_b
+              FROM vecs x JOIN vecs y ON x.cell = y.cell AND x.vid < y.vid
+              WHERE round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 4) >= 0.4),
+            edges AS (SELECT id_a AS u, id_b AS w FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            r(u, lbl) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN r ON r.u = e.w),
+            comp AS (SELECT u, min(lbl) AS cluster_id FROM r GROUP BY u),
+            asg AS (
+              SELECT a.vid AS vec_id, a.cell AS sem_cell,
+                     coalesce(c.cluster_id, a.vid) AS cluster_id
+              FROM assigned a LEFT JOIN comp c ON c.u = a.vid)
+            SELECT vec_id, sem_cell, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   (vec_id = cluster_id)::BIGINT AS is_canonical
+            FROM asg
+        """,
+        # max_tokens=32, overlap=4, stride=28; list slice t[a:b] is
+        # 1-based inclusive (32 elements), clamped at the list end —
+        # identical to F.slice(t, a, 32)
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> '') AS t
+              FROM documents),
+            c AS (
+              SELECT doc_id, t,
+                     greatest((len(t) - 4 + 27) // 28, 1) AS n_chunks
+              FROM toks),
+            e AS (
+              SELECT doc_id, t, unnest(range(n_chunks)) AS chunk_id FROM c)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   len(t[chunk_id*28+1 : chunk_id*28+32])::BIGINT AS n_tokens,
+                   array_to_string(t[chunk_id*28+1 : chunk_id*28+32], ' ') AS chunk_text
+            FROM e
         """,
         "key_skew": """
             WITH c AS (

@@ -77,6 +77,8 @@ HEADLINE = [
     "key_skew",
     "bpe_pairs",
     "doc_keywords",
+    "semantic_dedup",
+    "chunk_docs",
 ]
 
 

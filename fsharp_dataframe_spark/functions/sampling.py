@@ -235,3 +235,44 @@ def language_mix_weights(df: DataFrame, lang_col: str = "lang",
                 F.round(q, 4).alias("q"),
                 F.round(q / p, 4).alias("boost"))
     )
+
+
+def chunk_documents(df: DataFrame, max_tokens: int = 64, overlap: int = 8,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split documents into token-budget chunks with overlap — the
+    standard pre-tokenization slicing for LLM context windows (RAG
+    passage windows, long-doc training examples).  stride = max_tokens -
+    overlap; successive chunks share `overlap` tokens; the final partial
+    chunk is kept; an empty document yields one empty chunk.
+
+    n_chunks = max(ceil((n_tokens - overlap) / stride), 1) — pure
+    integer arithmetic so the SQL oracle replays the count exactly.
+
+    Pure narrow per-row Column work (whitespace tokens → explode of an
+    index sequence → slice → join): no shuffle, no UDF, runs at scan
+    speed and preserves the input partitioning, so chunk output feeds
+    pack_shards / the parquet sink without a repartition.  Fan-out is
+    bounded: output rows ≈ total_tokens / stride, each chunk row
+    materializing only its own slice (Tungsten copies the slice, it
+    does not duplicate the parent array per row).
+
+    Returns (id_col, chunk_id, n_tokens, chunk_text).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    from fsharp_dataframe_spark.functions.text import tokens
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    n_chunks = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)),
+        F.lit(1)).cast("int")
+    exploded = t.select(
+        id_col, "_t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+    piece = F.slice(F.col("_t"), F.col("chunk_id") * stride + 1, max_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))

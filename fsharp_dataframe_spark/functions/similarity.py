@@ -711,3 +711,58 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]], query_vec: list[float]
     assigned = df if "ivf_cell" in df.columns else ivf_assign(df, centroids, vec_col)
     cands = assigned.filter(F.col("ivf_cell").isin(probe))
     return brute_force_topk(cands, qv, k, id_col, vec_col)
+
+
+def semantic_dedup(df: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, call two vectors
+    semantic duplicates when they land in the SAME coarse cell with
+    cosine >= threshold, chain transitivity through connected
+    components, and keep the min-id representative per group.
+
+    The coarse cell is the scale lever: the pair join's shuffle key is
+    the cell id, so candidate work is Σ|cell|² instead of n² — and the
+    quantizer sizing (kmeans_fit k grows with corpus size) bounds every
+    block to task size.  Cross-cell near-duplicates are *by contract*
+    not considered (that is SemDeDup's approximation; the oracle replays
+    the identical cell blocking, so the contract is pinned, not fuzzed).
+    Components run the same alternating-star contraction as
+    duplicate_clusters — no driver-side union-find, no quadratic tier.
+
+    At 100 TB: train centroids with kmeans_fit on a hash_split sample,
+    write the corpus partitioned by sem_cell, and the pair join becomes
+    co-partitioned; dedup output feeds pack_shards unchanged.
+
+    Returns one row per vector: (id_col, sem_cell, cluster_id,
+    cluster_size, is_canonical) — "keep one per group" = filter
+    is_canonical.
+    """
+    from fsharp_dataframe_spark.functions.graph import duplicate_clusters
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    # norms precomputed once per vector (not per pair), same trick as
+    # cosine_pairs_exact; the assignment relation is reused four times
+    # (both join sides, the component docs, the sem_cell join), so it
+    # persists through the tracked-cache registry (release_cached /
+    # cache_scope releases it deterministically — the r4-advice
+    # contract).  Qualified l/r aliases keep the self-join unambiguous
+    # under the Arrow-batched scorer (the bare-column form trips
+    # Spark's self-join attribute dedup inside the pandas UDF).
+    asg = track_persist(
+        ivf_assign(df, centroids, vec_col).select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(vec_col).alias("_v"), norm(F.col(vec_col)).alias("_n"),
+            "ivf_cell"))
+    l, r = asg.alias("l"), asg.alias("r")
+    sim = dot_batch(F.col("l._v"), F.col("r._v")) / (F.col("l._n") * F.col("r._n"))
+    pairs = (l.join(r, (F.col("l.ivf_cell") == F.col("r.ivf_cell"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .filter(F.round(sim, 4) >= threshold)
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b")))
+    out = duplicate_clusters(asg.select(id_col), pairs, id_col=id_col)
+    cells = asg.select(id_col, F.col("ivf_cell").alias("sem_cell"))
+    return out.join(cells, id_col).select(
+        id_col, "sem_cell", "cluster_id", "cluster_size", "is_canonical")

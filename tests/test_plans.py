@@ -312,6 +312,7 @@ _AUDIT_ALLOW = {
     "lsh_topk": ("rdd_scan",),
     "media_features": ("rdd_scan",),
     "dedup_clusters": ("rdd_scan",),
+    "semantic_dedup": ("rdd_scan",),  # same contraction-round checkpoints
     # the exact small-N tier IS all-pairs by contract (the quadratic
     # oracle baseline; the scale path is embed_near_dup_lsh, audited
     # clean)

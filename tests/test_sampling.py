@@ -165,3 +165,47 @@ def test_language_mix_weights_math(spark):
     ident = language_mix_weights(docs, alpha=1.0).collect()
     assert all(abs(r["p"] - r["q"]) <= 1e-3 and abs(r["boost"] - 1.0) <= 1e-3
                for r in ident)
+
+
+def test_chunk_documents_matches_sequential_reference(spark):
+    """Chunk slicing == the obvious sequential reference, including the
+    empty doc, sub-budget doc, exact-boundary, and boundary+1 cases."""
+    import re
+
+    from fsharp_dataframe_spark.functions.sampling import chunk_documents
+
+    texts = [
+        (0, ""),
+        (1, "one"),
+        (2, " ".join(f"t{i}" for i in range(8))),    # == max_tokens
+        (3, " ".join(f"t{i}" for i in range(9))),    # max_tokens + 1
+        (4, " ".join(f"t{i}" for i in range(25))),   # several chunks
+        (5, "  a   b\tc\n d  "),                     # ragged whitespace
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=8, overlap=2).collect())
+    ref = []
+    stride = 6
+    for doc_id, text in texts:
+        t = [x for x in re.split(r"\s+", text) if x]
+        n_chunks = max(-(-(len(t) - 2) // stride), 1)
+        for i in range(n_chunks):
+            piece = t[i * stride:i * stride + 8]
+            ref.append((doc_id, i, len(piece), " ".join(piece)))
+    assert got == sorted(ref)
+    # overlap property: chunk i's tail == chunk i+1's head
+    by_doc = [r for r in ref if r[0] == 4]
+    for (_, _, _, a), (_, _, _, b) in zip(by_doc, by_doc[1:]):
+        assert a.split()[-2:] == b.split()[:2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from fsharp_dataframe_spark.functions.sampling import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)

@@ -315,3 +315,42 @@ def test_ivf_knn_join_recall_on_clustered_data(spark):
             assert exact[k_] == v
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.9, f"ivf knn recall {recall}"
+
+
+def test_semantic_dedup_transitivity_and_cell_blocking(spark):
+    """SemDeDup contract: same-cell cosine>=t pairs chain transitively
+    to one min-id survivor; cross-cell near-dups are NOT merged (the
+    cell blocking is part of the contract)."""
+    from fsharp_dataframe_spark.functions.similarity import semantic_dedup
+    from fsharp_dataframe_spark.functions.util import release_cached
+
+    # two seed centroids on orthogonal axes; e = small cross-axis noise
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        # cell 0: 10 ~ 11 ~ 12 chain (10-12 alone are below threshold
+        # only pairwise-adjacent? keep them all >= 0.99 -> one cluster)
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (11, [1.0, 0.01, 0.0, 0.0]),
+        (12, [1.0, 0.02, 0.0, 0.0]),
+        # cell 0 singleton: same cell, low cosine to the chain
+        (13, [1.0, 0.9, 0.0, 0.0]),   # still nearer axis-0
+        # cell 1: near-identical PAIR
+        (20, [0.0, 1.0, 0.01, 0.0]),
+        (21, [0.0, 1.0, 0.02, 0.0]),
+        # cross-cell near-dup of 13 by cosine, but lands in cell 1 ->
+        # must NOT merge with 13
+        (22, [0.9, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, cents, threshold=0.99)
+    got = {r["vec_id"]: (r["sem_cell"], r["cluster_id"], r["cluster_size"],
+                         r["is_canonical"]) for r in out.collect()}
+    release_cached()
+    assert got[10] == (0, 10, 3, True)
+    assert got[11] == (0, 10, 3, False)
+    assert got[12] == (0, 10, 3, False)
+    assert got[13][1] == 13 and got[13][2] == 1   # same cell, not similar
+    assert got[20] == (1, 20, 2, True)
+    assert got[21] == (1, 20, 2, False)
+    # 22 is cosine~0.95 to 13 but different cell: stays its own cluster
+    assert got[22][0] == 1 and got[22][1] == 22 and got[22][3] is True
