@@ -1153,21 +1153,17 @@ def q_media_features(spark, sf) -> DataFrame:
 
 def q_lsh_topk(spark, sf) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets, exact
-    rescore on candidates.  Deliberately rows-only: the test
-    embeddings are near-isotropic (no pair above cosine 0.5 at any
-    SF — measured), so the top-20 boundary sits at cosine ~0.28,
-    where the hyperplane collision probability (1 − θ/π ≈ 0.59 per
-    bit) makes TOTAL recall unreachable without degenerate parameters
-    (the collision model says ~370 tables at n_bits=12, or probing a
-    third of the corpus per table at n_bits=6/radius 2 — a brute scan
-    wearing an LSH costume).  A brute-force-SQL oracle would therefore
-    measure the DATA's LSH-hardness, not the operator's correctness.
-    The operator's contract — candidates are exactly the
-    bucket-collision set, rescoring is exact, recall rises
-    monotonically with n_bits×n_tables×radius — is pinned by
-    tests/test_similarity.py on planted-neighbor corpora where recall
-    IS total; the exact top-k path has its own oracle row
-    (embed_topk)."""
+    rescore on candidates.  ORACLE-EXACT since r5 via a REPLAY oracle
+    (_lsh_topk_sql): a brute-force oracle would measure the DATA's
+    LSH-hardness (these embeddings are near-isotropic — no pair above
+    cosine 0.5 — so total recall is unreachable without degenerate
+    parameters), but the sha256 ±1 hyperplanes are data-independent
+    driver literals, so the oracle carries the identical plane matrix
+    and replays bucketing, the radius-1 probe set, the candidate
+    semi-join, and the exact rescore — a hash mismatch means the
+    operator's candidate contract drifted.  Recall-vs-parameters
+    behavior stays pinned by tests/test_similarity.py on
+    planted-neighbor corpora where recall IS total."""
     from fsharp_dataframe_spark.functions.similarity import lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
@@ -1624,6 +1620,61 @@ def _rep_quality_sql() -> str:
         """
 
 
+def _lsh_topk_sql(n_bits: int = 12, n_tables: int = 4, dim: int = 64,
+                  k: int = 20) -> str:
+    """DuckDB REPLAY of the whole lsh_topk cascade (not a brute-force
+    recall oracle, which would measure the data's LSH-hardness): the
+    sha256-derived ±1 hyperplanes are data-independent driver
+    literals, so the oracle carries the identical plane matrix and
+    recomputes the query's buckets, the radius-1 Hamming probe set,
+    every data vector's bucket per table, the candidate semi-join, and
+    the exact rescore.  A hash mismatch means the bucketing/probe/
+    candidate contract drifted — exactly the hard signal the rows-only
+    status lacked."""
+    from fsharp_dataframe_spark.functions.similarity import _hyperplane_weights
+
+    rows = []
+    for t in range(n_tables):
+        for j in range(n_bits):
+            w = _hyperplane_weights(t, j, dim)
+            arr = "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+            rows.append(f"({t}, {j}, {arr}::DOUBLE[])")
+    values = ",\n              ".join(rows)
+    return f"""
+            WITH planes(tbl, j, w) AS (VALUES
+              {values}),
+            q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            qbucket AS (
+              SELECT p.tbl,
+                     sum(CASE WHEN list_dot_product(q.qv, p.w) > 0
+                              THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS b
+              FROM planes p, q GROUP BY p.tbl),
+            probes AS (
+              SELECT tbl, b AS bucket FROM qbucket
+              UNION
+              SELECT qb.tbl, xor(qb.b, (1::BIGINT << r.j)) AS bucket
+              FROM qbucket qb CROSS JOIN (SELECT unnest(range({n_bits})) AS j) r),
+            dbucket AS (
+              SELECT e.vec_id, p.tbl,
+                     sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.w) > 0
+                              THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS bucket
+              FROM embeddings e CROSS JOIN planes p
+              WHERE e.vec_id <> 0
+              GROUP BY 1, 2),
+            cands AS (
+              SELECT DISTINCT d.vec_id
+              FROM dbucket d JOIN probes pr
+                ON d.tbl = pr.tbl AND d.bucket = pr.bucket)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], (SELECT qv FROM q))
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 4)
+                     AS cosine_sim
+            FROM embeddings e JOIN cands c ON e.vec_id = c.vec_id
+            ORDER BY cosine_sim DESC, e.vec_id LIMIT {k}
+        """
+
+
 def _ivf_train_sql() -> str:
     """DuckDB replay of two Lloyd iterations (q_ivf_train): cosine
     argmin via window rank (ties -> lowest cell, matching Spark's
@@ -1992,6 +2043,7 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY vec_id
         """,
         "ivf_train": _ivf_train_sql(),
+        "lsh_topk": _lsh_topk_sql(),
         "ivf_topk": """
             WITH cents AS (
               SELECT vec_id AS cid, embedding::DOUBLE[] AS c
