@@ -1099,10 +1099,12 @@ def q_embed_near_dup_lsh(spark, sf) -> DataFrame:
     )
 
     emb = load_table(spark, sf, "embeddings")
-    n_bits, n_tables = lsh_params_for(threshold=0.4, n_vectors=emb.count(),
+    n = emb.count()
+    n_bits, n_tables = lsh_params_for(threshold=0.4, n_vectors=n,
                                       target_recall=0.999, max_bucket=256)
-    return cosine_near_dup_pairs(emb, threshold=0.4,
-                                 n_bits=n_bits, n_tables=n_tables)
+    return cosine_near_dup_pairs(emb, threshold=0.4, dim=64,
+                                 n_bits=n_bits, n_tables=n_tables,
+                                 n_vectors=n)
 
 
 def q_minhash_pairs(spark, sf) -> DataFrame:
@@ -1330,6 +1332,22 @@ def q_semantic_dedup(spark, sf) -> DataFrame:
     return out.withColumn("is_canonical", F.col("is_canonical").cast("long"))
 
 
+def q_embed_project(spark, sf) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 8 dims
+    (functions/similarity.random_projection, Achlioptas ±1/√k): a
+    pure narrow map over data-independent sha256 ±1 literals — no fit
+    step, no shuffle.  The oracle carries the identical literal
+    matrix and replays every coordinate (_embed_project_sql)."""
+    from fsharp_dataframe_spark.functions.similarity import random_projection
+
+    emb = load_table(spark, sf, "embeddings")
+    p = random_projection(emb, out_dim=8, dim=64, seed=0)
+    return p.select(
+        "vec_id",
+        *[F.round(F.element_at("projected", j + 1), 4).alias(f"p{j}")
+          for j in range(8)])
+
+
 def q_chunk_docs(spark, sf) -> DataFrame:
     """Token-budget document chunking with overlap
     (functions/sampling.chunk_documents): max 32 whitespace tokens per
@@ -1417,7 +1435,10 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "lookup_time_fwd", "dedup_exact", "chunk_dist",
                  "ngram_jaccard",
                  "group_stats", "filter_project", "embed_topk",
-                 "ivf_assign")
+                 "ivf_assign",
+                 # new this round, held out pending next rotation (the
+                 # local oracle gate covers it; window stays at 50)
+                 "embed_project")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1520,6 +1541,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "semantic_dedup": q_semantic_dedup,
         "chunk_docs": q_chunk_docs,
+        "embed_project": q_embed_project,
     }
 
 
@@ -1618,6 +1640,20 @@ def _rep_quality_sql() -> str:
             LEFT JOIN t4 USING (doc_id)
             LEFT JOIN d5 USING (doc_id) LEFT JOIN d10 USING (doc_id)
         """
+
+
+def _embed_project_sql(out_dim: int = 8, dim: int = 64, seed: int = 0) -> str:
+    """DuckDB replay of the JL projection: the ±1 matrix is a
+    data-independent driver literal, embedded verbatim."""
+    from fsharp_dataframe_spark.functions.similarity import _hyperplane_weights
+
+    cols = []
+    for j in range(out_dim):
+        arr = "[" + ", ".join(
+            f"{x:.1f}" for x in _hyperplane_weights(seed, j, dim)) + "]"
+        cols.append(f"round(list_dot_product(embedding::DOUBLE[], "
+                    f"{arr}::DOUBLE[]) / sqrt({out_dim}), 4) AS p{j}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
 
 
 def _lsh_topk_sql(n_bits: int = 12, n_tables: int = 4, dim: int = 64,
@@ -2044,6 +2080,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "ivf_train": _ivf_train_sql(),
         "lsh_topk": _lsh_topk_sql(),
+        "embed_project": _embed_project_sql(),
         "ivf_topk": """
             WITH cents AS (
               SELECT vec_id AS cid, embedding::DOUBLE[] AS c

@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_keywords",
     "semantic_dedup",
     "chunk_docs",
+    "embed_project",
 ]
 
 

@@ -766,3 +766,61 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     cells = asg.select(id_col, F.col("ivf_cell").alias("sem_cell"))
     return out.join(cells, id_col).select(
         id_col, "sem_cell", "cluster_id", "cluster_size", "is_canonical")
+
+
+def random_projection(df: DataFrame, out_dim: int, dim: int | None = None,
+                      seed: int = 0, vec_col: str = "embedding",
+                      out_col: str = "projected") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with ±1/√k
+    entries — the "database-friendly" JL transform (Achlioptas 2003):
+    y_j = (1/√k)·Σ_i v_i·s_ij, s_ij ∈ {±1} drawn from the same
+    deterministic sha256 family as the LSH hyperplanes
+    (_hyperplane_weights), so the matrix is a data-independent driver
+    literal: no fit step, no shuffle — a pure narrow map that runs at
+    scan speed, and a SQL oracle can replay the projection exactly.
+
+    Pairwise distances/inner products are preserved within (1±ε) for
+    k = O(log n / ε²): project BEFORE the ANN tiers (lsh/ivf/knn) to
+    cut every candidate dot product from `dim` to `out_dim` mults —
+    at 100 TB the projection is free (scan-fused) while the pair
+    tiers are the cost, so the ε trades directly against candidate
+    verify throughput.
+
+    Arrow-batched like lsh_buckets_all (the Column HOF chain is
+    interpreted); accumulation runs over the dimension axis in the
+    same left-to-right IEEE order as dot(), so projections are
+    reproducible across partitionings and engines.  Appends
+    ``out_col`` (array<double>, length out_dim).
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    dim = dim or len(df.select(vec_col).first()[0])
+    planes = np.array([_hyperplane_weights(seed, j, dim)
+                       for j in range(out_dim)], dtype=np.float64).T
+    scale = out_dim ** 0.5
+
+    @pandas_udf("array<double>")
+    def f(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+        n = len(vs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        vals = vs.to_numpy()
+        ok = [i for i in range(n)
+              if vals[i] is not None and len(vals[i]) == dim]
+        res = pd.Series([None] * n, dtype=object)
+        if not ok:
+            return res
+        m = _np.stack([vals[i] for i in ok]).astype(_np.float64)
+        out = _np.zeros((m.shape[0], planes.shape[1]))
+        for k_ in range(dim):  # fold order identical to dot()'s aggregate
+            out += m[:, k_:k_ + 1] * planes[k_:k_ + 1, :]
+        # divide (not multiply-by-reciprocal): the SQL oracle writes
+        # `/ sqrt(k)`, and x/s vs x*(1/s) differ in the last ulp
+        out = out / scale
+        for row, i in enumerate(ok):
+            res.iloc[i] = out[row]
+        return res
+
+    return df.withColumn(out_col, f(F.col(vec_col)))

@@ -354,3 +354,32 @@ def test_semantic_dedup_transitivity_and_cell_blocking(spark):
     assert got[21] == (1, 20, 2, False)
     # 22 is cosine~0.95 to 13 but different cell: stays its own cluster
     assert got[22][0] == 1 and got[22][1] == 22 and got[22][3] is True
+
+
+def test_random_projection_matches_reference_and_preserves_geometry(spark):
+    """Projection == the driver-side numpy reference exactly; and the
+    JL guarantee holds loosely on clustered data (within-cluster
+    cosines stay high after 32 -> 8 reduction)."""
+    import numpy as np
+
+    from fsharp_dataframe_spark.functions.similarity import (
+        _hyperplane_weights, random_projection,
+    )
+
+    df, rows = _clustered(spark, n_clusters=4, per_cluster=5)
+    out = {r["vec_id"]: list(r["projected"])
+           for r in random_projection(df, out_dim=8, dim=DIM, seed=0).collect()}
+    planes = np.array([_hyperplane_weights(0, j, DIM) for j in range(8)]).T
+    for vid, _c, v in rows:
+        ref = np.zeros(8)
+        for k in range(DIM):
+            ref += np.asarray(v)[k] * planes[k]
+        ref = ref / (8 ** 0.5)
+        assert np.allclose(out[vid], ref, rtol=0, atol=0), vid
+    # geometry: same-cluster pairs keep cosine > cross-cluster pairs
+    def cos(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    same = cos(out[0], out[1])
+    cross = cos(out[0], out[5])
+    assert same > 0.7 and same > cross
