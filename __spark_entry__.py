@@ -862,6 +862,20 @@ def q_unigram_quality(spark, sf) -> DataFrame:
     return unigram_logprob_score(docs)
 
 
+def q_bigram_quality(spark, sf) -> DataFrame:
+    """Bigram-LM quality proxy (functions/text.bigram_logprob_score):
+    per-document mean log P(w2|w1) under the corpus's own add-1
+    smoothed conditional bigram model — one model order above
+    unigram_quality, the CCNet-perplexity filter shape for transition
+    fluency.  Integer-quantized per-bigram log-probs make the mean
+    partition-order-exact; the oracle replays the bigram relation,
+    both count tables, and the scoring expression."""
+    from fsharp_dataframe_spark.functions.text import bigram_logprob_score
+
+    docs = load_table(spark, sf, "documents")
+    return bigram_logprob_score(docs)
+
+
 def q_dedup_spans(spark, sf) -> DataFrame:
     """Exact duplicate-SPAN removal (functions/dedup.py
     remove_duplicate_spans — the token-gram analog of Lee et al. 2022
@@ -1437,8 +1451,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "group_stats", "filter_project", "embed_topk",
                  "ivf_assign",
                  # new this round, held out pending next rotation (the
-                 # local oracle gate covers it; window stays at 50)
-                 "embed_project")
+                 # local oracle gate covers them; window stays at 50)
+                 "embed_project", "bigram_quality")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1542,6 +1556,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "chunk_docs": q_chunk_docs,
         "embed_project": q_embed_project,
+        "bigram_quality": q_bigram_quality,
     }
 
 
@@ -2081,6 +2096,26 @@ def _all_oracle_sql() -> dict[str, str]:
         "ivf_train": _ivf_train_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "embed_project": _embed_project_sql(),
+        "bigram_quality": """
+            WITH toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x <> '') AS t
+              FROM documents),
+            bi AS (
+              SELECT doc_id, t[r.i] AS w1, t[r.i+1] AS w2,
+                     t[r.i] || ' ' || t[r.i+1] AS bg
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+            cb AS (SELECT bg, count(*) AS c FROM bi GROUP BY 1),
+            cw AS (SELECT w1, count(*) AS c FROM bi GROUP BY 1),
+            v AS (SELECT count(DISTINCT w2) AS v FROM bi),
+            sc AS (
+              SELECT b.doc_id,
+                     round(ln((cb.c + 1.0) / (cw.c + 1.0 * v.v)) * 10000)::BIGINT AS lp
+              FROM bi b JOIN cb ON b.bg = cb.bg JOIN cw ON b.w1 = cw.w1, v)
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(sum(lp) / count(*) / 10000.0, 4) AS mean_logprob
+            FROM sc GROUP BY doc_id
+        """,
         "ivf_topk": """
             WITH cents AS (
               SELECT vec_id AS cid, embedding::DOUBLE[] AS c

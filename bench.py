@@ -80,6 +80,7 @@ HEADLINE = [
     "semantic_dedup",
     "chunk_docs",
     "embed_project",
+    "bigram_quality",
 ]
 
 

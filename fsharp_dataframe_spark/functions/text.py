@@ -311,3 +311,68 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
         .select(id_col, "n_tok",
                 F.round(F.col("_units") / F.col("n_tok") / 10000.0, 4)
                  .alias("mean_logprob")))
+
+
+def bigram_logprob_score(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         train_df: DataFrame | None = None,
+                         alpha: float = 1.0) -> DataFrame:
+    """Corpus-trained BIGRAM language-model quality proxy — one model
+    order up from unigram_logprob_score, the same role as the KenLM
+    n-gram perplexity filters of CCNet (Wenzek et al. 2020): each
+    document's mean log P(w2|w1) under an add-alpha-smoothed
+    conditional model.  Bigram surprisal separates fluent text from
+    shuffled-token/boilerplate soup that a unigram model scores high
+    (every token common, transitions nonsense).
+
+    Model: P(w2|w1) = (C(w1 w2) + α) / (C(w1·) + α·V), with C(w1·)
+    the count of w1 as a bigram CONTEXT (non-final positions) and V
+    the distinct-successor vocabulary — both derived from ONE
+    exploded-bigram relation, so training is a single scan + two
+    token-keyed groupBys.  Unseen bigram/context fall out of the same
+    expression via coalesce-to-0 counts (floor log(α/(α·V))).
+
+    Scale shape: bigram extraction is a narrow zip_with over the token
+    array (no positional self-join); scoring is explode → two
+    count-table joins (AQE broadcasts them while small, shuffle join
+    at web-corpus vocabulary — still O(tokens)) → per-doc aggregate.
+    Per-bigram log-probs are quantized to integer ten-thousandths
+    before the per-doc sum (the _isum trick), so the mean is
+    partition-order-exact and oracle-replayable.
+
+    Returns (id_col, n_bigrams, mean_logprob); documents with fewer
+    than two tokens have no bigrams and no row.
+    """
+    from fsharp_dataframe_spark.functions.util import spread
+
+    def bigram_rel(src: DataFrame, *cols: str) -> DataFrame:
+        t = tokens(F.lower(F.col(text_col)))
+        n1 = F.greatest(F.size(t) - 1, F.lit(0))
+        bg = F.zip_with(F.slice(t, 1, n1), F.slice(t, 2, n1),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+        return spread(src, text_col, *cols).select(
+            *cols, F.explode(bg).alias("bg"))
+
+    train_src = train_df if train_df is not None else df
+    train_bi = bigram_rel(train_src)
+    cb = train_bi.groupBy("bg").agg(F.count("*").alias("_cb"))
+    cw = (train_bi.select(F.substring_index("bg", " ", 1).alias("w1"))
+          .groupBy("w1").agg(F.count("*").alias("_cw")))
+    v_size = (train_bi.select(F.substring_index("bg", " ", -1).alias("w2"))
+              .agg(F.countDistinct("w2")).first()[0] or 0)
+
+    doc_bi = bigram_rel(df, id_col)
+    joined = (doc_bi
+              .join(cb, on="bg", how="left")
+              .join(cw, on=F.substring_index(doc_bi["bg"], " ", 1) == cw["w1"],
+                    how="left"))
+    logp = F.log((F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(float(alpha)))
+                 / (F.coalesce(F.col("_cw"), F.lit(0))
+                    + F.lit(float(alpha * v_size))))
+    units = F.round(logp * 10000).cast("long")
+    return (joined.select(id_col, units.alias("_lp"))
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"), F.sum("_lp").alias("_units"))
+            .select(id_col, "n_bigrams",
+                    F.round(F.col("_units") / F.col("n_bigrams") / 10000.0, 4)
+                     .alias("mean_logprob")))

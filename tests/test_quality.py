@@ -130,3 +130,54 @@ def test_unigram_logprob_score_semantics(spark):
     floor = round(round(math.log(1 / 30) * 10000) / 10000.0, 4)
     got = unigram_logprob_score(new, train_df=df).collect()[0]
     assert got["mean_logprob"] == floor
+
+
+def test_bigram_logprob_score_reference_and_floors(spark):
+    """Bigram scores == a sequential reference model, including the
+    unseen-bigram and unseen-context floors when scoring against a
+    separate training corpus; shuffled-token text scores below its
+    fluent source under the model trained on fluent text."""
+    import math
+    from collections import Counter
+
+    from fsharp_dataframe_spark.functions.text import bigram_logprob_score
+
+    train = [(0, "the cat sat on the mat"),
+             (1, "the dog sat on the rug"),
+             (2, "the cat ran to the dog")]
+    score = [(10, "the cat sat on the mat"),   # all seen
+             (11, "the cat flew"),             # unseen bigram, seen context
+             (12, "zebra quux"),               # unseen context
+             (13, "mat the on sat cat the")]   # shuffled tokens
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+           for r in bigram_logprob_score(sdf, train_df=tdf).collect()}
+
+    # sequential reference with the same quantization
+    cb, cw, w2s = Counter(), Counter(), set()
+    for _, t in train:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            cb[(a, b)] += 1
+            cw[a] += 1
+            w2s.add(b)
+    V = len(w2s)
+
+    def units(a, b):
+        x = math.log((cb[(a, b)] + 1.0) / (cw[a] + 1.0 * V)) * 10000
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    def round4_half_up(x):
+        # F.round / DuckDB round are HALF-AWAY-FROM-ZERO; Python
+        # round() is banker's
+        return math.copysign(math.floor(abs(x) * 10000 + 0.5), x) / 10000
+
+    for doc_id, t in score:
+        toks = t.split()
+        lps = [units(a, b) for a, b in zip(toks, toks[1:])]
+        assert got[doc_id][0] == len(lps)
+        assert abs(got[doc_id][1]
+                   - round4_half_up(sum(lps) / len(lps) / 10000.0)) < 1e-9
+    # fluency separation: the shuffled doc scores below the fluent one
+    assert got[13][1] < got[10][1]
