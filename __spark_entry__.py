@@ -876,6 +876,30 @@ def q_bigram_quality(spark, sf) -> DataFrame:
     return bigram_logprob_score(docs)
 
 
+def q_quality_classifier(spark, sf) -> DataFrame:
+    """Linear quality-classifier probe (functions/quality.logreg_fit /
+    logreg_score — the GPT-3/CCNet fasttext-filter shape): two batch
+    gradient-descent iterations on (token_count/100, n_chars/1000) vs
+    the is-English label, then score every document.  Each iteration
+    is ONE job with fixed-point gradient aggregation; sigmoids are
+    quantized to millionths so the oracle replays both iterations and
+    the scoring pass in SQL, exp() ulp differences contained below
+    every rounding quantum."""
+    from fsharp_dataframe_spark.functions.quality import logreg_fit, logreg_score
+    from fsharp_dataframe_spark.functions.text import token_count
+
+    docs = load_table(spark, sf, "documents")
+    feat = docs.select(
+        "doc_id",
+        (token_count(F.col("text")) / F.lit(100.0)).alias("x_tok"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x_chars"),
+        (F.col("lang") == "en").cast("double").alias("y"))
+    wts = logreg_fit(feat, ["x_tok", "x_chars"], "y", n_iter=2)
+    out = logreg_score(feat, wts, ["x_tok", "x_chars"])
+    return out.select("doc_id", F.col("y").cast("long").alias("is_en"),
+                      F.round("prob", 4).alias("prob"))
+
+
 def q_dedup_spans(spark, sf) -> DataFrame:
     """Exact duplicate-SPAN removal (functions/dedup.py
     remove_duplicate_spans — the token-gram analog of Lee et al. 2022
@@ -1452,7 +1476,7 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "ivf_assign",
                  # new this round, held out pending next rotation (the
                  # local oracle gate covers them; window stays at 50)
-                 "embed_project", "bigram_quality")
+                 "embed_project", "bigram_quality", "quality_classifier")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1557,6 +1581,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "embed_project": q_embed_project,
         "bigram_quality": q_bigram_quality,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -2096,6 +2121,48 @@ def _all_oracle_sql() -> dict[str, str]:
         "ivf_train": _ivf_train_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "embed_project": _embed_project_sql(),
+        # replays two fixed-point batch-GD iterations and the scoring
+        # pass; iteration 1's sigmoid at w=0 is exactly 0.5
+        "quality_classifier": """
+            WITH feat AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '')) / 100.0 AS x1,
+                     n_chars / 1000.0 AS x2,
+                     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+              FROM documents),
+            g1 AS (
+              SELECT sum(round((0.5 - y) * x1 * 10000)::BIGINT) AS g1,
+                     sum(round((0.5 - y) * x2 * 10000)::BIGINT) AS g2,
+                     sum(round((0.5 - y) * 10000)::BIGINT) AS gb,
+                     count(*) AS n
+              FROM feat),
+            w1 AS (
+              SELECT 0.0 - 1.0 * (g1 / 10000.0 / n) AS a1,
+                     0.0 - 1.0 * (g2 / 10000.0 / n) AS a2,
+                     0.0 - 1.0 * (gb / 10000.0 / n) AS ab
+              FROM g1),
+            p2 AS (
+              SELECT f.doc_id, f.x1, f.x2, f.y,
+                     round(1.0 / (1.0 + exp(-(w1.ab + w1.a1 * f.x1
+                                              + w1.a2 * f.x2))), 6) AS p
+              FROM feat f, w1),
+            g2r AS (
+              SELECT sum(round((p - y) * x1 * 10000)::BIGINT) AS g1,
+                     sum(round((p - y) * x2 * 10000)::BIGINT) AS g2,
+                     sum(round((p - y) * 10000)::BIGINT) AS gb,
+                     count(*) AS n
+              FROM p2),
+            w2 AS (
+              SELECT w1.a1 - 1.0 * (g2r.g1 / 10000.0 / g2r.n) AS a1,
+                     w1.a2 - 1.0 * (g2r.g2 / 10000.0 / g2r.n) AS a2,
+                     w1.ab - 1.0 * (g2r.gb / 10000.0 / g2r.n) AS ab
+              FROM w1, g2r)
+            SELECT f.doc_id, f.y::BIGINT AS is_en,
+                   round(round(1.0 / (1.0 + exp(-(w2.ab + w2.a1 * f.x1
+                                                  + w2.a2 * f.x2))), 6), 4) AS prob
+            FROM feat f, w2
+        """,
         "bigram_quality": """
             WITH toks AS (
               SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),

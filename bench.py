@@ -81,6 +81,7 @@ HEADLINE = [
     "chunk_docs",
     "embed_project",
     "bigram_quality",
+    "quality_classifier",
 ]
 
 

@@ -222,3 +222,61 @@ def c4_filter(df, text_col: str = "text",
     for phrase in blocklist:
         cond = cond & ~low.contains(phrase.lower())
     return df.filter(cond)
+
+
+def logreg_fit(df: DataFrame, feature_cols: list[str], label_col: str,
+               n_iter: int = 5, lr: float = 1.0) -> list[float]:
+    """Distributed logistic-regression training — the linear
+    quality-classifier probe of published pipelines (fasttext-style
+    filters: GPT-3/Brown et al. 2020 §A "high-quality document"
+    classifier; CCNet's linear head), trained the only way that scales:
+    weights live on the DRIVER (d+1 doubles), the corpus never moves.
+
+    Per iteration ONE Spark job: a narrow Column expression computes
+    each row's sigmoid from literal weights, and the d+1 gradient
+    components aggregate as fixed-point integer units (map-side
+    combine reduces every partition to one d+1-value row before the
+    single-row shuffle) — the kmeans_fit shape.  Batch gradient
+    descent: deterministic, partition-order-exact (integer sums), and
+    SQL-replayable; sigmoid probabilities are quantized to MILLIONTHS
+    before the gradient so cross-engine exp() ulp differences cannot
+    propagate into the update.
+
+    Features must be plain numeric columns (materialize ratios first);
+    returns [w_0..w_{d-1}, bias].
+    """
+    w = [0.0] * len(feature_cols)
+    b = 0.0
+    for _ in range(n_iter):
+        z = F.lit(b)
+        for wj, c in zip(w, feature_cols):
+            z = z + F.lit(wj) * F.col(c)
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        err = p - F.col(label_col).cast("double")
+        aggs = [F.sum(F.round(err * F.col(c) * 10000).cast("long")).alias(f"g{j}")
+                for j, c in enumerate(feature_cols)]
+        aggs.append(F.sum(F.round(err * 10000).cast("long")).alias("gb"))
+        aggs.append(F.count("*").alias("n"))
+        row = df.agg(*aggs).first()
+        n = int(row["n"] or 0)
+        if n == 0:
+            break
+        for j in range(len(w)):
+            w[j] -= lr * (row[f"g{j}"] / 10000.0 / n)
+        b -= lr * (row["gb"] / 10000.0 / n)
+    return w + [b]
+
+
+def logreg_score(df: DataFrame, weights: list[float],
+                 feature_cols: list[str], out_col: str = "prob") -> DataFrame:
+    """Score rows with trained logreg weights ([w..., bias]): appends
+    sigmoid(w·x + b) rounded to 6 decimals (the same quantum the
+    trainer uses) — a pure narrow Column map, literal weights, no
+    shuffle; threshold downstream for keep/drop filtering."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError("weights must be [w per feature..., bias]")
+    z = F.lit(float(weights[-1]))
+    for wj, c in zip(weights, feature_cols):
+        z = z + F.lit(float(wj)) * F.col(c)
+    return df.withColumn(
+        out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6))

@@ -181,3 +181,32 @@ def test_bigram_logprob_score_reference_and_floors(spark):
                    - round4_half_up(sum(lps) / len(lps) / 10000.0)) < 1e-9
     # fluency separation: the shuffled doc scores below the fluent one
     assert got[13][1] < got[10][1]
+
+
+def test_logreg_learns_separable_data_and_is_partition_invariant(spark):
+    """Batch-GD logreg drives a linearly separable planted set to
+    perfect accuracy, and the trained weights are bit-identical under
+    repartitioning (fixed-point gradient aggregation)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fsharp_dataframe_spark.functions.quality import logreg_fit, logreg_score
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        y = i % 2
+        # class 1 centered at (2, 2), class 0 at (-2, -2): separable
+        rows.append((i, rng.uniform(1.0, 3.0) * (1 if y else -1),
+                     rng.uniform(1.0, 3.0) * (1 if y else -1), float(y)))
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double, y double")
+    w = logreg_fit(df, ["x1", "x2"], "y", n_iter=20, lr=1.0)
+    scored = logreg_score(df, w, ["x1", "x2"])
+    acc = scored.filter(
+        ((F.col("prob") >= 0.5) & (F.col("y") == 1.0))
+        | ((F.col("prob") < 0.5) & (F.col("y") == 0.0))).count() / 400
+    assert acc == 1.0, (acc, w)
+    w_re = logreg_fit(df.repartition(7, "id"), ["x1", "x2"], "y",
+                      n_iter=20, lr=1.0)
+    assert w == w_re
