@@ -9,9 +9,15 @@ job runs them:
                                 keep one canonical doc per cluster)
       → benchmark decontamination (broadcast shingle semi-join)
       → repetition filter      (Gopher thresholds, zero-shuffle)
-      → quality gate           (token/punct/digit/stopword heuristics)
-      → deterministic split    (salted hash, stable under re-ingest)
-      → token-budget sharding  (bucketed prefix sum, no global window)
+      → quality gate           (C4 lines, heuristic score, unigram- and
+                                bigram-LM perplexity proxies)
+      → deterministic split    (salted hash, BY DOCUMENT before
+                                chunking so no document straddles
+                                train/heldout, stable under re-ingest)
+      → context-window chunking (token-budget slices with overlap —
+                                narrow, no shuffle)
+      → token-budget sharding  (bucketed prefix sum over the chunk
+                                stream, no global window)
       → partitioned parquet    (split-partitioned, shard-sorted)
 
 Run:  python examples/clean_pipeline.py [sf_dir] [out_dir]
@@ -40,8 +46,16 @@ from fsharp_dataframe_spark.functions.dedup import (
 )
 from fsharp_dataframe_spark.functions.graph import duplicate_clusters
 from fsharp_dataframe_spark.functions.quality import repetition_filter
-from fsharp_dataframe_spark.functions.sampling import hash_split, pack_shards
-from fsharp_dataframe_spark.functions.text import bpe_ish_token_count, quality_score
+from fsharp_dataframe_spark.functions.sampling import (
+    chunk_documents,
+    hash_split,
+    pack_shards,
+)
+from fsharp_dataframe_spark.functions.text import (
+    bigram_logprob_score,
+    bpe_ish_token_count,
+    quality_score,
+)
 from fsharp_dataframe_spark.functions.util import cache_scope
 from fsharp_dataframe_spark.sources.parquet import load_table, save_parquet
 
@@ -111,21 +125,36 @@ def _clean_corpus(spark, sf_dir, out_dir, near_dup_threshold,
     quality = quality.join(
         lm.filter(F.col("mean_logprob") >= -12.0).select("doc_id"),
         on="doc_id", how="left_semi")
+    lm2 = bigram_logprob_score(quality)
+    quality = quality.join(
+        lm2.filter(F.col("mean_logprob") >= -12.0).select("doc_id"),
+        on="doc_id", how="left_semi")
     counts["quality"] = quality.count()
 
-    # 5. deterministic split + token-budget shards, then the writes
+    # 5. deterministic split BY DOCUMENT (before chunking, so no
+    #    document leaks across train/heldout), then context-window
+    #    chunking, then token-budget shards over the CHUNK stream —
+    #    the unit a training run actually consumes
     split = hash_split(quality, "doc_id",
                        split_weights or {"train": 0.95, "heldout": 0.05},
                        salt="clean-v1")
-    with_tokens = split.withColumn(
-        "n_tokens", bpe_ish_token_count(F.col("text")))
-    sharded = with_tokens.join(
-        pack_shards(with_tokens, shard_tokens).select("doc_id", "shard"),
-        on="doc_id")
+    chunks = (chunk_documents(split, max_tokens=256, overlap=16)
+              .join(split.select("doc_id", "split"), on="doc_id")
+              .withColumn("chunk_uid",
+                          F.col("doc_id") * F.lit(1_000_000)
+                          + F.col("chunk_id"))
+              .withColumn("n_tokens",
+                          bpe_ish_token_count(F.col("chunk_text"))))
+    counts["chunks"] = chunks.count()
+
+    sharded = chunks.join(
+        pack_shards(chunks, shard_tokens, id_col="chunk_uid",
+                    text_col="chunk_text").select("chunk_uid", "shard"),
+        on="chunk_uid")
     counts["final"] = sharded.count()
 
     save_parquet(sharded, out_dir, partition_by=["split"],
-                 sort_by=["shard", "doc_id"])
+                 sort_by=["shard", "chunk_uid"])
     return counts
 
 

@@ -14,17 +14,20 @@ def test_clean_pipeline_end_to_end(spark, tmp_path):
     out = str(tmp_path / "corpus")
     counts = clean_corpus(spark, "/root/testdata/sf0.001", out)
     order = ["raw", "exact_dedup", "near_dedup", "decontaminated",
-             "quality", "final"]
+             "quality", "chunks", "final"]
     assert list(counts) == order
-    # each stage only ever removes rows (final re-attaches shards 1:1)
-    for a, b in zip(order[:-1], order[1:]):
+    # the doc-level stages only ever remove rows; chunking fans out
+    # (>= one chunk per surviving doc); sharding re-attaches 1:1
+    for a, b in zip(order[:4], order[1:5]):
         assert counts[b] <= counts[a]
-    assert counts["final"] > 0
+    assert counts["chunks"] >= counts["quality"] > 0
+    assert counts["final"] == counts["chunks"]
     # the written corpus is split-partitioned, shard-labeled, and
-    # holds exactly the surviving rows
+    # holds exactly the surviving chunk rows
     back = spark.read.parquet(out)
     assert counts["final"] == back.count()
-    assert {"doc_id", "text", "split", "shard", "n_tokens"} <= set(back.columns)
+    assert {"doc_id", "chunk_id", "chunk_text", "split", "shard",
+            "n_tokens"} <= set(back.columns)
     splits = {r["split"] for r in back.select("split").distinct().collect()}
     assert splits <= {"train", "heldout"} and "train" in splits
     # hive partition pruning is available to readers
