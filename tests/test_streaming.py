@@ -556,3 +556,24 @@ def test_stream_funnel_multi_chunk_group_is_time_ordered(spark, tmp_path):
         assert max(stages) == 3
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_chunk_documents_runs_on_streams(spark, tmp_path):
+    # chunk_documents is a pure narrow Column map (tokens -> explode ->
+    # slice), so the SAME chunker applies to a readStream DataFrame
+    # unchanged and yields exactly the batch chunk set — the streaming
+    # half of the chunk -> pack ingest story (pack_shards stays batch:
+    # a global prefix sum has no bounded-state streaming analog)
+    from fsharp_dataframe_spark.functions.sampling import chunk_documents
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    d = str(tmp_path / "docs_chunk_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    name = run_to_memory(
+        chunk_documents(s, max_tokens=32, overlap=4), "t_chunk_stream")
+    got = {(r["doc_id"], r["chunk_id"], r["chunk_text"])
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    exp = {(r["doc_id"], r["chunk_id"], r["chunk_text"])
+           for r in chunk_documents(docs, max_tokens=32, overlap=4).collect()}
+    assert got == exp and got
