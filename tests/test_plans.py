@@ -340,3 +340,38 @@ def test_every_query_passes_plan_audit(spark):
         if found:
             failures.append((name, sorted({k for k, _ in found})))
     assert not failures, failures
+
+
+def test_semantic_dedup_pair_join_is_cell_blocked(spark):
+    # the SemDeDup pair tier must plan as an EQUI-join keyed on the
+    # coarse cell (candidate work Σ|cell|², shuffle key = cell id) —
+    # a cartesian/nested-loop pair join would be the n² cliff the
+    # operator exists to avoid
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_docs_is_shuffle_free(spark):
+    # context-window chunking is a pure narrow map (tokens -> explode
+    # of an index sequence -> slice): NO exchange of any kind — it
+    # runs at scan speed and preserves the input partitioning for the
+    # downstream pack/sink
+    plan = _plan(spark, "chunk_docs")
+    assert "Exchange" not in plan
+
+
+def test_embed_project_is_shuffle_free(spark):
+    # the JL projection is a literal-matrix narrow map: no exchange,
+    # no fit stage, one ArrowEvalPython over the scan
+    plan = _plan(spark, "embed_project")
+    assert "Exchange" not in plan
+
+
+def test_quality_classifier_scoring_is_narrow(spark):
+    # the returned SCORING plan is a literal-weights Column map over
+    # the documents scan — training ran driver-side during build (one
+    # tiny aggregate per iteration); the scoring output itself must
+    # not shuffle
+    plan = _plan(spark, "quality_classifier")
+    assert "Exchange" not in plan
