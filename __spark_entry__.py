@@ -876,6 +876,33 @@ def q_bigram_quality(spark, sf) -> DataFrame:
     return bigram_logprob_score(docs)
 
 
+def q_vocab_drift(spark, sf) -> DataFrame:
+    """Vocabulary drift QA (functions/profile.vocab_divergence): the
+    20 tokens contributing most to KL(english ‖ non-english) over the
+    union vocabulary — the actionable slice of a corpus-mixing audit.
+    Counts join vocabulary-sized tables; terms quantize to millionths
+    so the oracle replays them exactly."""
+    from fsharp_dataframe_spark.functions.profile import vocab_divergence
+
+    docs = load_table(spark, sf, "documents")
+    div = vocab_divergence(docs.filter(F.col("lang") == "en"),
+                           docs.filter(F.col("lang") != "en"))
+    return div.orderBy(F.col("kl_term").desc(), F.col("token")).limit(20)
+
+
+def q_dedup_paragraphs(spark, sf) -> DataFrame:
+    """CCNet paragraph-grain dedup (functions/dedup.dedup_paragraphs):
+    first corpus-wide occurrence of each exact paragraph survives,
+    later repeats are dropped, documents reassemble from survivors —
+    one md5-keyed shuffle plus one reassembly groupBy.  The oracle
+    replays the winner rule with a row_number window and ordered
+    string_agg."""
+    from fsharp_dataframe_spark.functions.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf, "documents")
+    return dedup_paragraphs(docs)
+
+
 def q_quality_classifier(spark, sf) -> DataFrame:
     """Linear quality-classifier probe (functions/quality.logreg_fit /
     logreg_score — the GPT-3/CCNet fasttext-filter shape): two batch
@@ -1476,7 +1503,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "ivf_assign",
                  # new this round, held out pending next rotation (the
                  # local oracle gate covers them; window stays at 50)
-                 "embed_project", "bigram_quality", "quality_classifier")
+                 "embed_project", "bigram_quality", "quality_classifier",
+                 "dedup_paragraphs", "vocab_drift")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1582,6 +1610,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_project": q_embed_project,
         "bigram_quality": q_bigram_quality,
         "quality_classifier": q_quality_classifier,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -2121,6 +2151,54 @@ def _all_oracle_sql() -> dict[str, str]:
         "ivf_train": _ivf_train_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "embed_project": _embed_project_sql(),
+        "vocab_drift": """
+            WITH ta AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents WHERE lang = 'en'),
+            tb AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents WHERE lang <> 'en'),
+            ca AS (SELECT token, count(*) AS c FROM ta GROUP BY 1),
+            cb AS (SELECT token, count(*) AS c FROM tb GROUP BY 1),
+            j AS (
+              SELECT coalesce(ca.token, cb.token) AS token,
+                     coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+              FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+            t AS (SELECT sum(c_a) AS na, sum(c_b) AS nb, count(*) AS v FROM j)
+            SELECT token, c_a, c_b,
+                   round(((c_a + 1.0) / (na + 1.0 * v))
+                         * ln(((c_a + 1.0) / (na + 1.0 * v))
+                              / ((c_b + 1.0) / (nb + 1.0 * v))), 6) AS kl_term
+            FROM j, t
+            ORDER BY kl_term DESC, token LIMIT 20
+        """,
+        "dedup_paragraphs": """
+            WITH p AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS l
+              FROM documents),
+            ex AS (
+              SELECT doc_id, r.i - 1 AS idx, l[r.i] AS para
+              FROM p, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) r),
+            win AS (
+              SELECT doc_id, idx, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, idx) AS rn
+              FROM ex),
+            kept AS (SELECT doc_id, idx, para FROM win WHERE rn = 1),
+            reb AS (
+              SELECT doc_id, count(*) AS nk,
+                     string_agg(para, chr(10) ORDER BY idx) AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT p.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                   len(p.l)::BIGINT AS n_paras,
+                   (len(p.l) - coalesce(r.nk, 0))::BIGINT AS n_removed
+            FROM p LEFT JOIN reb r ON p.doc_id = r.doc_id
+        """,
         # replays two fixed-point batch-GD iterations and the scoring
         # pass; iteration 1's sigmoid at w=0 is exactly 0.5
         "quality_classifier": """

@@ -82,6 +82,8 @@ HEADLINE = [
     "embed_project",
     "bigram_quality",
     "quality_classifier",
+    "dedup_paragraphs",
+    "vocab_drift",
 ]
 
 

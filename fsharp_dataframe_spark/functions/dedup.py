@@ -692,3 +692,55 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                 F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
                 (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias("n_tokens_removed"))
     )
+
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """CCNet-style paragraph-level deduplication (Wenzek et al. 2020
+    §3.1: web text duplicates at the PARAGRAPH grain — boilerplate
+    headers/footers/menus repeat across pages while the documents stay
+    distinct): drop every paragraph whose exact content appeared
+    earlier in the corpus — the first occurrence by (doc id, position)
+    survives, so one canonical copy remains (unlike
+    remove_duplicate_spans' remove-all semantics, which targets
+    fragments) — then reassemble documents from the survivors.
+
+    Scale shape: paragraphs shuffle ONCE on their md5 (128-bit,
+    collision-free at corpus scale and byte-identical across engines
+    for the SQL oracle); the first-occurrence winner is a map-side
+    combined min over the (doc_id, idx) struct; reassembly is one
+    groupBy(doc) with a deterministic sort_array.  A boilerplate
+    paragraph shared by 1M docs is 1M rows on one hash key — partial
+    aggregation absorbs the min side, and AQE's skew-join splits the
+    winner attach.
+
+    Returns (id_col, clean_text, n_paras, n_removed), one row per
+    input document; fully-boilerplate documents survive with empty
+    text (filter ``n_removed == n_paras`` downstream to drop them).
+    Paragraphs are trimmed non-empty lines; reassembly joins with
+    single newlines (blank-line runs collapse — documented
+    normalization, same discipline as remove_duplicate_spans).
+    """
+    paras = F.filter(F.transform(F.split(F.col(text_col), "\n"),
+                                 lambda x: F.trim(x)),
+                     lambda x: x != "")
+    ex = (df.select(F.col(id_col), F.posexplode(paras).alias("idx", "para"))
+          .withColumn("ph", F.md5(F.col("para"))))
+    winners = ex.groupBy("ph").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("idx").alias("i")))
+         .alias("_w"))
+    kept = (ex.join(winners, "ph")
+            .filter((F.col(id_col) == F.col("_w.d"))
+                    & (F.col("idx") == F.col("_w.i"))))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "para"))),
+            lambda s: s["para"])).alias("clean_text"))
+    totals = df.select(F.col(id_col), F.size(paras).cast("long").alias("n_paras"))
+    return (totals.join(rebuilt, on=id_col, how="left")
+            .select(F.col(id_col),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_paras",
+                    (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0)))
+                    .cast("long").alias("n_removed")))

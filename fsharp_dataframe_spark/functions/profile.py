@@ -87,3 +87,48 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
                 mx.alias("max_val"),
             ))
     return reduce(DataFrame.unionAll, branches)
+
+
+def vocab_divergence(df_a: DataFrame, df_b: DataFrame,
+                     text_col: str = "text", alpha: float = 1.0) -> DataFrame:
+    """Per-token contribution to KL(P‖Q) between two corpora's
+    add-alpha unigram distributions over their UNION vocabulary — the
+    drift/mixing QA op a training pipeline runs when a new crawl,
+    domain slice, or re-weighted mixture arrives: the total is the
+    divergence, and the top contributing tokens are the actionable
+    diagnosis (which vocabulary makes corpus A unlike corpus B).
+
+    kl_term = p·ln(p/q) with p = (c_a+α)/(N_a+α·V), q analog; terms
+    are rounded to millionths so the per-token table (and any sum over
+    it) is reproducible across engines — ln() ulp differences sit ~4
+    orders below the quantum.  Σ kl_term ≥ 0 up to quantization
+    (Gibbs), 0 iff the distributions agree.
+
+    Scale shape: one token-keyed groupBy per corpus, a full-outer join
+    of the two count tables (vocabulary-sized, not corpus-sized), and
+    a 3-scalar totals fetch — nothing larger than the vocabulary ever
+    shuffles twice.  Returns (token, c_a, c_b, kl_term).
+    """
+    from fsharp_dataframe_spark.functions.text import tokens
+    from fsharp_dataframe_spark.functions.util import spread, track_persist
+
+    def counts(src: DataFrame, out: str) -> DataFrame:
+        return (spread(src, text_col)
+                .select(F.explode(tokens(F.lower(F.col(text_col))))
+                        .alias("token"))
+                .groupBy("token").agg(F.count("*").alias(out)))
+
+    joined = track_persist(
+        counts(df_a, "_ca").join(counts(df_b, "_cb"), on="token",
+                                 how="full_outer")
+        .select("token",
+                F.coalesce("_ca", F.lit(0)).alias("c_a"),
+                F.coalesce("_cb", F.lit(0)).alias("c_b")))
+    tot = joined.agg(F.sum("c_a"), F.sum("c_b"), F.count("*")).first()
+    n_a, n_b, v = int(tot[0] or 0), int(tot[1] or 0), int(tot[2] or 0)
+    denom_a = float(n_a + alpha * v)
+    denom_b = float(n_b + alpha * v)
+    p = (F.col("c_a") + F.lit(float(alpha))) / F.lit(denom_a)
+    q = (F.col("c_b") + F.lit(float(alpha))) / F.lit(denom_b)
+    return joined.select("token", "c_a", "c_b",
+                         F.round(p * F.log(p / q), 6).alias("kl_term"))

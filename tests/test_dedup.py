@@ -282,3 +282,25 @@ def test_remove_duplicate_spans_hash_family_and_xxh_agree(spark):
     got = {r["doc_id"]: r["clean_text"]
            for r in remove_duplicate_spans(docs, k=5).collect()}
     assert got == {0: "", 1: "", 2: "short doc"}
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """CCNet paragraph-grain dedup: the first (doc_id, position)
+    occurrence of a paragraph survives corpus-wide, later repeats drop
+    (including within-document repeats), documents reassemble in
+    order, and fully-boilerplate docs survive with empty text."""
+    from fsharp_dataframe_spark.functions.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "alpha one\nSHARED FOOTER\nbeta two"),
+        (2, "SHARED FOOTER\ngamma three\ngamma three"),  # cross + self dup
+        (3, "SHARED FOOTER"),                            # all boilerplate
+        (4, "  alpha one  \n\n  delta four "),           # trim + blank line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
+           for r in dedup_paragraphs(df).collect()}
+    assert got[1] == ("alpha one\nSHARED FOOTER\nbeta two", 3, 0)
+    assert got[2] == ("gamma three", 3, 2)
+    assert got[3] == ("", 1, 1)
+    assert got[4] == ("delta four", 2, 1)

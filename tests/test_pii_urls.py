@@ -114,3 +114,29 @@ def test_strip_html_nested_entities_single_unescape(spark):
                                "t string")
     assert df.select(strip_html(F.col("t"))).first()[0] == \
         "use &lt;b&gt; for bold"
+
+
+def test_vocab_divergence_semantics(spark):
+    """KL contributions: identical corpora diverge ~0; a planted
+    drift token dominates the ranking; total is nonnegative (Gibbs,
+    up to the millionth quantization)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_dataframe_spark.functions.profile import vocab_divergence
+    from fsharp_dataframe_spark.functions.util import release_cached
+
+    base = [(i, "common words shared by both corpora") for i in range(20)]
+    drift = [(100 + i, "common words shared plus driftword driftword")
+             for i in range(20)]
+    a = spark.createDataFrame(base + drift, "doc_id long, text string")
+    b = spark.createDataFrame(base, "doc_id long, text string")
+
+    same = vocab_divergence(b, b).agg(F.sum("kl_term")).first()[0]
+    assert abs(same) < 1e-4
+
+    div = vocab_divergence(a, b)
+    total = div.agg(F.sum("kl_term")).first()[0]
+    top = div.orderBy(F.col("kl_term").desc()).first()
+    release_cached()
+    assert total > 0
+    assert top["token"] == "driftword" and top["c_b"] == 0
