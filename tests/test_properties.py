@@ -304,3 +304,74 @@ def test_funnel_matches_sequential_reference(spark, evs):
         for k in range(stage):
             exp[steps[k]] += 1
     assert got == exp
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                 min_size=0, max_size=40).map(" ".join),
+        min_size=1, max_size=8),
+    max_tokens=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+@settings(**SETTINGS)
+def test_chunk_documents_matches_sequential(spark, texts, max_tokens, overlap):
+    """Any (max_tokens, overlap < max_tokens) config reproduces the
+    sequential chunker: coverage (concatenating chunks at stride
+    offsets rebuilds the token stream), counts, and slicing."""
+    from fsharp_dataframe_spark.functions.sampling import chunk_documents
+
+    overlap = min(overlap, max_tokens - 1)
+    stride = max_tokens - overlap
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(df, max_tokens=max_tokens,
+                                 overlap=overlap).collect())
+    ref = []
+    for doc_id, text in enumerate(texts):
+        t = text.split()
+        n_chunks = max(-(-(len(t) - overlap) // stride), 1)
+        for i in range(n_chunks):
+            ref.append((doc_id, i, " ".join(t[i * stride:i * stride + max_tokens])))
+    assert got == sorted(ref)
+
+
+@given(
+    paras=st.lists(
+        st.lists(st.sampled_from(["p1", "p2", "p3", "p4", "p5"]),
+                 min_size=0, max_size=6).map("\n".join),
+        min_size=1, max_size=8),
+)
+@settings(**SETTINGS)
+def test_dedup_paragraphs_survivors_are_distinct_set(spark, paras):
+    """Corpus-wide invariants for any paragraph layout: surviving
+    paragraphs = exactly the DISTINCT paragraph set, removals account
+    for every repeat, and survivors keep first-occurrence positions."""
+    from collections import Counter
+
+    from fsharp_dataframe_spark.functions.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(list(enumerate(paras)),
+                               "doc_id long, text string")
+    rows = dedup_paragraphs(df).collect()
+    all_paras = Counter()
+    for text in paras:
+        all_paras.update(p for p in (x.strip() for x in text.split("\n")) if p)
+    survivors = Counter()
+    for r in rows:
+        survivors.update(p for p in r["clean_text"].split("\n") if p)
+    assert survivors == Counter(set(all_paras))
+    assert sum(r["n_removed"] for r in rows) == (
+        sum(all_paras.values()) - len(set(all_paras)))
+    # first occurrence wins: doc order of each survivor == min doc
+    # containing it
+    first_doc = {}
+    for doc_id, text in enumerate(paras):
+        for p in (x.strip() for x in text.split("\n")):
+            if p and p not in first_doc:
+                first_doc[p] = doc_id
+    for r in rows:
+        for p in (x for x in r["clean_text"].split("\n") if x):
+            assert first_doc[p] == r["doc_id"]
