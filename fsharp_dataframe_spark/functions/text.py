@@ -353,15 +353,23 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
         return spread(src, text_col, *cols).select(
             *cols, F.explode(bg).alias("bg"))
 
-    train_src = train_df if train_df is not None else df
-    train_bi = bigram_rel(train_src)
+    if train_df is None:
+        # self-scoring (the common case): ONE tokenize+explode pass
+        # feeds both the count tables and the scoring join — persisted
+        # through the tracked-cache registry rather than recomputed
+        from fsharp_dataframe_spark.functions.util import track_persist
+
+        doc_bi = track_persist(bigram_rel(df, id_col))
+        train_bi = doc_bi
+    else:
+        train_bi = bigram_rel(train_df)
+        doc_bi = bigram_rel(df, id_col)
     cb = train_bi.groupBy("bg").agg(F.count("*").alias("_cb"))
     cw = (train_bi.select(F.substring_index("bg", " ", 1).alias("w1"))
           .groupBy("w1").agg(F.count("*").alias("_cw")))
     v_size = (train_bi.select(F.substring_index("bg", " ", -1).alias("w2"))
               .agg(F.countDistinct("w2")).first()[0] or 0)
 
-    doc_bi = bigram_rel(df, id_col)
     joined = (doc_bi
               .join(cb, on="bg", how="left")
               .join(cw, on=F.substring_index(doc_bi["bg"], " ", 1) == cw["w1"],
