@@ -890,6 +890,73 @@ def q_vocab_drift(spark, sf) -> DataFrame:
     return div.orderBy(F.col("kl_term").desc(), F.col("token")).limit(20)
 
 
+def q_fill_linear(spark, sf) -> DataFrame:
+    """Linear interpolation fill (Series.fill_missing("linear"),
+    parity-plus over the reference's Forward/Backward Direction enum,
+    src/SeriesModule.fs:652-655): event values with every 7th key
+    blanked, interior gaps rebuilt from the nearest known neighbours
+    along the integer key axis on the bucketed carry-cascade substrate
+    (operators/bucketed.bucketed_linear_interpolate — no global
+    window).  Edge gaps stay NULL.  The interpolation expression uses
+    one fixed association replayed verbatim by the oracle, rounded to
+    6 decimals on both sides."""
+    ev = load_table(spark, sf, "events")
+    gapped = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+        .alias("value"))
+    s = Series(gapped, key="event_id", value="value", ordered=True)
+    out = s.fill_missing("linear", bucketed=True)
+    return out.df.select("event_id", F.round(F.col("value"), 6).alias("value"))
+
+
+def q_rolling_corr(spark, sf) -> DataFrame:
+    """Trailing 20-row Pearson correlation of quantity vs extended
+    price per supplier (Frame.rolling_corr — the two-column extension
+    of windowSizeInto, src/SeriesModule.fs:281-301): per-entity window
+    partitioning, zero-variance/short windows NULL.  Price is
+    quantized to integer cents (corr is scale-invariant) so every
+    windowed moment sum is exact and the one remaining double
+    expression replays bit-identically in the oracle."""
+    li = load_table(spark, sf, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the driver's testdata;
+    # l_partkey breaks the tie so the window order is total
+    fr = Frame(li.select("l_suppkey", "l_orderkey", "l_linenumber",
+                         "l_partkey", "l_quantity",
+                         F.round(F.col("l_extendedprice") * 100)
+                         .alias("price_cents")),
+               key=["l_suppkey", "l_orderkey", "l_linenumber", "l_partkey"],
+               ordered=True)
+    out = fr.rolling_corr("l_quantity", "price_cents", 20,
+                          by=["l_suppkey"])
+    return out.df.select("l_suppkey", "l_orderkey", "l_linenumber",
+                         "l_partkey",
+                         F.round(F.col("rolling_corr"), 6).alias("corr20"))
+
+
+def q_pack_sequences(spark, sf) -> DataFrame:
+    """Concat-and-split sequence packing into 2048-token training
+    sequences (functions/sampling.pack_sequences): bucketed exclusive
+    prefix sum for the global token offset, then a narrow explode of
+    each document's overlapped sequence spans — pure integer
+    arithmetic, exact oracle."""
+    from fsharp_dataframe_spark.functions.sampling import pack_sequences
+
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences(docs, seq_len=2048)
+
+
+def q_pmi_collocations(spark, sf) -> DataFrame:
+    """Top-25 PMI collocations (functions/text.pmi_collocations,
+    Church & Hanks 1990): adjacent-bigram vs unigram stream counts,
+    PMI quantized to integer micro-nats so ordering and hashing are
+    engine-exact."""
+    from fsharp_dataframe_spark.functions.text import pmi_collocations
+
+    docs = load_table(spark, sf, "documents")
+    return pmi_collocations(docs, k=25, min_count=5)
+
+
 def q_dedup_paragraphs(spark, sf) -> DataFrame:
     """CCNet paragraph-grain dedup (functions/dedup.dedup_paragraphs):
     first corpus-wide occurrence of each exact paragraph survives,
@@ -1504,7 +1571,9 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  # new this round, held out pending next rotation (the
                  # local oracle gate covers them; window stays at 50)
                  "embed_project", "bigram_quality", "quality_classifier",
-                 "dedup_paragraphs", "vocab_drift")
+                 "dedup_paragraphs", "vocab_drift",
+                 "fill_linear", "rolling_corr", "pack_sequences",
+                 "pmi_collocations")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1612,6 +1681,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "dedup_paragraphs": q_dedup_paragraphs,
         "vocab_drift": q_vocab_drift,
+        "fill_linear": q_fill_linear,
+        "rolling_corr": q_rolling_corr,
+        "pack_sequences": q_pack_sequences,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -3102,6 +3175,117 @@ def _all_oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_orderpriority)::BIGINT,
                    NULL::DOUBLE, NULL::DOUBLE
             FROM orders
+        """,
+        # linear interpolation: IGNORE NULLS prev/next (key,value)
+        # structs, then the IDENTICAL association Spark evaluates:
+        # pv + (nv - pv) * ((k - pk) / (nk - pk)); edges stay NULL
+        "fill_linear": """
+            WITH s AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+              FROM events),
+            st AS (
+              SELECT event_id, v,
+                     last_value(CASE WHEN v IS NOT NULL THEN
+                         struct_pack(k := event_id::DOUBLE, v := v) END
+                         IGNORE NULLS)
+                       OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                     first_value(CASE WHEN v IS NOT NULL THEN
+                         struct_pack(k := event_id::DOUBLE, v := v) END
+                         IGNORE NULLS)
+                       OVER (ORDER BY event_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+              FROM s)
+            SELECT event_id,
+                   round(CASE
+                     WHEN v IS NOT NULL THEN v
+                     WHEN p IS NOT NULL AND n IS NOT NULL THEN
+                       CASE WHEN n.k <> p.k THEN
+                         p.v + (n.v - p.v) * ((event_id::DOUBLE - p.k) / (n.k - p.k))
+                       ELSE p.v END
+                     END, 6) AS value
+            FROM st
+        """,
+        # the same six exact integer moment sums and the IDENTICAL
+        # double association Spark evaluates (frame_rolling_corr):
+        # (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+        "rolling_corr": """
+            WITH b AS (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+                     l_quantity::DOUBLE AS x,
+                     round(l_extendedprice * 100)::DOUBLE AS y
+              FROM lineitem),
+            m AS (
+              SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+                     count(*) OVER w ::DOUBLE AS n,
+                     sum(x) OVER w ::DOUBLE AS sx,
+                     sum(y) OVER w ::DOUBLE AS sy,
+                     sum(x * x) OVER w ::DOUBLE AS sxx,
+                     sum(y * y) OVER w ::DOUBLE AS syy,
+                     sum(x * y) OVER w ::DOUBLE AS sxy
+              FROM b
+              WINDOW w AS (PARTITION BY l_suppkey
+                           ORDER BY l_orderkey, l_linenumber, l_partkey
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+            SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+                   round(CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                                        AND (n * syy - sy * sy) > 0
+                         THEN (n * sxy - sx * sy)
+                              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         END, 6) AS corr20
+            FROM m
+        """,
+        # concat-and-split packing: exclusive window prefix sum over
+        # doc_id order + a range() unnest of each doc's sequence span —
+        # integer arithmetic end to end (exact hash)
+        "pack_sequences": """
+            WITH w AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))::BIGINT AS n_tokens
+              FROM documents),
+            nz AS (SELECT * FROM w WHERE n_tokens > 0),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+              FROM nz),
+            e AS (
+              SELECT doc_id, n_tokens, cum,
+                     unnest(range(cum // 2048, (cum + n_tokens - 1) // 2048 + 1)) AS seq_id
+              FROM c)
+            SELECT doc_id, seq_id,
+                   greatest(seq_id * 2048 - cum, 0)::BIGINT AS tok_begin,
+                   least((seq_id + 1) * 2048 - cum, n_tokens)::BIGINT AS tok_end,
+                   greatest(cum - seq_id * 2048, 0)::BIGINT AS seq_begin
+            FROM e
+        """,
+        # PMI in the IDENTICAL double association Spark evaluates:
+        # ln(((n_pair*N)*N) / ((B*c1)*c2)), quantized to micro-nats
+        "pmi_collocations": """
+            WITH t AS (
+              SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            uni AS (SELECT unnest(toks) AS w FROM t),
+            pairs AS (
+              SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+              FROM t WHERE len(toks) >= 2),
+            bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM pairs),
+            cb AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+            cu AS (SELECT w, count(*) AS n_w FROM uni GROUP BY 1),
+            n AS (SELECT (SELECT count(*) FROM uni)::DOUBLE AS nt,
+                         (SELECT count(*) FROM bg)::DOUBLE AS bt)
+            SELECT cb.w1 AS w1, cb.w2 AS w2, cb.n_pair AS n_pair,
+                   round(ln(((cb.n_pair::DOUBLE * n.nt) * n.nt)
+                            / ((n.bt * c1.n_w::DOUBLE) * c2.n_w::DOUBLE))
+                         * 1e6)::BIGINT AS pmi_micro
+            FROM cb, n
+            JOIN cu c1 ON cb.w1 = c1.w
+            JOIN cu c2 ON cb.w2 = c2.w
+            WHERE cb.n_pair >= 5
+            ORDER BY pmi_micro DESC, w1, w2
+            LIMIT 25
         """,
     }
 

@@ -340,6 +340,19 @@ class Frame:
         )
         return self._with_df(out)
 
+    def rolling_corr(self, x_col: str, y_col: str, n: int,
+                     by: list[str] | None = None, bucketed: bool = False,
+                     out_col: str = "rolling_corr") -> "Frame":
+        """Trailing n-row Pearson correlation of two columns (parity-plus
+        over `windowSizeInto`, src/SeriesModule.fs:281-301 — see
+        operators/window.frame_rolling_corr for the scale story)."""
+        self._require_ordered("rolling_corr")
+        from fsharp_dataframe_spark.operators.window import frame_rolling_corr
+
+        out = frame_rolling_corr(self.df, self.key_cols, x_col, y_col, n,
+                                 by=by, bucketed=bucketed, out_col=out_col)
+        return self._with_df(out)
+
     def diff(self, n: int, by: list[str] | None = None) -> "Frame":
         """`Frame.diff` (src/FrameModule.fs:453-454): float-convertible
         columns become x[k]-x[k-n]; other columns pass through unchanged

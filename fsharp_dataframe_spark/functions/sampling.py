@@ -168,6 +168,51 @@ def pack_shards(df: DataFrame, target_tokens: int,
         F.floor(F.col("__gcum") / F.lit(int(target_tokens))).cast("long").alias("shard"))
 
 
+def pack_sequences(df: DataFrame, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_buckets: int = 64) -> DataFrame:
+    """Concat-and-split sequence packing: lay every document's tokens
+    end-to-end in id order and cut the stream into fixed ``seq_len``
+    training sequences — the packing discipline of GPT-style
+    pretraining (one sequence = seq_len tokens, documents split across
+    sequence boundaries rather than padded).
+
+    Output: one row per (document × overlapped sequence) with
+    ``seq_id``, the doc-relative token span [tok_begin, tok_end) that
+    lands in the sequence, and ``seq_begin`` — where that span starts
+    inside the sequence.  A downstream tokenizer shuffle-reads by
+    seq_id and reassembles each sequence from its (few) contributing
+    spans; the last sequence may be short.
+
+    Scale shape: the global token offset comes from the bucketed
+    exclusive prefix sum (`with_global_weighted_cumsum` — quantile
+    buckets + an n_buckets-row census, no global window); the
+    per-sequence fan-out is a narrow explode of at most
+    ceil(n_tokens/seq_len)+1 rows per document.  Pure integer
+    arithmetic end to end — ingest/retry/partition-stable.
+    """
+    L = int(seq_len)
+    wdf = df.select(F.col(id_col),
+                    bpe_ish_token_count(F.col(text_col)).cast("long")
+                    .alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    out, _total = with_global_weighted_cumsum(wdf, [id_col], "n_tokens", n_buckets)
+    cum = F.col("__gcum")
+    first_seq = F.floor(cum / L)
+    last_seq = F.floor((cum + F.col("n_tokens") - 1) / L)
+    s = F.col("seq_id")
+    return (out.select(
+        id_col, "n_tokens", cum.alias("__cum"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"))
+        .select(
+            id_col, "seq_id",
+            F.greatest(s * L - F.col("__cum"), F.lit(0)).cast("long")
+            .alias("tok_begin"),
+            F.least((s + 1) * L - F.col("__cum"), F.col("n_tokens"))
+            .cast("long").alias("tok_end"),
+            F.greatest(F.col("__cum") - s * L, F.lit(0)).cast("long")
+            .alias("seq_begin")))
+
+
 def stratified_sample(df: DataFrame, group_col: str, k: int,
                       id_col: str = "doc_id") -> DataFrame:
     """Exactly min(k, group size) rows per group, deterministically:

@@ -313,6 +313,57 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
                  .alias("mean_logprob")))
 
 
+def pmi_collocations(df: DataFrame, k: int = 50, text_col: str = "text",
+                     min_count: int = 5) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: word pairs
+    that co-occur as adjacent bigrams far more often than their
+    unigram frequencies predict (Church & Hanks 1990) — the standard
+    corpus-analysis pass for multi-word expressions ("new york",
+    "machine learning") and for spotting templated boilerplate whose
+    bigrams have pathological PMI.
+
+    PMI(w1,w2) = ln( P(w1 w2) / (P(w1)·P(w2)) ) with P from bigram /
+    unigram stream counts; pairs below ``min_count`` occurrences are
+    dropped (rare-pair PMI is noise).
+
+    Scale shape: ONE tokenize pass feeds a narrow zip_with bigram
+    relation (no positional self-join); counts are two token-keyed
+    groupBys with map-side combine; N and B are two scalar aggregates;
+    the rest is a broadcast-joined expression and a global TakeOrdered
+    of k rows.  The PMI is quantized to integer MICRO-nats
+    (round(pmi·1e6) as BIGINT) so ordering and oracle comparison are
+    exact across engines.
+
+    Returns (w1, w2, n_pair, pmi_micro), pmi desc / w1 / w2 order.
+    """
+    t = tokens(F.lower(F.col(text_col)))
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    pairs = df.select(F.explode(
+        F.zip_with(F.slice(t, 1, n1), F.slice(t, 2, n1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+        .alias("p")).select("p.w1", "p.w2")
+    uni = df.select(F.explode(t).alias("w"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    cu = uni.groupBy("w").agg(F.count("*").alias("n_w"))
+    n_total = uni.count()
+    b_total = pairs.count()
+    # double-domain products in a FIXED association so the oracle can
+    # replay the identical IEEE value: ((n_pair*N)*N) / (((B*c1)*c2))
+    nd, bd = float(n_total), float(b_total)
+    c1, c2 = F.col("n_w1").cast("double"), F.col("n_w2").cast("double")
+    ratio = ((F.col("n_pair").cast("double") * F.lit(nd)) * F.lit(nd)) / (
+        (F.lit(bd) * c1) * c2)
+    scored = (cb.filter(F.col("n_pair") >= min_count)
+              .join(cu.withColumnRenamed("w", "w1")
+                      .withColumnRenamed("n_w", "n_w1"), on="w1")
+              .join(cu.withColumnRenamed("w", "w2")
+                      .withColumnRenamed("n_w", "n_w2"), on="w2")
+              .select("w1", "w2", "n_pair",
+                      F.round(F.log(ratio) * 1e6).cast("long")
+                      .alias("pmi_micro")))
+    return (scored.orderBy(F.col("pmi_micro").desc(), "w1", "w2").limit(k))
+
+
 def bigram_logprob_score(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          train_df: DataFrame | None = None,

@@ -259,3 +259,86 @@ def bucketed_directional_fill(
         .drop(_B, *[f"__carry_{c}" for c in value_cols])
     )
     return out
+
+
+def bucketed_linear_interpolate(
+    df: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str] | str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Global linear interpolation of interior missing values WITHOUT a
+    single-partition window (the two-directional sibling of
+    `bucketed_directional_fill`).
+
+    A missing row takes ``pv + (nv - pv) * ((k - pk) / (nk - pk))``
+    where (pk, pv) / (nk, nv) are the nearest non-null neighbours by
+    key on either side and k is the row's leading key cast to double
+    (numeric or timestamp x-axis).  Values before the first known or
+    after the last known point stay NULL — interpolation is strictly
+    interior, matching the edge discipline of the reference's
+    directional fills (src/SeriesModule.fs:652-655; parity-plus: the
+    reference has Forward/Backward only).
+
+    Scale shape: per-bucket prev/next (key,value) structs via two
+    in-bucket window passes, then ONE carry value per bucket per
+    direction cascaded over the tiny bucket spine and broadcast back —
+    identical cost profile to the directional fill (one hash shuffle on
+    bucket id + an n_buckets-row cascade), valid at any series length.
+    """
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    order = [F.col(c) for c in key_cols]
+    kd = F.col(key_cols[0]).cast("double")
+    cuts = range_cuts(df, key_cols[0], n_buckets)
+    b = _bucket_expr(F.col(key_cols[0]), cuts) if cuts else F.lit(0)
+    base = df.withColumn(_B, b)
+    w_p = Window.partitionBy(_B).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0)
+    w_n = Window.partitionBy(_B).orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing)
+
+    def known(c: str) -> Column:
+        return F.when(F.col(c).isNotNull(),
+                      F.struct(kd.alias("k"), F.col(c).alias("v")))
+
+    prev_in = {f"__p_{c}": F.last(known(c), ignorenulls=True).over(w_p)
+               for c in value_cols}
+    next_in = {f"__n_{c}": F.first(known(c), ignorenulls=True).over(w_n)
+               for c in value_cols}
+    # per-bucket boundary structs: the LAST non-null (k,v) carries
+    # forward into later buckets, the FIRST carries backward
+    edges = []
+    for c in value_cols:
+        sel = F.when(F.col(c).isNotNull(), F.struct(*order))
+        kv = F.struct(kd.alias("k"), F.col(c).alias("v"))
+        edges.append(F.max_by(F.when(F.col(c).isNotNull(), kv), sel)
+                     .alias(f"__last_{c}"))
+        edges.append(F.min_by(F.when(F.col(c).isNotNull(), kv), sel)
+                     .alias(f"__first_{c}"))
+    w_fwd = Window.orderBy(F.col(_B)).rowsBetween(Window.unboundedPreceding, -1)
+    w_bwd = Window.orderBy(F.col(_B)).rowsBetween(1, Window.unboundedFollowing)
+    carry_picks = []
+    for c in value_cols:
+        carry_picks.append(F.last(F.col(f"__last_{c}"), ignorenulls=True)
+                           .over(w_fwd).alias(f"__cp_{c}"))
+        carry_picks.append(F.first(F.col(f"__first_{c}"), ignorenulls=True)
+                           .over(w_bwd).alias(f"__cn_{c}"))
+    spine = base.select(_B).distinct()
+    per_bucket = base.groupBy(_B).agg(*edges)
+    carry = spine.join(per_bucket, _B, "left").select(F.col(_B), *carry_picks)
+    staged = (base.withColumns(prev_in).withColumns(next_in)
+              .join(F.broadcast(carry), on=_B, how="left"))
+    fills = {}
+    for c in value_cols:
+        p = F.coalesce(F.col(f"__p_{c}"), F.col(f"__cp_{c}"))
+        n = F.coalesce(F.col(f"__n_{c}"), F.col(f"__cn_{c}"))
+        interp = F.when(
+            n["k"] != p["k"],
+            p["v"] + (n["v"] - p["v"]) * ((kd - p["k"]) / (n["k"] - p["k"]))
+        ).otherwise(p["v"])
+        fills[c] = F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+            F.when(p.isNotNull() & n.isNotNull(), interp))
+    out = staged.withColumns(fills).drop(
+        _B, *[f"__{pre}_{c}" for c in value_cols for pre in ("p", "n", "cp", "cn")])
+    return out

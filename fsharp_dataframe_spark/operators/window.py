@@ -156,6 +156,68 @@ def series_window_size(s: Series, n: int, agg: Callable[[Column], Column],
     return s._with_df(out, canonicalize=True)
 
 
+def frame_rolling_corr(df, key_cols: list[str], x_col: str, y_col: str,
+                       n: int, by: list[str] | None = None,
+                       bucketed: bool = False, n_buckets: int = 64,
+                       out_col: str = "rolling_corr"):
+    """Trailing n-row Pearson correlation of two frame columns — the
+    two-column sibling of `windowSizeInto` (src/SeriesModule.fs:281-301;
+    parity-plus: the reference aggregates one series per window, rolling
+    pairwise stats are the standard finance extension of its
+    moving-window API).
+
+    Each row gets `corr(x, y)` over the trailing window of up to n rows
+    (window shrinks at the series head — SQL frame semantics).  Windows
+    with < 2 pairs, or a zero-variance side, yield NULL.
+
+    The correlation is computed from six windowed moment sums with the
+    guard OUTSIDE the division — not via `F.corr`, whose internal
+    ``ck / sqrt(xMk·yMk)`` THROWS under Spark 4's default ANSI mode the
+    moment one window has zero variance (a constant 20-row run of a
+    metric is routine in real data).  Bonus: when x and y are
+    integer-valued (quantize first if needed — corr is invariant to
+    positive affine scaling), every windowed sum is exact whatever the
+    engine's fold order, so the remaining double arithmetic is one
+    fixed association and the result replays bit-identically in a SQL
+    oracle.
+
+    Scale shape: with ``by=`` a per-entity window (linear scale-out);
+    the global form with ``bucketed=True`` runs on halo-replicated range
+    buckets (ghost rows give every bucket its n-1 predecessors) — no
+    single-partition window at any series length.
+    """
+    from pyspark.sql import functions as F
+
+    order = [F.col(k) for k in key_cols]
+    if bucketed and not by:
+        from fsharp_dataframe_spark.operators.bucketed import haloed_lag_frame
+
+        aug, base, keep = haloed_lag_frame(
+            df, key_cols, halo_back=n - 1, n_buckets=n_buckets)
+    else:
+        by = by or []
+        o = [F.col(k) for k in key_cols if k not in by] or order
+        aug, base, keep = df, Window.partitionBy(*by).orderBy(*o), F.lit(True)
+    frame = base.rowsBetween(-(n - 1), 0)
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    pair = F.when(x.isNotNull() & y.isNotNull(), 1)
+    cnt = F.sum(pair).over(frame).cast("double")
+    sx = F.sum(F.when(pair.isNotNull(), x)).over(frame)
+    sy = F.sum(F.when(pair.isNotNull(), y)).over(frame)
+    sxx = F.sum(F.when(pair.isNotNull(), x * x)).over(frame)
+    syy = F.sum(F.when(pair.isNotNull(), y * y)).over(frame)
+    sxy = F.sum(F.when(pair.isNotNull(), x * y)).over(frame)
+    num = cnt * sxy - sx * sy
+    den1 = cnt * sxx - sx * sx
+    den2 = cnt * syy - sy * sy
+    c = F.when((cnt >= 2) & (den1 > 0) & (den2 > 0),
+               num / F.sqrt(den1 * den2))
+    out = (aug.withColumns({out_col: c, "__keep": keep})
+           .filter(F.col("__keep"))
+           .drop("__keep", "__gbucket", "__ghost"))
+    return out
+
+
 def series_chunk_size(s: Series, n: int, agg: Callable[[Column], Column],
                       boundary: str = AT_ENDING, by: list[str] | None = None,
                       bucketed: bool = False, n_buckets: int = 64) -> Series:

@@ -521,15 +521,27 @@ class Series:
         fill + one cascaded edge value per bucket — no data-sized
         single-partition window; ``bucketed=False`` forces the plain
         shape).
+
+        ``direction="linear"`` (parity-plus — the reference enum stops
+        at Forward/Backward) interpolates interior gaps between the
+        nearest known neighbours along the leading key's numeric axis;
+        edge gaps stay missing.
         """
         self._require_ordered("fill_missing(direction)")
         if not by and bucketed:
             from fsharp_dataframe_spark.operators.bucketed import (
                 bucketed_directional_fill,
+                bucketed_linear_interpolate,
             )
 
-            out = bucketed_directional_fill(
-                self.df, self.key_cols, self.value_col, direction)
+            if direction == "linear":
+                out = bucketed_linear_interpolate(
+                    self.df, self.key_cols, self.value_col)
+            elif direction in ("forward", "backward"):
+                out = bucketed_directional_fill(
+                    self.df, self.key_cols, self.value_col, direction)
+            else:
+                raise ValueError(direction)
             return self._with_df(out)
         w = Window.partitionBy(*(by or [])).orderBy(*self._key_order())
         if direction == "forward":
@@ -538,6 +550,24 @@ class Series:
         elif direction == "backward":
             w = w.rowsBetween(0, Window.unboundedFollowing)
             fill = F.first(self.value, ignorenulls=True).over(w)
+        elif direction == "linear":
+            # interpolation x-axis = the leading ORDER key (the first
+            # key level not consumed by the by= partitioning)
+            axis = next((k for k in self.key_cols if k not in (by or [])),
+                        self.key_cols[0])
+            kd = F.col(axis).cast("double")
+            known = F.when(self.value.isNotNull(),
+                           F.struct(kd.alias("k"), self.value.alias("v")))
+            w_p = w.rowsBetween(Window.unboundedPreceding, 0)
+            w_n = w.rowsBetween(0, Window.unboundedFollowing)
+            p = F.last(known, ignorenulls=True).over(w_p)
+            n = F.first(known, ignorenulls=True).over(w_n)
+            interp = F.when(
+                n["k"] != p["k"],
+                p["v"] + (n["v"] - p["v"]) * ((kd - p["k"]) / (n["k"] - p["k"]))
+            ).otherwise(p["v"])
+            fill = F.when(self.value.isNotNull(), self.value).otherwise(
+                F.when(p.isNotNull() & n.isNotNull(), interp))
         else:
             raise ValueError(direction)
         out = self.df.withColumn(self.value_col, fill)

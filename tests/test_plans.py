@@ -304,6 +304,9 @@ _AUDIT_ALLOW = {
     "resample_keys": ("rdd_scan",),
     "resample_uniform": ("single_partition",),
     "fill_forward": ("cartesian", "single_partition"),
+    # linear fill: the n_buckets-row carry-cascade spine (same shape as
+    # the directional fill's allowance above)
+    "fill_linear": ("single_partition",),
     "drop_missing": ("cartesian", "single_partition"),
     "lookup_time_fwd": ("single_partition",),
     "first_last": ("rdd_scan",),

@@ -1,0 +1,197 @@
+"""Round-5 additions: linear interpolation fill, rolling correlation,
+concat-and-split sequence packing, PMI collocations.
+
+Each operator is pinned against an independent sequential reference
+(pandas or hand-computed) and, where a bucketed global path exists,
+against its plain-window sibling.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark import Frame, Series
+
+
+# ----------------------------------------------------------------------
+# fill_missing("linear")
+# ----------------------------------------------------------------------
+
+def _gappy_pdf(n=200, seed=3):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=n) * 10
+    mask = rng.random(n) < 0.3
+    v[mask] = np.nan
+    v[0] = np.nan  # leading edge gap must STAY missing
+    v[-1] = np.nan  # trailing edge gap must STAY missing
+    return pd.DataFrame({"k": np.arange(n, dtype="int64"), "v": v})
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_fill_linear_matches_pandas(spark, bucketed):
+    pdf = _gappy_pdf()
+    s = Series(spark.createDataFrame(pdf), key="k", value="v", ordered=True)
+    out = s.fill_missing("linear", bucketed=bucketed).df.orderBy("k").toPandas()
+    ref = pdf.set_index("k")["v"].interpolate(method="index", limit_area="inside")
+    assert np.allclose(out["v"].to_numpy(), ref.to_numpy(), equal_nan=True)
+
+
+def test_fill_linear_keyed_matches_pandas(spark):
+    pdf = _gappy_pdf(300)
+    pdf["g"] = pdf["k"] % 3
+    s = Series(spark.createDataFrame(pdf), key=["g", "k"], value="v", ordered=True)
+    out = (s.fill_missing("linear", by=["g"]).df
+           .orderBy("g", "k").toPandas())
+    ref = (pdf.sort_values(["g", "k"])
+           .groupby("g", group_keys=False)
+           .apply(lambda d: d.assign(v=d.set_index("k")["v"].interpolate(
+               method="index", limit_area="inside").to_numpy()),
+               include_groups=True))
+    assert np.allclose(out["v"].to_numpy(), ref["v"].to_numpy(), equal_nan=True)
+
+
+def test_fill_linear_uses_key_distance_not_row_distance(spark):
+    # interpolation is along the KEY axis: a gap at key 10 between
+    # known points at keys 0 and 40 is weighted 1/4, not 1/2
+    pdf = pd.DataFrame({"k": [0, 10, 40], "v": [0.0, None, 100.0]})
+    s = Series(spark.createDataFrame(pdf), key="k", value="v", ordered=True)
+    out = s.fill_missing("linear", bucketed=False).df.orderBy("k").toPandas()
+    assert out["v"].tolist() == [0.0, 25.0, 100.0]
+
+
+def test_fill_linear_all_missing_stays_missing(spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3], "v": [None, None, None]},
+                       dtype="float64").astype({"k": "int64"})
+    s = Series(spark.createDataFrame(pdf), key="k", value="v", ordered=True)
+    for bucketed in (False, True):
+        out = s.fill_missing("linear", bucketed=bucketed).df.toPandas()
+        assert out["v"].isna().all()
+
+
+# ----------------------------------------------------------------------
+# Frame.rolling_corr
+# ----------------------------------------------------------------------
+
+def _xy_pdf(n=300, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({"k": np.arange(n, dtype="int64"),
+                         "x": rng.normal(size=n),
+                         "y": rng.normal(size=n)})
+
+
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_rolling_corr_matches_pandas(spark, bucketed):
+    pdf = _xy_pdf()
+    fr = Frame(spark.createDataFrame(pdf), key="k", ordered=True)
+    out = fr.rolling_corr("x", "y", 10, bucketed=bucketed).df \
+        .orderBy("k").toPandas()
+    ref = pdf["x"].rolling(10, min_periods=2).corr(pdf["y"])
+    got = np.nan_to_num(out["rolling_corr"].to_numpy(), nan=-99)
+    want = np.nan_to_num(ref.to_numpy(), nan=-99)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_rolling_corr_keyed_matches_pandas(spark):
+    pdf = _xy_pdf(200)
+    pdf["g"] = pdf["k"] % 4
+    fr = Frame(spark.createDataFrame(pdf), key=["g", "k"], ordered=True)
+    out = fr.rolling_corr("x", "y", 7, by=["g"]).df.orderBy("g", "k").toPandas()
+    ref = (pdf.sort_values(["g", "k"]).groupby("g", group_keys=False)
+           .apply(lambda d: d.x.rolling(7, min_periods=2).corr(d.y),
+                  include_groups=False))
+    got = np.nan_to_num(out["rolling_corr"].to_numpy(), nan=-99)
+    want = np.nan_to_num(ref.to_numpy(), nan=-99)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_rolling_corr_constant_window_is_null_not_error(spark):
+    # F.corr would THROW (ANSI divide-by-zero) on the zero-variance
+    # window; the moment-sum form must yield NULL
+    pdf = pd.DataFrame({"k": range(6),
+                        "x": [1.0] * 6,
+                        "y": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    fr = Frame(spark.createDataFrame(pdf), key="k", ordered=True)
+    out = fr.rolling_corr("x", "y", 3).df.toPandas()
+    assert out["rolling_corr"].isna().all()
+
+
+# ----------------------------------------------------------------------
+# pack_sequences
+# ----------------------------------------------------------------------
+
+def test_pack_sequences_tiles_exactly(spark, sf_dir):
+    from fsharp_dataframe_spark.functions.sampling import pack_sequences
+    from fsharp_dataframe_spark.functions.text import bpe_ish_token_count
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    L = 512
+    out = pack_sequences(docs, L).toPandas()
+    out["span"] = out.tok_end - out.tok_begin
+    assert (out["span"] > 0).all()
+    # each sequence is tiled exactly: spans sum to L (tail may be short)
+    per_seq = out.groupby("seq_id")["span"].sum().sort_index()
+    assert (per_seq.iloc[:-1] == L).all()
+    assert per_seq.iloc[-1] <= L
+    # every document's spans cover [0, n_tokens) contiguously
+    tok = docs.select("doc_id",
+                      bpe_ish_token_count(F.col("text")).alias("n")).toPandas()
+    tok = tok[tok.n > 0]
+    per_doc = out.groupby("doc_id")["span"].sum()
+    assert per_doc.sort_index().tolist() == tok.sort_values("doc_id")["n"].tolist()
+    for _, g in out.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g.tok_begin.iloc[0] == 0
+        assert (g.tok_begin.iloc[1:].to_numpy() == g.tok_end.iloc[:-1].to_numpy()).all()
+    # seq_begin is where the span starts inside its sequence
+    within = out.sort_values(["seq_id", "seq_begin"])
+    for _, g in within.groupby("seq_id"):
+        starts = g.seq_begin.to_numpy()
+        spans = g["span"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == (starts[:-1] + spans[:-1])).all()
+
+
+def test_pack_sequences_partition_invariant(spark, sf_dir):
+    from fsharp_dataframe_spark.functions.sampling import pack_sequences
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = pack_sequences(docs, 777).orderBy("doc_id", "seq_id").toPandas()
+    b = pack_sequences(docs.repartition(13), 777) \
+        .orderBy("doc_id", "seq_id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ----------------------------------------------------------------------
+# pmi_collocations
+# ----------------------------------------------------------------------
+
+def test_pmi_collocations_hand_checked(spark):
+    import math
+
+    from fsharp_dataframe_spark.functions.text import pmi_collocations
+
+    # "a b" always adjacent (high PMI); "x"/"y" frequent but never
+    # adjacent to each other
+    docs = spark.createDataFrame(
+        [(i, "a b x y x y x") for i in range(4)], "doc_id long, text string")
+    out = pmi_collocations(docs, k=5, min_count=2).toPandas()
+    # stream: 7 tokens/doc, 6 bigrams/doc -> N=28, B=24
+    # c(a b)=4, c(a)=4, c(b)=4 -> pmi = ln(4*28*28/(24*4*4))
+    top = out.iloc[0]
+    assert (top.w1, top.w2) == ("a", "b")
+    want = round(math.log(((4 * 28.0) * 28.0) / ((24.0 * 4) * 4)) * 1e6)
+    assert top.pmi_micro == want
+    # x->y adjacency is frequent too (appears 2x/doc = 8 total)
+    assert set(out.w1) <= {"a", "b", "x", "y"}
+
+
+def test_pmi_collocations_min_count_filters(spark):
+    from fsharp_dataframe_spark.functions.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(0, "p q p q"), (1, "r s")], "doc_id long, text string")
+    out = pmi_collocations(docs, k=10, min_count=2).toPandas()
+    assert ("r", "s") not in set(zip(out.w1, out.w2))
