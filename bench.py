@@ -84,6 +84,10 @@ HEADLINE = [
     "quality_classifier",
     "dedup_paragraphs",
     "vocab_drift",
+    "fill_linear",
+    "rolling_corr",
+    "pack_sequences",
+    "pmi_collocations",
 ]
 
 
