@@ -957,6 +957,21 @@ def q_pmi_collocations(spark, sf) -> DataFrame:
     return pmi_collocations(docs, k=25, min_count=5)
 
 
+def q_ewma(spark, sf) -> DataFrame:
+    """Per-user EWMA of event values, α=0.125 (Series.ewma,
+    operators/ewma.py — the infinite-memory sibling of the reference's
+    finite moving windows, src/SeriesModule.fs:281-301).  α chosen so
+    1-α is binary-exact; the per-key Arrow fold and the pow-based head
+    patch replay bit-for-bit in the oracle's list_reduce prefix folds
+    + pow()."""
+    ev = load_table(spark, sf, "events")
+    s = Series(ev.select("user_id", "ts", "event_id", "value"),
+               key=["user_id", "ts", "event_id"], value="value", ordered=True)
+    out = s.ewma(0.125, by=["user_id"])
+    return out.df.select("user_id", "event_id",
+                         F.round(F.col("value"), 6).alias("ewma"))
+
+
 def q_dedup_paragraphs(spark, sf) -> DataFrame:
     """CCNet paragraph-grain dedup (functions/dedup.dedup_paragraphs):
     first corpus-wide occurrence of each exact paragraph survives,
@@ -1573,7 +1588,7 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "embed_project", "bigram_quality", "quality_classifier",
                  "dedup_paragraphs", "vocab_drift",
                  "fill_linear", "rolling_corr", "pack_sequences",
-                 "pmi_collocations")
+                 "pmi_collocations", "ewma")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1685,6 +1700,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "pack_sequences": q_pack_sequences,
         "pmi_collocations": q_pmi_collocations,
+        "ewma": q_ewma,
     }
 
 
@@ -3286,6 +3302,31 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE cb.n_pair >= 5
             ORDER BY pmi_micro DESC, w1, w2
             LIMIT 25
+        """,
+        # replays the engine's EWMA decomposition exactly: zero-init
+        # prefix fold (same lambda association as the Arrow loop:
+        # (1-α)·acc + α·x) plus the pow-weighted y_0 = x_0 head term —
+        # both engines call libm pow, α=0.125 keeps 1-α binary-exact.
+        # Rounding goes through ::VARCHAR::DECIMAL, NOT round(DOUBLE):
+        # dyadic α makes values land a hair's breadth from 6-decimal
+        # ties, where Spark's F.round (HALF_UP on the SHORTEST decimal
+        # repr, BigDecimal.valueOf) and DuckDB's double round
+        # (x·1e6 → nearest) disagree; the VARCHAR cast is DuckDB's
+        # shortest repr, so DECIMAL rounding replays Spark bit-for-bit
+        "ewma": """
+            WITH g AS (
+              SELECT user_id,
+                     list(value ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids
+              FROM events
+              WHERE value IS NOT NULL
+              GROUP BY user_id)
+            SELECT user_id, ids[i] AS event_id,
+                   round((list_reduce(list_prepend(0.0, xs[1:i]),
+                                      (acc, x) -> 0.875 * acc + 0.125 * x)
+                          + pow(0.875, i) * xs[1]
+                         )::VARCHAR::DECIMAL(30,15), 6)::DOUBLE AS ewma
+            FROM g, unnest(generate_series(1, len(ids))) AS t(i)
         """,
     }
 

@@ -88,6 +88,7 @@ HEADLINE = [
     "rolling_corr",
     "pack_sequences",
     "pmi_collocations",
+    "ewma",
 ]
 
 

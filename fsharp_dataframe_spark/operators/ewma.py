@@ -1,0 +1,165 @@
+"""Exponentially weighted moving average — a seemingly sequential
+recurrence run in parallel.
+
+Semantics (the standard adjust=False convention, pandas `ewm`):
+
+    y_0 = x_0
+    y_i = (1 - alpha) * y_{i-1} + alpha * x_i
+
+The reference's moving-window API (src/SeriesModule.fs:281-301) stops
+at finite windows; EWMA is the canonical infinite-memory sibling every
+time-series stack carries (parity-plus).  NULL values are excluded up
+front: the recurrence is defined over the non-null observations in key
+order, and only those rows appear in the output.
+
+## Why this parallelizes
+
+The recurrence looks like a chain, but the state entering any segment
+is a single number, and a segment's output decomposes as
+
+    y_i = local_i + (1 - alpha)^(pos_i + 1) * inc
+
+where ``local`` is the segment's ZERO-init fold (y = (1-a)·y + a·x
+starting from 0), ``pos`` is the 0-based offset inside the segment,
+and ``inc`` is the incoming state.  The y_0 = x_0 head convention
+falls out for free: the very first segment's incoming state is simply
+x_0 itself (substituting inc = x_0 makes y_0 = a·x_0 + (1-a)·x_0 =
+x_0).  Segment summaries chain by
+
+    inc_{b+1} = local_final_b + inc_b * (1 - alpha)^(n_b)
+
+so the plan is: per-bucket zero-init folds in parallel (one
+Arrow-batched pass), a driver-side cascade over ~n_buckets scalar
+summaries (the same carry-spine discipline as chunk_dist and the
+bucketed fills), then one narrow Column expression patches every row.
+No global window, no sequential task over the data.
+
+Bucketing: by default, quantile range buckets (`range_cuts`).  Pass
+``bucket_width`` to use fixed key-width buckets instead —
+deterministic bucket boundaries make the whole computation replayable
+step-for-step by a SQL oracle (the quantile sketch is
+partitioning-dependent; the VALUES agree either way, but last-ulp
+float rounding differs with the decomposition).
+
+With ``by=`` the recurrence runs per entity as one Arrow pass per
+group — embarrassingly parallel across entities, the 100 TB path for
+keyed series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.series import Series
+
+_B = "__ewma_bucket"
+
+
+def _fold_zero_init(values, alpha: float):
+    """Sequential zero-init fold y = (1-a)*y + a*x, returning the per-row
+    series.  Plain Python loop over one Arrow batch: the association is
+    exactly the textbook recurrence, so a SQL oracle's list_reduce with
+    the same lambda reproduces it bit-for-bit."""
+    one_m_a = 1.0 - alpha
+    y = 0.0
+    out = []
+    for x in values:
+        y = one_m_a * y + alpha * x
+        out.append(y)
+    return out
+
+
+def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
+                n_buckets: int = 64, bucket_width: float | None = None) -> Series:
+    """EWMA of an ordered series (see module docstring for semantics
+    and the parallel decomposition).  Returns one row per non-null
+    input row with the value column replaced by the EWMA."""
+    import pandas as pd
+
+    s._require_ordered("ewma")
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    df = s.df.filter(s.value.isNotNull())
+    key_cols, value_col = s.key_cols, s.value_col
+    order = [F.col(k) for k in key_cols]
+
+    if by:
+        rest = [k for k in key_cols if k not in by] or key_cols
+        schema = df.select(*key_cols, s.value).schema
+
+        def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(rest, ignore_index=True)
+            vals = pdf[value_col].to_numpy()
+            if len(vals):
+                local = _fold_zero_init(vals, a)
+                inc = float(vals[0])
+                dec = 1.0 - a
+                # pow (libm), not a running product: a SQL oracle's
+                # pow() call replays it bit-for-bit
+                pdf[value_col] = [loc + dec ** (i + 1) * inc
+                                  for i, loc in enumerate(local)]
+            return pdf[[*key_cols, value_col]]
+
+        out = df.groupBy(*by).applyInPandas(fn, schema)
+        return Series(out, key=key_cols, value=value_col, ordered=True,
+                      _canonicalize=False)
+
+    # ---------------- global bucketed path ----------------
+    axis = key_cols[0]
+    if bucket_width is not None:
+        b = F.floor(F.col(axis).cast("double") / float(bucket_width)).cast("int")
+    else:
+        from fsharp_dataframe_spark.operators.bucketed import (
+            _bucket_expr,
+            range_cuts,
+        )
+
+        cuts = range_cuts(df, axis, n_buckets)
+        b = _bucket_expr(F.col(axis), cuts) if cuts else F.lit(0)
+    base = df.withColumn(_B, b)
+
+    loc_schema = base.select(_B, *key_cols, s.value).schema \
+        .add("__pos", "long", False)
+
+    def local_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(key_cols, ignore_index=True)
+        pdf[value_col] = _fold_zero_init(pdf[value_col].to_numpy(), a)
+        pdf["__pos"] = range(len(pdf))
+        return pdf[[_B, *key_cols, value_col, "__pos"]]
+
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    # persisted: the census below and the final patch both consume it —
+    # without a stage boundary the Arrow fold would run twice
+    local = track_persist(base.groupBy(_B).applyInPandas(local_fn, loc_schema))
+
+    # census: one scalar summary per bucket (n, local_final, first_x)
+    summaries = (base.groupBy(_B).agg(
+        F.count("*").alias("n"),
+        F.min_by(s.value, F.struct(*order)).alias("first_x"))
+        .collect())
+    finals = {r[_B]: r["lf"] for r in
+              local.groupBy(_B).agg(
+                  F.max_by(F.col(value_col), F.struct(*order)).alias("lf"))
+              .collect()}
+    info = sorted(((r[_B], r["n"], r["first_x"]) for r in summaries))
+    dec = 1.0 - a
+    incs: dict[int, float] = {}
+    inc = None
+    for bid, n_b, first_x in info:
+        if inc is None:
+            inc = float(first_x)  # y_0 = x_0 head convention
+        incs[bid] = inc
+        inc = finals[bid] + inc * (dec ** n_b)
+
+    pairs = []
+    for k, v in incs.items():
+        pairs.extend([F.lit(k), F.lit(float(v))])
+    inc_col = F.element_at(F.create_map(*pairs), F.col(_B) + F.lit(0)) \
+        if pairs else F.lit(0.0)
+    y = F.col(value_col) + F.pow(F.lit(dec), F.col("__pos") + 1) * inc_col
+    out = local.withColumn(value_col, y).drop(_B, "__pos")
+    return Series(out, key=key_cols, value=value_col, ordered=True,
+                  _canonicalize=False)

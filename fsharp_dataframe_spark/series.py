@@ -710,6 +710,18 @@ class Series:
         return series_chunk_dist(self, dist, agg, by=by, out_type=out_type,
                                  bucketed=bucketed, n_buckets=n_buckets)
 
+    def ewma(self, alpha: float, by: list[str] | None = None,
+             n_buckets: int = 64, bucket_width: float | None = None) -> "Series":
+        """Exponentially weighted moving average, y_0 = x_0 and
+        y_i = (1-α)·y_{i-1} + α·x_i (parity-plus over the finite
+        moving-window API, src/SeriesModule.fs:281-301) — the global
+        form runs parallel via per-bucket zero-init folds plus a
+        decay-weighted carry cascade (operators/ewma.py)."""
+        from fsharp_dataframe_spark.operators.ewma import series_ewma
+
+        return series_ewma(self, alpha, by=by, n_buckets=n_buckets,
+                           bucket_width=bucket_width)
+
     def aggregate_into(self, spec, agg, by: list[str] | None = None, **kw) -> "Series":
         """`Series.Aggregate` umbrella (src/Series.fs:514-523): dispatch
         on an ``Aggregation`` spec — WindowSize/ChunkSize (boundary

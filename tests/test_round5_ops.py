@@ -117,6 +117,61 @@ def test_rolling_corr_constant_window_is_null_not_error(spark):
 
 
 # ----------------------------------------------------------------------
+# Series.ewma
+# ----------------------------------------------------------------------
+
+def test_ewma_global_matches_pandas(spark):
+    rng = np.random.default_rng(5)
+    n = 2000
+    pdf = pd.DataFrame({"k": np.arange(n, dtype="int64"),
+                        "v": rng.normal(size=n) * 30 + 70})
+    s = Series(spark.createDataFrame(pdf), key="k", value="v", ordered=True)
+    ref = pdf["v"].ewm(alpha=0.2, adjust=False).mean().to_numpy()
+    for kw in ({}, {"bucket_width": 173.0}, {"n_buckets": 7}):
+        out = s.ewma(0.2, **kw).df.orderBy("k").toPandas()["v"].to_numpy()
+        assert np.allclose(out, ref, rtol=1e-10), kw
+
+
+def test_ewma_keyed_matches_pandas(spark):
+    rng = np.random.default_rng(6)
+    pdf = pd.DataFrame({"k": np.arange(400, dtype="int64"),
+                        "v": rng.normal(size=400)})
+    pdf["g"] = pdf.k % 7
+    s = Series(spark.createDataFrame(pdf[["g", "k", "v"]]),
+               key=["g", "k"], value="v", ordered=True)
+    out = s.ewma(0.35, by=["g"]).df.orderBy("g", "k").toPandas()
+    ref = (pdf.sort_values(["g", "k"]).groupby("g")["v"]
+           .transform(lambda x: x.ewm(alpha=0.35, adjust=False).mean()))
+    assert np.allclose(out["v"].to_numpy(), ref.to_numpy(), rtol=1e-10)
+
+
+def test_ewma_head_is_first_value_and_nulls_dropped(spark):
+    pdf = pd.DataFrame({"k": [0, 1, 2, 3], "v": [None, 8.0, None, 4.0]})
+    s = Series(spark.createDataFrame(pdf), key="k", value="v", ordered=True)
+    out = s.ewma(0.5).df.orderBy("k").toPandas()
+    # null rows dropped; recurrence over the non-null observations:
+    # y = 8, then 0.5*8 + 0.5*4 = 6
+    assert out["k"].tolist() == [1, 3]
+    assert out["v"].tolist() == [8.0, 6.0]
+
+
+def test_ewma_bucket_decomposition_is_exact_vs_sequential(spark):
+    # the carry-cascade decomposition must agree with the plain
+    # sequential recurrence to near machine precision for ANY bucket
+    # width (incl. widths that make single-row and empty-edge buckets)
+    rng = np.random.default_rng(8)
+    n = 500
+    pdf = pd.DataFrame({"k": np.arange(n, dtype="int64"),
+                        "v": rng.uniform(1, 100, size=n)})
+    seq = pdf["v"].ewm(alpha=0.125, adjust=False).mean().to_numpy()
+    s = Series(spark.createDataFrame(pdf), key="k", value="v", ordered=True)
+    for width in (1.0, 3.0, 499.0, 10000.0):
+        out = s.ewma(0.125, bucket_width=width).df.orderBy("k") \
+            .toPandas()["v"].to_numpy()
+        assert np.allclose(out, seq, rtol=1e-12), width
+
+
+# ----------------------------------------------------------------------
 # pack_sequences
 # ----------------------------------------------------------------------
 
