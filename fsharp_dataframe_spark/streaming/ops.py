@@ -272,6 +272,62 @@ def stream_fill_forward(
     )
 
 
+def stream_ewma(
+    sdf: DataFrame,
+    alpha: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming per-entity EWMA (y_0 = x_0, y = (1-α)y + αx) — the
+    stateful face of Series.ewma (operators/ewma.py).  State per key is
+    ONE double (the running mean) — bounded for any stream length; it
+    survives micro-batch boundaries and restarts via the checkpoint.
+    Null values are skipped without advancing the state, matching the
+    batch operator's drop-nulls contract.  Same arrival-order caveat as
+    stream_fill_forward: rows are folded in (event-time-sorted)
+    arrival order per micro-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a = float(alpha)
+    one_m_a = 1.0 - a
+    key_field = sdf.schema[key_col]
+    ts_field = sdf.schema[ts_col]
+    out_schema = T.StructType(
+        [key_field, ts_field, T.StructField(value_col, T.DoubleType(), True)])
+    state_schema = T.StructType([T.StructField("y", T.DoubleType(), True)])
+
+    def fn(key, pdfs, state):
+        y = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, ignore_index=True)
+            keep, ys = [], []
+            for i, x in enumerate(pdf[value_col].tolist()):
+                if x is None or x != x:  # missing: state unchanged
+                    continue
+                y = float(x) if y is None else one_m_a * y + a * float(x)
+                keep.append(i)
+                ys.append(y)
+            sub = pdf.iloc[keep][[key_col, ts_col]].copy()
+            sub[value_col] = ys
+            out.append(sub)
+        if y is not None:
+            state.update((y,))
+        yield pd.concat(out) if out else pd.DataFrame(
+            columns=[key_col, ts_col, value_col])
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
 def stream_funnel_state(
     sdf: DataFrame,
     steps: list[str],

@@ -577,3 +577,59 @@ def test_chunk_documents_runs_on_streams(spark, tmp_path):
     exp = {(r["doc_id"], r["chunk_id"], r["chunk_text"])
            for r in chunk_documents(docs, max_tokens=32, overlap=4).collect()}
     assert got == exp and got
+
+
+def test_stream_ewma_matches_batch_and_carries_state(spark, tmp_path):
+    """Streaming EWMA: one double of state per key; a single-batch run
+    must equal the batch Series.ewma to float tolerance, and phase 2
+    must continue the recurrence from phase 1's checkpointed state."""
+    from datetime import datetime
+
+    import numpy as np
+
+    from fsharp_dataframe_spark import Series
+    from fsharp_dataframe_spark.streaming import stream_ewma
+
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    schema = "user_id int, ts timestamp, value double"
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    phase1 = [(1, ts(0), 10.0), (1, ts(1), None), (1, ts(2), 20.0),
+              (2, ts(0), 8.0), (2, ts(1), 4.0)]
+    phase2 = [(1, ts(3), 30.0), (2, ts(2), 2.0)]
+
+    def run_phase(batch_schema):
+        q = (stream_ewma(read_stream_parquet(spark, d, batch_schema), 0.5)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame(phase1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    batch_schema = spark.read.parquet(d).schema
+    run_phase(batch_schema)
+    got1 = {(r["user_id"], r["ts"]): r["value"]
+            for r in spark.read.parquet(outdir).collect()}
+    # null row dropped, not emitted
+    assert (1, ts(1)) not in got1 and len(got1) == 4
+    # single-batch outputs == batch operator
+    batch = Series(spark.createDataFrame(phase1, schema),
+                   key=["user_id", "ts"], value="value", ordered=True)
+    exp = {(r["user_id"], r["ts"]): r["value"]
+           for r in batch.ewma(0.5, by=["user_id"]).df.collect()}
+    assert set(got1) == set(exp)
+    for k in exp:
+        assert np.isclose(got1[k], exp[k], rtol=1e-12), k
+
+    spark.createDataFrame(phase2, schema).coalesce(1).write.mode("append").parquet(d)
+    run_phase(batch_schema)
+    got2 = {(r["user_id"], r["ts"]): r["value"]
+            for r in spark.read.parquet(outdir).collect()}
+    # continues from phase-1 state: u1 y=.5*15+.5*30, u2 y=.5*6+.5*2
+    assert np.isclose(got2[(1, ts(3))], 22.5)
+    assert np.isclose(got2[(2, ts(2))], 4.0)
