@@ -972,6 +972,22 @@ def q_ewma(spark, sf) -> DataFrame:
                          F.round(F.col("value"), 6).alias("ewma"))
 
 
+def q_weighted_sample(spark, sf) -> DataFrame:
+    """Length-weighted deterministic sample without replacement
+    (functions/sampling.weighted_sample — Efraimidis & Spirakis 2006
+    exponential race over hash-uniforms): 200 documents drawn ∝ token
+    count, micro-quantized priorities so the oracle selects the
+    identical set."""
+    from fsharp_dataframe_spark.functions.sampling import weighted_sample
+    from fsharp_dataframe_spark.functions.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf, "documents")
+    wdf = docs.select("doc_id",
+                      bpe_ish_token_count(F.col("text")).cast("long")
+                      .alias("n_tokens"))
+    return weighted_sample(wdf, 200, "n_tokens", salt="v1")
+
+
 def q_dedup_paragraphs(spark, sf) -> DataFrame:
     """CCNet paragraph-grain dedup (functions/dedup.dedup_paragraphs):
     first corpus-wide occurrence of each exact paragraph survives,
@@ -1588,7 +1604,7 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "embed_project", "bigram_quality", "quality_classifier",
                  "dedup_paragraphs", "vocab_drift",
                  "fill_linear", "rolling_corr", "pack_sequences",
-                 "pmi_collocations", "ewma")
+                 "pmi_collocations", "ewma", "weighted_sample")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1701,6 +1717,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -3327,6 +3344,25 @@ def _all_oracle_sql() -> dict[str, str]:
                           + pow(0.875, i) * xs[1]
                          )::VARCHAR::DECIMAL(30,15), 6)::DOUBLE AS ewma
             FROM g, unnest(generate_series(1, len(ids))) AS t(i)
+        """,
+        # exponential-race replay: same md5-derived uniform, same
+        # -ln(u)/w expression, micro-quantized priority + id tiebreak
+        "weighted_sample": """
+            WITH w AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\w+|[^\\w\\s]+'))::BIGINT AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     round((-ln((('0x' || substring(md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT + 0.5)
+                                / 4294967296.0)
+                            / n_tokens::DOUBLE) * 1e6)::BIGINT AS priority_micro
+              FROM w
+              WHERE n_tokens IS NOT NULL AND n_tokens > 0)
+            SELECT doc_id, n_tokens, priority_micro
+            FROM p
+            ORDER BY priority_micro ASC, doc_id ASC
+            LIMIT 200
         """,
     }
 

@@ -89,6 +89,7 @@ HEADLINE = [
     "pack_sequences",
     "pmi_collocations",
     "ewma",
+    "weighted_sample",
 ]
 
 

@@ -168,6 +168,40 @@ def pack_shards(df: DataFrame, target_tokens: int,
         F.floor(F.col("__gcum") / F.lit(int(target_tokens))).cast("long").alias("shard"))
 
 
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", salt: str = "",
+                    priority_col: str = "priority_micro") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    exponential-race form of Efraimidis & Spirakis (2006): row i gets
+    priority e_i = -ln(u_i) / w_i (u_i hash-uniform in (0,1)); the k
+    SMALLEST priorities win.  This is exactly "draw without
+    replacement with probability ∝ weight" (each e_i is an Exp(w_i)
+    arrival time), and because u_i comes from `hash_unit`, the chosen
+    set is a pure function of (ids, weights, salt): reruns, task
+    retries, repartitioning, and incremental appends agree on it —
+    quality-weighted or length-weighted corpus subsampling that a
+    resumed 100 TB job reproduces bit-for-bit.
+
+    Rows with NULL or non-positive weight never win.  Priorities are
+    quantized to integer MICRO-units (round(e·1e6) as BIGINT) with the
+    id as tiebreak, so selection and ordering replay exactly in a SQL
+    oracle (ln() ulp differences between libm and the JVM are buried
+    below the quantum).
+
+    Scale shape: a narrow projection plus ONE global TakeOrdered of k
+    rows — no shuffle of the data, no per-group state.
+    """
+    # +0.5 keeps u strictly inside (0,1): u=0 (1 in 2^32 ids) would
+    # make -ln(u) infinite
+    u = (hash32(F.col(id_col), salt) + F.lit(0.5)) / F.lit(_SCALE)
+    w = F.col(weight_col).cast("double")
+    prio = F.round((-F.log(u) / w) * 1e6).cast("long")
+    return (df.filter(w.isNotNull() & (w > 0))
+            .withColumn(priority_col, prio)
+            .orderBy(F.col(priority_col).asc(), F.col(id_col).asc())
+            .limit(int(k)))
+
+
 def pack_sequences(df: DataFrame, seq_len: int,
                    id_col: str = "doc_id", text_col: str = "text",
                    n_buckets: int = 64) -> DataFrame:

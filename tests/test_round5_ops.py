@@ -220,6 +220,55 @@ def test_pack_sequences_partition_invariant(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# weighted_sample
+# ----------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_partition_invariant(spark):
+    from fsharp_dataframe_spark.functions.sampling import weighted_sample
+
+    pdf = pd.DataFrame({"doc_id": np.arange(500, dtype="int64"),
+                        "w": np.random.default_rng(2).integers(1, 100, 500)})
+    df = spark.createDataFrame(pdf)
+    a = weighted_sample(df, 50, "w", salt="s").toPandas()
+    b = weighted_sample(df.repartition(17), 50, "w", salt="s").toPandas()
+    assert len(a) == 50
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+
+def test_weighted_sample_excludes_nonpositive_and_tracks_weight(spark):
+    from fsharp_dataframe_spark.functions.sampling import weighted_sample
+
+    # one row with overwhelming weight is drawn under every salt; rows
+    # with w<=0/NULL never are
+    rows = [(0, 10.0**9)] + [(i, 1.0) for i in range(1, 40)] + \
+        [(98, 0.0), (99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    for salt in ("a", "b", "c"):
+        got = set(weighted_sample(df, 10, "w", salt=salt)
+                  .toPandas().doc_id)
+        assert 0 in got
+        assert 98 not in got and 99 not in got
+
+
+def test_weighted_sample_inclusion_tracks_weight_statistically(spark):
+    from fsharp_dataframe_spark.functions.sampling import weighted_sample
+
+    # heavy ids (w=20) should dominate light ids (w=1) across salts;
+    # 60 heavy of 600 rows, k=60 -> heavy inclusion ~20x light's
+    rows = [(i, 20.0 if i < 60 else 1.0) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    heavy = 0
+    for salt in map(str, range(5)):
+        got = weighted_sample(df, 60, "w", salt=salt).toPandas()
+        heavy += int((got.doc_id < 60).sum())
+    # measured ≈34 of 60 per draw (exp-race without replacement
+    # saturates the heavy pool); unweighted sampling would give ~6 —
+    # demand at least 4x the unweighted expectation
+    assert heavy > 4 * 6 * 5
+
+
+# ----------------------------------------------------------------------
 # pmi_collocations
 # ----------------------------------------------------------------------
 
