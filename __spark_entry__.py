@@ -1433,6 +1433,25 @@ def q_dedup_clusters(spark, sf) -> DataFrame:
     return out.withColumn("is_canonical", F.col("is_canonical").cast("long"))
 
 
+def q_dedup_keep_best(spark, sf) -> DataFrame:
+    """Duplicate clustering with the CCNet winner rule (Wenzek et al.
+    2020): keep the HIGHEST-quality document of each near-dup cluster
+    (ties to the smallest id) instead of an arbitrary min-id survivor
+    — functions/graph.duplicate_clusters(score_col=...).  Same star-
+    contraction components as dedup_clusters; the winner table is one
+    row per cluster (broadcast-sized)."""
+    from fsharp_dataframe_spark.functions.dedup import ngram_jaccard_pairs
+    from fsharp_dataframe_spark.functions.graph import duplicate_clusters
+    from fsharp_dataframe_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf, "documents") \
+        .withColumn("q", quality_score(F.col("text")))
+    pairs = (ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=10_000)
+             .select("id_a", "id_b"))
+    out = duplicate_clusters(docs, pairs, score_col="q")
+    return out.withColumn("is_canonical", F.col("is_canonical").cast("long"))
+
+
 def q_decontaminate(spark, sf) -> DataFrame:
     """Benchmark decontamination: training docs (doc_id % 97 != 0)
     whose 3-gram shingles overlap the pseudo-benchmark set
@@ -1604,7 +1623,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "embed_project", "bigram_quality", "quality_classifier",
                  "dedup_paragraphs", "vocab_drift",
                  "fill_linear", "rolling_corr", "pack_sequences",
-                 "pmi_collocations", "ewma", "weighted_sample")
+                 "pmi_collocations", "ewma", "weighted_sample",
+                 "dedup_keep_best")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1718,6 +1738,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -3363,6 +3384,66 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM p
             ORDER BY priority_micro ASC, doc_id ASC
             LIMIT 200
+        """,
+        # dedup_clusters' recursive closure + the keep-best winner rule:
+        # row_number over (quality DESC, doc_id ASC) per cluster; the
+        # quality expression is the text_quality oracle's (hash-green,
+        # so the round-4 scores agree across engines)
+        "dedup_keep_best": f"""
+            WITH RECURSIVE
+            toks AS (
+              SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            q AS (
+              SELECT m.doc_id,
+                     round(0.4 * least(n_tok / 20.0, 1.0)
+                         + 0.2 * (1.0 - least(punct_r * 4, 1.0))
+                         + 0.2 * (1.0 - least(digit_r * 4, 1.0))
+                         + 0.2 * least(stop_r * 5, 1.0), 4) AS quality
+              FROM (
+                SELECT doc_id,
+                       len({toks}) AS n_tok,
+                       CASE WHEN length(text) > 0 THEN
+                         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                         ELSE 0 END AS punct_r,
+                       CASE WHEN length(text) > 0 THEN
+                         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+                         ELSE 0 END AS digit_r,
+                       CASE WHEN len({toks}) > 0 THEN
+                         len(list_filter({toks}, x -> x IN ('the','and','of','to','in','is','that','with')))::DOUBLE
+                           / len({toks})
+                         ELSE 0 END AS stop_r
+                FROM documents) m),
+            sh AS (
+              SELECT doc_id, DISTINCT_SH.shingle FROM toks,
+              LATERAL (SELECT DISTINCT unnest([array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS shingle) DISTINCT_SH),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            rawp AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT id_a, id_b FROM rawp
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            r(u, lbl) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN r ON r.u = e.v),
+            comp AS (SELECT u, min(lbl) AS cluster_id FROM r GROUP BY u),
+            asg AS (
+              SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.u = d.doc_id)
+            SELECT a.doc_id, a.cluster_id,
+                   count(*) OVER (PARTITION BY a.cluster_id) AS cluster_size,
+                   (row_number() OVER (PARTITION BY a.cluster_id
+                                       ORDER BY q.quality DESC, a.doc_id ASC) = 1)::BIGINT
+                     AS is_canonical
+            FROM asg a JOIN q ON q.doc_id = a.doc_id
         """,
     }
 

@@ -90,6 +90,7 @@ HEADLINE = [
     "pmi_collocations",
     "ewma",
     "weighted_sample",
+    "dedup_keep_best",
 ]
 
 

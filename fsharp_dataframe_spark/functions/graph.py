@@ -121,24 +121,50 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
 def duplicate_clusters(docs: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id",
-                       pair_cols: tuple[str, str] = ("id_a", "id_b")) -> DataFrame:
+                       pair_cols: tuple[str, str] = ("id_a", "id_b"),
+                       score_col: str | None = None) -> DataFrame:
     """Component-wise duplicate clustering: every document labelled with
     its duplicate-cluster id (= min doc id in its connected component of
     the near-dup pair graph), the cluster size, and whether it is the
     canonical survivor.  `keep one per cluster` = filter is_canonical.
 
+    The default winner is the MIN id (cheap, deterministic).  Pass
+    ``score_col`` (a column of ``docs``) to keep the BEST document per
+    cluster instead — highest score, ties to the smallest id — the
+    CCNet discipline of retaining the best-perplexity copy of each
+    duplicate group (Wenzek et al. 2020) rather than an arbitrary one.
+    The winner table is one row per cluster, so the extra cost is one
+    corpus-scan aggregate plus a broadcast-sized join; the score must
+    be deterministic (a rounded Column expression) for reruns to
+    agree.
+
     Returns (id_col, cluster_id, cluster_size, is_canonical), one row
     per input document (singletons form their own cluster of size 1).
     """
     cc = connected_components(pairs, src=pair_cols[0], dst=pair_cols[1])
-    asg = (docs.select(F.col(id_col).cast("long").alias(id_col))
+    sel = [F.col(id_col).cast("long").alias(id_col)]
+    if score_col is not None:
+        sel.append(F.col(score_col))
+    asg = (docs.select(*sel)
            .join(cc, on=F.col(id_col) == F.col("node"), how="left")
-           .select(id_col,
+           .select(id_col, *([score_col] if score_col else []),
                    F.coalesce("component", id_col).alias("cluster_id")))
     sizes = asg.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     # cluster cardinality is tiny relative to the corpus (one row per
     # cluster) — at scale AQE broadcasts it; the alternative window
     # over partitionBy(cluster_id) would shuffle the full corpus twice.
-    return (asg.join(sizes, "cluster_id")
+    if score_col is None:
+        return (asg.join(sizes, "cluster_id")
+                .select(id_col, "cluster_id", "cluster_size",
+                        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical")))
+    # keep-best: max(struct(score, -id)) is a total order — highest
+    # score wins, ties to the smallest id (deterministic, unlike
+    # max_by under ties)
+    winners = (asg.groupBy("cluster_id")
+               .agg(F.max(F.struct(F.col(score_col).alias("s"),
+                                   (-F.col(id_col)).alias("nid"))).alias("w"))
+               .select("cluster_id",
+                       (-F.col("w.nid")).cast("long").alias("keep_id")))
+    return (asg.join(sizes, "cluster_id").join(winners, "cluster_id")
             .select(id_col, "cluster_id", "cluster_size",
-                    (F.col(id_col) == F.col("cluster_id")).alias("is_canonical")))
+                    (F.col(id_col) == F.col("keep_id")).alias("is_canonical")))

@@ -108,3 +108,25 @@ def test_duplicate_clusters_on_real_neardup_pairs(spark):
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     for n, c in uf.items():
         assert got[n] == c
+
+
+def test_duplicate_clusters_keep_best_winner_rule(spark):
+    # keep-best: the highest-score member wins even when it is not the
+    # min id; ties go to the smallest id; singletons always win
+    docs = spark.createDataFrame(
+        [(0, 0.2), (3, 0.9), (5, 0.9), (1, 0.5), (2, 0.5), (4, 0.7)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long")
+    out = duplicate_clusters(docs, pairs, score_col="q")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # cluster {0,3,5}: 3 and 5 tie at 0.9 -> 3 wins (smaller id)
+    assert rows[3]["is_canonical"] and not rows[0]["is_canonical"] \
+        and not rows[5]["is_canonical"]
+    # cluster {1,2}: tie at 0.5 -> 1 wins
+    assert rows[1]["is_canonical"] and not rows[2]["is_canonical"]
+    # singleton
+    assert rows[4]["is_canonical"] and rows[4]["cluster_size"] == 1
+    # cluster ids unchanged by the winner rule (still min id)
+    assert rows[5]["cluster_id"] == 0
+    assert out.filter("is_canonical").count() == 3
