@@ -75,3 +75,16 @@ def test_events_analytics_end_to_end(spark):
     assert len(steps) == 3 and steps == sorted(steps, reverse=True)
     assert out["retention"]["n_cells"] > 0
     assert 0 < out["key_skew"]["heaviest_user_share"] < 1
+
+
+def test_timeseries_analytics_end_to_end(spark):
+    from timeseries_analytics import analyze_timeseries
+
+    out = analyze_timeseries(spark, "/root/testdata/sf0.001")
+    assert out["hourly_grid"]["rows"] == 720
+    assert out["interpolated"]["gaps_filled"] > 0
+    assert -1.0 <= out["rolling_corr"]["avg_corr24"] <= 1.0
+    assert out["ewma"]["rows"] > 0
+    # every purchase emits a row; only those with a prior click fill
+    assert out["asof"]["with_prior_click"] <= out["asof"]["purchases"]
+    assert out["asof"]["with_prior_click"] > 0
