@@ -375,3 +375,66 @@ def test_dedup_paragraphs_survivors_are_distinct_set(spark, paras):
     for r in rows:
         for p in (x for x in r["clean_text"].split("\n") if x):
             assert first_doc[p] == r["doc_id"]
+
+
+@given(keys=KEYSETS,
+       null_every=st.integers(min_value=2, max_value=5))
+@settings(**SETTINGS)
+def test_fill_linear_agrees_with_pandas(spark, keys, null_every):
+    import numpy as np
+
+    ks = sorted(keys)
+    pairs = [(k, None if i % null_every == 0 else float(k) * 1.5)
+             for i, k in enumerate(ks)]
+    pdf = pd.DataFrame(pairs, columns=["key", "value"])
+    pdf["value"] = pdf["value"].astype("float64")
+    s = Series(spark.createDataFrame(pdf, "key int, value double"),
+               key="key", value="value", ordered=True)
+    for bucketed in (False, True):
+        out = s.fill_missing("linear", bucketed=bucketed).df \
+            .orderBy("key").toPandas()
+        ref = pdf.set_index("key")["value"].interpolate(
+            method="index", limit_area="inside")
+        assert np.allclose(out["value"].to_numpy(), ref.to_numpy(),
+                           equal_nan=True), bucketed
+
+
+@given(keys=KEYSETS,
+       alpha_num=st.integers(min_value=1, max_value=7),
+       width=st.integers(min_value=1, max_value=500))
+@settings(**SETTINGS)
+def test_ewma_decomposition_matches_sequential_reference(spark, keys,
+                                                         alpha_num, width):
+    import numpy as np
+
+    a = alpha_num / 8.0
+    ks = sorted(keys)
+    vals = [float((k * 37) % 101) + 1.0 for k in ks]
+    y, seq = None, []
+    for x in vals:
+        y = x if y is None else (1 - a) * y + a * x
+        seq.append(y)
+    s = sob(spark, list(zip(ks, vals)))
+    out = s.ewma(a, bucket_width=float(width)).df.orderBy("key") \
+        .toPandas()["value"].to_numpy()
+    assert np.allclose(out, np.array(seq), rtol=1e-10)
+
+
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                      min_size=1, max_size=12),
+       seq_len=st.integers(min_value=1, max_value=64))
+@settings(**SETTINGS)
+def test_pack_sequences_tiles_any_corpus(spark, texts, seq_len):
+    from fsharp_dataframe_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = pack_sequences(docs, seq_len).toPandas()
+    if out.empty:
+        return
+    out["span"] = out.tok_end - out.tok_begin
+    assert (out["span"] > 0).all()
+    per_seq = out.groupby("seq_id")["span"].sum().sort_index()
+    assert (per_seq.iloc[:-1] == seq_len).all()
+    assert per_seq.iloc[-1] <= seq_len
+    assert list(per_seq.index) == list(range(len(per_seq)))
