@@ -862,6 +862,18 @@ def q_unigram_quality(spark, sf) -> DataFrame:
     return unigram_logprob_score(docs)
 
 
+def q_perplexity_buckets(spark, sf) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles (Wenzek et al. 2020
+    §3.3; functions/text.perplexity_buckets): unigram-LM scores cut at
+    exact tercile thresholds from the quantized-score histogram —
+    bounded by score granularity, not corpus size.  The oracle derives
+    the same thresholds via row_number rank."""
+    from fsharp_dataframe_spark.functions.text import perplexity_buckets
+
+    docs = load_table(spark, sf, "documents")
+    return perplexity_buckets(docs)
+
+
 def q_bigram_quality(spark, sf) -> DataFrame:
     """Bigram-LM quality proxy (functions/text.bigram_logprob_score):
     per-document mean log P(w2|w1) under the corpus's own add-1
@@ -1624,7 +1636,7 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "dedup_paragraphs", "vocab_drift",
                  "fill_linear", "rolling_corr", "pack_sequences",
                  "pmi_collocations", "ewma", "weighted_sample",
-                 "dedup_keep_best")
+                 "dedup_keep_best", "perplexity_buckets")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1739,6 +1751,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
         "dedup_keep_best": q_dedup_keep_best,
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -3444,6 +3457,37 @@ def _all_oracle_sql() -> dict[str, str]:
                                        ORDER BY q.quality DESC, a.doc_id ASC) = 1)::BIGINT
                      AS is_canonical
             FROM asg a JOIN q ON q.doc_id = a.doc_id
+        """,
+        # unigram_quality's score pipeline + exact tercile thresholds:
+        # t_k = the score of ranked row ceil(k·n/3) in (score DESC,
+        # doc_id) order — identical to the engine's histogram-walk
+        # thresholds; ties share the better bucket on both sides
+        "perplexity_buckets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+              FROM documents),
+            counts AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c)::BIGINT AS n, count(*)::BIGINT AS v FROM counts),
+            lp AS (SELECT token,
+                          round(ln((c + 1.0) / (n + 1.0 * v)) * 10000)::BIGINT AS lp
+                   FROM counts, tot),
+            per AS (SELECT doc_id, count(*) AS n_tok, sum(lp) AS units
+                    FROM toks JOIN lp USING (token) GROUP BY 1),
+            s AS (SELECT doc_id, n_tok,
+                         round(units / n_tok / 10000.0, 4) AS mean_logprob,
+                         round(round(units / n_tok / 10000.0, 4) * 10000)::BIGINT AS u
+                  FROM per),
+            nn AS (SELECT count(*) AS c FROM s),
+            r AS (SELECT u, row_number() OVER (ORDER BY u DESC, doc_id) AS rn FROM s),
+            t AS (SELECT max(CASE WHEN rn = (SELECT (c + 2) // 3 FROM nn) THEN u END) AS t1,
+                         max(CASE WHEN rn = (SELECT (2 * c + 2) // 3 FROM nn) THEN u END) AS t2
+                  FROM r)
+            SELECT s.doc_id, s.n_tok, s.mean_logprob,
+                   CASE WHEN s.u >= t.t1 THEN 'head'
+                        WHEN s.u >= t.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s, t
         """,
     }
 

@@ -91,6 +91,7 @@ HEADLINE = [
     "ewma",
     "weighted_sample",
     "dedup_keep_best",
+    "perplexity_buckets",
 ]
 
 

@@ -313,6 +313,51 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
                  .alias("mean_logprob")))
 
 
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       train_df: DataFrame | None = None,
+                       alpha: float = 1.0) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §3.3): score
+    every document with the unigram-LM quality proxy, then cut the
+    corpus into perplexity terciles — "head" is the best-scoring third
+    (lowest perplexity), the slice CCNet keeps outright; "tail" is the
+    candidate-discard third.
+
+    Thresholds are EXACT tercile boundaries computed from the
+    score-distribution histogram: scores are already quantized to
+    integer ten-thousandths, so the distinct-value distribution is
+    bounded by score granularity (~10^5 values), NOT corpus size — one
+    groupBy aggregate and a tiny driver collect, never a sort or
+    TakeOrdered of n/3 rows.  Ties share a bucket (every doc with the
+    threshold score goes to the better bucket), which keeps labels a
+    pure function of the score — deterministic under repartition.
+
+    Returns (id_col, n_tok, mean_logprob, bucket).
+    """
+    scored = unigram_logprob_score(df, text_col, id_col, train_df, alpha)
+    u = F.round(F.col("mean_logprob") * 10000).cast("long")
+    s = scored.withColumn("_u", u)
+    dist = sorted(((r["_u"], r["c"]) for r in
+                   s.groupBy("_u").agg(F.count("*").alias("c")).collect()),
+                  reverse=True)
+    n = sum(c for _, c in dist)
+    if n == 0:
+        return s.withColumn("bucket", F.lit(None).cast("string")).drop("_u")
+    k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+    cum, t1, t2 = 0, None, None
+    for val, c in dist:
+        cum += c
+        if t1 is None and cum >= k1:
+            t1 = val
+        if t2 is None and cum >= k2:
+            t2 = val
+            break
+    bucket = (F.when(F.col("_u") >= F.lit(t1), "head")
+              .when(F.col("_u") >= F.lit(t2), "middle")
+              .otherwise("tail"))
+    return s.withColumn("bucket", bucket).drop("_u")
+
+
 def pmi_collocations(df: DataFrame, k: int = 50, text_col: str = "text",
                      min_count: int = 5) -> DataFrame:
     """Top-k collocations by pointwise mutual information: word pairs

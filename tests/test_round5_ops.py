@@ -220,6 +220,40 @@ def test_pack_sequences_partition_invariant(spark, sf_dir):
 
 
 # ----------------------------------------------------------------------
+# perplexity_buckets
+# ----------------------------------------------------------------------
+
+def test_perplexity_buckets_terciles(spark, sf_dir):
+    from fsharp_dataframe_spark.functions.text import perplexity_buckets
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs).toPandas()
+    n = len(out)
+    sizes = out.bucket.value_counts()
+    # terciles within tie-slack: each bucket within ±10% of n/3 on
+    # this data (ties share the better bucket)
+    for b in ("head", "middle", "tail"):
+        assert abs(sizes[b] - n / 3) < n * 0.1, sizes
+    # ordering invariant: every head score >= every middle score >=
+    # every tail score
+    assert out[out.bucket == "head"].mean_logprob.min() >= \
+        out[out.bucket == "middle"].mean_logprob.max() - 1e-9
+    assert out[out.bucket == "middle"].mean_logprob.min() >= \
+        out[out.bucket == "tail"].mean_logprob.max() - 1e-9
+
+
+def test_perplexity_buckets_deterministic_under_repartition(spark, sf_dir):
+    from fsharp_dataframe_spark.functions.text import perplexity_buckets
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = perplexity_buckets(docs).orderBy("doc_id").toPandas()
+    b = perplexity_buckets(docs.repartition(13)).orderBy("doc_id").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+# ----------------------------------------------------------------------
 # weighted_sample
 # ----------------------------------------------------------------------
 
