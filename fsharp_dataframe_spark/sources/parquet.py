@@ -141,6 +141,82 @@ def save_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def merge_parquet(spark: SparkSession, path: str, updates: DataFrame,
+                  id_col: str = "doc_id",
+                  partition_by: list[str] | None = None,
+                  sort_by: list[str] | None = None) -> None:
+    """Upsert into a parquet table without a lakehouse format: rows in
+    ``updates`` replace existing rows with the same ``id_col``, new ids
+    append, everything else is untouched — the MERGE INTO every
+    incremental ingest needs, done with plain parquet.
+
+    Scale shape — **partition-scoped rewrite**: with ``partition_by``
+    (the table's layout), only the partitions PRESENT in ``updates``
+    are read (a pruned scan driven by the updates' distinct partition
+    values — a bounded driver list) and only those directories are
+    replaced, via Spark's dynamic partitionOverwriteMode.  A 10-row
+    update against a 100 TB table touches one partition directory, not
+    the table.  An id must never move between partitions across
+    updates (standard upsert-partitioning contract: the partition
+    columns are a function of the id); a moved id would leave its old
+    row in the old partition.
+
+    Unpartitioned tables are rewritten whole through a staging
+    directory + rename (atomic on HDFS-like stores; object stores get
+    a copy window — partition the table instead at any real size).
+
+    The merged slice is localCheckpoint-ed before the write: Spark
+    refuses to overwrite a path it is lazily reading from, and the
+    checkpoint also bounds the re-read to the affected partitions.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        save_parquet(updates, path, partition_by=partition_by,
+                     sort_by=sort_by)
+        return
+    existing = read_parquet(spark, path)
+    if partition_by:
+        touched = updates.select(*partition_by).distinct().collect()
+        cond = None
+        for r in touched:
+            c = None
+            for k in partition_by:
+                eq = F.col(k).eqNullSafe(F.lit(r[k]))
+                c = eq if c is None else (c & eq)
+            cond = c if cond is None else (cond | c)
+        affected = existing.filter(cond) if cond is not None else existing.limit(0)
+        merged = (affected.join(updates.select(id_col), on=id_col,
+                                how="left_anti")
+                  .unionByName(updates.select(*affected.columns))
+                  .localCheckpoint(eager=True))
+        w = merged.repartition(*[F.col(c) for c in partition_by])
+        if sort_by:
+            w = w.sortWithinPartitions(*[F.col(c) for c in sort_by])
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (w.write.mode("overwrite").partitionBy(*partition_by)
+             .parquet(path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+    merged = (existing.join(updates.select(id_col), on=id_col,
+                            how="left_anti")
+              .unionByName(updates.select(*existing.columns)))
+    if sort_by:
+        merged = merged.sortWithinPartitions(*[F.col(c) for c in sort_by])
+    staging = path.rstrip("/") + ".__staging__"
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    merged.write.mode("overwrite").parquet(staging)
+    fs.delete(jpath, True)
+    if not fs.rename(spath, jpath):
+        raise IOError(f"merge_parquet: rename {staging} -> {path} failed "
+                      f"(merged data is intact in {staging})")
+
+
 def compact_parquet(spark: SparkSession, src: str, dst: str,
                     target_bytes: int = 256 * 1024 * 1024,
                     sort_by: list[str] | None = None) -> int:

@@ -207,3 +207,61 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert n == 1  # tiny input fits one target-sized file
     back = spark.read.parquet(dst)
     assert back.count() == ev.count()
+
+
+def test_merge_parquet_flat_upsert(spark, tmp_path):
+    from fsharp_dataframe_spark.sources.parquet import (
+        merge_parquet, read_parquet,
+    )
+
+    p = str(tmp_path / "flat")
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(10)],
+                                 "id long, val string")
+    merge_parquet(spark, p, base, "id")
+    up = spark.createDataFrame([(3, "NEW3"), (99, "NEW99")],
+                               "id long, val string")
+    merge_parquet(spark, p, up, "id")
+    out = {r["id"]: r["val"] for r in read_parquet(spark, p).collect()}
+    assert len(out) == 11
+    assert out[3] == "NEW3" and out[99] == "NEW99" and out[4] == "v4"
+    # no staging directory left behind
+    assert not (tmp_path / "flat.__staging__").exists()
+
+
+def test_merge_parquet_partition_scoped_rewrite(spark, tmp_path):
+    import glob
+    import os
+
+    from fsharp_dataframe_spark.sources.parquet import (
+        merge_parquet, read_parquet,
+    )
+
+    p = str(tmp_path / "part")
+    base = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", f"v{i}") for i in range(10)],
+        "id long, lang string, val string")
+    merge_parquet(spark, p, base, "id", partition_by=["lang"])
+    fr_files = sorted(glob.glob(p + "/lang=fr/*.parquet"))
+    fr_mtimes = [os.path.getmtime(f) for f in fr_files]
+    assert fr_files
+
+    up = spark.createDataFrame(
+        [(1, "en", "EN-NEW"), (101, "en", "EN-ADD")],
+        "id long, lang string, val string")
+    merge_parquet(spark, p, up, "id", partition_by=["lang"])
+    out = {r["id"]: (r["lang"], r["val"])
+           for r in read_parquet(spark, p).collect()}
+    assert len(out) == 11
+    assert out[1] == ("en", "EN-NEW") and out[101] == ("en", "EN-ADD")
+    assert out[2] == ("fr", "v2")
+    # the UNTOUCHED partition's files are bit-identical (same paths,
+    # same mtimes): the rewrite was scoped to lang=en only
+    fr_files2 = sorted(glob.glob(p + "/lang=fr/*.parquet"))
+    assert fr_files2 == fr_files
+    assert [os.path.getmtime(f) for f in fr_files2] == fr_mtimes
+
+    # idempotence: replaying the same update changes nothing
+    merge_parquet(spark, p, up, "id", partition_by=["lang"])
+    out2 = {r["id"]: (r["lang"], r["val"])
+            for r in read_parquet(spark, p).collect()}
+    assert out2 == out
