@@ -8,8 +8,9 @@ crawl batch once a cleaned corpus exists:
         the batch, however large the corpus has grown)
       → quality gate                         (same thresholds as the
         initial clean — a batch must not lower the corpus bar)
-      → append as a new partition            (partitioned parquet:
-        ingest_date=... directories, so downstream readers prune)
+      → upsert as a new partition            (merge_parquet: a re-run
+        or corrected batch REPLACES its own rows — partition-scoped
+        dynamic overwrite, earlier batches' files untouched)
 
 Run:  python examples/incremental_ingest.py [sf_dir] [out_dir]
 
@@ -32,7 +33,7 @@ from fsharp_dataframe_spark import get_spark
 from fsharp_dataframe_spark.functions.dedup import incremental_dedup
 from fsharp_dataframe_spark.functions.text import quality_score
 from fsharp_dataframe_spark.functions.util import cache_scope
-from fsharp_dataframe_spark.sources.parquet import load_table, save_parquet
+from fsharp_dataframe_spark.sources.parquet import load_table, merge_parquet
 
 
 def ingest_batch(spark, sf_dir: str, out_dir: str,
@@ -52,9 +53,12 @@ def ingest_batch(spark, sf_dir: str, out_dir: str,
             F.round(quality_score(F.col("text")), 4) >= min_quality)
         counts["quality"] = quality.count()
 
-        save_parquet(quality.withColumn("ingest_batch", F.lit("batch-001")),
-                     out_dir, partition_by=["ingest_batch"],
-                     sort_by=["doc_id"])
+        # upsert rather than append: replaying batch-001 (a re-crawl,
+        # a fixed extractor) replaces exactly its own partition
+        merge_parquet(spark, out_dir,
+                      quality.withColumn("ingest_batch", F.lit("batch-001")),
+                      id_col="doc_id", partition_by=["ingest_batch"],
+                      sort_by=["doc_id"])
     return counts
 
 
