@@ -470,8 +470,9 @@ def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode
 
         warnings.warn(
             f"global (no by=) {mode} runs as a single sequential task; "
-            "use chunk_dist/window_dist for distance predicates or pass "
-            "by= for per-entity parallelism",
+            "use chunk_dist/window_dist for distance predicates, pass "
+            "by= for per-entity parallelism, or (window_while only) "
+            "declare max_rows= for the bounded parallel path",
             stacklevel=3,
         )
         grouped = s.df.withColumn("__g", F.lit(0)).groupBy("__g")
@@ -481,13 +482,73 @@ def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode
 
 
 def series_window_while(s: Series, cond, agg, by: list[str] | None = None,
-                        out_type: str = "double") -> Series:
+                        out_type: str = "double",
+                        max_rows: int | None = None,
+                        n_buckets: int = 64) -> Series:
     """`windowWhileInto` (src/SeriesModule.fs:336-352): a window starts
     at every element and extends while ``cond(first_key, current_key)``
     holds; ends at the FIRST failure.  Window keyed by its first key.
     Pinned by tests/FSharp.DataFrame.Tests/Common.fs:119-125.
+
+    Unlike chunkWhile (each chunk starts where the previous ended — an
+    inherently sequential dependency), every windowWhile window is
+    INDEPENDENT of the others: only the data's order, not a carried
+    state, feeds it.  So the global (no ``by=``) form parallelizes
+    whenever the caller can bound window length: pass ``max_rows`` and
+    the series runs on halo-replicated range buckets (each bucket
+    ghosted with its next ``max_rows`` rows), one Arrow scan per
+    bucket.  A window that would exceed ``max_rows`` rows raises
+    ValueError — the declared bound is a CONTRACT, not a truncation
+    (silent truncation would corrupt results at exactly the moment the
+    data surprises you).  Without ``max_rows`` the global form remains
+    the warned single sequential task.
     """
+    if max_rows is not None and not by:
+        return _window_while_bounded(s, cond, agg, int(max_rows),
+                                     out_type, n_buckets)
     return _while_apply(s, cond, agg, by, out_type, "window_while")
+
+
+def _window_while_bounded(s: Series, cond, agg, max_rows: int,
+                          out_type: str, n_buckets: int) -> Series:
+    import pandas as pd
+
+    from fsharp_dataframe_spark.operators.bucketed import haloed_lag_frame
+
+    s._require_ordered("window_while")
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    key_cols, value_col = s.key_cols, s.value_col
+    okey = key_cols[0]
+    schema = _while_schema(s, out_type)
+    aug, _w_unused, _keep = haloed_lag_frame(
+        s.df, key_cols, halo_fwd=max_rows, n_buckets=n_buckets)
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(key_cols, ignore_index=True)
+        keys = pdf[okey].tolist()
+        ghost = pdf["__ghost"].tolist()
+        n = len(pdf)
+        rows = []
+        for i in range(n):
+            if ghost[i]:
+                continue
+            j = i
+            while j < n and cond(keys[i], keys[j]):
+                j += 1
+            if j - i > max_rows:
+                raise ValueError(
+                    f"window_while(max_rows={max_rows}): window starting "
+                    f"at key {keys[i]!r} spans more than max_rows rows — "
+                    f"raise max_rows (or drop it for the sequential path)")
+            seg = pdf.iloc[i:j][[*key_cols, value_col]]
+            key_vals = [pdf[c].iloc[i] for c in key_cols]
+            rows.append((*key_vals, agg(seg) if len(seg) else None))
+        return pd.DataFrame(rows, columns=key_cols + [value_col])
+
+    out = aug.groupBy("__gbucket").applyInPandas(fn, schema)
+    return Series(out, key=key_cols, value=value_col, ordered=True,
+                  _canonicalize=True)
 
 
 def series_chunk_while(s: Series, cond, agg, by: list[str] | None = None,

@@ -691,10 +691,15 @@ class Series:
         return series_window_dist(self, dist, agg, by=by, bucketed=bucketed)
 
     def window_while_into(self, cond, agg, by: list[str] | None = None,
-                          out_type: str = "double") -> "Series":
+                          out_type: str = "double",
+                          max_rows: int | None = None) -> "Series":
+        """`windowWhileInto`; pass ``max_rows`` (a hard per-window row
+        bound, violations raise) to run the global form parallel on
+        halo-replicated buckets instead of one sequential task."""
         from fsharp_dataframe_spark.operators.window import series_window_while
 
-        return series_window_while(self, cond, agg, by=by, out_type=out_type)
+        return series_window_while(self, cond, agg, by=by, out_type=out_type,
+                                   max_rows=max_rows)
 
     def chunk_while_into(self, cond, agg, by: list[str] | None = None,
                          out_type: str = "double") -> "Series":

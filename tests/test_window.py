@@ -142,3 +142,60 @@ def test_moving_mean_matches_pandas(spark):
     got = s.window_size_into(5, F.avg, AT_BEGINNING).to_pandas()["value"].tolist()
     exp = pd.Series(vals).rolling(5, min_periods=1).mean().tolist()
     assert got == exp
+
+
+def test_window_while_bounded_matches_sequential(spark):
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    keys = np.sort(rng.choice(5000, size=400, replace=False)).astype("int64")
+    pdf = pd.DataFrame({"key": keys, "value": rng.normal(size=400)})
+    s = Series(spark.createDataFrame(pdf), key="key", value="value",
+               ordered=True)
+    agg = lambda seg: float(seg["value"].sum())  # noqa: E731
+    cond = lambda f, t: t - f < 40  # noqa: E731
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        seq = s.window_while_into(cond, agg).df.orderBy("key").toPandas()
+    # force many tiny buckets so windows routinely cross bucket edges
+    par = s.window_while_into(cond, agg, max_rows=50).df \
+        .orderBy("key").toPandas()
+    from fsharp_dataframe_spark.operators.window import series_window_while
+    par2 = series_window_while(s, cond, agg, max_rows=50, n_buckets=23).df \
+        .orderBy("key").toPandas()
+    for got in (par, par2):
+        assert (seq["key"] == got["key"]).all()
+        assert np.allclose(seq["value"].to_numpy(), got["value"].to_numpy(),
+                           equal_nan=True)
+
+
+def test_window_while_bounded_violation_raises(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    pdf = pd.DataFrame({"key": np.arange(200, dtype="int64"),
+                        "value": np.ones(200)})
+    s = Series(spark.createDataFrame(pdf), key="key", value="value",
+               ordered=True)
+    with pytest.raises(Exception, match="max_rows"):
+        s.window_while_into(lambda f, t: True,
+                            lambda seg: float(len(seg)),
+                            max_rows=20).df.count()
+
+
+def test_window_while_bounded_plan_has_no_global_exchange(spark):
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame({"key": np.arange(500, dtype="int64"),
+                        "value": np.ones(500)})
+    s = Series(spark.createDataFrame(pdf), key="key", value="value",
+               ordered=True)
+    out = s.window_while_into(lambda f, t: t - f < 5,
+                              lambda seg: float(len(seg)), max_rows=10)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
