@@ -1445,6 +1445,26 @@ def q_dedup_clusters(spark, sf) -> DataFrame:
     return out.withColumn("is_canonical", F.col("is_canonical").cast("long"))
 
 
+def q_window_while_par(spark, sf) -> DataFrame:
+    """Global windowWhile on the BOUNDED PARALLEL path
+    (operators/window._window_while_bounded — halo-replicated buckets,
+    no sequential task): per purchase, the quantized value sum of the
+    window extending while `current_id - first_id < 500`.  The
+    distance predicate makes the oracle a SQL RANGE window; max_rows
+    is safe because an id-span of 500 bounds the row count."""
+    import numpy as np
+
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    s = Series(p.select("event_id", "value"), key="event_id",
+               value="value", ordered=True)
+    out = s.window_while_into(
+        lambda f, t: t - f < 500,
+        lambda seg: int(np.round(seg["value"].to_numpy() * 10000).sum()),
+        out_type="long", max_rows=600)
+    return out.df.select("event_id", F.col("value").alias("units"))
+
+
 def q_dedup_keep_best(spark, sf) -> DataFrame:
     """Duplicate clustering with the CCNet winner rule (Wenzek et al.
     2020): keep the HIGHEST-quality document of each near-dup cluster
@@ -1636,7 +1656,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "dedup_paragraphs", "vocab_drift",
                  "fill_linear", "rolling_corr", "pack_sequences",
                  "pmi_collocations", "ewma", "weighted_sample",
-                 "dedup_keep_best", "perplexity_buckets")
+                 "dedup_keep_best", "perplexity_buckets",
+                 "window_while_par")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1752,6 +1773,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dedup_keep_best": q_dedup_keep_best,
         "perplexity_buckets": q_perplexity_buckets,
+        "window_while_par": q_window_while_par,
     }
 
 
@@ -3488,6 +3510,20 @@ def _all_oracle_sql() -> dict[str, str]:
                         WHEN s.u >= t.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM s, t
+        """,
+        # the distance predicate `t - f < 500` is exactly a RANGE
+        # window frame [0, 499]; per-element quantization before the
+        # sum (the _isum discipline)
+        "window_while_par": """
+            WITH p AS (
+              SELECT event_id, value FROM events
+              WHERE event_type = 'purchase')
+            SELECT event_id,
+                   sum(round(value * 10000)::BIGINT) OVER (
+                     ORDER BY event_id
+                     RANGE BETWEEN CURRENT ROW AND 499 FOLLOWING)::BIGINT
+                     AS units
+            FROM p
         """,
     }
 

@@ -92,6 +92,7 @@ HEADLINE = [
     "weighted_sample",
     "dedup_keep_best",
     "perplexity_buckets",
+    "window_while_par",
 ]
 
 
