@@ -34,6 +34,12 @@ summaries (the same carry-spine discipline as chunk_dist and the
 bucketed fills), then one narrow Column expression patches every row.
 No global window, no sequential task over the data.
 
+Sizing: each bucket is ONE Arrow group (a pandas frame in a worker),
+so ``n_buckets`` must scale with the series — n/n_buckets rows have
+to fit executor memory.  The cascade is O(n_buckets) driver scalars,
+cheap up to millions of buckets; the default 64 suits test scale,
+a 10^12-row series wants ~10^5.
+
 Bucketing: by default, quantile range buckets (`range_cuts`).  Pass
 ``bucket_width`` to use fixed key-width buckets instead —
 deterministic bucket boundaries make the whole computation replayable

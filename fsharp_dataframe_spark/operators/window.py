@@ -502,6 +502,10 @@ def series_window_while(s: Series, cond, agg, by: list[str] | None = None,
     (silent truncation would corrupt results at exactly the moment the
     data surprises you).  Without ``max_rows`` the global form remains
     the warned single sequential task.
+
+    Sizing: each bucket is one Arrow group, so scale ``n_buckets``
+    with the series (n/n_buckets + max_rows rows per group must fit a
+    worker); the default 64 suits test scale.
     """
     if max_rows is not None and not by:
         return _window_while_bounded(s, cond, agg, int(max_rows),
