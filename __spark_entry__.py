@@ -1651,7 +1651,8 @@ EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
                  "group_stats", "filter_project", "embed_topk",
                  "ivf_assign",
                  # new this round, held out pending next rotation (the
-                 # local oracle gate covers them; window stays at 50)
+                 # local oracle gate ran each at sf0.001 AND sf0.01 AND
+                 # sf0.1 — three-SF green; window stays at 50)
                  "embed_project", "bigram_quality", "quality_classifier",
                  "dedup_paragraphs", "vocab_drift",
                  "fill_linear", "rolling_corr", "pack_sequences",

@@ -328,6 +328,95 @@ def stream_ewma(
     )
 
 
+def stream_rolling_corr(
+    sdf: DataFrame,
+    n: int,
+    x_col: str,
+    y_col: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    out_col: str = "rolling_corr",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming trailing n-row Pearson correlation per entity — the
+    stateful face of Frame.rolling_corr.  State per key is the ring
+    buffer of the last n (x, y) pairs (two double arrays, bounded by n
+    whatever the stream length); each micro-batch folds its rows in
+    event-time order, emits the correlation over the trailing window
+    spanning the batch boundary, and keeps the newest n pairs.  The
+    same guarded moment-sum formula as the batch operator: < 2 pairs
+    or a zero-variance side yields NULL (no ANSI divide-by-zero).
+
+    Missing-pair semantics: a row with a NULL/NaN x or y emits NULL
+    and does NOT consume a window slot (absent observation, state
+    unchanged) — the batch operator instead counts every ROW in its
+    frame; equivalence to the batch form holds on complete pairs.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    nn = int(n)
+    key_field = sdf.schema[key_col]
+    ts_field = sdf.schema[ts_col]
+    out_schema = T.StructType(
+        [key_field, ts_field, T.StructField(out_col, T.DoubleType(), True)])
+    state_schema = T.StructType([
+        T.StructField("xs", T.ArrayType(T.DoubleType()), True),
+        T.StructField("ys", T.ArrayType(T.DoubleType()), True),
+    ])
+
+    def corr_of(xs, ys):
+        cnt = float(len(xs))
+        if cnt < 2:
+            return None
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        den1 = cnt * sxx - sx * sx
+        den2 = cnt * syy - sy * sy
+        if den1 <= 0 or den2 <= 0:
+            return None
+        return (cnt * sxy - sx * sy) / math.sqrt(den1 * den2)
+
+    def fn(key, pdfs, state):
+        xs, ys = ([], [])
+        if state.exists:
+            got = state.get
+            xs, ys = list(got[0] or []), list(got[1] or [])
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, ignore_index=True)
+            vals = []
+            for x, y in zip(pdf[x_col].tolist(), pdf[y_col].tolist()):
+                ok = (x is not None and x == x
+                      and y is not None and y == y)
+                if ok:
+                    xs.append(float(x))
+                    ys.append(float(y))
+                    if len(xs) > nn:
+                        xs.pop(0)
+                        ys.pop(0)
+                    vals.append(corr_of(xs, ys))
+                else:
+                    vals.append(None)
+            sub = pdf[[key_col, ts_col]].copy()
+            sub[out_col] = vals
+            out.append(sub)
+        state.update((xs, ys))
+        yield pd.concat(out) if out else pd.DataFrame(
+            columns=[key_col, ts_col, out_col])
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )
+
+
 def stream_funnel_state(
     sdf: DataFrame,
     steps: list[str],

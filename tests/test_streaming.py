@@ -633,3 +633,65 @@ def test_stream_ewma_matches_batch_and_carries_state(spark, tmp_path):
     # continues from phase-1 state: u1 y=.5*15+.5*30, u2 y=.5*6+.5*2
     assert np.isclose(got2[(1, ts(3))], 22.5)
     assert np.isclose(got2[(2, ts(2))], 4.0)
+
+
+def test_stream_rolling_corr_matches_batch_and_carries_ring(spark, tmp_path):
+    """Streaming rolling corr: ring-buffer state bounded by n; a
+    single-batch run equals Frame.rolling_corr per key, and phase 2's
+    windows span the restart boundary through the checkpointed ring."""
+    from datetime import datetime
+
+    import numpy as np
+
+    from fsharp_dataframe_spark import Frame
+    from fsharp_dataframe_spark.streaming import stream_rolling_corr
+
+    d = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+    schema = "user_id int, ts timestamp, x double, y double"
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    rng = np.random.default_rng(9)
+    phase1 = [(u, ts(h), float(rng.normal()), float(rng.normal()))
+              for u in (1, 2) for h in range(8)]
+    phase2 = [(1, ts(9), 1.5, -0.5), (2, ts(9), 0.25, 2.0)]
+
+    def run_phase(batch_schema):
+        q = (stream_rolling_corr(
+                read_stream_parquet(spark, d, batch_schema), 4, "x", "y")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame(phase1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    batch_schema = spark.read.parquet(d).schema
+    run_phase(batch_schema)
+    got1 = {(r["user_id"], r["ts"]): r["rolling_corr"]
+            for r in spark.read.parquet(outdir).collect()}
+    fr = Frame(spark.createDataFrame(phase1, schema),
+               key=["user_id", "ts"], ordered=True)
+    exp = {(r["user_id"], r["ts"]): r["rolling_corr"]
+           for r in fr.rolling_corr("x", "y", 4, by=["user_id"]).df.collect()}
+    assert set(got1) == set(exp)
+    for k in exp:
+        a, b = got1[k], exp[k]
+        assert (a is None and b is None) or np.isclose(a, b, atol=1e-9), k
+
+    spark.createDataFrame(phase2, schema).coalesce(1).write.mode("append").parquet(d)
+    run_phase(batch_schema)
+    got2 = {(r["user_id"], r["ts"]): r["rolling_corr"]
+            for r in spark.read.parquet(outdir).collect()}
+    # phase-2 windows = last 3 phase-1 pairs + the new pair (via the
+    # checkpointed ring) — replicate in numpy
+    for u in (1, 2):
+        hist = [(x, y) for (uu, _, x, y) in phase1 if uu == u][-3:]
+        newp = [(x, y) for (uu, _, x, y) in phase2 if uu == u]
+        xs = np.array([p[0] for p in hist + newp])
+        ys = np.array([p[1] for p in hist + newp])
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert np.isclose(got2[(u, ts(9))], want, atol=1e-9), u
