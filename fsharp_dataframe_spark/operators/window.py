@@ -532,6 +532,9 @@ def _window_while_bounded(s: Series, cond, agg, max_rows: int,
         pdf = pdf.sort_values(key_cols, ignore_index=True)
         keys = pdf[okey].tolist()
         ghost = pdf["__ghost"].tolist()
+        # select the contract columns ONCE; per-window iloc is then a
+        # view-backed row slice, not a column copy per window
+        base = pdf[[*key_cols, value_col]]
         n = len(pdf)
         rows = []
         for i in range(n):
@@ -545,8 +548,8 @@ def _window_while_bounded(s: Series, cond, agg, max_rows: int,
                     f"window_while(max_rows={max_rows}): window starting "
                     f"at key {keys[i]!r} spans more than max_rows rows — "
                     f"raise max_rows (or drop it for the sequential path)")
-            seg = pdf.iloc[i:j][[*key_cols, value_col]]
-            key_vals = [pdf[c].iloc[i] for c in key_cols]
+            seg = base.iloc[i:j]
+            key_vals = [base[c].iloc[i] for c in key_cols]
             rows.append((*key_vals, agg(seg) if len(seg) else None))
         return pd.DataFrame(rows, columns=key_cols + [value_col])
 
