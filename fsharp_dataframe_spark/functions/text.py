@@ -334,9 +334,14 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
 
     Returns (id_col, n_tok, mean_logprob, bucket).
     """
+    from fsharp_dataframe_spark.functions.util import track_persist
+
     scored = unigram_logprob_score(df, text_col, id_col, train_df, alpha)
     u = F.round(F.col("mean_logprob") * 10000).cast("long")
-    s = scored.withColumn("_u", u)
+    # persisted: the histogram collect below AND the caller's
+    # materialization both consume the scoring pipeline — without the
+    # stage boundary the tokenize+count+join would run twice
+    s = track_persist(scored.withColumn("_u", u))
     dist = sorted(((r["_u"], r["c"]) for r in
                    s.groupBy("_u").agg(F.count("*").alias("c")).collect()),
                   reverse=True)
