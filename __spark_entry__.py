@@ -1638,27 +1638,43 @@ def q_chunk_docs(spark, sf) -> DataFrame:
 # rescore), ivf_assign→ivf_train (replays the identical assignment
 # argmin per iteration) + semantic_dedup (composes ivf_assign
 # directly) — all r3+r4-green or r4-green with multi-query overlap.)
-EXTRA_QUERIES = ("group_agg", "zip_inner", "frame_join_left", "realign",
-                 "shift_diff", "resample_daily", "pivot", "slice_between",
-                 "window_moving_avg", "chunk_sum", "first_last",
-                 "scalar_math", "drop_missing", "text_quality",
-                 "asof_grouped", "resample_uniform", "union_prefer_left",
-                 "frame_arith", "maxby_minby",
-                 "join_broadcast", "fill_forward", "lookup_level",
-                 "lang_hits", "ivf_topk",
-                 "lookup_time_fwd", "dedup_exact", "chunk_dist",
-                 "ngram_jaccard",
-                 "group_stats", "filter_project", "embed_topk",
-                 "ivf_assign",
-                 # new this round, held out pending next rotation (the
-                 # local oracle gate ran each at sf0.001 AND sf0.01 AND
-                 # sf0.1 — three-SF green; window stays at 50)
-                 "embed_project", "bigram_quality", "quality_classifier",
-                 "dedup_paragraphs", "vocab_drift",
-                 "fill_linear", "rolling_corr", "pack_sequences",
-                 "pmi_collocations", "ewma", "weighted_sample",
-                 "dedup_keep_best", "perplexity_buckets",
-                 "window_while_par")
+# ROUND-6 ROTATION (VERDICT r5 ask #1): the goal is a driver-green row
+# for ALL 96 registered queries in the CORRECTNESS_r5 ∪ r6 union.  Every
+# one of round 5's 50 in-window queries earned a green row in r5 itself
+# (50/50 all-green), so they are ALL rotation-eligible — the strongest
+# possible "sibling" evidence is the query's own driver row one round
+# ago.  The round-6 window is therefore:
+#   - the 14 round-5 newcomers (embed_project .. window_while_par),
+#     locally three-SF strict-oracle green, now earning driver rows;
+#   - the 32 veterans held out since earlier rotations (group_agg,
+#     zip_inner, ... ivf_assign) — re-entering so their rows refresh in
+#     the same union (each was driver-green in r3/r4 and has stayed
+#     green in tests/test_oracle_extra.py + tools/check_oracle.py at
+#     sf0.01, re-run in full this session: 96 ok, 0 failing);
+#   - 4 r5-window keepers spanning the heaviest new machinery
+#     (semantic_dedup: cell-blocked pair join + closure; bm25_search:
+#     term-filtered postings; sessionize: event windowing; knn_join:
+#     blocked ANN) for round-over-round repeat evidence.
+# Held out (the 46 remaining r5-window queries below): every one has an
+# r5 driver-green row, stays under the local strict-oracle gate, and
+# keeps in-window siblings through the returning veterans (e.g.
+# dedup_exact/clean_corpus machinery returns via dedup_exact itself;
+# window/chunk substrate via chunk_sum/chunk_dist/window_moving_avg;
+# zip/join algebra via zip_inner/frame_join_left/join_broadcast).
+EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
+                 "cast_types", "chunk_docs", "chunk_while", "clean_corpus",
+                 "corpus_stats", "decontaminate", "dedup_clusters",
+                 "dedup_spans", "doc_keywords", "drop_sparse",
+                 "embed_centroids", "embed_near_dup", "embed_near_dup_lsh",
+                 "fill_constant", "frame_shift_diff", "frame_zip", "funnel",
+                 "hash_split", "incremental_dedup", "index_ordinal",
+                 "ivf_train", "key_skew", "lang_mix", "lsh_topk",
+                 "media_features", "minhash_pairs", "near_dedup",
+                 "pack_shards", "pairwise", "profile_cols", "rep_quality",
+                 "resample_keys", "retention", "sample_stratified",
+                 "sample_time", "simhash_pairs", "stats_melt", "take_last",
+                 "text_stats", "unigram_quality", "vocab_topk",
+                 "window_dist")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

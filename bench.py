@@ -99,6 +99,32 @@ HEADLINE = [
 REGRESSION_FACTOR = 1.5
 REGRESSION_MIN_ABS = 0.5  # sec — below this, wall-clock is run noise
 
+# Machine-readable measurement-basis changes (r5 VERDICT ask #8): when a
+# query's MEASUREMENT changes (cache policy, hash family, substrate
+# default) rather than its plan, record it here so a judge reading the
+# JSON sees the basis shift without git archaeology.  Entries are
+# {"round": N, "queries": [...] or "all", "change": ...}; keep old
+# entries — the list is the accounting history.
+ACCOUNTING_CHANGES = [
+    {"round": 5, "queries": "all",
+     "change": "bench releases tracked caches between queries; each "
+               "query now pays its standalone cost (r4 numbers let "
+               "later queries ride earlier queries' cached relations)"},
+    {"round": 5, "queries": ["minhash_pairs", "near_dedup"],
+     "change": "minhash moved to the md5 oracle hash family (~20% "
+               "slower than the xxh64 production default) so the "
+               "driver can hash-check the full pipeline"},
+    {"round": 6, "queries": ["ewma", "fill_forward", "fill_linear",
+                             "chunk_sum", "chunk_dist", "window_dist",
+                             "pack_shards", "pack_sequences",
+                             "weighted_sample", "window_while_par",
+                             "rolling_corr", "asof_join"],
+     "change": "bucketed substrate n_buckets now auto-sizes from a row "
+               "estimate (floor 64 — same bucket count at bench scale, "
+               "but each un-keyed substrate query pays one extra "
+               "row-estimate job where Catalyst stats are unavailable)"},
+]
+
 
 def _previous_bench() -> tuple[str, dict[str, float]] | None:
     """Newest committed BENCH_r{N}.json next to this file, if any."""
@@ -193,6 +219,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "accounting_changes": ACCOUNTING_CHANGES,
     }))
 
 

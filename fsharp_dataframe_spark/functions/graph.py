@@ -138,6 +138,14 @@ def duplicate_clusters(docs: DataFrame, pairs: DataFrame,
     be deterministic (a rounded Column expression) for reruns to
     agree.
 
+    NULL-score contract (pinned, not accidental): a document with a
+    NULL score always loses to any scored sibling (struct ordering is
+    nulls-first, so ``max(struct(score, -id))`` ranks NULL below every
+    real score); a cluster whose scores are ALL NULL degrades to the
+    min-id default (the NULL structs tie on score and the ``-id``
+    tiebreak picks the smallest id).  Pre-coalesce the score yourself
+    if missing scores should mean something else.
+
     Returns (id_col, cluster_id, cluster_size, is_canonical), one row
     per input document (singletons form their own cluster of size 1).
     """

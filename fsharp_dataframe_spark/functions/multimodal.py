@@ -4,9 +4,17 @@ Design: media payloads are opaque ``binary`` columns + a typed
 metadata struct (mime, width/height/duration, source uri).  Decode and
 feature extraction run as Arrow-batched Pandas UDFs over
 ``mapInPandas`` — the Spark-side contract (schema, batch shape,
-partitioning) is real and tested; the codec calls themselves are
-STUBBED here (no image/audio libraries in this container) behind
-``DecoderUnavailable`` / a deterministic fake, clearly marked.
+partitioning) is real and tested.  Image decode is TIERED:
+
+1. PIL when importable (JPEG/WebP/everything, fastest);
+2. the pure-stdlib PNG codec (functions/png.py) — always available,
+   so the real-decode path is never dead code, merely narrower;
+3. deterministic payload-byte features (``decode_ok=False``) when
+   neither tier can decode the payload.
+
+Audio/video decode remains STUBBED behind ``DecoderUnavailable`` /
+the deterministic fake (no torchaudio/ffmpeg in this container),
+clearly marked.
 
 Scale notes: payload columns dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` down (or store payloads in
@@ -25,9 +33,11 @@ from pyspark.sql import types as T
 
 
 class DecoderUnavailable(NotImplementedError):
-    """Raised by the real-decode path: codec libraries are not present
-    in this environment.  The deterministic fake below exercises the
-    identical Spark plumbing."""
+    """Raised where a real-decode capability is genuinely absent in
+    this environment (video/audio codecs — ffmpeg/torchaudio are not
+    in this container).  Image decode never raises this anymore: the
+    stdlib PNG tier (functions/png.py) is always available, and
+    undecodable rows degrade to decode_ok=False per row instead."""
 
 
 MEDIA_META = T.StructType([
@@ -76,20 +86,17 @@ def _byte_features(payload: bytes | None, feat_dim: int) -> list[float]:
 
 
 def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
-    """Real image decode via PIL (optional dependency): grayscale the
-    image, split into feat_dim horizontal bands, mean intensity per
-    band.  Returns None when the payload is not a decodable image."""
+    """Tier-1 image decode via PIL: grayscale the image, split into
+    feat_dim horizontal bands, mean intensity per band.  Returns None
+    when PIL is missing or the payload is not a decodable image."""
     import io
 
     import numpy as np
 
     try:
         from PIL import Image
-    except ImportError as e:
-        raise DecoderUnavailable(
-            "PIL not installed; install pillow for real image decode "
-            "(audio/video need torchaudio/ffmpeg plugged in here)"
-        ) from e
+    except ImportError:
+        return None
     try:
         img = Image.open(io.BytesIO(payload)).convert("L")
     except Exception:
@@ -98,26 +105,39 @@ def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
     return [float(b.mean()) for b in np.array_split(arr, feat_dim, axis=0)]
 
 
-def _require_pil(what: str) -> None:
-    """Driver-side fail-fast for real_decode=True (better than an
-    executor-task stack trace)."""
+def _png_features(payload: bytes, feat_dim: int) -> list[float] | None:
+    """Tier-2 image decode via the stdlib PNG codec (functions/png.py):
+    same grayscale band-mean features as the PIL tier (identical 601-2
+    luminance, so the two tiers agree on the same PNG).  Returns None
+    when the payload is not a supported PNG."""
+    import numpy as np
+
+    from fsharp_dataframe_spark.functions.png import decode_gray
+
     try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise DecoderUnavailable(
-            f"PIL not installed; install pillow for {what}") from e
+        w, h, lum = decode_gray(bytes(payload))
+    except Exception:
+        return None
+    arr = np.asarray(lum, dtype=np.float32).reshape(h, w)
+    return [float(b.mean()) for b in np.array_split(arr, feat_dim, axis=0)]
+
+
+def _image_features(payload: bytes | None, feat_dim: int) -> list[float] | None:
+    """Real-decode tiering: PIL, then stdlib PNG, else None."""
+    if payload is None or len(payload) == 0:
+        return None
+    decoded = _pil_features(payload, feat_dim)
+    if decoded is None:
+        decoded = _png_features(payload, feat_dim)
+    return decoded
 
 
 def _resolve_real_decode(real_decode) -> bool:
     """Executor-side resolution of the real_decode flag: 'auto' means
-    PIL-if-importable; True/False pass through."""
+    real decode (the stdlib PNG tier makes it always available);
+    True/False pass through."""
     if real_decode == "auto":
-        try:
-            import PIL  # noqa: F401
-
-            return True
-        except ImportError:
-            return False
+        return True
     return bool(real_decode)
 
 
@@ -127,16 +147,15 @@ def extract_features(df: DataFrame, real_decode: bool | str = False,
 
     real_decode=False  — deterministic payload-byte features (always
                          available; exercises the identical batch
-                         shape / schema / partition plumbing).
-    real_decode=True   — PIL image decode; raises DecoderUnavailable
-                         if pillow is missing.  Rows whose payload is
-                         not a decodable image get decode_ok=False and
-                         the byte-feature fallback.
-    real_decode="auto" — PIL when importable, else the fake path.
+                         shape / schema / partition plumbing, and is
+                         the closed-form contract the q_media_features
+                         oracle replays).
+    real_decode=True / "auto" — tiered real decode (PIL, then the
+                         stdlib PNG codec).  Rows whose payload
+                         neither tier can decode get decode_ok=False
+                         and the byte-feature fallback — never an
+                         executor exception mid-100-TB-job.
     """
-
-    if real_decode is True:
-        _require_pil("real image decode")
 
     def _featurize(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -147,7 +166,7 @@ def extract_features(df: DataFrame, real_decode: bool | str = False,
             for payload in pdf["payload"]:
                 decoded = None
                 if use_real:
-                    decoded = _pil_features(payload, feat_dim)
+                    decoded = _image_features(payload, feat_dim)
                 if decoded is not None:
                     feats.append(decoded)
                     oks.append(True)
@@ -173,17 +192,16 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
                          re-sampled to target_w*target_h by striding
                          the source bytes (pure arithmetic, so tests
                          and oracles can predict every byte).
-    real_decode=True   — PIL decode → resize → re-encode PNG; raises
-                         DecoderUnavailable without pillow (rows that
-                         fail decode keep the fake-path payload).
-    real_decode="auto" — PIL when importable, else the fake path.
+    real_decode=True / "auto" — tiered real resize: PIL decode →
+                         resize → re-encode PNG when pillow is
+                         importable, else the stdlib PNG codec's
+                         nearest-neighbor resize (functions/png.py)
+                         for PNG payloads; rows neither tier can
+                         decode keep the fake-path payload.
 
     Non-image rows (mime not image/*) pass through unchanged — a
     resize pass over a mixed-modality table must not touch audio.
     """
-    if real_decode is True:
-        _require_pil("real image resize")
-
     n_out = int(target_w) * int(target_h)
 
     def _fake_resize(payload: bytes | None) -> bytes | None:
@@ -208,6 +226,19 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
         except Exception:
             return None
 
+    def _real_resize(payload: bytes | None) -> bytes | None:
+        if payload is None or len(payload) == 0:
+            return None
+        resized = _pil_resize(payload)
+        if resized is None:
+            from fsharp_dataframe_spark.functions.png import resize_nearest
+
+            try:
+                resized = resize_nearest(bytes(payload), target_w, target_h)
+            except Exception:
+                resized = None
+        return resized
+
     def _resize(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -220,7 +251,7 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
                     payloads.append(payload)
                     metas.append(meta)
                     continue
-                resized = _pil_resize(payload) if use_real else None
+                resized = _real_resize(payload) if use_real else None
                 payloads.append(resized if resized is not None
                                 else _fake_resize(payload))
                 new_meta = dict(meta)
@@ -232,10 +263,20 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
     return df.mapInPandas(_resize, schema=MEDIA_SCHEMA)
 
 
-def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+def frame_sample_plan(df: DataFrame, every_n: int = 10,
+                      decode: bool = False) -> DataFrame:
     """Video frame-sampling *plan*: explode frame indices 0..n_frames-1
-    step every_n as rows (decode stubbed).  Shows the fan-out shape:
-    one row per sampled frame, partitioned by media_id."""
+    step every_n as rows.  Shows the fan-out shape: one row per sampled
+    frame, partitioned by media_id.
+
+    ``decode=True`` would decode each sampled frame to pixels — that
+    step needs a video codec (ffmpeg/pyav) this container doesn't
+    have, so it raises DecoderUnavailable (the clearly-marked stub;
+    the plan itself — schema, fan-out, partitioning — is real)."""
+    if decode:
+        raise DecoderUnavailable(
+            "video frame decode needs ffmpeg/pyav; only the sampling "
+            "plan (media_id, frame_idx fan-out) is available here")
     idx = F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
                      F.lit(every_n))
     return df.select("media_id", F.explode(idx).alias("frame_idx"))

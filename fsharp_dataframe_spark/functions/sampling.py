@@ -108,7 +108,7 @@ def stratified_hash_sample(df: DataFrame, id_col: str,
 
 
 def with_global_weighted_cumsum(df: DataFrame, key_cols: list[str],
-                                weight_col: str, n_buckets: int = 64,
+                                weight_col: str, n_buckets: int | None = None,
                                 cum_col: str = "__gcum") -> tuple[DataFrame, int]:
     """EXCLUSIVE global prefix sum of an integer weight along key order,
     without a global window: quantile range buckets on the leading key,
@@ -120,7 +120,7 @@ def with_global_weighted_cumsum(df: DataFrame, key_cols: list[str],
     Returns (df + cum_col, grand_total).
     """
     from fsharp_dataframe_spark.operators.bucketed import (
-        _bucket_expr, _offset_expr, range_cuts,
+        _bucket_expr, attach_mapping, range_cuts,
     )
 
     cuts = range_cuts(df, key_cols[0], n_buckets)
@@ -137,17 +137,18 @@ def with_global_weighted_cumsum(df: DataFrame, key_cols: list[str],
         run += per[k]
     w = (Window.partitionBy("__wb").orderBy(*[F.col(k) for k in key_cols])
          .rowsBetween(Window.unboundedPreceding, -1))
-    out = tmp.withColumn(
+    out = attach_mapping(tmp, "__wb", offsets, "__boff", "long", default=0)
+    out = out.withColumn(
         cum_col,
-        (_offset_expr(F.col("__wb"), offsets)
+        (F.col("__boff")
          + F.coalesce(F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0))
          ).cast("long"))
-    return out.drop("__wb"), run
+    return out.drop("__wb", "__boff"), run
 
 
 def pack_shards(df: DataFrame, target_tokens: int,
                 id_col: str = "doc_id", text_col: str = "text",
-                n_buckets: int = 64) -> DataFrame:
+                n_buckets: int | None = None) -> DataFrame:
     """Pack documents (in id order) into contiguous shards of ~target
     tokens: shard = floor(exclusive_prefix_tokens / target).
 
@@ -204,7 +205,7 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
 
 def pack_sequences(df: DataFrame, seq_len: int,
                    id_col: str = "doc_id", text_col: str = "text",
-                   n_buckets: int = 64) -> DataFrame:
+                   n_buckets: int | None = None) -> DataFrame:
     """Concat-and-split sequence packing: lay every document's tokens
     end-to-end in id order and cut the stream into fixed ``seq_len``
     training sequences — the packing discipline of GPT-style

@@ -376,16 +376,20 @@ def pmi_collocations(df: DataFrame, k: int = 50, text_col: str = "text",
     unigram stream counts; pairs below ``min_count`` occurrences are
     dropped (rare-pair PMI is noise).
 
-    Scale shape: ONE tokenize pass feeds a narrow zip_with bigram
-    relation (no positional self-join); counts are two token-keyed
-    groupBys with map-side combine; N and B are two scalar aggregates;
-    the rest is a broadcast-joined expression and a global TakeOrdered
-    of k rows.  The PMI is quantized to integer MICRO-nats
-    (round(pmi·1e6) as BIGINT) so ordering and oracle comparison are
-    exact across engines.
+    Scale shape: the corpus is tokenized exactly TWICE (once into the
+    unigram count groupBy, once into the bigram one — both persisted,
+    vocabulary-sized relations); N and B are derived as sum(n_w) /
+    sum(n_pair) over those cached count tables, NOT re-tokenizing
+    scalar jobs.  The bigram relation is a narrow zip_with (no
+    positional self-join); the rest is a broadcast-joined expression
+    and a global TakeOrdered of k rows.  The PMI is quantized to
+    integer MICRO-nats (round(pmi·1e6) as BIGINT) so ordering and
+    oracle comparison are exact across engines.
 
     Returns (w1, w2, n_pair, pmi_micro), pmi desc / w1 / w2 order.
     """
+    from fsharp_dataframe_spark.functions.util import track_persist
+
     t = tokens(F.lower(F.col(text_col)))
     n1 = F.greatest(F.size(t) - 1, F.lit(0))
     pairs = df.select(F.explode(
@@ -393,10 +397,10 @@ def pmi_collocations(df: DataFrame, k: int = 50, text_col: str = "text",
                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
         .alias("p")).select("p.w1", "p.w2")
     uni = df.select(F.explode(t).alias("w"))
-    cb = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
-    cu = uni.groupBy("w").agg(F.count("*").alias("n_w"))
-    n_total = uni.count()
-    b_total = pairs.count()
+    cb = track_persist(pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair")))
+    cu = track_persist(uni.groupBy("w").agg(F.count("*").alias("n_w")))
+    n_total = int(cu.agg(F.sum("n_w")).first()[0] or 0)
+    b_total = int(cb.agg(F.sum("n_pair")).first()[0] or 0)
     # double-domain products in a FIXED association so the oracle can
     # replay the identical IEEE value: ((n_pair*N)*N) / (((B*c1)*c2))
     nd, bd = float(n_total), float(b_total)

@@ -60,7 +60,7 @@ def _union_fill(
     direction: str,
     by: list[str] | None,
     bucketed: bool = False,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Shared engine: fill *fill_cols* (from source) onto probe rows.
 
@@ -117,7 +117,7 @@ def _bucketed_fill(
     fill_cols: list[str],
     probe_cols: list[str],
     direction: str,
-    n_buckets: int,
+    n_buckets: int | None,
 ) -> DataFrame:
     """Scalable global as-of: range-bucket the key space, window within
     buckets, then patch bucket-local misses with a broadcast of each
@@ -129,8 +129,13 @@ def _bucketed_fill(
     and rows with equal keys always share a bucket (exact-match
     side-tiebreaks resolve inside one window partition).
     """
+    from fsharp_dataframe_spark.operators.bucketed import (
+        _bucket_expr, auto_n_buckets,
+    )
+
     if len(key_cols) != 1:
         raise ValueError("bucketed as-of supports a single key column")
+    n_buckets = auto_n_buckets(u, n_buckets)
     k = key_cols[0]
     kd = F.col(k).cast("double")
     cuts = (
@@ -139,8 +144,7 @@ def _bucketed_fill(
     )
     cuts = sorted({c for c in cuts if c is not None and c == c})
     if cuts:
-        barr = F.array(*[F.lit(c) for c in cuts])
-        bucket = F.size(F.filter(barr, lambda b: b <= kd))
+        bucket = _bucket_expr(F.col(k), cuts)
     else:
         # non-numeric or single-valued key space: one bucket (correct,
         # just not parallel — the plain path's behavior)

@@ -37,8 +37,11 @@ No global window, no sequential task over the data.
 Sizing: each bucket is ONE Arrow group (a pandas frame in a worker),
 so ``n_buckets`` must scale with the series — n/n_buckets rows have
 to fit executor memory.  The cascade is O(n_buckets) driver scalars,
-cheap up to millions of buckets; the default 64 suits test scale,
-a 10^12-row series wants ~10^5.
+cheap up to millions of buckets.  By default (``n_buckets=None``) the
+count is derived from a row estimate (`bucketed.auto_n_buckets`,
+~2M rows per bucket, floor 64), so a 10^12-row series auto-sizes to
+~5×10^5 buckets; past ~4k buckets the carry patch switches from a
+create_map literal to a broadcast join (`bucketed.attach_mapping`).
 
 Bucketing: by default, quantile range buckets (`range_cuts`).  Pass
 ``bucket_width`` to use fixed key-width buckets instead —
@@ -77,18 +80,26 @@ def _fold_zero_init(values, alpha: float):
 
 
 def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
-                n_buckets: int = 64, bucket_width: float | None = None) -> Series:
+                n_buckets: int | None = None,
+                bucket_width: float | None = None) -> Series:
     """EWMA of an ordered series (see module docstring for semantics
     and the parallel decomposition).  Returns one row per non-null
-    input row with the value column replaced by the EWMA."""
+    input row with the value column replaced by the EWMA.
+    ``n_buckets=None`` (default) auto-sizes from a row estimate
+    (`bucketed.auto_n_buckets`, floor 64)."""
     import pandas as pd
 
     s._require_ordered("ewma")
     a = float(alpha)
     if not 0.0 < a <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    df = s.df.filter(s.value.isNotNull())
     key_cols, value_col = s.key_cols, s.value_col
+    # the fold produces float64 whatever the input type — declare the
+    # value as double in BOTH applyInPandas schemas, or an int-typed
+    # column crashes the Arrow conversion (or silently truncates with
+    # safe-conversion off)
+    df = (s.df.filter(s.value.isNotNull())
+          .withColumn(value_col, s.value.cast("double")))
     order = [F.col(k) for k in key_cols]
 
     if by:
@@ -113,15 +124,16 @@ def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
                       _canonicalize=False)
 
     # ---------------- global bucketed path ----------------
+    from fsharp_dataframe_spark.operators.bucketed import (
+        _bucket_expr,
+        attach_mapping,
+        range_cuts,
+    )
+
     axis = key_cols[0]
     if bucket_width is not None:
         b = F.floor(F.col(axis).cast("double") / float(bucket_width)).cast("int")
     else:
-        from fsharp_dataframe_spark.operators.bucketed import (
-            _bucket_expr,
-            range_cuts,
-        )
-
         cuts = range_cuts(df, axis, n_buckets)
         b = _bucket_expr(F.col(axis), cuts) if cuts else F.lit(0)
     base = df.withColumn(_B, b)
@@ -160,12 +172,13 @@ def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
         incs[bid] = inc
         inc = finals[bid] + inc * (dec ** n_b)
 
-    pairs = []
-    for k, v in incs.items():
-        pairs.extend([F.lit(k), F.lit(float(v))])
-    inc_col = F.element_at(F.create_map(*pairs), F.col(_B) + F.lit(0)) \
-        if pairs else F.lit(0.0)
-    y = F.col(value_col) + F.pow(F.lit(dec), F.col("__pos") + 1) * inc_col
-    out = local.withColumn(value_col, y).drop(_B, "__pos")
+    # carry patch: create_map literal for few buckets, broadcast join
+    # past MAP_LITERAL_MAX — at the documented 10^5-bucket sizing the
+    # literal form is a 2·10^5-node expression tree in one plan node
+    patched = attach_mapping(
+        local, _B, {int(k): float(v) for k, v in incs.items()},
+        "__inc", "double", default=0.0)
+    y = F.col(value_col) + F.pow(F.lit(dec), F.col("__pos") + 1) * F.col("__inc")
+    out = patched.withColumn(value_col, y).drop(_B, "__pos", "__inc")
     return Series(out, key=key_cols, value=value_col, ordered=True,
                   _canonicalize=False)

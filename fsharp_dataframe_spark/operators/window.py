@@ -50,7 +50,7 @@ def _w(s: Series, by: list[str] | None) -> Window:
 
 
 def _lag_substrate(s: Series, n: int, by: list[str] | None, bucketed: bool,
-                   n_buckets: int):
+                   n_buckets: int | None):
     """(df, window, keep_cond) for a lag/lead of reach |n|.  With
     ``bucketed`` (and no by=) the substrate is the halo-replicated
     bucket frame from operators.bucketed — no single-partition window;
@@ -68,7 +68,7 @@ def _lag_substrate(s: Series, n: int, by: list[str] | None, bucketed: bool,
 
 
 def series_shift(s: Series, n: int, by: list[str] | None = None,
-                 bucketed: bool = False, n_buckets: int = 64) -> Series:
+                 bucketed: bool = False, n_buckets: int | None = None) -> Series:
     """`shift n`: value at key[i] becomes value[i-n]; boundary keys
     dropped (reference builds it from WindowSize(|n|+1, Skip))."""
     s._require_ordered("shift")
@@ -84,7 +84,7 @@ def series_shift(s: Series, n: int, by: list[str] | None = None,
 
 
 def series_diff(s: Series, n: int, by: list[str] | None = None,
-                bucketed: bool = False, n_buckets: int = 64) -> Series:
+                bucketed: bool = False, n_buckets: int | None = None) -> Series:
     """`diff n`: x[k] - x[k-n]; boundary keys dropped
     (tests/FSharp.DataFrame.Tests/Series.fs:74-81)."""
     s._require_ordered("diff")
@@ -101,7 +101,7 @@ def series_diff(s: Series, n: int, by: list[str] | None = None,
 
 def series_pairwise(s: Series, f: Callable[[Column, Column], Column] | None = None,
                     by: list[str] | None = None,
-                    bucketed: bool = False, n_buckets: int = 64) -> Series:
+                    bucketed: bool = False, n_buckets: int | None = None) -> Series:
     """(prev, cur) combined by *f* (default: struct pair) — `Pairwise`
     (src/Series.fs:461-500).  One key shorter (first key dropped)."""
     s._require_ordered("pairwise")
@@ -119,7 +119,7 @@ def series_pairwise(s: Series, f: Callable[[Column, Column], Column] | None = No
 
 def series_window_size(s: Series, n: int, agg: Callable[[Column], Column],
                        boundary: str = AT_BEGINNING, by: list[str] | None = None,
-                       bucketed: bool = False, n_buckets: int = 64) -> Series:
+                       bucketed: bool = False, n_buckets: int | None = None) -> Series:
     """Sliding n-row windows aggregated by *agg* — `windowSizeInto`
     (src/SeriesModule.fs:281-301).  *agg* receives the value Column and
     must return a window-aggregable Column expression (F.sum/avg/...).
@@ -158,7 +158,7 @@ def series_window_size(s: Series, n: int, agg: Callable[[Column], Column],
 
 def frame_rolling_corr(df, key_cols: list[str], x_col: str, y_col: str,
                        n: int, by: list[str] | None = None,
-                       bucketed: bool = False, n_buckets: int = 64,
+                       bucketed: bool = False, n_buckets: int | None = None,
                        out_col: str = "rolling_corr"):
     """Trailing n-row Pearson correlation of two frame columns — the
     two-column sibling of `windowSizeInto` (src/SeriesModule.fs:281-301;
@@ -220,7 +220,7 @@ def frame_rolling_corr(df, key_cols: list[str], x_col: str, y_col: str,
 
 def series_chunk_size(s: Series, n: int, agg: Callable[[Column], Column],
                       boundary: str = AT_ENDING, by: list[str] | None = None,
-                      bucketed: bool = False, n_buckets: int = 64) -> Series:
+                      bucketed: bool = False, n_buckets: int | None = None) -> Series:
     """Non-overlapping n-row chunks — `chunkSizeInto`
     (src/SeriesModule.fs:383-399).  Chunk keyed by its FIRST key.
 
@@ -270,7 +270,7 @@ def series_chunk_size(s: Series, n: int, agg: Callable[[Column], Column],
 
 
 def series_window_dist_bucketed(s: Series, dist, agg: Callable[[Column], Column],
-                                n_buckets: int = 64) -> Series:
+                                n_buckets: int | None = None) -> Series:
     """Global (un-keyed) windowDist WITHOUT a single-partition window.
 
     The range-frame analog of the halo trick: quantile cut points are
@@ -484,7 +484,7 @@ def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode
 def series_window_while(s: Series, cond, agg, by: list[str] | None = None,
                         out_type: str = "double",
                         max_rows: int | None = None,
-                        n_buckets: int = 64) -> Series:
+                        n_buckets: int | None = None) -> Series:
     """`windowWhileInto` (src/SeriesModule.fs:336-352): a window starts
     at every element and extends while ``cond(first_key, current_key)``
     holds; ends at the FIRST failure.  Window keyed by its first key.
@@ -514,7 +514,7 @@ def series_window_while(s: Series, cond, agg, by: list[str] | None = None,
 
 
 def _window_while_bounded(s: Series, cond, agg, max_rows: int,
-                          out_type: str, n_buckets: int) -> Series:
+                          out_type: str, n_buckets: int | None) -> Series:
     import pandas as pd
 
     from fsharp_dataframe_spark.operators.bucketed import haloed_lag_frame
@@ -571,7 +571,7 @@ def series_chunk_while(s: Series, cond, agg, by: list[str] | None = None,
 
 def series_chunk_dist(s: Series, dist, agg, by: list[str] | None = None,
                       out_type: str = "double", bucketed: bool = True,
-                      n_buckets: int = 64) -> Series:
+                      n_buckets: int | None = None) -> Series:
     """`chunkDistInto` (src/SeriesModule.fs:416-423): chunkWhile with
     the strict distance predicate ``(current - first) < dist``.
 
@@ -591,7 +591,7 @@ def series_chunk_dist(s: Series, dist, agg, by: list[str] | None = None,
 
 
 def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
-                               n_buckets: int = 64) -> Series:
+                               n_buckets: int | None = None) -> Series:
     """Global (un-keyed) chunkDist WITHOUT a single sequential task.
 
     The recurrence ``start_{i+1} = first key >= start_i + dist`` looks

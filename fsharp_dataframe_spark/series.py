@@ -198,17 +198,34 @@ class Series:
         """Non-missing count — `Series.countValues` (src/SeriesModule.fs:183-185)."""
         return self.df.filter(self.value.isNotNull()).count()
 
-    def keys(self) -> list:
+    # Driver materializers.  Like `Frame.transpose`, these collect the
+    # whole relation to one process — inherently small-data ops, so they
+    # carry the same smallness guard (refuse past ``max_rows`` instead
+    # of silently OOMing the driver on a 100 TB series; raise the limit
+    # explicitly when you really mean it).
+
+    def _guard_collect(self, max_rows: int, what: str) -> None:
+        n = self.df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"Series.{what} would collect >{max_rows} rows to the driver; "
+                "pass a larger max_rows explicitly if you really want this"
+            )
+
+    def keys(self, max_rows: int = 100_000) -> list:
+        self._guard_collect(max_rows, "keys")
         return [r[0] for r in self.df.select(*self.key_cols).collect()]
 
-    def observations(self) -> list[tuple]:
+    def observations(self, max_rows: int = 100_000) -> list[tuple]:
         """Materialized (key, value) pairs, missing dropped — test helper."""
+        self._guard_collect(max_rows, "observations")
         rows = self.df.filter(self.value.isNotNull())
         if self.ordered:
             rows = rows.orderBy(*self._key_order())
         return [tuple(r) for r in rows.collect()]
 
-    def to_pandas(self):
+    def to_pandas(self, max_rows: int = 100_000):
+        self._guard_collect(max_rows, "to_pandas")
         df = self.df.orderBy(*self._key_order()) if self.ordered else self.df
         return df.toPandas()
 
@@ -709,14 +726,15 @@ class Series:
 
     def chunk_dist_into(self, dist, agg, by: list[str] | None = None,
                         out_type: str = "double", bucketed: bool = True,
-                        n_buckets: int = 64) -> "Series":
+                        n_buckets: int | None = None) -> "Series":
         from fsharp_dataframe_spark.operators.window import series_chunk_dist
 
         return series_chunk_dist(self, dist, agg, by=by, out_type=out_type,
                                  bucketed=bucketed, n_buckets=n_buckets)
 
     def ewma(self, alpha: float, by: list[str] | None = None,
-             n_buckets: int = 64, bucket_width: float | None = None) -> "Series":
+             n_buckets: int | None = None,
+             bucket_width: float | None = None) -> "Series":
         """Exponentially weighted moving average, y_0 = x_0 and
         y_i = (1-α)·y_{i-1} + α·x_i (parity-plus over the finite
         moving-window API, src/SeriesModule.fs:281-301) — the global

@@ -211,10 +211,25 @@ def merge_parquet(spark: SparkSession, path: str, updates: DataFrame,
     staging = path.rstrip("/") + ".__staging__"
     spath = jvm.org.apache.hadoop.fs.Path(staging)
     merged.write.mode("overwrite").parquet(staging)
-    fs.delete(jpath, True)
-    if not fs.rename(spath, jpath):
-        raise IOError(f"merge_parquet: rename {staging} -> {path} failed "
-                      f"(merged data is intact in {staging})")
+    # swap via rename-aside, never delete-then-rename: a crash between
+    # a delete and the staging rename would leave NO table at `path`.
+    # Renames are atomic on HDFS-like stores, so the only non-atomic
+    # window is between the two renames — and the old table survives it
+    # in `old` for manual (or the except-branch's automatic) restore.
+    old = path.rstrip("/") + ".__old__"
+    opath = jvm.org.apache.hadoop.fs.Path(old)
+    if fs.exists(opath):  # leftover from an earlier crashed merge
+        fs.delete(opath, True)
+    if not fs.rename(jpath, opath):
+        raise IOError(f"merge_parquet: rename-aside {path} -> {old} failed "
+                      f"(table untouched; merged data is in {staging})")
+    try:
+        if not fs.rename(spath, jpath):
+            raise IOError(f"merge_parquet: rename {staging} -> {path} failed")
+    except BaseException:
+        fs.rename(opath, jpath)  # restore the pre-merge table
+        raise
+    fs.delete(opath, True)
 
 
 def compact_parquet(spark: SparkSession, src: str, dst: str,

@@ -205,11 +205,19 @@ def stream_session_windows(
     watermark: str = "1 day",
 ) -> DataFrame:
     """Sessionization via native session windows — the streaming analog
-    of `chunkWhile` with a gap predicate (stateful, merge-on-overlap)."""
+    of `chunkWhile` with a gap predicate (stateful, merge-on-overlap).
+
+    ``sum_value`` uses the same fixed-point discipline as the batch
+    `functions/events.session_stats` (sum of integer ten-thousandths,
+    then round to 2 decimals): partial aggregation order never moves
+    the result, so the streaming output hash-matches the batch oracle
+    SQL exactly (tests/test_streaming.py oracle-hash loop)."""
+    isum = F.sum(F.round(F.col("value") * 10000).cast("long"))
     return (
         sdf.withWatermark(ts_col, watermark)
         .groupBy(*by, F.session_window(F.col(ts_col), gap).alias("s"))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(isum / 10000.0, 2).alias("sum_value"))
         .select(*by, F.col("s.start").alias("session_start"),
                 F.col("s.end").alias("session_end"), "n_events", "sum_value")
     )

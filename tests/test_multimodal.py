@@ -32,33 +32,146 @@ def test_extract_features_schema_and_determinism(spark):
 
 
 def test_extract_features_real_decode_gating(spark):
+    # fake patterned payloads are not decodable images: in EVERY
+    # environment (PIL or stdlib-PNG tier) they degrade to the byte
+    # fallback with decode_ok=False — no executor exception
     media = make_fake_media(spark, n=4)
-    if _has_pil():
-        # fake payloads are not decodable images: fallback + decode_ok=False
-        out = extract_features(media, real_decode=True).collect()
-        assert all(r["decode_ok"] is False for r in out)
-    else:
-        with pytest.raises(DecoderUnavailable):
-            extract_features(media, real_decode=True)
-    # auto never raises, regardless of environment
+    out = extract_features(media, real_decode=True).collect()
+    assert all(r["decode_ok"] is False for r in out)
     out = extract_features(media, real_decode="auto").collect()
     assert len(out) == 4
 
 
-@pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
 def test_extract_features_decodes_real_png(spark):
-    import io
+    # genuine PNG bytes from the stdlib encoder run the real-decode
+    # happy path in every environment (PIL tier when pillow is
+    # installed, stdlib tier otherwise) — no skip either way
+    from fsharp_dataframe_spark.functions.png import encode_png
 
-    from PIL import Image
-
-    buf = io.BytesIO()
-    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+    payload = encode_png(bytes([200] * 64), 8, 8, channels=1)
     df = spark.createDataFrame(
-        [(0, buf.getvalue(), None)],
+        [(0, payload, None)],
         "media_id long, payload binary, meta struct<mime:string>")
     r = extract_features(df, real_decode=True).collect()[0]
     assert r["decode_ok"] is True
     assert all(abs(x - 200.0) < 1e-3 for x in r["feat"])
+
+
+def test_png_codec_roundtrip_and_filters():
+    import random
+    import struct
+    import zlib
+
+    from fsharp_dataframe_spark.functions.png import (
+        PNG_MAGIC, decode_gray, decode_png, encode_png,
+    )
+
+    rng = random.Random(7)
+    for channels in (1, 2, 3, 4):
+        px = bytes(rng.randrange(256) for _ in range(6 * 5 * channels))
+        data = encode_png(px, 6, 5, channels)
+        assert data.startswith(PNG_MAGIC)
+        w, h, c, out = decode_png(data)
+        assert (w, h, c) == (6, 5, channels)
+        assert out == px
+    # all five scanline filters must unfilter correctly: hand-build a
+    # PNG whose rows use filters 0..4 over known grayscale pixels
+    width, height = 4, 5
+    rows = [bytes(rng.randrange(256) for _ in range(width))
+            for _ in range(height)]
+
+    def filt(ftype, row, prev):
+        out = bytearray([ftype])
+        for i, x in enumerate(row):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ftype == 0:
+                out.append(x)
+            elif ftype == 1:
+                out.append((x - left) & 0xFF)
+            elif ftype == 2:
+                out.append((x - up) & 0xFF)
+            elif ftype == 3:
+                out.append((x - ((left + up) >> 1)) & 0xFF)
+            else:  # paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out.append((x - pred) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(width)
+    for ftype, row in zip([0, 1, 2, 3, 4], rows):
+        raw += filt(ftype, row, prev)
+        prev = row
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    w, h, lum = decode_gray(png)
+    assert (w, h) == (width, height)
+    assert bytes(lum) == b"".join(rows)
+    # luminance for RGB follows the 601-2 integer formula
+    rgb = encode_png(bytes([100, 150, 200] * 4), 2, 2, channels=3)
+    _, _, lum = decode_gray(rgb)
+    assert lum == [(100 * 299 + 150 * 587 + 200 * 114) // 1000] * 4
+
+
+@pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
+def test_png_codec_agrees_with_pil():
+    # when PIL is present, both decode tiers must read the same pixels
+    import io
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    from fsharp_dataframe_spark.functions.png import decode_png, encode_png
+
+    rng = random.Random(9)
+    px = bytes(rng.randrange(256) for _ in range(16 * 8 * 3))
+    data = encode_png(px, 16, 8, channels=3)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    _, _, _, ours = decode_png(data)
+    assert pil.tobytes() == ours
+
+
+def test_resize_media_real_png_payload(spark):
+    # a genuine PNG payload takes the REAL resize tier (stdlib nearest
+    # neighbor or PIL) — meta updated, payload is a decodable PNG of
+    # the target size with the nearest-neighbor pixel mapping
+    from fsharp_dataframe_spark.functions.multimodal import resize_media
+    from fsharp_dataframe_spark.functions.png import decode_png, encode_png
+
+    src_px = bytes((x * 16 + y) % 256 for y in range(8) for x in range(8))
+    payload = encode_png(src_px, 8, 8, channels=1)
+    df = spark.createDataFrame(
+        [(0, payload, {"mime": "image/png", "width": 8, "height": 8,
+                       "n_frames": 1, "duration_s": None})],
+        "media_id long, payload binary, "
+        "meta struct<mime:string,width:int,height:int,n_frames:int,duration_s:double>")
+    r = resize_media(df, 4, 4, real_decode=True).collect()[0]
+    assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+    w, h, c, px = decode_png(bytes(r["payload"]))
+    assert (w, h) == (4, 4)
+    if not _has_pil():  # stdlib tier: exact nearest-neighbor mapping
+        assert c == 1
+        expect = bytes(src_px[(ty * 8 // 4) * 8 + (tx * 8 // 4)]
+                       for ty in range(4) for tx in range(4))
+        assert px == expect
+
+
+def test_frame_sample_decode_is_stubbed(spark):
+    media = make_fake_media(spark, n=4)
+    with pytest.raises(DecoderUnavailable):
+        frame_sample_plan(media, decode=True)
 
 
 def test_frame_sample_plan_fanout(spark):

@@ -333,3 +333,43 @@ def test_pmi_collocations_min_count_filters(spark):
         [(0, "p q p q"), (1, "r s")], "doc_id long, text string")
     out = pmi_collocations(docs, k=10, min_count=2).toPandas()
     assert ("r", "s") not in set(zip(out.w1, out.w2))
+
+
+def test_ewma_integer_value_column(spark):
+    # r5 ADVICE (medium): an int-typed value column must not crash the
+    # Arrow conversion — the fold emits float64, so both applyInPandas
+    # schemas declare double
+    pdf = pd.DataFrame({"k": np.arange(50, dtype="int64"),
+                        "v": np.arange(50, dtype="int64") % 9})
+    s = Series(spark.createDataFrame(pdf), key="k", value="v", ordered=True)
+    ref = pdf["v"].astype("float64").ewm(alpha=0.3, adjust=False).mean().to_numpy()
+    out = s.ewma(0.3).df.orderBy("k").toPandas()["v"].to_numpy()
+    assert np.allclose(out, ref, rtol=1e-12)
+    pdf["g"] = pdf.k % 3
+    s2 = Series(spark.createDataFrame(pdf[["g", "k", "v"]]),
+                key=["g", "k"], value="v", ordered=True)
+    out2 = s2.ewma(0.3, by=["g"]).df.orderBy("g", "k").toPandas()
+    ref2 = (pdf.sort_values(["g", "k"]).groupby("g")["v"]
+            .transform(lambda x: x.astype("float64")
+                       .ewm(alpha=0.3, adjust=False).mean()))
+    assert np.allclose(out2["v"].to_numpy(), ref2.to_numpy(), rtol=1e-12)
+
+
+def test_ewma_broadcast_carry_path_bit_exact(spark, monkeypatch):
+    # r5 VERDICT ask #3: past MAP_LITERAL_MAX buckets the carry patch is
+    # a broadcast join, and it must stay BIT-identical to the literal
+    # create_map path
+    import fsharp_dataframe_spark.operators.bucketed as B
+
+    rng = np.random.default_rng(13)
+    n = 600
+    pdf = pd.DataFrame({"k": np.arange(n, dtype="int64"),
+                        "v": rng.uniform(1, 100, size=n)})
+    s = Series(spark.createDataFrame(pdf), key="k", value="v", ordered=True)
+    lit = s.ewma(0.125, bucket_width=23.0).df.orderBy("k").toPandas()["v"].to_numpy()
+    monkeypatch.setattr(B, "MAP_LITERAL_MAX", 3)
+    joined_s = s.ewma(0.125, bucket_width=23.0)
+    plan = joined_s.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    joined = joined_s.df.orderBy("k").toPandas()["v"].to_numpy()
+    assert (lit == joined).all()  # bit-exact, not allclose

@@ -135,3 +135,24 @@ def test_aggregates(spark):
     assert s.count_keys() == 3
     assert s.max_by() == ("b", 2.0)
     assert s.min_by() == ("a", 1.0)
+
+
+def test_driver_materializers_guarded(spark):
+    # r5 VERDICT ask #4: keys()/observations()/to_pandas() collect the
+    # whole relation to the driver — past max_rows they refuse instead
+    # of OOMing, like Frame.transpose
+    import pytest
+
+    from fsharp_dataframe_spark.series import Series
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)],
+                               "k int, v double")
+    s = Series(df, key="k", value="v", ordered=True)
+    assert len(s.keys()) == 20                       # default limit: fine
+    assert len(s.observations(max_rows=20)) == 20    # exactly at limit
+    assert len(s.to_pandas(max_rows=20)) == 20
+    for call in (lambda: s.keys(max_rows=19),
+                 lambda: s.observations(max_rows=19),
+                 lambda: s.to_pandas(max_rows=19)):
+        with pytest.raises(ValueError, match="collect >19 rows"):
+            call()

@@ -695,3 +695,78 @@ def test_stream_rolling_corr_matches_batch_and_carries_ring(spark, tmp_path):
         ys = np.array([p[1] for p in hist + newp])
         want = np.corrcoef(xs, ys)[0, 1]
         assert np.isclose(got2[(u, ts(9))], want, atol=1e-9), u
+
+
+def test_stream_sessionize_matches_duckdb_oracle(spark, events_stream_dir):
+    """r5 VERDICT ask #5: availableNow streaming sessionization
+    hash-compared against the SAME DuckDB oracle SQL the driver applies
+    to q_sessionize (gap 1800s), projected to the streaming-expressible
+    columns — session_idx is a batch-window artifact, but membership
+    determines (user, start, n_events, sum_value) completely, and the
+    stream's fixed-point sum_value replays the oracle bit-for-bit.
+    Timestamps compare as integer epoch-µs (no tz/precision slack)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+
+    GAP_S = 1800
+    ev = load_table(spark, SF, "events")
+    us = F.unix_micros(F.col("ts"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    exact_gap = (ev.withColumn("_d", us - F.lag(us).over(w))
+                 .filter(F.col("_d") == GAP_S * 1_000_000).count())
+    assert exact_gap == 0, "corpus hits the >= vs > gap boundary"
+
+    s = _events_stream(spark, events_stream_dir)
+    name = run_to_memory(stream_session_windows(s, "30 minutes", ["user_id"]),
+                         "t_sess_oracle", output_mode="complete")
+    got = spark.sql(
+        f"SELECT user_id, unix_micros(session_start) AS start_us, "
+        f"n_events, sum_value FROM {name}"
+    ).toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(
+        "SELECT user_id, epoch_us(t_start) AS start_us, n_events, sum_value "
+        "FROM (" + entrymod._all_oracle_sql()["sessionize"] + ")").df()
+    con.close()
+    problems = compare("stream_sessionize", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_dedup_exact_matches_duckdb_oracle(spark, tmp_path):
+    """r5 VERDICT ask #5, second op: streaming exact dedup against the
+    batch dedup_exact oracle SQL.  dropDuplicates keeps an ARRIVAL-
+    dependent representative, so the oracle-pinned projection is the
+    surviving fingerprint set (exactly one row per distinct normalized
+    content — the dedup contract itself)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.functions.text import fingerprint
+    from fsharp_dataframe_spark.streaming import stream_exact_dedup
+
+    docs = load_table(spark, SF, "documents")
+    timed = docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
+    d = str(tmp_path / "dedup_oracle_stream")
+    timed.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, timed.schema)
+    deduped = stream_exact_dedup(
+        s.withColumn("fp", fingerprint(F.col("text"))), ["fp"])
+    name = run_to_memory(deduped, "t_dedup_oracle")
+    got = spark.sql(f"SELECT fp FROM {name}").toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.execute(
+        "SELECT fp FROM (" + entrymod._all_oracle_sql()["dedup_exact"] + ")").df()
+    con.close()
+    problems = compare("stream_dedup_exact", got, oracle)
+    assert not problems, "; ".join(problems)
