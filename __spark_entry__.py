@@ -1574,6 +1574,61 @@ def q_chunk_docs(spark, sf) -> DataFrame:
     return chunk_documents(docs, max_tokens=32, overlap=4)
 
 
+def q_group_ols(spark, sf) -> DataFrame:
+    """Per-group closed-form linear regression (functions/stats.
+    grouped_ols): value trend over day index by event_type.  All five
+    moments are exact BIGINT sums of integer units (x = whole days
+    since 2024-01-01, y = value in ten-thousandths), so slope /
+    intercept / r² are one fixed double association the oracle
+    replays bit-for-bit.  ONE shuffle with map-side partials."""
+    from fsharp_dataframe_spark.functions.stats import grouped_ols
+
+    ev = load_table(spark, sf, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("2024-01-01")))
+    return (grouped_ols(ev, "event_type", x, F.col("value"))
+            .orderBy("event_type"))
+
+
+def q_mad_outliers(spark, sf) -> DataFrame:
+    """Per-group robust outlier census (functions/stats.
+    grouped_mad_outliers): |value − median| > 3·MAD by event_type.
+    Exact interpolated medians (sort-based percentile — identical
+    across engines on identical doubles); the group-stats relations
+    broadcast back, so the full relation shuffles only on the group
+    key.  The oracle replays median → MAD → flag count as CTEs."""
+    from fsharp_dataframe_spark.functions.stats import grouped_mad_outliers
+
+    ev = load_table(spark, sf, "events")
+    return (grouped_mad_outliers(ev, "event_type", F.col("value"), k=3.0)
+            .orderBy("event_type"))
+
+
+def q_entropy_quality(spark, sf) -> DataFrame:
+    """Per-document character-entropy quality signal (functions/text.
+    char_entropy): Shannon bits/char + top-character fraction — the
+    gibberish/boilerplate detector (natural text ~3.5-4.5 bits/char;
+    base64 noise higher, template soup lower).  Positional character
+    enumeration (both engines agree on substring, not on empty-regex
+    split), micro-nat integer quantization before the per-doc sum, the
+    1/ln2 conversion as a shared repr literal."""
+    from fsharp_dataframe_spark.functions.text import char_entropy
+
+    docs = load_table(spark, sf, "documents")
+    return char_entropy(docs)
+
+
+def q_clean_text(spark, sf) -> DataFrame:
+    """Corpus normalization pass (functions/text.clean_text):
+    zero-width removal (the invisible-codepoint dedup-defeaters),
+    control chars → space, space-run collapse, trim — narrow Column
+    work, no shuffle.  The pipeline avoids \\s entirely (Java and RE2
+    disagree on \\x0B) so the oracle matches byte-for-byte."""
+    from fsharp_dataframe_spark.functions.text import clean_text
+
+    docs = load_table(spark, sf, "documents")
+    return clean_text(docs)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1674,7 +1729,13 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "resample_keys", "retention", "sample_stratified",
                  "sample_time", "simhash_pairs", "stats_melt", "take_last",
                  "text_stats", "unigram_quality", "vocab_topk",
-                 "window_dist")
+                 "window_dist",
+                 # new this round (grouped OLS, MAD outliers, char
+                 # entropy, text normalization) — held out pending the
+                 # r7 rotation slot; the local three-SF strict-oracle
+                 # gate covers them meanwhile
+                 "group_ols", "mad_outliers", "entropy_quality",
+                 "clean_text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1791,6 +1852,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "perplexity_buckets": q_perplexity_buckets,
         "window_while_par": q_window_while_par,
+        "group_ols": q_group_ols,
+        "mad_outliers": q_mad_outliers,
+        "entropy_quality": q_entropy_quality,
+        "clean_text": q_clean_text,
     }
 
 
@@ -3541,6 +3606,107 @@ def _all_oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN CURRENT ROW AND 499 FOLLOWING)::BIGINT
                      AS units
             FROM p
+        """,
+        # moment-sum OLS replay: every sum is BIGINT-exact; the double
+        # algebra carries the IDENTICAL association as grouped_ols
+        # ((n*sxy) - (sx*sy) etc.), so the values match bit-for-bit
+        "group_ols": """
+            WITH b AS (
+              SELECT event_type,
+                     (ts::DATE - DATE '2024-01-01')::BIGINT AS x,
+                     round(value * 10000)::BIGINT AS y
+              FROM events),
+            m AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                     sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+                     sum(y * y)::BIGINT AS syy
+              FROM b GROUP BY 1)
+            SELECT event_type, n,
+                   CASE WHEN n >= 2
+                         AND (n::DOUBLE * sxx) - (sx::DOUBLE * sx) > 0
+                        THEN round((((n::DOUBLE * sxy) - (sx::DOUBLE * sy))
+                                    / ((n::DOUBLE * sxx) - (sx::DOUBLE * sx)))
+                                   / 10000.0, 6) END AS slope,
+                   CASE WHEN n >= 2
+                         AND (n::DOUBLE * sxx) - (sx::DOUBLE * sx) > 0
+                        THEN round(((sy::DOUBLE
+                                     - (((n::DOUBLE * sxy) - (sx::DOUBLE * sy))
+                                        / ((n::DOUBLE * sxx) - (sx::DOUBLE * sx)))
+                                       * sx::DOUBLE) / n::DOUBLE)
+                                   / 10000.0, 6) END AS intercept,
+                   CASE WHEN n >= 2
+                         AND (n::DOUBLE * sxx) - (sx::DOUBLE * sx) > 0
+                         AND (n::DOUBLE * syy) - (sy::DOUBLE * sy) > 0
+                        THEN round((((n::DOUBLE * sxy) - (sx::DOUBLE * sy))
+                                    * ((n::DOUBLE * sxy) - (sx::DOUBLE * sy)))
+                                   / (((n::DOUBLE * sxx) - (sx::DOUBLE * sx))
+                                      * ((n::DOUBLE * syy) - (sy::DOUBLE * sy))),
+                                   6) END AS r2
+            FROM m ORDER BY event_type
+        """,
+        # median -> MAD -> flag-count CTE chain; DuckDB median() is the
+        # same interpolated quantile_cont(0.5) as Spark's percentile
+        "mad_outliers": """
+            WITH med AS (
+              SELECT event_type, median(value) AS m FROM events GROUP BY 1),
+            d AS (
+              SELECT e.event_type, e.value, med.m,
+                     abs(e.value - med.m) AS dev
+              FROM events e JOIN med USING (event_type)),
+            mad AS (
+              SELECT event_type, median(dev) AS md FROM d GROUP BY 1)
+            SELECT d.event_type,
+                   count(d.value)::BIGINT AS n,
+                   round(any_value(d.m), 4) AS med,
+                   round(any_value(mad.md), 4) AS mad,
+                   sum(CASE WHEN d.dev > 3.0 * mad.md THEN 1 ELSE 0 END)::BIGINT
+                     AS n_outliers
+            FROM d JOIN mad USING (event_type)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # positional character enumeration (substring agrees across
+        # engines; empty-regex split does not), micro-nat quantization
+        # before the per-doc sum, shared 1/ln2 repr literal
+        "entropy_quality": """
+            WITH chars AS (
+              SELECT doc_id,
+                     substring(text, i, 1) AS ch
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, length(text) + 1)) AS i
+                    FROM documents
+                    WHERE text IS NOT NULL AND length(text) > 0)),
+            pc AS (
+              SELECT doc_id, ch, count(*)::BIGINT AS c
+              FROM chars GROUP BY 1, 2),
+            pd AS (
+              SELECT doc_id,
+                     sum(c)::BIGINT AS n_chars,
+                     sum(round(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT)::BIGINT
+                       AS units,
+                     max(c)::BIGINT AS top
+              FROM pc GROUP BY 1)
+            SELECT doc_id, n_chars,
+                   round((ln(n_chars::DOUBLE) - (units / 1e6) / n_chars::DOUBLE)
+                         * 1.4426950408889634, 4) AS entropy_bits,
+                   round(top / n_chars::DOUBLE, 4) AS top_char_frac
+            FROM pd
+        """,
+        # zero-width strip -> control->space -> space-run collapse ->
+        # trim; no \\s anywhere (Java vs RE2 disagree on \\x0B)
+        "clean_text": """
+            WITH c AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                       '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                       ' +', ' ', 'g')) AS text_clean
+              FROM documents)
+            SELECT doc_id, text_clean,
+                   (coalesce(length(text), 0) - length(text_clean))::BIGINT
+                     AS n_removed
+            FROM c
         """,
     }
 

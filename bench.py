@@ -93,6 +93,10 @@ HEADLINE = [
     "dedup_keep_best",
     "perplexity_buckets",
     "window_while_par",
+    "group_ols",
+    "mad_outliers",
+    "entropy_quality",
+    "clean_text",
 ]
 
 
@@ -119,10 +123,13 @@ ACCOUNTING_CHANGES = [
                              "pack_shards", "pack_sequences",
                              "weighted_sample", "window_while_par",
                              "rolling_corr", "asof_join"],
-     "change": "bucketed substrate n_buckets now auto-sizes from a row "
-               "estimate (floor 64 — same bucket count at bench scale, "
-               "but each un-keyed substrate query pays one extra "
-               "row-estimate job where Catalyst stats are unavailable)"},
+     "change": "bucketed substrate n_buckets now auto-sizes (floor 64 — "
+               "same bucket count at bench scale); the row count rides "
+               "the existing quantile job (count + percentile_approx in "
+               "one aggregation), so no extra pass, but cut placement "
+               "comes from percentile_approx instead of approxQuantile "
+               "(same sketch, different accuracy parameterization — "
+               "bucket balance may shift within sketch error)"},
 ]
 
 

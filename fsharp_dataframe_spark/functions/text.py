@@ -489,3 +489,89 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
             .select(id_col, "n_bigrams",
                     F.round(F.col("_units") / F.col("n_bigrams") / 10000.0, 4)
                      .alias("mean_logprob")))
+
+
+# injected as a repr literal into BOTH the Spark plan and the SQL
+# oracle so the bits-per-char conversion multiplies the same double
+_INV_LN2 = 1.4426950408889634  # 1 / ln(2), shortest round-trip
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) and
+    top-character fraction — the classic gibberish/boilerplate signal:
+    natural language sits ~3.5-4.5 bits/char, base64 blobs and random
+    noise higher, repeated-template soup and aaaa-runs much lower,
+    and a top-char fraction near 1 means one character dominates.
+
+    Characters are enumerated positionally (explode a 1..len sequence
+    + substring) rather than split-on-empty-regex, because the two
+    engines disagree on empty-regex splitting but agree byte-for-byte
+    on substring; per-(doc,char) count terms c·ln(c) are quantized to
+    integer micro-nats BEFORE the per-doc sum (partition-order-exact),
+    then H = (ln n − Σ/1e6 / n) · 1/ln2 in one fixed association —
+    the DuckDB oracle replays every value exactly.
+
+    Scale shape: the explode fans out to one row per character — big
+    but narrow (two ints + one char) — into ONE (doc,char)-keyed
+    groupBy with map-side combine, then a doc-keyed aggregate that
+    rides the same partitioning.  Empty/NULL docs are excluded
+    (entropy of zero symbols is undefined).
+
+    Returns (id_col, n_chars, entropy_bits, top_char_frac), entropy
+    to 4 decimals, fraction to 4 decimals.
+    """
+    t = F.col(text_col)
+    chars = (df
+             .filter(t.isNotNull() & (F.length(t) > 0))
+             .select(F.col(id_col),
+                     F.explode(F.sequence(F.lit(1), F.length(t))).alias("__i"),
+                     t.alias("__t"))
+             .select(id_col, F.substring(F.col("__t"), F.col("__i"), 1)
+                     .alias("ch")))
+    per_char = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    cd = F.col("c").cast("double")
+    term_units = F.round(cd * F.log(cd) * 1e6).cast("long")
+    per_doc = per_char.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars"),
+        F.sum(term_units).alias("__units"),
+        F.max("c").alias("__top"),
+    )
+    n = F.col("n_chars").cast("double")
+    h_bits = (F.log(n) - (F.col("__units") / 1e6) / n) * F.lit(_INV_LN2)
+    return per_doc.select(
+        id_col,
+        F.col("n_chars"),
+        F.round(h_bits, 4).alias("entropy_bits"),
+        F.round(F.col("__top") / n, 4).alias("top_char_frac"),
+    )
+
+
+def clean_text(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Normalization pass every web-scraped corpus needs before dedup /
+    tokenization: drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — the
+    classic dedup-defeaters: two visually identical documents differ
+    by invisible codepoints), replace C0/DEL control characters with a
+    space, collapse space runs, trim.
+
+    The pipeline deliberately avoids ``\\s`` (Java regex includes
+    \\x0B in it, RE2 does not): control characters — including every
+    whitespace control — are first mapped to plain spaces, so the
+    collapse pass only ever sees ' ' runs and the two engines agree on
+    every byte.  Zero-widths use ``\\x{...}`` escapes, the syntax both
+    dialects share.  Pure narrow Column work — no shuffle, no UDF.
+
+    Returns (id_col, text_clean, n_removed) where n_removed =
+    original length − cleaned length.
+    """
+    t = F.col(text_col)
+    no_zw = F.regexp_replace(t, "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    no_ctrl = F.regexp_replace(no_zw, "[\\x00-\\x1F\\x7F]", " ")
+    cleaned = F.trim(F.regexp_replace(no_ctrl, " +", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text_clean"),
+        (F.coalesce(F.length(t), F.lit(0)) - F.length(cleaned))
+        .cast("long").alias("n_removed"),
+    )

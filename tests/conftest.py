@@ -19,3 +19,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return TESTDATA
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute scale-smoke tests (always run in CI; "
+        "deselect locally with -m 'not slow')")

@@ -1,0 +1,82 @@
+"""Unit pins for the round-6 analytics operators (functions/stats.py,
+functions/text.char_entropy / clean_text): degenerate groups, NULL
+policy, and hand-computable values — the SQL-oracle gate covers the
+full-corpus replays (tests/test_oracle_extra.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.functions.stats import (
+    grouped_mad_outliers, grouped_ols,
+)
+from fsharp_dataframe_spark.functions.text import char_entropy, clean_text
+
+
+def test_grouped_ols_exact_line_and_degenerates(spark):
+    rows = (
+        # g=a: exact line y = 2x + 1 -> slope 2, intercept 1, r2 1
+        [("a", x, 2.0 * x + 1.0) for x in range(10)]
+        # g=b: single point -> NULLs
+        + [("b", 5, 3.0)]
+        # g=c: zero x-variance -> NULLs
+        + [("c", 7, 1.0), ("c", 7, 9.0)]
+        # g=d: zero y-variance -> slope 0, r2 NULL (var_y = 0)
+        + [("d", 1, 4.0), ("d", 2, 4.0), ("d", 3, 4.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {r["g"]: r for r in
+           grouped_ols(df, "g", F.col("x"), F.col("y")).collect()}
+    assert got["a"]["slope"] == 2.0 and got["a"]["intercept"] == 1.0
+    assert got["a"]["r2"] == 1.0
+    assert got["b"]["slope"] is None and got["b"]["r2"] is None
+    assert got["c"]["slope"] is None
+    assert got["d"]["slope"] == 0.0 and got["d"]["intercept"] == 4.0
+    assert got["d"]["r2"] is None
+
+
+def test_grouped_mad_outliers_flags_and_zero_mad(spark):
+    rows = (
+        # g=a: 1..9 plus a wild 1000 -> med 5.5, MAD 2.5, one outlier
+        [("a", float(v)) for v in range(1, 10)] + [("a", 1000.0)]
+        # g=b: all identical -> MAD 0; the single deviant IS flagged
+        # (the documented MAD=0 degeneracy)
+        + [("b", 7.0)] * 5 + [("b", 7.1)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in
+           grouped_mad_outliers(df, "g", F.col("v"), k=3.0).collect()}
+    assert got["a"]["n"] == 10 and got["a"]["med"] == 5.5
+    assert got["a"]["mad"] == 2.5 and got["a"]["n_outliers"] == 1
+    assert got["b"]["mad"] == 0.0 and got["b"]["n_outliers"] == 1
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}          # empty/NULL docs excluded
+    assert got[1]["entropy_bits"] == 0.0  # one symbol
+    assert got[1]["top_char_frac"] == 1.0
+    assert got[2]["entropy_bits"] == 1.0  # two symbols, uniform
+    assert got[3]["entropy_bits"] == 2.0  # four symbols, uniform
+    assert got[3]["top_char_frac"] == 0.25
+    assert all(got[i]["n_chars"] == 4 for i in (1, 2, 3))
+
+
+def test_clean_text_normalization(spark):
+    zwsp, bom = "​", "﻿"
+    df = spark.createDataFrame(
+        [(1, f"  a{zwsp}b\tc\x00d  e{bom}  "),
+         (2, "already clean"),
+         (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in clean_text(df).collect()}
+    # zero-widths removed outright; tab/NUL become spaces; runs
+    # collapse; ends trim
+    assert got[1]["text_clean"] == "ab c d e"
+    assert got[1]["n_removed"] == len(f"  a{zwsp}b\tc\x00d  e{bom}  ") - len("ab c d e")
+    assert got[2]["text_clean"] == "already clean" and got[2]["n_removed"] == 0
+    assert got[3]["text_clean"] is None and got[3]["n_removed"] is None
