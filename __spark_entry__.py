@@ -1629,6 +1629,47 @@ def q_clean_text(spark, sf) -> DataFrame:
     return clean_text(docs)
 
 
+def q_winsorize(spark, sf) -> DataFrame:
+    """Per-group winsorization (functions/stats.winsorize): event
+    values clipped to the event_type's exact [p05, p95] interpolated
+    quantiles — one grouped percentile pass, bounds broadcast back,
+    least/greatest clip.  The oracle replays quantile_cont bounds and
+    the clip per row."""
+    from fsharp_dataframe_spark.functions.stats import winsorize
+
+    ev = load_table(spark, sf, "events")
+    out = winsorize(ev, "event_type", F.col("value"))
+    return out.select("event_id", "event_type",
+                      F.round(F.col("value_w"), 4).alias("value_w"))
+
+
+def q_histogram(spark, sf) -> DataFrame:
+    """Fixed-width per-group histogram (functions/stats.
+    value_histogram): 20 bins over [0, 100) of event value by
+    event_type, out-of-range clamped to edge bins — pure integer bin
+    arithmetic, ONE map-side-combined groupBy (a 100 TB column's
+    histogram is one scan)."""
+    from fsharp_dataframe_spark.functions.stats import value_histogram
+
+    ev = load_table(spark, sf, "events")
+    return value_histogram(ev, F.col("value"), n_bins=20, lo=0.0, hi=100.0,
+                           by="event_type")
+
+
+def q_corr_matrix(spark, sf) -> DataFrame:
+    """Pairwise Pearson correlation matrix (functions/stats.
+    correlation_matrix) over four lineitem measures in ONE scan —
+    every moment an exact decimal sum of ten-thousandth units (the
+    oracle sums HUGEINT; the engines agree exactly), the remaining
+    double algebra one pinned association."""
+    from fsharp_dataframe_spark.functions.stats import correlation_matrix
+
+    li = load_table(spark, sf, "lineitem")
+    out = correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return out.orderBy("col_a", "col_b")
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1735,7 +1776,7 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  # r7 rotation slot; the local three-SF strict-oracle
                  # gate covers them meanwhile
                  "group_ols", "mad_outliers", "entropy_quality",
-                 "clean_text")
+                 "clean_text", "winsorize", "histogram", "corr_matrix")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1856,6 +1897,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "entropy_quality": q_entropy_quality,
         "clean_text": q_clean_text,
+        "winsorize": q_winsorize,
+        "histogram": q_histogram,
+        "corr_matrix": q_corr_matrix,
     }
 
 
@@ -3707,6 +3751,81 @@ def _all_oracle_sql() -> dict[str, str]:
                    (coalesce(length(text), 0) - length(text_clean))::BIGINT
                      AS n_removed
             FROM c
+        """,
+        # quantile_cont == Spark's interpolated percentile on identical
+        # doubles; clip replayed per row
+        "winsorize": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS qlo,
+                     quantile_cont(value, 0.95) AS qhi
+              FROM events GROUP BY 1)
+            SELECT e.event_id, e.event_type,
+                   CASE WHEN e.value IS NOT NULL
+                        THEN round(least(greatest(e.value, q.qlo), q.qhi), 4)
+                   END AS value_w
+            FROM events e LEFT JOIN q USING (event_type)
+        """,
+        # identical bin arithmetic: floor((v-lo)/w) clamped to [0,19]
+        "histogram": """
+            WITH b AS (
+              SELECT event_type,
+                     least(greatest(floor((value - 0.0) / 5.0)::INT, 0), 19)
+                       AS bin
+              FROM events WHERE value IS NOT NULL)
+            SELECT event_type, bin,
+                   round(0.0 + bin * 5.0, 6) AS bin_lo,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # HUGEINT moment sums == decimal(38,0); the double algebra
+        # carries correlation_matrix's exact association
+        "corr_matrix": """
+            WITH u AS (
+              SELECT round(l_quantity * 10000)::HUGEINT AS q,
+                     round(l_extendedprice * 10000)::HUGEINT AS p,
+                     round(l_discount * 10000)::HUGEINT AS d,
+                     round(l_tax * 10000)::HUGEINT AS t
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+            m AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d,
+                     sum(t) AS s_t,
+                     sum(q*q) AS ss_q, sum(p*p) AS ss_p, sum(d*d) AS ss_d,
+                     sum(t*t) AS ss_t,
+                     sum(q*p) AS sp_q_p, sum(q*d) AS sp_q_d,
+                     sum(q*t) AS sp_q_t, sum(p*d) AS sp_p_d,
+                     sum(p*t) AS sp_p_t, sum(d*t) AS sp_d_t
+              FROM u),
+            pairs AS (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     s_q AS sa, s_p AS sb, ss_q AS ssa, ss_p AS ssb,
+                     sp_q_p AS sab, n FROM m
+              UNION ALL SELECT 'l_quantity', 'l_discount',
+                     s_q, s_d, ss_q, ss_d, sp_q_d, n FROM m
+              UNION ALL SELECT 'l_quantity', 'l_tax',
+                     s_q, s_t, ss_q, ss_t, sp_q_t, n FROM m
+              UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                     s_p, s_d, ss_p, ss_d, sp_p_d, n FROM m
+              UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                     s_p, s_t, ss_p, ss_t, sp_p_t, n FROM m
+              UNION ALL SELECT 'l_discount', 'l_tax',
+                     s_d, s_t, ss_d, ss_t, sp_d_t, n FROM m)
+            SELECT col_a, col_b,
+                   CASE WHEN n >= 2
+                         AND (n::DOUBLE * ssa::DOUBLE) - (sa::DOUBLE * sa::DOUBLE) > 0
+                         AND (n::DOUBLE * ssb::DOUBLE) - (sb::DOUBLE * sb::DOUBLE) > 0
+                        THEN round(((n::DOUBLE * sab::DOUBLE)
+                                    - (sa::DOUBLE * sb::DOUBLE))
+                                   / sqrt(((n::DOUBLE * ssa::DOUBLE)
+                                           - (sa::DOUBLE * sa::DOUBLE))
+                                          * ((n::DOUBLE * ssb::DOUBLE)
+                                             - (sb::DOUBLE * sb::DOUBLE))),
+                                   6) END AS corr,
+                   n
+            FROM pairs ORDER BY col_a, col_b
         """,
     }
 

@@ -97,6 +97,9 @@ HEADLINE = [
     "mad_outliers",
     "entropy_quality",
     "clean_text",
+    "winsorize",
+    "histogram",
+    "corr_matrix",
 ]
 
 

@@ -111,3 +111,113 @@ def grouped_mad_outliers(df: DataFrame, by: str, value: "F.Column",
                 F.sum(F.when(dev > F.lit(float(k)) * F.col("__mad"), 1)
                       .otherwise(0)).cast("long").alias("n_outliers"))
             .select(by, "n", "med", "mad", "n_outliers"))
+
+
+def winsorize(df: DataFrame, by: str, value: "F.Column",
+              lo: float = 0.05, hi: float = 0.95,
+              out_col: str = "value_w") -> DataFrame:
+    """Per-group winsorization: clip values to the group's [lo, hi]
+    exact interpolated quantiles — the standard heavy-tail
+    normalization before training-weight or quality-score use (a
+    handful of 10^6x outliers otherwise own any mean-based statistic).
+
+    One grouped percentile pass (sort-based exact — the oracle-pinned
+    contract; swap to approx_percentile at real scale), broadcast the
+    group-cardinality bounds relation back, clip with
+    least/greatest.  Input rows pass through unchanged except the
+    clipped copy in ``out_col``; NULL values stay NULL.
+    """
+    v = value.cast("double")
+    q = df.groupBy(by).agg(
+        F.percentile(v, F.lit(float(lo))).alias("__qlo"),
+        F.percentile(v, F.lit(float(hi))).alias("__qhi"),
+    )
+    j = df.join(F.broadcast(q), on=by, how="left")
+    # least/greatest IGNORE nulls (both engines), which would clip a
+    # NULL value to the lower bound — guard explicitly instead
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__qlo")), F.col("__qhi")))
+    return j.withColumn(out_col, clipped).drop("__qlo", "__qhi")
+
+
+def value_histogram(df: DataFrame, value: "F.Column", n_bins: int,
+                    lo: float, hi: float,
+                    by: str | None = None) -> DataFrame:
+    """Fixed-width histogram of a numeric column (optionally per
+    group): bin i covers [lo + i*w, lo + (i+1)*w) with w =
+    (hi-lo)/n_bins; values below lo clamp into bin 0, at/above hi
+    into the last bin, NULLs are dropped.  The bin id is pure integer
+    arithmetic on (v-lo)/w — exactly replayable in SQL — and the
+    aggregation is ONE groupBy with map-side combine (the profiling
+    histogram a 100 TB column costs one scan).
+
+    Returns (by?, bin, bin_lo, n), ordered by (by?, bin); empty bins
+    are absent (a dense axis is the plot layer's job, not the scan's).
+    """
+    v = value.cast("double")
+    w = (float(hi) - float(lo)) / int(n_bins)
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(int(n_bins) - 1))
+    keys = ([F.col(by)] if by else []) + [b.alias("bin")]
+    out = (df.filter(v.isNotNull())
+           .groupBy(*keys)
+           .agg(F.count("*").alias("n"))
+           .withColumn("bin_lo",
+                       F.round(F.lit(float(lo)) + F.col("bin") * F.lit(w), 6))
+           .select(*([by] if by else []), "bin", "bin_lo", "n"))
+    return out.orderBy(*([by] if by else []), "bin")
+
+
+def correlation_matrix(df: DataFrame, cols: list[str],
+                       scale: int = 10000) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns in ONE scan:
+    every moment (n, Σx, Σx², Σxy per pair) is an exact DECIMAL sum of
+    integer 1/scale units, aggregated map-side into a single 1-row
+    relation — so the whole d-column matrix costs one pass and the
+    double algebra is one fixed association the SQL oracle replays
+    bit-for-bit (corr is invariant to the positive affine quantization
+    up to the quantization error itself, which is part of the pinned
+    contract; the oracle sums in HUGEINT, and int128/decimal(38) agree
+    exactly in the shared envelope).  Rows with a NULL in ANY listed
+    column are excluded (complete-case, the convention dataframe
+    libraries use for corr()).  d(d-1)/2 output rows, col_a < col_b.
+
+    Exactness envelope: units must fit decimal(18,0) (|x|·scale <
+    10^18) and each Σ of unit-products must fit decimal(38,0) — that
+    is ~10^20 rows of price-scale data, so BIGINT-overflow (the
+    failure a long-based version hits at one month of a busy fact
+    table) is out of the picture.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    units = {c: F.round(F.col(c).cast("double") * scale)
+             .cast("decimal(18,0)") for c in cols}
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(units[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(units[c] * units[c]).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(units[a] * units[b]).alias(f"sp_{a}_{b}"))
+    m = base.agg(*aggs)
+    rows = []
+    n = F.col("n").cast("double")
+    for a, b in pairs:
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = (F.col(f"ss_{a}").cast("double"),
+                    F.col(f"ss_{b}").cast("double"))
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        num = (n * sab) - (sa * sb)
+        da = (n * ssa) - (sa * sa)
+        db = (n * ssb) - (sb * sb)
+        c = F.when((F.col("n") >= 2) & (da > 0) & (db > 0),
+                   F.round(num / F.sqrt(da * db), 6))
+        rows.append(m.select(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                             c.alias("corr"), F.col("n")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

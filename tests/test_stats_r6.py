@@ -80,3 +80,53 @@ def test_clean_text_normalization(spark):
     assert got[1]["n_removed"] == len(f"  a{zwsp}b\tc\x00d  e{bom}  ") - len("ab c d e")
     assert got[2]["text_clean"] == "already clean" and got[2]["n_removed"] == 0
     assert got[3]["text_clean"] is None and got[3]["n_removed"] is None
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from fsharp_dataframe_spark.functions.stats import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 101)] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "g", F.col("v"), lo=0.10, hi=0.90).collect()
+    vals = sorted(r["value_w"] for r in out if r["value_w"] is not None)
+    # exact interpolated p10/p90 of 1..100 are 10.9 and 90.1
+    assert vals[0] == pytest.approx(10.9) and vals[-1] == pytest.approx(90.1)
+    assert sum(1 for v in vals if v == pytest.approx(10.9)) == 10
+    assert any(r["value_w"] is None for r in out)   # NULL passes through
+
+
+def test_value_histogram_bins_and_clamps(spark):
+    from fsharp_dataframe_spark.functions.stats import value_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (-5, 0, 4.99, 5, 12, 97, 150)] + [(None,)],
+        "v double")
+    got = {r["bin"]: (r["bin_lo"], r["n"]) for r in
+           value_histogram(df, F.col("v"), n_bins=20, lo=0.0, hi=100.0).collect()}
+    # -5 clamps into bin 0; 150 into bin 19; NULL dropped
+    assert got[0] == (0.0, 3)   # -5, 0, 4.99
+    assert got[1] == (5.0, 1)   # 5
+    assert got[2] == (10.0, 1)  # 12
+    assert got[19] == (95.0, 2)  # 97 and the 150 clamp
+    assert sum(n for _, n in got.values()) == 7
+
+
+def test_correlation_matrix_known_values(spark):
+    import numpy as np
+
+    from fsharp_dataframe_spark.functions.stats import correlation_matrix
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(50, 10, 300).round(3)
+    y = (2 * x + rng.normal(0, 1, 300)).round(3)   # strongly correlated
+    z = rng.normal(0, 1, 300).round(3)             # independent
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in
+           correlation_matrix(df, ["x", "y", "z"]).collect()}
+    ref = np.corrcoef(np.vstack([x, y, z]))
+    assert got[("x", "y")] == pytest.approx(ref[0, 1], abs=1e-3)
+    assert got[("x", "z")] == pytest.approx(ref[0, 2], abs=1e-3)
+    assert got[("y", "z")] == pytest.approx(ref[1, 2], abs=1e-3)
+    assert len(got) == 3
