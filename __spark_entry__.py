@@ -1670,6 +1670,32 @@ def q_corr_matrix(spark, sf) -> DataFrame:
     return out.orderBy("col_a", "col_b")
 
 
+def q_grouped_topk(spark, sf) -> DataFrame:
+    """Top-5 events per user by value (functions/events.grouped_topk):
+    one user-partitioned window; row_number's rank-k limit is pushed
+    below the sort (WindowGroupLimit), so each group sorts only its
+    top slice.  event_id tiebreak makes the output oracle-stable."""
+    from fsharp_dataframe_spark.functions.events import grouped_topk
+
+    ev = load_table(spark, sf, "events")
+    out = grouped_topk(ev, "user_id", "value", k=5, tiebreak_col="event_id")
+    return out.select("user_id", "event_id",
+                      F.round(F.col("value"), 4).alias("value"),
+                      F.col("rnk").cast("long").alias("rnk"))
+
+
+def q_daily_activity(spark, sf) -> DataFrame:
+    """Growth rollup (functions/events.daily_activity): per-day events,
+    active users, NEW users, cumulative uniques — running
+    count-distinct done linearly via first-seen day + running sum of
+    new users; the only global window orders the per-DAY relation
+    (calendar-bounded, not data-bounded)."""
+    from fsharp_dataframe_spark.functions.events import daily_activity
+
+    ev = load_table(spark, sf, "events")
+    return daily_activity(ev)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1776,7 +1802,8 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  # r7 rotation slot; the local three-SF strict-oracle
                  # gate covers them meanwhile
                  "group_ols", "mad_outliers", "entropy_quality",
-                 "clean_text", "winsorize", "histogram", "corr_matrix")
+                 "clean_text", "winsorize", "histogram", "corr_matrix",
+                 "grouped_topk", "daily_activity")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1900,6 +1927,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "histogram": q_histogram,
         "corr_matrix": q_corr_matrix,
+        "grouped_topk": q_grouped_topk,
+        "daily_activity": q_daily_activity,
     }
 
 
@@ -3826,6 +3855,36 @@ def _all_oracle_sql() -> dict[str, str]:
                                    6) END AS corr,
                    n
             FROM pairs ORDER BY col_a, col_b
+        """,
+        # row_number with the same (value desc, event_id asc) order
+        "grouped_topk": """
+            SELECT user_id, event_id, round(value, 4) AS value, rnk
+            FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC)::BIGINT AS rnk
+              FROM events)
+            WHERE rnk <= 5
+        """,
+        # running count-distinct via first-seen day + cumulative sum of
+        # new users — identical linear decomposition
+        "daily_activity": """
+            WITH daily AS (
+              SELECT ts::DATE AS day, count(*)::BIGINT AS n_events,
+                     count(DISTINCT user_id)::BIGINT AS n_active
+              FROM events GROUP BY 1),
+            fs AS (
+              SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY 1),
+            nb AS (
+              SELECT day, count(*)::BIGINT AS n_new FROM fs GROUP BY 1)
+            SELECT d.day, d.n_events, d.n_active,
+                   coalesce(nb.n_new, 0)::BIGINT AS n_new,
+                   sum(coalesce(nb.n_new, 0)) OVER (
+                     ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_users
+            FROM daily d LEFT JOIN nb USING (day)
+            ORDER BY d.day
         """,
     }
 

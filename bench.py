@@ -100,6 +100,8 @@ HEADLINE = [
     "winsorize",
     "histogram",
     "corr_matrix",
+    "grouped_topk",
+    "daily_activity",
 ]
 
 

@@ -205,3 +205,62 @@ def session_stats(df: DataFrame, key_col: str = "user_id",
         aggs.append(F.round(_isum(F.col(value_col)) / 10000.0, 2)
                     .alias("sum_value"))
     return s.groupBy(F.col(key_col), F.col("session_idx")).agg(*aggs)
+
+
+def grouped_topk(df: DataFrame, by: str, order_col: str, k: int,
+                 tiebreak_col: str | None = None,
+                 rank_col: str = "rnk") -> DataFrame:
+    """Top-k rows per group by ``order_col`` descending — the "top
+    events per user / top documents per language" shape.  Ties are
+    broken by ``tiebreak_col`` ascending (default: the order column's
+    own ties keep both only while they fit in k via row_number's
+    arbitrary-but-deterministic ordering — PASS A TIEBREAK for
+    oracle-stable output).
+
+    Scale shape: one window over the group partition — row_number is
+    rank-k-prunable by Spark (WindowGroupLimit pushes the k limit
+    below the sort since 3.5), so each group sorts only what it must;
+    no group ever gathers beyond its own partition.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(by).orderBy(*order)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= int(k)))
+
+
+def daily_activity(df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts") -> DataFrame:
+    """Per-day activity rollup: events, distinct active users, NEW
+    users (first ever seen that day), and the cumulative distinct-user
+    count — the growth dashboard every event log feeds.
+
+    The running count-distinct trap: engines can't do COUNT(DISTINCT)
+    over a window, and re-scanning per day is quadratic.  Instead:
+    first-seen day per user (ONE user-keyed aggregate), new-user
+    counts by day, and cumulative uniques = running sum of new users —
+    exact, linear, and replayable in SQL.  The final cumulative window
+    orders the per-day relation only (days-cardinality rows — a few
+    thousand for a decade — so its single partition is bounded by the
+    CALENDAR, not the data; that is why it needs no bucketed form).
+
+    Returns (day, n_events, n_active, n_new, cum_users), day ascending.
+    """
+    day = F.col(ts_col).cast("date")
+    daily = df.groupBy(day.alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(key_col).alias("n_active"),
+    )
+    first_seen = (df.groupBy(key_col)
+                  .agg(F.min(day).alias("day")))
+    new_by_day = first_seen.groupBy("day").agg(
+        F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = (daily.join(new_by_day, on="day", how="left")
+           .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+           .withColumn("cum_users", F.sum("n_new").over(w)))
+    return out.select("day", "n_events", "n_active",
+                      F.col("n_new").cast("long").alias("n_new"),
+                      F.col("cum_users").cast("long").alias("cum_users")) \
+              .orderBy("day")

@@ -130,3 +130,39 @@ def test_correlation_matrix_known_values(spark):
     assert got[("x", "z")] == pytest.approx(ref[0, 2], abs=1e-3)
     assert got[("y", "z")] == pytest.approx(ref[1, 2], abs=1e-3)
     assert len(got) == 3
+
+
+def test_grouped_topk_ties_and_limit_pushdown(spark):
+    from fsharp_dataframe_spark.functions.events import grouped_topk
+
+    rows = [("u1", i, float(v)) for i, v in enumerate([5, 5, 3, 2, 1, 1])] \
+         + [("u2", 10, 9.0)]
+    df = spark.createDataFrame(rows, "u string, eid long, v double")
+    out = grouped_topk(df, "u", "v", k=3, tiebreak_col="eid")
+    got = {(r["u"], r["eid"]): r["rnk"] for r in out.collect()}
+    # ties on v=5 break by eid asc; u2's single row ranks 1
+    assert got == {("u1", 0): 1, ("u1", 1): 2, ("u1", 2): 3, ("u2", 10): 1}
+    # the rank-k limit is pushed below the sort (WindowGroupLimit)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_daily_activity_counts(spark):
+    import datetime as dt
+
+    from fsharp_dataframe_spark.functions.events import daily_activity
+
+    def t(day, h):
+        return dt.datetime(2024, 1, day, h, 0, 0)
+
+    rows = [(1, t(1, 9)), (2, t(1, 10)), (1, t(2, 9)),
+            (3, t(2, 10)), (3, t(2, 11)), (4, t(4, 9))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {str(r["day"]): (r["n_events"], r["n_active"], r["n_new"],
+                           r["cum_users"])
+           for r in daily_activity(df).collect()}
+    assert got == {
+        "2024-01-01": (2, 2, 2, 2),
+        "2024-01-02": (3, 2, 1, 3),   # users 1,3 active; 3 is new
+        "2024-01-04": (1, 1, 1, 4),
+    }
