@@ -1696,6 +1696,124 @@ def q_daily_activity(spark, sf) -> DataFrame:
     return daily_activity(ev)
 
 
+def q_ohlc_weekly(spark, sf) -> DataFrame:
+    """Weekly OHLC bars per user (functions/timeseries.ohlc_resample):
+    ONE groupBy on (user, week) with min_by/max_by over a
+    (ts, event_id) struct — deterministic open/close under timestamp
+    ties, map-side combined, bar-cardinality memory at any scale."""
+    from fsharp_dataframe_spark.functions.timeseries import ohlc_resample
+
+    ev = load_table(spark, sf, "events")
+    out = ohlc_resample(ev, "user_id", "ts", "value",
+                        unit="week", tiebreak="event_id")
+    return out.select(
+        "user_id", "bucket",
+        F.round("open", 4).alias("open"), F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"), F.round("close", 4).alias("close"),
+        "n")
+
+
+def q_vwap_monthly(spark, sf) -> DataFrame:
+    """Monthly VWAP per supplier (functions/timeseries.vwap): exact
+    DECIMAL unit-product sums so partial-agg order can't move the
+    ratio; one (supplier, month) shuffle."""
+    from fsharp_dataframe_spark.functions.timeseries import vwap
+
+    li = load_table(spark, sf, "lineitem")
+    return vwap(li, "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_quantity", unit="month")
+
+
+def q_drawdown(spark, sf) -> DataFrame:
+    """Max drawdown of each user's event-value series
+    (functions/timeseries.max_drawdown): keyed running max + one
+    groupBy, single exchange (window and agg share the key)."""
+    from fsharp_dataframe_spark.functions.timeseries import max_drawdown
+
+    ev = load_table(spark, sf, "events")
+    return max_drawdown(ev, "user_id", "ts", "value", tiebreak="event_id")
+
+
+def q_returns_series(spark, sf) -> DataFrame:
+    """Per-customer order-value returns + cumulative growth
+    (functions/timeseries.returns) — the reference's
+    `series / shift 1 - 1` idiom (samples/timeseries.fsx) as one keyed
+    window pass; ratios of identical doubles replay exactly."""
+    from fsharp_dataframe_spark.functions.timeseries import returns
+
+    od = load_table(spark, sf, "orders")
+    return returns(od, "o_custkey", "o_orderdate", "o_totalprice",
+                   tiebreak="o_orderkey")
+
+
+def q_autocorr1(spark, sf) -> DataFrame:
+    """Lag-1 autocorrelation of event values per type
+    (functions/timeseries.autocorr): keyed lag pairing + exact DECIMAL
+    moment sums (int64 would overflow Σu² at sf0.1 — documented in the
+    operator), double algebra one fixed association."""
+    from fsharp_dataframe_spark.functions.timeseries import autocorr
+
+    ev = load_table(spark, sf, "events")
+    return autocorr(ev, "event_type", "ts", "value", lag=1,
+                    tiebreak="event_id")
+
+
+def q_interval_week1(spark, sf) -> DataFrame:
+    """First-week engagement: each user's events inside their own
+    [first_ts, first_ts + 7d) window via the KEYED interval join
+    (functions/timeseries.interval_join) — equi-join carries the
+    shuffle, range predicate rides along; value sum in exact cents."""
+    from fsharp_dataframe_spark.functions.timeseries import interval_join
+
+    ev = load_table(spark, sf, "events")
+    iv = (ev.groupBy("user_id").agg(F.min("ts").alias("w_start"))
+          .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 7 DAYS")))
+    j = interval_join(ev.select("user_id", "ts", "value"), iv,
+                      "ts", "w_start", "w_end", keys=["user_id"])
+    return (j.groupBy("user_id")
+            .agg(F.count("*").alias("n_week1"),
+                 F.round(F.sum(F.round(F.col("value") * 100).cast("long"))
+                         / 100.0, 2).alias("sum_value")))
+
+
+def q_interval_burst(spark, sf) -> DataFrame:
+    """Events inside the 10 busiest days' ±1-day windows via the
+    GLOBAL binned interval join (functions/timeseries.interval_join):
+    overlapping windows explode to day buckets (`sequence`), points
+    bin to one bucket, equi-join on the bucket id + residual range
+    filter — never a cartesian/BNLJ."""
+    from fsharp_dataframe_spark.functions.timeseries import interval_join
+
+    ev = load_table(spark, sf, "events")
+    days = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.desc("c"), F.asc("day")).limit(10))
+    win = days.select(
+        F.col("day").alias("win_day"),
+        (F.col("day").cast("timestamp") - F.expr("INTERVAL 1 DAY"))
+        .alias("w_start"),
+        (F.col("day").cast("timestamp") + F.expr("INTERVAL 2 DAY"))
+        .alias("w_end"))
+    j = interval_join(ev.select("ts", "user_id"), win,
+                      "ts", "w_start", "w_end", bin_seconds=86400)
+    return (j.groupBy("win_day")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def q_sample_group(spark, sf) -> DataFrame:
+    """Deterministic 20-docs-per-language sample
+    (functions/timeseries.sample_per_group, md5 oracle family): rank by
+    content hash inside each group, WindowGroupLimit pushes the rank-k
+    cut below the sort."""
+    from fsharp_dataframe_spark.functions.timeseries import sample_per_group
+
+    docs = load_table(spark, sf, "documents")
+    out = sample_per_group(docs.select("doc_id", "lang"), "lang", 20,
+                           "doc_id", hash_family="md5")
+    return out.select("doc_id", "lang")
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1803,7 +1921,10 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  # gate covers them meanwhile
                  "group_ols", "mad_outliers", "entropy_quality",
                  "clean_text", "winsorize", "histogram", "corr_matrix",
-                 "grouped_topk", "daily_activity")
+                 "grouped_topk", "daily_activity",
+                 "ohlc_weekly", "vwap_monthly", "drawdown",
+                 "returns_series", "autocorr1", "interval_week1",
+                 "interval_burst", "sample_group")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1929,6 +2050,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "grouped_topk": q_grouped_topk,
         "daily_activity": q_daily_activity,
+        "ohlc_weekly": q_ohlc_weekly,
+        "vwap_monthly": q_vwap_monthly,
+        "drawdown": q_drawdown,
+        "returns_series": q_returns_series,
+        "autocorr1": q_autocorr1,
+        "interval_week1": q_interval_week1,
+        "interval_burst": q_interval_burst,
+        "sample_group": q_sample_group,
     }
 
 
@@ -3885,6 +4014,150 @@ def _all_oracle_sql() -> dict[str, str]:
                    )::BIGINT AS cum_users
             FROM daily d LEFT JOIN nb USING (day)
             ORDER BY d.day
+        """,
+        # open/close replayed via two row_number orderings — identical
+        # to min_by/max_by over the (ts, event_id) struct
+        "ohlc_weekly": """
+            WITH b AS (
+              SELECT user_id, date_trunc('week', ts)::DATE AS bucket, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('week', ts)
+                       ORDER BY ts ASC, event_id ASC) AS rn_a,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('week', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events)
+            SELECT user_id, bucket,
+                   round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+                   round(max(value), 4) AS high,
+                   round(min(value), 4) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+                   count(value)::BIGINT AS n
+            FROM b GROUP BY user_id, bucket
+        """,
+        # exact HUGEINT unit-product sums; the quotient is an exact
+        # integer floor division in micro-units (round(double,6) sits
+        # on ties the engines break differently), then one identical
+        # int->double conversion + IEEE division
+        "vwap_monthly": """
+            WITH m AS (
+              SELECT l_suppkey,
+                     date_trunc('month', l_shipdate)::DATE AS bucket,
+                     sum(round(l_extendedprice * 10000)::HUGEINT
+                         * round(l_quantity * 100)::HUGEINT) AS spq,
+                     sum(round(l_quantity * 100)::HUGEINT) AS sq,
+                     count(*)::BIGINT AS n
+              FROM lineitem GROUP BY l_suppkey, bucket)
+            SELECT l_suppkey, bucket,
+                   CASE WHEN sq > 0 THEN
+                     ((spq * 1000000) // sq)::DOUBLE / 10000000000.0
+                   END AS vwap,
+                   n
+            FROM m
+        """,
+        # running max over the same (ts, event_id) order
+        "drawdown": """
+            WITH r AS (
+              SELECT user_id, value,
+                     max(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS peak
+              FROM events)
+            SELECT user_id,
+                   round(max(CASE WHEN peak > 0
+                             THEN (peak - value) / peak END), 6
+                   ) AS max_drawdown,
+                   count(*)::BIGINT AS n
+            FROM r GROUP BY user_id
+        """,
+        # lag/first_value over the identical key order; ratios of
+        # identical doubles are identical IEEE results
+        "returns_series": """
+            SELECT o_custkey, o_orderdate, o_orderkey,
+                   round(o_totalprice, 4) AS value,
+                   round(CASE WHEN lag(o_totalprice) OVER w <> 0
+                         THEN o_totalprice / lag(o_totalprice) OVER w - 1.0
+                         END, 6) AS ret,
+                   round(CASE WHEN first_value(o_totalprice) OVER w2 <> 0
+                         THEN o_totalprice / first_value(o_totalprice) OVER w2
+                         END, 6) AS cum
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                   w2 AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # lag pairing + exact HUGEINT moment sums, same association as
+        # the corr_matrix oracle
+        "autocorr1": """
+            WITH p AS (
+              SELECT event_type,
+                     round(value * 10000)::HUGEINT AS y,
+                     lag(round(value * 10000)::HUGEINT) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id) AS x
+              FROM events),
+            m AS (
+              SELECT event_type, count(*)::BIGINT AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy
+              FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+              GROUP BY event_type)
+            SELECT event_type, n,
+                   CASE WHEN n >= 2
+                         AND (n::DOUBLE * sxx::DOUBLE)
+                             - (sx::DOUBLE * sx::DOUBLE) > 0
+                         AND (n::DOUBLE * syy::DOUBLE)
+                             - (sy::DOUBLE * sy::DOUBLE) > 0
+                        THEN round(((n::DOUBLE * sxy::DOUBLE)
+                                    - (sx::DOUBLE * sy::DOUBLE))
+                                   / sqrt(((n::DOUBLE * sxx::DOUBLE)
+                                           - (sx::DOUBLE * sx::DOUBLE))
+                                          * ((n::DOUBLE * syy::DOUBLE)
+                                             - (sy::DOUBLE * sy::DOUBLE))),
+                                   6) END AS autocorr_1
+            FROM m
+        """,
+        # plain range join — the relational spec the binned/keyed
+        # operator must reproduce
+        "interval_week1": """
+            WITH iv AS (
+              SELECT user_id, min(ts) AS w_start,
+                     min(ts) + INTERVAL 7 DAY AS w_end
+              FROM events GROUP BY user_id)
+            SELECT e.user_id, count(*)::BIGINT AS n_week1,
+                   round(sum(round(e.value * 100)::BIGINT) / 100.0, 2
+                   ) AS sum_value
+            FROM events e JOIN iv
+              ON e.user_id = iv.user_id
+             AND e.ts >= iv.w_start AND e.ts < iv.w_end
+            GROUP BY e.user_id
+        """,
+        "interval_burst": """
+            WITH d AS (
+              SELECT ts::DATE AS day, count(*) AS c
+              FROM events GROUP BY 1),
+            top AS (SELECT day FROM d ORDER BY c DESC, day ASC LIMIT 10),
+            w AS (SELECT day AS win_day,
+                         day::TIMESTAMP - INTERVAL 1 DAY AS w_start,
+                         day::TIMESTAMP + INTERVAL 2 DAY AS w_end
+                  FROM top)
+            SELECT w.win_day, count(*)::BIGINT AS n_events,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users
+            FROM events e JOIN w
+              ON e.ts >= w.w_start AND e.ts < w.w_end
+            GROUP BY w.win_day
+        """,
+        # same md5 rank order (hex strings compare binary in both)
+        "sample_group": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 20
         """,
     }
 

@@ -102,6 +102,14 @@ HEADLINE = [
     "corr_matrix",
     "grouped_topk",
     "daily_activity",
+    "ohlc_weekly",
+    "vwap_monthly",
+    "drawdown",
+    "returns_series",
+    "autocorr1",
+    "interval_week1",
+    "interval_burst",
+    "sample_group",
 ]
 
 

@@ -1,0 +1,265 @@
+"""Keyed time-series analytics — the composition tier the reference
+demonstrates over price series (samples/timeseries.fsx:233-320 windows
+means over MSFT closes; SeriesModule.fs `diff`/`shift`/`windowInto` are
+the primitives): OHLC resampling, VWAP, running drawdown, returns and
+lagged autocorrelation, each shaped as grouped one-shuffle plans so the
+same code runs per-instrument on a 100 TB tick table.
+
+Every operator keys its windows by an explicit series key (per-key data
+fits a partition after the key shuffle; there is NO global un-keyed
+window in this module), aggregates with map-side combine where the
+output is per-group, and pins cross-engine exactness the same way
+functions/stats.py does: moment sums in integer/decimal units, double
+algebra as one fixed association, results rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ohlc_resample(df: DataFrame, key: str, ts: str, value: str,
+                  unit: str = "week", tiebreak: str | None = None) -> DataFrame:
+    """Per-key OHLC bars: open/high/low/close + count per calendar
+    bucket — the reference's `resampleEquiv` + first/last/min/max
+    aggregation idiom (SeriesModule.fs resampling + firstValue/lastValue)
+    fused into ONE groupBy.
+
+    Open/close are `min_by`/`max_by` over a (ts, tiebreak) struct so
+    intra-bucket timestamp ties are deterministic (struct comparison is
+    lexicographic in both engines).  Scale shape: one shuffle on
+    (key, bucket) with full map-side partial aggregation — min_by/max_by
+    carry a single struct per partial state, so a 100 TB tick table
+    costs one pass and bar-cardinality memory.
+    """
+    tie = [F.col(tiebreak)] if tiebreak else []
+    order = F.struct(F.col(ts), *tie)
+    bucket = F.date_trunc(unit, F.col(ts)).cast("date").alias("bucket")
+    v = F.col(value)
+    return (df.groupBy(F.col(key), bucket)
+            .agg(F.min_by(v, order).alias("open"),
+                 F.max(v).alias("high"),
+                 F.min(v).alias("low"),
+                 F.max_by(v, order).alias("close"),
+                 F.count(v).alias("n"))
+            .select(key, "bucket", "open", "high", "low", "close", "n"))
+
+
+def vwap(df: DataFrame, key: str, ts: str, price: str, qty: str,
+         unit: str = "month", price_scale: int = 10000,
+         qty_scale: int = 100) -> DataFrame:
+    """Volume-weighted average price per key per calendar bucket:
+    Σ(p·q)/Σq with both sums carried as exact DECIMAL(38,0) products of
+    quantized units — partial-aggregation order cannot move them.  ONE
+    shuffle on (key, bucket), map-side combined.
+
+    The quotient itself is pinned as an exact integer FLOOR division in
+    micro-units ((Σpq · 10⁶) div Σq — a double round(x, 6) sits on
+    half-way ties the engines break differently; floor of positives is
+    truncation in both), then one int→double conversion + one IEEE
+    division, both bit-identical across engines.  Exactness envelope:
+    Σpq·10⁶ fits decimal(38,0) to ~10^25 per bar of price-scale data;
+    the micro-unit quotient must fit int64 (prices < ~10⁸).
+    """
+    bucket = F.date_trunc(unit, F.col(ts)).cast("date").alias("bucket")
+    p = F.round(F.col(price).cast("double") * price_scale).cast("decimal(19,0)")
+    q = F.round(F.col(qty).cast("double") * qty_scale).cast("decimal(19,0)")
+    m = (df.groupBy(F.col(key), bucket)
+         .agg(F.sum(p * q).alias("spq"), F.sum(q).alias("sq"),
+              F.count("*").alias("n")))
+    micro = F.expr("CAST(spq * 1000000 AS DECIMAL(38,0)) div sq")
+    w = F.when(F.col("sq") > 0,
+               micro.cast("double") / float(1_000_000 * price_scale))
+    return m.select(key, "bucket", w.alias("vwap"), "n")
+
+
+def max_drawdown(df: DataFrame, key: str, ts: str, value: str,
+                 tiebreak: str | None = None) -> DataFrame:
+    """Per-key maximum drawdown: the largest peak-to-trough fraction
+    (peak - v) / peak over the running maximum — the canonical
+    risk statistic over the reference's ordered-series running
+    aggregations (samples/timeseries.fsx windowed means; Series.diff's
+    ordered-walk contract).
+
+    One window pass per key (running max, ordered by ts + tiebreak) and
+    one groupBy — two shuffles on the SAME key, which Spark collapses
+    into one exchange reused by both (the window's required
+    distribution satisfies the aggregation).  Per-key history must fit
+    a partition — the per-instrument regime; for one global un-keyed
+    series use the bucketed substrate's prefix-max instead.
+
+    Ratio of identical doubles is identical IEEE arithmetic in both
+    engines; rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    tie = [tiebreak] if tiebreak else []
+    w = (Window.partitionBy(key).orderBy(ts, *tie)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    v = F.col(value).cast("double")
+    peak = F.max(v).over(w)
+    dd = F.when(peak > 0, (peak - v) / peak)
+    return (df.withColumn("__dd", dd)
+            .groupBy(key)
+            .agg(F.round(F.max("__dd"), 6).alias("max_drawdown"),
+                 F.count("*").alias("n")))
+
+
+def returns(df: DataFrame, key: str, ts: str, value: str,
+            tiebreak: str | None = None) -> DataFrame:
+    """Per-key simple returns and cumulative growth: ret = v/lag(v) - 1
+    and cum = v/first(v) — the reference's
+    `series / Series.shift 1 series - 1` idiom (SeriesModule.fs shift;
+    samples/timeseries.fsx joining MSFT opens to shifted closes) as one
+    keyed window pass.
+
+    Both statistics are ratios of identical doubles (no accumulation),
+    so the SQL oracle replays them exactly; one shuffle on the key.
+    First row per key has NULL ret and cum = 1.
+    """
+    from pyspark.sql import Window
+
+    tie = [tiebreak] if tiebreak else []
+    w = Window.partitionBy(key).orderBy(ts, *tie)
+    v = F.col(value).cast("double")
+    prev = F.lag(v).over(w)
+    first = F.first(v).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.select(
+        key, ts, *tie,
+        F.round(v, 4).alias("value"),
+        F.round(F.when(prev != 0, v / prev - 1.0), 6).alias("ret"),
+        F.round(F.when(first != 0, v / first), 6).alias("cum"),
+    ))
+
+
+def autocorr(df: DataFrame, key: str, ts: str, value: str, lag: int = 1,
+             scale: int = 10000, tiebreak: str | None = None) -> DataFrame:
+    """Per-key lag-k autocorrelation: Pearson correlation of the series
+    with its own lag — seasonality/persistence screening over the
+    reference's shift/zip algebra (SeriesModule.fs shift + Series.zip
+    pairing a series with its own past).
+
+    One keyed window pass builds (v, lag_k(v)) pairs; the correlation
+    then runs on exact BIGINT moment sums of integer 1/scale units
+    (same pinned contract as functions/stats.correlation_matrix, int64
+    envelope documented there) in one further groupBy — two shuffles on
+    the same key, one exchange after collapse.  Pairs with either side
+    NULL are excluded (complete-case).  Degenerate keys (n < 2, zero
+    variance) yield NULL.
+
+    The moment sums are DECIMAL, not BIGINT: Su^2 of 10^7-unit values
+    overflows int64 at ~10^5 rows per key, which sf0.1 already reaches --
+    decimal(15,0) units give a decimal(31,0) product and an exact
+    decimal(38,0) sum (the oracle sums HUGEINT; both exact).
+    """
+    from pyspark.sql import Window
+
+    tie = [tiebreak] if tiebreak else []
+    w = Window.partitionBy(key).orderBy(ts, *tie)
+    u = F.round(F.col(value).cast("double") * scale).cast("decimal(15,0)")
+    pairs = (df.select(F.col(key), u.alias("__y"),
+                       F.lag(u, lag).over(w).alias("__x"))
+             .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull()))
+    x, y = F.col("__x"), F.col("__y")
+    m = pairs.groupBy(key).agg(
+        F.count("*").alias("n"), F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"), F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = (n * sxy) - (sx * sy)
+    dx = (n * sxx) - (sx * sx)
+    dy = (n * syy) - (sy * sy)
+    ac = F.when((F.col("n") >= 2) & (dx > 0) & (dy > 0),
+                F.round(num / F.sqrt(dx * dy), 6))
+    return m.select(key, "n", ac.alias(f"autocorr_{lag}"))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
+                  start: str, end: str, keys: list[str] | None = None,
+                  bin_seconds: int | None = None,
+                  how: str = "inner") -> DataFrame:
+    """Join point rows into [start, end) intervals — the range-predicate
+    join Spark's equi-join machinery can't plan directly (a bare
+    `ON t >= s AND t < e` is a broadcast-nested-loop or worse).  The
+    reference reaches the same semantics through ordered lookups
+    (Series.lookupAll with Lookup.NearestSmaller over an interval-start
+    index); here it is a first-class relational operator.
+
+    Keyed path (``keys`` given): equi-join on the keys carries the
+    shuffle, the range predicate rides along as a join condition — a
+    plain hash join whose fan-out is bounded by per-key interval
+    cardinality.
+
+    Global path (no keys): both sides are binned to ``bin_seconds``
+    buckets — each interval EXPLODES to the buckets it covers
+    (`sequence()`, one narrow map), each point maps to one bucket, and
+    the join is an equi-join on the bucket id with the range predicate
+    as a residual filter.  Choose bin_seconds near the median interval
+    length: shorter bins multiply interval copies, longer bins multiply
+    residual-filter misses.  Fan-out is (interval_len/bin)+1 copies per
+    interval — bounded and declared, never a cartesian.
+
+    Interval columns must not collide with point columns (rename
+    upstream); `how='left'` keeps unmatched points with NULL interval
+    fields.
+    """
+    p = points.alias("__pts")
+    i = intervals.alias("__iv")
+    t = F.col(f"__pts.{point_ts}")
+    cond = (t >= F.col(f"__iv.{start}")) & (t < F.col(f"__iv.{end}"))
+    if keys:
+        on = [F.col(f"__pts.{k}") == F.col(f"__iv.{k}") for k in keys]
+        out = p.join(i, on + [cond], how)
+        for k in keys:
+            out = out.drop(i[k])
+        return out
+    if not bin_seconds:
+        raise ValueError("global interval_join requires bin_seconds")
+    b = int(bin_seconds)
+
+    def epoch(c: "F.Column") -> "F.Column":
+        # NTZ-safe epoch seconds: cast through timestamp (session-TZ
+        # consistent on both sides, so the binning is self-consistent)
+        return (c.cast("timestamp").cast("double") / b).cast("long")
+
+    pb = p.withColumn("__bin", epoch(t))
+    ib = i.withColumn(
+        "__bin",
+        F.explode(F.sequence(epoch(F.col(f"__iv.{start}")),
+                             epoch(F.col(f"__iv.{end}")))))
+    out = pb.join(ib, (pb["__bin"] == ib["__bin"]) & cond, how)
+    return out.drop("__bin")
+
+
+def sample_per_group(df: DataFrame, by: str, k: int, id_col: str,
+                     hash_family: str = "xxh64") -> DataFrame:
+    """Deterministic uniform k-per-group sample: rank rows inside each
+    group by a content hash of their id and keep the smallest k — the
+    scale-safe replacement for per-group reservoir sampling ("keep 100
+    documents per domain"): reproducible across runs and engines, one
+    groupBy-window shuffle, and the rank-k limit is pushed below the
+    sort (WindowGroupLimit) so each group heap-selects its slice
+    instead of fully sorting.
+
+    ``xxh64`` is the production default (fast, JVM-side);
+    ``md5`` is the cross-engine oracle family (identical in DuckDB),
+    same two-tier policy as functions/dedup.py minhash.
+    """
+    from pyspark.sql import Window
+
+    sid = F.col(id_col).cast("string")
+    if hash_family == "md5":
+        h = F.md5(sid)
+    elif hash_family == "xxh64":
+        h = F.xxhash64(sid)
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family}")
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= int(k))
+            .drop("__rk"))

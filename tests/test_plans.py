@@ -325,6 +325,12 @@ _AUDIT_ALLOW = {
     "funnel": ("rdd_scan",),
     "profile_cols": ("single_partition",),
     "key_skew": ("cartesian", "single_partition"),
+    # ONE-row final aggregate fanned into d(d-1)/2 literal-labelled
+    # selects — every single-partition stage holds exactly one row
+    "corr_matrix": ("single_partition",),
+    # running sum over the per-DAY relation: the un-keyed window is
+    # calendar-bounded (one row per day), not data-bounded
+    "daily_activity": ("single_partition",),
 }
 
 
