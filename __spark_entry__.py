@@ -1814,6 +1814,32 @@ def q_sample_group(spark, sf) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_group_quantiles(spark, sf) -> DataFrame:
+    """Exact p50/p90/p99 of event value per type
+    (functions/stats.grouped_quantiles): ONE groupBy computing all
+    three quantiles in a single percentile state; interpolation parity
+    with DuckDB quantile_cont is the pinned contract."""
+    from fsharp_dataframe_spark.functions.stats import grouped_quantiles
+
+    ev = load_table(spark, sf, "events")
+    return grouped_quantiles(ev, "event_type", F.col("value"),
+                             qs=[0.5, 0.9, 0.99])
+
+
+def q_cross_zscore(spark, sf) -> DataFrame:
+    """Within-day standardization of event values
+    (functions/stats.cross_sectional_zscore): exact BIGINT unit
+    moments per day broadcast back to the rows, z as one fixed
+    association on identical ints — the per-cross-section demeaning a
+    factor pipeline runs each day."""
+    from fsharp_dataframe_spark.functions.stats import cross_sectional_zscore
+
+    ev = load_table(spark, sf, "events")
+    return cross_sectional_zscore(
+        ev, F.col("ts").cast("date"), F.col("value"), ["event_id"],
+        bucket_name="day")
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1924,7 +1950,8 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "grouped_topk", "daily_activity",
                  "ohlc_weekly", "vwap_monthly", "drawdown",
                  "returns_series", "autocorr1", "interval_week1",
-                 "interval_burst", "sample_group")
+                 "interval_burst", "sample_group", "group_quantiles",
+                 "cross_zscore")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2058,6 +2085,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_week1": q_interval_week1,
         "interval_burst": q_interval_burst,
         "sample_group": q_sample_group,
+        "group_quantiles": q_group_quantiles,
+        "cross_zscore": q_cross_zscore,
     }
 
 
@@ -4148,6 +4177,37 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM events e JOIN w
               ON e.ts >= w.w_start AND e.ts < w.w_end
             GROUP BY w.win_day
+        """,
+        # quantile_cont interpolates with the same (n-1)*q convention
+        # as Spark percentile — the parity mad_outliers pins for 0.5
+        "group_quantiles": """
+            SELECT event_type, count(value)::BIGINT AS n,
+                   round(quantile_cont(value, 0.5), 4) AS q50,
+                   round(quantile_cont(value, 0.9), 4) AS q90,
+                   round(quantile_cont(value, 0.99), 4) AS q99
+            FROM events GROUP BY event_type
+        """,
+        # identical integer moments, one fixed association
+        "cross_zscore": """
+            WITH b AS (
+              SELECT event_id, ts::DATE AS day,
+                     round(value * 10000)::BIGINT AS u
+              FROM events),
+            s AS (
+              SELECT day, count(*)::BIGINT AS n, sum(u) AS su,
+                     sum(u * u) AS ssu
+              FROM b GROUP BY day)
+            SELECT b.event_id, b.day,
+                   CASE WHEN s.n >= 2
+                         AND (s.n::DOUBLE * ssu::DOUBLE)
+                             - (su::DOUBLE * su::DOUBLE) > 0
+                        THEN round(((s.n::DOUBLE * u::DOUBLE) - su::DOUBLE)
+                                   / sqrt(((s.n::DOUBLE * ssu::DOUBLE)
+                                           - (su::DOUBLE * su::DOUBLE))
+                                          * (s.n::DOUBLE
+                                             / (s.n::DOUBLE - 1.0))),
+                                   6) END AS z
+            FROM b JOIN s USING (day)
         """,
         # same md5 rank order (hex strings compare binary in both)
         "sample_group": """

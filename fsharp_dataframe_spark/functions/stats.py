@@ -168,6 +168,71 @@ def value_histogram(df: DataFrame, value: "F.Column", n_bins: int,
     return out.orderBy(*([by] if by else []), "bin")
 
 
+def grouped_quantiles(df: DataFrame, by: str, value: "F.Column",
+                      qs: list[float] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-group exact interpolated quantiles (the p50/p95/p99 latency
+    rollup): ONE groupBy shuffle computing all requested quantiles in a
+    single `percentile` state — sort-based exact, and interpolation on
+    identical doubles is identical across engines (the same parity
+    contract grouped_mad_outliers pins for the median; DuckDB's
+    quantile_cont interpolates identically).
+
+    At real scale swap `percentile` for `approx_percentile` and accept
+    sketch error — the exact form is the oracle-pinned contract.
+    Returns (by, n, q_<name>...) with quantile columns rounded to 4;
+    names use the percent with dots stripped (0.99 -> q99, 0.995 ->
+    q995).
+    """
+    v = value.cast("double")
+    aggs = [F.count(v).alias("n")]
+    for q in qs:
+        name = ("%g" % (q * 100)).replace(".", "")
+        aggs.append(F.round(F.percentile(v, F.lit(float(q))), 4)
+                    .alias(f"q{name}"))
+    return df.groupBy(by).agg(*aggs)
+
+
+def cross_sectional_zscore(df: DataFrame, bucket: "F.Column",
+                           value: "F.Column", id_cols: list[str],
+                           scale: int = 10000,
+                           bucket_name: str = "bucket") -> DataFrame:
+    """Standardize each value within its cross-section (time bucket):
+    z = (v - mean) / sdv over the bucket's population — the
+    rank-free cousin of the reference's Stats.mean/sdv series
+    aggregates (SeriesModule.fs:79-96), applied per cross-section the
+    way factor pipelines demean each day.
+
+    Mean and variance come from exact BIGINT sums of integer 1/scale
+    units (one groupBy with map-side combine), broadcast back to the
+    rows (bucket-cardinality relation — tiny at any corpus size), and
+    the z algebra is one fixed association on those identical ints:
+    z = (n·u - su) / sqrt((n·ssu - su²) · n / (n-1)) — numerator and
+    denominator both scale-invariant, so the units cancel.  Two
+    shuffles total (the stats groupBy + none for the broadcast join).
+    Degenerate buckets (n < 2 or zero variance) yield NULL z.
+
+    int64 envelope: Σu² must fit — at 10^7-scale units that is ~10^4
+    rows per bucket; pass a smaller ``scale`` or widen to DECIMAL for
+    bigger cross-sections (autocorr shows the decimal form).
+    """
+    u = F.round(value.cast("double") * scale).cast("long")
+    b = df.withColumn(bucket_name, bucket).withColumn("__u", u)
+    stats = (b.groupBy(bucket_name)
+             .agg(F.count("__u").alias("__n"),
+                  F.sum("__u").alias("__su"),
+                  F.sum(F.col("__u") * F.col("__u")).alias("__ssu")))
+    j = b.join(F.broadcast(stats), on=bucket_name, how="left")
+    n = F.col("__n").cast("double")
+    su, ssu = F.col("__su").cast("double"), F.col("__ssu").cast("double")
+    uu = F.col("__u").cast("double")
+    num = (n * uu) - su
+    den = F.sqrt(((n * ssu) - (su * su)) * (n / (n - F.lit(1.0))))
+    z = F.when((F.col("__n") >= 2) & (((n * ssu) - (su * su)) > 0),
+               F.round(num / den, 6))
+    return (j.select(*id_cols, bucket_name, z.alias("z"))
+            )
+
+
 def correlation_matrix(df: DataFrame, cols: list[str],
                        scale: int = 10000) -> DataFrame:
     """Pairwise Pearson correlation of numeric columns in ONE scan:

@@ -223,6 +223,46 @@ def stream_session_windows(
     )
 
 
+def stream_ohlc(
+    sdf: DataFrame,
+    key: str,
+    interval: str = "7 days",
+    start_offset: str = "4 days",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str | None = None,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming OHLC bars — the live tier of
+    functions/timeseries.ohlc_resample, as a keyed tumbling-window
+    aggregate: min_by/max_by over a (ts, tiebreak) struct carry a
+    single struct per partial state, so per-bar state is O(1) and the
+    watermark closes bars for append output.
+
+    ``start_offset`` aligns the tumbling grid to the batch calendar:
+    Spark windows start at the epoch (1970-01-01, a Thursday), so
+    weekly bars need a 4-day offset to land on Mondays and hash-match
+    the batch `date_trunc('week')` oracle (the test_streaming.py
+    oracle-hash loop pins exactly that).
+    """
+    tie = [F.col(tiebreak)] if tiebreak else []
+    order = F.struct(F.col(ts_col), *tie)
+    v = F.col(value_col)
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key),
+                 F.window(F.col(ts_col), interval, interval,
+                          start_offset).alias("w"))
+        .agg(F.min_by(v, order).alias("open"),
+             F.max(v).alias("high"),
+             F.min(v).alias("low"),
+             F.max_by(v, order).alias("close"),
+             F.count(v).alias("n"))
+        .select(key, F.col("w.start").cast("date").alias("bucket"),
+                "open", "high", "low", "close", "n")
+    )
+
+
 def stream_fill_forward(
     sdf: DataFrame,
     key_col: str = "user_id",

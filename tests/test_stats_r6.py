@@ -166,3 +166,40 @@ def test_daily_activity_counts(spark):
         "2024-01-02": (3, 2, 1, 3),   # users 1,3 active; 3 is new
         "2024-01-04": (1, 1, 1, 4),
     }
+
+
+def test_grouped_quantiles_exact_interpolation(spark):
+    from fsharp_dataframe_spark.functions.stats import grouped_quantiles
+
+    # 1..5: p50 = 3 exactly, p90 = 1 + 0.9*4 = 4.6 (the (n-1)*q
+    # convention both engines share), p99 = 4.96
+    rows = [("a", float(v)) for v in range(1, 6)] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in
+           grouped_quantiles(df, "g", F.col("v"),
+                             qs=[0.5, 0.9, 0.99]).collect()}
+    assert got["a"]["n"] == 5 and got["a"]["q50"] == 3.0
+    assert got["a"]["q90"] == 4.6 and got["a"]["q99"] == 4.96
+    # a single-row group: every quantile IS the value
+    assert got["b"]["q50"] == got["b"]["q99"] == 7.0
+
+
+def test_cross_sectional_zscore_known_values(spark):
+    import datetime as dt
+
+    from fsharp_dataframe_spark.functions.stats import cross_sectional_zscore
+
+    day1 = dt.datetime(2024, 1, 1, 9)
+    day2 = dt.datetime(2024, 1, 2, 9)
+    rows = [(1, day1, 1.0), (2, day1, 2.0), (3, day1, 3.0),
+            (4, day2, 5.0)]                      # singleton bucket -> NULL
+    df = spark.createDataFrame(rows, "id long, ts timestamp, v double")
+    out = cross_sectional_zscore(df, F.col("ts").cast("date"),
+                                 F.col("v"), ["id"], bucket_name="day")
+    got = {r["id"]: r["z"] for r in out.collect()}
+    # day1: mean 2, sample sdv 1 -> z = -1, 0, 1
+    assert got[1] == -1.0 and got[2] == 0.0 and got[3] == 1.0
+    assert got[4] is None
+    # the bucket stats come back via a BROADCAST join, not a shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]

@@ -738,6 +738,36 @@ def test_stream_sessionize_matches_duckdb_oracle(spark, events_stream_dir):
     assert not problems, "; ".join(problems)
 
 
+def test_stream_ohlc_matches_duckdb_oracle(spark, events_stream_dir):
+    """Streaming weekly OHLC bars against the SAME DuckDB oracle SQL
+    the driver applies to q_ohlc_weekly: the 4-day startTime offset
+    aligns Spark's epoch-anchored tumbling grid (1970-01-01 is a
+    Thursday) to the oracle's Monday `date_trunc('week')` calendar,
+    and min_by/max_by over the (ts, event_id) struct reproduce the
+    oracle's two row_number orderings exactly."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming import stream_ohlc
+
+    s = _events_stream(spark, events_stream_dir)
+    bars = stream_ohlc(s, "user_id", interval="7 days",
+                       start_offset="4 days", tiebreak="event_id")
+    name = run_to_memory(bars, "t_ohlc_oracle", output_mode="complete")
+    got = spark.sql(
+        f"SELECT user_id, bucket, round(open, 4) AS open, "
+        f"round(high, 4) AS high, round(low, 4) AS low, "
+        f"round(close, 4) AS close, n FROM {name}").toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["ohlc_weekly"]).df()
+    con.close()
+    problems = compare("stream_ohlc", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
 def test_stream_dedup_exact_matches_duckdb_oracle(spark, tmp_path):
     """r5 VERDICT ask #5, second op: streaming exact dedup against the
     batch dedup_exact oracle SQL.  dropDuplicates keeps an ARRIVAL-
