@@ -1840,6 +1840,47 @@ def q_cross_zscore(spark, sf) -> DataFrame:
         bucket_name="day")
 
 
+def q_rolling_zscore(spark, sf) -> DataFrame:
+    """Trailing-20 z-score of each user's event values
+    (functions/timeseries.rolling_zscore): exact integer window sums,
+    z as one fixed association; under-filled and zero-variance windows
+    yield NULL."""
+    from fsharp_dataframe_spark.functions.timeseries import rolling_zscore
+
+    ev = load_table(spark, sf, "events")
+    return rolling_zscore(ev, "user_id", "ts", "value", k=20,
+                          tiebreak="event_id")
+
+
+def q_tpch_q3(spark, sf) -> DataFrame:
+    """TPC-H Q3 (shipping-priority top-10) as the multi-join plan
+    showcase: segment filter pushed to the customer scan, customer
+    BROADCAST into orders, one shuffle join lineitem-orders on the
+    orderkey, exact integer revenue sum, and the global top-10 planned
+    as TakeOrderedAndProject (per-partition heaps + one 10-row merge —
+    never a full sort; plan-pinned in tests/test_plans.py)."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    cut = "1998-01-01"
+    rev_units = F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 10000)
+                      .cast("long"))
+    out = (
+        li.filter(F.col("l_shipdate") > F.lit(cut))
+        .join(o.filter(F.col("o_orderdate") < F.lit(cut)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(rev_units / 10000.0, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                 F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1951,7 +1992,7 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "ohlc_weekly", "vwap_monthly", "drawdown",
                  "returns_series", "autocorr1", "interval_week1",
                  "interval_burst", "sample_group", "group_quantiles",
-                 "cross_zscore")
+                 "cross_zscore", "rolling_zscore", "tpch_q3")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2087,6 +2128,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group": q_sample_group,
         "group_quantiles": q_group_quantiles,
         "cross_zscore": q_cross_zscore,
+        "rolling_zscore": q_rolling_zscore,
+        "tpch_q3": q_tpch_q3,
     }
 
 
@@ -4208,6 +4251,46 @@ def _all_oracle_sql() -> dict[str, str]:
                                              / (s.n::DOUBLE - 1.0))),
                                    6) END AS z
             FROM b JOIN s USING (day)
+        """,
+        # identical integer frame sums over the same ROWS window
+        "rolling_zscore": """
+            WITH b AS (
+              SELECT user_id, ts, event_id, value,
+                     round(value * 10000)::BIGINT AS u
+              FROM events),
+            r AS (
+              SELECT user_id, ts, event_id, value, u,
+                     count(u) OVER w AS n, sum(u) OVER w AS su,
+                     sum(u * u) OVER w AS ssu
+              FROM b
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+            SELECT user_id, ts, event_id, round(value, 4) AS value,
+                   CASE WHEN n >= 20
+                         AND (n::DOUBLE * ssu::DOUBLE)
+                             - (su::DOUBLE * su::DOUBLE) > 0
+                        THEN round(((n::DOUBLE * u::DOUBLE) - su::DOUBLE)
+                                   / sqrt(((n::DOUBLE * ssu::DOUBLE)
+                                           - (su::DOUBLE * su::DOUBLE))
+                                          * (n::DOUBLE / (n::DOUBLE - 1.0))),
+                                   6) END AS z
+            FROM r
+        """,
+        # classic TPC-H Q3 with the exact integer revenue sum
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(round(l_extendedprice * (1 - l_discount)
+                                   * 10000)::BIGINT) / 10000.0, 2
+                   ) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
         # same md5 rank order (hex strings compare binary in both)
         "sample_group": """

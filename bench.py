@@ -110,6 +110,10 @@ HEADLINE = [
     "interval_week1",
     "interval_burst",
     "sample_group",
+    "group_quantiles",
+    "cross_zscore",
+    "rolling_zscore",
+    "tpch_q3",
 ]
 
 

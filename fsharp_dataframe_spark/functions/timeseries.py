@@ -179,6 +179,44 @@ def autocorr(df: DataFrame, key: str, ts: str, value: str, lag: int = 1,
     return m.select(key, "n", ac.alias(f"autocorr_{lag}"))
 
 
+def rolling_zscore(df: DataFrame, key: str, ts: str, value: str, k: int,
+                   scale: int = 10000,
+                   tiebreak: str | None = None) -> DataFrame:
+    """Trailing-window z-score per key: how far today's value sits from
+    the mean of its own last ``k`` observations (the Bollinger-band
+    flag) — the reference's `windowInto k Series.mean/sdv` pair
+    (samples/timeseries.fsx:251-267) fused into one keyed window pass.
+
+    Both moments are EXACT integer sums over the ROWS frame (Σu, Σu²
+    of 1/scale units — frame sums are order-deterministic and replay
+    in SQL), and z is one fixed association:
+    z = (n·u - su) / sqrt((n·ssu - su²) · n/(n-1)).  Rows with fewer
+    than ``k`` trailing observations, or a zero-variance window, yield
+    NULL z.  One shuffle on the key; int64 envelope: k·u² must fit
+    (~10^4 rows of 10^7-unit values), beyond that lower ``scale``.
+    """
+    from pyspark.sql import Window
+
+    tie = [tiebreak] if tiebreak else []
+    w = (Window.partitionBy(key).orderBy(ts, *tie)
+         .rowsBetween(-(int(k) - 1), Window.currentRow))
+    u = F.round(F.col(value).cast("double") * scale).cast("long")
+    b = (df.withColumn("__u", u)
+         .withColumn("__n", F.count("__u").over(w))
+         .withColumn("__su", F.sum("__u").over(w))
+         .withColumn("__ssu", F.sum(F.col("__u") * F.col("__u")).over(w)))
+    n = F.col("__n").cast("double")
+    su, ssu = F.col("__su").cast("double"), F.col("__ssu").cast("double")
+    uu = F.col("__u").cast("double")
+    var_n = (n * ssu) - (su * su)
+    z = F.when((F.col("__n") >= int(k)) & (var_n > 0),
+               F.round(((n * uu) - su)
+                       / F.sqrt(var_n * (n / (n - F.lit(1.0)))), 6))
+    return (b.select(key, ts, *tie,
+                     F.round(F.col(value).cast("double"), 4).alias("value"),
+                     z.alias("z")))
+
+
 def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
                   start: str, end: str, keys: list[str] | None = None,
                   bin_seconds: int | None = None,

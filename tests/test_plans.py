@@ -385,3 +385,13 @@ def test_quality_classifier_scoring_is_narrow(spark):
     # not shuffle
     plan = _plan(spark, "quality_classifier")
     assert "Exchange" not in plan
+
+
+def test_tpch_q3_plan_broadcasts_and_heap_selects(spark):
+    # the multi-join showcase must: broadcast the filtered customer dim,
+    # and plan the global top-10 as TakeOrderedAndProject (per-partition
+    # heaps + a 10-row merge), never a full global sort
+    plan = _plan(spark, "tpch_q3")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

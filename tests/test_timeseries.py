@@ -163,3 +163,19 @@ def test_sample_per_group_deterministic_and_sized(spark):
     assert m == sorted(m)
     with pytest.raises(ValueError, match="hash_family"):
         sample_per_group(df, "g", 5, "id", hash_family="sha9")
+
+
+def test_rolling_zscore_known_window(spark):
+    from fsharp_dataframe_spark.functions.timeseries import rolling_zscore
+
+    # k=3 over 1,2,3,10: third row window {1,2,3} -> z = 1; fourth row
+    # window {2,3,10} -> mean 5, sdv sqrt(19), z = 5/sqrt(19)
+    rows = [("a", _ts(1, h), h, float(v))
+            for h, v in enumerate([1, 2, 3, 10], start=1)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, id long, v double")
+    got = {r["id"]: r["z"] for r in
+           rolling_zscore(df, "k", "ts", "v", k=3, tiebreak="id").collect()}
+    assert got[1] is None and got[2] is None      # under-filled windows
+    assert got[3] == 1.0
+    assert got[4] == pytest.approx(5 / 19 ** 0.5, abs=1e-6)
