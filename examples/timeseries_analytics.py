@@ -98,6 +98,22 @@ def analyze_timeseries(spark, sf_dir: str) -> dict[str, object]:
         "purchases": enriched.count(),
         "with_prior_click": enriched.filter(
             F.col("last_click_value").isNotNull()).count()}
+
+    # 6. market-style rollup (functions/timeseries): weekly OHLC bars
+    #    per user, worst peak-to-trough drawdown, and the lag-1
+    #    persistence of each event type's value series
+    from fsharp_dataframe_spark.functions.timeseries import (
+        autocorr, max_drawdown, ohlc_resample)
+
+    bars = ohlc_resample(ev, "user_id", "ts", "value",
+                         unit="week", tiebreak="event_id")
+    dd = max_drawdown(ev, "user_id", "ts", "value", tiebreak="event_id")
+    ac = autocorr(ev, "event_type", "ts", "value", lag=1,
+                  tiebreak="event_id")
+    worst = dd.agg(F.round(F.max("max_drawdown"), 4)
+                   .alias("worst")).first()["worst"]
+    out["market"] = {"bars": bars.count(), "worst_drawdown": worst,
+                     "types_with_autocorr": ac.count()}
     return out
 
 
