@@ -1881,6 +1881,28 @@ def q_tpch_q3(spark, sf) -> DataFrame:
     return out
 
 
+def q_diverse_sample(spark, sf) -> DataFrame:
+    """Cluster-balanced subsample — the diversity-preserving selection
+    a training pipeline runs after dedup (cap each semantic region
+    instead of letting the head cluster dominate): IVF coarse cells
+    (broadcast-argmin narrow map, same seeding as ivf_assign) + the
+    deterministic md5-rank k-per-cell cut
+    (functions/timeseries.sample_per_group).  Composition of two
+    audited operators; one window shuffle on the cell id."""
+    from fsharp_dataframe_spark.functions.similarity import ivf_assign
+    from fsharp_dataframe_spark.functions.timeseries import sample_per_group
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    cells = ivf_assign(emb, cents).select("vec_id", "ivf_cell")
+    out = sample_per_group(cells, "ivf_cell", 10, "vec_id",
+                           hash_family="md5")
+    return out.select("vec_id", "ivf_cell")
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -1992,7 +2014,8 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "ohlc_weekly", "vwap_monthly", "drawdown",
                  "returns_series", "autocorr1", "interval_week1",
                  "interval_burst", "sample_group", "group_quantiles",
-                 "cross_zscore", "rolling_zscore", "tpch_q3")
+                 "cross_zscore", "rolling_zscore", "tpch_q3",
+                 "diverse_sample")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2130,6 +2153,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_zscore": q_cross_zscore,
         "rolling_zscore": q_rolling_zscore,
         "tpch_q3": q_tpch_q3,
+        "diverse_sample": q_diverse_sample,
     }
 
 
@@ -2665,6 +2689,29 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM embeddings e CROSS JOIN cents)
             SELECT vec_id, arg_max(cid, sim)::INT AS ivf_cell
             FROM scored GROUP BY vec_id
+        """,
+        # ivf_assign's cell replay + the md5 k-per-cell rank cut
+        "diverse_sample": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id AS vec_id, cents.cid AS cid,
+                     list_dot_product(e.embedding::DOUBLE[], cents.c)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(cents.c, cents.c))) AS sim
+              FROM embeddings e CROSS JOIN cents),
+            cells AS (
+              SELECT vec_id, arg_max(cid, sim)::INT AS ivf_cell
+              FROM scored GROUP BY vec_id)
+            SELECT vec_id, ivf_cell FROM (
+              SELECT vec_id, ivf_cell,
+                     row_number() OVER (
+                       PARTITION BY ivf_cell
+                       ORDER BY md5(vec_id::VARCHAR), vec_id) AS rk
+              FROM cells)
+            WHERE rk <= 10
         """,
         "ivf_train": _ivf_train_sql(),
         "lsh_topk": _lsh_topk_sql(),

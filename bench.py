@@ -114,6 +114,7 @@ HEADLINE = [
     "cross_zscore",
     "rolling_zscore",
     "tpch_q3",
+    "diverse_sample",
 ]
 
 
