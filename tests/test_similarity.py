@@ -184,7 +184,7 @@ def test_near_dup_lsh_driver_query_recall_on_real_table(spark):
     exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
              for r in cosine_pairs_exact(emb, threshold=0.4).collect()}
     casc = {(r["id_a"], r["id_b"]): r["cosine_sim"]
-            for r in em.queries()["embed_near_dup_lsh"](spark, SF).collect()}
+            for r in em._all_queries()["embed_near_dup_lsh"](spark, SF).collect()}
     assert casc == exact
 
 
