@@ -180,6 +180,41 @@ def stream_near_dup_candidates(
     )
 
 
+def stream_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    point_ts: str = "ts",
+    start: str = "w_start",
+    end: str = "w_end",
+    point_watermark: str = "1 hour",
+    interval_watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming keyed interval join — the live twin of
+    functions/timeseries.interval_join's keyed path: a stream-stream
+    equi-join on ``keys`` whose range predicate
+    (start <= t < end) is the event-time condition Spark uses to bound
+    join state.  Both sides carry watermarks, so point state lives one
+    ``point_watermark`` horizon and interval state one
+    ``interval_watermark`` horizon past its end — O(rate × horizon)
+    state, independent of history length (the batch path's per-key
+    fan-out bound, restated in time).
+
+    Column names must not collide across the two streams (same
+    contract as the batch operator); the interval's key columns are
+    dropped from the output.
+    """
+    p = points.withWatermark(point_ts, point_watermark).alias("__pts")
+    i = intervals.withWatermark(end, interval_watermark).alias("__iv")
+    t = F.col(f"__pts.{point_ts}")
+    cond = [F.col(f"__pts.{k}") == F.col(f"__iv.{k}") for k in keys] + [
+        t >= F.col(f"__iv.{start}"), t < F.col(f"__iv.{end}")]
+    out = p.join(i, cond, "inner")
+    for k in keys:
+        out = out.drop(i[k])
+    return out
+
+
 def stream_latest_by(
     sdf: DataFrame,
     by: list[str],

@@ -768,6 +768,45 @@ def test_stream_ohlc_matches_duckdb_oracle(spark, events_stream_dir):
     assert not problems, "; ".join(problems)
 
 
+def test_stream_interval_join_matches_duckdb_oracle(spark, events_stream_dir,
+                                                    tmp_path):
+    """Streaming keyed interval join (stream-stream equi-join with the
+    event-time range condition) driven availableNow over the events
+    stream joined to a streamed per-user first-week window table, then
+    rolled up and hash-compared against the SAME DuckDB oracle SQL the
+    batch interval_week1 query is checked against."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming import stream_interval_join
+
+    ev = load_table(spark, SF, "events")
+    iv = (ev.groupBy("user_id").agg(F.min("ts").alias("w_start"))
+          .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 7 DAYS")))
+    ivd = str(tmp_path / "iv_stream")
+    iv.repartition(2).write.mode("overwrite").parquet(ivd)
+
+    pts = _events_stream(spark, events_stream_dir).select(
+        "user_id", "ts", "value")
+    ivs = read_stream_parquet(spark, ivd, iv.schema)
+    joined = stream_interval_join(pts, ivs, ["user_id"],
+                                  point_ts="ts", start="w_start",
+                                  end="w_end")
+    name = run_to_memory(joined, "t_ij_oracle")
+    got = spark.sql(
+        f"SELECT user_id, count(*) AS n_week1, "
+        f"round(sum(cast(round(value * 100) AS bigint)) / 100.0, 2) "
+        f"AS sum_value FROM {name} GROUP BY user_id").toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["interval_week1"]).df()
+    con.close()
+    problems = compare("stream_interval_join", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
 def test_stream_dedup_exact_matches_duckdb_oracle(spark, tmp_path):
     """r5 VERDICT ask #5, second op: streaming exact dedup against the
     batch dedup_exact oracle SQL.  dropDuplicates keeps an ARRIVAL-
