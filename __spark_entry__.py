@@ -1903,6 +1903,28 @@ def q_diverse_sample(spark, sf) -> DataFrame:
     return out.select("vec_id", "ivf_cell")
 
 
+def q_market_beta(spark, sf) -> DataFrame:
+    """Each event type's beta/alpha vs the all-types daily mean
+    (functions/timeseries.market_beta): daily means re-quantized to
+    integer mean-units, regression moments exact DECIMAL sums, market
+    relation broadcast (day-cardinality)."""
+    from fsharp_dataframe_spark.functions.timeseries import market_beta
+
+    ev = load_table(spark, sf, "events")
+    return market_beta(ev, "event_type", "ts", "value")
+
+
+def q_seasonal_profile(spark, sf) -> DataFrame:
+    """Hour-of-day × weekday activity profile per event type
+    (functions/timeseries.seasonal_profile): ONE map-side-combined
+    groupBy; weekday numbering pinned to the cross-engine-stable
+    0=Monday (Spark weekday == DuckDB isodow - 1)."""
+    from fsharp_dataframe_spark.functions.timeseries import seasonal_profile
+
+    ev = load_table(spark, sf, "events")
+    return seasonal_profile(ev, "event_type", "ts", "value")
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2015,7 +2037,7 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "returns_series", "autocorr1", "interval_week1",
                  "interval_burst", "sample_group", "group_quantiles",
                  "cross_zscore", "rolling_zscore", "tpch_q3",
-                 "diverse_sample")
+                 "diverse_sample", "market_beta", "seasonal_profile")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2154,6 +2176,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "tpch_q3": q_tpch_q3,
         "diverse_sample": q_diverse_sample,
+        "market_beta": q_market_beta,
+        "seasonal_profile": q_seasonal_profile,
     }
 
 
@@ -4338,6 +4362,65 @@ def _all_oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
             LIMIT 10
+        """,
+        # daily means re-quantized to integer mean-units on both sides,
+        # then exact HUGEINT regression moments over days
+        "market_beta": """
+            WITH d AS (
+              SELECT event_type, ts::DATE AS day,
+                     sum(round(value * 10000)::BIGINT) AS su,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY event_type, day),
+            mkt AS (
+              SELECT day,
+                     round((sum(su)::DOUBLE / sum(n)::DOUBLE)
+                           * 1000000)::HUGEINT AS xq
+              FROM d GROUP BY day),
+            a AS (
+              SELECT d.event_type,
+                     round((d.su::DOUBLE / d.n::DOUBLE)
+                           * 1000000)::HUGEINT AS yq,
+                     mkt.xq
+              FROM d JOIN mkt USING (day)),
+            m AS (
+              SELECT event_type, count(*)::BIGINT AS n_days,
+                     sum(xq) AS sx, sum(yq) AS sy, sum(xq * yq) AS sxy,
+                     sum(xq * xq) AS sxx
+              FROM a GROUP BY event_type)
+            SELECT event_type, n_days,
+                   CASE WHEN n_days >= 2
+                         AND (n_days::DOUBLE * sxx::DOUBLE)
+                             - (sx::DOUBLE * sx::DOUBLE) > 0
+                        THEN round(((n_days::DOUBLE * sxy::DOUBLE)
+                                    - (sx::DOUBLE * sy::DOUBLE))
+                                   / ((n_days::DOUBLE * sxx::DOUBLE)
+                                      - (sx::DOUBLE * sx::DOUBLE)),
+                                   6) END AS beta,
+                   CASE WHEN n_days >= 2
+                         AND (n_days::DOUBLE * sxx::DOUBLE)
+                             - (sx::DOUBLE * sx::DOUBLE) > 0
+                        THEN round(((sy::DOUBLE
+                                     - (((n_days::DOUBLE * sxy::DOUBLE)
+                                         - (sx::DOUBLE * sy::DOUBLE))
+                                        / ((n_days::DOUBLE * sxx::DOUBLE)
+                                           - (sx::DOUBLE * sx::DOUBLE)))
+                                       * sx::DOUBLE)
+                                    / n_days::DOUBLE) / 10000000000.0,
+                                   6) END AS alpha
+            FROM m
+        """,
+        # weekday pinned to Spark weekday == DuckDB isodow - 1; mean as
+        # exact integer floor division (vwap discipline)
+        "seasonal_profile": """
+            WITH m AS (
+              SELECT event_type, hour(ts) AS hour,
+                     (isodow(ts) - 1)::INT AS weekday,
+                     count(*)::BIGINT AS n,
+                     sum(round(value * 10000)::BIGINT) AS su
+              FROM events GROUP BY event_type, hour, weekday)
+            SELECT event_type, hour, weekday, n,
+                   ((su * 10000) // n)::DOUBLE / 100000000.0 AS mean_value
+            FROM m
         """,
         # same md5 rank order (hex strings compare binary in both)
         "sample_group": """

@@ -115,6 +115,8 @@ HEADLINE = [
     "rolling_zscore",
     "tpch_q3",
     "diverse_sample",
+    "market_beta",
+    "seasonal_profile",
 ]
 
 

@@ -217,6 +217,77 @@ def rolling_zscore(df: DataFrame, key: str, ts: str, value: str, k: int,
                      z.alias("z")))
 
 
+def market_beta(df: DataFrame, key: str, ts: str, value: str,
+                scale: int = 10000, mean_scale: int = 1_000_000) -> DataFrame:
+    """Per-key beta/alpha against the cross-sectional "market": regress
+    each key's daily mean value on the all-keys daily mean — the factor
+    regression a risk pipeline runs per instrument, built on the
+    reference's grouped mean/zip algebra (SeriesModule.fs meanBy +
+    Series.zip of two aligned series).
+
+    Exactness: daily sums are integer 1/scale units; each daily MEAN is
+    re-quantized to integer 1/mean_scale mean-units (one double
+    division + round on identical ints — deterministic), and the
+    regression moments are then exact DECIMAL sums over days.  The
+    market relation is day-cardinality (calendar-bounded), broadcast
+    back to the per-key days.  Two shuffles: the (key, day) rollup and
+    the per-key moment aggregation.
+
+    Returns (key, n_days, beta, alpha) rounded to 6; degenerate keys
+    (n < 2 or zero market variance among that key's days) yield NULL.
+    """
+    u = F.round(F.col(value).cast("double") * scale).cast("long")
+    day = F.col(ts).cast("date").alias("day")
+    d = (df.groupBy(F.col(key), day)
+         .agg(F.sum(u).alias("su"), F.count("*").alias("n")))
+    mq = F.round((F.sum("su").cast("double") / F.sum("n").cast("double"))
+                 * mean_scale).cast("decimal(25,0)")
+    mkt = d.groupBy("day").agg(mq.alias("xq"))
+    yq = F.round((F.col("su").cast("double") / F.col("n").cast("double"))
+                 * mean_scale).cast("decimal(25,0)")
+    a = (d.join(F.broadcast(mkt), on="day")
+         .select(key, yq.alias("yq"), "xq"))
+    x, y = F.col("xq"), F.col("yq")
+    m = a.groupBy(key).agg(
+        F.count("*").alias("n_days"), F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"), F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"))
+    n = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    var_x = (n * sxx) - (sx * sx)
+    beta = ((n * sxy) - (sx * sy)) / var_x
+    alpha_units = (sy - beta * sx) / n
+    ok = (F.col("n_days") >= 2) & (var_x > 0)
+    out_scale = float(scale) * float(mean_scale)
+    return m.select(
+        key, "n_days",
+        F.round(F.when(ok, beta), 6).alias("beta"),
+        F.round(F.when(ok, alpha_units / out_scale), 6).alias("alpha"))
+
+
+def seasonal_profile(df: DataFrame, key: str, ts: str, value: str,
+                     scale: int = 10000) -> DataFrame:
+    """Activity seasonality: per (key, hour-of-day, weekday) event count
+    and mean value — the calendar profile behind load forecasting and
+    anomaly baselines.  ONE groupBy with map-side combine; the mean is
+    one double division on an exact integer sum (pinned association).
+    ``weekday`` is 0=Monday (Spark `weekday` == DuckDB `isodow - 1` —
+    the one cross-engine-stable day numbering).  The mean is pinned as
+    an exact integer floor division in 1e-4-of-unit precision (the
+    vwap discipline — a double round() sits on ties engines break
+    differently), then one identical int→double conversion.
+    """
+    u = F.round(F.col(value).cast("double") * scale).cast("long")
+    m = (df.groupBy(F.col(key),
+                    F.hour(ts).alias("hour"),
+                    F.weekday(ts).alias("weekday"))
+         .agg(F.count("*").alias("n"), F.sum(u).alias("su")))
+    mean = (F.expr("CAST(su * 10000 AS DECIMAL(38,0)) div n")
+            .cast("double") / (10000.0 * scale))
+    return m.select(key, "hour", "weekday", "n", mean.alias("mean_value"))
+
+
 def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
                   start: str, end: str, keys: list[str] | None = None,
                   bin_seconds: int | None = None,

@@ -179,3 +179,36 @@ def test_rolling_zscore_known_window(spark):
     assert got[1] is None and got[2] is None      # under-filled windows
     assert got[3] == 1.0
     assert got[4] == pytest.approx(5 / 19 ** 0.5, abs=1e-6)
+
+
+def test_market_beta_exact_line(spark):
+    from fsharp_dataframe_spark.functions.timeseries import market_beta
+
+    # asset "a" daily mean = 2 * market mean exactly; single-key market
+    # means both assets move together: beta_a vs the composite
+    rows = []
+    for d in range(1, 6):
+        m = float(d)                 # asset b mean = d
+        rows.append(("b", _ts(d), m))
+        rows.append(("a", _ts(d), 3.0 * m))  # asset a mean = 3d
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    # market daily mean = (d + 3d)/2 = 2d; a = 3d = 1.5*market + 0;
+    # b = d = 0.5*market + 0
+    got = {r["k"]: r for r in market_beta(df, "k", "ts", "v").collect()}
+    assert got["a"]["beta"] == 1.5 and got["a"]["alpha"] == 0.0
+    assert got["b"]["beta"] == 0.5 and got["b"]["alpha"] == 0.0
+    assert got["a"]["n_days"] == 5
+
+
+def test_seasonal_profile_buckets_and_exact_mean(spark):
+    from fsharp_dataframe_spark.functions.timeseries import seasonal_profile
+
+    # Mon 2024-01-01 09:xx twice (mean 1.5), Tue 2024-01-02 10:xx once
+    rows = [("t", dt.datetime(2024, 1, 1, 9, 5), 1.0),
+            ("t", dt.datetime(2024, 1, 1, 9, 55), 2.0),
+            ("t", dt.datetime(2024, 1, 2, 10, 0), 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {(r["hour"], r["weekday"]): r for r in
+           seasonal_profile(df, "k", "ts", "v").collect()}
+    assert got[(9, 0)]["n"] == 2 and got[(9, 0)]["mean_value"] == 1.5
+    assert got[(10, 1)]["n"] == 1 and got[(10, 1)]["mean_value"] == 7.0
