@@ -353,6 +353,37 @@ class Frame:
                                  by=by, bucketed=bucketed, out_col=out_col)
         return self._with_df(out)
 
+    def ohlc(self, key: str, ts: str, value: str, unit: str = "week",
+             tiebreak: str | None = None) -> "Frame":
+        """Per-key OHLC bars per calendar bucket (parity-plus over the
+        reference's resample + first/last/min/max idiom,
+        samples/timeseries.fsx; see functions/timeseries.ohlc_resample
+        for the one-shuffle scale story)."""
+        from fsharp_dataframe_spark.functions.timeseries import ohlc_resample
+
+        out = ohlc_resample(self.df, key, ts, value, unit=unit,
+                            tiebreak=tiebreak)
+        return Frame(out, key=[key, "bucket"], ordered=False)
+
+    def drawdown(self, key: str, ts: str, value: str,
+                 tiebreak: str | None = None) -> "Frame":
+        """Per-key maximum peak-to-trough drawdown
+        (functions/timeseries.max_drawdown)."""
+        from fsharp_dataframe_spark.functions.timeseries import max_drawdown
+
+        out = max_drawdown(self.df, key, ts, value, tiebreak=tiebreak)
+        return Frame(out, key=[key], ordered=False)
+
+    def returns(self, key: str, ts: str, value: str,
+                tiebreak: str | None = None) -> "Frame":
+        """Per-key simple returns + cumulative growth — the reference's
+        `series / Series.shift 1 series - 1` idiom
+        (functions/timeseries.returns)."""
+        from fsharp_dataframe_spark.functions.timeseries import returns
+
+        out = returns(self.df, key, ts, value, tiebreak=tiebreak)
+        return Frame(out, key=[key, ts], ordered=False)
+
     def diff(self, n: int, by: list[str] | None = None) -> "Frame":
         """`Frame.diff` (src/FrameModule.fs:453-454): float-convertible
         columns become x[k]-x[k-n]; other columns pass through unchanged

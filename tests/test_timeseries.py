@@ -212,3 +212,19 @@ def test_seasonal_profile_buckets_and_exact_mean(spark):
            seasonal_profile(df, "k", "ts", "v").collect()}
     assert got[(9, 0)]["n"] == 2 and got[(9, 0)]["mean_value"] == 1.5
     assert got[(10, 1)]["n"] == 1 and got[(10, 1)]["mean_value"] == 7.0
+
+
+def test_frame_level_timeseries_wrappers(spark):
+    from fsharp_dataframe_spark import Frame
+
+    rows = [("a", _ts(1), 1, 10.0), ("a", _ts(2), 2, 8.0),
+            ("a", _ts(3), 3, 12.0)]
+    fr = Frame(spark.createDataFrame(
+        rows, "k string, ts timestamp, id long, v double"),
+        key=["k", "ts", "id"], ordered=True)
+    bars = fr.ohlc("k", "ts", "v", tiebreak="id")
+    assert bars.df.count() == 1 and bars.df.first()["open"] == 10.0
+    dd = fr.drawdown("k", "ts", "v", tiebreak="id")
+    assert dd.df.first()["max_drawdown"] == 0.2
+    rets = fr.returns("k", "ts", "v", tiebreak="id")
+    assert rets.df.count() == 3
