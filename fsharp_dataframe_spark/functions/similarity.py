@@ -713,6 +713,55 @@ def ivf_topk(df: DataFrame, centroids: list[list[float]], query_vec: list[float]
     return brute_force_topk(cands, qv, k, id_col, vec_col)
 
 
+def build_ivf_index(df: DataFrame, path: str,
+                    centroids: list[list[float]] | None = None, k: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    max_iter: int = 10) -> list[list[float]]:
+    """Persist the production IVF layout the ivf_topk docstring
+    promises: the corpus written PARTITIONED BY ivf_cell (so a probe's
+    ``ivf_cell IN (...)`` becomes partition PRUNING — unprobed cells
+    are never read, not even scanned-and-filtered) plus a tiny
+    ``centroids/`` relation (cell, vector) the query side loads to pick
+    its probes.  The pay-once ANN artifact, sibling of
+    search.build_term_index's zone-mapped postings.
+
+    ``centroids=None`` trains them here (kmeans_fit — corpus never
+    shuffles, one job per iteration).  Returns the centroid list.
+    """
+    spark = df.sparkSession
+    cents = ([[float(x) for x in c] for c in centroids]
+             if centroids is not None
+             else kmeans_fit(df, k=k, id_col=id_col, vec_col=vec_col,
+                             max_iter=max_iter))
+    asg = ivf_assign(df.select(id_col, vec_col), cents, vec_col)
+    (asg.write.mode("overwrite").partitionBy("ivf_cell")
+        .parquet(f"{path}/vectors"))
+    (spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        schema="ivf_cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    return cents
+
+
+def ivf_topk_indexed(spark, path: str, query_vec: list[float],
+                     k: int = 10, n_probe: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """ANN query against a build_ivf_index artifact: centroids load to
+    the driver (k × dim doubles), the probe cells are a driver-side
+    argsort, and the vectors scan carries ``ivf_cell IN (probes)`` as a
+    PARTITION filter — the plan reads only the probed directories
+    (pinned in tests/test_similarity.py), then exact-rescores top-k
+    with per-partition heaps (TakeOrderedAndProject).  Bit-identical
+    to the direct ivf_topk on the same centroids."""
+    rows = (spark.read.parquet(f"{path}/centroids")
+            .orderBy("ivf_cell").collect())
+    cents = [[float(x) for x in r["centroid"]] for r in rows]
+    vecs = spark.read.parquet(f"{path}/vectors")
+    return ivf_topk(vecs, cents, query_vec, k=k, n_probe=n_probe,
+                    id_col=id_col, vec_col=vec_col)
+
+
 def semantic_dedup(df: DataFrame, centroids: list[list[float]],
                    threshold: float = 0.95, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:

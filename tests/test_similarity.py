@@ -383,3 +383,35 @@ def test_random_projection_matches_reference_and_preserves_geometry(spark):
     same = cos(out[0], out[1])
     cross = cos(out[0], out[5])
     assert same > 0.7 and same > cross
+
+
+def test_ivf_index_round_trip_and_partition_pruning(spark, tmp_path):
+    """The persisted IVF layout must (a) return bit-identical results
+    to the direct ivf_topk on the same centroids, and (b) plan the
+    probe as PARTITION pruning — unprobed cell directories are never
+    read (the 100 TB contract the ivf_topk docstring promises)."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        build_ivf_index, ivf_topk, ivf_topk_indexed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, path, centroids=cents)
+
+    q = cents[3]
+    direct = [(r["vec_id"], r["cosine_sim"])
+              for r in ivf_topk(emb, cents, q, k=15).collect()]
+    indexed_df = ivf_topk_indexed(spark, path, q, k=15)
+    indexed = [(r["vec_id"], r["cosine_sim"]) for r in indexed_df.collect()]
+    assert indexed == direct and len(indexed) == 15
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    # the probe filter reaches the scan as a PartitionFilter (pruning),
+    # and the top-k is per-partition heaps, not a global sort
+    assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters:")[1][:200]
+    assert "TakeOrderedAndProject" in plan
