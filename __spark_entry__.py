@@ -1925,6 +1925,17 @@ def q_seasonal_profile(spark, sf) -> DataFrame:
     return seasonal_profile(ev, "event_type", "ts", "value")
 
 
+def q_dedup_report(spark, sf) -> DataFrame:
+    """Duplicate-rate dashboard per (lang, source)
+    (functions/dedup.dedup_report): one (slice, fingerprint) groupBy +
+    a slice-cardinality rollup; the rate pinned as integer
+    basis-point floor division."""
+    from fsharp_dataframe_spark.functions.dedup import dedup_report
+
+    docs = load_table(spark, sf, "documents")
+    return dedup_report(docs, ["lang", "source"])
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2037,7 +2048,8 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "returns_series", "autocorr1", "interval_week1",
                  "interval_burst", "sample_group", "group_quantiles",
                  "cross_zscore", "rolling_zscore", "tpch_q3",
-                 "diverse_sample", "market_beta", "seasonal_profile")
+                 "diverse_sample", "market_beta", "seasonal_profile",
+                 "dedup_report")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2178,6 +2190,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_sample": q_diverse_sample,
         "market_beta": q_market_beta,
         "seasonal_profile": q_seasonal_profile,
+        "dedup_report": q_dedup_report,
     }
 
 
@@ -4420,6 +4433,24 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM events GROUP BY event_type, hour, weekday)
             SELECT event_type, hour, weekday, n,
                    ((su * 10000) // n)::DOUBLE / 100000000.0 AS mean_value
+            FROM m
+        """,
+        # same normalization fingerprint as dedup_exact; rate as exact
+        # integer basis-point floor division
+        "dedup_report": """
+            WITH per_fp AS (
+              SELECT lang, source,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                     ) AS fp,
+                     count(*)::BIGINT AS n
+              FROM documents GROUP BY lang, source, fp),
+            m AS (
+              SELECT lang, source, sum(n)::BIGINT AS n_docs,
+                     count(*)::BIGINT AS n_unique
+              FROM per_fp GROUP BY lang, source)
+            SELECT lang, source, n_docs, n_unique,
+                   (((n_docs - n_unique) * 10000) // n_docs)::DOUBLE
+                     / 10000.0 AS dup_rate
             FROM m
         """,
         # same md5 rank order (hex strings compare binary in both)

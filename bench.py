@@ -117,6 +117,7 @@ HEADLINE = [
     "diverse_sample",
     "market_beta",
     "seasonal_profile",
+    "dedup_report",
 ]
 
 

@@ -744,3 +744,27 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                     "n_paras",
                     (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0)))
                     .cast("long").alias("n_removed")))
+
+
+def dedup_report(df: DataFrame, by: list[str],
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Duplicate-rate rollup per corpus slice — the ops dashboard of a
+    dedup pipeline (which sources/languages are polluting the corpus):
+    per ``by`` group, document count, distinct normalized contents
+    (fingerprint — same key exact_dedup keeps), and the duplicate rate.
+
+    ONE pass: groupBy (by..., fp) with map-side combine, then a
+    group-cardinality rollup.  The rate is pinned as an exact integer
+    floor division in basis points ((n - n_unique)·10⁴ div n — the
+    vwap discipline; a double round() sits on ties engines break
+    differently), then one identical int→double conversion.
+    """
+    fp = fingerprint(F.col(text_col))
+    per_fp = (df.groupBy(*[F.col(c) for c in by], fp.alias("__fp"))
+              .agg(F.count("*").alias("__n")))
+    m = (per_fp.groupBy(*by)
+         .agg(F.sum("__n").alias("n_docs"),
+              F.count("*").alias("n_unique")))
+    rate = (F.expr("CAST((n_docs - n_unique) * 10000 AS DECIMAL(38,0))"
+                   " div n_docs").cast("double") / 10000.0)
+    return m.select(*by, "n_docs", "n_unique", rate.alias("dup_rate"))

@@ -304,3 +304,20 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert got[2] == ("gamma three", 3, 2)
     assert got[3] == ("", 1, 1)
     assert got[4] == ("delta four", 2, 1)
+
+
+def test_dedup_report_counts_and_rate(spark):
+    from fsharp_dataframe_spark.functions.dedup import dedup_report
+
+    rows = [(1, "en", "web", "Hello  world"), (2, "en", "web", "hello world"),
+            (3, "en", "web", "unique text"), (4, "de", "web", "hallo")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string")
+    got = {(r["lang"], r["source"]): r for r in
+           dedup_report(df, ["lang", "source"]).collect()}
+    en = got[("en", "web")]
+    # docs 1+2 share a normalized fingerprint -> 3 docs, 2 unique,
+    # rate floor(1*10000/3)/10000 = 0.3333
+    assert en["n_docs"] == 3 and en["n_unique"] == 2
+    assert en["dup_rate"] == 0.3333
+    assert got[("de", "web")]["dup_rate"] == 0.0
