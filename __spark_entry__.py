@@ -1936,6 +1936,27 @@ def q_dedup_report(spark, sf) -> DataFrame:
     return dedup_report(docs, ["lang", "source"])
 
 
+def q_salted_agg(spark, sf) -> DataFrame:
+    """Hot-key aggregation through the two-phase salted shape
+    (operators/skew.salted_agg): events has FIVE event types — on a
+    cluster a plain groupBy sends everything to 5 reducers; the salt
+    spreads each type over 32, and phase 2 re-aggregates the
+    32·5 partials.  The oracle is the NAIVE group-by: result identity
+    is the operator's contract."""
+    from fsharp_dataframe_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf, "events")
+    u = F.round(F.col("value") * 10000).cast("long")
+    out = salted_agg(ev, "event_type",
+                     {"n": F.count("*"), "su": F.sum(u),
+                      "lo": F.min("value"), "hi": F.max("value")},
+                     n_salts=32)
+    return out.select("event_type", "n",
+                      F.round(F.col("su") / 10000.0, 4).alias("sum_value"),
+                      F.round("lo", 4).alias("lo"),
+                      F.round("hi", 4).alias("hi"))
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2049,7 +2070,7 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "interval_burst", "sample_group", "group_quantiles",
                  "cross_zscore", "rolling_zscore", "tpch_q3",
                  "diverse_sample", "market_beta", "seasonal_profile",
-                 "dedup_report")
+                 "dedup_report", "salted_agg")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2191,6 +2212,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_beta": q_market_beta,
         "seasonal_profile": q_seasonal_profile,
         "dedup_report": q_dedup_report,
+        "salted_agg": q_salted_agg,
     }
 
 
@@ -4452,6 +4474,15 @@ def _all_oracle_sql() -> dict[str, str]:
                    (((n_docs - n_unique) * 10000) // n_docs)::DOUBLE
                      / 10000.0 AS dup_rate
             FROM m
+        """,
+        # the NAIVE rollup — the salted two-phase shape must be
+        # result-identical (decomposable aggregates, exact unit sums)
+        "salted_agg": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(round(value * 10000)::BIGINT) / 10000.0, 4
+                   ) AS sum_value,
+                   round(min(value), 4) AS lo, round(max(value), 4) AS hi
+            FROM events GROUP BY event_type
         """,
         # same md5 rank order (hex strings compare binary in both)
         "sample_group": """

@@ -118,6 +118,7 @@ HEADLINE = [
     "market_beta",
     "seasonal_profile",
     "dedup_report",
+    "salted_agg",
 ]
 
 

@@ -1,0 +1,88 @@
+"""Skew-handling join/aggregate shapes — the explicit counterparts of
+AQE's runtime skew mitigation, for when the hot keys are known or
+cardinality is tiny (a 5-value status column on a 10^12-row fact table
+sends everything to 5 reducers no matter how many executors exist).
+
+`functions/profile.key_skew_stats` measures the heat; these operators
+act on it.  Both are RESULT-IDENTICAL to their naive forms (pinned by
+equivalence tests and a SQL oracle) — only the shuffle layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(df: DataFrame, by: list[str] | str,
+               aggs: dict[str, Column], n_salts: int = 32,
+               salt_on: str | Column | None = None) -> DataFrame:
+    """Two-phase aggregation over hot keys: phase 1 aggregates on
+    (keys..., salt) — n_salts× more reduce slots, each holding 1/n of a
+    hot key's rows — phase 2 re-aggregates the per-salt partials on the
+    true keys (a relation of |keys|·n_salts rows — trivial).
+
+    ``aggs`` maps output name → a DECOMPOSABLE aggregate column (sum,
+    count, min, max, or integer-unit sums — the engine's fixed-point
+    discipline makes even "mean" decomposable as sum+count).  Both
+    phases apply the same expression, so the caller's aggregate must be
+    idempotent under re-aggregation of partials: pass `F.sum(x)` and
+    re-summing partial sums is exact; a raw `F.avg` would average
+    averages and is rejected nowhere — the contract is documented, the
+    oracle pins the composition.
+
+    The salt is deterministic (hash of ``salt_on`` or a stable row
+    column) so reruns are identical; map-side combine already collapses
+    each task's rows, so phase 1's shuffle carries at most
+    tasks × keys × n_salts rows.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    if salt_on is None:
+        salt_col = F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts
+    else:
+        s = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+        salt_col = F.abs(F.hash(s)) % n_salts
+    p1 = (df.withColumn("__salt", salt_col)
+          .groupBy(*[F.col(k) for k in keys], F.col("__salt"))
+          .agg(*[c.alias(n) for n, c in aggs.items()]))
+    p2 = p1.groupBy(*keys).agg(
+        *[_reagg(n, c).alias(n) for n, c in aggs.items()])
+    return p2
+
+
+def _reagg(name: str, col: Column) -> Column:
+    """Phase-2 re-aggregation of a phase-1 partial: sums re-sum, counts
+    re-SUM (a count of partials would count salt groups), min/max
+    re-apply.  Detection is on the phase-1 expression's head."""
+    # Column repr is "Column<'count(1)'>" — take the expression head
+    head = str(col).split("'", 1)[-1].lower().lstrip("'")
+    if head.startswith("count"):
+        return F.sum(F.col(name))
+    if head.startswith("min"):
+        return F.min(F.col(name))
+    if head.startswith("max"):
+        return F.max(F.col(name))
+    return F.sum(F.col(name))
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: list[str] | str,
+                n_salts: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: LEFT rows take a deterministic salt in
+    [0, n_salts); the (small) RIGHT side replicates once per salt
+    (explode of a literal sequence — n_salts× the small side, nothing
+    of the big side moves twice); the join key becomes (keys..., salt),
+    so a hot key's rows spread over n_salts reducers instead of one.
+
+    Use when the RIGHT side is modest (dimension-sized — its
+    replication is the price) but too big or too hot for a plain
+    broadcast, and AQE's split-on-skew isn't available or isn't
+    triggering.  Result-identical to the naive join (equivalence
+    tests); the salt column never escapes.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lsalt = F.abs(F.hash(*[F.col(c) for c in left.columns])) % n_salts
+    l2 = left.withColumn("__salt", lsalt)
+    r2 = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1))))
+    out = l2.join(r2, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -1,0 +1,48 @@
+"""Skew-shape operators (operators/skew.py): result-identity with the
+naive forms, plan shape (salted shuffle key), and the re-aggregation
+contract (counts re-sum, min/max re-apply)."""
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.operators.skew import salted_agg, salted_join
+from fsharp_dataframe_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_matches_naive(spark):
+    ev = load_table(spark, SF, "events")
+    u = F.round(F.col("value") * 10000).cast("long")
+    aggs = {"n": F.count("*"), "su": F.sum(u),
+            "lo": F.min("value"), "hi": F.max("value")}
+    salted = {r["event_type"]: (r["n"], r["su"], r["lo"], r["hi"])
+              for r in salted_agg(ev, "event_type", aggs, n_salts=16).collect()}
+    naive = {r["event_type"]: (r["n"], r["su"], r["lo"], r["hi"])
+             for r in ev.groupBy("event_type")
+             .agg(*[c.alias(n) for n, c in aggs.items()]).collect()}
+    assert salted == naive and len(salted) == 5
+
+
+def test_salted_agg_phase1_keys_include_salt(spark):
+    ev = load_table(spark, SF, "events")
+    out = salted_agg(ev, "event_type", {"n": F.count("*")}, n_salts=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan          # phase-1 shuffle carries the salt
+    assert "__salt" not in out.columns
+
+
+def test_salted_join_matches_naive_and_spreads_key(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "event_type", "value")
+    dim = (ev.groupBy("event_type")
+           .agg(F.count("*").alias("type_n")))
+    naive = {(r["event_id"], r["type_n"])
+             for r in ev.join(dim, "event_type").collect()}
+    salted_df = salted_join(ev, dim, "event_type", n_salts=4)
+    salted = {(r["event_id"], r["type_n"]) for r in salted_df.collect()}
+    assert salted == naive
+    # left outer keeps unmatched rows exactly once
+    dim2 = dim.filter(F.col("event_type") == "view")
+    left = salted_join(ev, dim2, "event_type", n_salts=4, how="left")
+    assert left.count() == ev.count()
+    assert left.filter(F.col("type_n").isNull()).count() == \
+        ev.filter(F.col("event_type") != "view").count()
