@@ -1957,6 +1957,24 @@ def q_salted_agg(spark, sf) -> DataFrame:
                       F.round("hi", 4).alias("hi"))
 
 
+def q_props_json(spark, sf) -> DataFrame:
+    """Semi-structured column extraction: the events `props` JSON
+    parsed schema-on-read (`from_json` with a declared struct — a
+    typed columnar expression from there on, full codegen; no
+    row-Python, no regex) and rolled up per type.  At scale the parse
+    happens once per scan and the extracted column behaves like any
+    other — the pattern for sidecar-attribute columns in event logs."""
+    ev = load_table(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.countDistinct("k").alias("n_distinct_k")))
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2070,7 +2088,7 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "interval_burst", "sample_group", "group_quantiles",
                  "cross_zscore", "rolling_zscore", "tpch_q3",
                  "diverse_sample", "market_beta", "seasonal_profile",
-                 "dedup_report", "salted_agg")
+                 "dedup_report", "salted_agg", "props_json")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2213,6 +2231,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": q_seasonal_profile,
         "dedup_report": q_dedup_report,
         "salted_agg": q_salted_agg,
+        "props_json": q_props_json,
     }
 
 
@@ -4474,6 +4493,16 @@ def _all_oracle_sql() -> dict[str, str]:
                    (((n_docs - n_unique) * 10000) // n_docs)::DOUBLE
                      / 10000.0 AS dup_rate
             FROM m
+        """,
+        # typed JSON field extraction replayed via json_extract
+        "props_json": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+                   min(json_extract(props, '$.k')::INT) AS min_k,
+                   max(json_extract(props, '$.k')::INT) AS max_k,
+                   count(DISTINCT json_extract(props, '$.k')::INT
+                   )::BIGINT AS n_distinct_k
+            FROM events GROUP BY event_type
         """,
         # the NAIVE rollup — the salted two-phase shape must be
         # result-identical (decomposable aggregates, exact unit sums)

@@ -119,6 +119,7 @@ HEADLINE = [
     "seasonal_profile",
     "dedup_report",
     "salted_agg",
+    "props_json",
 ]
 
 
