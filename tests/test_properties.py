@@ -438,3 +438,87 @@ def test_pack_sequences_tiles_any_corpus(spark, texts, seq_len):
     assert (per_seq.iloc[:-1] == seq_len).all()
     assert per_seq.iloc[-1] <= seq_len
     assert list(per_seq.index) == list(range(len(per_seq)))
+
+
+@given(
+    pts=st.lists(st.integers(min_value=0, max_value=500_000), min_size=1,
+                 max_size=25),
+    ivs=st.lists(st.tuples(st.integers(min_value=0, max_value=500_000),
+                           st.integers(min_value=0, max_value=200_000)),
+                 min_size=1, max_size=10),
+    bin_s=st.sampled_from([60, 3600, 86400]),
+)
+@settings(**SETTINGS)
+def test_interval_join_binned_matches_naive_range_join(spark, pts, ivs, bin_s):
+    # the binned global interval join must equal the naive range join
+    # for ANY bin width — bin-boundary off-by-ones (a point on a bin
+    # edge, an interval ending exactly on one) are exactly what this
+    # hunts.  Seconds offset from a fixed epoch; [s, s+len) half-open.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    from fsharp_dataframe_spark.functions.timeseries import interval_join
+
+    p = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(pts)],
+        "pid long, t timestamp")
+    iv = spark.createDataFrame(
+        [(j, base + dt.timedelta(seconds=s),
+          base + dt.timedelta(seconds=s + ln))
+         for j, (s, ln) in enumerate(ivs)],
+        "wid long, s timestamp, e timestamp")
+    got = sorted((r["pid"], r["wid"]) for r in
+                 interval_join(p, iv, "t", "s", "e",
+                               bin_seconds=bin_s).collect())
+    exp = sorted((i, j) for i, s in enumerate(pts)
+                 for j, (ws, ln) in enumerate(ivs) if ws <= s < ws + ln)
+    assert got == exp
+
+
+@given(vals=st.lists(st.tuples(st.integers(min_value=0, max_value=4),
+                               st.integers(min_value=-1000, max_value=1000)),
+                     min_size=1, max_size=40),
+       n_salts=st.sampled_from([1, 3, 16]))
+@settings(**SETTINGS)
+def test_salted_agg_equals_naive_for_any_salt_count(spark, vals, n_salts):
+    from fsharp_dataframe_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(f"k{k}", float(v)) for k, v in vals], "k string, v double")
+    aggs = {"n": F.count("*"),
+            "su": F.sum(F.round(F.col("v") * 100).cast("long")),
+            "lo": F.min("v"), "hi": F.max("v")}
+    salted = {r["k"]: (r["n"], r["su"], r["lo"], r["hi"]) for r in
+              salted_agg(df, "k", aggs, n_salts=n_salts).collect()}
+    naive = {r["k"]: (r["n"], r["su"], r["lo"], r["hi"]) for r in
+             df.groupBy("k").agg(
+                 *[c.alias(n) for n, c in aggs.items()]).collect()}
+    assert salted == naive
+
+
+@given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=6),
+                               st.integers(min_value=0, max_value=50)),
+                     min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_ohlc_bars_agree_with_pandas_reference(spark, rows):
+    # open/close = first/last by (ts, id) within the bucket; ties on ts
+    # broken by the id — validated against a pandas groupby reference
+    import datetime as dt
+
+    from fsharp_dataframe_spark.functions.timeseries import ohlc_resample
+
+    base = dt.datetime(2024, 1, 1)
+    data = [("k", base + dt.timedelta(days=d), i, float(v * 10 + d))
+            for i, (d, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "k string, ts timestamp, id long, v double")
+    got = {r["bucket"]: (r["open"], r["high"], r["low"], r["close"], r["n"])
+           for r in ohlc_resample(df, "k", "ts", "v", unit="week",
+                                  tiebreak="id").collect()}
+    pdf = pd.DataFrame(data, columns=["k", "ts", "id", "v"])
+    pdf["bucket"] = pdf["ts"].dt.to_period("W-SUN").dt.start_time.dt.date
+    exp = {}
+    for b, g in pdf.sort_values(["ts", "id"]).groupby("bucket"):
+        exp[b] = (g["v"].iloc[0], g["v"].max(), g["v"].min(),
+                  g["v"].iloc[-1], len(g))
+    assert got == exp
