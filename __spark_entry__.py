@@ -1975,6 +1975,28 @@ def q_props_json(spark, sf) -> DataFrame:
                  F.countDistinct("k").alias("n_distinct_k")))
 
 
+def q_seasonal_anomaly(spark, sf) -> DataFrame:
+    """Seasonal anomaly census — composition of two audited operators:
+    subtract the (hour × weekday) seasonal baseline
+    (functions/timeseries.seasonal_profile, exact floor-division
+    means, broadcast back: calendar-cardinality relation) and flag
+    residuals beyond 3 robust MADs per type
+    (functions/stats.grouped_mad_outliers).  The anomaly baseline a
+    load-monitoring pipeline computes: a spike at 3am is anomalous, a
+    spike at the daily peak hour is not."""
+    from fsharp_dataframe_spark.functions.stats import grouped_mad_outliers
+    from fsharp_dataframe_spark.functions.timeseries import seasonal_profile
+
+    ev = load_table(spark, sf, "events")
+    base = seasonal_profile(ev, "event_type", "ts", "value") \
+        .drop("n")
+    ev2 = (ev.withColumn("hour", F.hour("ts"))
+           .withColumn("weekday", F.weekday("ts")))
+    j = ev2.join(F.broadcast(base), ["event_type", "hour", "weekday"])
+    resid = F.col("value") - F.col("mean_value")
+    return grouped_mad_outliers(j, "event_type", resid, k=3.0)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2088,7 +2110,8 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "interval_burst", "sample_group", "group_quantiles",
                  "cross_zscore", "rolling_zscore", "tpch_q3",
                  "diverse_sample", "market_beta", "seasonal_profile",
-                 "dedup_report", "salted_agg", "props_json")
+                 "dedup_report", "salted_agg", "props_json",
+                 "seasonal_anomaly")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2232,6 +2255,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": q_dedup_report,
         "salted_agg": q_salted_agg,
         "props_json": q_props_json,
+        "seasonal_anomaly": q_seasonal_anomaly,
     }
 
 
@@ -4493,6 +4517,41 @@ def _all_oracle_sql() -> dict[str, str]:
                    (((n_docs - n_unique) * 10000) // n_docs)::DOUBLE
                      / 10000.0 AS dup_rate
             FROM m
+        """,
+        # seasonal baseline (floor-division means) -> residual ->
+        # the same median/MAD replay mad_outliers pins
+        "seasonal_anomaly": """
+            WITH b AS (
+              SELECT event_type, hour(ts) AS hour,
+                     (isodow(ts) - 1)::INT AS weekday,
+                     count(*)::BIGINT AS n,
+                     sum(round(value * 10000)::BIGINT) AS su
+              FROM events GROUP BY event_type, hour, weekday),
+            base AS (
+              SELECT event_type, hour, weekday,
+                     ((su * 10000) // n)::DOUBLE / 100000000.0 AS mean_value
+              FROM b),
+            r AS (
+              SELECT e.event_type, e.value - base.mean_value AS resid
+              FROM events e JOIN base
+                ON e.event_type = base.event_type
+               AND hour(e.ts) = base.hour
+               AND (isodow(e.ts) - 1) = base.weekday),
+            med AS (
+              SELECT event_type, median(resid) AS m FROM r GROUP BY 1),
+            d AS (
+              SELECT r.event_type, r.resid, med.m,
+                     abs(r.resid - med.m) AS dev
+              FROM r JOIN med USING (event_type)),
+            mad AS (
+              SELECT event_type, median(dev) AS md FROM d GROUP BY 1)
+            SELECT d.event_type, count(d.resid)::BIGINT AS n,
+                   round(any_value(d.m), 4) AS med,
+                   round(any_value(mad.md), 4) AS mad,
+                   sum(CASE WHEN d.dev > 3.0 * mad.md THEN 1 ELSE 0 END
+                   )::BIGINT AS n_outliers
+            FROM d JOIN mad USING (event_type)
+            GROUP BY d.event_type
         """,
         # typed JSON field extraction replayed via json_extract
         "props_json": """

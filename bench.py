@@ -120,6 +120,7 @@ HEADLINE = [
     "dedup_report",
     "salted_agg",
     "props_json",
+    "seasonal_anomaly",
 ]
 
 
