@@ -1997,6 +1997,20 @@ def q_seasonal_anomaly(spark, sf) -> DataFrame:
     return grouped_mad_outliers(j, "event_type", resid, k=3.0)
 
 
+def q_fuzzy_names(spark, sf) -> DataFrame:
+    """Edit-distance-1 pairs among distinct part names
+    (functions/linkage.fuzzy_join_pairs): positional q-gram equi-join
+    candidates under the lossless Gravano count bound + one
+    threshold-bounded levenshtein verify.  The oracle is the NAIVE
+    all-pairs join — completeness of the filter is the pinned
+    contract, not sampled recall."""
+    from fsharp_dataframe_spark.functions.linkage import fuzzy_join_pairs
+
+    part = load_table(spark, sf, "part")
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    return fuzzy_join_pairs(names, "name_id", "p_name", max_dist=1, q=2)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2111,7 +2125,7 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "cross_zscore", "rolling_zscore", "tpch_q3",
                  "diverse_sample", "market_beta", "seasonal_profile",
                  "dedup_report", "salted_agg", "props_json",
-                 "seasonal_anomaly")
+                 "seasonal_anomaly", "fuzzy_names")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2256,6 +2270,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "props_json": q_props_json,
         "seasonal_anomaly": q_seasonal_anomaly,
+        "fuzzy_names": q_fuzzy_names,
     }
 
 
@@ -4517,6 +4532,17 @@ def _all_oracle_sql() -> dict[str, str]:
                    (((n_docs - n_unique) * 10000) // n_docs)::DOUBLE
                      / 10000.0 AS dup_rate
             FROM m
+        """,
+        # the NAIVE all-pairs edit-distance join — the q-gram filter
+        # must be lossless, so the outputs are identical
+        "fuzzy_names": """
+            WITH n AS (
+              SELECT p_name, min(p_partkey) AS name_id
+              FROM part GROUP BY p_name)
+            SELECT a.name_id AS id_a, b.name_id AS id_b,
+                   levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+            FROM n a JOIN n b ON a.name_id < b.name_id
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
         """,
         # seasonal baseline (floor-division means) -> residual ->
         # the same median/MAD replay mad_outliers pins

@@ -121,6 +121,7 @@ HEADLINE = [
     "salted_agg",
     "props_json",
     "seasonal_anomaly",
+    "fuzzy_names",
 ]
 
 

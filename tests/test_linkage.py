@@ -1,0 +1,51 @@
+"""Edit-distance join (functions/linkage.py): lossless-filter contract
+vs a naive reference, the short-string tier, and the no-cartesian
+plan pin."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.functions.linkage import fuzzy_join_pairs
+
+
+def _naive(rows, k):
+    def ed(a, b):
+        # classic DP
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    return sorted((ia, ib, ed(ta, tb))
+                  for (ia, ta), (ib, tb) in itertools.combinations(rows, 2)
+                  if ed(ta, tb) <= k)
+
+
+def test_fuzzy_join_matches_naive_including_short_tier(spark):
+    rows = [(1, "widget"), (2, "widgets"),      # insertion, dist 1
+            (3, "widget"),                      # exact dup, dist 0
+            (4, "gadget"),                      # dist 3 from widget
+            (5, "ab"), (6, "ac"), (7, "b"),     # SHORT tier (len < 4)
+            (8, "abc"),                         # short vs long boundary
+            (9, "completely different")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    for k in (1, 2):
+        got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in
+                     fuzzy_join_pairs(df, "id", "t", max_dist=k).collect())
+        assert got == _naive(rows, k), k
+
+
+def test_fuzzy_join_plan_has_no_cartesian(spark):
+    rows = [(i, "name%04d" % i) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = fuzzy_join_pairs(df, "id", "t", max_dist=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in out.collect())
+    assert got == _naive(rows, 1)   # one-digit neighbours, nothing else
