@@ -17,10 +17,14 @@ from pyspark.sql import functions as F
 
 
 def _posgrams(col: "F.Column", q: int) -> "F.Column":
-    """Array of the string's q-grams in order (positions = array idx)."""
-    n = F.greatest(F.length(col) - (q - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), n),
-                       lambda i: F.substring(col, i, q))
+    """Array of the string's q-grams in order (positions = array idx).
+    Strings shorter than q yield an EMPTY array — sequence(1, 0) would
+    otherwise count DOWN ([1, 0], Spark defaults the step to -1 when
+    start > stop) and emit two phantom grams."""
+    n = F.length(col) - (q - 1)
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substring(col, i, q)))
 
 
 def fuzzy_join_pairs(df: DataFrame, id_col: str, text_col: str,

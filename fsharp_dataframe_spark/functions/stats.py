@@ -180,16 +180,22 @@ def grouped_quantiles(df: DataFrame, by: str, value: "F.Column",
     At real scale swap `percentile` for `approx_percentile` and accept
     sketch error — the exact form is the oracle-pinned contract.
     Returns (by, n, q_<name>...) with quantile columns rounded to 4;
-    names use the percent with dots stripped (0.99 -> q99, 0.995 ->
-    q995).
+    names use the percent with the dot as an underscore (0.99 -> q99,
+    0.055 -> q5_5 — injective, unlike dot-stripping which collides
+    0.55 with 0.055).
     """
     v = value.cast("double")
-    aggs = [F.count(v).alias("n")]
-    for q in qs:
-        name = ("%g" % (q * 100)).replace(".", "")
-        aggs.append(F.round(F.percentile(v, F.lit(float(q))), 4)
-                    .alias(f"q{name}"))
-    return df.groupBy(by).agg(*aggs)
+    names = [("q" + ("%g" % (q * 100)).replace(".", "_")) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantiles requested: {list(qs)}")
+    # ONE percentile state per group (array form), not one buffer per
+    # requested quantile — the single-state claim in this docstring
+    arr = F.percentile(v, F.array(*[F.lit(float(q)) for q in qs]))
+    m = df.groupBy(by).agg(F.count(v).alias("n"), arr.alias("__qs"))
+    return m.select(
+        by, "n",
+        *[F.round(F.col("__qs")[i], 4).alias(n)
+          for i, n in enumerate(names)])
 
 
 def cross_sectional_zscore(df: DataFrame, bucket: "F.Column",

@@ -37,32 +37,56 @@ def salted_agg(df: DataFrame, by: list[str] | str,
     tasks × keys × n_salts rows.
     """
     keys = [by] if isinstance(by, str) else list(by)
+    # pmod, never abs(hash) % n: abs(Integer.MIN_VALUE) throws under
+    # ANSI (Spark 4 default) and wraps negative without it — a salt
+    # that can never match the 0..n-1 range
     if salt_on is None:
-        salt_col = F.abs(F.hash(*[F.col(c) for c in df.columns])) % n_salts
+        salt_col = F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                          F.lit(int(n_salts)))
     else:
         s = F.col(salt_on) if isinstance(salt_on, str) else salt_on
-        salt_col = F.abs(F.hash(s)) % n_salts
+        salt_col = F.pmod(F.hash(s), F.lit(int(n_salts)))
     p1 = (df.withColumn("__salt", salt_col)
           .groupBy(*[F.col(k) for k in keys], F.col("__salt"))
           .agg(*[c.alias(n) for n, c in aggs.items()]))
     p2 = p1.groupBy(*keys).agg(
-        *[_reagg(n, c).alias(n) for n, c in aggs.items()])
+        *[_reagg(df, n, c).alias(n) for n, c in aggs.items()])
     return p2
 
 
-def _reagg(name: str, col: Column) -> Column:
-    """Phase-2 re-aggregation of a phase-1 partial: sums re-sum, counts
+def _reagg(df: DataFrame, name: str, col: Column) -> Column:
+    """Phase-2 re-aggregation of a phase-1 partial: sums and counts
     re-SUM (a count of partials would count salt groups), min/max
-    re-apply.  Detection is on the phase-1 expression's head."""
-    # Column repr is "Column<'count(1)'>" — take the expression head
-    head = str(col).split("'", 1)[-1].lower().lstrip("'")
-    if head.startswith("count"):
+    re-apply.  Detection probes the ANALYZED plan of the aggregate (a
+    driver-side analysis, no job) rather than the Column repr —
+    `countDistinct` prints as a plain `count(...)` in the repr and
+    would silently re-sum overlapping per-salt distinct counts.  The
+    whitelist is strict: non-decomposable aggregates (count DISTINCT,
+    min_by/max_by — re-applying min to the carried VALUE is wrong,
+    avg — an average of averages) raise instead of mis-aggregating."""
+    import re
+
+    plan = (df.limit(0).groupBy().agg(col.alias(name))
+            ._jdf.queryExecution().analyzed().toString().lower())
+    if "distinct" in plan:
+        raise ValueError(
+            "salted_agg: DISTINCT aggregates are not decomposable across "
+            "salts (per-salt distinct sets overlap); pre-deduplicate or "
+            "aggregate unsalted")
+    m = re.search(r"aggregate \[(\w+)\(", plan)
+    token = m.group(1) if m else ""
+    if token == "count":
         return F.sum(F.col(name))
-    if head.startswith("min"):
+    if token == "min":
         return F.min(F.col(name))
-    if head.startswith("max"):
+    if token == "max":
         return F.max(F.col(name))
-    return F.sum(F.col(name))
+    if token == "sum":
+        return F.sum(F.col(name))
+    raise ValueError(
+        f"salted_agg: aggregate {token or str(col)!r} is not in the "
+        "decomposable whitelist (sum/count/min/max); express it as "
+        "integer-unit sums (mean = sum + count) or aggregate unsalted")
 
 
 def salted_join(left: DataFrame, right: DataFrame, on: list[str] | str,
@@ -80,7 +104,8 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     tests); the salt column never escapes.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    lsalt = F.abs(F.hash(*[F.col(c) for c in left.columns])) % n_salts
+    lsalt = F.pmod(F.hash(*[F.col(c) for c in left.columns]),
+                   F.lit(int(n_salts)))
     l2 = left.withColumn("__salt", lsalt)
     r2 = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1))))

@@ -262,7 +262,7 @@ def stream_ohlc(
     sdf: DataFrame,
     key: str,
     interval: str = "7 days",
-    start_offset: str = "4 days",
+    start_offset: str | None = None,
     ts_col: str = "ts",
     value_col: str = "value",
     tiebreak: str | None = None,
@@ -278,8 +278,14 @@ def stream_ohlc(
     Spark windows start at the epoch (1970-01-01, a Thursday), so
     weekly bars need a 4-day offset to land on Mondays and hash-match
     the batch `date_trunc('week')` oracle (the test_streaming.py
-    oracle-hash loop pins exactly that).
+    oracle-hash loop pins exactly that).  The default derives the
+    offset from ``interval`` — '4 days' for weekly bars, '0 seconds'
+    otherwise: an offset must be shorter than the slide, so a fixed
+    4-day default would reject every sub-weekly bar width at analysis.
     """
+    if start_offset is None:
+        start_offset = "4 days" if interval.strip() in (
+            "7 days", "7 day", "1 week") else "0 seconds"
     tie = [F.col(tiebreak)] if tiebreak else []
     order = F.struct(F.col(ts_col), *tie)
     v = F.col(value_col)

@@ -49,3 +49,15 @@ def test_fuzzy_join_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     got = sorted((r["id_a"], r["id_b"], r["dist"]) for r in out.collect())
     assert got == _naive(rows, 1)   # one-digit neighbours, nothing else
+
+
+def test_posgrams_short_strings_yield_empty(spark):
+    # sequence(1, 0) counts DOWN in Spark; the guard must return [] for
+    # strings shorter than q, not two phantom grams
+    from fsharp_dataframe_spark.functions.linkage import _posgrams
+
+    df = spark.createDataFrame([("a",), ("ab",), ("abc",)], "t string")
+    got = {r["t"]: r["g"] for r in
+           df.select("t", _posgrams(F.col("t"), 3).alias("g")).collect()}
+    assert got["a"] == [] and got["ab"] == []
+    assert got["abc"] == ["abc"]

@@ -46,3 +46,31 @@ def test_salted_join_matches_naive_and_spreads_key(spark):
     assert left.count() == ev.count()
     assert left.filter(F.col("type_n").isNull()).count() == \
         ev.filter(F.col("event_type") != "view").count()
+
+
+def test_salted_agg_non_power_of_two_salts_and_min_value_hash(spark):
+    # pmod salt: equivalence must hold for n_salts that do NOT divide
+    # 2^31 (the abs(hash)%n form went negative there) — and a row whose
+    # murmur3 hash is Integer.MIN_VALUE must not kill the job under
+    # ANSI (abs would overflow)
+    ev = load_table(spark, SF, "events")
+    aggs = {"n": F.count("*"), "lo": F.min("value")}
+    for n_salts in (5, 10, 12):
+        salted = {r["event_type"]: (r["n"], r["lo"]) for r in
+                  salted_agg(ev, "event_type", aggs, n_salts=n_salts).collect()}
+        naive = {r["event_type"]: (r["n"], r["lo"]) for r in
+                 ev.groupBy("event_type")
+                 .agg(*[c.alias(n) for n, c in aggs.items()]).collect()}
+        assert salted == naive, n_salts
+
+
+def test_salted_agg_rejects_non_decomposable_aggregates(spark):
+    import pytest
+
+    ev = load_table(spark, SF, "events")
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_agg(ev, "event_type", {"nd": F.countDistinct("value")})
+    with pytest.raises(ValueError, match="whitelist"):
+        salted_agg(ev, "event_type", {"f": F.min_by("value", "ts")})
+    with pytest.raises(ValueError, match="whitelist"):
+        salted_agg(ev, "event_type", {"m": F.avg("value")})

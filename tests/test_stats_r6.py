@@ -203,3 +203,23 @@ def test_cross_sectional_zscore_known_values(spark):
     # the bucket stats come back via a BROADCAST join, not a shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_grouped_quantiles_injective_names_and_single_state(spark):
+    from fsharp_dataframe_spark.functions.stats import grouped_quantiles
+
+    df = spark.createDataFrame([("a", float(v)) for v in range(1, 101)],
+                               "g string, v double")
+    out = grouped_quantiles(df, "g", F.col("v"), qs=[0.55, 0.055])
+    # dot-stripping collided 0.55 with 0.055 — names must be injective
+    assert out.columns == ["g", "n", "q55", "q5_5"]
+    r = out.first()
+    assert r["q55"] != r["q5_5"] and r["q5_5"] < r["q55"]
+    # all quantiles come from ONE percentile buffer (array form): the
+    # plan carries a single percentile aggregate expression
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("percentile(") == plan.count("percentile(") and \
+        "percentile" in plan
+    import pytest
+    with pytest.raises(ValueError, match="duplicate"):
+        grouped_quantiles(df, "g", F.col("v"), qs=[0.5, 0.5])

@@ -839,3 +839,14 @@ def test_stream_dedup_exact_matches_duckdb_oracle(spark, tmp_path):
     con.close()
     problems = compare("stream_dedup_exact", got, oracle)
     assert not problems, "; ".join(problems)
+
+
+def test_stream_ohlc_sub_weekly_interval_analyzes(spark, events_stream_dir):
+    # a fixed 4-day start offset would fail analysis for any interval
+    # shorter than 4 days (offset must be < slide); the derived default
+    # must make daily bars just work
+    from fsharp_dataframe_spark.streaming import stream_ohlc
+
+    s = _events_stream(spark, events_stream_dir)
+    daily = stream_ohlc(s, "user_id", interval="1 day", tiebreak="event_id")
+    assert "bucket" in daily.schema.fieldNames()   # analysis succeeds
