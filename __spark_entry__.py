@@ -4053,7 +4053,8 @@ def _all_oracle_sql() -> dict[str, str]:
               SELECT event_type,
                      (ts::DATE - DATE '2024-01-01')::BIGINT AS x,
                      round(value * 10000)::BIGINT AS y
-              FROM events),
+              FROM events
+              WHERE ts IS NOT NULL AND value IS NOT NULL),
             m AS (
               SELECT event_type, count(*)::BIGINT AS n,
                      sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
@@ -4142,7 +4143,7 @@ def _all_oracle_sql() -> dict[str, str]:
                        ' +', ' ', 'g')) AS text_clean
               FROM documents)
             SELECT doc_id, text_clean,
-                   (coalesce(length(text), 0) - length(text_clean))::BIGINT
+                   coalesce(length(text) - length(text_clean), 0)::BIGINT
                      AS n_removed
             FROM c
         """,
@@ -4164,8 +4165,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "histogram": """
             WITH b AS (
               SELECT event_type,
-                     least(greatest(floor((value - 0.0) / 5.0)::INT, 0), 19)
-                       AS bin
+                     least(greatest(floor((value - 0.0) / 5.0)::BIGINT, 0),
+                           19)::INT AS bin
               FROM events WHERE value IS NOT NULL)
             SELECT event_type, bin,
                    round(0.0 + bin * 5.0, 6) AS bin_lo,

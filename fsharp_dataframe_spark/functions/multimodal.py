@@ -102,7 +102,7 @@ def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
     except Exception:
         return None
     arr = np.asarray(img, dtype=np.float32)
-    return [float(b.mean()) for b in np.array_split(arr, feat_dim, axis=0)]
+    return _band_means(arr, feat_dim)
 
 
 def _png_features(payload: bytes, feat_dim: int) -> list[float] | None:
@@ -119,7 +119,24 @@ def _png_features(payload: bytes, feat_dim: int) -> list[float] | None:
     except Exception:
         return None
     arr = np.asarray(lum, dtype=np.float32).reshape(h, w)
-    return [float(b.mean()) for b in np.array_split(arr, feat_dim, axis=0)]
+    return _band_means(arr, feat_dim)
+
+
+def _band_means(arr, feat_dim: int) -> list[float] | None:
+    """feat_dim horizontal band means.  Images with fewer rows than
+    bands index rows at evenly spaced (repeating) positions instead of
+    np.array_split — whose EMPTY splits would mean() to NaN and poison
+    every downstream distance while decode_ok stayed True."""
+    import numpy as np
+
+    h = arr.shape[0]
+    if h == 0 or arr.size == 0:
+        return None
+    if h >= feat_dim:
+        return [float(b.mean()) for b in np.array_split(arr, feat_dim, axis=0)]
+    row_means = arr.mean(axis=1)
+    idx = (np.arange(feat_dim) * h) // feat_dim
+    return [float(row_means[i]) for i in idx]
 
 
 def _image_features(payload: bytes | None, feat_dim: int) -> list[float] | None:

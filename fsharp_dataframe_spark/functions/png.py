@@ -25,6 +25,10 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# decode-size ceiling (pixels): 64 MP ≈ 256 MB of RGBA raw — beyond
+# any legitimate corpus thumbnail/preview, far below executor OOM
+_MAX_PIXELS = 64_000_000
+
 
 def encode_png(pixels: bytes, width: int, height: int,
                channels: int = 1) -> bytes:
@@ -93,9 +97,20 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    # decompression-bomb guard: validate declared dimensions BEFORE
+    # allocating, and hard-cap inflation at the exact raw size the
+    # header implies — a few-KB adversarial IDAT (zlib ~1000:1) or a
+    # forged IHDR must not let one corpus row allocate gigabytes on an
+    # executor
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    if width * height > _MAX_PIXELS:
+        raise ValueError(f"image too large: {width}x{height}")
+    d = zlib.decompressobj()
+    # expected+1 so an over-long stream shows up as a length mismatch
+    # instead of being silently truncated to the expected size
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("decompressed size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)

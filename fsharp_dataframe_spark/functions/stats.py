@@ -37,6 +37,11 @@ def grouped_ols(df: DataFrame, by: str, x: "F.Column", y: "F.Column",
     """
     xi = x.cast("long")
     yi = F.round(y * y_scale).cast("long")
+    # complete-case: count(*) with NULL-skipping sums would mix row
+    # populations per moment (n and sxx including a NULL-y row whose
+    # sy/sxy skipped it — a silently wrong slope); drop incomplete
+    # rows before aggregating, as correlation_matrix does
+    df = df.filter(xi.isNotNull() & yi.isNotNull())
     m = df.groupBy(by).agg(
         F.count("*").alias("n"),
         F.sum(xi).alias("sx"),
@@ -156,8 +161,13 @@ def value_histogram(df: DataFrame, value: "F.Column", n_bins: int,
     """
     v = value.cast("double")
     w = (float(hi) - float(lo)) / int(n_bins)
-    raw = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("int")
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(int(n_bins) - 1))
+    # clamp in the LONG domain BEFORE the int cast: a heavy-tailed
+    # value makes floor() exceed int32, and the ANSI cast (Spark 4
+    # default) would throw CAST_OVERFLOW on exactly the rows the edge
+    # clamp exists for
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(w)).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0).cast("long")),
+                F.lit(int(n_bins) - 1).cast("long")).cast("int")
     keys = ([F.col(by)] if by else []) + [b.alias("bin")]
     out = (df.filter(v.isNotNull())
            .groupBy(*keys)

@@ -572,6 +572,8 @@ def clean_text(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col),
         cleaned.alias("text_clean"),
-        (F.coalesce(F.length(t), F.lit(0)) - F.length(cleaned))
+        # coalesce the whole difference: for NULL text both lengths are
+        # NULL, so coalescing only the minuend still yielded NULL
+        F.coalesce(F.length(t) - F.length(cleaned), F.lit(0))
         .cast("long").alias("n_removed"),
     )

@@ -83,7 +83,8 @@ def _union_fill(
     u = src.unionByName(prb)
 
     if bucketed and not by:
-        return _bucketed_fill(u, key_cols, fill_cols, probe_cols, direction, n_buckets)
+        return _bucketed_fill(u, src, prb, key_cols, fill_cols, probe_cols,
+                              direction, n_buckets)
 
     key_order = [F.col(k) for k in key_cols]
     if direction == "backward":
@@ -113,6 +114,8 @@ def _union_fill(
 
 def _bucketed_fill(
     u: DataFrame,
+    src: DataFrame,
+    prb: DataFrame,
     key_cols: list[str],
     fill_cols: list[str],
     probe_cols: list[str],
@@ -128,6 +131,14 @@ def _bucketed_fill(
     pure function of the key: no global window anywhere in the plan,
     and rows with equal keys always share a bucket (exact-match
     side-tiebreaks resolve inside one window partition).
+
+    The bucket column is attached to EACH side before the union (the
+    sketch still reads the pre-built union): above >128 cuts the
+    bucket expression carries a higher-order-function lambda, and a
+    lambda ABOVE a Union crashes constraint propagation
+    (UnionBase.rewriteConstraints "key not found") — the same analyzer
+    bug the flat path's indicator-sum rewrite dodges, reproduced at
+    the auto-sized scale this operator targets.
     """
     from fsharp_dataframe_spark.operators.bucketed import (
         _bucket_expr, range_cuts,
@@ -137,13 +148,19 @@ def _bucketed_fill(
         raise ValueError("bucketed as-of supports a single key column")
     k = key_cols[0]
     cuts = range_cuts(u, k, n_buckets)
-    if cuts:
-        bucket = _bucket_expr(F.col(k), cuts)
-    else:
+
+    def bucket() -> "F.Column":
+        # a FRESH expression per union branch: the >128-cut form holds
+        # lambda variables with unique expression ids — sharing one
+        # Column instance across branches mis-binds them at runtime
+        if cuts:
+            return _bucket_expr(F.col(k), cuts)
         # non-numeric or single-valued key space: one bucket (correct,
         # just not parallel — the plain path's behavior)
-        bucket = F.lit(0)
-    u = u.withColumn(_BUCKET, bucket)
+        return F.lit(0)
+
+    u = (src.withColumn(_BUCKET, bucket())
+         .unionByName(prb.withColumn(_BUCKET, bucket())))
     asc = direction == "backward"
     side_order = F.col(_SIDE).asc() if asc else F.col(_SIDE).desc()
     if asc:

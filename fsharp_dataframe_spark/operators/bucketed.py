@@ -104,39 +104,42 @@ def _quantile_err(n_buckets: int) -> float:
 def _bucket_expr(key_col: Column, cuts: list[float]) -> Column:
     """Bucket id = |{c in cuts : c <= key}| — a pure function of the key.
 
-    Small cut lists stay on the flat per-literal filter-count (bit-
+    Small cut lists stay on the flat per-literal indicator sum (bit-
     compatible with every existing oracle at the 64-bucket default).
-    Large ones (auto-sized substrate at real scale) use two ARRAY
-    literals — single Literal plan nodes, not one node per cut — and a
-    two-level coarse/fine count, O(2·sqrt(n)) comparisons per row
-    instead of O(n).  Equivalence of the two paths is pinned by
+    Large ones (auto-sized substrate at real scale) run a LAMBDA-FREE
+    binary search over one ARRAY literal: ~log2(n) chained
+    (try_element_at <= key) steps — O(log n) per row, a single Literal
+    plan node, and no higher-order function anywhere.  Lambda-free is
+    load-bearing, not a style choice: a lambda variable inside the
+    bucket column breaks Spark's Union constraint propagation
+    (UnionBase.rewriteConstraints "key not found") when the column sits
+    above a union, and mis-binds at execution when the column is
+    attached per-branch below one (both reproduced on the bucketed
+    as-of at >128 cuts).  Equivalence of the two paths is pinned by
     tests/test_bucketed.py."""
     kd = key_col.cast("double")
     if len(cuts) <= _CUTS_FLAT_MAX:
-        # indicator SUM, not filter(array, lambda): a higher-order
-        # function's lambda variable breaks Spark's constraint
-        # propagation across Union (UnionBase.rewriteConstraints throws
-        # "key not found" on the lambda's outer attribute — hit by the
-        # bucketed as-of, whose bucket column sits above a two-sided
-        # union).  Plain comparisons rewrite fine and cost the same.
+        # indicator SUM: plain comparisons, one term per cut
         b = None
         for c in cuts:
             ind = (F.lit(float(c)) <= kd).cast("int")
             b = ind if b is None else b + ind
         # NULL key → bucket 0, matching the old size(filter(...)) form
         return F.coalesce(b, F.lit(0)) if b is not None else F.lit(0)
-    import math
-
-    stride = max(2, math.isqrt(len(cuts)))
-    coarse = [float(c) for c in cuts[stride - 1::stride]]
-    arr_all = F.lit([float(c) for c in cuts])
-    arr_coarse = F.lit(coarse)
-    # coarse[j] = cuts[(j+1)*stride - 1]; c coarse hits certify the
-    # first c*stride cuts <= key, the next `stride` cuts are the only
-    # remaining candidates
-    c = F.size(F.filter(arr_coarse, lambda b: b <= kd))
-    fine = F.slice(arr_all, c * stride + 1, stride)
-    return c * stride + F.size(F.filter(fine, lambda b: b <= kd))
+    n = len(cuts)
+    arr = F.lit([float(c) for c in cuts])
+    # invariant: pos = largest 1-based index with cuts[pos] <= key
+    # (out-of-range probes return NULL from try_element_at; a NULL
+    # condition falls through to otherwise(), so NULL keys land in
+    # bucket 0 like the flat path)
+    pos: Column = F.lit(0)
+    p2 = 1 << (n.bit_length() - 1)
+    while p2 >= 1:
+        cand = pos + F.lit(p2)
+        hit = F.try_element_at(arr, cand.cast("int")) <= kd
+        pos = F.when(hit, cand).otherwise(pos)
+        p2 >>= 1
+    return pos
 
 
 def attach_mapping(df: DataFrame, src: str, mapping: dict, out_col: str,
@@ -152,7 +155,11 @@ def attach_mapping(df: DataFrame, src: str, mapping: dict, out_col: str,
         pairs = []
         for k, v in mapping.items():
             pairs.extend([F.lit(k), F.lit(v)])
-        expr = F.element_at(F.create_map(*pairs), F.col(src) + F.lit(0))
+        # try_element_at, not element_at: under ANSI (Spark 4 default) a
+        # missing map key raises MAP_KEY_DOES_NOT_EXIST before the
+        # coalesce can apply `default` — the broadcast-join path below
+        # defaults correctly, and the two paths must agree
+        expr = F.try_element_at(F.create_map(*pairs), F.col(src) + F.lit(0))
         if default is not None:
             expr = F.coalesce(expr, F.lit(default))
         return df.withColumn(out_col, expr.cast(value_type))

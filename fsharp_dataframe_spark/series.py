@@ -204,8 +204,11 @@ class Series:
     # of silently OOMing the driver on a 100 TB series; raise the limit
     # explicitly when you really mean it).
 
-    def _guard_collect(self, max_rows: int, what: str) -> None:
-        n = self.df.limit(max_rows + 1).count()
+    def _guard_collect(self, max_rows: int, what: str, df=None) -> None:
+        # count the SAME relation the caller collects: observations()
+        # drops null-valued rows, so guarding on the unfiltered frame
+        # would refuse collects whose actual size is fine
+        n = (df if df is not None else self.df).limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"Series.{what} would collect >{max_rows} rows to the driver; "
@@ -218,8 +221,8 @@ class Series:
 
     def observations(self, max_rows: int = 100_000) -> list[tuple]:
         """Materialized (key, value) pairs, missing dropped — test helper."""
-        self._guard_collect(max_rows, "observations")
         rows = self.df.filter(self.value.isNotNull())
+        self._guard_collect(max_rows, "observations", df=rows)
         if self.ordered:
             rows = rows.orderBy(*self._key_order())
         return [tuple(r) for r in rows.collect()]

@@ -136,3 +136,22 @@ def test_asof_with_by_partition(spark):
         left.df, right_df, key_cols=["key"], fill_cols=["rv"], direction="backward", by=["uid"]
     )
     assert_rows_equal(out, [("u1", 5, 1.0, 30.0), ("u2", 5, 2.0, 40.0)], ["uid", "key"])
+
+
+def test_bucketed_asof_survives_large_cut_counts(spark):
+    # >128 cuts switches _bucket_expr to the binary-search path; the
+    # old two-level filter(array, lambda) form crashed Union constraint
+    # propagation ("key not found") above the as-of's two-sided union
+    # and mis-bound per-branch — both regressions this pins
+    from pyspark.sql import functions as F
+
+    from fsharp_dataframe_spark.operators.asof import _union_fill
+
+    src = spark.range(3000).select((F.col("id") * 10).alias("k"),
+                                   (F.col("id") * 1.0).alias("v"))
+    prb = spark.range(500).select((F.col("id") * 61 + 3).alias("k"))
+    out = _union_fill(prb, src, ["k"], ["v"], [], "backward", [], True, 200)
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert len(rows) == 500
+    # as-of semantics: last source key <= probe key, key = 10*v
+    assert rows[64] == 6.0 and rows[3] == 0.0 and rows[61 * 499 + 3] == 2999.0

@@ -230,3 +230,49 @@ def test_resize_media_fake_path_deterministic(spark):
             # non-images pass through untouched
             assert r["payload"] == src[mid]["payload"]
             assert r["meta"] == src[mid]["meta"]
+
+
+def test_band_means_tiny_images_never_nan(spark):
+    import math
+
+    from fsharp_dataframe_spark.functions.multimodal import _band_means
+    import numpy as np
+
+    # fewer rows than bands: array_split would mean() empty slices to
+    # NaN with decode_ok=True — features must stay finite
+    arr = np.array([[10.0, 20.0], [30.0, 40.0]], dtype=np.float32)
+    feats = _band_means(arr, 8)
+    assert len(feats) == 8 and all(math.isfinite(f) for f in feats)
+    assert feats[0] == 15.0 and feats[-1] == 35.0
+    assert _band_means(np.zeros((0, 2), dtype=np.float32), 8) is None
+
+
+def test_decode_png_rejects_bombs_and_forged_headers(spark):
+    import struct
+    import zlib
+
+    import pytest
+
+    from fsharp_dataframe_spark.functions.png import PNG_MAGIC, decode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    # forged IHDR declaring a 1-gigapixel image must be rejected
+    # BEFORE any allocation
+    ihdr = struct.pack(">IIBBBBB", 40_000, 40_000, 8, 0, 0, 0, 0)
+    bomb = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(bomb)
+
+    # over-long compressed stream vs declared size: length mismatch,
+    # not a giant allocation
+    ihdr2 = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    over = (PNG_MAGIC + chunk(b"IHDR", ihdr2)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="mismatch"):
+        decode_png(over)

@@ -223,3 +223,16 @@ def test_grouped_quantiles_injective_names_and_single_state(spark):
     import pytest
     with pytest.raises(ValueError, match="duplicate"):
         grouped_quantiles(df, "g", F.col("v"), qs=[0.5, 0.5])
+
+
+def test_value_histogram_clamps_extreme_values_under_ansi(spark):
+    from fsharp_dataframe_spark.functions.stats import value_histogram
+
+    # a heavy-tailed value whose raw bin index exceeds int32 must CLAMP
+    # into the last bin (the ANSI long->int cast crashed here before)
+    df = spark.createDataFrame(
+        [(1.0,), (1.1e10,), (-5e9,)], "v double")
+    got = {r["bin"]: r["n"] for r in
+           value_histogram(df, F.col("v"), n_bins=20, lo=0.0,
+                           hi=100.0).collect()}
+    assert got == {0: 2, 19: 1}
