@@ -2098,6 +2098,13 @@ def q_fuzzy_names(spark, sf) -> DataFrame:
 # dedup_exact/clean_corpus machinery returns via dedup_exact itself;
 # window/chunk substrate via chunk_sum/chunk_dist/window_moving_avg;
 # zip/join algebra via zip_inner/frame_join_left/join_broadcast).
+# ROUND-7 ROTATION PLAN: the 25 round-6 newcomers (group_ols ..
+# fuzzy_names below — everything after the "new this round" marker)
+# are three-SF strict-oracle green locally and await driver rows;
+# rotate them in next round, swapping out r5/r6-double-green veterans
+# exactly as r6 did for r5's holdouts (every candidate for rotation
+# OUT has an in-window sibling or its own driver-green row in the
+# r5∪r6 union).
 EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "cast_types", "chunk_docs", "chunk_while", "clean_corpus",
                  "corpus_stats", "decontaminate", "dedup_clusters",
