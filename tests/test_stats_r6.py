@@ -79,7 +79,9 @@ def test_clean_text_normalization(spark):
     assert got[1]["text_clean"] == "ab c d e"
     assert got[1]["n_removed"] == len(f"  a{zwsp}b\tc\x00d  e{bom}  ") - len("ab c d e")
     assert got[2]["text_clean"] == "already clean" and got[2]["n_removed"] == 0
-    assert got[3]["text_clean"] is None and got[3]["n_removed"] is None
+    # NULL text passes through with n_removed = 0 (the whole-difference
+    # coalesce — the earlier minuend-only coalesce left this NULL)
+    assert got[3]["text_clean"] is None and got[3]["n_removed"] == 0
 
 
 def test_winsorize_clips_to_group_quantiles(spark):
