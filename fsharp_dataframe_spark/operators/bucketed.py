@@ -83,10 +83,10 @@ def auto_n_buckets(df: DataFrame, n_buckets: int | None = None,
 
 
 # Above this many entries, dict→Column lookups become broadcast joins
-# and cut lists switch to the two-level array-literal search: a 10^5
-# entry create_map (or per-literal array) is a ~2·10^5-node expression
-# tree in ONE plan node — past the codegen/JIT method budget — and the
-# flat filter-count scan is O(n_buckets) comparisons per row.
+# and cut lists switch to the lambda-free binary search: a 10^5 entry
+# create_map (or per-literal indicator sum) is a ~2·10^5-node
+# expression tree — past the codegen/JIT method budget — while the
+# binary search is ~17 probes per row over one array literal.
 MAP_LITERAL_MAX = 4096
 _CUTS_FLAT_MAX = 128
 
