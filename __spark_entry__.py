@@ -2011,6 +2011,31 @@ def q_fuzzy_names(spark, sf) -> DataFrame:
     return fuzzy_join_pairs(names, "name_id", "p_name", max_dist=1, q=2)
 
 
+def q_quantile_bins(spark, sf) -> DataFrame:
+    """Equal-frequency discretization of lineitem prices
+    (functions/stats.quantile_bin): exact decile cuts in ONE
+    percentile state, bucket ids as a narrow indicator-sum map —
+    nothing shuffles but the per-bin census."""
+    from fsharp_dataframe_spark.functions.stats import quantile_bin
+
+    li = load_table(spark, sf, "lineitem")
+    out = quantile_bin(li, F.col("l_extendedprice"), 10)
+    return (out.filter(F.col("bin").isNotNull())
+            .groupBy("bin").agg(F.count("*").alias("n")))
+
+
+def q_target_encode(spark, sf) -> DataFrame:
+    """Leave-one-out target encoding of event types
+    (functions/stats.target_encode_loo): (Σ_cat − v)/(n_cat − 1) from
+    exact integer unit sums broadcast back — the leakage-guarded
+    categorical feature a model trained on these rows can consume."""
+    from fsharp_dataframe_spark.functions.stats import target_encode_loo
+
+    ev = load_table(spark, sf, "events")
+    out = target_encode_loo(ev, "event_type", F.col("value"))
+    return out.select("event_id", "event_type", "te")
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2132,7 +2157,8 @@ EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
                  "cross_zscore", "rolling_zscore", "tpch_q3",
                  "diverse_sample", "market_beta", "seasonal_profile",
                  "dedup_report", "salted_agg", "props_json",
-                 "seasonal_anomaly", "fuzzy_names")
+                 "seasonal_anomaly", "fuzzy_names", "quantile_bins",
+                 "target_encode")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2278,6 +2304,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json": q_props_json,
         "seasonal_anomaly": q_seasonal_anomaly,
         "fuzzy_names": q_fuzzy_names,
+        "quantile_bins": q_quantile_bins,
+        "target_encode": q_target_encode,
     }
 
 
@@ -4540,6 +4568,36 @@ def _all_oracle_sql() -> dict[str, str]:
                    (((n_docs - n_unique) * 10000) // n_docs)::DOUBLE
                      / 10000.0 AS dup_rate
             FROM m
+        """,
+        # identical exact decile cuts (quantile_cont == percentile
+        # interpolation) + the same count-of-cuts-<=-v bucket rule
+        "quantile_bins": """
+            WITH q AS (
+              SELECT DISTINCT unnest(quantile_cont(l_extendedprice,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS c
+              FROM lineitem),
+            b AS (
+              SELECT (SELECT count(*) FROM q
+                      WHERE q.c <= li.l_extendedprice)::INT AS bin
+              FROM lineitem li
+              WHERE li.l_extendedprice IS NOT NULL)
+            SELECT bin, count(*)::BIGINT AS n FROM b GROUP BY bin
+        """,
+        # identical integer unit sums, one fixed association
+        "target_encode": """
+            WITH b AS (
+              SELECT event_id, event_type,
+                     round(value * 10000)::BIGINT AS u
+              FROM events),
+            s AS (
+              SELECT event_type, sum(u) AS su, count(u)::BIGINT AS n
+              FROM b GROUP BY event_type)
+            SELECT b.event_id, b.event_type,
+                   CASE WHEN s.n >= 2 AND b.u IS NOT NULL
+                        THEN round(((su::DOUBLE - u::DOUBLE)
+                                    / (n::DOUBLE - 1.0)) / 10000, 6)
+                   END AS te
+            FROM b JOIN s USING (event_type)
         """,
         # the NAIVE all-pairs edit-distance join — the q-gram filter
         # must be lossless, so the outputs are identical

@@ -122,6 +122,8 @@ HEADLINE = [
     "props_json",
     "seasonal_anomaly",
     "fuzzy_names",
+    "quantile_bins",
+    "target_encode",
 ]
 
 

@@ -249,6 +249,60 @@ def cross_sectional_zscore(df: DataFrame, bucket: "F.Column",
             )
 
 
+def quantile_bin(df: DataFrame, value: "F.Column", n_bins: int,
+                 out_col: str = "bin") -> DataFrame:
+    """Equal-frequency discretization (the exact sibling of Spark ML's
+    approx QuantileDiscretizer): bin i holds values in
+    [q_i, q_{i+1}) of the EXACT interpolated quantile grid — one
+    percentile aggregate (single state, array form), cut literals
+    folded back as an indicator-sum bucket id.  Values below/above the
+    grid clamp to the edge bins; NULLs stay NULL.
+
+    Two jobs: the (tiny) exact-quantile aggregate, then a narrow map —
+    nothing shuffles.  At real scale swap the exact percentile for
+    approx_percentile; the exact form is the oracle-pinned contract.
+    """
+    v = value.cast("double")
+    probs = [i / n_bins for i in range(1, int(n_bins))]
+    row = df.agg(F.percentile(v, F.array(
+        *[F.lit(float(p)) for p in probs])).alias("q")).first()
+    cuts = sorted({float(c) for c in (row["q"] or []) if c is not None})
+    b = None
+    for c in cuts:
+        ind = (F.lit(float(c)) <= v).cast("int")
+        b = ind if b is None else b + ind
+    bin_id = (F.when(v.isNotNull(), F.coalesce(b, F.lit(0)))
+              if b is not None else F.when(v.isNotNull(), F.lit(0)))
+    return df.withColumn(out_col, bin_id.cast("int"))
+
+
+def target_encode_loo(df: DataFrame, category: str, target: "F.Column",
+                      scale: int = 10000,
+                      out_col: str = "te") -> DataFrame:
+    """Leave-one-out target encoding: each row gets the mean target of
+    its OWN category computed over the other rows —
+    (Σ_cat − v) / (n_cat − 1) — the standard leakage-guard for
+    categorical features feeding a model trained on the same rows.
+
+    One groupBy on the category (exact integer unit sums, map-side
+    combined) broadcast back; the per-row arithmetic is a fixed
+    association on identical ints, so the SQL oracle replays every
+    encoding exactly.  Singleton categories (n = 1: nothing to leave
+    out) and NULL targets yield NULL.
+    """
+    u = F.round(target.cast("double") * scale).cast("long")
+    b = df.withColumn("__u", u)
+    stats = (b.groupBy(category)
+             .agg(F.sum("__u").alias("__su"),
+                  F.count("__u").alias("__n")))
+    j = b.join(F.broadcast(stats), on=category, how="left")
+    n = F.col("__n").cast("double")
+    su, uu = F.col("__su").cast("double"), F.col("__u").cast("double")
+    te = F.when((F.col("__n") >= 2) & F.col("__u").isNotNull(),
+                F.round(((su - uu) / (n - F.lit(1.0))) / scale, 6))
+    return j.withColumn(out_col, te).drop("__u", "__su", "__n")
+
+
 def correlation_matrix(df: DataFrame, cols: list[str],
                        scale: int = 10000) -> DataFrame:
     """Pairwise Pearson correlation of numeric columns in ONE scan:

@@ -238,3 +238,37 @@ def test_value_histogram_clamps_extreme_values_under_ansi(spark):
            value_histogram(df, F.col("v"), n_bins=20, lo=0.0,
                            hi=100.0).collect()}
     assert got == {0: 2, 19: 1}
+
+
+def test_quantile_bin_equal_frequency_and_edges(spark):
+    from fsharp_dataframe_spark.functions.stats import quantile_bin
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)] + [(None,)], "v double")
+    out = quantile_bin(df, F.col("v"), 4)
+    got = {r["v"]: r["bin"] for r in out.collect()}
+    # quartile cuts of 1..100 at (n-1)*q: 25.75, 50.5, 75.25
+    assert got[1.0] == 0 and got[25.0] == 0
+    assert got[26.0] == 1 and got[50.0] == 1
+    assert got[51.0] == 2 and got[75.0] == 2
+    assert got[76.0] == 3 and got[100.0] == 3
+    assert got[None] is None
+    from collections import Counter
+    sizes = Counter(b for v, b in got.items() if v is not None)
+    assert set(sizes.values()) == {25}          # equal frequency
+
+
+def test_target_encode_loo_known_values(spark):
+    from fsharp_dataframe_spark.functions.stats import target_encode_loo
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+            (4, "b", 7.0),                       # singleton -> NULL
+            (5, "c", 1.0), (6, "c", None)]       # NULL target -> NULL
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    got = {r["id"]: r["te"] for r in
+           target_encode_loo(df, "cat", F.col("y")).collect()}
+    assert got[1] == 25.0 and got[2] == 20.0 and got[3] == 15.0
+    assert got[4] is None                # nothing to leave out
+    assert got[6] is None                # NULL target
+    # id 5: category c has ONE non-null target (its own) -> n=1 -> NULL
+    assert got[5] is None
