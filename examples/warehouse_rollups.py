@@ -48,8 +48,10 @@ def run(spark, sf_dir: str) -> dict[str, object]:
         ev.withColumn("day", F.col("ts").cast("date")), "day", "user_id")
     week1 = merge_distinct_sketches(
         daily.filter(F.col("day") < F.lit("2024-01-08")), by=None)
+    # hll_union_agg over zero rows estimates NULL — report 0 users
+    est = week1.first()["n_distinct"]
     out["sketches"] = {"days": daily.count(),
-                       "week1_users": int(week1.first()["n_distinct"])}
+                       "week1_users": int(est or 0)}
 
     # 2. seasonality-aware anomaly flags per type
     base = seasonal_profile(ev, "event_type", "ts", "value").drop("n")

@@ -262,17 +262,17 @@ def quantile_bin(df: DataFrame, value: "F.Column", n_bins: int,
     nothing shuffles.  At real scale swap the exact percentile for
     approx_percentile; the exact form is the oracle-pinned contract.
     """
+    from fsharp_dataframe_spark.operators.bucketed import _bucket_expr
+
     v = value.cast("double")
     probs = [i / n_bins for i in range(1, int(n_bins))]
     row = df.agg(F.percentile(v, F.array(
         *[F.lit(float(p)) for p in probs])).alias("q")).first()
     cuts = sorted({float(c) for c in (row["q"] or []) if c is not None})
-    b = None
-    for c in cuts:
-        ind = (F.lit(float(c)) <= v).cast("int")
-        b = ind if b is None else b + ind
-    bin_id = (F.when(v.isNotNull(), F.coalesce(b, F.lit(0)))
-              if b is not None else F.when(v.isNotNull(), F.lit(0)))
+    # the count-of-cuts bucket rule is the substrate's _bucket_expr
+    # (flat indicator sum, Arrow search past 128 cuts) — one shared
+    # implementation; NULL values stay NULL rather than bucket 0
+    bin_id = F.when(v.isNotNull(), _bucket_expr(v, cuts))
     return df.withColumn(out_col, bin_id.cast("int"))
 
 

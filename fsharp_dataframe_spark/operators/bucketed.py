@@ -106,40 +106,48 @@ def _bucket_expr(key_col: Column, cuts: list[float]) -> Column:
 
     Small cut lists stay on the flat per-literal indicator sum (bit-
     compatible with every existing oracle at the 64-bucket default).
-    Large ones (auto-sized substrate at real scale) run a LAMBDA-FREE
-    binary search over one ARRAY literal: ~log2(n) chained
-    (try_element_at <= key) steps — O(log n) per row, a single Literal
-    plan node, and no higher-order function anywhere.  Lambda-free is
-    load-bearing, not a style choice: a lambda variable inside the
-    bucket column breaks Spark's Union constraint propagation
-    (UnionBase.rewriteConstraints "key not found") when the column sits
-    above a union, and mis-binds at execution when the column is
-    attached per-branch below one (both reproduced on the bucketed
-    as-of at >128 cuts).  Equivalence of the two paths is pinned by
-    tests/test_bucketed.py."""
+    Large ones (auto-sized substrate at real scale) run a VECTORIZED
+    Arrow binary search (np.searchsorted over the driver-captured cut
+    array — O(log n) per row in C, Arrow-batched).  The constraints
+    that rule the alternatives out are all reproduced in this repo's
+    history: a higher-order-function lambda breaks Union constraint
+    propagation above the bucketed as-of (and mis-binds per-branch
+    below one); a Column-level binary search re-embeds its running
+    state ~3× per level, growing the Catalyst tree exponentially
+    (driver OOM at 513 cuts); and the flat indicator sum at 10^5 cuts
+    is a 10^5-node expression past the codegen method budget with
+    O(n) comparisons per row.  Equivalence of the two paths is pinned
+    by tests/test_bucketed.py."""
     kd = key_col.cast("double")
     if len(cuts) <= _CUTS_FLAT_MAX:
-        # indicator SUM: plain comparisons, one term per cut
-        b = None
-        for c in cuts:
-            ind = (F.lit(float(c)) <= kd).cast("int")
-            b = ind if b is None else b + ind
+        # indicator SUM over a BALANCED add tree: a left-leaning chain
+        # has depth n, and the Column-node→expression conversion
+        # recursion overflows the driver stack near ~400 terms —
+        # pairwise reduction keeps depth log2(n)
+        terms = [(F.lit(float(c)) <= kd).cast("int") for c in cuts]
+        while len(terms) > 1:
+            terms = [terms[i] + terms[i + 1] if i + 1 < len(terms)
+                     else terms[i] for i in range(0, len(terms), 2)]
         # NULL key → bucket 0, matching the old size(filter(...)) form
-        return F.coalesce(b, F.lit(0)) if b is not None else F.lit(0)
-    n = len(cuts)
-    arr = F.lit([float(c) for c in cuts])
-    # invariant: pos = largest 1-based index with cuts[pos] <= key
-    # (out-of-range probes return NULL from try_element_at; a NULL
-    # condition falls through to otherwise(), so NULL keys land in
-    # bucket 0 like the flat path)
-    pos: Column = F.lit(0)
-    p2 = 1 << (n.bit_length() - 1)
-    while p2 >= 1:
-        cand = pos + F.lit(p2)
-        hit = F.try_element_at(arr, cand.cast("int")) <= kd
-        pos = F.when(hit, cand).otherwise(pos)
-        p2 >>= 1
-    return pos
+        return F.coalesce(terms[0], F.lit(0)) if terms else F.lit(0)
+    import numpy as np
+    import pandas as pd
+
+    cut_arr = np.asarray([float(c) for c in cuts], dtype=np.float64)
+
+    def _search(v):
+        # side='right': insertion index == |{c : c <= v}|; NULL/NaN
+        # keys land in bucket 0 like the flat path
+        x = v.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = np.searchsorted(cut_arr, x, side="right")
+        out[np.isnan(x)] = 0
+        return pd.Series(out.astype("int32"))
+
+    # module-wide `from __future__ import annotations` stringizes type
+    # hints, which pandas_udf's hint inspection cannot resolve for
+    # locally-imported pandas — bind real type objects instead
+    _search.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_search, "int")(kd)
 
 
 def attach_mapping(df: DataFrame, src: str, mapping: dict, out_col: str,

@@ -66,14 +66,20 @@ def _reagg(df: DataFrame, name: str, col: Column) -> Column:
     avg — an average of averages) raise instead of mis-aggregating."""
     import re
 
-    plan = (df.limit(0).groupBy().agg(col.alias(name))
-            ._jdf.queryExecution().analyzed().toString().lower())
-    if "distinct" in plan:
+    plan = (df.limit(0).groupBy().agg(col.alias("__reagg_probe"))
+            ._jdf.queryExecution().analyzed().toString())
+    # inspect ONLY the aggregate expression (first line: "Aggregate
+    # [<expr> AS __reagg_probe#N]") — matching the whole plan string
+    # falsely rejects frames whose COLUMN NAMES contain "distinct"
+    first = plan.splitlines()[0].lower()
+    m = re.search(r"aggregate \[(.*) as __reagg_probe#", first)
+    agg_expr = m.group(1) if m else first
+    if "distinct" in agg_expr:
         raise ValueError(
             "salted_agg: DISTINCT aggregates are not decomposable across "
             "salts (per-salt distinct sets overlap); pre-deduplicate or "
             "aggregate unsalted")
-    m = re.search(r"aggregate \[(\w+)\(", plan)
+    m = re.search(r"^(\w+)\(", agg_expr)
     token = m.group(1) if m else ""
     if token == "count":
         return F.sum(F.col(name))

@@ -258,6 +258,21 @@ def stream_session_windows(
     )
 
 
+def _interval_seconds(interval: str) -> int | None:
+    """Parse simple '<n> <unit>' interval strings to seconds (None if
+    unrecognized) — spelling-insensitive, so '7 DAYS', '1 week' and
+    '168 hours' all register as weekly."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*",
+                     interval.lower())
+    if not m:
+        return None
+    mult = {"second": 1, "minute": 60, "hour": 3600,
+            "day": 86_400, "week": 604_800}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def stream_ohlc(
     sdf: DataFrame,
     key: str,
@@ -284,8 +299,8 @@ def stream_ohlc(
     4-day default would reject every sub-weekly bar width at analysis.
     """
     if start_offset is None:
-        start_offset = "4 days" if interval.strip() in (
-            "7 days", "7 day", "1 week") else "0 seconds"
+        start_offset = ("4 days" if _interval_seconds(interval) == 604_800
+                        else "0 seconds")
     tie = [F.col(tiebreak)] if tiebreak else []
     order = F.struct(F.col(ts_col), *tie)
     v = F.col(value_col)

@@ -218,10 +218,11 @@ def test_grouped_quantiles_injective_names_and_single_state(spark):
     r = out.first()
     assert r["q55"] != r["q5_5"] and r["q5_5"] < r["q55"]
     # all quantiles come from ONE percentile buffer (array form): the
-    # plan carries a single percentile aggregate expression
+    # physical plan carries exactly one percentile aggregate per stage
+    # (partial + final = 2 occurrences); the per-quantile regression
+    # would show 2 * len(qs)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("percentile(") == plan.count("percentile(") and \
-        "percentile" in plan
+    assert plan.count("percentile(") == 2, plan[:2000]
     import pytest
     with pytest.raises(ValueError, match="duplicate"):
         grouped_quantiles(df, "g", F.col("v"), qs=[0.5, 0.5])
