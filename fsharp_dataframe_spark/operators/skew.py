@@ -74,7 +74,10 @@ def _reagg(df: DataFrame, name: str, col: Column) -> Column:
     first = plan.splitlines()[0].lower()
     m = re.search(r"aggregate \[(.*) as __reagg_probe#", first)
     agg_expr = m.group(1) if m else first
-    if "distinct" in agg_expr:
+    # the DISTINCT keyword prints as "(distinct <expr>" — a column
+    # merely NAMED n_distinct prints as "(n_distinct#12L)" and must
+    # not trip the guard
+    if re.search(r"\(distinct\s", agg_expr):
         raise ValueError(
             "salted_agg: DISTINCT aggregates are not decomposable across "
             "salts (per-salt distinct sets overlap); pre-deduplicate or "

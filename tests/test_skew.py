@@ -74,3 +74,15 @@ def test_salted_agg_rejects_non_decomposable_aggregates(spark):
         salted_agg(ev, "event_type", {"f": F.min_by("value", "ts")})
     with pytest.raises(ValueError, match="whitelist"):
         salted_agg(ev, "event_type", {"m": F.avg("value")})
+
+
+def test_salted_agg_accepts_columns_named_distinct(spark):
+    # the DISTINCT guard must inspect the aggregate expression only:
+    # a frame whose COLUMN is called n_distinct (e.g. sketch.py's
+    # merge output) with a plain sum was falsely rejected
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 4), ("b", 5)], "k string, n_distinct long")
+    got = {r["k"]: r["distinct_total"] for r in
+           salted_agg(df, "k", {"distinct_total": F.sum("n_distinct")},
+                      n_salts=4).collect()}
+    assert got == {"a": 7, "b": 5}
