@@ -7,8 +7,25 @@ integer moment sums so a SQL oracle replays every value bit-for-bit).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _pct(v: Column, probs: Column, exact: bool,
+         accuracy: int = 10000) -> Column:
+    """The percentile-family tier switch.  exact=True → `percentile`
+    (sort-based: deterministic and interpolated, but the aggregation
+    state is a per-group value→count buffer that is NOT a mergeable
+    sketch — on a low-cardinality group key every value of a hot group
+    lands in one reducer's memory, the named 100 TB scale-killer).
+    exact=False → `approx_percentile` (Greenwald-Khanna summary:
+    bounded-size, MERGEABLE state with map-side partial aggregation —
+    no hot reducer, error ≤ 1/accuracy of rank).  Exact stays the
+    default because it is the oracle-pinned contract; callers at real
+    scale flip the flag instead of editing the operator."""
+    if exact:
+        return F.percentile(v, probs)
+    return F.approx_percentile(v, probs, F.lit(int(accuracy)))
 
 
 def grouped_ols(df: DataFrame, by: str, x: "F.Column", y: "F.Column",
@@ -74,7 +91,7 @@ def grouped_ols(df: DataFrame, by: str, x: "F.Column", y: "F.Column",
 
 
 def grouped_mad_outliers(df: DataFrame, by: str, value: "F.Column",
-                         k: float = 3.0) -> DataFrame:
+                         k: float = 3.0, exact: bool = True) -> DataFrame:
     """Per-group robust outlier census: a row is an outlier when
     |value - median| > k · MAD (median absolute deviation) — the
     standard heavy-tail-safe alternative to z-scores (a z-score's mean
@@ -86,9 +103,10 @@ def grouped_mad_outliers(df: DataFrame, by: str, value: "F.Column",
     across engines, so the DuckDB `median()` oracle replays it): pass
     1 computes each group's median, pass 2 the median of absolute
     deviations, pass 3 the flag counts — three shuffles on the group
-    key, each with map-side partial aggregation.  At real scale swap
-    `percentile` for `approx_percentile` and accept sketch error —
-    the exact form is the oracle-pinned contract.
+    key, each with map-side partial aggregation.  ``exact=False`` flips
+    both medians to `approx_percentile` (mergeable sketch state,
+    map-side combined — no per-group value buffer on a hot reducer);
+    the exact form stays the oracle-pinned default (see `_pct`).
 
     A zero-MAD group (over half the values identical) flags ANY
     deviating value — the conventional MAD=0 degeneracy, left as-is
@@ -103,11 +121,12 @@ def grouped_mad_outliers(df: DataFrame, by: str, value: "F.Column",
     decimals.
     """
     v = value.cast("double")
-    med = df.groupBy(by).agg(F.percentile(v, F.lit(0.5)).alias("__med"))
+    med = df.groupBy(by).agg(
+        _pct(v, F.lit(0.5), exact).cast("double").alias("__med"))
     j1 = df.join(F.broadcast(med), on=by, how="inner")
     dev = F.abs(v - F.col("__med"))
     mad = (j1.groupBy(by)
-           .agg(F.percentile(dev, F.lit(0.5)).alias("__mad")))
+           .agg(_pct(dev, F.lit(0.5), exact).cast("double").alias("__mad")))
     j2 = j1.join(F.broadcast(mad), on=by, how="inner")
     return (j2.groupBy(by).agg(
                 F.count(v).alias("n"),
@@ -120,22 +139,23 @@ def grouped_mad_outliers(df: DataFrame, by: str, value: "F.Column",
 
 def winsorize(df: DataFrame, by: str, value: "F.Column",
               lo: float = 0.05, hi: float = 0.95,
-              out_col: str = "value_w") -> DataFrame:
+              out_col: str = "value_w", exact: bool = True) -> DataFrame:
     """Per-group winsorization: clip values to the group's [lo, hi]
     exact interpolated quantiles — the standard heavy-tail
     normalization before training-weight or quality-score use (a
     handful of 10^6x outliers otherwise own any mean-based statistic).
 
-    One grouped percentile pass (sort-based exact — the oracle-pinned
-    contract; swap to approx_percentile at real scale), broadcast the
+    One grouped percentile pass (sort-based exact by default — the
+    oracle-pinned contract; ``exact=False`` flips to approx_percentile,
+    a mergeable sketch with no per-group value buffer), broadcast the
     group-cardinality bounds relation back, clip with
     least/greatest.  Input rows pass through unchanged except the
     clipped copy in ``out_col``; NULL values stay NULL.
     """
     v = value.cast("double")
     q = df.groupBy(by).agg(
-        F.percentile(v, F.lit(float(lo))).alias("__qlo"),
-        F.percentile(v, F.lit(float(hi))).alias("__qhi"),
+        _pct(v, F.lit(float(lo)), exact).cast("double").alias("__qlo"),
+        _pct(v, F.lit(float(hi)), exact).cast("double").alias("__qhi"),
     )
     j = df.join(F.broadcast(q), on=by, how="left")
     # least/greatest IGNORE nulls (both engines), which would clip a
@@ -179,7 +199,8 @@ def value_histogram(df: DataFrame, value: "F.Column", n_bins: int,
 
 
 def grouped_quantiles(df: DataFrame, by: str, value: "F.Column",
-                      qs: list[float] = (0.5, 0.9, 0.99)) -> DataFrame:
+                      qs: list[float] = (0.5, 0.9, 0.99),
+                      exact: bool = True) -> DataFrame:
     """Per-group exact interpolated quantiles (the p50/p95/p99 latency
     rollup): ONE groupBy shuffle computing all requested quantiles in a
     single `percentile` state — sort-based exact, and interpolation on
@@ -187,8 +208,9 @@ def grouped_quantiles(df: DataFrame, by: str, value: "F.Column",
     contract grouped_mad_outliers pins for the median; DuckDB's
     quantile_cont interpolates identically).
 
-    At real scale swap `percentile` for `approx_percentile` and accept
-    sketch error — the exact form is the oracle-pinned contract.
+    ``exact=False`` flips to `approx_percentile` (mergeable sketch,
+    map-side combined, no per-group value buffer — the 100 TB tier);
+    the exact form stays the oracle-pinned default (see `_pct`).
     Returns (by, n, q_<name>...) with quantile columns rounded to 4;
     names use the percent with the dot as an underscore (0.99 -> q99,
     0.055 -> q5_5 — injective, unlike dot-stripping which collides
@@ -200,11 +222,11 @@ def grouped_quantiles(df: DataFrame, by: str, value: "F.Column",
         raise ValueError(f"duplicate quantiles requested: {list(qs)}")
     # ONE percentile state per group (array form), not one buffer per
     # requested quantile — the single-state claim in this docstring
-    arr = F.percentile(v, F.array(*[F.lit(float(q)) for q in qs]))
+    arr = _pct(v, F.array(*[F.lit(float(q)) for q in qs]), exact)
     m = df.groupBy(by).agg(F.count(v).alias("n"), arr.alias("__qs"))
     return m.select(
         by, "n",
-        *[F.round(F.col("__qs")[i], 4).alias(n)
+        *[F.round(F.col("__qs")[i].cast("double"), 4).alias(n)
           for i, n in enumerate(names)])
 
 
@@ -250,7 +272,7 @@ def cross_sectional_zscore(df: DataFrame, bucket: "F.Column",
 
 
 def quantile_bin(df: DataFrame, value: "F.Column", n_bins: int,
-                 out_col: str = "bin") -> DataFrame:
+                 out_col: str = "bin", exact: bool = True) -> DataFrame:
     """Equal-frequency discretization (the exact sibling of Spark ML's
     approx QuantileDiscretizer): bin i holds values in
     [q_i, q_{i+1}) of the EXACT interpolated quantile grid — one
@@ -259,15 +281,18 @@ def quantile_bin(df: DataFrame, value: "F.Column", n_bins: int,
     grid clamp to the edge bins; NULLs stay NULL.
 
     Two jobs: the (tiny) exact-quantile aggregate, then a narrow map —
-    nothing shuffles.  At real scale swap the exact percentile for
-    approx_percentile; the exact form is the oracle-pinned contract.
+    nothing shuffles.  The exact percentile is ONE global aggregation
+    state buffering every distinct value (the named scale-killer);
+    ``exact=False`` flips it to approx_percentile (mergeable sketch,
+    map-side combined — constant-size state at any corpus size).  The
+    exact form stays the oracle-pinned default (see `_pct`).
     """
     from fsharp_dataframe_spark.operators.bucketed import _bucket_expr
 
     v = value.cast("double")
     probs = [i / n_bins for i in range(1, int(n_bins))]
-    row = df.agg(F.percentile(v, F.array(
-        *[F.lit(float(p)) for p in probs])).alias("q")).first()
+    row = df.agg(_pct(v, F.array(
+        *[F.lit(float(p)) for p in probs]), exact).alias("q")).first()
     cuts = sorted({float(c) for c in (row["q"] or []) if c is not None})
     # the count-of-cuts bucket rule is the substrate's _bucket_expr
     # (flat indicator sum, Arrow search past 128 cuts) — one shared

@@ -31,6 +31,14 @@ def salted_agg(df: DataFrame, by: list[str] | str,
     averages and is rejected nowhere — the contract is documented, the
     oracle pins the composition.
 
+    Floating-point caveat: `sum` over DOUBLE/FLOAT columns is
+    "result-identical" only up to addition reordering — the two-phase
+    plan groups addends per salt, so the last-ulp rounding can differ
+    from the naive single groupBy (both are equally valid FP sums; the
+    registered callers keep the engine's integer/decimal fixed-point
+    discipline, where re-summation is bit-exact).  For strict
+    reproducibility, sum integral or decimal units.
+
     The salt is deterministic (hash of ``salt_on`` or a stable row
     column) so reruns are identical; map-side combine already collapses
     each task's rows, so phase 1's shuffle carries at most
@@ -111,7 +119,26 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str] | str,
     broadcast, and AQE's split-on-skew isn't available or isn't
     triggering.  Result-identical to the naive join (equivalence
     tests); the salt column never escapes.
+
+    ``how`` is restricted to left-preserving modes: because the right
+    side is replicated once per salt, any mode that emits UNMATCHED
+    right rows ("right"/"full") would surface each of them n_salts
+    times null-extended — so those raise rather than corrupt.  Allowed:
+    inner, left/left_outer, left_semi/semi, left_anti/anti (the left
+    side carries exactly one salt per row, so left-preserving semantics
+    are exact).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if str(how).lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not salt-safe — the right side "
+            "is replicated once per salt, so unmatched right rows would "
+            "be emitted n_salts times under right/full outer joins. "
+            "Allowed: inner, left(_outer), left_semi, left_anti. "
+            "For right/full semantics, swap the sides or use AQE skew "
+            "join handling")
     keys = [on] if isinstance(on, str) else list(on)
     lsalt = F.pmod(F.hash(*[F.col(c) for c in left.columns]),
                    F.lit(int(n_salts)))

@@ -48,6 +48,34 @@ def test_salted_join_matches_naive_and_spreads_key(spark):
         ev.filter(F.col("event_type") != "view").count()
 
 
+def test_salted_join_rejects_right_preserving_modes(spark):
+    # right/full replicate unmatched RIGHT rows n_salts× (the right
+    # side carries every salt; an unmatched key null-extends once per
+    # copy) — the guard must raise instead of corrupting
+    import pytest
+
+    ev = load_table(spark, SF, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_n"))
+    for how in ("right", "right_outer", "full", "full_outer", "outer",
+                "cross"):
+        with pytest.raises(ValueError, match="salt-safe"):
+            salted_join(ev, dim, "event_type", n_salts=4, how=how)
+
+
+def test_salted_join_semi_anti_match_naive(spark):
+    ev = load_table(spark, SF, "events").select("event_id", "event_type")
+    dim = (ev.groupBy("event_type").agg(F.count("*").alias("type_n"))
+           .filter(F.col("event_type").isin("view", "click")))
+    for how in ("left_semi", "left_anti"):
+        naive = {r["event_id"]
+                 for r in ev.join(dim, "event_type", how).collect()}
+        salted = {r["event_id"] for r in
+                  salted_join(ev, dim, "event_type", n_salts=4,
+                              how=how).collect()}
+        assert salted == naive, how
+    assert len(naive) > 0
+
+
 def test_salted_agg_non_power_of_two_salts_and_min_value_hash(spark):
     # pmod salt: equivalence must hold for n_salts that do NOT divide
     # 2^31 (the abs(hash)%n form went negative there) — and a row whose

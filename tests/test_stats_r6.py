@@ -273,3 +273,99 @@ def test_target_encode_loo_known_values(spark):
     assert got[6] is None                # NULL target
     # id 5: category c has ONE non-null target (its own) -> n=1 -> NULL
     assert got[5] is None
+
+
+# ----------------------------------------------------------------------
+# approx tier (exact=False): sketch-backed percentile family
+# ----------------------------------------------------------------------
+
+def test_percentile_family_approx_tier_equivalence(spark):
+    """exact=False flips percentile -> approx_percentile.  At a few
+    thousand values per group the GK summary (accuracy=10000) is exact
+    to well under 0.5% of rank, so the approx tier must agree with the
+    exact tier within a tight tolerance — and exactly on n/flag counts,
+    which do not touch the sketch."""
+    from fsharp_dataframe_spark.functions.stats import (
+        grouped_quantiles, quantile_bin, winsorize,
+    )
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    v = F.col("value")
+
+    qe = {r["event_type"]: (r["n"], r["q50"], r["q90"])
+          for r in grouped_quantiles(ev, "event_type", v,
+                                     qs=[0.5, 0.9]).collect()}
+    qa = {r["event_type"]: (r["n"], r["q50"], r["q90"])
+          for r in grouped_quantiles(ev, "event_type", v, qs=[0.5, 0.9],
+                                     exact=False).collect()}
+    assert qe.keys() == qa.keys()
+    # the sketch's guarantee is on RANK, not value (in a sparse tail a
+    # tiny rank slip is a visible value gap) — so pin the rank: the
+    # fraction of the group at or below the approx quantile must
+    # bracket the target percent tightly
+    ranks = {(r["event_type"], q): r["frac"] for q, col in
+             [(0.5, "q50"), (0.9, "q90")] for r in
+             ev.join(spark.createDataFrame(
+                 [(k, qa[k][1], qa[k][2]) for k in qa],
+                 "event_type string, a50 double, a90 double"),
+                 "event_type")
+             .groupBy("event_type")
+             .agg((F.sum(F.when(v <= F.col("a50" if q == 0.5 else "a90"),
+                                1).otherwise(0)) / F.count("*"))
+                  .alias("frac")).collect()}
+    for k in qe:
+        assert qe[k][0] == qa[k][0]                       # n exact
+        assert 0.48 <= ranks[(k, 0.5)] <= 0.52, (k, ranks[(k, 0.5)])
+        assert 0.88 <= ranks[(k, 0.9)] <= 0.92, (k, ranks[(k, 0.9)])
+
+    me = {r["event_type"]: r for r in
+          grouped_mad_outliers(ev, "event_type", v, k=3.0).collect()}
+    ma = {r["event_type"]: r for r in
+          grouped_mad_outliers(ev, "event_type", v, k=3.0,
+                               exact=False).collect()}
+    for k in me:
+        assert me[k]["n"] == ma[k]["n"]
+        assert abs(me[k]["med"] - ma[k]["med"]) <= \
+            max(0.5, 0.02 * abs(me[k]["med"])), k
+        assert abs(me[k]["mad"] - ma[k]["mad"]) <= \
+            max(0.5, 0.02 * abs(me[k]["mad"])), k
+        # flag counts may differ by the sketch's rank error on values
+        # near the threshold — bound the drift, don't demand identity
+        assert abs(me[k]["n_outliers"] - ma[k]["n_outliers"]) <= \
+            max(5, 0.01 * me[k]["n"])
+
+    we = winsorize(ev, "event_type", v).agg(
+        F.round(F.sum("value_w"), 2).alias("s")).first()["s"]
+    wa = winsorize(ev, "event_type", v, exact=False).agg(
+        F.round(F.sum("value_w"), 2).alias("s")).first()["s"]
+    assert abs(we - wa) <= max(1.0, 0.01 * abs(we))
+
+    be = quantile_bin(ev, v, 4, out_col="b")
+    ba = quantile_bin(ev, v, 4, exact=False, out_col="b")
+    ne = {r["b"]: r["n"] for r in be.groupBy("b").count()
+          .withColumnRenamed("count", "n").collect()}
+    na = {r["b"]: r["n"] for r in ba.groupBy("b").count()
+          .withColumnRenamed("count", "n").collect()}
+    assert set(ne) == set(na) == {0, 1, 2, 3}
+    total = sum(ne.values())
+    for b in ne:
+        assert abs(ne[b] - na[b]) <= max(10, 0.02 * total), b
+
+
+def test_percentile_approx_tier_plan_is_mergeable(spark):
+    """The point of exact=False: the aggregate must be
+    approx_percentile (mergeable GK summary with a partial_ map-side
+    phase), with no exact `percentile(` value-buffer state anywhere in
+    the plan."""
+    from fsharp_dataframe_spark.functions.stats import grouped_quantiles
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = grouped_quantiles(ev, "event_type", F.col("value"),
+                            qs=[0.5, 0.9], exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "approx_percentile" in plan
+    assert "partial_approx_percentile" in plan       # map-side combine
+    import re
+    assert not re.search(r"(?<!approx_)percentile\(", plan)
