@@ -2123,42 +2123,53 @@ def q_target_encode(spark, sf) -> DataFrame:
 # dedup_exact/clean_corpus machinery returns via dedup_exact itself;
 # window/chunk substrate via chunk_sum/chunk_dist/window_moving_avg;
 # zip/join algebra via zip_inner/frame_join_left/join_broadcast).
-# ROUND-7 ROTATION PLAN: the 25 round-6 newcomers (group_ols ..
-# fuzzy_names below — everything after the "new this round" marker)
-# are three-SF strict-oracle green locally and await driver rows;
-# rotate them in next round, swapping out r5/r6-double-green veterans
-# exactly as r6 did for r5's holdouts (every candidate for rotation
-# OUT has an in-window sibling or its own driver-green row in the
-# r5∪r6 union).
-EXTRA_QUERIES = ("append_frames", "asof_join", "bpe_pairs", "c4_stats",
-                 "cast_types", "chunk_docs", "chunk_while", "clean_corpus",
-                 "corpus_stats", "decontaminate", "dedup_clusters",
-                 "dedup_spans", "doc_keywords", "drop_sparse",
-                 "embed_centroids", "embed_near_dup", "embed_near_dup_lsh",
-                 "fill_constant", "frame_shift_diff", "frame_zip", "funnel",
-                 "hash_split", "incremental_dedup", "index_ordinal",
-                 "ivf_train", "key_skew", "lang_mix", "lsh_topk",
-                 "media_features", "minhash_pairs", "near_dedup",
-                 "pack_shards", "pairwise", "profile_cols", "rep_quality",
-                 "resample_keys", "retention", "sample_stratified",
-                 "sample_time", "simhash_pairs", "stats_melt", "take_last",
-                 "text_stats", "unigram_quality", "vocab_topk",
-                 "window_dist",
-                 # new this round (grouped OLS, MAD outliers, char
-                 # entropy, text normalization) — held out pending the
-                 # r7 rotation slot; the local three-SF strict-oracle
-                 # gate covers them meanwhile
-                 "group_ols", "mad_outliers", "entropy_quality",
-                 "clean_text", "winsorize", "histogram", "corr_matrix",
-                 "grouped_topk", "daily_activity",
-                 "ohlc_weekly", "vwap_monthly", "drawdown",
-                 "returns_series", "autocorr1", "interval_week1",
-                 "interval_burst", "sample_group", "group_quantiles",
-                 "cross_zscore", "rolling_zscore", "tpch_q3",
-                 "diverse_sample", "market_beta", "seasonal_profile",
-                 "dedup_report", "salted_agg", "props_json",
-                 "seasonal_anomaly", "fuzzy_names", "quantile_bins",
-                 "target_encode")
+# ROUND-7 ROTATION (VERDICT r6 ask #1): the 31 round-6 newcomers
+# (group_ols, mad_outliers, entropy_quality, clean_text, winsorize,
+# histogram, corr_matrix, grouped_topk, daily_activity, ohlc_weekly,
+# vwap_monthly, drawdown, returns_series, autocorr1, interval_week1,
+# interval_burst, sample_group, group_quantiles, cross_zscore,
+# rolling_zscore, tpch_q3, diverse_sample, market_beta,
+# seasonal_profile, dedup_report, salted_agg, props_json,
+# seasonal_anomaly, fuzzy_names, quantile_bins, target_encode — the
+# r6 plan comment said "25 newcomers"; the actual list was and is 31)
+# enter the driver window to earn their first driver rows, completing
+# the r5∪r6∪r7 union over all 127 registered queries.  Alongside them,
+# 19 KEEPERS from the r6 window span the heaviest machinery for
+# round-over-round repeat evidence: semantic_dedup (cell-blocked pair
+# join + closure), bm25_search (term-filtered postings), sessionize
+# (event windowing — also the query VERDICT r6 flagged for an
+# environment-dependent timing, so its r7 row doubles as the bench
+# confirmation), knn_join (blocked ANN), dedup_keep_best (star
+# contraction), dedup_exact (cascade base), asof_grouped (as-of),
+# resample_daily, pivot, group_agg (core algebra), embed_project (JL),
+# perplexity_buckets, pmi_collocations, weighted_sample, and the FIVE
+# bucketed-substrate queries under the r6 perf-regression watch
+# (window_while_par, ewma, fill_linear, pack_sequences, chunk_dist) so
+# the substrate profiling lands with fresh driver rows.  Every query
+# rotated OUT below carries its own driver-green row in CORRECTNESS_r05
+# or _r06 (the strongest sibling evidence, per the r6 playbook) and
+# stays under the local strict-oracle gate (tools/check_oracle.py).
+EXTRA_QUERIES = (
+    "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
+    "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
+    "clean_corpus", "corpus_stats", "decontaminate", "dedup_clusters",
+    "dedup_paragraphs", "dedup_spans", "doc_keywords", "drop_missing",
+    "drop_sparse", "embed_centroids", "embed_near_dup",
+    "embed_near_dup_lsh", "embed_topk", "fill_constant", "fill_forward",
+    "filter_project", "first_last", "frame_arith", "frame_join_left",
+    "frame_shift_diff", "frame_zip", "funnel", "group_stats",
+    "hash_split", "incremental_dedup", "index_ordinal", "ivf_assign",
+    "ivf_topk", "ivf_train", "join_broadcast", "key_skew", "lang_hits",
+    "lang_mix", "lookup_level", "lookup_time_fwd", "lsh_topk",
+    "maxby_minby", "media_features", "minhash_pairs", "near_dedup",
+    "ngram_jaccard", "pack_shards", "pairwise", "profile_cols",
+    "quality_classifier", "realign", "rep_quality", "resample_keys",
+    "resample_uniform", "retention", "rolling_corr",
+    "sample_stratified", "sample_time", "scalar_math", "shift_diff",
+    "simhash_pairs", "slice_between", "stats_melt", "take_last",
+    "text_quality", "text_stats", "unigram_quality",
+    "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
+    "window_moving_avg", "zip_inner")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
