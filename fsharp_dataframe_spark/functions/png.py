@@ -25,9 +25,21 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-# decode-size ceiling (pixels): 64 MP ≈ 256 MB of RGBA raw — beyond
-# any legitimate corpus thumbnail/preview, far below executor OOM
-_MAX_PIXELS = 64_000_000
+# decode-size ceiling (pixels).  This guards CPU as well as memory:
+# the Average/Paeth scanline filters carry a left-neighbor dependency
+# and unfilter byte-at-a-time in Python (Sub/Up are numpy-vectorized
+# below), so the cap must keep the worst-case interpreted loop in
+# seconds, not minutes — 4 MP RGBA is ~16M loop iterations ≈ a few
+# seconds, vs ~256M (minutes of one stalled executor task) at the old
+# 64 MP cap.  4 MP also far exceeds any legitimate corpus
+# thumbnail/preview; callers with genuinely larger trusted images pass
+# ``max_pixels`` explicitly.
+_MAX_PIXELS = 4_000_000
+
+try:  # numpy vectorizes the two filters without sequential dependency
+    import numpy as _np
+except ImportError:  # pragma: no cover - numpy is baked into the env
+    _np = None
 
 
 def encode_png(pixels: bytes, width: int, height: int,
@@ -64,11 +76,17 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_png(data: bytes,
+               max_pixels: int = _MAX_PIXELS) -> tuple[int, int, int, bytes]:
     """Decode a PNG to (width, height, channels, raw 8-bit pixels,
     row-major).  Supports bit depth 8, color types 0/2/4/6, no
     interlace, all five scanline filters; raises ValueError on
-    anything else (or corrupt data) so callers can fall back."""
+    anything else (or corrupt data) so callers can fall back.
+
+    ``max_pixels`` bounds both the raw allocation AND the per-byte
+    unfilter CPU for the left-dependent filters (Average/Paeth) — the
+    default keeps a crafted worst-case payload to seconds per task;
+    raise it only for trusted inputs."""
     if not data or not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG (bad signature)")
     pos = len(PNG_MAGIC)
@@ -104,7 +122,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     # executor
     stride = width * channels
     expected = (stride + 1) * height
-    if width * height > _MAX_PIXELS:
+    if width * height > max_pixels:
         raise ValueError(f"image too large: {width}x{height}")
     d = zlib.decompressobj()
     # expected+1 so an over-long stream shows up as a length mismatch
@@ -118,12 +136,25 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         row_start = y * (stride + 1)
         ftype = raw[row_start]
         row = bytearray(raw[row_start + 1:row_start + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                row[i] = (row[i] + row[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
+        if ftype == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            if _np is not None:
+                # per-lane prefix sum mod 256 — uint8 cumsum wraps
+                # exactly like the byte arithmetic it replaces
+                a = _np.frombuffer(bytes(row), dtype=_np.uint8)
+                a = a.reshape(width, channels)
+                row = bytearray(
+                    _np.cumsum(a, axis=0, dtype=_np.uint8).tobytes())
+            else:
+                for i in range(channels, stride):
+                    row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ftype == 2:  # Up: recon[x] = filt[x] + recon_prev[x]
+            if _np is not None:
+                a = _np.frombuffer(bytes(row), dtype=_np.uint8)
+                b = _np.frombuffer(bytes(prev), dtype=_np.uint8)
+                row = bytearray((a + b).tobytes())
+            else:
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
                 left = row[i - channels] if i >= channels else 0

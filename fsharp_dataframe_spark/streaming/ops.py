@@ -294,13 +294,21 @@ def stream_ohlc(
     weekly bars need a 4-day offset to land on Mondays and hash-match
     the batch `date_trunc('week')` oracle (the test_streaming.py
     oracle-hash loop pins exactly that).  The default derives the
-    offset from ``interval`` — '4 days' for weekly bars, '0 seconds'
-    otherwise: an offset must be shorter than the slide, so a fixed
-    4-day default would reject every sub-weekly bar width at analysis.
+    offset from ``interval``: for any whole-week multiple ('7 days',
+    '2 weeks', '28 days'...) it is 345600 % interval_seconds — the
+    Monday alignment generalized to multi-week slides (for one week
+    that reduces to the 4-day offset; any multi-week grid then has
+    Monday 1970-01-05 as a bar start, the anchor date_trunc-style
+    calendars use) — and '0 seconds' otherwise: an offset must be
+    shorter than the slide, so a fixed 4-day default would reject
+    every sub-weekly bar width at analysis.
     """
     if start_offset is None:
-        start_offset = ("4 days" if _interval_seconds(interval) == 604_800
-                        else "0 seconds")
+        secs = _interval_seconds(interval)
+        if secs and secs % 604_800 == 0:
+            start_offset = f"{345_600 % secs} seconds"
+        else:
+            start_offset = "0 seconds"
     tie = [F.col(tiebreak)] if tiebreak else []
     order = F.struct(F.col(ts_col), *tie)
     v = F.col(value_col)

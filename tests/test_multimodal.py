@@ -276,3 +276,59 @@ def test_decode_png_rejects_bombs_and_forged_headers(spark):
             + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="mismatch"):
         decode_png(over)
+
+
+def test_decode_png_cpu_cap_default_and_override():
+    """The pixel cap guards CPU, not just memory (the Average/Paeth
+    unfilter is a per-byte interpreted loop): the default is 4 MP and
+    configurable per call — a trusted caller can raise it, and the
+    raise happens BEFORE any allocation either way."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from fsharp_dataframe_spark.functions.png import (
+        _MAX_PIXELS, PNG_MAGIC, decode_png, encode_png,
+    )
+
+    assert _MAX_PIXELS == 4_000_000
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    # 5 MP grayscale: over the default cap, under an explicit 8 MP one
+    ihdr = struct.pack(">IIBBBBB", 2500, 2000, 8, 0, 0, 0, 0)
+    big = (PNG_MAGIC + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(
+               b"".join(b"\x00" * 2501 for _ in range(2000))))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="too large"):
+        decode_png(big)
+    w, h, c, px = decode_png(big, max_pixels=8_000_000)
+    assert (w, h, c) == (2500, 2000, 1) and len(px) == 5_000_000
+
+    # vectorized Sub/Up on a multi-channel image round-trips through
+    # an encoder that uses those filters (hand-filtered stream)
+    import random
+    rng = random.Random(11)
+    wdt, hgt, ch = 64, 48, 4
+    pix = bytes(rng.randrange(256) for _ in range(wdt * hgt * ch))
+    stride = wdt * ch
+    raw, prev = b"", bytes(stride)
+    for y in range(hgt):
+        row = pix[y * stride:(y + 1) * stride]
+        if y % 2:
+            raw += b"\x02" + bytes((row[i] - prev[i]) & 0xFF
+                                   for i in range(stride))
+        else:
+            raw += b"\x01" + bytes(
+                (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(stride))
+        prev = row
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", wdt, hgt, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    assert decode_png(png)[3] == pix
