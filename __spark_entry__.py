@@ -1999,11 +1999,16 @@ def q_seasonal_anomaly(spark, sf) -> DataFrame:
 
 def q_fuzzy_names(spark, sf) -> DataFrame:
     """Edit-distance-1 pairs among distinct part names
-    (functions/linkage.fuzzy_join_pairs): positional q-gram equi-join
-    candidates under the lossless Gravano count bound + one
-    threshold-bounded levenshtein verify.  The oracle is the NAIVE
-    all-pairs join — completeness of the filter is the pinned
-    contract, not sampled recall."""
+    (functions/linkage.fuzzy_join_pairs): prefix-filter signature tier
+    (each string's k*q+1 globally-rarest gram occurrences, equi-joined
+    on (gram, occ#) with a length band) + one threshold-bounded
+    levenshtein verify.  The oracle is the NAIVE all-pairs join —
+    completeness of the filter is the pinned contract, not sampled
+    recall.  Measured at sf0.1 (r7): signature join fan-out 405 rows
+    vs 1689 for the full-gram tier (-76%), wall 2.6 s vs 5.1 s,
+    identical result; verify candidates rise 16 -> 280 (the count
+    filter is traded away — per-pair levenshtein is the cheap narrow
+    stage, join shuffle volume is the scale bottleneck)."""
     from fsharp_dataframe_spark.functions.linkage import fuzzy_join_pairs
 
     part = load_table(spark, sf, "part")

@@ -28,23 +28,48 @@ def _posgrams(col: "F.Column", q: int) -> "F.Column":
 
 
 def fuzzy_join_pairs(df: DataFrame, id_col: str, text_col: str,
-                     max_dist: int = 1, q: int = 2) -> DataFrame:
+                     max_dist: int = 1, q: int = 2,
+                     prefix_filter: bool = True,
+                     max_short_rows: int = 100_000) -> DataFrame:
     """All pairs (id_a < id_b) with Levenshtein distance <= ``max_dist``.
 
-    Plan shape: explode positional q-grams (narrow), EQUI-join on the
-    gram with a |pos_a - pos_b| <= k band and a length band (never a
-    cartesian), count matches per pair with map-side combine, keep
-    pairs meeting the lossless count bound, and verify survivors with
-    one exact ``levenshtein`` (threshold-bounded — Spark's
-    early-abandoning form).  Strings too short for a positive bound
-    (len < q·(k+1)) take a separate tier: the (tiny) short-string set
-    broadcast against its length band, exhaustively verified — still
-    no cartesian of the big side.
+    Plan shape with ``prefix_filter=True`` (the default, the 100 TB
+    tier): explode positional q-grams (narrow), rank each string's
+    gram OCCURRENCES by global document frequency (rarest first — the
+    frequency relation is vocabulary-sized, broadcast), keep only each
+    string's k·q + 1 rarest as its SIGNATURE, equi-join signatures on
+    (gram, occurrence#) with a length band, and verify the distinct
+    candidate pairs with one exact threshold-bounded ``levenshtein``.
+    Losslessness (prefix-filter lemma, multiset form — Chaudhuri et
+    al. 2006 / Xiao et al. ppjoin 2008, on top of Gravano 2001's count
+    bound): ed(a,b) <= k destroys at most k·q gram occurrences per
+    side, so the gram-multiset intersection has size >= max(n_a, n_b)
+    - k·q; ordering both multisets by the same global (freq, gram,
+    occ#) order, the first k·q + 1 tokens of each side must share a
+    common (gram, occ#) token.  NOTE the canonical occurrence pairing
+    of the multiset lemma does NOT inherit the Gravano position
+    alignment for repeated grams, so the signature join deliberately
+    carries no position band — only the length band (always valid:
+    ed <= k bounds the length difference by k).
 
-    At 100 TB scale the refinement is prefix filtering (sort grams by
-    global frequency; a signature of each string's k·q + 1 rarest
-    grams suffices) — noted, not implemented: the full-gram join is
-    already equi-keyed and the count filter bounds the verify tier.
+    With ``prefix_filter=False``: the full-gram join — equi-join every
+    gram with |pos_a - pos_b| <= k and length bands, count matches per
+    pair with map-side combine, and keep pairs meeting Gravano's
+    lossless count bound before the same verify.  More join fan-out on
+    common grams (the 100 TB bottleneck the signature tier removes)
+    but no per-string ranking shuffle — fine at moderate scale.
+
+    Both tiers are LOSSLESS: the registered query's oracle is the
+    NAIVE all-pairs Levenshtein join, so completeness is pinned, not
+    sampled.
+
+    Strings too short for a positive count bound (len < q·(k+1)) take
+    a separate tier: the short-string set broadcast against its length
+    band on the full relation, exhaustively verified — still no
+    cartesian of the big side.  The tier is guarded by
+    ``max_short_rows`` (an early-terminating limit probe, one cheap
+    job): a corpus whose "tiny by assumption" short set is actually
+    huge raises instead of broadcasting it into executor memory.
 
     Returns (id_a, id_b, dist).
     """
@@ -60,27 +85,66 @@ def fuzzy_join_pairs(df: DataFrame, id_col: str, text_col: str,
     g = long.select(
         "__id", "__len",
         F.posexplode(_posgrams(F.col("__t"), qq)).alias("__p", "__g"))
-    a = g.select(*[F.col(c).alias(c + "a") for c in ("__id", "__len",
-                                                     "__p", "__g")])
-    b = g.select(*[F.col(c).alias(c + "b") for c in ("__id", "__len",
-                                                     "__p", "__g")])
-    cand = (a.join(b, (F.col("__ga") == F.col("__gb"))
-                   & (F.col("__ida") < F.col("__idb"))
-                   & (F.abs(F.col("__pa") - F.col("__pb")) <= k)
-                   & (F.abs(F.col("__lena") - F.col("__lenb")) <= k))
-            .groupBy("__ida", "__idb", "__lena", "__lenb")
-            .agg(F.count("*").alias("__shared"))
-            .filter(F.col("__shared")
-                    >= F.greatest("__lena", "__lenb") - (qq - 1) - k * qq))
+
+    if prefix_filter:
+        from pyspark.sql import Window as W
+
+        sig_len = k * qq + 1
+        freq = g.groupBy("__g").agg(F.count("*").alias("__df"))
+        # occurrence index makes repeated grams distinct tokens of the
+        # global order ((g,1), (g,2), ... — the multiset form of the
+        # prefix lemma); rank within the string by that global order
+        occ = F.row_number().over(
+            W.partitionBy("__id", "__g").orderBy("__p"))
+        gr = (g.join(F.broadcast(freq), "__g")
+              .withColumn("__occ", occ))
+        rank = F.row_number().over(
+            W.partitionBy("__id").orderBy("__df", "__g", "__occ"))
+        sig = (gr.withColumn("__r", rank)
+               .filter(F.col("__r") <= sig_len)
+               .select("__id", "__len", "__g", "__occ"))
+        a = sig.select(*[F.col(c).alias(c + "a")
+                         for c in ("__id", "__len", "__g", "__occ")])
+        b = sig.select(*[F.col(c).alias(c + "b")
+                         for c in ("__id", "__len", "__g", "__occ")])
+        cand = (a.join(b, (F.col("__ga") == F.col("__gb"))
+                       & (F.col("__occa") == F.col("__occb"))
+                       & (F.col("__ida") < F.col("__idb"))
+                       & (F.abs(F.col("__lena") - F.col("__lenb")) <= k))
+                .select("__ida", "__idb")
+                .dropDuplicates(["__ida", "__idb"]))
+    else:
+        a = g.select(*[F.col(c).alias(c + "a") for c in ("__id", "__len",
+                                                         "__p", "__g")])
+        b = g.select(*[F.col(c).alias(c + "b") for c in ("__id", "__len",
+                                                         "__p", "__g")])
+        cand = (a.join(b, (F.col("__ga") == F.col("__gb"))
+                       & (F.col("__ida") < F.col("__idb"))
+                       & (F.abs(F.col("__pa") - F.col("__pb")) <= k)
+                       & (F.abs(F.col("__lena") - F.col("__lenb")) <= k))
+                .groupBy("__ida", "__idb", "__lena", "__lenb")
+                .agg(F.count("*").alias("__shared"))
+                .filter(F.col("__shared")
+                        >= F.greatest("__lena", "__lenb")
+                        - (qq - 1) - k * qq)
+                .select("__ida", "__idb"))
     ta = long.select(F.col("__id").alias("__ida"), F.col("__t").alias("__ta"))
     tb = long.select(F.col("__id").alias("__idb"), F.col("__t").alias("__tb"))
     verified = (cand.join(ta, "__ida").join(tb, "__idb")
                 .withColumn("__d", F.levenshtein("__ta", "__tb", k))
                 .filter(F.col("__d") >= 0))
 
-    # short tier: broadcast the (tiny) short set against its length
-    # band on the full relation; a short string can only match strings
-    # within k of its length
+    # short tier: broadcast the (guarded-tiny) short set against its
+    # length band on the full relation; a short string can only match
+    # strings within k of its length
+    n_short = short.limit(int(max_short_rows) + 1).count()
+    if n_short > max_short_rows:
+        raise ValueError(
+            f"fuzzy_join_pairs: >{max_short_rows} strings shorter than "
+            f"q*(k+1)={short_bound} chars — the short tier broadcasts "
+            "this set, which would no longer be executor-memory-safe. "
+            "Raise max_short_rows deliberately, filter the short "
+            "strings, or use a larger q")
     sh = short.select(F.col("__id").alias("__ida"),
                       F.col("__t").alias("__ta"),
                       F.explode(F.sequence(
