@@ -1779,9 +1779,11 @@ def q_interval_week1(spark, sf) -> DataFrame:
 def q_interval_burst(spark, sf) -> DataFrame:
     """Events inside the 10 busiest days' ±1-day windows via the
     GLOBAL binned interval join (functions/timeseries.interval_join):
-    overlapping windows explode to day buckets (`sequence`), points
-    bin to one bucket, equi-join on the bucket id + residual range
-    filter — never a cartesian/BNLJ."""
+    overlapping windows explode to buckets (`sequence`), points bin to
+    one bucket, equi-join on the bucket id + residual range filter —
+    never a cartesian/BNLJ.  bin_seconds is AUTO-DERIVED (r6 ask #6)
+    from the one-row approx-median interval length (3 days here), the
+    auto_n_buckets discipline applied to the bin grid."""
     from fsharp_dataframe_spark.functions.timeseries import interval_join
 
     ev = load_table(spark, sf, "events")
@@ -1795,7 +1797,7 @@ def q_interval_burst(spark, sf) -> DataFrame:
         (F.col("day").cast("timestamp") + F.expr("INTERVAL 2 DAY"))
         .alias("w_end"))
     j = interval_join(ev.select("ts", "user_id"), win,
-                      "ts", "w_start", "w_end", bin_seconds=86400)
+                      "ts", "w_start", "w_end", bin_seconds=None)
     return (j.groupBy("win_day")
             .agg(F.count("*").alias("n_events"),
                  F.countDistinct("user_id").alias("n_users")))

@@ -288,6 +288,26 @@ def seasonal_profile(df: DataFrame, key: str, ts: str, value: str,
     return m.select(key, "hour", "weekday", "n", mean.alias("mean_value"))
 
 
+def _auto_bin_seconds(intervals: DataFrame, start: str, end: str) -> int:
+    """Derive the global interval join's bin width: the approx median
+    interval length in whole seconds (floored, min 1).  One tiny
+    aggregate over the intervals side; approx_percentile because the
+    probe sizes a plan — it needs no exactness, only a mergeable
+    constant-size state.  Raises on an empty/degenerate intervals side
+    (no lengths to size from) — pass bin_seconds explicitly there."""
+    ln = (F.col(end).cast("timestamp").cast("double")
+          - F.col(start).cast("timestamp").cast("double"))
+    row = intervals.agg(
+        F.approx_percentile(ln, F.lit(0.5), F.lit(1000)).alias("m")).first()
+    med = row["m"] if row else None
+    if med is None or med <= 0:
+        raise ValueError(
+            "interval_join: cannot auto-derive bin_seconds (empty "
+            "intervals side or non-positive median length) — pass "
+            "bin_seconds explicitly")
+    return max(1, int(med))
+
+
 def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
                   start: str, end: str, keys: list[str] | None = None,
                   bin_seconds: int | None = None,
@@ -313,6 +333,15 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
     residual-filter misses.  Fan-out is (interval_len/bin)+1 copies per
     interval — bounded and declared, never a cartesian.
 
+    ``bin_seconds=None`` on the global path auto-derives the bin from a
+    ONE-ROW approx-median of interval lengths over the intervals side
+    (mirroring operators/bucketed.auto_n_buckets: a cheap sizing probe
+    instead of a silently wrong constant) — median-length bins put each
+    interval in ~2 buckets while a point's residual miss window stays
+    one interval-length wide.  The intervals side is the SMALL side by
+    construction (it broadcasts its copies into the equi-join), so the
+    probe costs one scan of the small side, not the points.
+
     Interval columns must not collide with point columns (rename
     upstream); `how='left'` keeps unmatched points with NULL interval
     fields.
@@ -328,7 +357,7 @@ def interval_join(points: DataFrame, intervals: DataFrame, point_ts: str,
             out = out.drop(i[k])
         return out
     if not bin_seconds:
-        raise ValueError("global interval_join requires bin_seconds")
+        bin_seconds = _auto_bin_seconds(intervals, start, end)
     b = int(bin_seconds)
 
     def epoch(c: "F.Column") -> "F.Column":

@@ -141,10 +141,28 @@ def test_interval_join_keyed_path_and_left_nulls(spark):
     assert [c for c in left.columns].count("k") == 1
 
 
-def test_interval_join_global_requires_bin(spark):
+def test_interval_join_global_auto_bin_matches_median_and_explicit(spark):
+    """bin_seconds=None derives the bin from the approx-median interval
+    length (r6 ask #6): the fixture's lengths are [2d, 4d, 2d], so the
+    derived bin is exactly 172800 s — and the auto-binned join returns
+    the same rows as any explicit bin (the bin only shapes the plan,
+    the residual range filter fixes semantics)."""
+    from fsharp_dataframe_spark.functions.timeseries import _auto_bin_seconds
+
+    pts, iv = _points_and_intervals(spark)
+    assert _auto_bin_seconds(iv, "s", "e") == 2 * 86400
+    got = sorted((r["pid"], r["wid"]) for r in
+                 interval_join(pts, iv, "t", "s", "e").collect())
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 200)]
+
+
+def test_interval_join_auto_bin_rejects_empty_or_degenerate(spark):
     pts, iv = _points_and_intervals(spark)
     with pytest.raises(ValueError, match="bin_seconds"):
-        interval_join(pts, iv, "t", "s", "e")
+        interval_join(pts, iv.filter("wid < 0"), "t", "s", "e")
+    zero = iv.withColumn("e", F.col("s"))  # zero-length intervals
+    with pytest.raises(ValueError, match="bin_seconds"):
+        interval_join(pts, zero, "t", "s", "e")
 
 
 def test_sample_per_group_deterministic_and_sized(spark):
