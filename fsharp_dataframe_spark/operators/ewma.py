@@ -139,13 +139,21 @@ def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
     base = df.withColumn(_B, b)
 
     loc_schema = base.select(_B, *key_cols, s.value).schema \
-        .add("__pos", "long", False)
+        .add("__pos", "long", False).add("__first_x", "double", True)
 
     def local_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(key_cols, ignore_index=True)
-        pdf[value_col] = _fold_zero_init(pdf[value_col].to_numpy(), a)
+        vals = pdf[value_col].to_numpy()
+        # carry the RAW first value alongside the fold so the census
+        # below is ONE aggregate over `local` (r6 ask #9: the old
+        # shape ran a second collect over `base` just for first_x;
+        # deriving it as local_first/alpha would cost a float division
+        # and break the bit-exact y_0 = x_0 head convention)
+        first_x = float(vals[0]) if len(vals) else None
+        pdf[value_col] = _fold_zero_init(vals, a)
         pdf["__pos"] = range(len(pdf))
-        return pdf[[_B, *key_cols, value_col, "__pos"]]
+        pdf["__first_x"] = first_x
+        return pdf[[_B, *key_cols, value_col, "__pos", "__first_x"]]
 
     from fsharp_dataframe_spark.functions.util import track_persist
 
@@ -153,24 +161,23 @@ def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
     # without a stage boundary the Arrow fold would run twice
     local = track_persist(base.groupBy(_B).applyInPandas(local_fn, loc_schema))
 
-    # census: one scalar summary per bucket (n, local_final, first_x)
-    summaries = (base.groupBy(_B).agg(
+    # census: one scalar summary per bucket (n, local_final, first_x) —
+    # a SINGLE job over the persisted fold output (min_by on __pos is
+    # the constant-per-bucket first_x; max_by the segment's last fold)
+    census = (local.groupBy(_B).agg(
         F.count("*").alias("n"),
-        F.min_by(s.value, F.struct(*order)).alias("first_x"))
+        F.min_by(F.col("__first_x"), F.col("__pos")).alias("first_x"),
+        F.max_by(F.col(value_col), F.col("__pos")).alias("lf"))
         .collect())
-    finals = {r[_B]: r["lf"] for r in
-              local.groupBy(_B).agg(
-                  F.max_by(F.col(value_col), F.struct(*order)).alias("lf"))
-              .collect()}
-    info = sorted(((r[_B], r["n"], r["first_x"]) for r in summaries))
+    info = sorted(((r[_B], r["n"], r["first_x"], r["lf"]) for r in census))
     dec = 1.0 - a
     incs: dict[int, float] = {}
     inc = None
-    for bid, n_b, first_x in info:
+    for bid, n_b, first_x, local_final in info:
         if inc is None:
             inc = float(first_x)  # y_0 = x_0 head convention
         incs[bid] = inc
-        inc = finals[bid] + inc * (dec ** n_b)
+        inc = local_final + inc * (dec ** n_b)
 
     # carry patch: create_map literal for few buckets, broadcast join
     # past MAP_LITERAL_MAX — at the documented 10^5-bucket sizing the
@@ -179,6 +186,7 @@ def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
         local, _B, {int(k): float(v) for k, v in incs.items()},
         "__inc", "double", default=0.0)
     y = F.col(value_col) + F.pow(F.lit(dec), F.col("__pos") + 1) * F.col("__inc")
-    out = patched.withColumn(value_col, y).drop(_B, "__pos", "__inc")
+    out = patched.withColumn(value_col, y).drop(_B, "__pos", "__inc",
+                                                "__first_x")
     return Series(out, key=key_cols, value=value_col, ordered=True,
                   _canonicalize=False)
