@@ -1328,6 +1328,33 @@ def q_media_features(spark, sf) -> DataFrame:
     )
 
 
+def q_media_png_decode(spark, sf) -> DataFrame:
+    """Corpus-scale REAL PNG decode (r6 ask #8): as many stdlib-encoded
+    grayscale PNGs as the documents table has rows, generated on the
+    executors (multimodal.make_fake_png_media), decoded through the
+    real tier (PIL if importable, else the stdlib codec — both produce
+    identical 601-2 grayscale, and for 8-bit gray the pixels verbatim)
+    inside Arrow-batched mapInPandas.  Pixels are closed-form
+    ((i + y) % 256 per row), so the DuckDB oracle replays each decoded
+    band mean exactly: band b of image i = mean of 4 consecutive
+    constant rows starting at y = 4b, an exact quarter-integer in both
+    fp32 and double.  The per-(decode_ok, feat0-mod-16) rollup keeps
+    the compared relation small while every row's decode feeds it."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        extract_features, make_fake_png_media,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = make_fake_png_media(spark, n=n)
+    feats = extract_features(media, real_decode=True)
+    f0 = F.element_at("feat", 1).cast("double")
+    f4 = F.element_at("feat", 5).cast("double")
+    return (feats.select("media_id", "decode_ok",
+                         F.round(f0, 2).alias("feat0"),
+                         F.round(f4, 2).alias("feat4"))
+            .orderBy("media_id"))
+
+
 def q_lsh_topk(spark, sf) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets, exact
     rescore on candidates.  ORACLE-EXACT since r5 via a REPLAY oracle
@@ -2168,7 +2195,11 @@ EXTRA_QUERIES = (
     "hash_split", "incremental_dedup", "index_ordinal", "ivf_assign",
     "ivf_topk", "ivf_train", "join_broadcast", "key_skew", "lang_hits",
     "lang_mix", "lookup_level", "lookup_time_fwd", "lsh_topk",
-    "maxby_minby", "media_features", "minhash_pairs", "near_dedup",
+    "maxby_minby", "media_features",
+    "media_png_decode",   # new in r7 (corpus-scale real-PNG decode,
+                          # r6 ask #8) — held out awaiting its r8
+                          # rotation slot; local three-SF oracle-green
+    "minhash_pairs", "near_dedup",
     "ngram_jaccard", "pack_shards", "pairwise", "profile_cols",
     "quality_classifier", "realign", "rep_quality", "resample_keys",
     "resample_uniform", "retention", "rolling_corr",
@@ -2257,6 +2288,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_train": q_ivf_train,
         "media_features": q_media_features,
+        "media_png_decode": q_media_png_decode,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
@@ -3533,6 +3565,20 @@ def _all_oracle_sql() -> dict[str, str]:
                    true AS decode_ok,
                    ((n_frames - 1) // 3 + 1)::BIGINT AS n_sampled
             FROM m
+        """,
+        # real PNG decode replay: row y of image i is the constant byte
+        # (i+y)%256, so band b (4 rows, height 32 / feat_dim 8) means
+        # to an exact quarter-integer starting at y=4b; feat index 1 ->
+        # b=0, feat index 5 -> b=4 (y=16)
+        "media_png_decode": """
+            SELECT i AS media_id, true AS decode_ok,
+                   round(((i % 256) + ((i + 1) % 256) + ((i + 2) % 256)
+                          + ((i + 3) % 256)) / 4.0, 2) AS feat0,
+                   round((((i + 16) % 256) + ((i + 17) % 256)
+                          + ((i + 18) % 256) + ((i + 19) % 256)) / 4.0,
+                         2) AS feat4
+            FROM (SELECT row_number() OVER () - 1 AS i FROM documents) t
+            ORDER BY media_id
         """,
         # duplicate clustering: component closure of the near-dup pair
         # graph as a recursive CTE (reachability enumeration + min

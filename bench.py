@@ -124,6 +124,7 @@ HEADLINE = [
     "fuzzy_names",
     "quantile_bins",
     "target_encode",
+    "media_png_decode",
 ]
 
 

@@ -297,3 +297,46 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10,
     idx = F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
                      F.lit(every_n))
     return df.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+def make_fake_png_media(spark, n: int, width: int = 32,
+                        height: int = 32) -> DataFrame:
+    """Corpus-scale REAL-PNG fixture (r6 VERDICT ask #8): ``n`` valid
+    8-bit grayscale PNGs encoded with the stdlib codec
+    (functions/png.encode_png), generated ON THE EXECUTORS via
+    mapInPandas over spark.range — the fixture scales like a corpus
+    (no driver-side list of payloads), and the decode tier exercises
+    realistic multi-thousand-row Arrow batches instead of the 64-row
+    synthetic table.
+
+    Pixels are CLOSED FORM: row y of image i is the constant byte
+    (i + y) % 256, so the decoded band-mean features are exact
+    quarter-integers a SQL oracle replays verbatim (mean of 4
+    consecutive constant rows; fp32 sums <= 1020 are exact, /4 is a
+    power of two — bit-identical to the double arithmetic in SQL)."""
+    from fsharp_dataframe_spark.functions.png import encode_png
+
+    w, h = int(width), int(height)
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            payloads = [
+                encode_png(b"".join(bytes([(i + y) % 256]) * w
+                                    for y in range(h)), w, h, 1)
+                for i in ids]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": payloads,
+                "meta": [{"mime": "image/png", "width": w, "height": h,
+                          "n_frames": 1, "duration_s": None}
+                         for _ in ids],
+            })
+
+    # spread generation across the cluster; ~4k images per task keeps
+    # the encode step parallel without tiny-task overhead
+    parts = max(1, min(256, n // 4096 + 1))
+    return spark.range(0, int(n), 1, parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
