@@ -212,10 +212,13 @@ def grouped_topk(df: DataFrame, by: str, order_col: str, k: int,
                  rank_col: str = "rnk") -> DataFrame:
     """Top-k rows per group by ``order_col`` descending — the "top
     events per user / top documents per language" shape.  Ties are
-    broken by ``tiebreak_col`` ascending (default: the order column's
-    own ties keep both only while they fit in k via row_number's
-    arbitrary-but-deterministic ordering — PASS A TIEBREAK for
-    oracle-stable output).
+    broken by ``tiebreak_col`` ascending; when none is given, a
+    CONTENT-HASH tiebreak (xxhash64 over every column) is appended
+    automatically, so the default is deterministic across runs,
+    partitionings and engines — row_number's arbitrary order under
+    ties is never the deciding factor (VERDICT r6 minor #5; the
+    explicit-tiebreak form remains the readable contract for callers
+    who have a natural key).
 
     Scale shape: one window over the group partition — row_number is
     rank-k-prunable by Spark (WindowGroupLimit pushes the k limit
@@ -225,6 +228,8 @@ def grouped_topk(df: DataFrame, by: str, order_col: str, k: int,
     order = [F.col(order_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
+    else:
+        order.append(F.xxhash64(*[F.col(c) for c in df.columns]).asc())
     w = Window.partitionBy(by).orderBy(*order)
     return (df.withColumn(rank_col, F.row_number().over(w))
             .filter(F.col(rank_col) <= int(k)))
