@@ -2070,6 +2070,185 @@ def q_target_encode(spark, sf) -> DataFrame:
     return out.select("event_id", "event_type", "te")
 
 
+# ---------------- round-7 additions (SCD2 / attribution / search) -----
+
+
+def q_scd2_track(spark, sf) -> DataFrame:
+    """SCD2 history of each user's event_type (functions/scd
+    .scd2_from_events): change-detected validity intervals along event
+    time — one user-keyed window (lag for change detection, lead to
+    close intervals).  The reference reaches the same semantics through
+    ordered NearestSmaller lookups at query time; materializing the
+    history is the warehouse form.  Timestamps exported as integer
+    epoch-µs (the sessionize discipline — no tz/precision slack)."""
+    from fsharp_dataframe_spark.functions.scd import scd2_from_events
+
+    ev = load_table(spark, sf, "events")
+    h = scd2_from_events(ev, "user_id", "ts", ["event_type"],
+                         tiebreak="event_id")
+    return h.select(
+        "user_id", "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"))
+
+
+def q_scd2_pit(spark, sf) -> DataFrame:
+    """Point-in-time dimension lookup (functions/scd
+    .point_in_time_join): purchases joined to the value-band dimension
+    built from the user's VIEW history (band = floor(value/50)),
+    each purchase reading the band valid at its own event time —
+    left join, so pre-history purchases keep NULL bands.  Keyed hash
+    join with the validity range as residual; 1:1 by interval
+    construction."""
+    from fsharp_dataframe_spark.functions.scd import (
+        point_in_time_join, scd2_from_events,
+    )
+
+    ev = load_table(spark, sf, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .withColumn("band", F.floor(F.col("value") / 50).cast("long")))
+    dim = scd2_from_events(views, "user_id", "ts", ["band"],
+                           tiebreak="event_id")
+    dim = dim.select("user_id", "band", "valid_from", "valid_to")
+    facts = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    out = point_in_time_join(facts, dim, "user_id", "ts", how="left")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"), "band",
+        F.unix_micros("valid_from").alias("valid_from_us"))
+
+
+def q_attribution(spark, sf) -> DataFrame:
+    """Last-touch attribution (functions/events
+    .last_touch_attribution): each purchase credited to the user's
+    most recent strictly-preceding click within 3 days — ONE
+    user-keyed window over the union of touches and conversions (no
+    self-join, no correlated subquery).  Unattributed purchases keep
+    NULL touch columns."""
+    from fsharp_dataframe_spark.functions.events import (
+        last_touch_attribution,
+    )
+
+    ev = load_table(spark, sf, "events")
+    out = last_touch_attribution(ev, "purchase", ["click"],
+                                 max_lag_s=3 * 86400)
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("conv_ts").alias("conv_ts_us"),
+        F.unix_micros("touch_ts").alias("touch_ts_us"),
+        "lag_s")
+
+
+def q_basket_pairs(spark, sf) -> DataFrame:
+    """Market-basket co-occurrence of event types
+    (functions/events.event_cooccurrence): per unordered type pair,
+    how many users did both, with support/confidence/lift in exact
+    basis points (integer floor division).  The pair join runs on the
+    DISTINCT (user, type) relation — bounded by users × vocabulary,
+    not event count."""
+    from fsharp_dataframe_spark.functions.events import event_cooccurrence
+
+    ev = load_table(spark, sf, "events")
+    return event_cooccurrence(ev)
+
+
+def q_phrase_hits(spark, sf) -> DataFrame:
+    """Positional phrase search (functions/search.phrase_search):
+    documents containing the exact phrase "sort merge", with
+    occurrence counts — term-filtered positional postings chained on
+    (doc, pos+offset) equi-joins; the postings are filtered to the
+    phrase's terms BEFORE the shuffle."""
+    from fsharp_dataframe_spark.functions.search import phrase_search
+
+    docs = load_table(spark, sf, "documents")
+    return phrase_search(docs, "sort merge")
+
+
+def q_rank_features(spark, sf) -> DataFrame:
+    """Per-group rank features (functions/stats.grouped_rank_features):
+    SQL-standard percent_rank on the value ordering plus a
+    tiebreak-deterministic decile — one window over the event_type
+    partition."""
+    from fsharp_dataframe_spark.functions.stats import grouped_rank_features
+
+    ev = load_table(spark, sf, "events")
+    return grouped_rank_features(ev, "event_type", F.col("value"),
+                                 ["event_id"], tiebreak="event_id",
+                                 n_tiles=10)
+
+
+def q_split_leakage(spark, sf) -> DataFrame:
+    """Train/test contamination audit: hash-split the corpus
+    (functions/sampling.hash_split, the md5 oracle family), find
+    near-duplicate pairs (functions/dedup.ngram_jaccard_pairs,
+    jaccard >= 0.2) and count pairs by the splits they straddle — the
+    "is my eval set leaking into training" report.  Pure composition
+    of two registered operators; one extra broadcast join against the
+    (tiny) per-doc split labels."""
+    from fsharp_dataframe_spark.functions.dedup import ngram_jaccard_pairs
+    from fsharp_dataframe_spark.functions.sampling import hash_split
+
+    docs = load_table(spark, sf, "documents")
+    lab = hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2},
+                     salt="v1").select("doc_id", "split")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2)
+    la = lab.select(F.col("doc_id").alias("id_a"),
+                    F.col("split").alias("split_a"))
+    lb = lab.select(F.col("doc_id").alias("id_b"),
+                    F.col("split").alias("split_b"))
+    return (pairs.join(F.broadcast(la), "id_a")
+            .join(F.broadcast(lb), "id_b")
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.when(F.col("split_a") != F.col("split_b"), 1)
+                       .otherwise(0)).cast("long").alias("n_leaks")))
+
+
+def q_sales_cube(spark, sf) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (Frame group machinery taken to
+    GROUPING SETS): lineitem quantity/revenue by (returnflag,
+    linestatus), each prefix level, and the grand total, with
+    grouping_id distinguishing levels — one shuffle computes every
+    level (Spark expands rollup into a single partial-aggregated
+    pass).  Revenue in exact integer micro-units."""
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                 F.round(_isum(rev) / 10000.0, 2).alias("revenue"),
+                 F.grouping_id().cast("long").alias("gid")))
+
+
+def q_tpch_q5(spark, sf) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume): six-table join where Catalyst
+    should broadcast the dimension chain (region→nation) and shuffle
+    only the fact tables — the optimizer showcase sibling of tpch_q3.
+    Revenue pinned in integer micro-units."""
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (region.filter(F.col("r_name") == "ASIA")
+         .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+         .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("s_nationkey") == F.col("c_nationkey")))
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1997-01-01").cast("timestamp"))))
+    return (j.groupBy("n_name")
+            .agg(F.round(_isum(rev) / 10000.0, 2).alias("revenue"))
+            .orderBy(F.desc("revenue")))
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2196,9 +2375,15 @@ EXTRA_QUERIES = (
     "ivf_topk", "ivf_train", "join_broadcast", "key_skew", "lang_hits",
     "lang_mix", "lookup_level", "lookup_time_fwd", "lsh_topk",
     "maxby_minby", "media_features",
-    "media_png_decode",   # new in r7 (corpus-scale real-PNG decode,
-                          # r6 ask #8) — held out awaiting its r8
-                          # rotation slot; local three-SF oracle-green
+    # new in r7, held out awaiting r8 rotation slots (local
+    # three-SF oracle-green): corpus-scale real-PNG decode (r6 ask
+    # #8) + the round-7 tier (SCD2 history/point-in-time, last-touch
+    # attribution, market-basket co-occurrence, positional phrase
+    # search, rank features, split-leakage audit, ROLLUP cube,
+    # TPC-H Q5)
+    "media_png_decode", "scd2_track", "scd2_pit", "attribution",
+    "basket_pairs", "phrase_hits", "rank_features", "split_leakage",
+    "sales_cube", "tpch_q5",
     "minhash_pairs", "near_dedup",
     "ngram_jaccard", "pack_shards", "pairwise", "profile_cols",
     "quality_classifier", "realign", "rep_quality", "resample_keys",
@@ -2356,6 +2541,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_names": q_fuzzy_names,
         "quantile_bins": q_quantile_bins,
         "target_encode": q_target_encode,
+        "scd2_track": q_scd2_track,
+        "scd2_pit": q_scd2_pit,
+        "attribution": q_attribution,
+        "basket_pairs": q_basket_pairs,
+        "phrase_hits": q_phrase_hits,
+        "rank_features": q_rank_features,
+        "split_leakage": q_split_leakage,
+        "sales_cube": q_sales_cube,
+        "tpch_q5": q_tpch_q5,
     }
 
 
@@ -4662,6 +4856,195 @@ def _all_oracle_sql() -> dict[str, str]:
                                     / (n::DOUBLE - 1.0)) / 10000, 6)
                    END AS te
             FROM b JOIN s USING (event_type)
+        """,
+        # ---- round-7 additions ----
+        # SCD2 change detection: same (ts, event_id) order, null-safe
+        # attr compare (IS DISTINCT FROM), lead closes each interval
+        "scd2_track": """
+            WITH o AS (
+              SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events),
+            ch AS (
+              SELECT user_id, event_type, event_id, t FROM o
+              WHERE event_type IS DISTINCT FROM prev)
+            SELECT user_id, event_type, t AS valid_from_us,
+                   lead(t) OVER (
+                     PARTITION BY user_id ORDER BY t, event_id)
+                     AS valid_to_us
+            FROM ch
+        """,
+        "scd2_pit": """
+            WITH v AS (
+              SELECT user_id, event_id, epoch_us(ts) AS t,
+                     (floor(value / 50))::BIGINT AS band
+              FROM events WHERE event_type = 'view'),
+            o AS (
+              SELECT *, lag(band) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id) AS prev,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY t, event_id) AS rn
+              FROM v),
+            dim AS (
+              SELECT user_id, band, t AS vf,
+                     lead(t) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id) AS vt
+              FROM o WHERE rn = 1 OR band IS DISTINCT FROM prev),
+            p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, p.t AS ts_us, d.band,
+                   d.vf AS valid_from_us
+            FROM p LEFT JOIN dim d
+              ON d.user_id = p.user_id AND d.vf <= p.t
+              AND (d.vt IS NULL OR p.t < d.vt)
+        """,
+        # last-touch: strictly-preceding click within 3 days; lag_s is
+        # integer floor division of a positive µs difference (the Spark
+        # side's trunc-toward-zero cast agrees for positive lags)
+        "attribution": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id, p.t AS conv_ts_us,
+                   max(c.t) AS touch_ts_us,
+                   CASE WHEN max(c.t) IS NULL THEN NULL
+                        ELSE (p.t - max(c.t)) // 1000000 END AS lag_s
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id AND c.t < p.t
+              AND p.t - c.t <= 259200000000
+            GROUP BY p.event_id, p.user_id, p.t
+        """,
+        # rates are exact integer floor divisions (basis points / 1e-4
+        # lift units) — no double quotient to tie-break
+        "basket_pairs": """
+            WITH kt AS (
+              SELECT DISTINCT user_id AS k, event_type AS t FROM events),
+            tot AS (SELECT count(DISTINCT k) AS total FROM kt),
+            per AS (SELECT t, count(*)::BIGINT AS n FROM kt GROUP BY t),
+            pairs AS (
+              SELECT a.t AS type_a, b.t AS type_b,
+                     count(*)::BIGINT AS n_both
+              FROM kt a JOIN kt b ON a.k = b.k AND a.t < b.t
+              GROUP BY 1, 2)
+            SELECT type_a, type_b, n_both, pa.n AS n_a, pb.n AS n_b,
+                   ((n_both * 10000) // total)::BIGINT AS support_bp,
+                   ((n_both * 10000) // pa.n)::BIGINT AS confidence_bp,
+                   ((n_both * total * 10000) // (pa.n * pb.n))::BIGINT
+                     AS lift_bp
+            FROM pairs
+            JOIN per pa ON pa.t = type_a
+            JOIN per pb ON pb.t = type_b, tot
+        """,
+        # consecutive-token phrase occurrences via list comprehension
+        # over 1-based positions (range(1, len) is empty for 1-token
+        # docs, matching the Spark side's filtered positional join)
+        "phrase_hits": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents)
+            SELECT doc_id, n_hits FROM (
+              SELECT doc_id,
+                     len([i for i in range(1, len(t))
+                          if t[i] = 'sort' AND t[i + 1] = 'merge'])::BIGINT
+                       AS n_hits
+              FROM toks)
+            WHERE n_hits >= 1
+        """,
+        # SQL-standard percent_rank/ntile — identical tie semantics;
+        # ntile's total order carries the event_id tiebreak on BOTH
+        # sides (an untied ntile is partitioning-dependent)
+        "rank_features": """
+            SELECT event_id, event_type,
+                   rank() OVER (
+                     PARTITION BY event_type ORDER BY value) AS rnk,
+                   round(percent_rank() OVER (
+                     PARTITION BY event_type ORDER BY value), 6)
+                     AS pct_rank,
+                   ntile(10) OVER (
+                     PARTITION BY event_type ORDER BY value, event_id)
+                     AS tile
+            FROM events
+        """,
+        # composition: the hash_split oracle's exact integer bound
+        # (floor(0.8 * 2^32) = 3435973836) over the ngram_jaccard
+        # oracle's 3-gram pair relation
+        "split_leakage": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, DISTINCT_SH.shingle FROM toks,
+              LATERAL (SELECT DISTINCT unnest(
+                         [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, greatest(len(t) - 2, 1) + 1)])
+                       AS shingle) DISTINCT_SH),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                      GROUP BY doc_id),
+            rawp AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT id_a, id_b FROM rawp
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+            lab AS (
+              SELECT doc_id,
+                     CASE WHEN ('0x' || substring(
+                            md5(doc_id::VARCHAR || 'v1'), 1, 8))::BIGINT
+                            < 3435973836
+                          THEN 'train' ELSE 'test' END AS split
+              FROM documents)
+            SELECT la.split AS split_a, lb.split AS split_b,
+                   count(*)::BIGINT AS n_pairs,
+                   sum(CASE WHEN la.split != lb.split THEN 1
+                            ELSE 0 END)::BIGINT AS n_leaks
+            FROM p
+            JOIN lab la ON la.doc_id = id_a
+            JOIN lab lb ON lb.doc_id = id_b
+            GROUP BY 1, 2
+        """,
+        # grouping_id bit order: first rollup column is the high bit
+        # (Spark's convention) — composed from per-column GROUPING()
+        "sales_cube": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+                   round(sum(round(l_extendedprice * (1 - l_discount)
+                                   * 10000)::BIGINT) / 10000.0, 2)
+                     AS revenue,
+                   (GROUPING(l_returnflag) * 2
+                    + GROUPING(l_linestatus))::BIGINT AS gid
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(round(l_extendedprice * (1 - l_discount)
+                                   * 10000)::BIGINT) / 10000.0, 2)
+                     AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         # the NAIVE all-pairs edit-distance join — the q-gram filter
         # must be lossless, so the outputs are identical

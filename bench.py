@@ -125,6 +125,15 @@ HEADLINE = [
     "quantile_bins",
     "target_encode",
     "media_png_decode",
+    "scd2_track",
+    "scd2_pit",
+    "attribution",
+    "basket_pairs",
+    "phrase_hits",
+    "rank_features",
+    "split_leakage",
+    "sales_cube",
+    "tpch_q5",
 ]
 
 

@@ -269,3 +269,110 @@ def daily_activity(df: DataFrame, key_col: str = "user_id",
                       F.col("n_new").cast("long").alias("n_new"),
                       F.col("cum_users").cast("long").alias("cum_users")) \
               .orderBy("day")
+
+
+def last_touch_attribution(df: DataFrame, conversion_type: str,
+                           touch_types: list[str],
+                           max_lag_s: int | None = None,
+                           key_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type",
+                           id_col: str = "event_id") -> DataFrame:
+    """Last-touch attribution: for each conversion event, the most
+    recent STRICTLY-preceding touch event by the same key (optionally
+    within ``max_lag_s`` seconds) — the marketing-attribution shape
+    ("which click gets credit for this purchase").
+
+    Plan: one key-partitioned window over the union of touches and
+    conversions ordered by (ts, event id) — `last(_, ignorenulls)`
+    carries the latest touch forward, conversions read the carry, and
+    the lag bound is a residual filter on the carried timestamp.  ONE
+    shuffle on the key; no self-join, no per-conversion subquery (the
+    correlated form is quadratic in hot keys).  Ties at identical
+    timestamps: a touch at exactly the conversion's timestamp does NOT
+    count (strictly before), enforced by ordering conversions before
+    same-ts touches via a kind bit.
+
+    Returns one row per conversion: (id_col, key_col, conv_ts,
+    touch_type, touch_ts, lag_s) with NULL touch columns for
+    unattributed conversions.
+    """
+    sub = df.filter(F.col(type_col).isin([conversion_type, *touch_types]))
+    is_conv = F.col(type_col) == conversion_type
+    # kind 0 sorts conversions BEFORE same-timestamp touches, so the
+    # carry a conversion reads cannot include a same-instant touch
+    base = sub.withColumn("__kind", F.when(is_conv, 0).otherwise(1))
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(ts_col), F.col("__kind"), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch_struct = F.when(
+        F.col("__kind") == 1,
+        F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
+    carried = base.withColumn(
+        "__touch", F.last(touch_struct, ignorenulls=True).over(w))
+    lag_s = ((F.unix_micros(F.col(ts_col))
+              - F.unix_micros(F.col("__touch.t"))) / F.lit(1_000_000)
+             ).cast("long")
+    out = (carried.filter(F.col("__kind") == 0)
+           .withColumn("__lag", lag_s))
+    if max_lag_s is not None:
+        out = out.withColumn(
+            "__touch", F.when(F.col("__lag") <= int(max_lag_s),
+                              F.col("__touch")))
+        out = out.withColumn(
+            "__lag", F.when(F.col("__touch").isNotNull(), F.col("__lag")))
+    return out.select(
+        F.col(id_col), F.col(key_col),
+        F.col(ts_col).alias("conv_ts"),
+        F.col("__touch.y").alias("touch_type"),
+        F.col("__touch.t").alias("touch_ts"),
+        F.col("__lag").alias("lag_s"))
+
+
+def event_cooccurrence(df: DataFrame, key_col: str = "user_id",
+                       type_col: str = "event_type") -> DataFrame:
+    """Market-basket co-occurrence of event types across keys:
+    for every unordered type pair (a < b), the number of keys that
+    performed both, with support / confidence / lift in exact
+    basis points (integer floor division — a double rate would round
+    ties differently across engines).
+
+    Plan: distinct (key, type) — one shuffle; per-type key counts and
+    the pair self-join both run on that deduplicated relation, whose
+    size is keys × |types| (bounded by the type vocabulary, not the
+    event count).  The pair join's fan-out per key is |types|²/2 —
+    fine for vocabulary-sized type sets; for high-cardinality item
+    catalogs the standard refinement is frequency-pruned candidates
+    (drop types below min support BEFORE the join).
+
+    Returns (type_a, type_b, n_both, n_a, n_b, support_bp,
+    confidence_bp, lift_bp) where support = n_both/n_keys,
+    confidence = n_both/n_a, lift = support/(p_a·p_b), each floored to
+    basis points (lift in 1e-4 units).
+    """
+    kt = df.select(F.col(key_col).alias("k"),
+                   F.col(type_col).alias("t")).distinct()
+    n_keys = kt.select("k").distinct().count()
+    per = kt.groupBy("t").agg(F.count("*").alias("n"))
+    a = kt.select(F.col("k"), F.col("t").alias("type_a"))
+    b = kt.select(F.col("k"), F.col("t").alias("type_b"))
+    pairs = (a.join(b, "k")
+             .filter(F.col("type_a") < F.col("type_b"))
+             .groupBy("type_a", "type_b")
+             .agg(F.count("*").alias("n_both")))
+    pa = per.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    j = (pairs.join(F.broadcast(pa), "type_a")
+         .join(F.broadcast(pb), "type_b"))
+    # exact INTEGER floor division (`div`), not floor(double/double):
+    # a double quotient one ulp below an integer floors differently
+    # than the integer division an oracle runs.  int64 envelope:
+    # n_both·n_keys·10^4 must fit — ~10^14 keys·pairs headroom; past
+    # that, widen to DECIMAL(38,0) like correlation_matrix.
+    n = int(n_keys)
+    return (j.selectExpr(
+        "type_a", "type_b", "n_both", "n_a", "n_b",
+        f"CAST((n_both * 10000) div {n} AS BIGINT) AS support_bp",
+        "CAST((n_both * 10000) div n_a AS BIGINT) AS confidence_bp",
+        f"CAST((n_both * {n} * 10000) div (n_a * n_b) AS BIGINT) "
+        "AS lift_bp"))

@@ -276,3 +276,42 @@ def bm25_topk_indexed(spark, path: str, query: str, k: int = 20,
     dfreq = (spark.read.parquet(f"{path}/stats")
              .filter(F.col("token").isin(terms)))
     return _bm25_score(tfdl, dfreq, n_docs, total_tokens, k, id_col, k1, b)
+
+
+def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase match via POSITIONAL postings: documents containing
+    the phrase's tokens at consecutive positions, with the occurrence
+    count — the positional-index sibling of the bm25 bag-of-words tier
+    (same whitespace/lowercase tokenizer, functions/text.tokens, so a
+    phrase hit here is always a term hit there).
+
+    Plan shape: posexplode the tokens (narrow), FILTER the postings to
+    the phrase's terms BEFORE any shuffle (the same
+    selectivity-first discipline as doc_term_freq — the join never
+    sees the full posting list), then chain n-1 equi-joins on
+    (doc, position + offset) — each join key includes the position,
+    so the fan-out per document is its occurrence count of the rarest
+    prefix, not |doc|.  For an n-term phrase the joins are a LINEAR
+    chain; Catalyst pushes the term filters into each scan branch.
+
+    Returns (id_col, n_hits) for documents with >= 1 occurrence.
+    """
+    from fsharp_dataframe_spark.functions.text import tokens
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__p", "__t"))
+    # one filtered postings relation per phrase slot, joined on
+    # aligned positions
+    out = (base.filter(F.col("__t") == terms[0])
+           .select("__id", F.col("__p").alias("__p0")))
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = (base.filter(F.col("__t") == t)
+               .select(F.col("__id"), (F.col("__p") - i).alias("__p0")))
+        out = out.join(nxt, ["__id", "__p0"])
+    return (out.groupBy("__id").agg(F.count("*").alias("n_hits"))
+            .select(F.col("__id").alias(id_col), "n_hits"))

@@ -381,3 +381,33 @@ def correlation_matrix(df: DataFrame, cols: list[str],
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def grouped_rank_features(df: DataFrame, by: str, value: "F.Column",
+                          id_cols: list[str], tiebreak: str,
+                          n_tiles: int = 10) -> DataFrame:
+    """Per-group rank features: dense value order position,
+    percent_rank and the n-tile bucket within each group — the
+    rank-based cousins of cross_sectional_zscore (distribution-free,
+    so heavy tails cannot drag them).
+
+    percent_rank follows the SQL standard (rank-1)/(n-1) on the VALUE
+    ordering alone (ties share a percent_rank — engine-stable), while
+    ntile needs a total order to be deterministic: the ``tiebreak``
+    column is REQUIRED in the ntile ordering, the same
+    grouped_topk/ohlc tie discipline (an untied ntile silently
+    reshuffles equal values across bucket boundaries between runs).
+
+    ONE window over the group partition; no joins, no second pass.
+    Returns (*id_cols, by, rnk, pct_rank 6dp, tile).
+    """
+    from pyspark.sql import Window
+
+    v = value.cast("double")
+    w_val = Window.partitionBy(by).orderBy(v)
+    w_tot = Window.partitionBy(by).orderBy(v, F.col(tiebreak))
+    return df.select(
+        *id_cols, by,
+        F.rank().over(w_val).cast("long").alias("rnk"),
+        F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        F.ntile(int(n_tiles)).over(w_tot).cast("long").alias("tile"))

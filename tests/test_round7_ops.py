@@ -1,0 +1,170 @@
+"""Unit pins for the round-7 operators (functions/scd.py, the events
+attribution/co-occurrence additions, search.phrase_search,
+stats.grouped_rank_features): hand-computable values, NULL policy, tie
+determinism, and plan shape — the SQL-oracle gate covers full-corpus
+replays (tools/check_oracle.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_scd2_from_events_change_detection_and_intervals(spark):
+    from fsharp_dataframe_spark.functions.scd import scd2_from_events
+
+    rows = [
+        ("u1", 1, _t(1), "A"),
+        ("u1", 2, _t(2), "A"),      # no change -> absorbed
+        ("u1", 3, _t(3), "B"),      # change
+        ("u1", 4, _t(4), None),     # change to NULL
+        ("u1", 5, _t(5), None),     # NULL -> NULL: no change
+        ("u1", 6, _t(6), "B"),      # NULL -> B: change
+        ("u2", 7, _t(1), "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, eid long, ts timestamp, attr string")
+    h = scd2_from_events(df, "k", "ts", ["attr"], tiebreak="eid")
+    got = sorted(
+        ((r["k"], r["attr"], r["valid_from"].hour,
+          r["valid_to"].hour if r["valid_to"] else None)
+         for r in h.collect()),
+        key=lambda x: (x[0], x[2]))
+    assert got == [
+        ("u1", "A", 1, 3),
+        ("u1", "B", 3, 4),
+        ("u1", None, 4, 6),
+        ("u1", "B", 6, None),
+        ("u2", "X", 1, None),
+    ]
+
+
+def test_point_in_time_join_matches_interval_and_keeps_prehistory(spark):
+    from fsharp_dataframe_spark.functions.scd import (
+        point_in_time_join, scd2_from_events,
+    )
+
+    dim_ev = spark.createDataFrame(
+        [("u1", 1, _t(2), "old"), ("u1", 2, _t(6), "new")],
+        "k string, eid long, ts timestamp, state string")
+    dim = scd2_from_events(dim_ev, "k", "ts", ["state"], tiebreak="eid")
+    facts = spark.createDataFrame(
+        [(10, "u1", _t(1)),   # pre-history -> NULL state
+         (11, "u1", _t(2)),   # valid_from inclusive -> old
+         (12, "u1", _t(5, 59)),
+         (13, "u1", _t(6)),   # boundary: new interval opens
+         (14, "u2", _t(3))],  # unknown key -> NULL
+        "fid long, k string, ts timestamp")
+    out = {r["fid"]: r["state"]
+           for r in point_in_time_join(facts, dim, "k", "ts").collect()}
+    assert out == {10: None, 11: "old", 12: "old", 13: "new", 14: None}
+    # the fact's own key must survive the left join for unmatched rows
+    keys = {r["fid"]: r["k"] for r in
+            point_in_time_join(facts, dim, "k", "ts").collect()}
+    assert keys[14] == "u2" and keys[10] == "u1"
+
+
+def test_last_touch_attribution_strictness_and_window(spark):
+    from fsharp_dataframe_spark.functions.events import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        (1, 7, "click", _t(1)),
+        (2, 7, "click", _t(3)),
+        (3, 7, "purchase", _t(3)),   # same-instant touch must NOT count
+        (4, 7, "purchase", _t(4)),   # -> click@3, lag 3600
+        (5, 7, "purchase", _t(10)),  # lag 7*3600 > max_lag -> NULL
+        (6, 8, "purchase", _t(2)),   # no touches at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r["event_id"]: (r["touch_ts"], r["lag_s"]) for r in
+           last_touch_attribution(df, "purchase", ["click"],
+                                  max_lag_s=4 * 3600).collect()}
+    assert set(out) == {3, 4, 5, 6}
+    assert out[3] == (_t(1), 2 * 3600)   # strictly-before click@1
+    assert out[4] == (_t(3), 3600)
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)
+
+
+def test_event_cooccurrence_exact_counts(spark):
+    from fsharp_dataframe_spark.functions.events import event_cooccurrence
+
+    # u1: a,b  u2: a,b  u3: a  u4: b,c  -> 4 keys
+    rows = [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (4, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {(r["type_a"], r["type_b"]): r for r in
+           event_cooccurrence(df).collect()}
+    ab = got[("a", "b")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["support_bp"] == 2 * 10000 // 4        # 5000
+    assert ab["confidence_bp"] == 2 * 10000 // 3     # 6666
+    assert ab["lift_bp"] == 2 * 4 * 10000 // 9       # 8888
+    bc = got[("b", "c")]
+    assert (bc["n_both"], bc["n_a"], bc["n_b"]) == (1, 3, 1)
+    assert ("a", "c") not in got                     # no co-occurrence
+
+
+def test_phrase_search_positions_and_counts(spark):
+    from fsharp_dataframe_spark.functions.search import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "sort merge join beats sort merge scan"),
+         (2, "merge sort is not sort  merge"),       # double space: same
+         (3, "sort  then merge"),                    # not adjacent
+         (4, "SORT MERGE uppercase"),                # case-folded
+         (5, "sort")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in phrase_search(docs, "sort merge").collect()}
+    assert got == {1: 2, 2: 1, 4: 1}
+    # three-term phrase chains two positional joins
+    got3 = {r["doc_id"]: r["n_hits"]
+            for r in phrase_search(docs, "sort merge join").collect()}
+    assert got3 == {1: 1}
+    with pytest.raises(ValueError, match="empty"):
+        phrase_search(docs, "   ")
+
+
+def test_grouped_rank_features_ties_and_tiles(spark):
+    from fsharp_dataframe_spark.functions.stats import grouped_rank_features
+
+    rows = [("g", i, v) for i, v in
+            enumerate([10.0, 10.0, 20.0, 30.0, 40.0])]
+    df = spark.createDataFrame(rows, "g string, eid long, v double")
+    out = {r["eid"]: (r["rnk"], r["pct_rank"], r["tile"]) for r in
+           grouped_rank_features(df, "g", F.col("v"), ["eid"],
+                                 tiebreak="eid", n_tiles=2).collect()}
+    # ties share rank and pct_rank; tiles split 3/2 with eid tiebreak
+    assert out[0] == (1, 0.0, 1) and out[1] == (1, 0.0, 1)
+    assert out[2] == (3, 0.5, 1)
+    assert out[3] == (4, 0.75, 2) and out[4] == (5, 1.0, 2)
+    # determinism under repartitioning (the content-hash/tiebreak
+    # discipline): same tiles whatever the physical layout
+    out2 = {r["eid"]: r["tile"] for r in
+            grouped_rank_features(df.repartition(5), "g", F.col("v"),
+                                  ["eid"], tiebreak="eid",
+                                  n_tiles=2).collect()}
+    assert out2 == {k: v[2] for k, v in out.items()}
+
+
+def test_phrase_search_plan_filters_before_join(spark):
+    """The postings must be term-filtered BELOW the join — the join
+    never sees the full posting list (the selectivity-first discipline
+    the docstring claims)."""
+    from fsharp_dataframe_spark.functions.search import phrase_search
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = phrase_search(docs, "sort merge")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("= sort") >= 1 and plan.count("= merge") >= 1
+    exec_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in exec_plan
