@@ -794,3 +794,88 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "append",
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def stream_last_touch(
+    sdf: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    max_lag_s: int | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming last-touch attribution — the stateful twin of the
+    batch functions/events.last_touch_attribution: state per key is
+    ONE (touch event-time µs, touch type) pair; each micro-batch's
+    events replay in event-time order (conversions before same-instant
+    touches, the batch kind-bit discipline), conversions read the
+    carried touch, touches update it.  Bounded state, one row emitted
+    per conversion.
+
+    Arrival-order caveat (standard for custom state, same contract as
+    stream_fill_forward): a touch arriving in a later micro-batch than
+    a conversion with greater event time is applied in arrival order —
+    within one availableNow batch the result equals the batch operator
+    exactly (the oracle-hash test pins that).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_field = sdf.schema[key_col]
+    id_field = sdf.schema[id_col]
+    out_schema = T.StructType([
+        id_field, key_field,
+        T.StructField("conv_ts_us", T.LongType(), False),
+        T.StructField("touch_type", T.StringType(), True),
+        T.StructField("touch_ts_us", T.LongType(), True),
+        T.StructField("lag_s", T.LongType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("touch_us", T.LongType(), True),
+        T.StructField("touch_type", T.StringType(), True),
+    ])
+    touches = set(touch_types)
+    max_lag_us = None if max_lag_s is None else int(max_lag_s) * 1_000_000
+
+    def fn(key, pdfs, state):
+        t_us, t_ty = (state.get if state.exists else (None, None))
+        chunks = [pdf for pdf in pdfs]
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        rows = []
+        if pdf is not None and len(pdf):
+            # conversions sort BEFORE same-instant touches (kind 0<1),
+            # so a same-µs touch never credits its own conversion
+            pdf = pdf.assign(
+                __us=pdf[ts_col].astype("datetime64[us]").astype("int64"),
+                __kind=[0 if t == conversion_type else 1
+                        for t in pdf[type_col]],
+            ).sort_values(["__us", "__kind", id_col], ignore_index=True)
+            for eid, ty, us in zip(pdf[id_col], pdf[type_col],
+                                   pdf["__us"]):
+                if ty == conversion_type:
+                    ok = t_us is not None and (
+                        max_lag_us is None or us - t_us <= max_lag_us)
+                    rows.append((eid, key[0], int(us),
+                                 t_ty if ok else None,
+                                 int(t_us) if ok else None,
+                                 (int(us) - int(t_us)) // 1_000_000
+                                 if ok else None))
+                elif ty in touches:
+                    t_us, t_ty = int(us), ty
+        state.update((t_us, t_ty))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[id_col, key_col, "conv_ts_us",
+                               "touch_type", "touch_ts_us", "lag_s"])
+
+    return (
+        sdf.filter(F.col(type_col).isin([conversion_type, *touch_types]))
+        .withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )

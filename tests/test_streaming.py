@@ -959,3 +959,77 @@ def test_stream_ohlc_multiweek_bars_align_to_monday(spark, events_stream_dir):
             f"WHERE pmod(datediff(bucket, DATE'1970-01-05'), {days}) != 0"
         ).collect()[0]["bad"]
         assert anchored == 0, iv
+
+
+def test_stream_last_touch_matches_duckdb_oracle(spark, events_stream_dir):
+    """Streaming last-touch attribution (stream_last_touch) driven
+    availableNow and hash-compared against the SAME DuckDB oracle SQL
+    as the batch q_attribution — per-conversion rows, so every
+    attribution decision (touch choice, 3-day window cut, strictness
+    at equal timestamps) is value-pinned, not just counts."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_last_touch
+
+    s = _events_stream(spark, events_stream_dir)
+    out = stream_last_touch(s, "purchase", ["click"], max_lag_s=3 * 86400)
+    name = run_to_memory(out, "t_attr_oracle")
+    got = spark.sql(
+        f"SELECT event_id, user_id, conv_ts_us, touch_ts_us, lag_s "
+        f"FROM {name}").toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["attribution"]).df()
+    con.close()
+    problems = compare("stream_last_touch", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_last_touch_state_carries_across_batches(spark, tmp_path):
+    """The carried touch survives micro-batch boundaries and restarts:
+    a click in batch 1 credits a purchase arriving in batch 2 through
+    the checkpointed state."""
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_last_touch
+
+    d = str(tmp_path / "attr_batches")
+    ckpt = str(tmp_path / "attr_ckpt")
+    shutil.rmtree(d, ignore_errors=True)
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def ts(h):
+        return F.lit(f"2024-01-01 {h:02d}:00:00").cast("timestamp")
+
+    outdir = str(tmp_path / "attr_out")
+
+    def run_phase():
+        # memory sink cannot recover from a checkpoint — a file sink can
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+        q = (stream_last_touch(src, "purchase", ["click"])
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    b1 = spark.createDataFrame(
+        [(1, 7, "click"), (2, 8, "purchase")],
+        "event_id long, user_id long, event_type string")
+    b1.withColumn("ts", ts(1)).coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    r1 = spark.read.parquet(outdir).collect()
+    assert len(r1) == 1 and r1[0]["touch_type"] is None  # u8: no touch
+
+    b2 = spark.createDataFrame(
+        [(3, 7, "purchase")],
+        "event_id long, user_id long, event_type string")
+    b2.withColumn("ts", ts(2)).coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    r2 = {r["event_id"]: r for r in spark.read.parquet(outdir).collect()}
+    assert 3 in r2 and r2[3]["touch_type"] == "click"    # carried state
+    assert r2[3]["lag_s"] == 3600
