@@ -2249,6 +2249,44 @@ def q_tpch_q5(spark, sf) -> DataFrame:
             .orderBy(F.desc("revenue")))
 
 
+def q_snapshot_diff(spark, sf) -> DataFrame:
+    """Snapshot diff (functions/diff.snapshot_diff): two simulated
+    versions of the orders table — v2 drops keys ≡ 0 (mod 97)
+    (removed), re-prices keys ≡ 1 (mod 89) (changed), and appends
+    key+10^9 clones of keys ≡ 2 (mod 83) (added) — aligned by ONE
+    full-outer key join with a null-safe column compare.  The output
+    is change-sized (unchanged rows filtered), the property that makes
+    diffing a 100 TB table useful at all."""
+    from fsharp_dataframe_spark.functions.diff import snapshot_diff
+
+    orders = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    v2 = (orders.filter(F.col("o_orderkey") % 97 != 0)
+          .withColumn(
+              "o_totalprice",
+              F.when(F.col("o_orderkey") % 89 == 1,
+                     F.round(F.col("o_totalprice") + 1, 2))
+              .otherwise(F.col("o_totalprice"))))
+    added = (orders.filter(F.col("o_orderkey") % 83 == 2)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + F.lit(1_000_000_000)))
+    v2 = v2.unionByName(added)
+    d = snapshot_diff(orders, v2, "o_orderkey")
+    return d.select("o_orderkey", "status",
+                    F.array_join("changed_cols", ",").alias("changed"))
+
+
+def q_transitions(spark, sf) -> DataFrame:
+    """First-order event-type transition matrix
+    (functions/events.event_transitions): consecutive-event pairs per
+    user via one keyed lag window, counts + exact basis-point
+    probabilities (integer div by the from-type's outgoing total)."""
+    from fsharp_dataframe_spark.functions.events import event_transitions
+
+    ev = load_table(spark, sf, "events")
+    return event_transitions(ev)
+
+
 # ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
@@ -2383,7 +2421,7 @@ EXTRA_QUERIES = (
     # TPC-H Q5)
     "media_png_decode", "scd2_track", "scd2_pit", "attribution",
     "basket_pairs", "phrase_hits", "rank_features", "split_leakage",
-    "sales_cube", "tpch_q5",
+    "sales_cube", "tpch_q5", "snapshot_diff", "transitions",
     "minhash_pairs", "near_dedup",
     "ngram_jaccard", "pack_shards", "pairwise", "profile_cols",
     "quality_classifier", "realign", "rep_quality", "resample_keys",
@@ -2550,6 +2588,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "sales_cube": q_sales_cube,
         "tpch_q5": q_tpch_q5,
+        "snapshot_diff": q_snapshot_diff,
+        "transitions": q_transitions,
     }
 
 
@@ -5028,6 +5068,63 @@ def _all_oracle_sql() -> dict[str, str]:
                     + GROUPING(l_linestatus))::BIGINT AS gid
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # full-outer alignment + null-safe compare, change-sized output
+        "snapshot_diff": """
+            WITH v1 AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+            v2 AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 89 = 1
+                          THEN round(o_totalprice + 1, 2)
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderstatus
+              FROM orders WHERE o_orderkey % 97 != 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 83 = 2),
+            j AS (
+              SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+                     v1.o_orderkey IS NULL AS is_added,
+                     v2.o_orderkey IS NULL AS is_removed,
+                     (v1.o_totalprice IS DISTINCT FROM v2.o_totalprice)
+                       AS d_price,
+                     (v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus)
+                       AS d_status
+              FROM v1 FULL OUTER JOIN v2 USING (o_orderkey))
+            SELECT o_orderkey,
+                   CASE WHEN is_added THEN 'added'
+                        WHEN is_removed THEN 'removed'
+                        WHEN d_price OR d_status THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN is_added OR is_removed THEN ''
+                        ELSE array_to_string(
+                          [c for c in ['o_orderstatus', 'o_totalprice']
+                           if (c = 'o_totalprice' AND d_price)
+                              OR (c = 'o_orderstatus' AND d_status)],
+                          ',') END AS changed
+            FROM j
+            WHERE NOT (NOT is_added AND NOT is_removed
+                       AND NOT d_price AND NOT d_status)
+        """,
+        # consecutive-pair counts + exact basis-point probabilities
+        "transitions": """
+            WITH o AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS from_type
+              FROM events),
+            pairs AS (
+              SELECT from_type, event_type AS to_type,
+                     count(*)::BIGINT AS n
+              FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (
+              SELECT from_type, sum(n)::BIGINT AS n_from
+              FROM pairs GROUP BY 1)
+            SELECT p.from_type, p.to_type, p.n, t.n_from,
+                   ((p.n * 10000) // t.n_from)::BIGINT AS prob_bp
+            FROM pairs p JOIN tot t USING (from_type)
         """,
         "tpch_q5": """
             SELECT n_name,

@@ -134,6 +134,8 @@ HEADLINE = [
     "split_leakage",
     "sales_cube",
     "tpch_q5",
+    "snapshot_diff",
+    "transitions",
 ]
 
 

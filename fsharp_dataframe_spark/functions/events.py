@@ -376,3 +376,36 @@ def event_cooccurrence(df: DataFrame, key_col: str = "user_id",
         "CAST((n_both * 10000) div n_a AS BIGINT) AS confidence_bp",
         f"CAST((n_both * {n} * 10000) div (n_a * n_b) AS BIGINT) "
         "AS lift_bp"))
+
+
+def event_transitions(df: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tiebreak: str = "event_id") -> DataFrame:
+    """First-order transition matrix of event types: for every ordered
+    pair (from_type, to_type) of CONSECUTIVE events within a key, the
+    transition count and probability — the Markov-chain summary
+    product analytics reads next to the funnel (funnel asks "did the
+    step ever happen later", transitions ask "what happens NEXT").
+
+    One key-partitioned window (lag over (ts, tiebreak) — the
+    sessionize tie discipline, so membership is rerun-deterministic)
+    plus one (from, to)-keyed groupBy with map-side combine.
+    Probabilities are exact basis points (integer floor division by
+    the from-type's outgoing total).
+
+    Returns (from_type, to_type, n, n_from, prob_bp).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col),
+                                            F.col(tiebreak))
+    prev = F.lag(F.col(type_col)).over(w)
+    pairs = (df.withColumn("__from", prev)
+             .filter(F.col("__from").isNotNull())
+             .groupBy(F.col("__from").alias("from_type"),
+                      F.col(type_col).alias("to_type"))
+             .agg(F.count("*").alias("n")))
+    totals = (pairs.groupBy("from_type")
+              .agg(F.sum("n").alias("n_from")))
+    return (pairs.join(F.broadcast(totals), "from_type")
+            .selectExpr("from_type", "to_type", "n", "n_from",
+                        "CAST((n * 10000) div n_from AS BIGINT) "
+                        "AS prob_bp"))

@@ -168,3 +168,53 @@ def test_phrase_search_plan_filters_before_join(spark):
     assert plan.count("= sort") >= 1 and plan.count("= merge") >= 1
     exec_plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in exec_plan
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    from fsharp_dataframe_spark.functions.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", None),        # NULL == NULL -> unchanged
+         (3, "c", 31.0),        # changed (v)
+         (5, "e", 50.0),        # added
+         # 4 removed
+         ], "k long, s string, v double")
+    got = {r["k"]: (r["status"], list(r["changed_cols"])) for r in
+           snapshot_diff(old, new, "k").collect()}
+    assert got == {3: ("changed", ["v"]), 4: ("removed", []),
+                   5: ("added", [])}
+    # include_unchanged surfaces the full census; NULL->value is a change
+    new2 = new.withColumn("s", F.when(F.col("k") == 2, "x")
+                          .otherwise(F.col("s")))
+    got2 = {r["k"]: r["status"] for r in
+            snapshot_diff(old, new2, "k",
+                          include_unchanged=True).collect()}
+    assert got2[1] == "unchanged" and got2[2] == "changed"
+    # multi-column change lists both names, sorted
+    new3 = new.withColumn("s", F.when(F.col("k") == 3, "z")
+                          .otherwise(F.col("s")))
+    got3 = {r["k"]: list(r["changed_cols"]) for r in
+            snapshot_diff(old, new3, "k").collect()}
+    assert got3[3] == ["s", "v"]
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from fsharp_dataframe_spark.functions.events import event_transitions
+
+    rows = [(1, 7, "a", _t(1)), (2, 7, "b", _t(2)), (3, 7, "a", _t(3)),
+            (4, 7, "b", _t(4)),   # a->b, b->a, a->b
+            (5, 8, "a", _t(1)), (6, 8, "a", _t(2))]  # a->a
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["n_from"],
+                                            r["prob_bp"]) for r in
+           event_transitions(df).collect()}
+    assert got == {
+        ("a", "b"): (2, 3, 6666),
+        ("a", "a"): (1, 3, 3333),
+        ("b", "a"): (1, 1, 10000),
+    }
