@@ -88,3 +88,20 @@ def test_timeseries_analytics_end_to_end(spark):
     # every purchase emits a row; only those with a prior click fill
     assert out["asof"]["with_prior_click"] <= out["asof"]["purchases"]
     assert out["asof"]["with_prior_click"] > 0
+
+
+def test_attribution_warehouse_end_to_end(spark):
+    from attribution_warehouse import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert out["scd2_dim"]["intervals"] > 0
+    # point-in-time: every purchase row survives the left join; only
+    # those with a prior view carry a band
+    assert out["point_in_time"]["with_band"] <= \
+        out["point_in_time"]["purchases"]
+    assert out["point_in_time"]["with_band"] > 0
+    assert 0 < out["attribution"]["attributed"] <= \
+        out["attribution"]["conversions"]
+    # 5 event types -> at most 25 transition pairs, 10 unordered pairs
+    assert 0 < out["transitions"]["pairs"] <= 25
+    assert 0 < out["basket"]["pairs"] <= 10
