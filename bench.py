@@ -191,6 +191,15 @@ ACCOUNTING_CHANGES = [
                "plan change — bucket counts, cut placement and results "
                "are identical; the r6 entry's cut-placement hypothesis "
                "is superseded by this measurement."},
+    {"round": 7, "queries": ["fuzzy_names"],
+     "change": "fuzzy_join_pairs now defaults to the prefix-filter "
+               "signature tier (r6 VERDICT ask #5): join fan-out drops "
+               "1689 -> 405 rows at sf0.1 (-76%, the scale win), but "
+               "the tier adds a frequency groupBy + two per-string "
+               "ranking windows, so at this corpus's 64 distinct names "
+               "the fixed stage overhead can outweigh the fan-out "
+               "saving; result identical (lossless, naive-join "
+               "oracle unchanged)."},
 ]
 
 

@@ -337,21 +337,25 @@ def event_cooccurrence(df: DataFrame, key_col: str = "user_id",
     basis points (integer floor division — a double rate would round
     ties differently across engines).
 
-    Plan: distinct (key, type) — one shuffle; per-type key counts and
-    the pair self-join both run on that deduplicated relation, whose
-    size is keys × |types| (bounded by the type vocabulary, not the
-    event count).  The pair join's fan-out per key is |types|²/2 —
-    fine for vocabulary-sized type sets; for high-cardinality item
-    catalogs the standard refinement is frequency-pruned candidates
-    (drop types below min support BEFORE the join).
+    Plan: distinct (key, type) — one shuffle, PERSISTED because four
+    consumers read it (the key-total count, the per-type counts, and
+    both sides of the pair self-join; without the persist the distinct
+    shuffle replays per consumer).  The persisted relation's size is
+    keys × |types| (bounded by the type vocabulary, not the event
+    count).  The pair join's fan-out per key is |types|²/2 — fine for
+    vocabulary-sized type sets; for high-cardinality item catalogs the
+    standard refinement is frequency-pruned candidates (drop types
+    below min support BEFORE the join).
 
     Returns (type_a, type_b, n_both, n_a, n_b, support_bp,
     confidence_bp, lift_bp) where support = n_both/n_keys,
     confidence = n_both/n_a, lift = support/(p_a·p_b), each floored to
     basis points (lift in 1e-4 units).
     """
-    kt = df.select(F.col(key_col).alias("k"),
-                   F.col(type_col).alias("t")).distinct()
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    kt = track_persist(df.select(F.col(key_col).alias("k"),
+                                 F.col(type_col).alias("t")).distinct())
     n_keys = kt.select("k").distinct().count()
     per = kt.groupBy("t").agg(F.count("*").alias("n"))
     a = kt.select(F.col("k"), F.col("t").alias("type_a"))

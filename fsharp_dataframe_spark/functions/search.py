@@ -287,26 +287,31 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
     phrase hit here is always a term hit there).
 
     Plan shape: posexplode the tokens (narrow), FILTER the postings to
-    the phrase's terms BEFORE any shuffle (the same
-    selectivity-first discipline as doc_term_freq — the join never
-    sees the full posting list), then chain n-1 equi-joins on
+    the phrase's term SET before any shuffle and PERSIST that one
+    small relation (the same selectivity-first discipline as
+    doc_term_freq — without the persist each phrase slot would re-scan
+    and re-tokenize the whole corpus), then chain n-1 equi-joins on
     (doc, position + offset) — each join key includes the position,
     so the fan-out per document is its occurrence count of the rarest
     prefix, not |doc|.  For an n-term phrase the joins are a LINEAR
-    chain; Catalyst pushes the term filters into each scan branch.
+    chain over the persisted postings.
 
     Returns (id_col, n_hits) for documents with >= 1 occurrence.
     """
     from fsharp_dataframe_spark.functions.text import tokens
+    from fsharp_dataframe_spark.functions.util import spread, track_persist
 
     terms = [t for t in phrase.lower().split() if t]
     if not terms:
         raise ValueError("phrase_search: empty phrase")
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__p", "__t"))
-    # one filtered postings relation per phrase slot, joined on
-    # aligned positions
+    base = track_persist(
+        spread(df, id_col, text_col)
+        .select(F.col(id_col).alias("__id"),
+                F.posexplode(tokens(F.lower(F.col(text_col))))
+                .alias("__p", "__t"))
+        .filter(F.col("__t").isin(list(set(terms)))))
+    # one filtered postings branch per phrase slot, joined on aligned
+    # positions — all branches read the persisted term postings
     out = (base.filter(F.col("__t") == terms[0])
            .select("__id", F.col("__p").alias("__p0")))
     for i, t in enumerate(terms[1:], start=1):
