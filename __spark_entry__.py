@@ -724,7 +724,12 @@ def q_corpus_stats(spark, sf) -> DataFrame:
     token counts (EXACT percentiles — sort-based, deterministic, no
     float-sum ordering hazard), and mean quality score carried as
     integer ten-thousandths (_isum) so the average is order-exact.
-    One shuffle on the lang key; partial aggregation map-side."""
+    One shuffle on the lang key; partial aggregation map-side.
+    Scale note: lang is a low-cardinality group key, so the exact
+    percentile state is the hot-reducer shape functions/stats._pct
+    documents — a production run at real scale swaps these two
+    aggregates for approx_percentile exactly as the stats family's
+    exact=False tier does; exact stays here as the oracle contract."""
     from fsharp_dataframe_spark.functions import text as TX
 
     docs = load_table(spark, sf, "documents")

@@ -522,3 +522,101 @@ def test_ohlc_bars_agree_with_pandas_reference(spark, rows):
         exp[b] = (g["v"].iloc[0], g["v"].max(), g["v"].min(),
                   g["v"].iloc[-1], len(g))
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round-7 operators: SCD2 interval laws, snapshot-diff laws, transition sums
+# ---------------------------------------------------------------------------
+
+@given(events=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),     # key
+              st.integers(min_value=0, max_value=50),    # ts offset (s)
+              st.sampled_from(["A", "B", "C"])),         # attr
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_scd2_intervals_partition_time(spark, events):
+    """SCD2 laws: per key, intervals are disjoint, contiguous
+    (valid_to == next valid_from), open-ended at the tail, start at
+    the key's first event, and adjacent intervals always CHANGE the
+    attribute (change detection admits no A->A seam)."""
+    import datetime as dt
+
+    from fsharp_dataframe_spark.functions.scd import scd2_from_events
+
+    rows = [(k, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), a)
+            for i, (k, s, a) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "k long, eid long, ts timestamp, attr string")
+    h = scd2_from_events(df, "k", "ts", ["attr"], tiebreak="eid")
+    by_key: dict = {}
+    for r in h.collect():
+        by_key.setdefault(r["k"], []).append(
+            (r["valid_from"], r["valid_to"], r["attr"]))
+    firsts = {k: min(t for kk, _, t, _ in rows if kk == k)
+              for k in {kk for kk, *_ in rows}}
+    # deterministic first attr: min (ts, eid) row per key
+    first_attr = {}
+    for k, eid, t, a in sorted(rows, key=lambda x: (x[0], x[2], x[1])):
+        first_attr.setdefault(k, a)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda x: x[0])
+        assert ivs[0][0] == firsts[k]          # history opens at first event
+        assert ivs[0][2] == first_attr[k]
+        assert ivs[-1][1] is None              # tail open-ended
+        for (f1, t1, a1), (f2, t2, a2) in zip(ivs, ivs[1:]):
+            assert t1 == f2                    # contiguous, disjoint
+            assert a1 != a2                    # every seam is a change
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20),
+              st.integers(min_value=0, max_value=3)),
+    min_size=0, max_size=20, unique_by=lambda x: x[0]))
+@settings(**SETTINGS)
+def test_snapshot_diff_laws(spark, rows):
+    """diff(X, X) is empty; diff(X, Y) statuses invert under argument
+    swap (added <-> removed, changed stays changed with the same
+    column list)."""
+    from fsharp_dataframe_spark.functions.diff import snapshot_diff
+
+    old = spark.createDataFrame(rows + [(999, 0)], "k long, v long")
+    # perturb: drop k%3==0, bump v of k%3==1
+    new = (old.filter(F.col("k") % 3 != 0)
+           .withColumn("v", F.when(F.col("k") % 3 == 1,
+                                   F.col("v") + 1).otherwise(F.col("v"))))
+    assert snapshot_diff(old, old, "k").count() == 0
+    fwd = {r["k"]: (r["status"], tuple(r["changed_cols"]))
+           for r in snapshot_diff(old, new, "k").collect()}
+    rev = {r["k"]: (r["status"], tuple(r["changed_cols"]))
+           for r in snapshot_diff(new, old, "k").collect()}
+    assert set(fwd) == set(rev)
+    inv = {"added": "removed", "removed": "added", "changed": "changed"}
+    for k, (s, cols) in fwd.items():
+        assert rev[k] == (inv[s], cols), k
+
+
+@given(events=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),
+              st.sampled_from(["x", "y", "z"])),
+    min_size=2, max_size=30))
+@settings(**SETTINGS)
+def test_transition_probs_sum_to_one_in_floor_units(spark, events):
+    """Per from_type: Σn == n_from, and Σprob_bp lands in
+    (10000 - n_pairs, 10000] — the floor-division residue bound."""
+    import datetime as dt
+
+    from fsharp_dataframe_spark.functions.events import event_transitions
+
+    rows = [(i, k, t, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i))
+            for i, (k, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = event_transitions(df).collect()
+    by_from: dict = {}
+    for r in out:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for f, rs in by_from.items():
+        n_from = rs[0]["n_from"]
+        assert sum(r["n"] for r in rs) == n_from
+        s = sum(r["prob_bp"] for r in rs)
+        assert 10000 - len(rs) < s <= 10000, (f, s)
