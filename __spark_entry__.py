@@ -1343,8 +1343,11 @@ def q_media_png_decode(spark, sf) -> DataFrame:
     ((i + y) % 256 per row), so the DuckDB oracle replays each decoded
     band mean exactly: band b of image i = mean of 4 consecutive
     constant rows starting at y = 4b, an exact quarter-integer in both
-    fp32 and double.  The per-(decode_ok, feat0-mod-16) rollup keeps
-    the compared relation small while every row's decode feeds it."""
+    fp32 and double.  The comparison is deliberately PER-IMAGE (one
+    row per media_id, two band features each) — every single decode is
+    value-pinned, the strongest check the fixture admits; the
+    compared relation is documents-count rows, the same order as the
+    corpus queries the gate already materializes."""
     from fsharp_dataframe_spark.functions.multimodal import (
         extract_features, make_fake_png_media,
     )
@@ -2189,8 +2192,12 @@ def q_split_leakage(spark, sf) -> DataFrame:
     near-duplicate pairs (functions/dedup.ngram_jaccard_pairs,
     jaccard >= 0.2) and count pairs by the splits they straddle — the
     "is my eval set leaking into training" report.  Pure composition
-    of two registered operators; one extra broadcast join against the
-    (tiny) per-doc split labels."""
+    of two registered operators plus two label joins.  The label
+    relation is CORPUS-sized (one row per document), so it is NOT
+    force-broadcast — AQE picks broadcast while it fits and falls back
+    to a shuffle join at real scale (a forced broadcast of 10^9 labels
+    would blow the 8 GB broadcast ceiling); the near-dup PAIR relation
+    is the small side."""
     from fsharp_dataframe_spark.functions.dedup import ngram_jaccard_pairs
     from fsharp_dataframe_spark.functions.sampling import hash_split
 
@@ -2202,8 +2209,8 @@ def q_split_leakage(spark, sf) -> DataFrame:
                     F.col("split").alias("split_a"))
     lb = lab.select(F.col("doc_id").alias("id_b"),
                     F.col("split").alias("split_b"))
-    return (pairs.join(F.broadcast(la), "id_a")
-            .join(F.broadcast(lb), "id_b")
+    return (pairs.join(la, "id_a")
+            .join(lb, "id_b")
             .groupBy("split_a", "split_b")
             .agg(F.count("*").alias("n_pairs"),
                  F.sum(F.when(F.col("split_a") != F.col("split_b"), 1)

@@ -213,23 +213,32 @@ def grouped_topk(df: DataFrame, by: str, order_col: str, k: int,
     """Top-k rows per group by ``order_col`` descending — the "top
     events per user / top documents per language" shape.  Ties are
     broken by ``tiebreak_col`` ascending; when none is given, a
-    CONTENT-HASH tiebreak (xxhash64 over every column) is appended
+    CONTENT-HASH tiebreak (xxhash64 over every HASHABLE column —
+    MAP-typed columns are skipped, xxhash64 rejects them) is appended
     automatically, so the default is deterministic across runs,
     partitionings and engines — row_number's arbitrary order under
     ties is never the deciding factor (VERDICT r6 minor #5; the
     explicit-tiebreak form remains the readable contract for callers
-    who have a natural key).
+    who have a natural key, and skips the per-row whole-row hash).
+    Degenerate corner: a frame whose EVERY column is map-typed keeps
+    row_number's arbitrary tie order (nothing hashable to pin it).
 
     Scale shape: one window over the group partition — row_number is
     rank-k-prunable by Spark (WindowGroupLimit pushes the k limit
     below the sort since 3.5), so each group sorts only what it must;
     no group ever gathers beyond its own partition.
     """
+    from pyspark.sql import types as T
+
     order = [F.col(order_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
     else:
-        order.append(F.xxhash64(*[F.col(c) for c in df.columns]).asc())
+        hashable = [f.name for f in df.schema.fields
+                    if not isinstance(f.dataType, T.MapType)]
+        if hashable:
+            order.append(
+                F.xxhash64(*[F.col(c) for c in hashable]).asc())
     w = Window.partitionBy(by).orderBy(*order)
     return (df.withColumn(rank_col, F.row_number().over(w))
             .filter(F.col(rank_col) <= int(k)))
@@ -310,23 +319,28 @@ def last_touch_attribution(df: DataFrame, conversion_type: str,
         F.struct(F.col(ts_col).alias("t"), F.col(type_col).alias("y")))
     carried = base.withColumn(
         "__touch", F.last(touch_struct, ignorenulls=True).over(w))
-    lag_s = ((F.unix_micros(F.col(ts_col))
-              - F.unix_micros(F.col("__touch.t"))) / F.lit(1_000_000)
-             ).cast("long")
+    # the window bound compares EXACT microseconds — truncating to
+    # whole seconds first would admit lags in (max_lag_s, max_lag_s+1)
+    # that the µs-exact oracle and stream_last_touch reject
+    lag_us = (F.unix_micros(F.col(ts_col))
+              - F.unix_micros(F.col("__touch.t")))
     out = (carried.filter(F.col("__kind") == 0)
-           .withColumn("__lag", lag_s))
+           .withColumn("__lag_us", lag_us))
     if max_lag_s is not None:
         out = out.withColumn(
-            "__touch", F.when(F.col("__lag") <= int(max_lag_s),
-                              F.col("__touch")))
+            "__touch", F.when(
+                F.col("__lag_us") <= int(max_lag_s) * 1_000_000,
+                F.col("__touch")))
         out = out.withColumn(
-            "__lag", F.when(F.col("__touch").isNotNull(), F.col("__lag")))
+            "__lag_us", F.when(F.col("__touch").isNotNull(),
+                               F.col("__lag_us")))
     return out.select(
         F.col(id_col), F.col(key_col),
         F.col(ts_col).alias("conv_ts"),
         F.col("__touch.y").alias("touch_type"),
         F.col("__touch.t").alias("touch_ts"),
-        F.col("__lag").alias("lag_s"))
+        (F.col("__lag_us") / F.lit(1_000_000)).cast("long")
+        .alias("lag_s"))
 
 
 def event_cooccurrence(df: DataFrame, key_col: str = "user_id",

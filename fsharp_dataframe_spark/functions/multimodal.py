@@ -105,17 +105,21 @@ def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
     return _band_means(arr, feat_dim)
 
 
-def _png_features(payload: bytes, feat_dim: int) -> list[float] | None:
+def _png_features(payload: bytes, feat_dim: int,
+                  max_pixels: int | None = None) -> list[float] | None:
     """Tier-2 image decode via the stdlib PNG codec (functions/png.py):
     same grayscale band-mean features as the PIL tier (identical 601-2
     luminance, so the two tiers agree on the same PNG).  Returns None
-    when the payload is not a supported PNG."""
+    when the payload is not a supported PNG.  ``max_pixels`` overrides
+    the codec's CPU/memory cap for trusted corpora."""
     import numpy as np
 
-    from fsharp_dataframe_spark.functions.png import decode_gray
+    from fsharp_dataframe_spark.functions import png as PNG
 
     try:
-        w, h, lum = decode_gray(bytes(payload))
+        w, h, lum = PNG.decode_gray(
+            bytes(payload),
+            max_pixels=max_pixels or PNG._MAX_PIXELS)
     except Exception:
         return None
     arr = np.asarray(lum, dtype=np.float32).reshape(h, w)
@@ -139,13 +143,14 @@ def _band_means(arr, feat_dim: int) -> list[float] | None:
     return [float(row_means[i]) for i in idx]
 
 
-def _image_features(payload: bytes | None, feat_dim: int) -> list[float] | None:
+def _image_features(payload: bytes | None, feat_dim: int,
+                    max_pixels: int | None = None) -> list[float] | None:
     """Real-decode tiering: PIL, then stdlib PNG, else None."""
     if payload is None or len(payload) == 0:
         return None
     decoded = _pil_features(payload, feat_dim)
     if decoded is None:
-        decoded = _png_features(payload, feat_dim)
+        decoded = _png_features(payload, feat_dim, max_pixels=max_pixels)
     return decoded
 
 
@@ -159,7 +164,8 @@ def _resolve_real_decode(real_decode) -> bool:
 
 
 def extract_features(df: DataFrame, real_decode: bool | str = False,
-                     feat_dim: int = 8) -> DataFrame:
+                     feat_dim: int = 8,
+                     max_pixels: int | None = None) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow batches).
 
     real_decode=False  — deterministic payload-byte features (always
@@ -172,6 +178,9 @@ def extract_features(df: DataFrame, real_decode: bool | str = False,
                          neither tier can decode get decode_ok=False
                          and the byte-feature fallback — never an
                          executor exception mid-100-TB-job.
+    ``max_pixels`` reaches the stdlib codec's CPU/memory cap (default
+    4 MP, functions/png._MAX_PIXELS) — the escape hatch for trusted
+    corpora with larger images.
     """
 
     def _featurize(batches: Iterator) -> Iterator:
@@ -183,7 +192,8 @@ def extract_features(df: DataFrame, real_decode: bool | str = False,
             for payload in pdf["payload"]:
                 decoded = None
                 if use_real:
-                    decoded = _image_features(payload, feat_dim)
+                    decoded = _image_features(payload, feat_dim,
+                                              max_pixels=max_pixels)
                 if decoded is not None:
                     feats.append(decoded)
                     oks.append(True)
@@ -200,7 +210,8 @@ def extract_features(df: DataFrame, real_decode: bool | str = False,
 
 
 def resize_media(df: DataFrame, target_w: int, target_h: int,
-                 real_decode: bool | str = False) -> DataFrame:
+                 real_decode: bool | str = False,
+                 max_pixels: int | None = None) -> DataFrame:
     """Image resize via mapInPandas — the same Arrow batch shape a real
     thumbnailing pass has, returning MEDIA_SCHEMA rows with updated
     meta (width/height = target) and the resized payload.
@@ -248,10 +259,12 @@ def resize_media(df: DataFrame, target_w: int, target_h: int,
             return None
         resized = _pil_resize(payload)
         if resized is None:
-            from fsharp_dataframe_spark.functions.png import resize_nearest
+            from fsharp_dataframe_spark.functions import png as PNG
 
             try:
-                resized = resize_nearest(bytes(payload), target_w, target_h)
+                resized = PNG.resize_nearest(
+                    bytes(payload), target_w, target_h,
+                    max_pixels=max_pixels or PNG._MAX_PIXELS)
             except Exception:
                 resized = None
         return resized
@@ -335,8 +348,10 @@ def make_fake_png_media(spark, n: int, width: int = 32,
                          for _ in ids],
             })
 
-    # spread generation across the cluster; ~4k images per task keeps
-    # the encode step parallel without tiny-task overhead
-    parts = max(1, min(256, n // 4096 + 1))
+    # spread generation across the cluster at ~4k images per task —
+    # UNCAPPED task count (a fixed cap would serialize the pure-Python
+    # encode at corpus row counts: 10^8 images over 256 tasks is ~390k
+    # serial encodes per task regardless of cluster size)
+    parts = max(1, (int(n) + 4095) // 4096)
     return spark.range(0, int(n), 1, parts).mapInPandas(
         gen, schema=MEDIA_SCHEMA)

@@ -171,11 +171,14 @@ def decode_png(data: bytes,
     return width, height, channels, bytes(out)
 
 
-def decode_gray(data: bytes) -> tuple[int, int, list[int]]:
+def decode_gray(data: bytes,
+                max_pixels: int = _MAX_PIXELS) -> tuple[int, int, list[int]]:
     """Decode a PNG and collapse to 8-bit grayscale (ITU-R 601-2
     luminance for color, PIL's convert('L') formula with truncation),
-    returning (width, height, row-major luminance values)."""
-    width, height, channels, px = decode_png(data)
+    returning (width, height, row-major luminance values).
+    ``max_pixels`` passes through to `decode_png` so trusted callers
+    can raise the CPU/memory cap."""
+    width, height, channels, px = decode_png(data, max_pixels=max_pixels)
     if channels == 1:
         return width, height, list(px)
     if channels == 2:  # gray + alpha
@@ -186,11 +189,13 @@ def decode_gray(data: bytes) -> tuple[int, int, list[int]]:
     return width, height, lum
 
 
-def resize_nearest(data: bytes, target_w: int, target_h: int) -> bytes:
+def resize_nearest(data: bytes, target_w: int, target_h: int,
+                   max_pixels: int = _MAX_PIXELS) -> bytes:
     """Nearest-neighbor PNG resize entirely in stdlib: decode, index-map
     (src = floor(dst * src_dim / dst_dim) — PIL NEAREST's convention),
-    re-encode with the same channel count."""
-    width, height, channels, px = decode_png(data)
+    re-encode with the same channel count.  ``max_pixels`` passes
+    through to `decode_png`."""
+    width, height, channels, px = decode_png(data, max_pixels=max_pixels)
     stride = width * channels
     out = bytearray(target_w * target_h * channels)
     for ty in range(target_h):

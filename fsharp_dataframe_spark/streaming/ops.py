@@ -293,22 +293,19 @@ def stream_ohlc(
     Spark windows start at the epoch (1970-01-01, a Thursday), so
     weekly bars need a 4-day offset to land on Mondays and hash-match
     the batch `date_trunc('week')` oracle (the test_streaming.py
-    oracle-hash loop pins exactly that).  The default derives the
-    offset from ``interval``: for any whole-week multiple ('7 days',
-    '2 weeks', '28 days'...) it is 345600 % interval_seconds — the
-    Monday alignment generalized to multi-week slides (for one week
-    that reduces to the 4-day offset; any multi-week grid then has
-    Monday 1970-01-05 as a bar start, the anchor date_trunc-style
-    calendars use) — and '0 seconds' otherwise: an offset must be
-    shorter than the slide, so a fixed 4-day default would reject
-    every sub-weekly bar width at analysis.
+    oracle-hash loop pins exactly that).  The default: any whole-week
+    multiple ('7 days', '2 weeks', '28 days'...) gets the 4-day
+    offset — formally 345600 mod the slide, but every whole-week
+    slide exceeds 345600 s, so the literal is the value; it anchors
+    Monday 1970-01-05 as a bar start on every such grid, the anchor
+    date_trunc-style calendars use — and '0 seconds' otherwise: an
+    offset must be shorter than the slide, so a fixed 4-day default
+    would reject every sub-weekly bar width at analysis.
     """
     if start_offset is None:
         secs = _interval_seconds(interval)
-        if secs and secs % 604_800 == 0:
-            start_offset = f"{345_600 % secs} seconds"
-        else:
-            start_offset = "0 seconds"
+        start_offset = ("4 days" if secs and secs % 604_800 == 0
+                        else "0 seconds")
     tie = [F.col(tiebreak)] if tiebreak else []
     order = F.struct(F.col(ts_col), *tie)
     v = F.col(value_col)

@@ -218,3 +218,44 @@ def test_event_transitions_counts_and_probs(spark):
         ("a", "a"): (1, 3, 3333),
         ("b", "a"): (1, 1, 10000),
     }
+
+
+def test_last_touch_attribution_window_is_microsecond_exact(spark):
+    """The max-lag bound compares exact microseconds, not
+    whole-second-truncated lags: a touch max_lag_s + 0.4s before the
+    conversion must NOT be credited (the µs-exact DuckDB oracle and
+    stream_last_touch both reject it), while one exactly max_lag_s
+    before must be."""
+    from fsharp_dataframe_spark.functions.events import (
+        last_touch_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # lag = 3600.4 s -> beyond a 3600 s window despite trunc==3600
+        (1, 7, "click", base - dt.timedelta(seconds=3600, microseconds=400_000)),
+        (2, 7, "purchase", base),
+        # lag exactly 3600 s -> inside (<=)
+        (3, 8, "click", base - dt.timedelta(seconds=3600)),
+        (4, 8, "purchase", base),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp")
+    out = {r["event_id"]: (r["touch_type"], r["lag_s"]) for r in
+           last_touch_attribution(df, "purchase", ["click"],
+                                  max_lag_s=3600).collect()}
+    assert out[2] == (None, None)
+    assert out[4] == ("click", 3600)
+
+
+def test_grouped_topk_default_tiebreak_skips_map_columns(spark):
+    """xxhash64 rejects MAP-typed inputs — the auto content-hash
+    tiebreak must skip them instead of failing analysis (regression:
+    pre-r7 such frames worked, with arbitrary tie order)."""
+    from fsharp_dataframe_spark.functions.events import grouped_topk
+
+    df = spark.createDataFrame(
+        [("u", 1, 5.0, {"a": 1}), ("u", 2, 9.0, {"b": 2})],
+        "u string, eid long, v double, m map<string,int>")
+    got = [r["eid"] for r in grouped_topk(df, "u", "v", k=1).collect()]
+    assert got == [2]
