@@ -102,3 +102,37 @@ def test_scale_smoke_window_while_bounded_200k(spark, monkeypatch):
     # interior windows span exactly 5 rows of ones; the tail shrinks
     assert all(r["v"] == 5.0 for r in rows[:10])
     assert [r["v"] for r in rows[-4:]] == [4.0, 3.0, 2.0, 1.0]
+
+
+def test_scale_smoke_snapshot_diff_5m(spark):
+    """The round-7 full-outer diff primitive at millions of rows: two
+    5M-row synthetic versions with closed-form perturbations — the
+    change census must be exact and the output change-sized (never
+    materializing the unchanged majority)."""
+    from fsharp_dataframe_spark.functions.diff import snapshot_diff
+
+    n = 5_000_000
+    old = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+        (F.col("id") % 7).cast("string").alias("s"))
+    # v2: drop k%101==0, bump v of k%103==1, append n..n+999
+    new = (old.filter(F.col("k") % 101 != 0)
+           .withColumn("v", F.when(F.col("k") % 103 == 1,
+                                   F.col("v") + 0.5)
+                       .otherwise(F.col("v"))))
+    added = spark.range(n, n + 1000).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v"),
+        F.lit("x").alias("s"))
+    new = new.unionByName(added)
+
+    d = snapshot_diff(old, new, "k")
+    counts = {r["status"]: r["n"] for r in
+              d.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    n_removed = sum(1 for k in range(0, n, 101))
+    # changed = k%103==1 minus those also removed (k%101==0)
+    n_changed = sum(1 for k in range(1, n, 103) if k % 101 != 0)
+    assert counts == {"removed": n_removed, "changed": n_changed,
+                      "added": 1000}
+    # change-sized: the diff's row count is ~1.5% of the corpus
+    assert sum(counts.values()) < 0.02 * n
