@@ -2412,6 +2412,13 @@ def q_transitions(spark, sf) -> DataFrame:
 # rotated OUT below carries its own driver-green row in CORRECTNESS_r05
 # or _r06 (the strongest sibling evidence, per the r6 playbook) and
 # stays under the local strict-oracle gate (tools/check_oracle.py).
+# ROUND-8 ROTATION PLAN: the 12 round-7 newcomers (media_png_decode,
+# scd2_track, scd2_pit, attribution, basket_pairs, phrase_hits,
+# rank_features, split_leakage, sales_cube, tpch_q5, snapshot_diff,
+# transitions) are full-registry three-SF strict-oracle green locally
+# (139 ok at sf0.001/0.01/0.1 this round) and await driver rows;
+# rotate them in next round, swapping out 12 r6/r7-double-green
+# veterans exactly as r7 did for r6's newcomers.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
