@@ -611,8 +611,17 @@ class Series:
         """Sample standard deviation — `Series.sdv` (src/SeriesModule.fs:59-61)."""
         return self._agg_scalar(F.stddev_samp(self.value))
 
-    def median(self):
-        return self._agg_scalar(F.median(self.value))
+    def median(self, exact: bool = True):
+        """Exact median — `Series.median` (the reference's exact
+        contract).  The exact state buffers the series' distinct
+        values in ONE aggregation buffer (the stats-family
+        hot-reducer shape, functions/stats._pct); ``exact=False``
+        flips to approx_percentile's mergeable sketch for
+        10^10+-row series."""
+        if exact:
+            return self._agg_scalar(F.median(self.value))
+        return self._agg_scalar(
+            F.approx_percentile(self.value, F.lit(0.5), F.lit(10000)))
 
     def min(self):
         return self._agg_scalar(F.min(self.value))
@@ -872,8 +881,13 @@ class GroupedSeries:
     def sdv(self) -> Series:
         return self._agg(F.stddev_samp(F.col(self.value_col)))
 
-    def median(self) -> Series:
-        return self._agg(F.median(F.col(self.value_col)))
+    def median(self, exact: bool = True) -> Series:
+        """Per-group exact median; ``exact=False`` = the mergeable
+        approx_percentile sketch (see Series.median)."""
+        if exact:
+            return self._agg(F.median(F.col(self.value_col)))
+        return self._agg(F.approx_percentile(
+            F.col(self.value_col), F.lit(0.5), F.lit(10000)))
 
     def min(self) -> Series:
         return self._agg(F.min(F.col(self.value_col)))

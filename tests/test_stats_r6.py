@@ -380,3 +380,25 @@ def test_percentile_approx_tier_plan_is_mergeable(spark):
     assert "partial_approx_percentile" in plan       # map-side combine
     import re
     assert not re.search(r"(?<!approx_)percentile\(", plan)
+
+
+def test_series_median_approx_tier(spark):
+    """Series.median's exact=False tier: mergeable sketch, value
+    within the GK rank bound of the exact median on a real column;
+    grouped form likewise."""
+    from fsharp_dataframe_spark.series import Series
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    s = Series(ev.select("event_id", "value"), key="event_id",
+               value="value", ordered=True)
+    exact = s.median()
+    approx = s.median(exact=False)
+    assert abs(exact - approx) <= max(0.5, 0.02 * abs(exact))
+    g = s.group_by(lambda k: k % 5)
+    ge = {r["group"]: r["value"] for r in g.median().df.collect()}
+    ga = {r["group"]: r["value"]
+          for r in g.median(exact=False).df.collect()}
+    assert ge.keys() == ga.keys()
+    for k in ge:
+        assert abs(ge[k] - ga[k]) <= max(0.5, 0.02 * abs(ge[k])), k
