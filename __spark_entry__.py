@@ -2261,6 +2261,36 @@ def q_tpch_q5(spark, sf) -> DataFrame:
             .orderBy(F.desc("revenue")))
 
 
+def q_twap_daily(spark, sf) -> DataFrame:
+    """Daily time-weighted average value per event type
+    (functions/timeseries.twap): each observation holds until the
+    next (last one to day end), weights are exact integer-µs
+    durations, the weighted sum a DECIMAL product sum, the quotient a
+    pinned integer floor division in micro-units — the vwap
+    discipline applied to TIME weights."""
+    from fsharp_dataframe_spark.functions.timeseries import twap
+
+    ev = load_table(spark, sf, "events")
+    return twap(ev, "event_type", "ts", "value", unit="day",
+                tiebreak="event_id")
+
+
+def q_gap_report(spark, sf) -> DataFrame:
+    """Data-gap report (functions/timeseries.gap_report): per user,
+    spans between consecutive events longer than 4 hours — one keyed
+    lag window, exact integer-µs boundaries, strict > threshold (the
+    sessionize convention)."""
+    from fsharp_dataframe_spark.functions.timeseries import gap_report
+
+    ev = load_table(spark, sf, "events")
+    g = gap_report(ev, "user_id", "ts", min_gap_s=4 * 3600,
+                   tiebreak="event_id")
+    return g.select("user_id",
+                    F.unix_micros("gap_start").alias("gap_start_us"),
+                    F.unix_micros("gap_end").alias("gap_end_us"),
+                    "gap_s")
+
+
 def q_snapshot_diff(spark, sf) -> DataFrame:
     """Snapshot diff (functions/diff.snapshot_diff): two simulated
     versions of the orders table — v2 drops keys ≡ 0 (mod 97)
@@ -2412,13 +2442,14 @@ def q_transitions(spark, sf) -> DataFrame:
 # rotated OUT below carries its own driver-green row in CORRECTNESS_r05
 # or _r06 (the strongest sibling evidence, per the r6 playbook) and
 # stays under the local strict-oracle gate (tools/check_oracle.py).
-# ROUND-8 ROTATION PLAN: the 12 round-7 newcomers (media_png_decode,
+# ROUND-8 ROTATION PLAN: the 14 round-7 newcomers (media_png_decode,
 # scd2_track, scd2_pit, attribution, basket_pairs, phrase_hits,
 # rank_features, split_leakage, sales_cube, tpch_q5, snapshot_diff,
-# transitions) are full-registry three-SF strict-oracle green locally
-# (139 ok at sf0.001/0.01/0.1 this round) and await driver rows;
-# rotate them in next round, swapping out 12 r6/r7-double-green
-# veterans exactly as r7 did for r6's newcomers.
+# transitions, twap_daily, gap_report) are three-SF strict-oracle
+# green locally (full-registry sweeps green at sf0.001/0.01/0.1 this
+# round) and await driver rows; rotate them in next round, swapping
+# out 14 r6/r7-double-green veterans exactly as r7 did for r6's
+# newcomers.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
@@ -2441,6 +2472,7 @@ EXTRA_QUERIES = (
     "media_png_decode", "scd2_track", "scd2_pit", "attribution",
     "basket_pairs", "phrase_hits", "rank_features", "split_leakage",
     "sales_cube", "tpch_q5", "snapshot_diff", "transitions",
+    "twap_daily", "gap_report",
     "minhash_pairs", "near_dedup",
     "ngram_jaccard", "pack_shards", "pairwise", "profile_cols",
     "quality_classifier", "realign", "rep_quality", "resample_keys",
@@ -2609,6 +2641,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "snapshot_diff": q_snapshot_diff,
         "transitions": q_transitions,
+        "twap_daily": q_twap_daily,
+        "gap_report": q_gap_report,
     }
 
 
@@ -5087,6 +5121,49 @@ def _all_oracle_sql() -> dict[str, str]:
                     + GROUPING(l_linestatus))::BIGINT AS gid
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        # observation-holds-until-next TWAP: integer-µs duration
+        # weights, HUGEINT product sums (exact, matching Spark's
+        # decimal(38,0)), micro-unit integer floor division
+        "twap_daily": """
+            WITH b AS (
+              SELECT event_type, event_id,
+                     epoch_us(ts) AS us,
+                     date_trunc('day', ts) AS bk,
+                     round(value * 10000)::BIGINT AS v
+              FROM events),
+            d AS (
+              SELECT event_type, bk, v,
+                     coalesce(
+                       lead(us) OVER (PARTITION BY event_type, bk
+                                      ORDER BY us, event_id),
+                       epoch_us(bk + INTERVAL 1 DAY)) - us AS dur
+              FROM b),
+            m AS (
+              SELECT event_type, bk::DATE AS bucket,
+                     sum(v::HUGEINT * dur::HUGEINT) AS svd,
+                     sum(dur::HUGEINT) AS sd,
+                     count(*) AS n
+              FROM d GROUP BY 1, 2)
+            SELECT event_type, bucket,
+                   CASE WHEN sd > 0
+                        THEN ((svd * 1000000) // sd)::DOUBLE
+                             / 10000000000.0 END AS twap,
+                   n
+            FROM m
+        """,
+        # strict > threshold, exact integer-µs boundaries
+        "gap_report": """
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_us
+              FROM events)
+            SELECT user_id, prev_us AS gap_start_us, us AS gap_end_us,
+                   ((us - prev_us) // 1000000)::BIGINT AS gap_s
+            FROM o
+            WHERE us - prev_us > 14400000000
         """,
         # full-outer alignment + null-safe compare, change-sized output
         "snapshot_diff": """

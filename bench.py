@@ -136,6 +136,8 @@ HEADLINE = [
     "tpch_q5",
     "snapshot_diff",
     "transitions",
+    "twap_daily",
+    "gap_report",
 ]
 
 

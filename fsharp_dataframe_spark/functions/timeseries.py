@@ -401,3 +401,83 @@ def sample_per_group(df: DataFrame, by: str, k: int, id_col: str,
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= int(k))
             .drop("__rk"))
+
+
+def twap(df: DataFrame, key: str, ts: str, value: str,
+         unit: str = "day", value_scale: int = 10000,
+         tiebreak: str | None = None) -> DataFrame:
+    """Time-weighted average value per key per calendar bucket — the
+    TIME-weighted sibling of `vwap` (irregular observation spacing:
+    each observation holds until the next one, so sparse quotes don't
+    over-count).  Convention: within a bucket, observation i covers
+    [ts_i, ts_{i+1}) with the LAST observation extending to the bucket
+    end; the averaging span is [first_ts, bucket_end), so a bucket's
+    TWAP never reaches before its first observation (no carry-in from
+    the previous bucket — stated, not hidden; a carry-in variant is
+    `point_in_time_join` against the previous bucket's close).
+
+    Exactness: weights are integer MICROSECOND durations, values
+    integer 1/value_scale units, the weighted sum an exact
+    DECIMAL(38,0) product sum, and the quotient a pinned integer floor
+    division in micro-units (the vwap discipline).  Shape: one lag/lead
+    window on (key, bucket) + one groupBy — both on the same keyed
+    shuffle.
+
+    Returns (key, bucket, twap, n) with twap NULL for empty spans
+    (single observation exactly at bucket end cannot happen — the end
+    is exclusive).
+    """
+    from pyspark.sql import Window as W
+
+    bucket = F.date_trunc(unit, F.col(ts)).cast("timestamp")
+    us = F.unix_micros(F.col(ts))
+    order = [us] + ([F.col(tiebreak)] if tiebreak else [])
+    b = df.withColumn("__bk", bucket).withColumn("__us", us)
+    w = W.partitionBy(key, "__bk").orderBy(*order)
+    bucket_end = F.unix_micros(
+        F.col("__bk") + F.expr(f"INTERVAL 1 {unit}"))
+    nxt = F.coalesce(F.lead("__us").over(w), bucket_end)
+    dur = (nxt - F.col("__us")).cast("decimal(19,0)")
+    v = F.round(F.col(value).cast("double") * value_scale) \
+         .cast("decimal(19,0)")
+    m = (b.withColumn("__dur", dur).withColumn("__v", v)
+         .groupBy(F.col(key), F.col("__bk").cast("date").alias("bucket"))
+         .agg(F.sum(F.col("__v") * F.col("__dur")).alias("svd"),
+              F.sum("__dur").alias("sd"),
+              F.count("*").alias("n")))
+    micro = F.expr("CAST(svd * 1000000 AS DECIMAL(38,0)) div sd")
+    out = F.when(F.col("sd") > 0,
+                 micro.cast("double") / float(1_000_000 * value_scale))
+    return m.select(key, "bucket", out.alias("twap"), "n")
+
+
+def gap_report(df: DataFrame, key: str, ts: str, min_gap_s: int,
+               tiebreak: str | None = None) -> DataFrame:
+    """Data-completeness report: per key, every span between
+    consecutive observations longer than ``min_gap_s`` seconds — the
+    monitoring query behind "which sensors went dark when" (and the
+    complement of sessionize: sessions are where the data is, gaps are
+    where it is not).
+
+    One keyed lag window; gap boundaries are exact integer
+    microseconds.  Returns (key, gap_start, gap_end, gap_s), gap_s
+    strictly greater than min_gap_s (the `sessionize` strict->break
+    convention: a gap of exactly min_gap_s is NOT reported, matching
+    "events exactly gap apart share a session").
+    """
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col(ts))
+    order = [us] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    prev_us = F.lag(us).over(w)
+    prev_ts = F.lag(F.col(ts)).over(w)
+    gap_us = us - prev_us
+    return (df.withColumn("__gap_us", gap_us)
+            .withColumn("__prev", prev_ts)
+            .filter(F.col("__gap_us") > int(min_gap_s) * 1_000_000)
+            .select(F.col(key),
+                    F.col("__prev").alias("gap_start"),
+                    F.col(ts).alias("gap_end"),
+                    (F.col("__gap_us") / F.lit(1_000_000)).cast("long")
+                    .alias("gap_s")))

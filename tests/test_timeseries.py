@@ -246,3 +246,42 @@ def test_frame_level_timeseries_wrappers(spark):
     assert dd.df.first()["max_drawdown"] == 0.2
     rets = fr.returns("k", "ts", "v", tiebreak="id")
     assert rets.df.count() == 3
+
+
+def test_twap_holds_until_next_and_weights_time(spark):
+    """TWAP convention: observation i covers [ts_i, ts_{i+1}), the
+    last extends to the bucket end, the span starts at the FIRST
+    observation.  Hand-computed: v=10 for 6h then v=20 for the
+    remaining 12h of the day (first obs at 06:00) ->
+    (10*6 + 20*12)/18 = 16.6667."""
+    from fsharp_dataframe_spark.functions.timeseries import twap
+
+    rows = [("k", 1, _ts(1, 6), 10.0),    # 06:00 -> holds 6h
+            ("k", 2, _ts(1, 12), 20.0)]   # 12:00 -> holds 12h to EOD
+    df = spark.createDataFrame(
+        rows, "k string, eid long, t timestamp, v double")
+    got = twap(df, "k", "t", "v", unit="day", tiebreak="eid").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 2
+    assert abs(r["twap"] - (10 * 6 + 20 * 12) / 18) < 1e-4
+    # single observation: whole remaining day at its value
+    one = spark.createDataFrame([("k", 1, _ts(2, 18), 7.0)],
+                                "k string, eid long, t timestamp, v double")
+    r1 = twap(one, "k", "t", "v", unit="day", tiebreak="eid").collect()[0]
+    assert r1["twap"] == 7.0 and r1["n"] == 1
+
+
+def test_gap_report_strict_threshold_and_boundaries(spark):
+    from fsharp_dataframe_spark.functions.timeseries import gap_report
+
+    rows = [("u", 1, _ts(1, 0)), ("u", 2, _ts(1, 4)),   # exactly 4h
+            ("u", 3, _ts(1, 9)),                        # 5h gap
+            ("v", 4, _ts(1, 0))]                        # single: no gaps
+    df = spark.createDataFrame(rows, "k string, eid long, t timestamp")
+    got = gap_report(df, "k", "t", min_gap_s=4 * 3600,
+                     tiebreak="eid").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["k"], r["gap_s"]) == ("u", 5 * 3600)
+    assert r["gap_start"] == _ts(1, 4) and r["gap_end"] == _ts(1, 9)
