@@ -407,20 +407,26 @@ def event_transitions(df: DataFrame, key_col: str = "user_id",
 
     One key-partitioned window (lag over (ts, tiebreak) — the
     sessionize tie discipline, so membership is rerun-deterministic)
-    plus one (from, to)-keyed groupBy with map-side combine.
+    plus one (from, to)-keyed groupBy with map-side combine.  The
+    (vocabulary²-sized) pair relation is PERSISTED: it feeds both the
+    per-from totals and the final join, and without the persist the
+    whole window-over-the-events subtree replays per consumer.
     Probabilities are exact basis points (integer floor division by
     the from-type's outgoing total).
 
     Returns (from_type, to_type, n, n_from, prob_bp).
     """
+    from fsharp_dataframe_spark.functions.util import track_persist
+
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col),
                                             F.col(tiebreak))
     prev = F.lag(F.col(type_col)).over(w)
-    pairs = (df.withColumn("__from", prev)
-             .filter(F.col("__from").isNotNull())
-             .groupBy(F.col("__from").alias("from_type"),
-                      F.col(type_col).alias("to_type"))
-             .agg(F.count("*").alias("n")))
+    pairs = track_persist(
+        df.withColumn("__from", prev)
+        .filter(F.col("__from").isNotNull())
+        .groupBy(F.col("__from").alias("from_type"),
+                 F.col(type_col).alias("to_type"))
+        .agg(F.count("*").alias("n")))
     totals = (pairs.groupBy("from_type")
               .agg(F.sum("n").alias("n_from")))
     return (pairs.join(F.broadcast(totals), "from_type")

@@ -440,15 +440,19 @@ def twap(df: DataFrame, key: str, ts: str, value: str,
     dur = (nxt - F.col("__us")).cast("decimal(19,0)")
     v = F.round(F.col(value).cast("double") * value_scale) \
          .cast("decimal(19,0)")
+    # group on the window's OWN partition keys (key, __bk) — the date
+    # cast happens after aggregation, so the groupBy reuses the
+    # window's hash exchange instead of shuffling a second time
     m = (b.withColumn("__dur", dur).withColumn("__v", v)
-         .groupBy(F.col(key), F.col("__bk").cast("date").alias("bucket"))
+         .groupBy(F.col(key), F.col("__bk"))
          .agg(F.sum(F.col("__v") * F.col("__dur")).alias("svd"),
               F.sum("__dur").alias("sd"),
               F.count("*").alias("n")))
     micro = F.expr("CAST(svd * 1000000 AS DECIMAL(38,0)) div sd")
     out = F.when(F.col("sd") > 0,
                  micro.cast("double") / float(1_000_000 * value_scale))
-    return m.select(key, "bucket", out.alias("twap"), "n")
+    return m.select(key, F.col("__bk").cast("date").alias("bucket"),
+                    out.alias("twap"), "n")
 
 
 def gap_report(df: DataFrame, key: str, ts: str, min_gap_s: int,
