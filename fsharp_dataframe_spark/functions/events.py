@@ -230,12 +230,23 @@ def grouped_topk(df: DataFrame, by: str, order_col: str, k: int,
     """
     from pyspark.sql import types as T
 
+    def contains_map(dt) -> bool:
+        # xxhash64 rejects maps at ANY nesting depth (struct/array
+        # wrappers included) — recurse, don't just check the top level
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return contains_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(contains_map(f.dataType) for f in dt.fields)
+        return False
+
     order = [F.col(order_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
     else:
         hashable = [f.name for f in df.schema.fields
-                    if not isinstance(f.dataType, T.MapType)]
+                    if not contains_map(f.dataType)]
         if hashable:
             order.append(
                 F.xxhash64(*[F.col(c) for c in hashable]).asc())

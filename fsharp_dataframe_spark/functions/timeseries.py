@@ -451,8 +451,13 @@ def twap(df: DataFrame, key: str, ts: str, value: str,
     micro = F.expr("CAST(svd * 1000000 AS DECIMAL(38,0)) div sd")
     out = F.when(F.col("sd") > 0,
                  micro.cast("double") / float(1_000_000 * value_scale))
-    return m.select(key, F.col("__bk").cast("date").alias("bucket"),
-                    out.alias("twap"), "n")
+    # DATE labels only for day-or-coarser units — a date cast on an
+    # 'hour' bucket would collapse a day's 24 distinct buckets into
+    # one indistinguishable label
+    bk = (F.col("__bk").cast("date")
+          if unit.lower() in {"day", "week", "month", "quarter", "year"}
+          else F.col("__bk"))
+    return m.select(key, bk.alias("bucket"), out.alias("twap"), "n")
 
 
 def gap_report(df: DataFrame, key: str, ts: str, min_gap_s: int,

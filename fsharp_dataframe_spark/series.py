@@ -615,13 +615,13 @@ class Series:
         """Exact median — `Series.median` (the reference's exact
         contract).  The exact state buffers the series' distinct
         values in ONE aggregation buffer (the stats-family
-        hot-reducer shape, functions/stats._pct); ``exact=False``
-        flips to approx_percentile's mergeable sketch for
-        10^10+-row series."""
-        if exact:
-            return self._agg_scalar(F.median(self.value))
-        return self._agg_scalar(
-            F.approx_percentile(self.value, F.lit(0.5), F.lit(10000)))
+        hot-reducer shape); ``exact=False`` flips to
+        approx_percentile's mergeable sketch for 10^10+-row series.
+        Both tiers delegate to functions/stats._pct — ONE place owns
+        the switch and its accuracy constant."""
+        from fsharp_dataframe_spark.functions.stats import _pct
+
+        return self._agg_scalar(_pct(self.value, F.lit(0.5), exact))
 
     def min(self):
         return self._agg_scalar(F.min(self.value))
@@ -883,11 +883,11 @@ class GroupedSeries:
 
     def median(self, exact: bool = True) -> Series:
         """Per-group exact median; ``exact=False`` = the mergeable
-        approx_percentile sketch (see Series.median)."""
-        if exact:
-            return self._agg(F.median(F.col(self.value_col)))
-        return self._agg(F.approx_percentile(
-            F.col(self.value_col), F.lit(0.5), F.lit(10000)))
+        approx_percentile sketch (delegates to functions/stats._pct,
+        see Series.median)."""
+        from fsharp_dataframe_spark.functions.stats import _pct
+
+        return self._agg(_pct(F.col(self.value_col), F.lit(0.5), exact))
 
     def min(self) -> Series:
         return self._agg(F.min(F.col(self.value_col)))

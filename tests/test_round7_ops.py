@@ -259,3 +259,33 @@ def test_grouped_topk_default_tiebreak_skips_map_columns(spark):
         "u string, eid long, v double, m map<string,int>")
     got = [r["eid"] for r in grouped_topk(df, "u", "v", k=1).collect()]
     assert got == [2]
+
+
+def test_grouped_topk_tiebreak_skips_nested_maps(spark):
+    """The map skip must recurse: maps nested in structs/arrays also
+    crash xxhash64 (DATATYPE_MISMATCH.HASH_MAP_TYPE)."""
+    from fsharp_dataframe_spark.functions.events import grouped_topk
+
+    df = spark.createDataFrame(
+        [("u", 1, 5.0, ({"a": 1},), [{"b": 2}]),
+         ("u", 2, 9.0, ({"c": 3},), [])],
+        "u string, eid long, v double, "
+        "s struct<m:map<string,int>>, am array<map<string,int>>")
+    got = [r["eid"] for r in grouped_topk(df, "u", "v", k=1).collect()]
+    assert got == [2]
+
+
+def test_twap_subday_units_keep_timestamp_buckets(spark):
+    """Sub-day units must keep the full timestamp bucket — a DATE cast
+    would collapse 24 hourly buckets into one label."""
+    from fsharp_dataframe_spark.functions.timeseries import twap
+
+    rows = [("k", 1, _t(6, 0), 10.0), ("k", 2, _t(7, 30), 20.0)]
+    df = spark.createDataFrame(
+        rows, "k string, eid long, t timestamp, v double")
+    got = {r["bucket"]: r["twap"] for r in
+           twap(df, "k", "t", "v", unit="hour", tiebreak="eid").collect()}
+    assert set(got) == {_t(6, 0), _t(7, 0)}   # two DISTINCT hour buckets
+    assert got[_t(6, 0)] == 10.0              # 06:00-07:00 all v=10
+    # 07:00 bucket: only the 07:30 obs -> holds to 08:00 -> 20
+    assert got[_t(7, 0)] == 20.0
