@@ -136,3 +136,60 @@ def test_scale_smoke_snapshot_diff_5m(spark):
                       "added": 1000}
     # change-sized: the diff's row count is ~1.5% of the corpus
     assert sum(counts.values()) < 0.02 * n
+
+
+def test_scale_smoke_twap_10m_closed_form(spark):
+    """TWAP at 10M rows with a closed-form expectation: 100 keys x
+    ~100k observations each, one observation per key per 36-second
+    slot over ~41 days, value = slot % 2 scaled — every observation
+    holds exactly 36 s except each day's last (which extends to
+    midnight), so the analytic average is computable per (key, day)
+    and the whole job must agree while keeping the one-exchange
+    keyed-window shape."""
+    from fsharp_dataframe_spark.functions.timeseries import twap
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("k"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") / 100).cast("long") * 36
+        ).alias("t"),
+        ((F.col("id") / 100).cast("long") % 2).cast("double").alias("v"))
+    out = twap(df, "k", "t", "v", unit="day", tiebreak="k")
+    rows = out.filter(F.col("k") == 7).orderBy("bucket").collect()
+    # 2400 slots/day alternating 0/1, all 36 s (incl. the last, which
+    # abuts midnight exactly) -> every FULL day's TWAP is exactly 0.5
+    full_days = [r for r in rows[:-1]]
+    assert len(full_days) >= 40
+    assert all(r["twap"] == 0.5 for r in full_days), \
+        [r["twap"] for r in full_days[:3]]
+    assert all(r["n"] == 2400 for r in full_days)
+    # plan shape survives scale: exactly one hash exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scale_smoke_gap_report_10m(spark):
+    """gap_report at 10M rows: per-key regular 36 s spacing with every
+    1000th slot's observation removed — each removal creates exactly
+    one 72 s gap; the report must count them exactly, via one keyed
+    window."""
+    from fsharp_dataframe_spark.functions.timeseries import gap_report
+
+    n = 10_000_000
+    base = spark.range(n).select(
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") / 100).cast("long").alias("slot"))
+    kept = base.filter(F.col("slot") % 1000 != 500)
+    df = kept.select(
+        "k",
+        F.timestamp_seconds(F.lit(1704067200)
+                            + F.col("slot") * 36).alias("t"))
+    g = gap_report(df, "k", "t", min_gap_s=36)   # strict >36 -> only 72s
+    agg = g.agg(F.count("*").alias("n"),
+                F.min("gap_s").alias("lo"),
+                F.max("gap_s").alias("hi")).first()
+    slots = n // 100
+    holes_per_key = sum(1 for s in range(slots) if s % 1000 == 500)
+    assert agg["n"] == 100 * holes_per_key
+    assert agg["lo"] == agg["hi"] == 72
