@@ -620,3 +620,29 @@ def test_transition_probs_sum_to_one_in_floor_units(spark, events):
         assert sum(r["n"] for r in rs) == n_from
         s = sum(r["prob_bp"] for r in rs)
         assert 10000 - len(rs) < s <= 10000, (f, s)
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["a", "b", "ab"]), min_size=0, max_size=8),
+    min_size=1, max_size=12),
+    phrase=st.lists(st.sampled_from(["a", "b", "ab"]),
+                    min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_phrase_search_matches_naive_reference(spark, docs, phrase):
+    """phrase_search equals the naive per-document sliding-window count
+    on low-alphabet random token streams (repeated tokens, repeated
+    phrase terms, phrases longer than documents — all the positional
+    join's edge regimes)."""
+    from fsharp_dataframe_spark.functions.search import phrase_search
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           phrase_search(df, " ".join(phrase)).collect()}
+    exp = {}
+    for i, toks in enumerate(docs):
+        n = sum(1 for j in range(len(toks) - len(phrase) + 1)
+                if toks[j:j + len(phrase)] == phrase)
+        if n:
+            exp[i] = n
+    assert got == exp
