@@ -381,7 +381,11 @@ def event_cooccurrence(df: DataFrame, key_col: str = "user_id",
 
     kt = track_persist(df.select(F.col(key_col).alias("k"),
                                  F.col(type_col).alias("t")).distinct())
-    n_keys = kt.select("k").distinct().count()
+    # one-row broadcast total (the profile.py pattern) instead of a
+    # driver-side count(): keeps the plan lazy end-to-end (r7 VERDICT
+    # finding #5 — the literal form forced eager evaluation mid-plan)
+    totals = kt.select("k").distinct().agg(
+        F.count("*").cast("long").alias("n_keys"))
     per = kt.groupBy("t").agg(F.count("*").alias("n"))
     a = kt.select(F.col("k"), F.col("t").alias("type_a"))
     b = kt.select(F.col("k"), F.col("t").alias("type_b"))
@@ -398,12 +402,11 @@ def event_cooccurrence(df: DataFrame, key_col: str = "user_id",
     # than the integer division an oracle runs.  int64 envelope:
     # n_both·n_keys·10^4 must fit — ~10^14 keys·pairs headroom; past
     # that, widen to DECIMAL(38,0) like correlation_matrix.
-    n = int(n_keys)
-    return (j.selectExpr(
+    return (j.crossJoin(F.broadcast(totals)).selectExpr(
         "type_a", "type_b", "n_both", "n_a", "n_b",
-        f"CAST((n_both * 10000) div {n} AS BIGINT) AS support_bp",
+        "CAST((n_both * 10000) div n_keys AS BIGINT) AS support_bp",
         "CAST((n_both * 10000) div n_a AS BIGINT) AS confidence_bp",
-        f"CAST((n_both * {n} * 10000) div (n_a * n_b) AS BIGINT) "
+        "CAST((n_both * n_keys * 10000) div (n_a * n_b) AS BIGINT) "
         "AS lift_bp"))
 
 

@@ -76,7 +76,17 @@ def point_in_time_join(facts: DataFrame, dim: DataFrame, key: str,
     NULL dimension columns.
 
     Dimension attribute columns must not collide with fact columns
-    (rename upstream); valid_from/valid_to ride along for audit."""
+    (rename upstream); valid_from/valid_to ride along for audit.
+    Collisions raise: a fact table that already carries valid_from /
+    valid_to (or any dim attribute name) would silently produce
+    ambiguous output columns, so we fail loudly instead (r7 VERDICT
+    finding #4)."""
+    clash = sorted((set(facts.columns) & set(dim.columns)) - {key})
+    if clash:
+        raise ValueError(
+            "point_in_time_join: fact and dimension share non-key "
+            f"column(s) {clash}; rename them upstream (the dimension's "
+            "valid_from/valid_to must be the only interval columns)")
     f = facts.alias("__f")
     # rename the dim's key instead of drop(d[key]): the post-join drop
     # resolved the FACT side under aliases, nulling unmatched facts'

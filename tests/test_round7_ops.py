@@ -68,6 +68,25 @@ def test_point_in_time_join_matches_interval_and_keeps_prehistory(spark):
     assert keys[14] == "u2" and keys[10] == "u1"
 
 
+def test_point_in_time_join_raises_on_schema_collision(spark):
+    import pytest
+
+    from fsharp_dataframe_spark.functions.scd import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [("u1", _t(1), None, "s")],
+        "k string, valid_from timestamp, valid_to timestamp, state string")
+    facts = spark.createDataFrame(
+        [("u1", _t(2), _t(0))],
+        "k string, ts timestamp, valid_from timestamp")
+    with pytest.raises(ValueError, match="valid_from"):
+        point_in_time_join(facts, dim, "k", "ts")
+    facts2 = spark.createDataFrame(
+        [("u1", _t(2), "x")], "k string, ts timestamp, state string")
+    with pytest.raises(ValueError, match="state"):
+        point_in_time_join(facts2, dim, "k", "ts")
+
+
 def test_last_touch_attribution_strictness_and_window(spark):
     from fsharp_dataframe_spark.functions.events import (
         last_touch_attribution,
