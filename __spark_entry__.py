@@ -2442,14 +2442,28 @@ def q_transitions(spark, sf) -> DataFrame:
 # rotated OUT below carries its own driver-green row in CORRECTNESS_r05
 # or _r06 (the strongest sibling evidence, per the r6 playbook) and
 # stays under the local strict-oracle gate (tools/check_oracle.py).
-# ROUND-8 ROTATION PLAN: the 14 round-7 newcomers (media_png_decode,
-# scd2_track, scd2_pit, attribution, basket_pairs, phrase_hits,
-# rank_features, split_leakage, sales_cube, tpch_q5, snapshot_diff,
-# transitions, twap_daily, gap_report) are three-SF strict-oracle
-# green locally (full-registry sweeps green at sf0.001/0.01/0.1 this
-# round) and await driver rows; rotate them in next round, swapping
-# out 14 r6/r7-double-green veterans exactly as r7 did for r6's
-# newcomers.
+# ROUND-8 ROTATION (VERDICT r7 ask #1): the 14 round-7 newcomers
+# (media_png_decode, scd2_track, scd2_pit, attribution, basket_pairs,
+# phrase_hits, rank_features, split_leakage, sales_cube, tpch_q5,
+# snapshot_diff, transitions, twap_daily, gap_report) enter the
+# driver window to earn their first driver rows — three-SF
+# strict-oracle green locally since r7 — completing the r7∪r8 union
+# over all 141 pre-round-8 registered queries.  The 14 veterans
+# rotated OUT in their place (asof_grouped, bm25_search, dedup_exact,
+# dedup_keep_best, embed_project, group_agg, knn_join,
+# perplexity_buckets, pivot, pmi_collocations, resample_daily,
+# semantic_dedup, sessionize, weighted_sample) are each
+# r6+r7-DOUBLE-green in the driver's own JSONs — the strongest
+# sibling evidence — and stay under the local strict-oracle gate.
+# The five r6/r7-double-green bucketed-substrate queries (chunk_dist,
+# ewma, fill_linear, pack_sequences, window_while_par) are KEPT
+# in-window deliberately: round 8 rewrites the census cut lookup to a
+# cut-count-independent form (VERDICT r7 ask #3), so the new substrate
+# code must earn fresh driver rows, not coast on r7's.
+# ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
+# media_mixed — held out below awaiting r9 slots once locally
+# three-SF oracle-green) rotate in next round, swapping out
+# double-green veterans as above.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
@@ -2463,16 +2477,12 @@ EXTRA_QUERIES = (
     "ivf_topk", "ivf_train", "join_broadcast", "key_skew", "lang_hits",
     "lang_mix", "lookup_level", "lookup_time_fwd", "lsh_topk",
     "maxby_minby", "media_features",
-    # new in r7, held out awaiting r8 rotation slots (local
-    # three-SF oracle-green): corpus-scale real-PNG decode (r6 ask
-    # #8) + the round-7 tier (SCD2 history/point-in-time, last-touch
-    # attribution, market-basket co-occurrence, positional phrase
-    # search, rank features, split-leakage audit, ROLLUP cube,
-    # TPC-H Q5)
-    "media_png_decode", "scd2_track", "scd2_pit", "attribution",
-    "basket_pairs", "phrase_hits", "rank_features", "split_leakage",
-    "sales_cube", "tpch_q5", "snapshot_diff", "transitions",
-    "twap_daily", "gap_report",
+    # rotated out in r8 (each r6+r7-double-green in the driver's own
+    # CORRECTNESS JSONs) to make room for the 14 round-7 newcomers:
+    "asof_grouped", "bm25_search", "dedup_exact", "dedup_keep_best",
+    "embed_project", "group_agg", "knn_join", "perplexity_buckets",
+    "pivot", "pmi_collocations", "resample_daily", "semantic_dedup",
+    "sessionize", "weighted_sample",
     "minhash_pairs", "near_dedup",
     "ngram_jaccard", "pack_shards", "pairwise", "profile_cols",
     "quality_classifier", "realign", "rep_quality", "resample_keys",
