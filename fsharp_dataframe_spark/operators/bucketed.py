@@ -82,13 +82,23 @@ def auto_n_buckets(df: DataFrame, n_buckets: int | None = None,
     return _n_buckets_for(estimate_rows(df), target_rows)
 
 
-# Above this many entries, dict→Column lookups become broadcast joins
-# and cut lists switch to the lambda-free binary search: a 10^5 entry
-# create_map (or per-literal indicator sum) is a ~2·10^5-node
-# expression tree — past the codegen/JIT method budget — while the
-# binary search is ~17 probes per row over one array literal.
+# Above this many entries, dict→Column lookups become broadcast joins:
+# a 10^5 entry create_map is a ~2·10^5-node expression tree — past the
+# codegen/JIT method budget.
 MAP_LITERAL_MAX = 4096
-_CUTS_FLAT_MAX = 128
+# Cut lists at or below this length use the flat per-literal indicator
+# sum; above it, the vectorized Arrow binary search.  Default 0: the
+# Arrow path is the production form at EVERY size (r7 VERDICT ask #3 —
+# measured at 5M rows × 63 cuts: flat costs 0.3-0.9s Janino+JIT per
+# DISTINCT cut set because the cut values are inlined codegen
+# literals, and still evaluates slower steady-state, 0.60s vs 0.41s,
+# O(cuts) comparisons vs O(log cuts) searchsorted in C; a
+# references[]-carried array probe form that keeps codegen was also
+# measured and rejected — byte-stable source but 22s steady-state, the
+# 132KB generated method falls out of JIT).  The flat form is kept as
+# the independent REFERENCE implementation: equivalence of the two
+# paths on the same cuts is pinned by tests/test_bucketed.py.
+_CUTS_FLAT_MAX = 0
 
 
 def _quantile_err(n_buckets: int) -> float:
@@ -104,20 +114,26 @@ def _quantile_err(n_buckets: int) -> float:
 def _bucket_expr(key_col: Column, cuts: list[float]) -> Column:
     """Bucket id = |{c in cuts : c <= key}| — a pure function of the key.
 
-    Small cut lists stay on the flat per-literal indicator sum (bit-
-    compatible with every existing oracle at the 64-bucket default).
-    Large ones (auto-sized substrate at real scale) run a VECTORIZED
-    Arrow binary search (np.searchsorted over the driver-captured cut
-    array — O(log n) per row in C, Arrow-batched).  The constraints
-    that rule the alternatives out are all reproduced in this repo's
-    history: a higher-order-function lambda breaks Union constraint
-    propagation above the bucketed as-of (and mis-binds per-branch
-    below one); a Column-level binary search re-embeds its running
-    state ~3× per level, growing the Catalyst tree exponentially
-    (driver OOM at 513 cuts); and the flat indicator sum at 10^5 cuts
-    is a 10^5-node expression past the codegen method budget with
-    O(n) comparisons per row.  Equivalence of the two paths is pinned
-    by tests/test_bucketed.py."""
+    Production path (every cut count): a VECTORIZED Arrow binary
+    search — np.searchsorted over the driver-captured cut array,
+    O(log n) per row in C, Arrow-batched (ArrowEvalPython, which the
+    plan audit explicitly permits; only row-at-a-time BatchEvalPython
+    is a smell).  Crucially the cut VALUES never enter generated Java
+    source, so N queries with N different cut sets share one plan
+    shape instead of paying N Janino+JIT compiles (r7 VERDICT ask #3;
+    the measurements live on ``_CUTS_FLAT_MAX`` above).  The
+    constraints that rule the alternatives out are all reproduced in
+    this repo's history: a higher-order-function lambda breaks Union
+    constraint propagation above the bucketed as-of (and mis-binds
+    per-branch below one); a Column-level binary search re-embeds its
+    running state ~3× per level, growing the Catalyst tree
+    exponentially (driver OOM at 513 cuts); the flat indicator sum at
+    10^5 cuts is a 10^5-node expression past the codegen method
+    budget with O(n) comparisons per row; and a references[]-carried
+    array-probe form keeps codegen byte-stable but falls out of JIT.
+    The flat indicator sum below survives as the REFERENCE
+    implementation; equivalence of the two paths on the same cuts is
+    pinned by tests/test_bucketed.py."""
     kd = key_col.cast("double")
     if len(cuts) <= _CUTS_FLAT_MAX:
         # indicator SUM over a BALANCED add tree: a left-leaning chain
@@ -153,13 +169,34 @@ def _bucket_expr(key_col: Column, cuts: list[float]) -> Column:
 def attach_mapping(df: DataFrame, src: str, mapping: dict, out_col: str,
                    value_type: str = "long", default=None) -> DataFrame:
     """Attach ``out_col = mapping[src]`` (a driver-side dict keyed by
-    bucket id) to *df*.  Below MAP_LITERAL_MAX entries this is a
-    create_map literal — no join, stays inside whole-stage codegen.
-    Above it the dict becomes a broadcast-joined two-column relation
-    (VERDICT r5 ask #3: the literal form at the substrate's own
-    documented 10^5-bucket sizing is a 2·10^5-node expression tree).
+    bucket id) to *df*.  Dense small-int keys (the bucket-id case)
+    become ONE folded array literal probed by ``try_element_at`` — the
+    array rides the codegen ``references[]`` object table, so the
+    generated source carries no per-value literals and stays byte-
+    stable across cut sets (r7 VERDICT ask #3: inline map literals
+    were part of the per-query Janino compile tax).  Other small dicts
+    stay on the create_map literal; above MAP_LITERAL_MAX entries the
+    dict becomes a broadcast-joined two-column relation (VERDICT r5
+    ask #3: the literal form at the substrate's own documented
+    10^5-bucket sizing is a 2·10^5-node expression tree).
     ``default`` (a Python literal) fills ids missing from the dict."""
     if mapping and len(mapping) <= MAP_LITERAL_MAX:
+        keys = list(mapping)
+        dense = (all(isinstance(k, int) and not isinstance(k, bool)
+                     for k in keys)
+                 and min(keys) >= 0 and max(keys) < MAP_LITERAL_MAX)
+        if dense:
+            vals = [None] * (max(keys) + 1)
+            for k, v in mapping.items():
+                vals[k] = v
+            arr = F.array(*[F.lit(v).cast(value_type) for v in vals])
+            # index past the array end (an id the census never saw)
+            # returns NULL under try_element_at — same miss semantics
+            # as the map lookup below; ids are never negative here
+            expr = F.try_element_at(arr, F.col(src).cast("int") + F.lit(1))
+            if default is not None:
+                expr = F.coalesce(expr, F.lit(default))
+            return df.withColumn(out_col, expr.cast(value_type))
         pairs = []
         for k, v in mapping.items():
             pairs.extend([F.lit(k), F.lit(v)])
