@@ -193,3 +193,45 @@ def test_scale_smoke_gap_report_10m(spark):
     holes_per_key = sum(1 for s in range(slots) if s % 1000 == 500)
     assert agg["n"] == 100 * holes_per_key
     assert agg["lo"] == agg["hi"] == 72
+
+
+def test_scale_smoke_approx_quantiles_10m(spark):
+    """The `exact=False` percentile tier at 10M rows / 5 hot groups
+    (r7 VERDICT ask #4).  The exact path's aggregation state is a
+    per-group value->count buffer — 2M entries per group here, and at
+    100 TB a hot group's entire value set in one reducer's memory,
+    the scale-killer the flag exists to escape.  Pins:
+    (a) rank-bounded equivalence to the exact path — Greenwald-Khanna
+        guarantees rank error <= n/accuracy; the values are uniform on
+        [0, 1M) so value error ~ range/accuracy = 100, asserted at a
+        10x margin;
+    (b) the plan runs approx_percentile in partial/merge mode — the
+        aggregate carries the bounded MERGEABLE sketch, not the exact
+        percentile's unbounded buffer (boundedness itself is not
+        plan-visible; the function name is the pin, so the test
+        asserts partial_approx_percentile is present and no exact
+        partial_percentile state appears anywhere)."""
+    from fsharp_dataframe_spark.functions.stats import grouped_quantiles
+
+    n = 10_000_000
+    # Weyl-style mixing: (id * 2654435761) mod 1000003 is an (almost)
+    # uniform, deterministic value stream with no id/group correlation
+    df = spark.range(n).select(
+        (F.col("id") % 5).alias("g"),
+        ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"))
+
+    approx = grouped_quantiles(df, "g", F.col("v"),
+                               qs=[0.5, 0.9, 0.99], exact=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_percentile" in plan, plan
+    assert "partial_percentile(" not in plan, plan
+
+    got = {r["g"]: r for r in approx.collect()}
+    exact = {r["g"]: r for r in
+             grouped_quantiles(df, "g", F.col("v"),
+                               qs=[0.5, 0.9, 0.99], exact=True).collect()}
+    assert set(got) == set(exact) == set(range(5))
+    for g in range(5):
+        assert got[g]["n"] == exact[g]["n"] == n // 5
+        for c in ("q50", "q90", "q99"):
+            assert abs(got[g][c] - exact[g][c]) <= 1000.0, (g, c, got[g][c], exact[g][c])
