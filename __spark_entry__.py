@@ -963,6 +963,24 @@ def q_pack_sequences(spark, sf) -> DataFrame:
     return pack_sequences(docs, seq_len=2048)
 
 
+def q_training_mix(spark, sf) -> DataFrame:
+    """Training-mix CAPSTONE (r7 VERDICT ask #6) — the sampling/
+    packing tier composed end-to-end the way a nightly pretraining-
+    data job runs it (functions/sampling.training_mix): alpha=0.5
+    language-mix boosts (Conneau & Lample 2019) → 200-document
+    boost×length weighted deterministic sample (Efraimidis-Spirakis
+    exponential race, salt "mix-v1") → 32-token chunks with 4-token
+    overlap → 64-token packed training sequences via the bucketed
+    global prefix sum.  Every stage is an audited operator; the
+    oracle replays all four in one SQL pipeline, so the selection
+    set, chunk boundaries, and sequence spans hash-match row for
+    row."""
+    from fsharp_dataframe_spark.functions.sampling import training_mix
+
+    docs = load_table(spark, sf, "documents")
+    return training_mix(docs, 200)
+
+
 def q_pmi_collocations(spark, sf) -> DataFrame:
     """Top-25 PMI collocations (functions/text.pmi_collocations,
     Church & Hanks 1990): adjacent-bigram vs unigram stream counts,
@@ -2490,6 +2508,9 @@ EXTRA_QUERIES = (
     "sample_stratified", "sample_time", "scalar_math", "shift_diff",
     "simhash_pairs", "slice_between", "stats_melt", "take_last",
     "text_quality", "text_stats", "unigram_quality",
+    # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
+    # (local three-SF oracle-green; they take driver slots in r9):
+    "training_mix",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2603,6 +2624,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_linear": q_fill_linear,
         "rolling_corr": q_rolling_corr,
         "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
@@ -4263,6 +4285,69 @@ def _all_oracle_sql() -> dict[str, str]:
                    greatest(seq_id * 2048 - cum, 0)::BIGINT AS tok_begin,
                    least((seq_id + 1) * 2048 - cum, n_tokens)::BIGINT AS tok_end,
                    greatest(cum - seq_id * 2048, 0)::BIGINT AS seq_begin
+            FROM e
+        """,
+        # full-pipeline replay of the training-mix capstone: lang_mix
+        # boosts (sqrt + fixed-point normalizer) -> exponential-race
+        # sample weighted by n_tokens*boost (same md5 uniform, same
+        # association, micro-quantized priority + id tiebreak) ->
+        # whitespace chunking (stride 28, window 32) -> bpe-ish
+        # recount + exclusive prefix sum over chunk_uid order ->
+        # 64-token sequence spans.  Integer arithmetic end to end
+        # after the quantized priorities, so every span hash-matches.
+        "training_mix": """
+            WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+            s AS (SELECT lang, n_docs, round(sqrt(n_docs) * 1e6)::BIGINT AS sv FROM c),
+            t AS (SELECT sum(n_docs)::BIGINT AS tot, sum(sv)::BIGINT AS den FROM s),
+            mix AS (
+              SELECT lang,
+                     round((sv / den::DOUBLE) / (n_docs / tot::DOUBLE), 4) AS boost
+              FROM s, t),
+            w AS (
+              SELECT d.doc_id, d.lang, d.text,
+                     len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]+'))::BIGINT AS n_tokens
+              FROM documents d),
+            wb AS (
+              SELECT doc_id, w.lang, text, n_tokens * boost AS wgt
+              FROM w JOIN mix ON w.lang = mix.lang),
+            samp AS (
+              SELECT doc_id, lang, text
+              FROM wb
+              WHERE wgt IS NOT NULL AND wgt > 0
+              ORDER BY round((-ln((('0x' || substring(md5(doc_id::VARCHAR || 'mix-v1'), 1, 8))::BIGINT + 0.5)
+                                  / 4294967296.0) / wgt) * 1e6)::BIGINT ASC,
+                       doc_id ASC
+              LIMIT 200),
+            toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+              FROM samp),
+            ch AS (
+              SELECT doc_id, lang, tk,
+                     greatest((len(tk) - 4 + 27) // 28, 1) AS n_chunks
+              FROM toks),
+            ce AS (SELECT doc_id, lang, tk, unnest(range(n_chunks)) AS chunk_id FROM ch),
+            chunk AS (
+              SELECT doc_id, lang, chunk_id::BIGINT AS chunk_id,
+                     doc_id * 1000 + chunk_id AS chunk_uid,
+                     array_to_string(tk[chunk_id*28+1 : chunk_id*28+32], ' ') AS chunk_text
+              FROM ce),
+            pw AS (
+              SELECT doc_id, lang, chunk_id, chunk_uid,
+                     len(regexp_extract_all(chunk_text, '\\w+|[^\\w\\s]+'))::BIGINT AS n_tokens
+              FROM chunk),
+            nz AS (SELECT * FROM pw WHERE n_tokens > 0),
+            cm AS (
+              SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY chunk_uid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+              FROM nz),
+            e AS (
+              SELECT *, unnest(range(cum // 64, (cum + n_tokens - 1) // 64 + 1)) AS seq_id
+              FROM cm)
+            SELECT doc_id, chunk_id, lang, seq_id,
+                   greatest(seq_id * 64 - cum, 0)::BIGINT AS tok_begin,
+                   least((seq_id + 1) * 64 - cum, n_tokens)::BIGINT AS tok_end,
+                   greatest(cum - seq_id * 64, 0)::BIGINT AS seq_begin
             FROM e
         """,
         # PMI in the IDENTICAL double association Spark evaluates:

@@ -356,3 +356,91 @@ def chunk_documents(df: DataFrame, max_tokens: int = 64, overlap: int = 8,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"))
+
+
+def training_mix(df: DataFrame, k: int, *, alpha: float = 0.5,
+                 max_tokens: int = 32, overlap: int = 4,
+                 seq_len: int = 64, salt: str = "mix-v1",
+                 lang_col: str = "lang", id_col: str = "doc_id",
+                 text_col: str = "text", uid_factor: int = 1000,
+                 n_buckets: int | None = None) -> DataFrame:
+    """End-to-end training-mix pipeline — the nightly pretraining-data
+    job shape, composed from this module's audited stages:
+
+    1. `language_mix_weights` (alpha-sampling, Conneau & Lample 2019):
+       per-language boost = q_l / p_l from the corpus language shares;
+    2. `weighted_sample` (Efraimidis-Spirakis exponential race):
+       ``k`` documents drawn without replacement with probability
+       ∝ token_count × boost — length-weighted so sampling is
+       per-TOKEN not per-document, temperature-flattened so
+       low-resource languages are up-sampled;
+    3. `chunk_documents`: token-budget context windows with overlap;
+    4. `pack_sequences` (GPT-style concat-and-split): the chunks laid
+       end-to-end in (doc, chunk) order and cut into fixed ``seq_len``
+       training sequences via the bucketed global prefix sum.
+
+    Scale shape, stage by stage: the language table is vocabulary-
+    sized (broadcast); the sample is a narrow projection + ONE global
+    TakeOrdered of k rows; chunking is narrow per-row Column work; the
+    pack offset is the quantile-bucketed exclusive cumsum (no global
+    window).  No stage shuffles the corpus on an unbounded key, so the
+    plan survives a 100x scale-up unchanged — this is the composition
+    a real pipeline runs, not a demo join of the pieces.
+
+    Determinism: every stage is hash/fixed-point deterministic (see
+    the stage docstrings), so the full pipeline — selection set,
+    chunk boundaries, sequence spans — is a pure function of
+    (corpus, salt) and a SQL oracle replays it row for row.
+
+    Chunks are keyed for packing by ``chunk_uid = doc_id * uid_factor
+    + chunk_id``; ``uid_factor`` must exceed the per-document chunk
+    count (ceil(longest_doc_tokens / (max_tokens - overlap))) and ids
+    must be non-negative — both enforced IN-PLAN by an `assert_true`
+    guard on the chunk relation (lazy, no driver-side pre-scan; a
+    violating row fails the job loudly instead of mis-keying a
+    sequence).
+
+    Returns (doc_id, chunk_id, lang, seq_id, tok_begin, tok_end,
+    seq_begin): for each training sequence, the chunk spans that land
+    in it — the relation a tokenizer shuffle-reads by seq_id.
+    """
+    mix = language_mix_weights(df, lang_col, alpha)
+    wdf = (df.select(F.col(id_col), F.col(lang_col).alias("lang"),
+                     F.col(text_col).alias("__text"),
+                     bpe_ish_token_count(F.col(text_col)).cast("long")
+                     .alias("n_tokens"))
+           .join(F.broadcast(mix.select("lang", "boost")), on="lang"))
+    wdf = wdf.withColumn("__w", F.col("n_tokens") * F.col("boost"))
+    sampled = weighted_sample(wdf, k, "__w", id_col=id_col, salt=salt)
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    # stage boundary: the k-row sample feeds chunking AND the lang
+    # re-attach below — k rows, persist instead of re-running the race
+    sampled = track_persist(
+        sampled.select(id_col, "lang", F.col("__text").alias(text_col)))
+    chunks = chunk_documents(sampled.select(id_col, text_col),
+                             max_tokens=max_tokens, overlap=overlap,
+                             id_col=id_col, text_col=text_col)
+    # uid-packing contract, enforced lazily in-plan: assert_true is
+    # NULL when the guard holds (the coalesce adds exactly 0), and
+    # fails the job with a row-specific message when it does not —
+    # a sequence is never silently mis-keyed
+    ok = F.assert_true(
+        (F.col(id_col) >= 0) & (F.col("chunk_id") < uid_factor),
+        F.concat(
+            F.lit(f"training_mix chunk_uid packing needs 0 <= {id_col} "
+                  f"and chunk_id < uid_factor={uid_factor}; got "
+                  f"{id_col}="),
+            F.col(id_col).cast("string"),
+            F.lit(" chunk_id="), F.col("chunk_id").cast("string")))
+    chunks = chunks.select(
+        (F.col(id_col) * uid_factor + F.col("chunk_id")
+         + F.coalesce(ok.cast("long"), F.lit(0))).alias("chunk_uid"),
+        "chunk_text")
+    packed = pack_sequences(chunks, seq_len, id_col="chunk_uid",
+                            text_col="chunk_text", n_buckets=n_buckets)
+    out = packed.select(
+        F.expr(f"chunk_uid div {uid_factor}").alias(id_col),
+        (F.col("chunk_uid") % uid_factor).alias("chunk_id"),
+        "seq_id", "tok_begin", "tok_end", "seq_begin")
+    return out.join(F.broadcast(sampled.select(id_col, "lang")), on=id_col)

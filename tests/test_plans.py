@@ -322,6 +322,9 @@ _AUDIT_ALLOW = {
     # clean)
     "embed_near_dup": ("cartesian",),
     "lang_mix": ("cartesian", "single_partition"),
+    # the capstone embeds the lang_mix stage, so it inherits exactly
+    # that stage's one-row-totals allowance (nothing else may smell)
+    "training_mix": ("cartesian", "single_partition"),
     "funnel": ("rdd_scan",),
     "profile_cols": ("single_partition",),
     "key_skew": ("cartesian", "single_partition"),

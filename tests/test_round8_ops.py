@@ -1,0 +1,95 @@
+"""Unit pins for the round-8 additions (sampling.training_mix): span
+tiling invariants, determinism under repartitioning, the lazy uid
+guard, and plan shape — the SQL-oracle gate covers full-corpus replays
+at three SFs (tools/check_oracle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.functions.sampling import training_mix
+
+
+def _docs(spark, n=60, langs=("en", "de", "fr", "sw")):
+    # deterministic toy corpus: language shares 3:2:1:..., doc length
+    # grows with id so length-weighting is observable
+    rows = []
+    for i in range(n):
+        lang = langs[(i * i) % len(langs)]
+        words = ["w%d" % ((i * 7 + j) % 23) for j in range(5 + (i % 40))]
+        rows.append((i, " ".join(words), lang))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_training_mix_span_tiling(spark):
+    """Every sequence must be tiled exactly: spans within a seq_id are
+    contiguous, start at seq_begin 0-padded order, and sum to seq_len
+    for all but the final sequence."""
+    df = _docs(spark)
+    out = training_mix(df, 30, seq_len=16, max_tokens=8, overlap=2).collect()
+    assert out, "empty pipeline output"
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    last = max(by_seq)
+    for sid, rows in by_seq.items():
+        rows.sort(key=lambda r: r["seq_begin"])
+        pos = 0
+        for r in rows:
+            assert r["seq_begin"] == pos, (sid, rows)
+            assert 0 <= r["tok_begin"] < r["tok_end"]
+            pos += r["tok_end"] - r["tok_begin"]
+        if sid != last:
+            assert pos == 16, (sid, pos)
+        else:
+            assert 0 < pos <= 16
+    # sequence ids are the full contiguous range
+    assert sorted(by_seq) == list(range(last + 1))
+
+
+def test_training_mix_deterministic_and_repartition_stable(spark):
+    df = _docs(spark)
+    cols = ["doc_id", "chunk_id", "seq_id", "tok_begin", "tok_end",
+            "seq_begin", "lang"]
+    a = sorted(map(tuple, training_mix(df, 25).select(cols).collect()))
+    b = sorted(map(tuple,
+                   training_mix(df.repartition(7), 25).select(cols).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_training_mix_temperature_tilts_sample(spark):
+    """alpha<1 up-weights rare languages: with a quota smaller than the
+    corpus, the rare language's sampled share must exceed its corpus
+    share (deterministic here — fixed corpus, fixed salt)."""
+    df = _docs(spark, n=80)
+    corpus = {r["lang"]: r["cnt"] for r in
+              df.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    picked = (training_mix(df, 20).select("doc_id", "lang").distinct()
+              .groupBy("lang").agg(F.count("*").alias("cnt")).collect())
+    got = {r["lang"]: r["cnt"] for r in picked}
+    rare = min(corpus, key=corpus.get)
+    tot_c = sum(corpus.values())
+    assert got.get(rare, 0) / 20 > corpus[rare] / tot_c
+
+
+def test_training_mix_uid_guard_raises_in_plan(spark):
+    df = spark.createDataFrame([(-1, "a b c", "en")],
+                               "doc_id long, text string, lang string")
+    with pytest.raises(Exception, match="chunk_uid packing"):
+        training_mix(df, 5).collect()
+
+
+def test_training_mix_plan_audit_clean(spark):
+    from fsharp_dataframe_spark.functions.util import release_cached
+    from fsharp_dataframe_spark.plan_audit import audit
+
+    try:
+        out = training_mix(_docs(spark), 30)
+        # allowances, each bounded by construction: the lang_mix stage's
+        # ONE-row totals cross join + its single-partition 1-row
+        # aggregate (the same allowance the lang_mix query carries in
+        # _AUDIT_ALLOW), and this test's in-memory createDataFrame
+        # scans (the registered query reads parquet)
+        assert audit(out, allow=("cartesian", "single_partition",
+                                 "rdd_scan")) == []
+    finally:
+        release_cached()
