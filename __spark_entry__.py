@@ -1381,6 +1381,36 @@ def q_media_png_decode(spark, sf) -> DataFrame:
             .orderBy("media_id"))
 
 
+def q_media_mixed(spark, sf) -> DataFrame:
+    """Mixed-mime media corpus (r7 VERDICT ask #8): every third payload
+    a real decodable PNG, every third a JPEG header (dimensions sniff
+    via the stdlib SOF parse, but undecodable — the per-row
+    decode_ok=False flag path), every third non-media bytes (unknown
+    mime).  The metadata tier (multimodal.media_metadata) and the
+    tiered decode (extract_features) run over the SAME executor-
+    generated fixture and join on media_id; everything is closed-form
+    ((i+y)%256 PNG rows, w=16+i%8 / h=8+i%5 JPEG dims), so the oracle
+    replays sniffed mime/dims, the decode flag, and the decoded band
+    mean for every row — decode_ok=False rows present and value-
+    pinned, not just counted."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        extract_features, make_fake_mixed_media, media_metadata,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = make_fake_mixed_media(spark, n=n)
+    sniff = media_metadata(media).select(
+        "media_id", F.col("sniff_mime").alias("mime"),
+        F.col("sniff_width").cast("long").alias("width"),
+        F.col("sniff_height").cast("long").alias("height"))
+    feats = extract_features(media, real_decode=True).select(
+        "media_id", "decode_ok",
+        F.when(F.col("decode_ok"),
+               F.round(F.element_at("feat", 1).cast("double"), 2))
+        .alias("feat0"))
+    return sniff.join(feats, on="media_id").orderBy("media_id")
+
+
 def q_lsh_topk(spark, sf) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets, exact
     rescore on candidates.  ORACLE-EXACT since r5 via a REPLAY oracle
@@ -2510,7 +2540,7 @@ EXTRA_QUERIES = (
     "text_quality", "text_stats", "unigram_quality",
     # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r9):
-    "training_mix",
+    "training_mix", "media_mixed",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2594,6 +2624,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train": q_ivf_train,
         "media_features": q_media_features,
         "media_png_decode": q_media_png_decode,
+        "media_mixed": q_media_mixed,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
@@ -3898,6 +3929,26 @@ def _all_oracle_sql() -> dict[str, str]:
                          2) AS feat4
             FROM (SELECT row_number() OVER () - 1 AS i FROM documents) t
             ORDER BY media_id
+        """,
+        # mixed-mime fixture replay: sniffed mime/dims, the per-row
+        # decode flag, and (PNG rows only) the same quarter-integer
+        # band mean as media_png_decode — all closed form over the
+        # documents row count
+        "media_mixed": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS i FROM documents)
+            SELECT i AS media_id,
+                   CASE WHEN i % 3 = 0 THEN 'image/png'
+                        WHEN i % 3 = 1 THEN 'image/jpeg' END AS mime,
+                   CASE WHEN i % 3 = 0 THEN 32
+                        WHEN i % 3 = 1 THEN 16 + i % 8 END::BIGINT AS width,
+                   CASE WHEN i % 3 = 0 THEN 32
+                        WHEN i % 3 = 1 THEN 8 + i % 5 END::BIGINT AS height,
+                   (i % 3 = 0) AS decode_ok,
+                   CASE WHEN i % 3 = 0 THEN
+                     round(((i % 256) + ((i + 1) % 256) + ((i + 2) % 256)
+                            + ((i + 3) % 256)) / 4.0, 2)
+                   END AS feat0
+            FROM m ORDER BY media_id
         """,
         # duplicate clustering: component closure of the near-dup pair
         # graph as a recursive CTE (reachability enumeration + min

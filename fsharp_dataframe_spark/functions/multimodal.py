@@ -355,3 +355,148 @@ def make_fake_png_media(spark, n: int, width: int = 32,
     parts = max(1, (int(n) + 4095) // 4096)
     return spark.range(0, int(n), 1, parts).mapInPandas(
         gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-mime metadata tier (r7 VERDICT ask #8)
+
+_SNIFF_SCHEMA = "mime string, width int, height int"
+
+
+def sniff_image_metadata(payload: bytes | None):
+    """Stdlib container-header sniff — mime + pixel dimensions WITHOUT
+    decoding (the metadata pass a 100 TB media pipeline runs first to
+    partition/filter by size and type; full decode happens later, only
+    on the rows that survive).  Formats are identified by magic bytes:
+
+    - PNG:  IHDR width/height (big-endian u32 at bytes 16..24);
+    - JPEG: walk the marker stream to the first SOF0-SOF15 frame
+      header (skipping the non-frame C4/C8/CC markers) and read
+      height/width from it — the standard dimensions-without-decode
+      parse (ISO/IEC 10918-1 B.2.2);
+    - WAV:  RIFF....WAVE, mime only (no pixel dims).
+
+    Returns (mime, width, height), all None when nothing matches —
+    callers treat that as "unknown payload", never an error.
+    """
+    import struct
+
+    if not payload:
+        return (None, None, None)
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("image/png", int(w), int(h))
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI before any frame header
+                break
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:  # bare markers
+                i += 2
+                continue
+            seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return ("image/jpeg", int(w), int(h))
+                break
+            i += 2 + seglen
+        return ("image/jpeg", None, None)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return ("audio/x-wav", None, None)
+    return (None, None, None)
+
+
+def media_metadata(df: DataFrame,
+                   payload_col: str = "payload") -> DataFrame:
+    """Attach sniffed (mime, width, height) columns from the payload
+    header — Arrow-batched, no decode, runs at scan speed.  The
+    companion to extract_features: a mixed-mime corpus is first
+    size/type-profiled here, and only the rows a decoder claims are
+    routed to the (much more expensive) decode tier."""
+    import pandas as pd
+
+    def _sniff(payloads):
+        rows = [sniff_image_metadata(p) for p in payloads]
+        return pd.DataFrame(rows, columns=["mime", "width", "height"])
+
+    # module-wide `from __future__ import annotations` stringizes type
+    # hints, which pandas_udf cannot resolve for locally-imported
+    # pandas — bind real type objects instead (the bucketed.py pattern)
+    _sniff.__annotations__ = {"payloads": pd.Series, "return": pd.DataFrame}
+    meta = F.pandas_udf(_sniff, _SNIFF_SCHEMA)(F.col(payload_col))
+    return (df.withColumn("__sniff", meta)
+            .withColumn("sniff_mime", F.col("__sniff.mime"))
+            .withColumn("sniff_width", F.col("__sniff.width"))
+            .withColumn("sniff_height", F.col("__sniff.height"))
+            .drop("__sniff"))
+
+
+def make_fake_mixed_media(spark, n: int, width: int = 32,
+                          height: int = 32) -> DataFrame:
+    """Mixed-mime corpus fixture (r7 VERDICT ask #8): executor-
+    generated like make_fake_png_media, but only every THIRD payload
+    is a decodable PNG — the rest exercise the metadata tier and the
+    per-row failure flag on a corpus that is not 100% PNG:
+
+    - i % 3 == 0: a real stdlib-encoded grayscale PNG, closed-form
+      pixels (row y = (i + y) % 256) — decode_ok=True;
+    - i % 3 == 1: a JPEG HEADER (SOI + APP0/JFIF + SOF0 carrying
+      closed-form dimensions w = 16 + i%8, h = 8 + i%5) with no scan
+      data — dimensions sniff cleanly, but no tier can decode it:
+      the decode_ok=False path on a structurally valid container;
+    - i % 3 == 2: patterned non-media bytes ((i*13 + j) % 251 — can
+      never start with a known magic) — sniff returns NULL mime,
+      decode_ok=False.
+    """
+    from fsharp_dataframe_spark.functions.png import encode_png
+
+    w, h = int(width), int(height)
+
+    def _jpeg_header(wd: int, ht: int) -> bytes:
+        import struct
+
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        sof = (b"\x08" + struct.pack(">HH", ht, wd) + b"\x03"
+               + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+        return (b"\xff\xd8"
+                + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+                + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+                + b"\xff\xd9")
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            payloads, metas = [], []
+            for i in ids:
+                if i % 3 == 0:
+                    payloads.append(encode_png(
+                        b"".join(bytes([(i + y) % 256]) * w
+                                 for y in range(h)), w, h, 1))
+                    metas.append({"mime": "image/png", "width": w,
+                                  "height": h, "n_frames": 1,
+                                  "duration_s": None})
+                elif i % 3 == 1:
+                    payloads.append(_jpeg_header(16 + i % 8, 8 + i % 5))
+                    metas.append({"mime": "image/jpeg",
+                                  "width": 16 + i % 8, "height": 8 + i % 5,
+                                  "n_frames": 1, "duration_s": None})
+                else:
+                    payloads.append(bytes((i * 13 + j) % 251
+                                          for j in range(40)))
+                    metas.append({"mime": None, "width": None,
+                                  "height": None, "n_frames": None,
+                                  "duration_s": None})
+            yield pd.DataFrame({
+                "media_id": ids, "payload": payloads, "meta": metas,
+            })
+
+    parts = max(1, (int(n) + 4095) // 4096)
+    return spark.range(0, int(n), 1, parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)

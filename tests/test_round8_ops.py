@@ -93,3 +93,68 @@ def test_training_mix_plan_audit_clean(spark):
                                  "rdd_scan")) == []
     finally:
         release_cached()
+
+
+# --- mixed-mime metadata tier -------------------------------------------
+
+
+def test_sniff_image_metadata_formats():
+    import struct
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        sniff_image_metadata,
+    )
+    from fsharp_dataframe_spark.functions.png import encode_png
+
+    png = encode_png(bytes(range(16)) * 16, 16, 16, 1)
+    assert sniff_image_metadata(png) == ("image/png", 16, 16)
+
+    # JPEG: APP0 + a *skipped* DHT (C4) before the SOF0 frame header
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dht = bytes(7)
+    sof = b"\x08" + struct.pack(">HH", 99, 123) + b"\x01\x01\x11\x00"
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+            + b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9")
+    assert sniff_image_metadata(jpeg) == ("image/jpeg", 123, 99)
+    # truncated mid-marker: mime known, dims not — and never a raise
+    assert sniff_image_metadata(jpeg[:6]) == ("image/jpeg", None, None)
+
+    wav = b"RIFF" + bytes(4) + b"WAVE" + bytes(8)
+    assert sniff_image_metadata(wav) == ("audio/x-wav", None, None)
+
+    assert sniff_image_metadata(b"\x00\x01garbage") == (None, None, None)
+    assert sniff_image_metadata(b"") == (None, None, None)
+    assert sniff_image_metadata(None) == (None, None, None)
+
+
+def test_mixed_media_decode_flags_and_sniff(spark):
+    from fsharp_dataframe_spark.functions.multimodal import (
+        extract_features, make_fake_mixed_media, media_metadata,
+    )
+
+    media = make_fake_mixed_media(spark, n=30)
+    sniff = {r["media_id"]: r for r in media_metadata(media).collect()}
+    feats = {r["media_id"]: r for r in
+             extract_features(media, real_decode=True).collect()}
+    assert len(sniff) == len(feats) == 30
+    n_bad = 0
+    for i in range(30):
+        if i % 3 == 0:
+            assert feats[i]["decode_ok"] is True
+            assert sniff[i]["sniff_mime"] == "image/png"
+            assert (sniff[i]["sniff_width"], sniff[i]["sniff_height"]) == (32, 32)
+        else:
+            assert feats[i]["decode_ok"] is False
+            n_bad += 1
+            # the fallback byte features still exist (never NULL feat)
+            assert feats[i]["feat"] is not None
+        if i % 3 == 1:
+            assert sniff[i]["sniff_mime"] == "image/jpeg"
+            assert sniff[i]["sniff_width"] == 16 + i % 8
+            assert sniff[i]["sniff_height"] == 8 + i % 5
+        if i % 3 == 2:
+            assert sniff[i]["sniff_mime"] is None
+    assert n_bad == 20
