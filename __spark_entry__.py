@@ -1381,6 +1381,28 @@ def q_media_png_decode(spark, sf) -> DataFrame:
             .orderBy("media_id"))
 
 
+def q_hybrid_search(spark, sf) -> DataFrame:
+    """Hybrid retrieval capstone: BM25 lexical top-20 (search.bm25_topk
+    — token shuffle pre-filtered to the query terms) fused with exact
+    cosine vector top-20 (similarity.brute_force_topk, vec_id 0 as the
+    query vector, TakeOrderedAndProject) by reciprocal-rank fusion
+    (search.hybrid_rrf, Cormack et al. 2009), micro-quantized so the
+    fused ranking is an exact BIGINT order.  The two corpus-scale
+    halves keep their audited distributed shapes; only the two k-row
+    lists meet at the fusion join."""
+    from fsharp_dataframe_spark.functions.search import bm25_topk, hybrid_rrf
+    from fsharp_dataframe_spark.functions.similarity import brute_force_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    lex = bm25_topk(docs, "spark merge vector", k=20)
+    vec = (brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=20)
+           .withColumnRenamed("vec_id", "doc_id"))
+    return hybrid_rrf(lex, vec, k=20)
+
+
 def q_media_mixed(spark, sf) -> DataFrame:
     """Mixed-mime media corpus (r7 VERDICT ask #8): every third payload
     a real decodable PNG, every third a JPEG header (dimensions sniff
@@ -2509,8 +2531,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # cut-count-independent form (VERDICT r7 ask #3), so the new substrate
 # code must earn fresh driver rows, not coast on r7's.
 # ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
-# media_mixed — held out below awaiting r9 slots once locally
-# three-SF oracle-green) rotate in next round, swapping out
+# media_mixed, hybrid_search — held out below, each locally
+# three-SF oracle-green since r8) rotate in next round, swapping out
 # double-green veterans as above.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
@@ -2540,7 +2562,7 @@ EXTRA_QUERIES = (
     "text_quality", "text_stats", "unigram_quality",
     # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r9):
-    "training_mix", "media_mixed",
+    "training_mix", "media_mixed", "hybrid_search",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2625,6 +2647,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_png_decode": q_media_png_decode,
         "media_mixed": q_media_mixed,
+        "hybrid_search": q_hybrid_search,
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
@@ -2747,6 +2770,39 @@ def _bm25_sql(k1: float = 1.2, b: float = 0.75, k: int = 50) -> str:
           GROUP BY doc_id)
         SELECT doc_id, round(units / 1000000.0, 4) AS score, n_hit
         FROM per ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+def _hybrid_sql(k: int = 20, k_rrf: int = 60) -> str:
+    """DuckDB replay of q_hybrid_search: the bm25 oracle (nested CTE)
+    and the embed_topk cosine oracle re-ranked by row_number over the
+    identical quantized (score, id) order, fused with the same
+    micro-quantized RRF terms and tiebreak."""
+    return f"""
+        WITH lex AS (SELECT * FROM ({_bm25_sql(k=k)}) tl),
+        vecq AS (
+          SELECT vec_id AS doc_id,
+                 round(list_dot_product(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(
+                          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+                          (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)))),
+                   4) AS cosine_sim
+          FROM embeddings WHERE vec_id <> 0
+          ORDER BY cosine_sim DESC, vec_id LIMIT {k}),
+        l AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS lex_rank
+              FROM lex),
+        v AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY cosine_sim DESC, doc_id)::BIGINT AS vec_rank
+              FROM vecq)
+        SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, lex_rank, vec_rank,
+               (coalesce(round(1000000.0 / ({k_rrf} + lex_rank))::BIGINT, 0)
+                + coalesce(round(1000000.0 / ({k_rrf} + vec_rank))::BIGINT, 0))
+                 AS rrf_micro
+        FROM l FULL JOIN v ON l.doc_id = v.doc_id
+        ORDER BY rrf_micro DESC, doc_id LIMIT {k}
     """
 
 
@@ -4065,6 +4121,7 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_idx
         """,
         "bm25_search": _bm25_sql(),
+        "hybrid_search": _hybrid_sql(),
         # funnel replay: dependent CTEs, one per stage — stage k's
         # anchor is the min event time strictly after stage k-1's,
         # first-touch convention, integer-µs compares

@@ -320,3 +320,49 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
         out = out.join(nxt, ["__id", "__p0"])
     return (out.groupBy("__id").agg(F.count("*").alias("n_hits"))
             .select(F.col("__id").alias(id_col), "n_hits"))
+
+
+def hybrid_rrf(lex: DataFrame, vec: DataFrame, k: int = 20,
+               k_rrf: int = 60, id_col: str = "doc_id",
+               lex_score: str = "score",
+               vec_score: str = "cosine_sim") -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector ranking —
+    the standard hybrid-retrieval combiner (Cormack, Clarke &
+    Buettcher 2009, "Reciprocal Rank Fusion outperforms Condorcet and
+    individual rank learning methods"):
+
+        rrf(d) = Σ_lists 1 / (k_rrf + rank_list(d))
+
+    summed over the lists that retrieved d.  Each term is quantized to
+    integer micro-units (round(10^6/(k_rrf+r))) so the fused score is
+    an exact BIGINT sum a SQL oracle replays; ranks are dense
+    row_numbers over (score DESC, id ASC) — fully deterministic given
+    deterministic input scores (both producers here quantize theirs).
+
+    Contract: BOTH inputs must already be bounded top-k relations
+    (LIMIT outputs — bm25_topk / brute_force_topk shapes).  The rank
+    windows are global row_numbers, which plan a single-partition
+    exchange over ≤ list-length rows — k-bounded by construction; the
+    corpus itself never reaches this operator, so the expensive halves
+    (token shuffle, vector scan) keep their audited distributed
+    shapes.
+
+    Returns (id_col, lex_rank, vec_rank, rrf_micro), the k best by
+    fused score (ties broken by id).
+    """
+    wl = Window.orderBy(F.col(lex_score).desc(), F.col(id_col))
+    wv = Window.orderBy(F.col(vec_score).desc(), F.col(id_col))
+    l = lex.select(F.col(id_col),
+                   F.row_number().over(wl).cast("long").alias("lex_rank"))
+    v = vec.select(F.col(id_col),
+                   F.row_number().over(wv).cast("long").alias("vec_rank"))
+
+    def term(r):
+        return F.round(F.lit(1000000.0) / (F.lit(int(k_rrf)) + r)).cast("long")
+
+    fused = (l.join(v, on=id_col, how="full")
+             .select(id_col, "lex_rank", "vec_rank",
+                     (F.coalesce(term(F.col("lex_rank")), F.lit(0))
+                      + F.coalesce(term(F.col("vec_rank")), F.lit(0)))
+                     .alias("rrf_micro")))
+    return fused.orderBy(F.col("rrf_micro").desc(), F.col(id_col)).limit(int(k))

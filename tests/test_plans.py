@@ -325,6 +325,10 @@ _AUDIT_ALLOW = {
     # the capstone embeds the lang_mix stage, so it inherits exactly
     # that stage's one-row-totals allowance (nothing else may smell)
     "training_mix": ("cartesian", "single_partition"),
+    # RRF rank windows are global row_numbers over the two k-row
+    # top-k lists (k=20 by construction; the corpus halves keep their
+    # audited shapes upstream of the LIMITs)
+    "hybrid_search": ("single_partition",),
     "funnel": ("rdd_scan",),
     "profile_cols": ("single_partition",),
     "key_skew": ("cartesian", "single_partition"),

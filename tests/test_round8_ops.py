@@ -158,3 +158,40 @@ def test_mixed_media_decode_flags_and_sniff(spark):
         if i % 3 == 2:
             assert sniff[i]["sniff_mime"] is None
     assert n_bad == 20
+
+
+# --- hybrid retrieval (RRF) ---------------------------------------------
+
+
+def test_hybrid_rrf_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.search import hybrid_rrf
+
+    lex = spark.createDataFrame(
+        [(10, 3.0), (20, 2.0), (30, 1.0)], "doc_id long, score double")
+    vec = spark.createDataFrame(
+        [(20, 0.9), (40, 0.8)], "doc_id long, cosine_sim double")
+    out = {r["doc_id"]: r for r in hybrid_rrf(lex, vec, k=10).collect()}
+    # doc 20: rank 2 lexical + rank 1 vector
+    assert out[20]["lex_rank"] == 2 and out[20]["vec_rank"] == 1
+    assert out[20]["rrf_micro"] == round(1e6 / 62) + round(1e6 / 61)
+    # single-list docs carry one term and a NULL rank for the other
+    assert out[10]["vec_rank"] is None
+    assert out[10]["rrf_micro"] == round(1e6 / 61)
+    assert out[40]["lex_rank"] is None
+    assert out[40]["rrf_micro"] == round(1e6 / 62)
+    # both-lists doc fuses above every single-list doc here
+    ranks = sorted(out.values(), key=lambda r: (-r["rrf_micro"], r["doc_id"]))
+    assert ranks[0]["doc_id"] == 20
+
+
+def test_hybrid_rrf_tie_and_k(spark):
+    from fsharp_dataframe_spark.functions.search import hybrid_rrf
+
+    # equal scores -> rank by id; k truncates deterministically
+    lex = spark.createDataFrame(
+        [(i, 1.0) for i in range(5)], "doc_id long, score double")
+    vec = spark.createDataFrame(
+        [(i, 0.5) for i in range(5)], "doc_id long, cosine_sim double")
+    rows = hybrid_rrf(lex, vec, k=3).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    assert rows[0]["lex_rank"] == rows[0]["vec_rank"] == 1
