@@ -876,3 +876,74 @@ def stream_last_touch(
         .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+def stream_gap_report(
+    sdf: DataFrame,
+    min_gap_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming data-gap monitor — the stateful twin of the batch
+    functions/timeseries.gap_report ("which sensors went dark when",
+    live): state per key is the LAST observation's event-time µs (one
+    scalar; the id tiebreak only orders same-instant events inside a
+    batch, so it is not carried); each micro-batch replays in
+    (ts, id) order against the carried timestamp and emits one row per
+    consecutive span strictly longer than ``min_gap_s`` (the batch
+    strict-> convention: a gap of exactly min_gap_s is silence, not a
+    report).  Bounded state, gap-count-sized output.
+
+    Arrival-order caveat (the standard custom-state contract shared
+    with stream_fill_forward / stream_last_touch): events arriving in
+    a later micro-batch than a later-timestamped neighbour are applied
+    in arrival order — within one availableNow batch the result
+    equals the batch operator exactly (the oracle-hash test pins
+    that), and the checkpointed last-timestamp carries gaps across
+    batch boundaries and restarts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_field = sdf.schema[key_col]
+    out_schema = T.StructType([
+        key_field,
+        T.StructField("gap_start_us", T.LongType(), False),
+        T.StructField("gap_end_us", T.LongType(), False),
+        T.StructField("gap_s", T.LongType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_us", T.LongType(), True),
+    ])
+    min_gap_us = int(min_gap_s) * 1_000_000
+
+    def fn(key, pdfs, state):
+        (last_us,) = state.get if state.exists else (None,)
+        chunks = [pdf for pdf in pdfs]
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        rows = []
+        if pdf is not None and len(pdf):
+            pdf = pdf.assign(
+                __us=pdf[ts_col].astype("datetime64[us]").astype("int64"),
+            ).sort_values(["__us", id_col], ignore_index=True)
+            for us in pdf["__us"]:
+                us = int(us)
+                if last_us is not None and us - last_us > min_gap_us:
+                    rows.append((key[0], last_us, us,
+                                 (us - last_us) // 1_000_000))
+                last_us = us
+        state.update((last_us,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key_col, "gap_start_us", "gap_end_us",
+                               "gap_s"])
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )

@@ -1033,3 +1033,73 @@ def test_stream_last_touch_state_carries_across_batches(spark, tmp_path):
     r2 = {r["event_id"]: r for r in spark.read.parquet(outdir).collect()}
     assert 3 in r2 and r2[3]["touch_type"] == "click"    # carried state
     assert r2[3]["lag_s"] == 3600
+
+
+def test_stream_gap_report_matches_duckdb_oracle(spark, events_stream_dir):
+    """Streaming gap monitor (stream_gap_report) driven availableNow
+    and hash-compared against the SAME DuckDB oracle SQL as the batch
+    q_gap_report — every reported gap's exact µs boundaries and
+    whole-second duration value-pinned."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_gap_report
+
+    s = _events_stream(spark, events_stream_dir)
+    out = stream_gap_report(s, min_gap_s=4 * 3600)
+    name = run_to_memory(out, "t_gaps_oracle")
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["gap_report"]).df()
+    con.close()
+    problems = compare("stream_gap_report", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_gap_report_state_carries_across_batches(spark, tmp_path):
+    """A gap spanning two micro-batches is reported from the
+    checkpointed last-timestamp state, and a restart resumes from the
+    checkpoint without duplicating it."""
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_gap_report
+
+    d = str(tmp_path / "gap_batches")
+    ckpt = str(tmp_path / "gap_ckpt")
+    outdir = str(tmp_path / "gap_out")
+    shutil.rmtree(d, ignore_errors=True)
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def ts(h):
+        return F.lit(f"2024-01-01 {h:02d}:00:00").cast("timestamp")
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+        q = (stream_gap_report(src, min_gap_s=3600)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    b1 = spark.createDataFrame([(1, 7), (2, 7)], "event_id long, user_id long")
+    b1 = b1.withColumn("ts", F.when(F.col("event_id") == 1, ts(1)).otherwise(ts(2)))
+    b1.coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    # 1h apart exactly == min_gap -> strict > means silence
+    assert spark.read.parquet(outdir).count() == 0
+
+    b2 = spark.createDataFrame([(3, 7)], "event_id long, user_id long")
+    b2.withColumn("ts", ts(7)).coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    rows = spark.read.parquet(outdir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 7 and r["gap_s"] == 5 * 3600
+    # restart with no new data: nothing re-emitted
+    run_phase()
+    assert spark.read.parquet(outdir).count() == 1
