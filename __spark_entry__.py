@@ -981,6 +981,20 @@ def q_training_mix(spark, sf) -> DataFrame:
     return training_mix(docs, 200)
 
 
+def q_token_budget(spark, sf) -> DataFrame:
+    """Per-domain token budgeting (functions/sampling.token_budget_mix
+    — the Gopher/LLaMA data-mixture table): weights src0=3, src1=2,
+    rest 1, renormalized over the domains present; each domain's token
+    target is the exact integer (total * w_micro) div Σw_micro over a
+    100k-token budget; epochs/sample_rate are one double division of
+    identical ints, rounded 4dp."""
+    from fsharp_dataframe_spark.functions.sampling import token_budget_mix
+
+    docs = load_table(spark, sf, "documents")
+    return token_budget_mix(docs, {"src0": 3.0, "src1": 2.0},
+                            total_tokens=100_000)
+
+
 def q_pmi_collocations(spark, sf) -> DataFrame:
     """Top-25 PMI collocations (functions/text.pmi_collocations,
     Church & Hanks 1990): adjacent-bigram vs unigram stream counts,
@@ -2531,7 +2545,7 @@ def q_transitions(spark, sf) -> DataFrame:
 # cut-count-independent form (VERDICT r7 ask #3), so the new substrate
 # code must earn fresh driver rows, not coast on r7's.
 # ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
-# media_mixed, hybrid_search — held out below, each locally
+# media_mixed, hybrid_search, token_budget — held out below, each locally
 # three-SF oracle-green since r8) rotate in next round, swapping out
 # double-green veterans as above.
 EXTRA_QUERIES = (
@@ -2562,7 +2576,7 @@ EXTRA_QUERIES = (
     "text_quality", "text_stats", "unigram_quality",
     # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r9):
-    "training_mix", "media_mixed", "hybrid_search",
+    "training_mix", "media_mixed", "hybrid_search", "token_budget",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2679,6 +2693,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "pack_sequences": q_pack_sequences,
         "training_mix": q_training_mix,
+        "token_budget": q_token_budget,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
@@ -4394,6 +4409,29 @@ def _all_oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 2048 - cum, n_tokens)::BIGINT AS tok_end,
                    greatest(cum - seq_id * 2048, 0)::BIGINT AS seq_begin
             FROM e
+        """,
+        # domain token-budget table: exact integer targets via
+        # (total * w_micro) div sum(w_micro), ratios as one double
+        # division of identical ints
+        "token_budget": """
+            WITH a AS (
+              SELECT source AS domain, count(*)::BIGINT AS n_docs,
+                     sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')))::BIGINT
+                       AS avail_tokens
+              FROM documents GROUP BY 1),
+            w AS (
+              SELECT *, (CASE domain WHEN 'src0' THEN 3000000
+                                     WHEN 'src1' THEN 2000000
+                                     ELSE 1000000 END)::BIGINT AS wmic
+              FROM a),
+            t AS (SELECT sum(wmic)::BIGINT AS den FROM w)
+            SELECT domain, n_docs, avail_tokens,
+                   ((100000 * wmic) // den)::BIGINT AS target_tokens,
+                   round(((100000 * wmic) // den) / avail_tokens::DOUBLE, 4)
+                     AS epochs,
+                   round(least(((100000 * wmic) // den) / avail_tokens::DOUBLE,
+                               1.0), 4) AS sample_rate
+            FROM w, t
         """,
         # full-pipeline replay of the training-mix capstone: lang_mix
         # boosts (sqrt + fixed-point normalizer) -> exponential-race

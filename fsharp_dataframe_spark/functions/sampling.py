@@ -444,3 +444,58 @@ def training_mix(df: DataFrame, k: int, *, alpha: float = 0.5,
         (F.col("chunk_uid") % uid_factor).alias("chunk_id"),
         "seq_id", "tok_begin", "tok_end", "seq_begin")
     return out.join(F.broadcast(sampled.select(id_col, "lang")), on=id_col)
+
+
+def token_budget_mix(df: DataFrame, budgets: dict[str, float],
+                     total_tokens: int, domain_col: str = "source",
+                     text_col: str = "text",
+                     default_weight: float = 1.0) -> DataFrame:
+    """Per-domain token budgeting — the epochs / sampling-rate table a
+    pretraining run derives from its target data mixture (the
+    domain-weighting discipline of Gopher / LLaMA-style training:
+    domain weights → token targets → epochs over each domain's
+    available pool; Rae et al. 2021 §A3.1, Touvron et al. 2023 tab 1
+    describe exactly this table).
+
+    ``budgets`` maps domain → relative weight (domains absent from the
+    dict get ``default_weight``); weights renormalize over the domains
+    PRESENT in the corpus.  Exactness discipline: available tokens are
+    exact BIGINT sums of bpe-ish token counts; weights quantize to
+    integer micro-units; each domain's token target is the exact
+    integer ``(total_tokens * w_micro) div Σ w_micro``; only the final
+    epochs/sample-rate ratios are doubles (one division of identical
+    ints, rounded 4dp) — so a SQL oracle replays the whole table.
+
+    ``epochs`` > 1 means the domain must repeat to meet its target;
+    ``sample_rate`` = min(epochs, 1) is the keep-fraction a
+    single-pass sampler applies.  One groupBy on the domain key plus a
+    broadcast one-row normalizer — the domain table is tiny by nature.
+
+    Returns (domain, n_docs, avail_tokens, target_tokens, epochs,
+    sample_rate).
+    """
+    wmic_map = {k: int(round(float(v) * 1e6)) for k, v in budgets.items()}
+    default_mic = int(round(float(default_weight) * 1e6))
+    avail = (df.groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(bpe_ish_token_count(F.col(text_col)).cast("long"))
+                  .alias("avail_tokens")))
+    if wmic_map:
+        pairs = []
+        for k, v in wmic_map.items():
+            pairs.extend([F.lit(k), F.lit(v)])
+        wmic = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("domain")),
+            F.lit(default_mic))
+    else:
+        wmic = F.lit(default_mic)
+    scored = avail.withColumn("__wmic", wmic.cast("long"))
+    totals = scored.agg(F.sum("__wmic").alias("__den"))
+    target = F.expr(f"({int(total_tokens)} * __wmic) div __den")
+    ratio = target / F.col("avail_tokens")
+    return (scored.crossJoin(F.broadcast(totals))
+            .select("domain", "n_docs", "avail_tokens",
+                    target.cast("long").alias("target_tokens"),
+                    F.round(ratio, 4).alias("epochs"),
+                    F.round(F.least(ratio, F.lit(1.0)), 4)
+                    .alias("sample_rate")))

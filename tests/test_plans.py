@@ -329,6 +329,8 @@ _AUDIT_ALLOW = {
     # top-k lists (k=20 by construction; the corpus halves keep their
     # audited shapes upstream of the LIMITs)
     "hybrid_search": ("single_partition",),
+    # same one-row-totals shape as lang_mix (domain-count relation)
+    "token_budget": ("cartesian", "single_partition"),
     "funnel": ("rdd_scan",),
     "profile_cols": ("single_partition",),
     "key_skew": ("cartesian", "single_partition"),

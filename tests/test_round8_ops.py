@@ -195,3 +195,38 @@ def test_hybrid_rrf_tie_and_k(spark):
     rows = hybrid_rrf(lex, vec, k=3).collect()
     assert [r["doc_id"] for r in rows] == [0, 1, 2]
     assert rows[0]["lex_rank"] == rows[0]["vec_rank"] == 1
+
+
+# --- domain token budgeting ---------------------------------------------
+
+
+def test_token_budget_mix_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.sampling import token_budget_mix
+
+    # domains: a has 10 tokens over 2 docs, b has 40 over 1 doc
+    df = spark.createDataFrame(
+        [(1, "w " * 5, "a"), (2, "w " * 5, "a"), (3, "w " * 40, "b")],
+        "doc_id long, text string, source string")
+    out = {r["domain"]: r for r in
+           token_budget_mix(df, {"a": 3.0}, total_tokens=100).collect()}
+    # weights renormalize over present domains: a=3e6, b=1e6, den=4e6
+    assert out["a"]["avail_tokens"] == 10 and out["a"]["n_docs"] == 2
+    assert out["b"]["avail_tokens"] == 40
+    assert out["a"]["target_tokens"] == (100 * 3_000_000) // 4_000_000  # 75
+    assert out["b"]["target_tokens"] == 25
+    assert out["a"]["epochs"] == 7.5          # needs 7.5 epochs of a
+    assert out["a"]["sample_rate"] == 1.0     # capped
+    assert out["b"]["epochs"] == 0.625
+    assert out["b"]["sample_rate"] == 0.625
+
+
+def test_token_budget_mix_default_weight_and_missing_domain(spark):
+    from fsharp_dataframe_spark.functions.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "x y z", "seen")], "doc_id long, text string, source string")
+    # budget names a domain the corpus lacks: it simply contributes
+    # nothing (weights renormalize over what exists)
+    out = token_budget_mix(df, {"ghost": 9.0}, total_tokens=50).collect()
+    assert len(out) == 1 and out[0]["domain"] == "seen"
+    assert out[0]["target_tokens"] == 50
