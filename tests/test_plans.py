@@ -331,6 +331,9 @@ _AUDIT_ALLOW = {
     "hybrid_search": ("single_partition",),
     # same one-row-totals shape as lang_mix (domain-count relation)
     "token_budget": ("cartesian", "single_partition"),
+    # the lazy n_keys total (r7 VERDICT "what's wrong" #5 fix): ONE-row
+    # distinct-key count cross-joined broadcast, profile.py pattern
+    "basket_pairs": ("cartesian", "single_partition"),
     "funnel": ("rdd_scan",),
     "profile_cols": ("single_partition",),
     "key_skew": ("cartesian", "single_partition"),
