@@ -646,3 +646,48 @@ def test_phrase_search_matches_naive_reference(spark, docs, phrase):
         if n:
             exp[i] = n
     assert got == exp
+
+
+@given(texts=st.lists(st.lists(st.sampled_from("abcd"), min_size=0,
+                               max_size=40).map(lambda ws: " ".join(ws)),
+                      min_size=1, max_size=8),
+       k=st.integers(min_value=1, max_value=6),
+       seq_len=st.integers(min_value=2, max_value=16))
+@settings(**SETTINGS)
+def test_training_mix_spans_reconstruct_chunk_stream(spark, texts, k, seq_len):
+    """End-to-end law for the training-mix capstone: laying every
+    emitted (chunk × sequence) span end-to-end in (seq_id, seq_begin)
+    order must reproduce each sampled chunk's tokens exactly once, in
+    chunk_uid order — no token lost, duplicated, or reordered by the
+    sample/chunk/pack composition."""
+    from fsharp_dataframe_spark.functions.sampling import training_mix
+
+    rows = [(i, t, ["en", "fr"][i % 2]) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = training_mix(df, k, seq_len=seq_len, max_tokens=6, overlap=2)
+    got = out.collect()
+
+    # independent reference for the span laws: per (doc, chunk), the
+    # spans across sequences must tile [0, n_chunk_tokens) contiguously
+    from collections import defaultdict
+
+    per_chunk = defaultdict(list)
+    for r in got:
+        per_chunk[(r["doc_id"], r["chunk_id"])].append(r)
+    for key, rows_ in per_chunk.items():
+        rows_.sort(key=lambda r: r["seq_id"])
+        pos = 0
+        for r in rows_:
+            assert r["tok_begin"] == pos, (key, rows_)
+            pos = r["tok_end"]
+        # and consecutive spans sit in consecutive sequences
+        sids = [r["seq_id"] for r in rows_]
+        assert sids == list(range(sids[0], sids[0] + len(sids)))
+    # every sequence except the last is exactly seq_len tokens
+    per_seq = defaultdict(int)
+    for r in got:
+        per_seq[r["seq_id"]] += r["tok_end"] - r["tok_begin"]
+    if per_seq:
+        last = max(per_seq)
+        assert all(v == seq_len for s, v in per_seq.items() if s != last)
+        assert 0 < per_seq[last] <= seq_len
