@@ -981,6 +981,23 @@ def q_training_mix(spark, sf) -> DataFrame:
     return training_mix(docs, 200)
 
 
+def q_cusum(spark, sf) -> DataFrame:
+    """Two-sided CUSUM drift detector (functions/timeseries.
+    cusum_changepoints, Page 1954) per user over event values: target
+    50, slack 25, threshold 400, statistics in exact integer
+    1/10000-units so the oracle's list_reduce replays every fold step
+    and alarm bit-for-bit.  One Arrow pass per key — the recurrence's
+    max-with-zero clip does not decompose (unlike EWMA), so per-key
+    sequential is the honest shape, parallel across keys."""
+    from fsharp_dataframe_spark.functions.timeseries import cusum_changepoints
+
+    ev = load_table(spark, sf, "events")
+    out = cusum_changepoints(ev, "user_id", "ts", "value",
+                             target=50.0, slack=25.0, threshold=400.0,
+                             tiebreak="event_id")
+    return out.select("user_id", "event_id", "s_pos", "s_neg", "alarm")
+
+
 def q_token_budget(spark, sf) -> DataFrame:
     """Per-domain token budgeting (functions/sampling.token_budget_mix
     — the Gopher/LLaMA data-mixture table): weights src0=3, src1=2,
@@ -2545,7 +2562,7 @@ def q_transitions(spark, sf) -> DataFrame:
 # cut-count-independent form (VERDICT r7 ask #3), so the new substrate
 # code must earn fresh driver rows, not coast on r7's.
 # ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
-# media_mixed, hybrid_search, token_budget — held out below, each locally
+# media_mixed, hybrid_search, token_budget, cusum — held out below, each locally
 # three-SF oracle-green since r8) rotate in next round, swapping out
 # double-green veterans as above.
 EXTRA_QUERIES = (
@@ -2577,6 +2594,7 @@ EXTRA_QUERIES = (
     # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r9):
     "training_mix", "media_mixed", "hybrid_search", "token_budget",
+    "cusum",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2694,6 +2712,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "training_mix": q_training_mix,
         "token_budget": q_token_budget,
+        "cusum": q_cusum,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
@@ -4409,6 +4428,28 @@ def _all_oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 2048 - cum, n_tokens)::BIGINT AS tok_end,
                    greatest(cum - seq_id * 2048, 0)::BIGINT AS seq_begin
             FROM e
+        """,
+        # CUSUM replay: the same exact-integer prefix folds as the ewma
+        # oracle's list_reduce, but over BIGINT units with the
+        # greatest(0, ...) clip — every statistic and alarm bit-exact
+        "cusum": """
+            WITH g AS (
+              SELECT user_id,
+                     list(round(value * 10000)::BIGINT ORDER BY ts, event_id) AS xs,
+                     list(event_id ORDER BY ts, event_id) AS ids
+              FROM events WHERE value IS NOT NULL
+              GROUP BY user_id)
+            SELECT user_id, ids[i] AS event_id,
+                   list_reduce(list_prepend(0::BIGINT, xs[1:i]),
+                               (acc, x) -> greatest(0, acc + (x - 750000))) AS s_pos,
+                   list_reduce(list_prepend(0::BIGINT, xs[1:i]),
+                               (acc, x) -> greatest(0, acc - (x - 250000))) AS s_neg,
+                   (list_reduce(list_prepend(0::BIGINT, xs[1:i]),
+                                (acc, x) -> greatest(0, acc + (x - 750000))) > 4000000
+                    OR list_reduce(list_prepend(0::BIGINT, xs[1:i]),
+                                   (acc, x) -> greatest(0, acc - (x - 250000))) > 4000000)
+                     AS alarm
+            FROM g, unnest(generate_series(1, len(ids))) AS t(i)
         """,
         # domain token-budget table: exact integer targets via
         # (total * w_micro) div sum(w_micro), ratios as one double

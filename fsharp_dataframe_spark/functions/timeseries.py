@@ -490,3 +490,69 @@ def gap_report(df: DataFrame, key: str, ts: str, min_gap_s: int,
                     F.col(ts).alias("gap_end"),
                     (F.col("__gap_us") / F.lit(1_000_000)).cast("long")
                     .alias("gap_s")))
+
+
+def cusum_changepoints(df: DataFrame, key: str, ts: str, value: str,
+                       target: float, slack: float, threshold: float,
+                       scale: int = 10000,
+                       tiebreak: str | None = None) -> DataFrame:
+    """Two-sided CUSUM drift detector (Page 1954, "Continuous
+    inspection schemes") per key:
+
+        S⁺_i = max(0, S⁺_{i-1} + (x_i - target - slack))
+        S⁻_i = max(0, S⁻_{i-1} - (x_i - target + slack))
+
+    with an alarm whenever either statistic exceeds ``threshold`` —
+    the classic sequential test for a sustained mean shift beyond the
+    slack band (sensor drift, metric regressions, data-quality decay),
+    and the canonical recurrence that does NOT decompose the way EWMA
+    does (max-with-zero clips the carry), so the honest distributed
+    shape is one Arrow pass per key — embarrassingly parallel across
+    keys, sequential within a key by necessity.
+
+    Exactness: x/target/slack/threshold quantize to integer 1/scale
+    units up front, so both statistics are exact BIGINT folds — a SQL
+    oracle replays every value and alarm with a list_reduce over the
+    same integers (no float drift anywhere).  NULL values are excluded
+    (the recurrence is over observed points, the ewma convention).
+
+    Returns one row per non-null observation: (key, ts[, tiebreak],
+    s_pos, s_neg, alarm) with the statistics in 1/scale units.
+    """
+    import pandas as pd
+
+    t_units = int(round(float(target) * scale))
+    k_units = int(round(float(slack) * scale))
+    h_units = int(round(float(threshold) * scale))
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    base = (df.filter(F.col(value).isNotNull())
+            .select(key, *order,
+                    F.round(F.col(value).cast("double") * scale)
+                    .cast("long").alias("__xu")))
+    from pyspark.sql import types as T
+
+    # StructType.add MUTATES (and base.schema is a cached py-side
+    # object) — build a fresh StructType or base itself grows phantom
+    # columns
+    schema = T.StructType(list(base.schema.fields) + [
+        T.StructField("s_pos", T.LongType()),
+        T.StructField("s_neg", T.LongType()),
+        T.StructField("alarm", T.BooleanType()),
+    ])
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, ignore_index=True)
+        sp = sn = 0
+        pos, neg, alarm = [], [], []
+        for x in pdf["__xu"]:
+            x = int(x)
+            sp = max(0, sp + (x - t_units - k_units))
+            sn = max(0, sn - (x - t_units + k_units))
+            pos.append(sp)
+            neg.append(sn)
+            alarm.append(sp > h_units or sn > h_units)
+        pdf["s_pos"], pdf["s_neg"], pdf["alarm"] = pos, neg, alarm
+        return pdf
+
+    out = base.groupBy(key).applyInPandas(fn, schema)
+    return out.select(key, *order, "s_pos", "s_neg", "alarm")

@@ -230,3 +230,52 @@ def test_token_budget_mix_default_weight_and_missing_domain(spark):
     out = token_budget_mix(df, {"ghost": 9.0}, total_tokens=50).collect()
     assert len(out) == 1 and out[0]["domain"] == "seen"
     assert out[0]["target_tokens"] == 50
+
+
+# --- CUSUM changepoints --------------------------------------------------
+
+
+def test_cusum_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.timeseries import (
+        cusum_changepoints,
+    )
+
+    # target 10, slack 2: x-target-slack = x-12 (pos), -(x-8) (neg)
+    rows = [("k", i, float(v), i) for i, v in
+            enumerate([10, 20, 20, 5, 1, 1, 1])]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, value double, eid long")
+    out = [tuple(r) for r in
+           cusum_changepoints(df, "key", "ts", "value", 10.0, 2.0, 9.0,
+                              scale=1, tiebreak="eid")
+           .orderBy("ts").collect()]
+    # s_pos: max(0, prev + x-12); s_neg: max(0, prev - (x-8))
+    exp = [
+        ("k", 0, 0, 0, 0, False),     # 10: pos 0, neg 0
+        ("k", 1, 1, 8, 0, False),     # 20: pos 8, neg 0
+        ("k", 2, 2, 16, 0, True),     # 20: pos 16 > 9 -> alarm
+        ("k", 3, 3, 9, 3, False),     # 5: pos 9 (not >9), neg 3
+        ("k", 4, 4, 0, 10, True),     # 1: neg 10 > 9 -> alarm
+        ("k", 5, 5, 0, 17, True),
+        ("k", 6, 6, 0, 24, True),
+    ]
+    assert out == exp
+
+
+def test_cusum_null_skip_and_key_isolation(spark):
+    from fsharp_dataframe_spark.functions.timeseries import (
+        cusum_changepoints,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 100.0, 1), ("a", 2, None, 2), ("a", 3, 100.0, 3),
+         ("b", 1, 0.0, 4)],
+        "key string, ts long, value double, eid long")
+    out = {(r["key"], r["ts"]): r for r in
+           cusum_changepoints(df, "key", "ts", "value", 0.0, 0.0, 1e9,
+                              scale=1, tiebreak="eid").collect()}
+    # NULL row absent; fold skips it (100 then 100 accumulates to 200)
+    assert ("a", 2) not in out and len(out) == 3
+    assert out[("a", 3)]["s_pos"] == 200
+    # keys never share state
+    assert out[("b", 1)]["s_pos"] == 0
