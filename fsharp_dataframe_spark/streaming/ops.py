@@ -947,3 +947,88 @@ def stream_gap_report(
         .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+def stream_cusum(
+    sdf: DataFrame,
+    target: float,
+    slack: float,
+    threshold: float,
+    scale: int = 10000,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming two-sided CUSUM drift monitor — the stateful twin of
+    the batch functions/timeseries.cusum_changepoints (Page 1954),
+    which is the op a metrics pipeline actually wants LIVE: state per
+    key is the (S⁺, S⁻) pair in exact integer 1/scale units (two
+    BIGINT scalars — trivially bounded); each micro-batch replays in
+    (ts, id) order against the carried pair and emits every
+    observation's statistics and alarm flag.  Identical integer
+    arithmetic to the batch operator, so within one availableNow batch
+    the output hash-matches the same DuckDB oracle (pinned), and the
+    checkpointed pair carries drift accumulation across batches and
+    restarts.  Arrival-order caveat as stream_gap_report.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_field = sdf.schema[key_col]
+    id_field = sdf.schema[id_col]
+    out_schema = T.StructType([
+        key_field, id_field,
+        T.StructField("s_pos", T.LongType(), False),
+        T.StructField("s_neg", T.LongType(), False),
+        T.StructField("alarm", T.BooleanType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("s_pos", T.LongType(), True),
+        T.StructField("s_neg", T.LongType(), True),
+    ])
+    t_units = int(round(float(target) * scale))
+    k_units = int(round(float(slack) * scale))
+    h_units = int(round(float(threshold) * scale))
+
+    def fn(key, pdfs, state):
+        sp, sn = (state.get if state.exists else (0, 0))
+        sp, sn = int(sp or 0), int(sn or 0)
+        chunks = [pdf for pdf in pdfs]
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        rows = []
+        if pdf is not None and len(pdf):
+            pdf = pdf[pdf[value_col].notna()]
+            if len(pdf):
+                import math
+
+                def _half_up(v):
+                    # Spark F.round is HALF_UP (away from zero) —
+                    # python round() is banker's, a .5 mismatch trap
+                    x = float(v) * scale
+                    return (int(math.floor(x + 0.5)) if x >= 0
+                            else -int(math.floor(-x + 0.5)))
+
+                pdf = pdf.assign(
+                    __us=pdf[ts_col].astype("datetime64[us]").astype("int64"),
+                    __xu=[_half_up(v) for v in pdf[value_col]],
+                ).sort_values(["__us", id_col], ignore_index=True)
+                for eid, x in zip(pdf[id_col], pdf["__xu"]):
+                    sp = max(0, sp + (x - t_units - k_units))
+                    sn = max(0, sn - (x - t_units + k_units))
+                    rows.append((key[0], eid, sp, sn,
+                                 sp > h_units or sn > h_units))
+        state.update((sp, sn))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key_col, id_col, "s_pos", "s_neg",
+                               "alarm"])
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )

@@ -1103,3 +1103,69 @@ def test_stream_gap_report_state_carries_across_batches(spark, tmp_path):
     # restart with no new data: nothing re-emitted
     run_phase()
     assert spark.read.parquet(outdir).count() == 1
+
+
+def test_stream_cusum_matches_duckdb_oracle(spark, events_stream_dir):
+    """Streaming CUSUM (stream_cusum) driven availableNow and
+    hash-compared against the SAME DuckDB oracle SQL as the batch
+    q_cusum — every fold step and alarm value-pinned."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_cusum
+
+    s = _events_stream(spark, events_stream_dir)
+    out = stream_cusum(s, target=50.0, slack=25.0, threshold=400.0)
+    name = run_to_memory(out, "t_cusum_oracle")
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["cusum"]).df()
+    con.close()
+    problems = compare("stream_cusum", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_cusum_state_accumulates_across_batches(spark, tmp_path):
+    """Drift accumulated in batch 1 persists through the checkpoint:
+    batch 2's first observation folds onto the carried (S+, S-)."""
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_cusum
+
+    d = str(tmp_path / "cusum_batches")
+    ckpt = str(tmp_path / "cusum_ckpt")
+    outdir = str(tmp_path / "cusum_out")
+    shutil.rmtree(d, ignore_errors=True)
+    schema = "event_id long, user_id long, value double, ts timestamp"
+
+    def ts(h):
+        return F.lit(f"2024-01-01 {h:02d}:00:00").cast("timestamp")
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+        q = (stream_cusum(src, target=10.0, slack=0.0, threshold=25.0,
+                          scale=1)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    b1 = spark.createDataFrame([(1, 7, 30.0)],
+                               "event_id long, user_id long, value double")
+    b1.withColumn("ts", ts(1)).coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    r1 = {r["event_id"]: r for r in spark.read.parquet(outdir).collect()}
+    assert r1[1]["s_pos"] == 20 and not r1[1]["alarm"]
+
+    b2 = spark.createDataFrame([(2, 7, 20.0)],
+                               "event_id long, user_id long, value double")
+    b2.withColumn("ts", ts(2)).coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    r2 = {r["event_id"]: r for r in spark.read.parquet(outdir).collect()}
+    # 20 + (20-10) = 30 > 25: alarm only because batch-1 state carried
+    assert r2[2]["s_pos"] == 30 and r2[2]["alarm"]
