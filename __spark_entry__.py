@@ -981,6 +981,22 @@ def q_training_mix(spark, sf) -> DataFrame:
     return training_mix(docs, 200)
 
 
+def q_rolling_median(spark, sf) -> DataFrame:
+    """Exact rolling median of the last 7 observations per user
+    (functions/timeseries.rolling_median): one keyed window carrying a
+    k-bounded sorted list, JVM-side only (sort_array + element_at, no
+    UDF); odd/even middles averaged from identical doubles so the
+    oracle's list_sort replay matches bit-for-bit."""
+    from fsharp_dataframe_spark.functions.timeseries import rolling_median
+
+    ev = load_table(spark, sf, "events")
+    out = rolling_median(ev, "user_id", "ts", "value", k=7,
+                         tiebreak="event_id")
+    return out.select("user_id", "event_id",
+                      F.round("value", 4).alias("value"),
+                      F.round("med", 6).alias("med"))
+
+
 def q_cusum(spark, sf) -> DataFrame:
     """Two-sided CUSUM drift detector (functions/timeseries.
     cusum_changepoints, Page 1954) per user over event values: target
@@ -2562,7 +2578,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # cut-count-independent form (VERDICT r7 ask #3), so the new substrate
 # code must earn fresh driver rows, not coast on r7's.
 # ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
-# media_mixed, hybrid_search, token_budget, cusum — held out below, each locally
+# media_mixed, hybrid_search, token_budget, cusum, rolling_median —
+# held out below, each locally
 # three-SF oracle-green since r8) rotate in next round, swapping out
 # double-green veterans as above.
 EXTRA_QUERIES = (
@@ -2594,7 +2611,7 @@ EXTRA_QUERIES = (
     # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r9):
     "training_mix", "media_mixed", "hybrid_search", "token_budget",
-    "cusum",
+    "cusum", "rolling_median",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2713,6 +2730,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "token_budget": q_token_budget,
         "cusum": q_cusum,
+        "rolling_median": q_rolling_median,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
@@ -4428,6 +4446,21 @@ def _all_oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 2048 - cum, n_tokens)::BIGINT AS tok_end,
                    greatest(cum - seq_id * 2048, 0)::BIGINT AS seq_begin
             FROM e
+        """,
+        # rolling median: DuckDB's windowed list() + list_sort replays
+        # the k-bounded collect_list + sort_array middles exactly
+        "rolling_median": """
+            WITH o AS (
+              SELECT user_id, event_id, value::DOUBLE AS v,
+                     list(value::DOUBLE) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+              FROM events WHERE value IS NOT NULL),
+            s AS (SELECT user_id, event_id, v, list_sort(arr) AS srt FROM o)
+            SELECT user_id, event_id, round(v, 4) AS value,
+                   round((srt[(len(srt) + 1) // 2]
+                          + srt[len(srt) // 2 + 1]) / 2.0, 6) AS med
+            FROM s
         """,
         # CUSUM replay: the same exact-integer prefix folds as the ewma
         # oracle's list_reduce, but over BIGINT units with the

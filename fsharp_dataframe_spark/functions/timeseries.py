@@ -556,3 +556,40 @@ def cusum_changepoints(df: DataFrame, key: str, ts: str, value: str,
 
     out = base.groupBy(key).applyInPandas(fn, schema)
     return out.select(key, *order, "s_pos", "s_neg", "alarm")
+
+
+def rolling_median(df: DataFrame, key: str, ts: str, value: str, k: int,
+                   tiebreak: str | None = None,
+                   out_col: str = "med") -> DataFrame:
+    """Exact rolling median of the last ``k`` observations per key —
+    the robust sibling of the moving average (SeriesModule.fs:281-301
+    gives the reference's finite moving windows; median is the robust
+    upgrade every monitoring stack wants).  Head windows shorter than
+    k use the observations available (the reference's Boundary.AtBeginning
+    convention for incomplete windows).
+
+    Median rule: sorted middle for odd counts, mean of the two middle
+    values for even counts (both engines average the identical
+    doubles, so a SQL oracle replays it bit-for-bit with list_sort +
+    the same two-element mean).
+
+    Shape: ONE keyed window carrying a k-bounded collect_list — state
+    per row is O(k) values, independent of series length, hash-
+    partitioned on the key; no global sort, no UDF (sort_array and
+    element_at are JVM-side).
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (W.partitionBy(key).orderBy(*order)
+         .rowsBetween(-(int(k) - 1), 0))
+    arr = F.sort_array(F.collect_list(F.col(value).cast("double")).over(w))
+    n = F.size(arr)
+    # 1-based middles: odd n -> (n+1)/2 twice; even n -> n/2, n/2+1
+    i_lo = F.floor((n + 1) / 2).cast("int")
+    i_hi = F.floor(n / 2).cast("int") + 1
+    med = (F.element_at(arr, i_lo) + F.element_at(arr, i_hi)) / 2.0
+    cols = [key, ts] + ([tiebreak] if tiebreak else [])
+    return (df.filter(F.col(value).isNotNull())
+            .select(*cols, F.col(value).cast("double").alias(value))
+            .withColumn(out_col, med.alias(out_col)))

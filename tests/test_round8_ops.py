@@ -279,3 +279,36 @@ def test_cusum_null_skip_and_key_isolation(spark):
     assert out[("a", 3)]["s_pos"] == 200
     # keys never share state
     assert out[("b", 1)]["s_pos"] == 0
+
+
+# --- rolling median ------------------------------------------------------
+
+
+def test_rolling_median_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.timeseries import rolling_median
+
+    rows = [("k", i, float(v), i) for i, v in
+            enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, value double, eid long")
+    out = [r["med"] for r in
+           rolling_median(df, "key", "ts", "value", k=3, tiebreak="eid")
+           .orderBy("ts").collect()]
+    # windows: [5] [5,1] [5,1,9] [1,9,3] [9,3,7]
+    assert out == [5.0, 3.0, 5.0, 3.0, 7.0]
+
+
+def test_rolling_median_skips_nulls_and_isolates_keys(spark):
+    from fsharp_dataframe_spark.functions.timeseries import rolling_median
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0, 1), ("a", 2, None, 2), ("a", 3, 20.0, 3),
+         ("b", 1, 99.0, 4)],
+        "key string, ts long, value double, eid long")
+    out = {(r["key"], r["ts"]): r["med"] for r in
+           rolling_median(df, "key", "ts", "value", k=2,
+                          tiebreak="eid").collect()}
+    assert ("a", 2) not in out
+    # the NULL row neither appears nor occupies a window slot
+    assert out[("a", 3)] == 15.0
+    assert out[("b", 1)] == 99.0
