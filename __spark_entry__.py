@@ -309,6 +309,29 @@ def q_asof_grouped(spark, sf) -> DataFrame:
     return out.select("user_id", "event_id", "ts", "last_click_value")
 
 
+def q_asof_tolerance(spark, sf) -> DataFrame:
+    """Tolerance-bounded as-of (pandas merge_asof parity, operators/
+    asof._union_fill tolerance path): the last same-user click value
+    at-or-before each error event, but only if it happened within 30
+    minutes — staler matches lapse to NULL.  Same single keyed window
+    pass as q_asof_grouped; the carried value rides a (key, value)
+    struct so the matched key is distance-testable."""
+    from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+    ev = load_table(spark, sf, "events")
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id")
+    src = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("last_click_value"))
+    out = asof_align_frame(probe, src, key_cols=["ts"],
+                           fill_cols=["last_click_value"],
+                           direction="backward", by=["user_id"],
+                           tolerance=1800)
+    return out.select("user_id", "event_id", "ts",
+                      F.round("last_click_value", 4)
+                      .alias("last_click_value"))
+
+
 def q_realign(spark, sf) -> DataFrame:
     """GetItems/Realign exact reindex (src/Series.fs:133-152, 552-559):
     customer account balances realigned to the full 1..200 key spine."""
@@ -2578,8 +2601,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # cut-count-independent form (VERDICT r7 ask #3), so the new substrate
 # code must earn fresh driver rows, not coast on r7's.
 # ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
-# media_mixed, hybrid_search, token_budget, cusum, rolling_median —
-# held out below, each locally
+# media_mixed, hybrid_search, token_budget, cusum, rolling_median,
+# asof_tolerance — held out below, each locally
 # three-SF oracle-green since r8) rotate in next round, swapping out
 # double-green veterans as above.
 EXTRA_QUERIES = (
@@ -2611,7 +2634,7 @@ EXTRA_QUERIES = (
     # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r9):
     "training_mix", "media_mixed", "hybrid_search", "token_budget",
-    "cusum", "rolling_median",
+    "cusum", "rolling_median", "asof_tolerance",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2731,6 +2754,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "cusum": q_cusum,
         "rolling_median": q_rolling_median,
+        "asof_tolerance": q_asof_tolerance,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
@@ -4446,6 +4470,23 @@ def _all_oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 2048 - cum, n_tokens)::BIGINT AS tok_end,
                    greatest(cum - seq_id * 2048, 0)::BIGINT AS seq_begin
             FROM e
+        """,
+        # tolerance as-of: LATERAL last-at-or-before within the window,
+        # exact integer-microsecond distance test
+        "asof_tolerance": """
+            WITH probe AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'error'),
+            src AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'click' AND value IS NOT NULL)
+            SELECT p.user_id, p.event_id, p.ts,
+                   round(l.v, 4) AS last_click_value
+            FROM probe p LEFT JOIN LATERAL (
+              SELECT s.value AS v FROM src s
+              WHERE s.user_id = p.user_id AND s.ts <= p.ts
+                AND epoch_us(p.ts) - epoch_us(s.ts) <= 1800000000
+              ORDER BY s.ts DESC LIMIT 1) l ON true
         """,
         # rolling median: DuckDB's windowed list() + list_sort replays
         # the k-bounded collect_list + sort_array middles exactly

@@ -61,14 +61,30 @@ def _union_fill(
     by: list[str] | None,
     bucketed: bool = False,
     n_buckets: int | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Shared engine: fill *fill_cols* (from source) onto probe rows.
 
     probe_df: columns = by + key_cols + probe_cols
     source_df: columns = by + key_cols + fill_cols
     Returns: by + key_cols + probe_cols + fill_cols (probe rows only).
+
+    ``tolerance`` (pandas merge_asof parity): a match is only kept when
+    |probe_key - matched_source_key| <= tolerance, measured on the
+    LEADING key — in the key's own units for numeric keys, in SECONDS
+    for timestamp keys.  Per-column semantics are preserved (the
+    reference's "nearest key that HAS a value", Index.fs:15-28): each
+    fill column independently carries the last source row where THAT
+    column is non-null, and the tolerance tests that row's key.  Same
+    single window pass — the carried value just rides a (key, value)
+    struct so the matched key is testable.  Exact matches (distance 0)
+    always survive.
     """
     by = by or []
+    if tolerance is not None and bucketed:
+        raise NotImplementedError(
+            "tolerance is not implemented on the bucketed global path; "
+            "pass by= (keyed) or bucketed=False")
     src = source_df.select(
         *by, *key_cols, *fill_cols,
         *[_typed_null(probe_df, c).alias(c) for c in probe_cols],
@@ -107,6 +123,22 @@ def _union_fill(
         filled = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
     else:
         raise ValueError(direction)
+
+    if tolerance is not None:
+        lead = F.col(key_cols[0])
+        is_ts = dict(u.dtypes)[key_cols[0]].startswith("timestamp")
+        axis = F.unix_micros(lead) if is_ts else lead.cast("double")
+        tol = (float(tolerance) * 1_000_000) if is_ts else float(tolerance)
+        pick = F.first if direction == "forward" else F.last
+        filled = {}
+        for c in fill_cols:
+            carried = pick(
+                F.when((F.col(_SIDE) == 0) & F.col(c).isNotNull(),
+                       F.struct(axis.alias("__k"), F.col(c).alias("__v"))),
+                ignorenulls=True).over(w)
+            dist = ((carried["__k"] - axis) if direction == "forward"
+                    else (axis - carried["__k"]))
+            filled[c] = F.when(dist <= F.lit(tol), carried["__v"])
 
     out = u.withColumns(filled).filter(F.col(_SIDE) == 1)
     return out.select(*by, *key_cols, *probe_cols, *fill_cols)
@@ -224,20 +256,24 @@ def asof_lookup(
     direction: str = "backward",
     by: list[str] | None = None,
     bucketed: bool = False,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Reindex a (key, value) source to a probe key list with as-of
     semantics — reference ``GetItems(keys, lookup)`` / ``Reindex``
     (src/Series.fs:133-152, src/Indices/LinearIndex.fs:354-360).
+    ``tolerance`` bounds the match distance (see _union_fill).
 
     Returns DataFrame(key_cols..., value_col).
     """
     probe = probe_keys_df.select(*(by or []), *key_cols)
     src = source_df.select(*(by or []), *key_cols, value_col)
-    return _union_fill(probe, src, key_cols, [value_col], [], direction, by, bucketed)
+    return _union_fill(probe, src, key_cols, [value_col], [], direction, by,
+                       bucketed, tolerance=tolerance)
 
 
 def asof_zip(left: Series, right: Series, direction: str = "backward",
-             by: list[str] | None = None, bucketed: bool = False) -> DataFrame:
+             by: list[str] | None = None, bucketed: bool = False,
+             tolerance: float | None = None) -> DataFrame:
     """Left as-of zip: left's keys and values + right's value as-of each
     left key — reference ``Series.Zip(other, JoinKind.Left, NearestX)``
     (src/Series.fs:303-335).  Returns (key..., left_value, right_value).
@@ -249,7 +285,8 @@ def asof_zip(left: Series, right: Series, direction: str = "backward",
         *[F.col(rk).alias(lk) for rk, lk in zip(right.key_cols, keys)],
         F.col(right.value_col).alias("right_value"),
     )
-    return _union_fill(probe, src, keys, ["right_value"], ["left_value"], direction, by, bucketed)
+    return _union_fill(probe, src, keys, ["right_value"], ["left_value"],
+                       direction, by, bucketed, tolerance=tolerance)
 
 
 def asof_align_frame(
@@ -260,6 +297,7 @@ def asof_align_frame(
     direction: str = "backward",
     by: list[str] | None = None,
     bucketed: bool = False,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Frame-level as-of join: every *fill_cols* column of source is
     aligned to probe's keys in ONE window pass — the Spark analog of the
@@ -279,4 +317,5 @@ def asof_align_frame(
         direction,
         by,
         bucketed,
+        tolerance=tolerance,
     )

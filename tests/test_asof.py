@@ -155,3 +155,48 @@ def test_bucketed_asof_survives_large_cut_counts(spark):
     assert len(rows) == 500
     # as-of semantics: last source key <= probe key, key = 10*v
     assert rows[64] == 6.0 and rows[3] == 0.0 and rows[61 * 499 + 3] == 2999.0
+
+
+def test_asof_tolerance_numeric_backward_and_forward(spark):
+    from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+    probe = spark.createDataFrame(
+        [("u", 10, 1), ("u", 50, 2)], "uid string, k long, pid long")
+    src = spark.createDataFrame(
+        [("u", 8, 1.0), ("u", 60, 2.0)], "uid string, k long, v double")
+    back = {r["pid"]: r["v"] for r in asof_align_frame(
+        probe, src, ["k"], ["v"], "backward", by=["uid"],
+        tolerance=5).collect()}
+    # k=10 matches k=8 (dist 2 <= 5); k=50's nearest smaller is 8 (dist
+    # 42) -> lapses to NULL instead of a stale match
+    assert back == {1: 1.0, 2: None}
+    fwd = {r["pid"]: r["v"] for r in asof_align_frame(
+        probe, src, ["k"], ["v"], "forward", by=["uid"],
+        tolerance=15).collect()}
+    assert fwd == {1: None, 2: 2.0}  # 60-50=10 <= 15; 8 is behind
+
+
+def test_asof_tolerance_exact_match_and_per_column_keys(spark):
+    from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+    probe = spark.createDataFrame([("u", 100, 1)],
+                                  "uid string, k long, pid long")
+    # column a last non-null at k=100 (exact), column b at k=40 (stale):
+    # per-column carry must keep a and lapse b
+    src = spark.createDataFrame(
+        [("u", 40, 7.0, 8.0), ("u", 100, 9.0, None)],
+        "uid string, k long, a double, b double")
+    out = asof_align_frame(probe, src, ["k"], ["a", "b"], "backward",
+                           by=["uid"], tolerance=10).collect()[0]
+    assert out["a"] == 9.0 and out["b"] is None
+
+
+def test_asof_tolerance_bucketed_raises(spark):
+    import pytest
+
+    from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(NotImplementedError, match="tolerance"):
+        asof_align_frame(df.selectExpr("k", "1 as pid"), df, ["k"], ["v"],
+                         "backward", bucketed=True, tolerance=1)
