@@ -235,3 +235,68 @@ def test_scale_smoke_approx_quantiles_10m(spark):
         assert got[g]["n"] == exact[g]["n"] == n // 5
         for c in ("q50", "q90", "q99"):
             assert abs(got[g][c] - exact[g][c]) <= 1000.0, (g, c, got[g][c], exact[g][c])
+
+
+def test_scale_smoke_cusum_10m_closed_form(spark):
+    """CUSUM at 10M rows / 100 keys: a square-wave value stream (80
+    slots at target, then 20 slots at target+10) makes every
+    statistic closed-form — S+ ramps 0,10,...,200 inside each burst
+    and resets to 0 one slot after it (slack 5 drains 5/slot at
+    target... chosen so the reset is immediate: at target the
+    increment is -slack).  Pins exact fold values at scale and the
+    one-exchange keyed plan."""
+    from fsharp_dataframe_spark.functions.timeseries import (
+        cusum_changepoints,
+    )
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") / 100).cast("long").alias("slot"))
+    df = df.select(
+        "k", "slot",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("slot") * 60)
+        .alias("ts"),
+        F.when(F.col("slot") % 100 >= 80, 20.0).otherwise(10.0)
+        .alias("v"))
+    out = cusum_changepoints(df, "k", "ts", "v", target=10.0, slack=5.0,
+                             threshold=30.0, scale=1, tiebreak="slot")
+    # burst slots: S+ = 5, 10, ..., 100 within each 20-slot burst
+    # (x - t - k = +5/slot); at-target slots drain 5/slot
+    got = (out.filter(F.col("alarm"))
+           .agg(F.count("*").alias("n_alarms"),
+                F.min("s_pos").alias("lo"), F.max("s_pos").alias("hi"))
+           .first())
+    slots = n // 100
+    bursts = slots // 100
+    # alarm while S+ > 30: the last 14 burst slots (S+ 35..100) plus 13
+    # post-burst drain slots (S+ 95,90,...,35 at -5/slot) — except the
+    # final burst, whose drain tail falls past the end of the series
+    per_burst = 14 + 13
+    assert got["n_alarms"] == 100 * (bursts * per_burst - 13)
+    assert got["lo"] == 35 and got["hi"] == 100
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scale_smoke_rolling_median_10m(spark):
+    """Rolling median at 10M rows / 100 keys, k=5: values cycle
+    0,1,2,3,4 so every full window's sorted middle is exactly 2 —
+    pins the k-bounded window at scale and the single keyed
+    exchange."""
+    from fsharp_dataframe_spark.functions.timeseries import rolling_median
+
+    n = 10_000_000
+    df = spark.range(n).select(
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") / 100).cast("long").alias("slot"))
+    df = df.select("k", "slot", (F.col("slot") % 5).cast("double").alias("v"))
+    out = rolling_median(df, "k", "slot", "v", k=5)
+    agg = (out.filter(F.col("slot") >= 4)
+           .agg(F.count("*").alias("n"),
+                F.min("med").alias("lo"), F.max("med").alias("hi"))
+           .first())
+    assert agg["n"] == n - 4 * 100
+    assert agg["lo"] == agg["hi"] == 2.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
