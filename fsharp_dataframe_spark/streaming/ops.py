@@ -1032,3 +1032,74 @@ def stream_cusum(
         .applyInPandasWithState(fn, out_schema, state_schema, "append",
                                 GroupStateTimeout.NoTimeout)
     )
+
+
+def stream_rolling_median(
+    sdf: DataFrame,
+    k: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming rolling median of the last ``k`` observations per key
+    — the stateful twin of functions/timeseries.rolling_median: state
+    is a k-bounded ring buffer of the most recent values (an array
+    column in the state row — bounded regardless of stream length);
+    each micro-batch replays in (ts, id) order, NULL values skipped
+    (they neither emit nor occupy a buffer slot, the batch
+    convention).  Median rule identical to batch (sorted middle, even
+    counts average two identical doubles), so the output hash-matches
+    the same DuckDB oracle within one availableNow batch and the
+    buffer carries windows across batches/restarts.  Arrival-order
+    caveat as stream_gap_report.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_field = sdf.schema[key_col]
+    id_field = sdf.schema[id_col]
+    out_schema = T.StructType([
+        key_field, id_field,
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("med", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("buf", T.ArrayType(T.DoubleType()), True),
+    ])
+    kk = int(k)
+
+    def fn(key, pdfs, state):
+        (buf,) = state.get if state.exists else ([],)
+        buf = list(buf or [])
+        chunks = [pdf for pdf in pdfs]
+        pdf = (pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+               else chunks[0]) if chunks else None
+        rows = []
+        if pdf is not None and len(pdf):
+            pdf = pdf[pdf[value_col].notna()]
+            if len(pdf):
+                pdf = pdf.assign(
+                    __us=pdf[ts_col].astype("datetime64[us]").astype("int64"),
+                ).sort_values(["__us", id_col], ignore_index=True)
+                for eid, v in zip(pdf[id_col], pdf[value_col]):
+                    v = float(v)
+                    buf.append(v)
+                    if len(buf) > kk:
+                        buf.pop(0)
+                    srt = sorted(buf)
+                    n = len(srt)
+                    med = (srt[(n + 1) // 2 - 1] + srt[n // 2]) / 2.0
+                    rows.append((key[0], eid, v, med))
+        state.update((buf,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[key_col, id_col, "value", "med"])
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append",
+                                GroupStateTimeout.NoTimeout)
+    )

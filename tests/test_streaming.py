@@ -1169,3 +1169,69 @@ def test_stream_cusum_state_accumulates_across_batches(spark, tmp_path):
     r2 = {r["event_id"]: r for r in spark.read.parquet(outdir).collect()}
     # 20 + (20-10) = 30 > 25: alarm only because batch-1 state carried
     assert r2[2]["s_pos"] == 30 and r2[2]["alarm"]
+
+
+def test_stream_rolling_median_matches_duckdb_oracle(spark, events_stream_dir):
+    """Streaming rolling median (stream_rolling_median) driven
+    availableNow and hash-compared against the SAME DuckDB oracle as
+    the batch q_rolling_median."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_rolling_median
+
+    s = _events_stream(spark, events_stream_dir)
+    out = stream_rolling_median(s, k=7)
+    name = run_to_memory(out, "t_rmed_oracle")
+    got = spark.sql(
+        f"SELECT user_id, event_id, round(value, 4) AS value, "
+        f"round(med, 6) AS med FROM {name}").toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["rolling_median"]).df()
+    con.close()
+    problems = compare("stream_rolling_median", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_rolling_median_buffer_carries_across_batches(spark, tmp_path):
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_rolling_median
+
+    d = str(tmp_path / "rmed_batches")
+    ckpt = str(tmp_path / "rmed_ckpt")
+    outdir = str(tmp_path / "rmed_out")
+    shutil.rmtree(d, ignore_errors=True)
+    schema = "event_id long, user_id long, value double, ts timestamp"
+
+    def ts(h):
+        return F.lit(f"2024-01-01 {h:02d}:00:00").cast("timestamp")
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+        q = (stream_rolling_median(src, k=3)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    b1 = spark.createDataFrame([(1, 7, 10.0), (2, 7, 30.0)],
+                               "event_id long, user_id long, value double")
+    b1 = b1.withColumn("ts", F.when(F.col("event_id") == 1, ts(1)).otherwise(ts(2)))
+    b1.coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    r1 = {r["event_id"]: r["med"] for r in spark.read.parquet(outdir).collect()}
+    assert r1 == {1: 10.0, 2: 20.0}
+
+    b2 = spark.createDataFrame([(3, 7, 50.0)],
+                               "event_id long, user_id long, value double")
+    b2.withColumn("ts", ts(3)).coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    r2 = {r["event_id"]: r["med"] for r in spark.read.parquet(outdir).collect()}
+    # window [10, 30, 50] spans the batch boundary via the carried buffer
+    assert r2[3] == 30.0
