@@ -1451,6 +1451,18 @@ def q_media_png_decode(spark, sf) -> DataFrame:
             .orderBy("media_id"))
 
 
+def q_hard_negatives(spark, sf) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives, the DPR §5.2 /
+    triplet-loss negatives pass): for every embedding, its 3 most
+    cosine-similar vectors with a DIFFERENT label — the label mask
+    applied before top-k inside the same size-gated broadcast-matrix
+    Arrow pass as knn_join."""
+    from fsharp_dataframe_spark.functions.similarity import hard_negatives
+
+    emb = load_table(spark, sf, "embeddings")
+    return hard_negatives(emb, k=3)
+
+
 def q_hybrid_search(spark, sf) -> DataFrame:
     """Hybrid retrieval capstone: BM25 lexical top-20 (search.bm25_topk
     — token shuffle pre-filtered to the query terms) fused with exact
@@ -2602,7 +2614,7 @@ def q_transitions(spark, sf) -> DataFrame:
 # code must earn fresh driver rows, not coast on r7's.
 # ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
 # media_mixed, hybrid_search, token_budget, cusum, rolling_median,
-# asof_tolerance — held out below, each locally
+# asof_tolerance, hard_negatives — held out below, each locally
 # three-SF oracle-green since r8) rotate in next round, swapping out
 # double-green veterans as above.
 EXTRA_QUERIES = (
@@ -2634,7 +2646,7 @@ EXTRA_QUERIES = (
     # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r9):
     "training_mix", "media_mixed", "hybrid_search", "token_budget",
-    "cusum", "rolling_median", "asof_tolerance",
+    "cusum", "rolling_median", "asof_tolerance", "hard_negatives",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2755,6 +2767,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum": q_cusum,
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
+        "hard_negatives": q_hard_negatives,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
@@ -3885,6 +3898,24 @@ def _all_oracle_sql() -> dict[str, str]:
                   FROM p)
             SELECT id_a AS vec_id, id_b AS nbr_id, cosine_sim
             FROM r WHERE rn <= 5
+        """,
+        # knn_join's replay with the different-label join predicate
+        "hard_negatives": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+              FROM e a JOIN e b
+                ON a.vec_id <> b.vec_id AND a.label <> b.label),
+            r AS (SELECT id_a, id_b, cosine_sim,
+                         row_number() OVER (PARTITION BY id_a
+                           ORDER BY cosine_sim DESC, id_b) AS rn
+                  FROM p)
+            SELECT id_a AS vec_id, id_b AS nbr_id, cosine_sim
+            FROM r WHERE rn <= 3
         """,
         "incremental_dedup": """
             WITH ex AS (SELECT * FROM documents WHERE doc_id % 3 = 0),

@@ -326,7 +326,8 @@ def cosine_pairs_exact(df: DataFrame, threshold: float = 0.9,
 def knn_join_exact(df: DataFrame, k: int = 5,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dim: int | None = None, n_vectors: int | None = None,
-                   broadcast_budget_bytes: int = 128 << 20) -> DataFrame:
+                   broadcast_budget_bytes: int = 128 << 20,
+                   neq_label_col: str | None = None) -> DataFrame:
     """Exact k-NN SELF-JOIN: for EVERY vector, its k nearest neighbors
     by cosine — the batch companion to the single-query top-k
     (brute_force_topk).  Returns (vec_id, nbr_id, cosine_sim), k rows
@@ -356,23 +357,30 @@ def knn_join_exact(df: DataFrame, k: int = 5,
     if integral_id and n_vectors * dim * 8 <= broadcast_budget_bytes:
         import numpy as np
 
+        label_sel = ([F.col(neq_label_col).cast("string").alias("_lb")]
+                     if neq_label_col else [])
         rows = [r for r in df.select(F.col(id_col).cast("long").alias("_id"),
-                                     vec_col).collect()
+                                     vec_col, *label_sel).collect()
                 if r[0] is not None and r[1] is not None and len(r[1]) == dim]
         b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+        b_labels = (np.array([r[2] for r in rows], dtype=object)
+                    if neq_label_col else None)
         mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]) \
             if rows else np.zeros((0, dim))
         acc = np.zeros(len(rows))
         for d in range(dim):
             acc = acc + mat[:, d] * mat[:, d]
         norms = np.sqrt(acc)
-        bvar = df.sparkSession.sparkContext.broadcast((b_ids, mat, norms))
+        bvar = df.sparkSession.sparkContext.broadcast(
+            (b_ids, mat, norms, b_labels))
 
         def _knn(batches):
-            ids_all, m_all, n_all = bvar.value
+            ids_all, m_all, n_all, lb_all = bvar.value
             for pdf in batches:
                 out_q, out_n, out_s = [], [], []
                 q_ids = pdf[id_col].to_numpy()
+                q_lbs = (pdf["_lb"].to_numpy(dtype=object)
+                         if lb_all is not None else None)
                 for lo in range(0, len(pdf), 256):
                     blk = pdf.iloc[lo:lo + 256]
                     ok = [i for i, v in enumerate(blk[vec_col])
@@ -382,6 +390,8 @@ def knn_join_exact(df: DataFrame, k: int = 5,
                     A = np.stack([np.asarray(blk[vec_col].iloc[i],
                                              dtype=np.float64) for i in ok])
                     qi = q_ids[lo:lo + len(blk)][ok]
+                    ql = (q_lbs[lo:lo + len(blk)][ok]
+                          if lb_all is not None else None)
                     qacc = np.zeros(len(ok))
                     S = np.zeros((len(ok), len(ids_all)))
                     for d in range(dim):
@@ -397,6 +407,14 @@ def knn_join_exact(df: DataFrame, k: int = 5,
                     for row, qid in enumerate(qi):
                         s = S[row]
                         mask = (ids_all != qid) & ~np.isnan(s)
+                        if lb_all is not None:
+                            # SQL != : NULL on either side never matches
+                            qlb = ql[row]
+                            if qlb is None:
+                                continue
+                            mask &= np.array(
+                                [l is not None and l != qlb
+                                 for l in lb_all], dtype=bool)
                         cand = np.nonzero(mask)[0]
                         if len(cand) == 0:
                             continue
@@ -413,18 +431,26 @@ def knn_join_exact(df: DataFrame, k: int = 5,
         from fsharp_dataframe_spark.functions.util import spread
 
         scored = spread(df.select(F.col(id_col).cast("long").alias(id_col),
-                                  vec_col)).mapInPandas(
+                                  vec_col, *label_sel)).mapInPandas(
             _knn, f"{id_col} long, nbr_id long, cosine_sim double")
         return scored.select(F.col(id_col).cast(id_type).alias(id_col),
                              F.col("nbr_id").cast(id_type).alias("nbr_id"),
                              "cosine_sim")
 
+    lbl_a = ([F.col(neq_label_col).cast("string").alias("_la")]
+             if neq_label_col else [])
+    lbl_b = ([F.col(neq_label_col).cast("string").alias("_lb")]
+             if neq_label_col else [])
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-                  norm(F.col(vec_col)).alias("_na"))
+                  norm(F.col(vec_col)).alias("_na"), *lbl_a)
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-                  norm(F.col(vec_col)).alias("_nb"))
+                  norm(F.col(vec_col)).alias("_nb"), *lbl_b)
     a = a.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cond = F.col("id_a") < F.col("id_b")
+    if neq_label_col:
+        # symmetric predicate, so the mirrored half inherits it
+        cond = cond & (F.col("_la") != F.col("_lb"))
+    pairs = a.join(b, cond)
     sim = dot_batch(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     half = (pairs.withColumn("cosine_sim", F.round(sim, 4))
             .select("id_a", "id_b", "cosine_sim"))
@@ -873,3 +899,25 @@ def random_projection(df: DataFrame, out_dim: int, dim: int | None = None,
         return res
 
     return df.withColumn(out_col, f(F.col(vec_col)))
+
+
+def hard_negatives(df: DataFrame, k: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each anchor, the ``k`` most cosine-similar vectors carrying a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (the "hard negatives" of DPR, Karpukhin et al. 2020 §5.2,
+    and of every triplet-loss pipeline since FaceNet).
+
+    Thin contract wrapper over `knn_join_exact(neq_label_col=...)`:
+    the same size-gated broadcast-matrix Arrow pass (or pair-join
+    fallback), the same rounded-sim/id tiebreak determinism, with the
+    label-inequality mask applied BEFORE top-k (so anchors always get
+    k true negatives, never same-label crowd-out).  NULL-labeled rows
+    neither mine nor serve as negatives (SQL != semantics).  At corpus
+    scale, block with IVF cells first and apply the same mask in the
+    rescore (the ivf_knn_join discipline).
+    """
+    return knn_join_exact(df, k=k, id_col=id_col, vec_col=vec_col,
+                          neq_label_col=label_col)

@@ -312,3 +312,40 @@ def test_rolling_median_skips_nulls_and_isolates_keys(spark):
     # the NULL row neither appears nor occupies a window slot
     assert out[("a", 3)] == 15.0
     assert out[("b", 1)] == 99.0
+
+
+# --- hard-negative mining ------------------------------------------------
+
+
+def test_hard_negatives_label_mask_and_paths_agree(spark, monkeypatch):
+    import fsharp_dataframe_spark.functions.similarity as S
+
+    # 2D unit-ish vectors; ids 0..5, labels alternate 0/1; vector i is
+    # closest to its neighbors by angle
+    import math
+
+    rows = [(i, [math.cos(i * 0.3), math.sin(i * 0.3)], i % 2)
+            for i in range(6)]
+    rows.append((6, [1.0, 0.0], None))  # NULL label: never mines/serves
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got_b = {(r["vec_id"], r["nbr_id"]) for r in
+             S.hard_negatives(df, k=2).collect()}
+    # every neighbor must carry the opposite label; no NULL-label rows
+    lab = {i: i % 2 for i in range(6)}
+    assert got_b, "empty result"
+    for a, b in got_b:
+        assert a != 6 and b != 6
+        assert lab[a] != lab[b], (a, b)
+    # anchors with a label each get exactly k=2 negatives (5 candidates
+    # of the opposite label exist minus... 3 opposite-label rows >= 2)
+    from collections import Counter
+
+    per = Counter(a for a, _ in got_b)
+    assert all(v == 2 for v in per.values()) and len(per) == 6
+
+    # join-fallback path (budget forced to 0) agrees exactly
+    got_j = {(r["vec_id"], r["nbr_id"]) for r in
+             S.knn_join_exact(df, k=2, neq_label_col="label",
+                              broadcast_budget_bytes=0).collect()}
+    assert got_j == got_b
