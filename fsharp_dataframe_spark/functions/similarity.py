@@ -468,7 +468,8 @@ def knn_join_exact(df: DataFrame, k: int = 5,
 
 def ivf_knn_join(df: DataFrame, centroids: list[list[float]], k: int = 5,
                  n_probe: int = 2, id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 neq_label_col: str | None = None) -> DataFrame:
     """Approximate k-NN self-join at scale: assign every vector to its
     IVF cell, probe each vector against the vectors of its ``n_probe``
     nearest cells (cell-blocked join — the shuffle key is the cell id,
@@ -480,7 +481,13 @@ def ivf_knn_join(df: DataFrame, centroids: list[list[float]], k: int = 5,
     quantizer (train with kmeans_fit on a sample; k_cells grows with
     corpus size to keep cells task-sized, the standard IVF sizing).
     Approximate where the cells are wrong — pinned by a recall test on
-    clustered data, like lsh_topk."""
+    clustered data, like lsh_topk.
+
+    ``neq_label_col``: hard-negative mode at IVF scale — candidates
+    must carry a DIFFERENT value of this column; the mask is applied
+    in the cell-blocked candidate join BEFORE the top-k, the same
+    contract as knn_join_exact(neq_label_col=...) (SQL != semantics:
+    NULL labels never match)."""
     cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
     # top-n_probe cells per vector (probe list), exploded to (vector,
@@ -491,15 +498,23 @@ def ivf_knn_join(df: DataFrame, centroids: list[list[float]], k: int = 5,
         F.zip_with(sims, idx,
                    lambda s, i: F.struct((-s).alias("neg"), i.alias("cell"))))
     probes = F.slice(F.transform(order, lambda st: st["cell"]), 1, n_probe)
+    lbl_a = ([F.col(neq_label_col).cast("string").alias("_la")]
+             if neq_label_col else [])
     q = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-                  norm(F.col(vec_col)).alias("_na"),
+                  norm(F.col(vec_col)).alias("_na"), *lbl_a,
                   F.explode(probes).alias("_cell"))
-    d = ivf_assign(df, centroids, vec_col).select(
+    d_base = ivf_assign(df, centroids, vec_col)
+    lbl_b = ([F.col(neq_label_col).cast("string").alias("_lb")]
+             if neq_label_col else [])
+    d = d_base.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-        norm(F.col(vec_col)).alias("_nb"), F.col("ivf_cell").alias("_cell"))
+        norm(F.col(vec_col)).alias("_nb"), *lbl_b,
+        F.col("ivf_cell").alias("_cell"))
     cand = (q.join(d, on="_cell")
             .filter(F.col("id_a") != F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
+    if neq_label_col:
+        cand = cand.filter(F.col("_la") != F.col("_lb"))
     sim = dot_batch(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     scored = cand.withColumn("cosine_sim", F.round(sim, 4))
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(),

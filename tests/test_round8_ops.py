@@ -349,3 +349,25 @@ def test_hard_negatives_label_mask_and_paths_agree(spark, monkeypatch):
              S.knn_join_exact(df, k=2, neq_label_col="label",
                               broadcast_budget_bytes=0).collect()}
     assert got_j == got_b
+
+
+def test_ivf_hard_negatives_matches_exact_with_full_probes(spark):
+    """The IVF scale path's label mask: with n_probe covering every
+    cell, ivf_knn_join(neq_label_col=...) must equal the exact
+    hard_negatives set (same rounding, same tiebreak)."""
+    import math
+
+    from fsharp_dataframe_spark.functions.similarity import (
+        hard_negatives, ivf_knn_join,
+    )
+
+    rows = [(i, [math.cos(i * 0.5), math.sin(i * 0.5)], i % 3)
+            for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    cents = [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]]
+    exact = {tuple(r) for r in hard_negatives(df, k=2).collect()}
+    ivf = {tuple(r) for r in
+           ivf_knn_join(df, cents, k=2, n_probe=4,
+                        neq_label_col="label").collect()}
+    assert ivf == exact and len(exact) == 24
