@@ -105,3 +105,15 @@ def test_attribution_warehouse_end_to_end(spark):
     # 5 event types -> at most 25 transition pairs, 10 unordered pairs
     assert 0 < out["transitions"]["pairs"] <= 25
     assert 0 < out["basket"]["pairs"] <= 10
+
+
+def test_pretraining_mix_end_to_end(spark):
+    from pretraining_mix import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert out["token_budget"]["domains"] == 20
+    assert out["token_budget"]["oversampled"] >= 1  # src0 weight 3x
+    tm = out["training_mix"]
+    assert 0 < tm["docs"] <= 200 and tm["spans"] >= tm["sequences"] > 0
+    assert out["hybrid_search"]["hits"] == 10
+    assert out["hard_negatives"]["pairs"] > 0
