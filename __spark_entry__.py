@@ -2188,16 +2188,18 @@ def q_seasonal_anomaly(spark, sf) -> DataFrame:
 
 def q_fuzzy_names(spark, sf) -> DataFrame:
     """Edit-distance-1 pairs among distinct part names
-    (functions/linkage.fuzzy_join_pairs): prefix-filter signature tier
-    (each string's k*q+1 globally-rarest gram occurrences, equi-joined
-    on (gram, occ#) with a length band) + one threshold-bounded
-    levenshtein verify.  The oracle is the NAIVE all-pairs join —
-    completeness of the filter is the pinned contract, not sampled
-    recall.  Measured at sf0.1 (r7): signature join fan-out 405 rows
-    vs 1689 for the full-gram tier (-76%), wall 2.6 s vs 5.1 s,
-    identical result; verify candidates rise 16 -> 280 (the count
-    filter is traded away — per-pair levenshtein is the cheap narrow
-    stage, join shuffle volume is the scale bottleneck)."""
+    (functions/linkage.fuzzy_join_pairs): cost-gated tiering (r8 —
+    the knn broadcast-gate discipline).  Both tiers are lossless, so
+    the "auto" default picks by row estimate: this corpus's few
+    hundred distinct names take the full-gram tier (no ranking
+    windows — the signature tier's fixed overhead measured +0.8 s
+    here, r7 bench); past 50k rows the signature tier (each string's
+    k*q+1 globally-rarest gram occurrences equi-joined on
+    (gram, occ#), measured −76% join fan-out at sf0.1) is the scale
+    path.  The oracle is the NAIVE all-pairs join — completeness is
+    the pinned contract for BOTH tiers, and the auto gate is
+    result-invisible (tests/test_linkage.py pins tier plans and
+    equality)."""
     from fsharp_dataframe_spark.functions.linkage import fuzzy_join_pairs
 
     part = load_table(spark, sf, "part")

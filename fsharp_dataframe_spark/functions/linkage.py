@@ -27,10 +27,22 @@ def _posgrams(col: "F.Column", q: int) -> "F.Column":
                     lambda i: F.substring(col, i, q)))
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """The optimizer's sizeInBytes estimate for a plan — always free
+    (derived from file sizes and selectivities, no job); None only if
+    the py4j walk fails."""
+    try:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
 def fuzzy_join_pairs(df: DataFrame, id_col: str, text_col: str,
                      max_dist: int = 1, q: int = 2,
-                     prefix_filter: bool = True,
-                     max_short_rows: int = 100_000) -> DataFrame:
+                     prefix_filter: bool | str = "auto",
+                     max_short_rows: int = 100_000,
+                     auto_prefix_bytes: int = 64 << 20) -> DataFrame:
     """All pairs (id_a < id_b) with Levenshtein distance <= ``max_dist``.
 
     Plan shape with ``prefix_filter=True`` (the default, the 100 TB
@@ -59,8 +71,19 @@ def fuzzy_join_pairs(df: DataFrame, id_col: str, text_col: str,
     common grams (the 100 TB bottleneck the signature tier removes)
     but no per-string ranking shuffle — fine at moderate scale.
 
-    Both tiers are LOSSLESS: the registered query's oracle is the
-    NAIVE all-pairs Levenshtein join, so completeness is pinned, not
+    Both tiers are LOSSLESS (identical output), so tier choice is
+    pure cost: ``prefix_filter="auto"`` (default) gates on the
+    optimizer's FREE sizeInBytes estimate for the input plan — the
+    same discipline as knn_join_exact's broadcast_budget_bytes; NO
+    job runs (a count-based gate was measured to eat the whole win
+    on the registered query).  Below ``auto_prefix_bytes`` the
+    signature tier's fixed overhead (a frequency groupBy + two
+    ranking windows, +0.8 s on the 64-name sf0.1 corpus, r7 bench)
+    outweighs its fan-out win, so small inputs take the full-gram
+    tier; above it — or when the estimate is unavailable — the
+    signature tier's join-volume reduction (−76% fan-out at sf0.1)
+    is the scale-safe default.  The registered query's oracle is the NAIVE
+    all-pairs Levenshtein join, so completeness is pinned, not
     sampled.
 
     Strings too short for a positive count bound (len < q·(k+1)) take
@@ -78,6 +101,9 @@ def fuzzy_join_pairs(df: DataFrame, id_col: str, text_col: str,
                       F.col(text_col).alias("__t"))
             .filter(F.col("__t").isNotNull())
             .withColumn("__len", F.length("__t")))
+    if prefix_filter == "auto":
+        size = _plan_size_bytes(base)
+        prefix_filter = size is None or size >= int(auto_prefix_bytes)
     short_bound = qq * (k + 1)  # len < bound -> count filter vacuous
     long = base.filter(F.col("__len") >= short_bound)
     short = base.filter(F.col("__len") < short_bound)

@@ -111,3 +111,34 @@ def test_fuzzy_join_prefix_filter_shrinks_candidates(spark):
                fuzzy_join_pairs(df, "id", "t", max_dist=1,
                                 prefix_filter=False).collect())
     assert a == b and len(a) > 0
+
+
+def test_fuzzy_auto_tier_gate(spark, tmp_path):
+    """prefix_filter="auto" is a pure cost choice on the free
+    sizeInBytes estimate: a tiny parquet-backed input takes the
+    full-gram tier (no ranking windows); forcing the byte threshold
+    to 0 — or an in-memory relation, whose LogicalRDD carries the
+    unknown-size default (huge) — takes the scale-safe signature
+    tier.  Both return the identical pair set (losslessness makes
+    tier choice invisible in results)."""
+    from fsharp_dataframe_spark.functions.linkage import fuzzy_join_pairs
+
+    mem = spark.createDataFrame(
+        [(1, "spark"), (2, "sparc"), (3, "spars"), (4, "flink")],
+        "id long, t string")
+    p = str(tmp_path / "names.parquet")
+    mem.write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+
+    small = fuzzy_join_pairs(df, "id", "t", max_dist=1)
+    assert "row_number" not in small._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    sig = fuzzy_join_pairs(df, "id", "t", max_dist=1, auto_prefix_bytes=0)
+    assert "row_number" in sig._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    # unknown-size in-memory input defaults to the scale-safe tier
+    assert "row_number" in fuzzy_join_pairs(mem, "id", "t", max_dist=1) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    got_small = {(r["id_a"], r["id_b"]) for r in small.collect()}
+    got_sig = {(r["id_a"], r["id_b"]) for r in sig.collect()}
+    assert got_small == got_sig == {(1, 2), (1, 3), (2, 3)}
