@@ -2415,6 +2415,44 @@ def q_tpch_q5(spark, sf) -> DataFrame:
             .orderBy(F.desc("revenue")))
 
 
+def q_tpch_q14(spark, sf) -> DataFrame:
+    """TPC-H Q14 (promotion effect), per ship month of 1996: promo
+    revenue share with BOTH sums in exact integer micro-units and the
+    share one division of identical ints — the conditional-aggregate
+    join shape (fact⋈part broadcast, one groupBy)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+         .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))))
+    month = F.date_trunc("month", F.col("l_shipdate")).cast("date")
+    promo = _isum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+    total = _isum(rev)
+    return (j.groupBy(month.alias("month"))
+            .agg(F.round((F.lit(100.0) * promo) / total, 4)
+                 .alias("promo_share"),
+                 F.count("*").alias("n_lines")))
+
+
+def q_tpch_q4(spark, sf) -> DataFrame:
+    """TPC-H Q4's order-priority EXISTS shape, adapted to this schema
+    (the synthetic lineitem has no commit/receipt dates, so "late" =
+    at least one line shipped >90 days after the order date): orders
+    of 1996H1 semi-joined to their late lines, counted per priority —
+    the LeftSemi plan TPC-H uses Q4 to showcase."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & \
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    return (o.join(li, late, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count")))
+
+
 def q_twap_daily(spark, sf) -> DataFrame:
     """Daily time-weighted average value per event type
     (functions/timeseries.twap): each observation holds until the
@@ -2616,7 +2654,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # code must earn fresh driver rows, not coast on r7's.
 # ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
 # media_mixed, hybrid_search, token_budget, cusum, rolling_median,
-# asof_tolerance, hard_negatives — held out below, each locally
+# asof_tolerance, hard_negatives, tpch_q14, tpch_q4 — held out below,
+# each locally
 # three-SF oracle-green since r8) rotate in next round, swapping out
 # double-green veterans as above.
 EXTRA_QUERIES = (
@@ -2649,6 +2688,7 @@ EXTRA_QUERIES = (
     # (local three-SF oracle-green; they take driver slots in r9):
     "training_mix", "media_mixed", "hybrid_search", "token_budget",
     "cusum", "rolling_median", "asof_tolerance", "hard_negatives",
+    "tpch_q14", "tpch_q4",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2770,6 +2810,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "asof_tolerance": q_asof_tolerance,
         "hard_negatives": q_hard_negatives,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q4": q_tpch_q4,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
@@ -4503,6 +4545,27 @@ def _all_oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 2048 - cum, n_tokens)::BIGINT AS tok_end,
                    greatest(cum - seq_id * 2048, 0)::BIGINT AS seq_begin
             FROM e
+        """,
+        "tpch_q14": """
+            SELECT date_trunc('month', l_shipdate)::DATE AS month,
+                   round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                           THEN round((l_extendedprice * (1.0 - l_discount)) * 10000)::BIGINT
+                           ELSE 0 END)::BIGINT
+                         / sum(round((l_extendedprice * (1.0 - l_discount)) * 10000)::BIGINT)::BIGINT,
+                         4) AS promo_share,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q4": """
+            SELECT o_orderpriority, count(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY 1
         """,
         # tolerance as-of: LATERAL last-at-or-before within the window,
         # exact integer-microsecond distance test
