@@ -691,3 +691,50 @@ def test_training_mix_spans_reconstruct_chunk_stream(spark, texts, k, seq_len):
         last = max(per_seq)
         assert all(v == seq_len for s, v in per_seq.items() if s != last)
         assert 0 < per_seq[last] <= seq_len
+
+
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=25),
+       target=st.integers(min_value=-10, max_value=10),
+       slack=st.integers(min_value=0, max_value=5),
+       h=st.integers(min_value=1, max_value=60))
+@settings(**SETTINGS)
+def test_cusum_matches_sequential_reference(spark, vals, target, slack, h):
+    from fsharp_dataframe_spark.functions.timeseries import (
+        cusum_changepoints,
+    )
+
+    rows = [("k", i, float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, value double, eid long")
+    got = [(r["s_pos"], r["s_neg"], r["alarm"]) for r in
+           cusum_changepoints(df, "key", "ts", "value", float(target),
+                              float(slack), float(h), scale=1,
+                              tiebreak="eid").orderBy("ts").collect()]
+    sp = sn = 0
+    exp = []
+    for x in vals:
+        sp = max(0, sp + (x - target - slack))
+        sn = max(0, sn - (x - target + slack))
+        exp.append((sp, sn, sp > h or sn > h))
+    assert got == exp
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=1, max_size=20),
+       k=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_rolling_median_matches_sequential_reference(spark, vals, k):
+    import statistics
+
+    from fsharp_dataframe_spark.functions.timeseries import rolling_median
+
+    rows = [("k", i, float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "key string, ts long, value double, eid long")
+    got = [r["med"] for r in
+           rolling_median(df, "key", "ts", "value", k=k, tiebreak="eid")
+           .orderBy("ts").collect()]
+    exp = [statistics.median(vals[max(0, i - k + 1):i + 1])
+           for i in range(len(vals))]
+    assert got == [float(x) for x in exp]
