@@ -2415,6 +2415,19 @@ def q_tpch_q5(spark, sf) -> DataFrame:
             .orderBy(F.desc("revenue")))
 
 
+def q_trimmed_mean(spark, sf) -> DataFrame:
+    """Per-type 10% trimmed mean of event values (functions/stats.
+    grouped_trimmed_mean): drop the floor(n/10) smallest and largest
+    quantized observations, average the rest — rank, kept multiset and
+    BIGINT sum all engine-exact; event_id tiebreak makes the kept set
+    deterministic at quantized-value ties."""
+    from fsharp_dataframe_spark.functions.stats import grouped_trimmed_mean
+
+    ev = load_table(spark, sf, "events")
+    return grouped_trimmed_mean(ev, "event_type", F.col("value"),
+                                trim=0.1, tiebreak=F.col("event_id"))
+
+
 def q_tpch_q14(spark, sf) -> DataFrame:
     """TPC-H Q14 (promotion effect), per ship month of 1996: promo
     revenue share with BOTH sums in exact integer micro-units and the
@@ -2654,8 +2667,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # code must earn fresh driver rows, not coast on r7's.
 # ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
 # media_mixed, hybrid_search, token_budget, cusum, rolling_median,
-# asof_tolerance, hard_negatives, tpch_q14, tpch_q4 — held out below,
-# each locally
+# asof_tolerance, hard_negatives, tpch_q14, tpch_q4, trimmed_mean —
+# held out below, each locally
 # three-SF oracle-green since r8) rotate in next round, swapping out
 # double-green veterans as above.
 EXTRA_QUERIES = (
@@ -2688,7 +2701,7 @@ EXTRA_QUERIES = (
     # (local three-SF oracle-green; they take driver slots in r9):
     "training_mix", "media_mixed", "hybrid_search", "token_budget",
     "cusum", "rolling_median", "asof_tolerance", "hard_negatives",
-    "tpch_q14", "tpch_q4",
+    "tpch_q14", "tpch_q4", "trimmed_mean",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
@@ -2812,6 +2825,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "tpch_q14": q_tpch_q14,
         "tpch_q4": q_tpch_q4,
+        "trimmed_mean": q_trimmed_mean,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
         "weighted_sample": q_weighted_sample,
@@ -4545,6 +4559,27 @@ def _all_oracle_sql() -> dict[str, str]:
                    least((seq_id + 1) * 2048 - cum, n_tokens)::BIGINT AS tok_end,
                    greatest(cum - seq_id * 2048, 0)::BIGINT AS seq_begin
             FROM e
+        """,
+        # trimmed mean: identical quantized ranks, kept-set and
+        # BIGINT sum; the mean is one division of identical ints
+        "trimmed_mean": """
+            WITH b AS (
+              SELECT event_type, event_id,
+                     round(value * 10000)::BIGINT AS u
+              FROM events WHERE value IS NOT NULL),
+            r AS (
+              SELECT event_type, u,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY u, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM b)
+            SELECT event_type, max(n)::BIGINT AS n,
+                   count(*)::BIGINT AS n_kept,
+                   round((sum(u)::BIGINT / count(*)) / 10000, 4)
+                     AS trimmed_mean
+            FROM r
+            WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
+            GROUP BY 1
         """,
         "tpch_q14": """
             SELECT date_trunc('month', l_shipdate)::DATE AS month,

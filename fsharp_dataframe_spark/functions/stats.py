@@ -411,3 +411,47 @@ def grouped_rank_features(df: DataFrame, by: str, value: "F.Column",
         F.rank().over(w_val).cast("long").alias("rnk"),
         F.round(F.percent_rank().over(w_val), 6).alias("pct_rank"),
         F.ntile(int(n_tiles)).over(w_tot).cast("long").alias("tile"))
+
+
+def grouped_trimmed_mean(df: DataFrame, by: str, value: Column,
+                         trim: float = 0.1, tiebreak: Column | None = None,
+                         scale: int = 10000) -> DataFrame:
+    """Per-group trimmed mean: drop the floor(trim·n) smallest and
+    largest observations, average the rest — the robust location
+    estimate between mean (trim=0) and median (trim→0.5), the standard
+    latency/metric rollup that one stuck sensor cannot move.
+
+    Exactness discipline: values quantize to integer 1/scale units
+    BEFORE ranking, so the trim ranks, the kept multiset, and the
+    BIGINT sum are all engine-exact; ``tiebreak`` (required for a
+    deterministic kept-set when quantized values tie at the trim
+    boundary — same contract as ntile in grouped_rank_features) breaks
+    rank ties.  The mean itself is one division of identical ints,
+    rounded 4dp.
+
+    Shape: ONE shuffle on the group key reused by the rank window and
+    the final aggregate (same-key exchange collapse); per-group state
+    is the window sort, which Spark spills for giant groups.
+
+    Returns (by, n, n_kept, trimmed_mean).
+    """
+    from pyspark.sql import Window as W
+
+    t = float(trim)
+    if not 0.0 <= t < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    u = F.round(value.cast("double") * scale).cast("long")
+    order = [F.col("__u")] + ([tiebreak] if tiebreak is not None else [])
+    base = df.filter(value.isNotNull()).withColumn("__u", u)
+    w = W.partitionBy(by).orderBy(*order)
+    wall = W.partitionBy(by)
+    ranked = (base.withColumn("__rn", F.row_number().over(w))
+              .withColumn("__n", F.count("*").over(wall)))
+    cut = F.floor(F.col("__n") * t).cast("long")
+    kept = ranked.filter((F.col("__rn") > cut)
+                         & (F.col("__rn") <= F.col("__n") - cut))
+    return (kept.groupBy(by)
+            .agg(F.max("__n").alias("n"),
+                 F.count("*").alias("n_kept"),
+                 F.round((F.sum("__u") / F.count("*")) / scale, 4)
+                 .alias("trimmed_mean")))

@@ -371,3 +371,44 @@ def test_ivf_hard_negatives_matches_exact_with_full_probes(spark):
            ivf_knn_join(df, cents, k=2, n_probe=4,
                         neq_label_col="label").collect()}
     assert ivf == exact and len(exact) == 24
+
+
+# --- trimmed mean --------------------------------------------------------
+
+
+def test_trimmed_mean_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.stats import grouped_trimmed_mean
+
+    # 10 values 1..10 with one wild outlier replacing 10 -> trim=0.1
+    # drops exactly the min and the outlier
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate(vals)],
+        "g string, eid long, v double")
+    r = grouped_trimmed_mean(df, "g", F.col("v"), trim=0.1,
+                             tiebreak=F.col("eid")).collect()[0]
+    assert r["n"] == 10 and r["n_kept"] == 8
+    assert r["trimmed_mean"] == sum(range(2, 10)) / 8  # 5.5
+    # trim=0 is the plain mean
+    r0 = grouped_trimmed_mean(df, "g", F.col("v"), trim=0.0,
+                              tiebreak=F.col("eid")).collect()[0]
+    assert r0["n_kept"] == 10 and r0["trimmed_mean"] == sum(vals) / 10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="trim"):
+        grouped_trimmed_mean(df, "g", F.col("v"), trim=0.5)
+
+
+def test_trimmed_mean_tie_determinism_under_repartition(spark):
+    from fsharp_dataframe_spark.functions.stats import grouped_trimmed_mean
+
+    # all values tie: the kept SET differs only by tiebreak rank, and
+    # the mean is invariant — but n_kept must be deterministic
+    df = spark.createDataFrame(
+        [("g", i, 7.0) for i in range(10)], "g string, eid long, v double")
+    a = grouped_trimmed_mean(df, "g", F.col("v"), trim=0.2,
+                             tiebreak=F.col("eid")).collect()[0]
+    b = grouped_trimmed_mean(df.repartition(5), "g", F.col("v"), trim=0.2,
+                             tiebreak=F.col("eid")).collect()[0]
+    assert (a["n_kept"], a["trimmed_mean"]) == (b["n_kept"], 7.0) == (6, 7.0)
