@@ -99,3 +99,29 @@ def test_series_append_disjoint_and_conflict(spark):
     c = Series.of_observations(spark, [(1, 9.0)], "key int, value double")
     with pytest.raises(Exception):
         a.append(c).df.collect()
+
+
+def test_bench_line_budget_headroom():
+    """The driver captures only a 2000-char stdout tail (BENCH_r06/r07
+    recorded parsed:null when the line outgrew it — r7 VERDICT ask #2).
+    bench.py asserts at runtime; this pins the budget BEFORE a driver
+    run: a worst-case line (every timing '99.99') for the CURRENT
+    registry must clear bench.MAX_LINE with margin, so registry growth
+    trips a test, not a driver artifact."""
+    import json
+
+    import bench
+    import __spark_entry__ as entrymod
+
+    names = sorted(entrymod._all_queries())
+    line = json.dumps({
+        "metric": "registry_queries_total_wall",
+        "value": 99999.999, "unit": "sec", "sf": 0.1,
+        "n_queries": len(names), "order": "sorted-registry-names",
+        "notes": "BENCH_NOTES.md",
+        "qv": [99.99] * len(names),
+    }, separators=(",", ":"))
+    assert len(line) < bench.MAX_LINE - 100, (
+        f"bench line {len(line)} chars at {len(names)} queries — "
+        "approaching the driver tail budget; move qv to lower precision "
+        "or split the artifact")
