@@ -738,3 +738,38 @@ def test_rolling_median_matches_sequential_reference(spark, vals, k):
     exp = [statistics.median(vals[max(0, i - k + 1):i + 1])
            for i in range(len(vals))]
     assert got == [float(x) for x in exp]
+
+
+@given(lex=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 5)),
+                    min_size=1, max_size=10),
+       vec=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 5)),
+                    min_size=1, max_size=10),
+       k=st.integers(min_value=1, max_value=8))
+@settings(**SETTINGS)
+def test_hybrid_rrf_matches_python_reference(spark, lex, vec, k):
+    from fsharp_dataframe_spark.functions.search import hybrid_rrf
+
+    lex = list({i: s for i, s in lex}.items())  # unique ids per list
+    vec = list({i: s for i, s in vec}.items())
+    ldf = spark.createDataFrame([(i, float(s)) for i, s in lex],
+                                "doc_id long, score double")
+    vdf = spark.createDataFrame([(i, float(s)) for i, s in vec],
+                                "doc_id long, cosine_sim double")
+    got = [(r["doc_id"], r["lex_rank"], r["vec_rank"], r["rrf_micro"])
+           for r in hybrid_rrf(ldf, vdf, k=k).collect()]
+
+    def ranks(items):
+        o = sorted(items, key=lambda t: (-t[1], t[0]))
+        return {i: r + 1 for r, (i, _) in enumerate(o)}
+
+    lr, vr = ranks(lex), ranks(vec)
+    fused = {}
+    for i in set(lr) | set(vr):
+        m = 0
+        for r in (lr.get(i), vr.get(i)):
+            if r is not None:
+                m += round(1e6 / (60 + r))
+        fused[i] = (lr.get(i), vr.get(i), m)
+    exp = sorted(((i, *v) for i, v in fused.items()),
+                 key=lambda t: (-t[3], t[0]))[:k]
+    assert got == exp
