@@ -773,3 +773,33 @@ def test_hybrid_rrf_matches_python_reference(spark, lex, vec, k):
     exp = sorted(((i, *v) for i, v in fused.items()),
                  key=lambda t: (-t[3], t[0]))[:k]
     assert got == exp
+
+
+@given(src_keys=KEYSETS, probe_keys=KEYSETS,
+       tol=st.integers(min_value=0, max_value=60),
+       direction=st.sampled_from(["backward", "forward"]))
+@settings(**SETTINGS)
+def test_asof_tolerance_matches_pandas_merge_asof(spark, src_keys,
+                                                  probe_keys, tol,
+                                                  direction):
+    """The tolerance path against the independent model: pandas
+    merge_asof(tolerance=) on the same keys must agree row for row in
+    both directions (pandas treats tolerance inclusively, like the
+    engine's dist <= tol)."""
+    from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+    probe = spark.createDataFrame(
+        [(int(k), int(k)) for k in sorted(probe_keys)], "k long, pid long")
+    src = spark.createDataFrame(
+        [(int(k), float(k)) for k in sorted(src_keys)], "k long, v double")
+    got = {r["pid"]: r["v"] for r in
+           asof_align_frame(probe, src, ["k"], ["v"], direction,
+                            tolerance=tol).collect()}
+    model = pd.merge_asof(
+        pd.DataFrame({"k": sorted(probe_keys)}),
+        pd.DataFrame({"k": sorted(src_keys),
+                      "v": [float(k) for k in sorted(src_keys)]}),
+        on="k", direction=direction, tolerance=tol)
+    for _, row in model.iterrows():
+        exp = None if pd.isna(row["v"]) else row["v"]
+        assert got[row["k"]] == exp, (row["k"], direction, tol)
