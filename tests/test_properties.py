@@ -803,3 +803,40 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, src_keys,
     for _, row in model.iterrows():
         exp = None if pd.isna(row["v"]) else row["v"]
         assert got[row["k"]] == exp, (row["k"], direction, tol)
+
+
+@given(docs=st.lists(st.tuples(st.sampled_from("abcde"),
+                               st.integers(min_value=1, max_value=30)),
+                     min_size=1, max_size=20),
+       w0=st.integers(min_value=1, max_value=9),
+       total=st.integers(min_value=10, max_value=100000))
+@settings(**SETTINGS)
+def test_token_budget_matches_python_reference(spark, docs, w0, total):
+    """Budget-table laws on arbitrary corpora: integer targets follow
+    the exact (total*w)div(Σw) rule, Σ targets <= total (floor-division
+    slack only), epochs = target/avail, sample_rate caps at 1."""
+    from collections import defaultdict
+
+    from fsharp_dataframe_spark.functions.sampling import token_budget_mix
+
+    rows = [(i, "w " * n, d) for i, (d, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["domain"]: r for r in
+           token_budget_mix(df, {"a": float(w0)}, total).collect()}
+
+    avail = defaultdict(int)
+    for d, n in docs:
+        avail[d] += n
+    wmic = {d: (w0 if d == "a" else 1) * 1_000_000 for d in avail}
+    den = sum(wmic.values())
+    assert set(got) == set(avail)
+    tsum = 0
+    for d in avail:
+        r = got[d]
+        assert r["avail_tokens"] == avail[d]
+        tgt = (total * wmic[d]) // den
+        assert r["target_tokens"] == tgt
+        tsum += tgt
+        assert r["epochs"] == round(tgt / avail[d], 4)
+        assert r["sample_rate"] == round(min(tgt / avail[d], 1.0), 4)
+    assert tsum <= total
