@@ -2665,12 +2665,30 @@ def q_transitions(spark, sf) -> DataFrame:
 # in-window deliberately: round 8 rewrites the census cut lookup to a
 # cut-count-independent form (VERDICT r7 ask #3), so the new substrate
 # code must earn fresh driver rows, not coast on r7's.
-# ROUND-9 ROTATION PLAN: the round-8 newcomers (training_mix,
-# media_mixed, hybrid_search, token_budget, cusum, rolling_median,
-# asof_tolerance, hard_negatives, tpch_q14, tpch_q4, trimmed_mean —
-# held out below, each locally
-# three-SF oracle-green since r8) rotate in next round, swapping out
-# double-green veterans as above.
+# ROUND-9 ROTATION (VERDICT r8 ask #1): the 11 round-8 newcomers
+# (training_mix, media_mixed, hybrid_search, token_budget, cusum,
+# rolling_median, asof_tolerance, hard_negatives, tpch_q14, tpch_q4,
+# trimmed_mean — each locally three-SF oracle-green since r8) enter
+# the driver window to earn their first driver rows, completing the
+# r8∪r9 union over all 152 pre-round-9 registered queries.  The 11
+# veterans rotated OUT in their place (autocorr1, corr_matrix,
+# cross_zscore, daily_activity, drawdown, group_quantiles, histogram,
+# interval_week1, ohlc_weekly, returns_series, vwap_monthly) are each
+# r7+r8-DOUBLE-green in the driver's own CORRECTNESS JSONs and are
+# simple stat/window/agg shapes whose machinery stays represented
+# in-window by siblings (rolling_zscore, market_beta, seasonal_profile,
+# interval_burst, tpch_q3, sales_cube, twap_daily).  The five
+# bucketed-substrate queries (chunk_dist, ewma, fill_linear,
+# pack_sequences, window_while_par) are KEPT in-window again
+# deliberately: round 9 threads as-of `tolerance` through the bucketed
+# carry cascade and guards attach_mapping's dense path, so the touched
+# substrate must earn fresh driver rows, not coast on r8's.  cusum is
+# rotated in ON its round-9 JVM-window rewrite (VERDICT r8 ask #2), so
+# its first driver row certifies the new code.
+# ROUND-10 ROTATION PLAN: any round-9 newcomers (held out at the
+# bottom of EXTRA_QUERIES below, each locally three-SF oracle-green
+# since r9) rotate in next round, swapping out double-green veterans
+# exactly as above.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
@@ -2697,11 +2715,11 @@ EXTRA_QUERIES = (
     "sample_stratified", "sample_time", "scalar_math", "shift_diff",
     "simhash_pairs", "slice_between", "stats_melt", "take_last",
     "text_quality", "text_stats", "unigram_quality",
-    # round-8 newcomers, held out per the ROUND-9 ROTATION PLAN above
-    # (local three-SF oracle-green; they take driver slots in r9):
-    "training_mix", "media_mixed", "hybrid_search", "token_budget",
-    "cusum", "rolling_median", "asof_tolerance", "hard_negatives",
-    "tpch_q14", "tpch_q4", "trimmed_mean",
+    # rotated out in r9 (each r7+r8-double-green in the driver's own
+    # CORRECTNESS JSONs) to make room for the 11 round-8 newcomers:
+    "autocorr1", "corr_matrix", "cross_zscore", "daily_activity",
+    "drawdown", "group_quantiles", "histogram", "interval_week1",
+    "ohlc_weekly", "returns_series", "vwap_monthly",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner")
 
