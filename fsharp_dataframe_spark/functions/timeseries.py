@@ -504,22 +504,35 @@ def cusum_changepoints(df: DataFrame, key: str, ts: str, value: str,
 
     with an alarm whenever either statistic exceeds ``threshold`` —
     the classic sequential test for a sustained mean shift beyond the
-    slack band (sensor drift, metric regressions, data-quality decay),
-    and the canonical recurrence that does NOT decompose the way EWMA
-    does (max-with-zero clips the carry), so the honest distributed
-    shape is one Arrow pass per key — embarrassingly parallel across
-    keys, sequential within a key by necessity.
+    slack band (sensor drift, metric regressions, data-quality decay).
+
+    The max-with-zero clip looks like a non-decomposable carry, but it
+    has a closed form: with per-row increment a_i = x_i − target −
+    slack and prefix sums P_n (P_0 = 0),
+
+        S⁺_n = P_n − min(0, min_{1≤j≤n} P_j)
+
+    (induction: P_n − min(m_{n-1}, P_n) = max(0, P_n − m_{n-1})), and
+    S⁻ is the mirror with b_i = −(x_i − target) − slack.  So the whole
+    operator is FOUR JVM window expressions — a running BIGINT sum and
+    a running min per side — over ONE keyed exchange: whole-stage
+    codegen, streaming window frames, no Python worker, no
+    materialized per-key Arrow group (a 10⁹-row hot key streams
+    through the running frame instead of OOMing an executor).  The
+    sequential fold survives as ``_cusum_fold_reference`` below, the
+    test cross-check.
 
     Exactness: x/target/slack/threshold quantize to integer 1/scale
-    units up front, so both statistics are exact BIGINT folds — a SQL
-    oracle replays every value and alarm with a list_reduce over the
-    same integers (no float drift anywhere).  NULL values are excluded
-    (the recurrence is over observed points, the ewma convention).
+    units up front, so both statistics are exact BIGINT window sums —
+    a SQL oracle replays every value and alarm with a list_reduce over
+    the same integers (no float drift anywhere).  NULL values are
+    excluded (the recurrence is over observed points, the ewma
+    convention).
 
     Returns one row per non-null observation: (key, ts[, tiebreak],
     s_pos, s_neg, alarm) with the statistics in 1/scale units.
     """
-    import pandas as pd
+    from pyspark.sql import Window as W
 
     t_units = int(round(float(target) * scale))
     k_units = int(round(float(slack) * scale))
@@ -529,33 +542,38 @@ def cusum_changepoints(df: DataFrame, key: str, ts: str, value: str,
             .select(key, *order,
                     F.round(F.col(value).cast("double") * scale)
                     .cast("long").alias("__xu")))
-    from pyspark.sql import types as T
+    w = (W.partitionBy(key).orderBy(*[F.col(c) for c in order])
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    a = F.col("__xu") - F.lit(t_units + k_units)   # S⁺ increment
+    b = F.lit(t_units - k_units) - F.col("__xu")   # S⁻ increment
+    # both running sums share w, and the running mins below reuse the
+    # same (partition, order) spec — one hash exchange + one sort total
+    pref = base.select(key, *order,
+                       F.sum(a).over(w).alias("__p"),
+                       F.sum(b).over(w).alias("__q"))
+    zero = F.lit(0).cast("long")
+    s_pos = F.col("__p") - F.least(zero, F.min("__p").over(w))
+    s_neg = F.col("__q") - F.least(zero, F.min("__q").over(w))
+    return (pref.select(key, *order,
+                        s_pos.alias("s_pos"), s_neg.alias("s_neg"))
+            .withColumn("alarm", (F.col("s_pos") > h_units)
+                        | (F.col("s_neg") > h_units)))
 
-    # StructType.add MUTATES (and base.schema is a cached py-side
-    # object) — build a fresh StructType or base itself grows phantom
-    # columns
-    schema = T.StructType(list(base.schema.fields) + [
-        T.StructField("s_pos", T.LongType()),
-        T.StructField("s_neg", T.LongType()),
-        T.StructField("alarm", T.BooleanType()),
-    ])
 
-    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(order, ignore_index=True)
-        sp = sn = 0
-        pos, neg, alarm = [], [], []
-        for x in pdf["__xu"]:
-            x = int(x)
-            sp = max(0, sp + (x - t_units - k_units))
-            sn = max(0, sn - (x - t_units + k_units))
-            pos.append(sp)
-            neg.append(sn)
-            alarm.append(sp > h_units or sn > h_units)
-        pdf["s_pos"], pdf["s_neg"], pdf["alarm"] = pos, neg, alarm
-        return pdf
-
-    out = base.groupBy(key).applyInPandas(fn, schema)
-    return out.select(key, *order, "s_pos", "s_neg", "alarm")
+def _cusum_fold_reference(xs: list[int], t_units: int, k_units: int,
+                          h_units: int) -> list[tuple[int, int, bool]]:
+    """Sequential Page-fold over pre-quantized integer units — the
+    original per-key recurrence, kept as the test reference that the
+    window closed-form in :func:`cusum_changepoints` must match
+    value-for-value (tests/test_properties.py)."""
+    sp = sn = 0
+    out = []
+    for x in xs:
+        x = int(x)
+        sp = max(0, sp + (x - t_units - k_units))
+        sn = max(0, sn - (x - t_units + k_units))
+        out.append((sp, sn, sp > h_units or sn > h_units))
+    return out
 
 
 def rolling_median(df: DataFrame, key: str, ts: str, value: str, k: int,

@@ -711,12 +711,11 @@ def test_cusum_matches_sequential_reference(spark, vals, target, slack, h):
            cusum_changepoints(df, "key", "ts", "value", float(target),
                               float(slack), float(h), scale=1,
                               tiebreak="eid").orderBy("ts").collect()]
-    sp = sn = 0
-    exp = []
-    for x in vals:
-        sp = max(0, sp + (x - target - slack))
-        sn = max(0, sn - (x - target + slack))
-        exp.append((sp, sn, sp > h or sn > h))
+    from fsharp_dataframe_spark.functions.timeseries import (
+        _cusum_fold_reference,
+    )
+
+    exp = _cusum_fold_reference(vals, target, slack, h)
     assert got == exp
 
 

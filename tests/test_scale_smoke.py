@@ -277,6 +277,42 @@ def test_scale_smoke_cusum_10m_closed_form(spark):
     assert got["lo"] == 35 and got["hi"] == 100
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+    # r9 window rewrite: the recurrence decomposes (prefix sum minus
+    # running min), so no per-key Arrow fold may appear in the plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_scale_smoke_cusum_hot_key_skew(spark):
+    """CUSUM with a planted hot key (one key owns 80% of 2M rows):
+    the window closed-form streams each key through a running frame,
+    so a pathological key is a big sorted partition, not a
+    materialized Arrow group.  Pins closed-form values on the hot key
+    and the fold-free single-exchange plan."""
+    from fsharp_dataframe_spark.functions.timeseries import (
+        cusum_changepoints,
+    )
+
+    n = 2_000_000
+    hot = int(n * 0.8)
+    df = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit("hot"))
+        .otherwise(F.concat(F.lit("c"), (F.col("id") % 64).cast("string")))
+        .alias("k"),
+        F.col("id").alias("slot"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+        F.lit(11.0).alias("v"))  # constant drift: +1/slot above target
+    out = cusum_changepoints(df, "k", "ts", "v", target=10.0, slack=0.0,
+                             threshold=float(hot), scale=1,
+                             tiebreak="slot")
+    top = (out.filter(F.col("k") == "hot")
+           .agg(F.max("s_pos").alias("mx"), F.count("*").alias("n"),
+                F.sum(F.col("alarm").cast("long")).alias("alarms"))
+           .first())
+    # S+ on the hot key ramps 1..hot; threshold == hot so no alarm
+    assert top["n"] == hot and top["mx"] == hot and top["alarms"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_scale_smoke_rolling_median_10m(spark):
