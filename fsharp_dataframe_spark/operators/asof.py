@@ -51,6 +51,29 @@ def _typed_null(df: DataFrame, col: str):
     return F.lit(None).cast(df.schema[col].dataType)
 
 
+def _tolerance_axis(df: DataFrame, key: str) -> tuple["F.Column", float]:
+    """Distance axis for the ``tolerance`` lapse rule: exact integer
+    microseconds for timestamp keys (tolerance given in SECONDS, the
+    pandas merge_asof convention), the key's own units for numeric
+    keys.  Any other leading-key type raises up front — on the
+    non-tolerance path every orderable key works, but a distance bound
+    needs subtraction, and a silent cast of e.g. a string key would
+    either throw an opaque ANSI error or null the axis and drop every
+    match."""
+    dt = dict(df.dtypes)[key]
+    if dt == "timestamp_ntz":
+        return F.unix_micros(F.col(key).cast("timestamp")), 1_000_000.0
+    if dt.startswith("timestamp"):
+        return F.unix_micros(F.col(key)), 1_000_000.0
+    if dt in ("tinyint", "smallint", "int", "bigint", "float",
+              "double") or dt.startswith("decimal"):
+        return F.col(key).cast("double"), 1.0
+    raise TypeError(
+        f"as-of tolerance requires a numeric or timestamp leading key; "
+        f"got {key!r}: {dt} (supported: tinyint/smallint/int/bigint/"
+        f"float/double/decimal, timestamp/timestamp_ntz)")
+
+
 def _union_fill(
     probe_df: DataFrame,
     source_df: DataFrame,
@@ -81,10 +104,6 @@ def _union_fill(
     always survive.
     """
     by = by or []
-    if tolerance is not None and bucketed:
-        raise NotImplementedError(
-            "tolerance is not implemented on the bucketed global path; "
-            "pass by= (keyed) or bucketed=False")
     src = source_df.select(
         *by, *key_cols, *fill_cols,
         *[_typed_null(probe_df, c).alias(c) for c in probe_cols],
@@ -100,7 +119,7 @@ def _union_fill(
 
     if bucketed and not by:
         return _bucketed_fill(u, src, prb, key_cols, fill_cols, probe_cols,
-                              direction, n_buckets)
+                              direction, n_buckets, tolerance=tolerance)
 
     key_order = [F.col(k) for k in key_cols]
     if direction == "backward":
@@ -125,10 +144,8 @@ def _union_fill(
         raise ValueError(direction)
 
     if tolerance is not None:
-        lead = F.col(key_cols[0])
-        is_ts = dict(u.dtypes)[key_cols[0]].startswith("timestamp")
-        axis = F.unix_micros(lead) if is_ts else lead.cast("double")
-        tol = (float(tolerance) * 1_000_000) if is_ts else float(tolerance)
+        axis, unit = _tolerance_axis(u, key_cols[0])
+        tol = float(tolerance) * unit
         pick = F.first if direction == "forward" else F.last
         filled = {}
         for c in fill_cols:
@@ -153,10 +170,18 @@ def _bucketed_fill(
     probe_cols: list[str],
     direction: str,
     n_buckets: int | None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Scalable global as-of: range-bucket the key space, window within
     buckets, then patch bucket-local misses with a broadcast of each
     bucket's carry-in value (the last non-null value of earlier buckets).
+
+    ``tolerance``: same lapse rule as the keyed path — the carried
+    value rides a (matched-key, value) struct through BOTH the
+    in-bucket window and the per-bucket carry cascade, so the match
+    distance is testable after the coalesce patch.  Bucket boundaries,
+    exchanges, and the broadcast-scale carry relation are identical to
+    the non-tolerance plan.
 
     Bucket boundaries come from sampled quantiles (approxQuantile — the
     same mechanism repartitionByRange uses), so bucket assignment is a
@@ -201,14 +226,31 @@ def _bucketed_fill(
             .orderBy(F.col(k), side_order)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        local = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
+        pick = F.last
     else:
         w = (
             Window.partitionBy(_BUCKET)
             .orderBy(F.col(k), side_order)
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        local = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in fill_cols}
+        pick = F.first
+    if tolerance is None:
+        local = {c: pick(F.col(c), ignorenulls=True).over(w)
+                 for c in fill_cols}
+        carried_of = None
+    else:
+        axis, unit = _tolerance_axis(u, k)
+        tol = float(tolerance) * unit
+
+        def carried_of(c: str) -> "F.Column":
+            return F.struct(axis.alias("__k"), F.col(c).alias("__v"))
+
+        # the carried value rides a (key, value) struct so the lapse
+        # rule can test the matched key after the carry patch
+        local = {f"__s_{c}": pick(
+            F.when((F.col(_SIDE) == 0) & F.col(c).isNotNull(),
+                   carried_of(c)),
+            ignorenulls=True).over(w) for c in fill_cols}
     filled = u.withColumns(local)
 
     # carry-in per bucket: last (first) NON-NULL source value of each
@@ -224,26 +266,38 @@ def _bucketed_fill(
     n_merged = len(cuts) + 1 if cuts else 1
     spine = u.sparkSession.range(n_merged).select(F.col("id").cast("int").alias(_BUCKET))
     src_only = u.filter(F.col(_SIDE) == 0)
+    # per-bucket carried payload: the raw value without tolerance, the
+    # (key, value) struct with it — the cascade and patch below are
+    # payload-agnostic (last/first ignorenulls skips NULL structs from
+    # source-free spine buckets exactly like NULL scalars)
+    payload = carried_of if carried_of is not None else F.col
+    best_by = F.max_by if asc else F.min_by
+    per_bucket = src_only.groupBy(_BUCKET).agg(
+        *[best_by(payload(c), F.when(F.col(c).isNotNull(), F.col(k))).alias(c)
+          for c in fill_cols]
+    )
     if asc:
-        per_bucket = src_only.groupBy(_BUCKET).agg(
-            *[F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(k))).alias(c)
-              for c in fill_cols]
-        )
         cascade_w = Window.orderBy(F.col(_BUCKET)).rowsBetween(Window.unboundedPreceding, -1)
-        carry = spine.join(per_bucket, _BUCKET, "left").select(
-            _BUCKET, *[F.last(F.col(c), ignorenulls=True).over(cascade_w).alias(f"__carry_{c}") for c in fill_cols]
-        )
+        cascade = F.last
     else:
-        per_bucket = src_only.groupBy(_BUCKET).agg(
-            *[F.min_by(F.col(c), F.when(F.col(c).isNotNull(), F.col(k))).alias(c)
-              for c in fill_cols]
-        )
         cascade_w = Window.orderBy(F.col(_BUCKET)).rowsBetween(1, Window.unboundedFollowing)
-        carry = spine.join(per_bucket, _BUCKET, "left").select(
-            _BUCKET, *[F.first(F.col(c), ignorenulls=True).over(cascade_w).alias(f"__carry_{c}") for c in fill_cols]
-        )
+        cascade = F.first
+    carry = spine.join(per_bucket, _BUCKET, "left").select(
+        _BUCKET, *[cascade(F.col(c), ignorenulls=True).over(cascade_w).alias(f"__carry_{c}") for c in fill_cols]
+    )
     out = filled.join(F.broadcast(carry), on=_BUCKET, how="left")
-    patched = {c: F.coalesce(F.col(c), F.col(f"__carry_{c}")) for c in fill_cols}
+    if carried_of is None:
+        patched = {c: F.coalesce(F.col(c), F.col(f"__carry_{c}"))
+                   for c in fill_cols}
+    else:
+        # lapse rule AFTER the coalesce patch: the nearest valued
+        # source row (in-bucket or carried) must sit within tolerance
+        # of the probe key; exact matches (distance 0) always survive
+        patched = {}
+        for c in fill_cols:
+            s = F.coalesce(F.col(f"__s_{c}"), F.col(f"__carry_{c}"))
+            dist = (axis - s["__k"]) if asc else (s["__k"] - axis)
+            patched[c] = F.when(dist <= F.lit(tol), s["__v"])
     out = out.withColumns(patched).filter(F.col(_SIDE) == 1)
     return out.select(*key_cols, *probe_cols, *fill_cols)
 

@@ -191,12 +191,42 @@ def test_asof_tolerance_exact_match_and_per_column_keys(spark):
     assert out["a"] == 9.0 and out["b"] is None
 
 
-def test_asof_tolerance_bucketed_raises(spark):
+def test_asof_tolerance_bucketed_equals_keyed(spark):
+    """Bucketed tolerance (r9): on random data, the bucketed global
+    path must agree row-for-row with the single-partition keyed path
+    under the same tolerance, both directions, including per-column
+    lapse (a sparse column whose carry crosses bucket boundaries)."""
+    import random
+
+    from fsharp_dataframe_spark.operators.asof import _union_fill
+
+    rng = random.Random(909)
+    src_rows = sorted(rng.sample(range(0, 100_000), 800))
+    # column b is sparse (70% null) so its nearest valued key is often
+    # far behind -> exercises carry-across-buckets + lapse together
+    src = spark.createDataFrame(
+        [(k, float(k), float(k) * 2 if rng.random() > 0.7 else None)
+         for k in src_rows], "k long, a double, b double")
+    prb = spark.createDataFrame(
+        [(rng.randrange(0, 100_000),) for _ in range(600)], "k long")
+    for direction in ("backward", "forward"):
+        for tol in (25.0, 400.0):
+            plain = _union_fill(prb, src, ["k"], ["a", "b"], [],
+                                direction, [], tolerance=tol)
+            buck = _union_fill(prb, src, ["k"], ["a", "b"], [],
+                               direction, [], bucketed=True,
+                               n_buckets=40, tolerance=tol)
+            p = sorted((r["k"], r["a"], r["b"]) for r in plain.collect())
+            b = sorted((r["k"], r["a"], r["b"]) for r in buck.collect())
+            assert p == b, (direction, tol)
+
+
+def test_asof_tolerance_rejects_string_key(spark):
     import pytest
 
     from fsharp_dataframe_spark.operators.asof import asof_align_frame
 
-    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
-    with pytest.raises(NotImplementedError, match="tolerance"):
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(TypeError, match="numeric or timestamp"):
         asof_align_frame(df.selectExpr("k", "1 as pid"), df, ["k"], ["v"],
-                         "backward", bucketed=True, tolerance=1)
+                         "backward", by=None, tolerance=1)
