@@ -392,6 +392,13 @@ def sniff_image_metadata(payload: bytes | None):
         while i + 4 <= len(b):
             if b[i] != 0xFF:
                 break
+            # ISO 10918-1 B.1.1.2: any number of 0xFF fill bytes may
+            # precede a marker — consume them or marker==0xFF reads a
+            # garbage seglen and the walk desyncs
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > len(b):
+                break
             marker = b[i + 1]
             if marker == 0xD9:  # EOI before any frame header
                 break

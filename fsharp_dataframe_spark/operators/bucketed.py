@@ -192,8 +192,14 @@ def attach_mapping(df: DataFrame, src: str, mapping: dict, out_col: str,
             arr = F.array(*[F.lit(v).cast(value_type) for v in vals])
             # index past the array end (an id the census never saw)
             # returns NULL under try_element_at — same miss semantics
-            # as the map lookup below; ids are never negative here
-            expr = F.try_element_at(arr, F.col(src).cast("int") + F.lit(1))
+            # as the map lookup below.  Negative ids must be guarded:
+            # try_element_at indexes from the END on a negative index
+            # (src=-2 -> index -1 -> LAST element), which would silently
+            # return a wrong mapped value where the map/broadcast paths
+            # return NULL/default
+            expr = F.when(
+                F.col(src) >= 0,
+                F.try_element_at(arr, F.col(src).cast("int") + F.lit(1)))
             if default is not None:
                 expr = F.coalesce(expr, F.lit(default))
             return df.withColumn(out_col, expr.cast(value_type))

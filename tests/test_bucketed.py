@@ -256,6 +256,27 @@ def test_attach_mapping_literal_and_join_paths_agree(spark, monkeypatch):
     assert got_lit == expect and got_join == expect
 
 
+def test_attach_mapping_negative_ids_default_on_all_paths(spark, monkeypatch):
+    """A negative src id must fall through to NULL/default on EVERY
+    path: try_element_at's end-relative negative indexing would
+    otherwise silently return the LAST array element on the dense
+    path (ADVICE r8)."""
+    import fsharp_dataframe_spark.operators.bucketed as B
+
+    df = spark.createDataFrame([(-2,), (-1,), (0,), (3,)], "b int")
+    mapping = {0: 10, 1: 11, 2: 12, 3: 13}  # dense -> array literal path
+    expect = {-2: -99, -1: -99, 0: 10, 3: 13}
+    dense = {r["b"]: r["m"] for r in
+             B.attach_mapping(df, "b", mapping, "m", "long",
+                              default=-99).collect()}
+    assert dense == expect
+    monkeypatch.setattr(B, "MAP_LITERAL_MAX", 2)  # force the join path
+    joined = {r["b"]: r["m"] for r in
+              B.attach_mapping(df, "b", mapping, "m", "long",
+                               default=-99).collect()}
+    assert joined == expect
+
+
 def test_bucket_expr_two_level_matches_flat(spark, monkeypatch):
     import random
 

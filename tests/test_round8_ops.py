@@ -122,6 +122,19 @@ def test_sniff_image_metadata_formats():
     # truncated mid-marker: mime known, dims not — and never a raise
     assert sniff_image_metadata(jpeg[:6]) == ("image/jpeg", None, None)
 
+    # ISO 10918-1 B.1.1.2: 0xFF fill bytes may pad any marker — the
+    # walk must consume them instead of reading marker==0xFF + a
+    # garbage seglen and desyncing (ADVICE r8)
+    padded = (b"\xff\xd8"
+              + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+              + b"\xff\xff\xff"  # fill bytes before the next marker
+              + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+              + b"\xff\xd9")
+    assert sniff_image_metadata(padded) == ("image/jpeg", 123, 99)
+    # all-fill tail: walk terminates cleanly, dims unknown
+    assert sniff_image_metadata(b"\xff\xd8" + b"\xff" * 8) == \
+        ("image/jpeg", None, None)
+
     wav = b"RIFF" + bytes(4) + b"WAVE" + bytes(8)
     assert sniff_image_metadata(wav) == ("audio/x-wav", None, None)
 
