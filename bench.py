@@ -163,12 +163,30 @@ def _previous_bench() -> tuple[str, dict[str, float]] | None:
             return os.path.basename(best[1]), dict(prev["queries"])
         if isinstance(prev.get("qv"), list):
             names = sorted(entrymod._all_queries())
-            if len(names) >= len(prev["qv"]):
-                return (os.path.basename(best[1]),
-                        dict(zip(names, prev["qv"])))
+            # the qv array is positional: zipping it against a registry
+            # that gained/renamed/lost ANY query shifts the sort order
+            # and misattributes every timing after the insertion point
+            # (ADVICE r8).  Only trust it when the recorded registry
+            # hash (r9+) or, failing that, the exact count matches.
+            if prev.get("qh") is not None:
+                if prev["qh"] != _registry_hash(names):
+                    return None
+            elif len(names) != len(prev["qv"]):
+                return None
+            return (os.path.basename(best[1]),
+                    dict(zip(names, prev["qv"])))
         return None
     except Exception:
         return None
+
+
+def _registry_hash(names: list[str]) -> str:
+    """Short stable hash of the sorted registry name list — recorded in
+    the JSON line (`qh`) so a later bench knows whether a prior `qv`
+    array is positionally comparable."""
+    import hashlib
+
+    return hashlib.sha256("\n".join(names).encode()).hexdigest()[:10]
 
 
 def _report_deltas(timings: dict[str, float]) -> None:
@@ -229,6 +247,7 @@ def main():
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
+    load0 = round(os.getloadavg()[0], 1)
     qs = entrymod._all_queries()
     names = sorted(qs)  # the `qv` order — reconstructible from the repo
     # warm-up OUTSIDE the timed loop: JVM/codegen spin-up, parquet
@@ -272,6 +291,12 @@ def main():
         "n_queries": len(names),
         "order": "sorted-registry-names",
         "notes": "BENCH_NOTES.md",
+        "qh": _registry_hash(names),
+        # contention marker (r8 VERDICT ask #5): 1-min load average at
+        # start/end — a hot box inflates every wall clock and this
+        # makes the artifact self-attributing (r8's driver bench ran
+        # ~53% hot vs two solo runs with no way to see it)
+        "load": [load0, round(os.getloadavg()[0], 1)],
         "qv": [round(timings[n], 2) for n in names],
     }, separators=(",", ":"))
     assert len(line) < MAX_LINE, (

@@ -119,6 +119,8 @@ def test_bench_line_budget_headroom():
         "value": 99999.999, "unit": "sec", "sf": 0.1,
         "n_queries": len(names), "order": "sorted-registry-names",
         "notes": "BENCH_NOTES.md",
+        "qh": bench._registry_hash(names),
+        "load": [99.9, 99.9],
         "qv": [99.99] * len(names),
     }, separators=(",", ":"))
     assert len(line) < bench.MAX_LINE - 100, (
