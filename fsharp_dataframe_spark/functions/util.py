@@ -95,3 +95,41 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     if n >= p:
         return sel
     return sel.repartition(p)
+
+
+# Hot-key guard for per-key Arrow folds (r8 VERDICT ask #6): a grouped
+# applyInPandas materializes each key's ENTIRE group as one Arrow batch
+# in one Python worker, so a pathological key (one user with 10^9
+# events) is a straggler/OOM at scale.  Most of the package's former
+# folds were rewritten as JVM windows (cusum) or bucketed substrates
+# (ewma/while global paths) where the group is size-bounded by
+# construction; the sites that remain — user-supplied whole-group
+# lambdas and keyed While predicates — wrap their fn in this guard so
+# the job fails LOUDLY with remediation text instead of silently dying
+# in the Arrow allocator.  The bound is rows, checked first thing in
+# the worker: crossing it means "your key distribution does not fit
+# this operator", not "raise the limit".
+MAX_ARROW_GROUP_ROWS = 8_000_000
+
+
+def guard_arrow_group(fn, op_name: str, max_rows: int | None = None):
+    """Wrap a grouped-map pandas fn with a max-group-rows check.
+
+    ``max_rows=None`` uses MAX_ARROW_GROUP_ROWS; pass an explicit bound
+    to tighten it per operator.  The wrapped fn raises ValueError
+    naming the operator, the observed group size, and the scale-path
+    alternatives."""
+    bound = MAX_ARROW_GROUP_ROWS if max_rows is None else int(max_rows)
+
+    def guarded(pdf):
+        if len(pdf) > bound:
+            raise ValueError(
+                f"{op_name}: one group holds {len(pdf)} rows "
+                f"(> max_group_rows={bound}) — a per-key Arrow fold "
+                "materializes the whole group in one Python worker, so "
+                "a key this hot is a straggler/OOM at scale.  Split the "
+                "key (salt / finer by=), pre-aggregate, or use the "
+                "bucketed/windowed form of this operator if one exists.")
+        return fn(pdf)
+
+    return guarded

@@ -119,7 +119,12 @@ def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
                                   for i, loc in enumerate(local)]
             return pdf[[*key_cols, value_col]]
 
-        out = df.groupBy(*by).applyInPandas(fn, schema)
+        # hot-key guard (r8 VERDICT ask #6): each by-entity's history
+        # is one Arrow group — fail loudly on a pathological key
+        from fsharp_dataframe_spark.functions.util import guard_arrow_group
+
+        out = df.groupBy(*by).applyInPandas(
+            guard_arrow_group(fn, f"ewma(by={by})"), schema)
         return Series(out, key=key_cols, value=value_col, ordered=True,
                       _canonicalize=False)
 

@@ -460,6 +460,11 @@ def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode
         return pd.DataFrame(rows, columns=key_cols + [value_col])
 
     if by:
+        # hot-key guard (r8 VERDICT ask #6): the per-entity scan
+        # materializes each entity's history as one Arrow group
+        from fsharp_dataframe_spark.functions.util import guard_arrow_group
+
+        fn = guard_arrow_group(fn, f"{mode}(by={by})")
         grouped = s.df.groupBy(*by)
     else:
         # mirror Spark's own WindowExec warning: an arbitrary-predicate

@@ -901,8 +901,16 @@ class GroupedSeries:
         whole-group lambdas use .apply_in_pandas."""
         return self._agg(agg)
 
-    def apply_in_pandas(self, fn, schema) -> DataFrame:
+    def apply_in_pandas(self, fn, schema,
+                        max_group_rows: int | None = None) -> DataFrame:
         """Whole-group user lambda — the direct analog of the reference's
         valueSelector-sees-whole-group (SURVEY.md §2.11): grouped-map
-        Pandas UDF, Arrow-batched."""
-        return self.df.groupBy(*self.group_cols).applyInPandas(fn, schema)
+        Pandas UDF, Arrow-batched.  Each group materializes as ONE
+        Arrow batch in one worker, so a pathological hot key fails
+        loudly against ``max_group_rows`` (default
+        util.MAX_ARROW_GROUP_ROWS) instead of OOMing the executor."""
+        from fsharp_dataframe_spark.functions.util import guard_arrow_group
+
+        return self.df.groupBy(*self.group_cols).applyInPandas(
+            guard_arrow_group(fn, "apply_in_pandas", max_group_rows),
+            schema)
