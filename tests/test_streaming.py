@@ -1235,3 +1235,75 @@ def test_stream_rolling_median_buffer_carries_across_batches(spark, tmp_path):
     r2 = {r["event_id"]: r["med"] for r in spark.read.parquet(outdir).collect()}
     # window [10, 30, 50] spans the batch boundary via the carried buffer
     assert r2[3] == 30.0
+
+
+def test_stream_bm25_matches_duckdb_oracle(spark, tmp_path):
+    """Streaming BM25 (stream_bm25_score) scoring the documents corpus
+    against its OWN landed snapshot, driven availableNow: the landed
+    scores' top-50 must hash-match the SAME DuckDB oracle as the batch
+    bm25_search query — every quantized contribution value-pinned."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_bm25_score
+
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path / "docs_bm25_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    out = stream_bm25_score(s, docs, "spark merge vector")
+    name = run_to_memory(out, "t_bm25_oracle")
+    got = spark.sql(f"""
+        SELECT doc_id, score, n_hit FROM {name}
+        WHERE n_hit > 0 ORDER BY score DESC, doc_id LIMIT 50
+    """).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["bm25_search"]).df()
+    con.close()
+    problems = compare("stream_bm25_score", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_bm25_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Stateless scoring + checkpoint = exactly-once across a restart:
+    phase 2 scores ONLY the new file; phase 1's documents are not
+    reprocessed, and both phases score against the same snapshot."""
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_bm25_score
+
+    corpus = spark.createDataFrame(
+        [(1, "spark joins data"), (2, "merge sort"), (3, "plain prose")],
+        "doc_id long, text string")
+    d = str(tmp_path / "bm25_batches")
+    ckpt = str(tmp_path / "bm25_ckpt")
+    outdir = str(tmp_path / "bm25_out")
+    shutil.rmtree(d, ignore_errors=True)
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, corpus.schema)
+        q = (stream_bm25_score(src, corpus, "spark merge")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame([(10, "spark spark merge")], corpus.schema) \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    spark.createDataFrame([(11, "nothing relevant")], corpus.schema) \
+        .coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+
+    rows = {r["doc_id"]: (r["score"], r["n_hit"])
+            for r in spark.read.parquet(outdir).collect()}
+    assert set(rows) == {10, 11}  # each doc exactly once
+    assert rows[10][1] == 2 and rows[10][0] > 0.0
+    assert rows[11] == (0.0, 0)
+    assert spark.read.parquet(outdir).count() == 2
