@@ -230,3 +230,57 @@ def test_asof_tolerance_rejects_string_key(spark):
     with pytest.raises(TypeError, match="numeric or timestamp"):
         asof_align_frame(df.selectExpr("k", "1 as pid"), df, ["k"], ["v"],
                          "backward", by=None, tolerance=1)
+
+
+def test_asof_bucketed_composite_key_equals_plain(spark):
+    """Composite-key bucketed as-of (r9): bucket on the leading key,
+    full-composite ordering inside buckets, composite-struct carry.
+    Heavy leading-key ties force tiebreaks through the second level
+    and across the carry cascade; must agree with the single-partition
+    path row-for-row, both directions."""
+    import random
+
+    from fsharp_dataframe_spark.operators.asof import _union_fill
+
+    rng = random.Random(911)
+    # leading key coarse (many ties), second key fine
+    src = spark.createDataFrame(
+        [(rng.randrange(0, 300), rng.randrange(0, 1000),
+          float(i), float(i) if rng.random() > 0.5 else None)
+         for i in range(900)], "k1 long, k2 long, a double, b double")
+    prb = spark.createDataFrame(
+        [(rng.randrange(0, 300), rng.randrange(0, 1000), i)
+         for i in range(700)], "k1 long, k2 long, pid long")
+    for direction in ("backward", "forward"):
+        plain = _union_fill(prb, src, ["k1", "k2"], ["a", "b"], ["pid"],
+                            direction, [])
+        buck = _union_fill(prb, src, ["k1", "k2"], ["a", "b"], ["pid"],
+                           direction, [], bucketed=True, n_buckets=30)
+        p = sorted(map(tuple, plain.collect()))
+        g = sorted(map(tuple, buck.collect()))
+        assert p == g, direction
+
+
+def test_asof_bucketed_composite_key_with_tolerance(spark):
+    """Tolerance composes with composite keys on the bucketed path:
+    the lapse rule measures the LEADING key (documented), tiebreaks
+    still resolve through the lower levels."""
+    import random
+
+    from fsharp_dataframe_spark.operators.asof import _union_fill
+
+    rng = random.Random(912)
+    src = spark.createDataFrame(
+        [(rng.randrange(0, 200), rng.randrange(0, 50), float(i))
+         for i in range(400)], "k1 long, k2 long, a double")
+    prb = spark.createDataFrame(
+        [(rng.randrange(0, 200), rng.randrange(0, 50), i)
+         for i in range(300)], "k1 long, k2 long, pid long")
+    for direction in ("backward", "forward"):
+        plain = _union_fill(prb, src, ["k1", "k2"], ["a"], ["pid"],
+                            direction, [], tolerance=7.0)
+        buck = _union_fill(prb, src, ["k1", "k2"], ["a"], ["pid"],
+                           direction, [], bucketed=True, n_buckets=20,
+                           tolerance=7.0)
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, buck.collect())), direction
