@@ -2721,7 +2721,11 @@ EXTRA_QUERIES = (
     "drawdown", "group_quantiles", "histogram", "interval_week1",
     "ohlc_weekly", "returns_series", "vwap_monthly",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
-    "window_moving_avg", "zip_inner")
+    "window_moving_avg", "zip_inner",
+    # round-9 newcomers, held out per the ROUND-10 ROTATION PLAN above
+    # (local three-SF oracle-green; they take driver slots in r10):
+    "tpch_q1", "tpch_q6", "asof_multikey", "psi_drift",
+    "classifier_auc", "zipf_fit", "int8_quantize")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2738,6 +2742,136 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def extra_oracle_sql() -> dict[str, str]:
     return {k: v for k, v in _all_oracle_sql().items() if k in EXTRA_QUERIES}
+
+
+def q_tpch_q1(spark, sf) -> DataFrame:
+    """TPC-H Q1 pricing summary: the canonical wide-aggregate scan —
+    six aggregates + three averages per (returnflag, linestatus), all
+    exact BIGINT sums of quantized cents (disc_price in 1e-4 units as
+    cents × (100 − disc_cents), charge in 1e-6 units — exact integer
+    PRODUCTS, so no float drift anywhere; averages are one division of
+    identical ints).  ONE groupBy with map-side combine; int64
+    envelope: charge units ≈ 1e11/row, safe to ~10⁷ rows/group —
+    widen to DECIMAL(38,0) sums beyond (the grouped_ols discipline)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    qty_u = F.round(F.col("l_quantity") * 100).cast("long")
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_u = F.round(F.col("l_discount") * 100).cast("long")
+    tax_u = F.round(F.col("l_tax") * 100).cast("long")
+    disc_price_u = ep_u * (100 - disc_u)
+    charge_u = disc_price_u * (100 + tax_u)
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty_u).alias("squ"), F.sum(ep_u).alias("sbu"),
+        F.sum(disc_price_u).alias("sdu"), F.sum(charge_u).alias("scu"),
+        F.sum(disc_u).alias("sdiscu"), F.count("*").alias("count_order"))
+    cnt = F.col("count_order").cast("double")
+    return (g.select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("squ") / 100.0, 2).alias("sum_qty"),
+        F.round(F.col("sbu") / 100.0, 2).alias("sum_base_price"),
+        F.round(F.col("sdu") / 10000.0, 2).alias("sum_disc_price"),
+        F.round(F.col("scu") / 1000000.0, 2).alias("sum_charge"),
+        F.round((F.col("squ").cast("double") / cnt) / 100.0, 4).alias("avg_qty"),
+        F.round((F.col("sbu").cast("double") / cnt) / 100.0, 4).alias("avg_price"),
+        F.round((F.col("sdiscu").cast("double") / cnt) / 100.0, 4).alias("avg_disc"),
+        "count_order")
+        .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_tpch_q6(spark, sf) -> DataFrame:
+    """TPC-H Q6 forecast-revenue: filter-heavy scan-sum.  The discount
+    band filters on QUANTIZED cents (5..7), so the predicate and the
+    revenue product (cents × disc-cents, exact 1e-4-unit integers) see
+    the same values; the plan is a scan with pushed filters and one
+    scalar aggregate — no shuffle at all past the partial agg."""
+    li = load_table(spark, sf, "lineitem")
+    disc_u = F.round(F.col("l_discount") * 100).cast("long")
+    rev_u = F.round(F.col("l_extendedprice") * 100).cast("long") * disc_u
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & disc_u.between(5, 7) & (F.col("l_quantity") < 24))
+    return f.agg(F.round(F.sum(rev_u) / 10000.0, 2).alias("revenue"),
+                 F.count("*").alias("n_lines"))
+
+
+def q_asof_multikey(spark, sf) -> DataFrame:
+    """Composite-key bucketed global as-of (operators/asof, r9 —
+    reference lookup semantics src/Indices/LinearIndex.fs:105-148
+    lifted to lexicographic keys): for every lineitem, the latest
+    order at-or-before its (ship date, order key) composite, on the
+    BUCKETED path — range-bucketed by the leading date, full-composite
+    ordering inside buckets, composite-struct carry cascade; no
+    single-partition data window."""
+    from fsharp_dataframe_spark.operators.asof import asof_align_frame
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    probe = li.select(F.col("l_shipdate").alias("ts"),
+                      F.col("l_orderkey").alias("okey"),
+                      F.col("l_linenumber").alias("ln"))
+    src = orders.select(F.col("o_orderdate").alias("ts"),
+                        F.col("o_orderkey").alias("okey"),
+                        F.round(F.col("o_totalprice"), 2).alias("price"))
+    return asof_align_frame(probe, src, ["ts", "okey"], ["price"],
+                            "backward", bucketed=True)
+
+
+def q_psi_drift(spark, sf) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    first half of January vs the rest (functions/drift.
+    population_stability): per-bin exact counts, add-one smoothing,
+    terms quantized to 1e-8 units — the drift monitor a nightly
+    pipeline runs on every score column.  Two bounded groupBys + a
+    20-row spine + one-row totals broadcast."""
+    from fsharp_dataframe_spark.functions.drift import population_stability
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit("2024-01-15").cast("timestamp")
+    return population_stability(ev.filter(F.col("ts") < split),
+                                ev.filter(F.col("ts") >= split),
+                                "value", lo=0.0, hi=500.0, n_bins=20)
+
+
+def q_classifier_auc(spark, sf) -> DataFrame:
+    """Distributed binned ROC-AUC (functions/drift.binned_auc): does
+    document length separate English from non-English?  One bounded
+    groupBy over the corpus; the rank statistic runs on the 64-bin
+    relation (construction-bounded window), num/den exact BIGINTs."""
+    from fsharp_dataframe_spark.functions.drift import binned_auc
+
+    docs = load_table(spark, sf, "documents")
+    return binned_auc(docs, F.col("n_chars").cast("double"),
+                      (F.col("lang") == "en").cast("int"),
+                      lo=0.0, hi=600.0, n_bins=64)
+
+
+def q_zipf_fit(spark, sf) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary (functions/drift.
+    zipf_fit): OLS of ln(freq) on ln(rank) for the top-300 tokens,
+    both axes quantized to integer 1e-6 ln-units so the moments are
+    exact BIGINT sums — corpus-health audit (slope ≈ −1 for natural
+    text).  vocab_topk's one-token-shuffle plan + a k-row tail."""
+    from fsharp_dataframe_spark.functions.drift import zipf_fit
+
+    docs = load_table(spark, sf, "documents")
+    return zipf_fit(docs, k=300)
+
+
+def q_int8_quantize(spark, sf) -> DataFrame:
+    """Per-dimension int8 quantization audit of the embedding corpus
+    (functions/similarity.quantize_embeddings_int8): symmetric scale
+    max|x|/127 and mean |x − q·scale| reconstruction error in integer
+    1e-9 units — the memory-planning pass before an int8 ANN index.
+    Two dim-keyed bounded groupBys + a broadcast dim-sized scale
+    table."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    return quantize_embeddings_int8(emb)
 
 
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2843,6 +2977,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "tpch_q14": q_tpch_q14,
         "tpch_q4": q_tpch_q4,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "asof_multikey": q_asof_multikey,
+        "psi_drift": q_psi_drift,
+        "classifier_auc": q_classifier_auc,
+        "zipf_fit": q_zipf_fit,
+        "int8_quantize": q_int8_quantize,
         "trimmed_mean": q_trimmed_mean,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
@@ -4598,6 +4739,192 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM r
             WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1)
             GROUP BY 1
+        """,
+        "tpch_q1": """
+            WITH b AS (
+              SELECT l_returnflag, l_linestatus,
+                     round(l_quantity * 100)::BIGINT AS qu,
+                     round(l_extendedprice * 100)::BIGINT AS eu,
+                     round(l_discount * 100)::BIGINT AS du,
+                     round(l_tax * 100)::BIGINT AS tu
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+            g AS (
+              SELECT l_returnflag, l_linestatus,
+                     sum(qu)::BIGINT AS squ, sum(eu)::BIGINT AS sbu,
+                     sum(eu * (100 - du))::BIGINT AS sdu,
+                     sum(eu * (100 - du) * (100 + tu))::BIGINT AS scu,
+                     sum(du)::BIGINT AS sdiscu,
+                     count(*)::BIGINT AS count_order
+              FROM b GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus,
+                   round(squ / 100.0, 2) AS sum_qty,
+                   round(sbu / 100.0, 2) AS sum_base_price,
+                   round(sdu / 10000.0, 2) AS sum_disc_price,
+                   round(scu / 1000000.0, 2) AS sum_charge,
+                   round((squ::DOUBLE / count_order::DOUBLE) / 100.0, 4)
+                     AS avg_qty,
+                   round((sbu::DOUBLE / count_order::DOUBLE) / 100.0, 4)
+                     AS avg_price,
+                   round((sdiscu::DOUBLE / count_order::DOUBLE) / 100.0, 4)
+                     AS avg_disc,
+                   count_order
+            FROM g ORDER BY 1, 2
+        """,
+        "tpch_q6": """
+            SELECT round(sum(round(l_extendedprice * 100)::BIGINT
+                             * round(l_discount * 100)::BIGINT)::BIGINT
+                         / 10000.0, 2) AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND round(l_discount * 100)::BIGINT BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "asof_multikey": """
+            WITH s AS (
+              SELECT o_orderdate AS ts, o_orderkey AS okey,
+                     NULL::INT AS ln, round(o_totalprice, 2) AS price,
+                     0 AS side
+              FROM orders),
+            p AS (
+              SELECT l_shipdate, l_orderkey, l_linenumber,
+                     NULL::DOUBLE, 1
+              FROM lineitem),
+            u AS (SELECT * FROM s UNION ALL SELECT * FROM p),
+            f AS (
+              SELECT ts, okey, ln, side,
+                     last_value(price IGNORE NULLS) OVER (
+                       ORDER BY ts, okey, side
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS price
+              FROM u)
+            SELECT ts, okey, ln, price FROM f WHERE side = 1
+        """,
+        "psi_drift": """
+            WITH binned AS (
+              SELECT least(greatest(floor((value - 0.0) / 25.0), 0),
+                           19)::INT AS bin,
+                     (ts < TIMESTAMP '2024-01-15') AS is_base
+              FROM events WHERE value IS NOT NULL),
+            bb AS (SELECT bin, count(*)::BIGINT AS n_base FROM binned
+                   WHERE is_base GROUP BY 1),
+            cc AS (SELECT bin, count(*)::BIGINT AS n_cur FROM binned
+                   WHERE NOT is_base GROUP BY 1),
+            spine AS (SELECT range::INT AS bin FROM range(20)),
+            j AS (
+              SELECT spine.bin AS bin,
+                     coalesce(n_base, 0)::BIGINT AS n_base,
+                     coalesce(n_cur, 0)::BIGINT AS n_cur
+              FROM spine LEFT JOIN bb USING (bin)
+                         LEFT JOIN cc USING (bin)),
+            tot AS (SELECT sum(n_base)::BIGINT AS tb,
+                           sum(n_cur)::BIGINT AS tc FROM j)
+            SELECT bin, n_base, n_cur,
+                   round(round(
+                     (((n_base + 1)::DOUBLE / (tb + 20)::DOUBLE)
+                      - ((n_cur + 1)::DOUBLE / (tc + 20)::DOUBLE))
+                     * ln(((n_base + 1)::DOUBLE / (tb + 20)::DOUBLE)
+                          / ((n_cur + 1)::DOUBLE / (tc + 20)::DOUBLE))
+                     * 100000000)::BIGINT / 100000000.0, 8) AS psi_term
+            FROM j, tot ORDER BY bin
+        """,
+        "classifier_auc": """
+            WITH b AS (
+              SELECT least(greatest(floor((n_chars::DOUBLE - 0.0)
+                                          / 9.375), 0), 63)::INT AS bin,
+                     (lang = 'en')::INT AS y
+              FROM documents
+              WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            per AS (SELECT bin, sum(y)::BIGINT AS pos,
+                           sum(1 - y)::BIGINT AS neg
+                    FROM b GROUP BY 1),
+            sc AS (
+              SELECT pos, neg,
+                     pos * (2 * coalesce(sum(neg) OVER (
+                       ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) + neg) AS contrib
+              FROM per),
+            a AS (SELECT sum(pos)::BIGINT AS n_pos,
+                         sum(neg)::BIGINT AS n_neg,
+                         sum(contrib)::BIGINT AS num FROM sc)
+            SELECT n_pos, n_neg,
+                   round(CASE WHEN (2 * n_pos * n_neg) > 0 THEN
+                     num::DOUBLE / (2 * n_pos * n_neg)::DOUBLE END, 6)
+                     AS auc
+            FROM a
+        """,
+        "zipf_fit": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, count(*)::BIGINT AS n_occurrences
+              FROM toks GROUP BY 1),
+            top AS (SELECT * FROM counts
+                    ORDER BY n_occurrences DESC, token LIMIT 300),
+            pts AS (
+              SELECT round(ln((row_number() OVER (
+                       ORDER BY n_occurrences DESC, token))::DOUBLE)
+                       * 1000000)::BIGINT AS xi,
+                     round(ln(n_occurrences::DOUBLE)
+                       * 1000000)::BIGINT AS yi
+              FROM top),
+            m AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(xi)::BIGINT AS sx, sum(yi)::BIGINT AS sy,
+                     sum(xi * yi)::BIGINT AS sxy,
+                     sum(xi * xi)::BIGINT AS sxx,
+                     sum(yi * yi)::BIGINT AS syy
+              FROM pts),
+            e AS (
+              SELECT n, n::DOUBLE AS nd, sx::DOUBLE AS sxd,
+                     sy::DOUBLE AS syd,
+                     (n::DOUBLE * sxy::DOUBLE)
+                       - (sx::DOUBLE * sy::DOUBLE) AS cov_n,
+                     (n::DOUBLE * sxx::DOUBLE)
+                       - (sx::DOUBLE * sx::DOUBLE) AS var_x,
+                     (n::DOUBLE * syy::DOUBLE)
+                       - (sy::DOUBLE * sy::DOUBLE) AS var_y
+              FROM m)
+            SELECT n AS n_terms,
+                   round(CASE WHEN n >= 2 AND var_x > 0 THEN
+                     cov_n / var_x END, 6) AS slope,
+                   round(CASE WHEN n >= 2 AND var_x > 0 THEN
+                     ((syd - (cov_n / var_x) * sxd) / nd)
+                     / 1000000.0 END, 6) AS intercept,
+                   round(CASE WHEN n >= 2 AND var_x > 0 AND var_y > 0
+                     THEN (cov_n * cov_n) / (var_x * var_y) END, 6)
+                     AS r2
+            FROM e
+        """,
+        "int8_quantize": """
+            WITH el AS (
+              SELECT dim - 1 AS dim, x::DOUBLE AS x
+              FROM (SELECT unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings)),
+            sc AS (SELECT dim, max(abs(x)) AS max_abs,
+                          count(*)::BIGINT AS n
+                   FROM el GROUP BY 1),
+            s2 AS (SELECT dim, n, max_abs / 127.0 AS scale FROM sc),
+            j AS (
+              SELECT el.dim AS dim,
+                     CASE WHEN scale > 0 THEN
+                       round(abs(x - round(x / scale) * scale)
+                             * 1000000000)::BIGINT END AS u
+              FROM el JOIN s2 USING (dim)),
+            a AS (SELECT dim, sum(u)::BIGINT AS su,
+                         count(u)::BIGINT AS nu
+                  FROM j GROUP BY 1)
+            SELECT dim, n, round(scale, 9) AS scale,
+                   round(CASE WHEN nu > 0 THEN
+                     (su::DOUBLE / nu::DOUBLE) / 1000000000.0 END, 8)
+                     AS mean_abs_err
+            FROM s2 LEFT JOIN a USING (dim) ORDER BY dim
         """,
         "tpch_q14": """
             SELECT date_trunc('month', l_shipdate)::DATE AS month,

@@ -936,3 +936,52 @@ def hard_negatives(df: DataFrame, k: int = 3, id_col: str = "vec_id",
     """
     return knn_join_exact(df, k=k, id_col=id_col, vec_col=vec_col,
                           neq_label_col=label_col)
+
+
+def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension symmetric int8 quantization audit for an embedding
+    column — the memory-planning pass an ANN index build runs first
+    (int8 storage is 4x float32; the question is how much cosine/L2
+    fidelity each dimension loses).  scale_d = max|x_d| / 127; the
+    quantized code is round(x/scale) (never exceeds ±127 when the
+    scale comes from the same data), and the audit reports each
+    dimension's mean absolute reconstruction error |x − q·scale|.
+
+    Exactness: max|x| is order-independent (no float-sum drift),
+    scale/err are fixed double associations over float32 values that
+    cast to double exactly, and the per-element error is quantized to
+    integer 1e-9 units before the BIGINT sum — the oracle replays the
+    table with unnest WITH ORDINALITY.
+
+    Scale shape: two narrow explode passes keyed by dimension id
+    (dim-bounded groupBys with map-side combine — a 10⁹-vector corpus
+    arrives at each reducer as one partial per map task) joined by a
+    broadcast of the dim-sized scale table.  Zero-variance dimensions
+    (scale 0) report NULL error instead of dividing by zero.
+
+    Returns one row per dimension: (dim, n, scale, mean_abs_err),
+    scale rounded 9dp, error 8dp.
+    """
+    el = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    el = el.select("dim", F.col("x").cast("double").alias("x"))
+    scales = (el.groupBy("dim")
+              .agg(F.max(F.abs(F.col("x"))).alias("max_abs"),
+                   F.count("*").alias("n"))
+              .withColumn("scale", F.col("max_abs") / F.lit(127.0)))
+    j = el.join(F.broadcast(scales.select("dim", "scale")), "dim")
+    q = F.round(F.col("x") / F.col("scale"))
+    err = F.abs(F.col("x") - q * F.col("scale"))
+    units = F.when(F.col("scale") > 0,
+                   F.round(err * 1_000_000_000).cast("long"))
+    agg = (j.select("dim", units.alias("u"))
+           .groupBy("dim").agg(F.sum("u").alias("su"),
+                               F.count("u").alias("nu")))
+    out = scales.join(agg, "dim", "left")
+    mean_err = F.when(F.col("nu") > 0,
+                      (F.col("su").cast("double") / F.col("nu"))
+                      / 1_000_000_000.0)
+    return (out.select("dim", "n",
+                       F.round(F.col("scale"), 9).alias("scale"),
+                       F.round(mean_err, 8).alias("mean_abs_err"))
+            .orderBy("dim"))

@@ -343,6 +343,17 @@ _AUDIT_ALLOW = {
     # running sum over the per-DAY relation: the un-keyed window is
     # calendar-bounded (one row per day), not data-bounded
     "daily_activity": ("single_partition",),
+    # ONE-row final scalar aggregate (filter-scan-sum, no group key)
+    "tpch_q6": ("single_partition",),
+    # the n_buckets-row carry-cascade spine of the bucketed as-of —
+    # the same allowance class as fill_linear/asof_join above
+    "asof_multikey": ("single_partition",),
+    # one-row totals broadcast cross join + the 20-bin spine/terms
+    # (the token_budget one-row-totals shape)
+    "psi_drift": ("cartesian", "single_partition"),
+    # running sum over the 64-bin relation + one-row final ratio
+    # (the corr_matrix construction-bounded class)
+    "classifier_auc": ("single_partition",),
 }
 
 
