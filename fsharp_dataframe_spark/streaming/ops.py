@@ -1198,3 +1198,88 @@ def stream_bm25_score(sdf: DataFrame, corpus: DataFrame, query: str,
     s = score_fn(F.col(text_col))
     return sdf.withColumns({"score": s["score"],
                             "n_hit": s["n_hit"].cast("long")})
+
+
+def stream_psi(sdf: DataFrame, baseline: DataFrame, value_col: str,
+               lo: float, hi: float, n_bins: int = 20) -> DataFrame:
+    """Streaming Population Stability Index against a landed baseline —
+    the live twin of functions/drift.population_stability: the
+    baseline's per-bin counts and total are computed ONCE batch-side
+    (n_bins integers, embedded), and the stream accumulates the
+    current-side bin counts in checkpointed state, re-emitting the
+    full n_bins-row PSI table every micro-batch ("update" mode — the
+    consumer reads the latest emission per bin).
+
+    State is ONE vector of n_bins BIGINTs — bounded by construction.
+    Each micro-batch is pre-reduced to (bin, partial-count) rows by a
+    stateless Arrow map BEFORE the single stateful group, so the
+    per-batch volume crossing the state exchange is
+    O(partitions × n_bins), never the data.
+
+    Identical integer + HALF_UP-quantized arithmetic to the batch
+    operator (add-one smoothing, 1e-8-unit terms), so after an
+    availableNow drive over a static directory the last emission per
+    bin hash-matches the same DuckDB oracle as the batch psi query
+    (pinned in tests/test_streaming.py, with a checkpoint-restart
+    carry test).
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fsharp_dataframe_spark.functions.drift import _uniform_bin
+
+    nb = int(n_bins)
+    col = F.col(value_col)
+    bb = {r["bin"]: r["n"] for r in
+          baseline.filter(col.isNotNull())
+          .select(_uniform_bin(col, lo, hi, nb).alias("bin"))
+          .groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    n_base = [int(bb.get(i, 0)) for i in range(nb)]
+    tb = sum(n_base)
+
+    binned = (sdf.filter(col.isNotNull())
+              .select(_uniform_bin(col, lo, hi, nb).alias("bin")))
+
+    def partials(pdf_iter):
+        for pdf in pdf_iter:
+            g = pdf.groupby("bin").size().reset_index(name="cnt")
+            yield g.astype({"bin": "int32", "cnt": "int64"})
+
+    pre = binned.mapInPandas(partials, "bin int, cnt long")
+
+    out_schema = T.StructType([
+        T.StructField("bin", T.IntegerType(), False),
+        T.StructField("n_base", T.LongType(), False),
+        T.StructField("n_cur", T.LongType(), False),
+        T.StructField("psi_term", T.DoubleType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("counts", T.ArrayType(T.LongType()), True),
+    ])
+
+    def fn(key, pdfs, state):
+        counts = (list(state.get[0]) if state.exists else [0] * nb)
+        for pdf in pdfs:
+            for b, c in zip(pdf["bin"], pdf["cnt"]):
+                counts[int(b)] += int(c)
+        state.update((counts,))
+        tc = sum(counts)
+        rows = []
+        for i in range(nb):
+            # the batch operator's exact association: integer ratios,
+            # one double division each, term quantized to 1e-8 units
+            # with HALF_UP (Spark F.round; python round is banker's)
+            p = float(n_base[i] + 1) / float(tb + nb)
+            q = float(counts[i] + 1) / float(tc + nb)
+            x = (p - q) * math.log(p / q) * 100_000_000
+            u = (int(math.floor(x + 0.5)) if x >= 0
+                 else -int(math.floor(-x + 0.5)))
+            rows.append((i, n_base[i], counts[i],
+                         round(u / 100_000_000.0, 8)))
+        yield pd.DataFrame(rows, columns=["bin", "n_base", "n_cur",
+                                          "psi_term"])
+
+    return (pre.withColumn("__g", F.lit(0)).groupBy("__g")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -1307,3 +1307,80 @@ def test_stream_bm25_checkpoint_restart_exactly_once(spark, tmp_path):
     assert rows[10][1] == 2 and rows[10][0] > 0.0
     assert rows[11] == (0.0, 0)
     assert spark.read.parquet(outdir).count() == 2
+
+
+def test_stream_psi_matches_duckdb_oracle(spark, events_stream_dir):
+    """Streaming PSI (stream_psi) against the landed first-half
+    baseline, driven availableNow over the second-half events: the
+    last emission per bin must hash-match the SAME DuckDB oracle as
+    the batch psi_drift query."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_psi
+
+    split = F.lit("2024-01-15").cast("timestamp")
+    base = load_table(spark, SF, "events").filter(F.col("ts") < split)
+    s = _events_stream(spark, events_stream_dir).filter(
+        F.col("ts") >= split)
+    out = stream_psi(s, base, "value", lo=0.0, hi=500.0, n_bins=20)
+    name = run_to_memory(out, "t_psi_oracle", output_mode="update")
+    got = spark.sql(f"""
+        SELECT bin, n_base, n_cur, psi_term FROM (
+          SELECT *, row_number() OVER (PARTITION BY bin
+            ORDER BY mono DESC) AS rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono
+                FROM {name}))
+        WHERE rn = 1 ORDER BY bin""").toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["psi_drift"]).df()
+    con.close()
+    problems = compare("stream_psi", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_psi_state_accumulates_across_restart(spark, tmp_path):
+    """Bin counts carried through the checkpoint: batch 2's emission
+    reflects batch 1's observations too."""
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_psi
+
+    base = spark.createDataFrame([(float(v),) for v in
+                                  [5, 15, 25]], "value double")
+    d = str(tmp_path / "psi_batches")
+    ckpt = str(tmp_path / "psi_ckpt")
+    outdir = str(tmp_path / "psi_out")
+    shutil.rmtree(d, ignore_errors=True)
+
+    emissions = []
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], "value double").schema)
+
+        def sink(bdf, _epoch):
+            emissions.extend(bdf.collect())
+
+        # memory sink cannot recover from a checkpoint — foreachBatch can
+        q = (stream_psi(src, base, "value", 0.0, 30.0, 3)
+             .writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame([(5.0,), (5.0,)], "value double") \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    emissions.clear()
+    spark.createDataFrame([(25.0,)], "value double") \
+        .coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    # phase 2's emission must already include phase 1's two bin-0
+    # observations via the checkpointed state vector
+    last = {r["bin"]: (r["n_base"], r["n_cur"]) for r in emissions}
+    assert last[0] == (1, 2) and last[1] == (1, 0) and last[2] == (1, 1)
