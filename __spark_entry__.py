@@ -2685,10 +2685,11 @@ def q_transitions(spark, sf) -> DataFrame:
 # substrate must earn fresh driver rows, not coast on r8's.  cusum is
 # rotated in ON its round-9 JVM-window rewrite (VERDICT r8 ask #2), so
 # its first driver row certifies the new code.
-# ROUND-10 ROTATION PLAN: any round-9 newcomers (held out at the
-# bottom of EXTRA_QUERIES below, each locally three-SF oracle-green
-# since r9) rotate in next round, swapping out double-green veterans
-# exactly as above.
+# ROUND-10 ROTATION PLAN: the 7 round-9 newcomers (tpch_q1, tpch_q6,
+# asof_multikey, psi_drift, classifier_auc, zipf_fit, int8_quantize —
+# held out at the bottom of EXTRA_QUERIES below, each locally three-SF
+# oracle-green since r9) rotate in next round, swapping out
+# double-green veterans exactly as above.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
