@@ -2685,8 +2685,9 @@ def q_transitions(spark, sf) -> DataFrame:
 # substrate must earn fresh driver rows, not coast on r8's.  cusum is
 # rotated in ON its round-9 JVM-window rewrite (VERDICT r8 ask #2), so
 # its first driver row certifies the new code.
-# ROUND-10 ROTATION PLAN: the 7 round-9 newcomers (tpch_q1, tpch_q6,
-# asof_multikey, psi_drift, classifier_auc, zipf_fit, int8_quantize —
+# ROUND-10 ROTATION PLAN: the 9 round-9 newcomers (tpch_q1, tpch_q6,
+# asof_multikey, psi_drift, classifier_auc, zipf_fit, int8_quantize,
+# source_overlap, pack_efficiency —
 # held out at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r9) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -2726,7 +2727,8 @@ EXTRA_QUERIES = (
     # round-9 newcomers, held out per the ROUND-10 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r10):
     "tpch_q1", "tpch_q6", "asof_multikey", "psi_drift",
-    "classifier_auc", "zipf_fit", "int8_quantize")
+    "classifier_auc", "zipf_fit", "int8_quantize", "source_overlap",
+    "pack_efficiency")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2875,6 +2877,29 @@ def q_int8_quantize(spark, sf) -> DataFrame:
     return quantize_embeddings_int8(emb)
 
 
+def q_source_overlap(spark, sf) -> DataFrame:
+    """Cross-source contamination matrix (functions/dedup.
+    source_overlap): distinct 3-gram shingles shared between every
+    pair of ingest sources + shingle-set Jaccard — the feed-
+    plagiarism audit.  Per-(source, shingle) DISTINCT bounds the
+    self-join to |sources| rows per shingle; totals broadcast."""
+    from fsharp_dataframe_spark.functions.dedup import source_overlap
+
+    docs = load_table(spark, sf, "documents")
+    return source_overlap(docs)
+
+
+def q_pack_efficiency(spark, sf) -> DataFrame:
+    """Sequence-length planning table (functions/sampling.
+    packing_efficiency): document-respecting sequence counts and
+    padding waste at three candidate context lengths, from ONE corpus
+    scan (per-L exact integer ceils summed in a single aggregate)."""
+    from fsharp_dataframe_spark.functions.sampling import packing_efficiency
+
+    docs = load_table(spark, sf, "documents")
+    return packing_efficiency(docs, [32, 64, 128])
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_agg": q_group_agg,
@@ -2985,6 +3010,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "zipf_fit": q_zipf_fit,
         "int8_quantize": q_int8_quantize,
+        "source_overlap": q_source_overlap,
+        "pack_efficiency": q_pack_efficiency,
         "trimmed_mean": q_trimmed_mean,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
@@ -4926,6 +4953,57 @@ def _all_oracle_sql() -> dict[str, str]:
                      (su::DOUBLE / nu::DOUBLE) / 1000000000.0 END, 8)
                      AS mean_abs_err
             FROM s2 LEFT JOIN a USING (dim) ORDER BY dim
+        """,
+        "source_overlap": """
+            WITH toks AS (
+              SELECT source,
+                     list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            g AS (
+              SELECT source,
+                     unnest(list_transform(
+                       range(0, greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i+1 : i+3], ' ')))
+                       AS shingle
+              FROM toks),
+            d AS (SELECT DISTINCT source AS g, shingle FROM g),
+            tot AS (SELECT g, count(*)::BIGINT AS n_sh FROM d GROUP BY 1),
+            p AS (
+              SELECT a.g AS source_a, b.g AS source_b,
+                     count(*)::BIGINT AS n_shared
+              FROM d a JOIN d b USING (shingle)
+              WHERE a.g < b.g GROUP BY 1, 2)
+            SELECT source_a, source_b, n_shared,
+                   round(n_shared::DOUBLE /
+                     (ta.n_sh + tb.n_sh - n_shared)::DOUBLE, 6) AS jaccard
+            FROM p JOIN tot ta ON ta.g = source_a
+                   JOIN tot tb ON tb.g = source_b
+            ORDER BY source_a, source_b
+        """,
+        "pack_efficiency": """
+            WITH t AS (
+              SELECT len(regexp_extract_all(text,
+                '\\w+|[^\\w\\s]+'))::BIGINT AS t
+              FROM documents),
+            a AS (
+              SELECT count(*)::BIGINT AS n_docs,
+                     sum(t)::BIGINT AS total_tokens,
+                     sum((t + 31) // 32)::BIGINT AS ns32,
+                     sum((t + 63) // 64)::BIGINT AS ns64,
+                     sum((t + 127) // 128)::BIGINT AS ns128
+              FROM t)
+            SELECT seq_len, n_docs, total_tokens, n_seqs,
+                   (n_seqs * seq_len)::BIGINT AS padded_tokens,
+                   round(((n_seqs * seq_len) - total_tokens)::DOUBLE
+                         / (n_seqs * seq_len)::DOUBLE, 6) AS waste_pct
+            FROM (
+              SELECT 32::BIGINT AS seq_len, n_docs, total_tokens,
+                     ns32 AS n_seqs FROM a
+              UNION ALL
+              SELECT 64::BIGINT, n_docs, total_tokens, ns64 FROM a
+              UNION ALL
+              SELECT 128::BIGINT, n_docs, total_tokens, ns128 FROM a)
         """,
         "tpch_q14": """
             SELECT date_trunc('month', l_shipdate)::DATE AS month,

@@ -768,3 +768,45 @@ def dedup_report(df: DataFrame, by: list[str],
     rate = (F.expr("CAST((n_docs - n_unique) * 10000 AS DECIMAL(38,0))"
                    " div n_docs").cast("double") / 10000.0)
     return m.select(*by, "n_docs", "n_unique", rate.alias("dup_rate"))
+
+
+def source_overlap(df: DataFrame, group_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n: int = 3) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, how many distinct word n-gram shingles they share, plus
+    the shingle-set Jaccard — the audit that catches one ingest feed
+    plagiarizing another (mirrored sites, laundered crawls) before
+    both inflate the training mix.
+
+    Scale shape: the per-(source, shingle) DISTINCT relation bounds
+    the self-join fan-out to |sources| rows per shingle (never
+    documents²), the join distributes by shingle hash exactly like the
+    dedup family, and totals ride a broadcast source-sized relation.
+
+    Returns (source_a, source_b, n_shared, jaccard) for source_a <
+    source_b, jaccard rounded 6dp.
+    """
+    from fsharp_dataframe_spark.functions.util import spread
+
+    gs = (spread(df, group_col, id_col, text_col)
+          .select(F.col(group_col).alias("g"),
+                  F.explode(word_shingles(F.col(text_col), n))
+                  .alias("shingle"))
+          .distinct())
+    tot = gs.groupBy("g").agg(F.count("*").alias("n_sh"))
+    a, b = gs.alias("a"), gs.alias("b")
+    pairs = (a.join(b, "shingle")
+             .filter(F.col("a.g") < F.col("b.g"))
+             .groupBy(F.col("a.g").alias("source_a"),
+                      F.col("b.g").alias("source_b"))
+             .agg(F.count("*").alias("n_shared")))
+    ta = tot.select(F.col("g").alias("source_a"), F.col("n_sh").alias("na"))
+    tb = tot.select(F.col("g").alias("source_b"), F.col("n_sh").alias("nb"))
+    j = (pairs.join(F.broadcast(ta), "source_a")
+         .join(F.broadcast(tb), "source_b"))
+    jac = (F.col("n_shared").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"))
+    return (j.select("source_a", "source_b", "n_shared",
+                     F.round(jac, 6).alias("jaccard"))
+            .orderBy("source_a", "source_b"))

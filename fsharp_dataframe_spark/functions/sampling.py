@@ -499,3 +499,46 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, float],
                     F.round(ratio, 4).alias("epochs"),
                     F.round(F.least(ratio, F.lit(1.0)), 4)
                     .alias("sample_rate")))
+
+
+def packing_efficiency(df: DataFrame, seq_lens: list[int],
+                       text_col: str = "text") -> DataFrame:
+    """Sequence-length planning table: for each candidate training
+    ``seq_len``, how many document-respecting sequences the corpus
+    packs into (each document padded to its own sequence boundary —
+    the no-cross-document packing discipline) and what fraction of
+    those tokens is padding waste.  The planner every pretraining run
+    consults before choosing a context length / packing strategy
+    (pack_sequences above is the cross-document alternative with zero
+    padding).
+
+    Exactness: per-document token counts are integers, sequences per
+    document is the exact integer ceil (tok + L - 1) div L, and the
+    whole table comes from ONE scan — per-L conditional sums in a
+    single aggregate (map-side combine), fanned out over the
+    L-bounded literal list.
+
+    Returns one row per seq_len: (seq_len, n_docs, total_tokens,
+    n_seqs, padded_tokens, waste_pct), waste rounded 6dp.
+    """
+    from fsharp_dataframe_spark.functions.text import bpe_ish_token_count
+
+    Ls = [int(x) for x in seq_lens]
+    t = df.select(bpe_ish_token_count(F.col(text_col)).cast("long")
+                  .alias("t"))
+    row = t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("t").alias("total_tokens"),
+        *[F.sum(F.expr(f"(t + {L} - 1) div {L}")).alias(f"__ns_{L}")
+          for L in Ls])
+    fan = F.explode(F.array(*[
+        F.struct(F.lit(L).cast("long").alias("seq_len"),
+                 F.col(f"__ns_{L}").alias("n_seqs")) for L in Ls]))
+    out = row.select("n_docs", "total_tokens", fan.alias("s"))
+    padded = F.col("s.n_seqs") * F.col("s.seq_len")
+    waste = ((padded - F.col("total_tokens")).cast("double")
+             / padded.cast("double"))
+    return out.select(
+        F.col("s.seq_len").alias("seq_len"), "n_docs", "total_tokens",
+        F.col("s.n_seqs").alias("n_seqs"), padded.alias("padded_tokens"),
+        F.round(waste, 6).alias("waste_pct"))

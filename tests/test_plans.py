@@ -354,6 +354,8 @@ _AUDIT_ALLOW = {
     # running sum over the 64-bin relation + one-row final ratio
     # (the corr_matrix construction-bounded class)
     "classifier_auc": ("single_partition",),
+    # ONE-row aggregate fanned into the L-bounded seq_len table
+    "pack_efficiency": ("single_partition",),
 }
 
 

@@ -166,3 +166,37 @@ def test_quantize_embeddings_int8_hand_computed(spark):
     u1 = math.floor(e1 * 1e9 + 0.5)
     exp = round(((u1 + 0) / 2) / 1e9, 8)  # second element exact (127*s2)
     assert rows[2]["mean_abs_err"] == exp
+
+
+def test_source_overlap_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.dedup import source_overlap
+
+    df = spark.createDataFrame([
+        (1, "a b c d", "s1"),       # shingles: "a b c", "b c d"
+        (2, "a b c x", "s2"),       # shares "a b c" with s1
+        (3, "q r s t", "s3"),       # shares nothing
+    ], "doc_id long, text string, source string")
+    rows = {(r["source_a"], r["source_b"]): r for r in
+            source_overlap(df).collect()}
+    assert set(rows) == {("s1", "s2")}
+    r = rows[("s1", "s2")]
+    # s1 has {a b c, b c d}, s2 has {a b c, b c x}: 1 shared, union 3
+    assert r["n_shared"] == 1
+    assert r["jaccard"] == round(1 / 3, 6)
+
+
+def test_packing_efficiency_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.sampling import packing_efficiency
+
+    # token counts: 3, 5, 0 (empty doc -> 0 sequences at every L)
+    df = spark.createDataFrame(
+        [("x y z",), ("a b c d e",), ("",)], "text string")
+    rows = {r["seq_len"]: r for r in
+            packing_efficiency(df, [4, 8]).collect()}
+    r4 = rows[4]
+    assert (r4["n_docs"], r4["total_tokens"]) == (3, 8)
+    assert r4["n_seqs"] == 1 + 2 + 0 and r4["padded_tokens"] == 12
+    assert r4["waste_pct"] == round(4 / 12, 6)
+    r8 = rows[8]
+    assert r8["n_seqs"] == 2 and r8["padded_tokens"] == 16
+    assert r8["waste_pct"] == 0.5
