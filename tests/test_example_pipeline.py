@@ -117,3 +117,18 @@ def test_pretraining_mix_end_to_end(spark):
     assert 0 < tm["docs"] <= 200 and tm["spans"] >= tm["sequences"] > 0
     assert out["hybrid_search"]["hits"] == 10
     assert out["hard_negatives"]["pairs"] > 0
+
+
+def test_drift_monitoring_end_to_end(spark):
+    from drift_monitoring import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    assert isinstance(out["psi_drift"]["psi"], float)
+    assert out["cusum"]["alarms"] >= out["cusum"]["alarmed_users"] >= 0
+    assert out["gaps"]["n_gaps"] >= 0
+    assert -2.5 < out["zipf"]["slope"] < 0  # heavy-tailed vocab
+    assert 0.0 <= out["auc"]["auc"] <= 1.0
+    waste = out["packing"]["waste_pct_by_len"]
+    assert set(waste) == {32, 64, 128}
+    # longer contexts waste at least as much padding per doc
+    assert waste[128] >= waste[64] >= waste[32] >= 0.0
