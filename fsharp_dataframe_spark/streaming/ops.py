@@ -1283,3 +1283,81 @@ def stream_psi(sdf: DataFrame, baseline: DataFrame, value_col: str,
     return (pre.withColumn("__g", F.lit(0)).groupBy("__g")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_binned_auc(sdf: DataFrame, score_col: str, label_col: str,
+                      lo: float, hi: float, n_bins: int = 256) -> DataFrame:
+    """Streaming binned ROC-AUC — the live twin of
+    functions/drift.binned_auc for classifier monitoring over an
+    ingest stream: per-bin (pos, neg) counts accumulate in ONE bounded
+    state vector (2 × n_bins BIGINTs), each micro-batch pre-reduced to
+    (bin, pos, neg) partial rows by a stateless Arrow map (only
+    O(partitions × n_bins) rows cross the state exchange), and every
+    batch re-emits the one-row (n_pos, n_neg, auc) summary — identical
+    integer rank-sum arithmetic to the batch operator, so the last
+    emission after an availableNow drive hash-matches the same DuckDB
+    oracle as the batch classifier_auc query (pinned)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fsharp_dataframe_spark.functions.drift import _uniform_bin
+
+    nb = int(n_bins)
+    s, y = F.col(score_col), F.col(label_col).cast("int")
+    binned = (sdf.filter(s.isNotNull() & y.isNotNull())
+              .select(_uniform_bin(s, lo, hi, nb).alias("bin"),
+                      y.alias("y")))
+
+    def partials(pdf_iter):
+        for pdf in pdf_iter:
+            g = (pdf.assign(neg=1 - pdf["y"])
+                 .groupby("bin").agg(pos=("y", "sum"),
+                                     neg=("neg", "sum")).reset_index())
+            yield g.astype({"bin": "int32", "pos": "int64",
+                            "neg": "int64"})
+
+    pre = binned.mapInPandas(partials, "bin int, pos long, neg long")
+
+    out_schema = T.StructType([
+        T.StructField("n_pos", T.LongType(), False),
+        T.StructField("n_neg", T.LongType(), False),
+        T.StructField("auc", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("pos", T.ArrayType(T.LongType()), True),
+        T.StructField("neg", T.ArrayType(T.LongType()), True),
+    ])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            pos, neg = list(state.get[0]), list(state.get[1])
+        else:
+            pos, neg = [0] * nb, [0] * nb
+        for pdf in pdfs:
+            for b, p, q in zip(pdf["bin"], pdf["pos"], pdf["neg"]):
+                pos[int(b)] += int(p)
+                neg[int(b)] += int(q)
+        state.update((pos, neg))
+        # the batch operator's exact rank-sum: num and den BIGINTs,
+        # auc = round(num/den, 6) on the same double division
+        below = 0
+        num = 0
+        for i in range(nb):
+            num += pos[i] * (2 * below + neg[i])
+            below += neg[i]
+        n_pos, n_neg = sum(pos), sum(neg)
+        den = 2 * n_pos * n_neg
+        if den > 0:
+            # HALF_UP at 6dp on the same double division as batch
+            # F.round (python round is banker's — the .5 trap)
+            import math
+
+            x = float(num) / float(den)
+            auc = math.floor(x * 1_000_000 + 0.5) / 1_000_000.0
+        else:
+            auc = None
+        yield pd.DataFrame([(n_pos, n_neg, auc)],
+                           columns=["n_pos", "n_neg", "auc"])
+
+    return (pre.withColumn("__g", F.lit(0)).groupBy("__g")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

@@ -392,3 +392,39 @@ def test_scale_smoke_training_mix_10m_composition(spark):
         assert keys <= {"lang", "__wb"}, keys
     finally:
         release_cached()
+
+
+def test_scale_smoke_asof_composite_bucketed_10m(spark):
+    """Composite-key bucketed as-of at 10M probe rows (r9): leading
+    key carries heavy ties (1M distinct dates x 10 tiebreak values),
+    closed-form expectation, and the fill window stays hash-partitioned
+    by bucket — no data-sized single-partition exchange."""
+    from fsharp_dataframe_spark.operators.asof import _union_fill
+
+    n = 10_000_000
+    # source: one row per (k1 = i, k2 = 5), value = k1
+    src = spark.range(0, n, 10).select(
+        (F.col("id") / 10).cast("long").alias("k1"),
+        F.lit(5).cast("long").alias("k2"),
+        (F.col("id") / 10).cast("double").alias("v"))
+    # probes: (k1 = i//10, k2 = i%10) — k2 < 5 matches k1-1's source
+    # row (composite order), k2 >= 5 matches k1's own
+    prb = spark.range(n).select(
+        (F.col("id") / 10).cast("long").alias("k1"),
+        (F.col("id") % 10).alias("k2"))
+    out = _union_fill(prb, src, ["k1", "k2"], ["v"], [], "backward",
+                      [], bucketed=True, n_buckets=64)
+    expect = F.when(F.col("k2") >= 5, F.col("k1").cast("double")) \
+        .otherwise((F.col("k1") - 1).cast("double"))
+    bad = out.filter(
+        ~(F.col("v").eqNullSafe(expect))
+        # the k1=0, k2<5 probes precede every source row -> NULL
+        & ~((F.col("k1") == 0) & (F.col("k2") < 5)
+            & F.col("v").isNull())).count()
+    assert bad == 0
+    assert out.count() == n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(__asof_bucket" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition(__asof_bucket#" in line:
+            assert "], [__asof_bucket" in line, line

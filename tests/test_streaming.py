@@ -1384,3 +1384,80 @@ def test_stream_psi_state_accumulates_across_restart(spark, tmp_path):
     # observations via the checkpointed state vector
     last = {r["bin"]: (r["n_base"], r["n_cur"]) for r in emissions}
     assert last[0] == (1, 2) and last[1] == (1, 0) and last[2] == (1, 1)
+
+
+def test_stream_binned_auc_matches_duckdb_oracle(spark, tmp_path):
+    """Streaming binned AUC driven availableNow over the documents
+    corpus: the last emission must hash-match the SAME DuckDB oracle
+    as the batch classifier_auc query."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_binned_auc
+
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path / "docs_auc_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    out = stream_binned_auc(
+        s.select(F.col("n_chars").cast("double").alias("score"),
+                 (F.col("lang") == "en").cast("int").alias("y")),
+        "score", "y", lo=0.0, hi=600.0, n_bins=64)
+    name = run_to_memory(out, "t_auc_oracle", output_mode="update")
+    got = spark.sql(f"""
+        SELECT n_pos, n_neg, auc FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY mono DESC) AS rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono
+                FROM {name}))
+        WHERE rn = 1""").toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["classifier_auc"]).df()
+    con.close()
+    problems = compare("stream_binned_auc", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_binned_auc_state_across_restart(spark, tmp_path):
+    """Per-bin (pos, neg) counts survive a checkpoint restart: batch
+    2's AUC reflects batch 1's rows too."""
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_binned_auc
+
+    d = str(tmp_path / "auc_batches")
+    ckpt = str(tmp_path / "auc_ckpt")
+    shutil.rmtree(d, ignore_errors=True)
+    schema = "score double, y int"
+    emissions = []
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+
+        def sink(bdf, _epoch):
+            emissions.extend(bdf.collect())
+
+        q = (stream_binned_auc(src, "score", "y", 0.0, 100.0, 10)
+             .writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame([(10.0, 0), (90.0, 1)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    emissions.clear()
+    spark.createDataFrame([(95.0, 1)], schema) \
+        .coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    # 2 positives above the 1 negative -> perfect separation over ALL
+    # three rows (phase 1's counts carried through the checkpoint)
+    assert len(emissions) == 1
+    r = emissions[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 1, 1.0)
