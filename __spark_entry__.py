@@ -2685,9 +2685,9 @@ def q_transitions(spark, sf) -> DataFrame:
 # substrate must earn fresh driver rows, not coast on r8's.  cusum is
 # rotated in ON its round-9 JVM-window rewrite (VERDICT r8 ask #2), so
 # its first driver row certifies the new code.
-# ROUND-10 ROTATION PLAN: the 9 round-9 newcomers (tpch_q1, tpch_q6,
+# ROUND-10 ROTATION PLAN: the 10 round-9 newcomers (tpch_q1, tpch_q6,
 # asof_multikey, psi_drift, classifier_auc, zipf_fit, int8_quantize,
-# source_overlap, pack_efficiency —
+# source_overlap, pack_efficiency, centroid_drift —
 # held out at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r9) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -2728,7 +2728,7 @@ EXTRA_QUERIES = (
     # (local three-SF oracle-green; they take driver slots in r10):
     "tpch_q1", "tpch_q6", "asof_multikey", "psi_drift",
     "classifier_auc", "zipf_fit", "int8_quantize", "source_overlap",
-    "pack_efficiency")
+    "pack_efficiency", "centroid_drift")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2900,6 +2900,19 @@ def q_pack_efficiency(spark, sf) -> DataFrame:
     return packing_efficiency(docs, [32, 64, 128])
 
 
+def q_centroid_drift(spark, sf) -> DataFrame:
+    """Per-label embedding-centroid L2 shift between two snapshot
+    halves (functions/drift.centroid_drift): elements quantized to
+    1e-7 units before the (label, dim)-keyed BIGINT sums, squared gaps
+    re-quantized to 1e-12 units before the cross-dim sum — bounded-key
+    aggregates only, one correctly-rounded sqrt at the end."""
+    from fsharp_dataframe_spark.functions.drift import centroid_drift
+
+    emb = load_table(spark, sf, "embeddings")
+    return centroid_drift(emb.filter(F.col("vec_id") % 2 == 0),
+                          emb.filter(F.col("vec_id") % 2 == 1))
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_agg": q_group_agg,
@@ -3012,6 +3025,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "int8_quantize": q_int8_quantize,
         "source_overlap": q_source_overlap,
         "pack_efficiency": q_pack_efficiency,
+        "centroid_drift": q_centroid_drift,
         "trimmed_mean": q_trimmed_mean,
         "pmi_collocations": q_pmi_collocations,
         "ewma": q_ewma,
@@ -5004,6 +5018,38 @@ def _all_oracle_sql() -> dict[str, str]:
               SELECT 64::BIGINT, n_docs, total_tokens, ns64 FROM a
               UNION ALL
               SELECT 128::BIGINT, n_docs, total_tokens, ns128 FROM a)
+        """,
+        "centroid_drift": """
+            WITH el AS (
+              SELECT (vec_id % 2 = 0) AS is_base, label,
+                     round(x::DOUBLE * 10000000)::BIGINT AS xu,
+                     dim - 1 AS dim
+              FROM (SELECT vec_id, label, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS dim
+                    FROM embeddings WHERE embedding IS NOT NULL)),
+            b AS (SELECT label, dim, sum(xu)::BIGINT AS sb,
+                         count(*)::BIGINT AS nb
+                  FROM el WHERE is_base GROUP BY 1, 2),
+            c AS (SELECT label, dim, sum(xu)::BIGINT AS sc,
+                         count(*)::BIGINT AS nc
+                  FROM el WHERE NOT is_base GROUP BY 1, 2),
+            j AS (
+              SELECT label, nb, nc,
+                     round(
+                       (((sb::DOUBLE / nb::DOUBLE) / 10000000.0)
+                        - ((sc::DOUBLE / nc::DOUBLE) / 10000000.0))
+                       * (((sb::DOUBLE / nb::DOUBLE) / 10000000.0)
+                          - ((sc::DOUBLE / nc::DOUBLE) / 10000000.0))
+                       * 1000000000000)::BIGINT AS u
+              FROM b JOIN c USING (label, dim)),
+            p AS (SELECT label, max(nb)::BIGINT AS n_base,
+                         max(nc)::BIGINT AS n_cur,
+                         sum(u)::BIGINT AS su
+                  FROM j GROUP BY 1)
+            SELECT label, n_base, n_cur,
+                   round(sqrt(su::DOUBLE / 1000000000000.0), 6)
+                     AS l2_drift
+            FROM p ORDER BY label
         """,
         "tpch_q14": """
             SELECT date_trunc('month', l_shipdate)::DATE AS month,

@@ -184,3 +184,55 @@ def zipf_fit(df: DataFrame, k: int = 300, text_col: str = "text",
         F.round(F.when(ok, slope), 6).alias("slope"),
         F.round(F.when(ok, intercept), 6).alias("intercept"),
         F.round(F.when(ok & (var_y > 0), r2), 6).alias("r2"))
+
+
+def centroid_drift(base: DataFrame, current: DataFrame,
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Per-label embedding-centroid shift between two corpus snapshots
+    — the embedding-space drift monitor (did retraining / a new crawl
+    move what "label 3" means?): L2 distance between each label's mean
+    vector on the base side and on the current side.
+
+    Exactness: every element is quantized to integer 1e-7 units before
+    the per-(label, dim) BIGINT sum (order-free), the per-dim mean is
+    one division of identical integers, and the squared per-dim gaps
+    are re-quantized to integer 1e-12 units before the cross-dim sum —
+    so the only remaining doubles are fixed associations plus one
+    correctly-rounded IEEE sqrt, which a DuckDB oracle replays
+    bit-for-bit.
+
+    Scale shape: one narrow posexplode + ONE (label, dim)-keyed
+    aggregate per side (bounded keys, map-side combine), an equi-join
+    of the two bounded centroid relations, and a label-keyed rollup.
+
+    Returns (label, n_base, n_cur, l2_drift), drift rounded 6dp;
+    labels present on only one side are omitted (no centroid to
+    compare).
+    """
+
+    def side(df: DataFrame, sn: str, nn: str) -> DataFrame:
+        el = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        xu = F.round(F.col("x").cast("double") * 10_000_000).cast("long")
+        return (el.groupBy("label", "dim")
+                .agg(F.sum(xu).alias(sn), F.count("*").alias(nn)))
+
+    b = side(base, "sb", "nb")
+    c = side(current, "sc", "nc")
+    j = b.join(c, ["label", "dim"])
+    mb = (F.col("sb").cast("double") / F.col("nb").cast("double")) / 1e7
+    mc = (F.col("sc").cast("double") / F.col("nc").cast("double")) / 1e7
+    d = mb - mc
+    units = F.round((d * d) * 1_000_000_000_000).cast("long")
+    per_label = (j.select("label", F.col("nb"), F.col("nc"),
+                          units.alias("u"))
+                 .groupBy("label")
+                 .agg(F.max("nb").alias("n_base"),
+                      F.max("nc").alias("n_cur"),
+                      F.sum("u").alias("su")))
+    drift = F.sqrt(F.col("su").cast("double") / 1e12)
+    return (per_label.select("label", "n_base", "n_cur",
+                             F.round(drift, 6).alias("l2_drift"))
+            .orderBy("label"))

@@ -200,3 +200,25 @@ def test_packing_efficiency_hand_computed(spark):
     r8 = rows[8]
     assert r8["n_seqs"] == 2 and r8["padded_tokens"] == 16
     assert r8["waste_pct"] == 0.5
+
+
+def test_centroid_drift_hand_computed(spark):
+    from fsharp_dataframe_spark.functions.drift import centroid_drift
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0), (3, [5.0, 5.0], 1)],
+        "vec_id long, embedding array<double>, label int")
+    cur = spark.createDataFrame(
+        [(4, [2.0, 4.0], 0), (5, [9.0, 9.0], 2)],
+        "vec_id long, embedding array<double>, label int")
+    rows = {r["label"]: r for r in centroid_drift(base, cur).collect()}
+    # label 0: base centroid (2, 0), cur (2, 4) -> drift 4; labels 1/2
+    # appear on only one side -> omitted
+    assert set(rows) == {0}
+    r = rows[0]
+    assert (r["n_base"], r["n_cur"]) == (2, 1)
+    assert r["l2_drift"] == 4.0
+    # identical snapshots -> zero drift everywhere
+    same = {r["label"]: r["l2_drift"]
+            for r in centroid_drift(base, base).collect()}
+    assert same == {0: 0.0, 1: 0.0}
