@@ -5009,8 +5009,9 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM t)
             SELECT seq_len, n_docs, total_tokens, n_seqs,
                    (n_seqs * seq_len)::BIGINT AS padded_tokens,
-                   round(((n_seqs * seq_len) - total_tokens)::DOUBLE
-                         / (n_seqs * seq_len)::DOUBLE, 6) AS waste_pct
+                   round(CASE WHEN n_seqs > 0 THEN
+                     ((n_seqs * seq_len) - total_tokens)::DOUBLE
+                     / (n_seqs * seq_len)::DOUBLE END, 6) AS waste_pct
             FROM (
               SELECT 32::BIGINT AS seq_len, n_docs, total_tokens,
                      ns32 AS n_seqs FROM a

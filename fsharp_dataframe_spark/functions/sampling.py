@@ -536,8 +536,11 @@ def packing_efficiency(df: DataFrame, seq_lens: list[int],
                  F.col(f"__ns_{L}").alias("n_seqs")) for L in Ls]))
     out = row.select("n_docs", "total_tokens", fan.alias("s"))
     padded = F.col("s.n_seqs") * F.col("s.seq_len")
-    waste = ((padded - F.col("total_tokens")).cast("double")
-             / padded.cast("double"))
+    # an all-empty corpus packs zero sequences: ANSI division would
+    # throw, so the waste of nothing is NULL
+    waste = F.when(padded > 0,
+                   (padded - F.col("total_tokens")).cast("double")
+                   / padded.cast("double"))
     return out.select(
         F.col("s.seq_len").alias("seq_len"), "n_docs", "total_tokens",
         F.col("s.n_seqs").alias("n_seqs"), padded.alias("padded_tokens"),

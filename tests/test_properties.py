@@ -839,3 +839,138 @@ def test_token_budget_matches_python_reference(spark, docs, w0, total):
         assert r["epochs"] == round(tgt / avail[d], 4)
         assert r["sample_rate"] == round(min(tgt / avail[d], 1.0), 4)
     assert tsum <= total
+
+
+@given(base=st.lists(st.floats(min_value=-5, max_value=105,
+                               allow_nan=False), min_size=1, max_size=40),
+       cur=st.lists(st.floats(min_value=-5, max_value=105,
+                              allow_nan=False), min_size=1, max_size=40),
+       nb=st.integers(min_value=2, max_value=8))
+@settings(**SETTINGS)
+def test_psi_matches_pure_python_reference(spark, base, cur, nb):
+    """population_stability equals a pure-python PSI on arbitrary
+    bounded floats (clamped-edge binning, add-one smoothing, 1e-8-unit
+    HALF_UP quantization) and is antisymmetric under side swap."""
+    import math
+
+    from fsharp_dataframe_spark.functions.drift import population_stability
+
+    lo, hi = 0.0, 100.0
+    bdf = spark.createDataFrame([(float(v),) for v in base], "v double")
+    cdf = spark.createDataFrame([(float(v),) for v in cur], "v double")
+    got = {r["bin"]: (r["n_base"], r["n_cur"], r["psi_term"]) for r in
+           population_stability(bdf, cdf, "v", lo, hi, nb).collect()}
+
+    w = (hi - lo) / nb
+
+    def binof(v):
+        return min(max(int(math.floor((v - lo) / w)), 0), nb - 1)
+
+    cb = [0] * nb
+    cc = [0] * nb
+    for v in base:
+        cb[binof(v)] += 1
+    for v in cur:
+        cc[binof(v)] += 1
+    tb, tc = sum(cb), sum(cc)
+    assert set(got) == set(range(nb))
+    for i in range(nb):
+        p = (cb[i] + 1) / (tb + nb)
+        q = (cc[i] + 1) / (tc + nb)
+        x = (p - q) * math.log(p / q) * 1e8
+        u = int(math.floor(abs(x) + 0.5)) * (-1 if x < 0 else 1)
+        assert got[i] == (cb[i], cc[i], round(u / 1e8, 8)), i
+    # symmetry: (q-p)ln(q/p) = (p-q)ln(p/q) — swapping the sides
+    # leaves every term unchanged (PSI is a symmetric divergence)
+    rev = {r["bin"]: r["psi_term"] for r in
+           population_stability(cdf, bdf, "v", lo, hi, nb).collect()}
+    for i in range(nb):
+        assert abs(rev[i] - got[i][2]) < 2e-8, i
+
+
+@given(rows=st.lists(st.tuples(
+    st.floats(min_value=0, max_value=100, allow_nan=False),
+    st.integers(min_value=0, max_value=1)), min_size=2, max_size=60),
+    nb=st.integers(min_value=2, max_value=16))
+@settings(**SETTINGS)
+def test_binned_auc_matches_pairwise_on_arbitrary_data(spark, rows, nb):
+    from fsharp_dataframe_spark.functions.drift import binned_auc
+
+    df = spark.createDataFrame([(float(s), int(y)) for s, y in rows],
+                               "s double, y int")
+    got = binned_auc(df, "s", "y", 0.0, 100.0, nb).first()
+    w = 100.0 / nb
+    binned = [(min(max(int(s // w), 0), nb - 1), y) for s, y in rows]
+    pos = [b for b, y in binned if y == 1]
+    neg = [b for b, y in binned if y == 0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    num = sum(2 * sum(1 for n in neg if n < p)
+              + sum(1 for n in neg if n == p) for p in pos)
+    assert got["auc"] == round(num / (2 * len(pos) * len(neg)), 6)
+
+
+@given(toks=st.lists(st.integers(min_value=0, max_value=300),
+                     min_size=1, max_size=25),
+       l0=st.sampled_from([2, 4, 8, 16]))
+@settings(**SETTINGS)
+def test_packing_efficiency_laws(spark, toks, l0):
+    """Exact ceil counts vs a python reference, and padded_tokens is
+    monotone over doubling sequence lengths (ceil(t/2L)*2L >=
+    ceil(t/L)*L per document)."""
+    from fsharp_dataframe_spark.functions.sampling import packing_efficiency
+
+    df = spark.createDataFrame([(" ".join(["w"] * t),) for t in toks],
+                               "text string")
+    Ls = [l0, 2 * l0, 4 * l0]
+    got = {r["seq_len"]: r for r in packing_efficiency(df, Ls).collect()}
+    for L in Ls:
+        r = got[L]
+        exp_seqs = sum((t + L - 1) // L for t in toks)
+        assert r["n_docs"] == len(toks)
+        assert r["total_tokens"] == sum(toks)
+        assert r["n_seqs"] == exp_seqs
+        assert r["padded_tokens"] == exp_seqs * L
+        if exp_seqs == 0:  # all-empty corpus: waste of nothing is NULL
+            assert r["waste_pct"] is None
+    assert got[Ls[0]]["padded_tokens"] <= got[Ls[1]]["padded_tokens"] \
+        <= got[Ls[2]]["padded_tokens"]
+
+
+@given(docs=st.lists(st.tuples(
+    st.sampled_from(["s1", "s2", "s3"]),
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=8)),
+    min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_source_overlap_matches_brute_force(spark, docs):
+    """source_overlap equals the brute-force python shingle-set
+    computation on arbitrary tiny corpora (n=3 word shingles incl. the
+    short-text 'one truncated gram' convention)."""
+    from fsharp_dataframe_spark.functions.dedup import source_overlap
+
+    rows = [(i, " ".join(toks), src) for i, (src, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard"])
+           for r in source_overlap(df).collect()}
+
+    def shingles(toks):
+        n = 3
+        if len(toks) <= n:
+            return {" ".join(toks)}  # includes "" for empty docs
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    per_src = {}
+    for src, toks in docs:
+        per_src.setdefault(src, set()).update(shingles(toks))
+    expect = {}
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = per_src[a] & per_src[b]
+            if inter:
+                union = len(per_src[a] | per_src[b])
+                expect[(a, b)] = (len(inter),
+                                  round(len(inter) / union, 6))
+    assert got == expect
