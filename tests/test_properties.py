@@ -974,3 +974,81 @@ def test_source_overlap_matches_brute_force(spark, docs):
                 expect[(a, b)] = (len(inter),
                                   round(len(inter) / union, 6))
     assert got == expect
+
+
+@given(vecs=st.lists(st.lists(st.floats(min_value=-50, max_value=50,
+                                        allow_nan=False),
+                              min_size=3, max_size=3),
+                     min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_int8_quantize_matches_numpy_reference(spark, vecs):
+    """quantize_embeddings_int8 equals a numpy reference (symmetric
+    max-abs/127 scale, HALF_UP integer codes, 1e-9-unit error sums)
+    on arbitrary small vector sets, including zero-variance dims."""
+    import math
+
+    from fsharp_dataframe_spark.functions.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r["dim"]: r for r in quantize_embeddings_int8(df).collect()}
+    for d in range(3):
+        xs = [v[d] for v in vecs]
+        ma = max(abs(x) for x in xs)
+        scale = ma / 127.0
+        r = got[d]
+        assert r["n"] == len(xs)
+        assert r["scale"] == round(scale, 9)
+        if scale == 0:
+            assert r["mean_abs_err"] is None
+            continue
+        units = 0
+        for x in xs:
+            q = math.floor(abs(x / scale) + 0.5) * (1 if x >= 0 else -1)
+            e = abs(x - q * scale)
+            units += int(math.floor(e * 1e9 + 0.5))
+        m = (units / len(xs)) / 1e9
+        # HALF_UP at 8dp like Spark F.round (python round is banker's)
+        exp = math.floor(m * 1e8 + 0.5) / 1e8
+        assert r["mean_abs_err"] == exp, d
+
+
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=2),   # label
+    st.booleans(),                           # side
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False),
+             min_size=2, max_size=2)),
+    min_size=2, max_size=20))
+@settings(**SETTINGS)
+def test_centroid_drift_matches_numpy_reference(spark, rows):
+    import math
+
+    from fsharp_dataframe_spark.functions.drift import centroid_drift
+
+    base = [(i, v, lab) for i, (lab, s, v) in enumerate(rows) if s]
+    cur = [(i, v, lab) for i, (lab, s, v) in enumerate(rows) if not s]
+    schema = "vec_id long, embedding array<double>, label int"
+    got = {r["label"]: r for r in centroid_drift(
+        spark.createDataFrame(base or [(0, [0.0, 0.0], 99)], schema),
+        spark.createDataFrame(cur or [(0, [0.0, 0.0], 98)], schema))
+        .collect()}
+
+    def centroid_units(side, lab, d):
+        xs = [int(math.floor(abs(v[d]) * 1e7 + 0.5))
+              * (1 if v[d] >= 0 else -1) for _, v, l in side if l == lab]
+        return (sum(xs), len(xs)) if xs else None
+
+    labs = ({l for _, _, l in base} & {l for _, _, l in cur})
+    assert set(got) == labs
+    for lab in labs:
+        su = 0
+        for d in range(2):
+            sb, nb = centroid_units(base, lab, d)
+            sc, nc = centroid_units(cur, lab, d)
+            diff = (sb / nb) / 1e7 - (sc / nc) / 1e7
+            su += int(math.floor(abs(diff * diff) * 1e12 + 0.5))
+        exp = round(math.sqrt(su / 1e12), 6)
+        assert got[lab]["l2_drift"] == exp, lab
