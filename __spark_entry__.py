@@ -4980,7 +4980,8 @@ def _all_oracle_sql() -> dict[str, str]:
                        range(0, greatest(len(t) - 3, 0) + 1),
                        i -> array_to_string(t[i+1 : i+3], ' ')))
                        AS shingle
-              FROM toks),
+              FROM toks
+              WHERE len(t) >= 3),
             d AS (SELECT DISTINCT source AS g, shingle FROM g),
             tot AS (SELECT g, count(*)::BIGINT AS n_sh FROM d GROUP BY 1),
             p AS (

@@ -789,7 +789,13 @@ def source_overlap(df: DataFrame, group_col: str = "source",
     """
     from fsharp_dataframe_spark.functions.util import spread
 
+    # docs with fewer than n tokens would emit one TRUNCATED shingle
+    # (and blank docs the empty-string shingle), so two sources that
+    # each contain any short/blank doc would count phantom shared
+    # shingles and inflate jaccard (ADVICE r9) — drop them before the
+    # distinct/self-join; a doc shorter than one n-gram has no n-grams.
     gs = (spread(df, group_col, id_col, text_col)
+          .filter(F.size(tokens(F.lower(F.col(text_col)))) >= n)
           .select(F.col(group_col).alias("g"),
                   F.explode(word_shingles(F.col(text_col), n))
                   .alias("shingle"))

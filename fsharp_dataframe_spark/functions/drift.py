@@ -25,7 +25,19 @@ from pyspark.sql import functions as F
 def _uniform_bin(x: "F.Column", lo: float, hi: float, n_bins: int) -> "F.Column":
     """Clamped uniform bin id in [0, n_bins): a pure per-row function
     of the value (no sketch, no sort), identical in Spark and SQL —
-    outliers land in the edge bins instead of erroring."""
+    outliers land in the edge bins instead of erroring.
+
+    Validates its arguments (ADVICE r9): lo == hi would give a zero
+    bin width (0/0 → NaN silently clamped to the top bin), lo > hi a
+    negative one, and n_bins < 1 nonsense downstream — every caller
+    (population_stability, binned_auc, stream_psi, stream_binned_auc)
+    invokes this at plan-build time, so the check fails fast at the
+    entry point rather than misbinning."""
+    if not float(hi) > float(lo):
+        raise ValueError(
+            f"uniform bins need hi > lo, got lo={lo!r} hi={hi!r}")
+    if int(n_bins) < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins!r}")
     w = (float(hi) - float(lo)) / int(n_bins)
     raw = F.floor((x.cast("double") - F.lit(float(lo))) / F.lit(w))
     return F.least(F.greatest(raw, F.lit(0)),

@@ -524,6 +524,14 @@ def packing_efficiency(df: DataFrame, seq_lens: list[int],
     from fsharp_dataframe_spark.functions.text import bpe_ish_token_count
 
     Ls = [int(x) for x in seq_lens]
+    # validate up front (ADVICE r9): L = 0 reaches the interpolated
+    # `(t + -1) div 0` and dies with an opaque ANSI divide-by-zero at
+    # runtime; L < 0 silently computes wrong negative ceils.
+    if not Ls:
+        raise ValueError("seq_lens must be non-empty")
+    bad = [L for L in Ls if L <= 0]
+    if bad:
+        raise ValueError(f"seq_lens must be positive ints, got {bad}")
     t = df.select(bpe_ish_token_count(F.col(text_col)).cast("long")
                   .alias("t"))
     row = t.agg(

@@ -1157,14 +1157,23 @@ def stream_bm25_score(sdf: DataFrame, corpus: DataFrame, query: str,
         raise ValueError("empty corpus snapshot — no collection stats")
     avgdl = total_tokens / n_docs
     # per-term idf precomputed driver-side with the batch association:
-    # ln(1 + ((N - df_t) + 0.5) / (df_t + 0.5))
+    # ln(1 + ((N - df_t) + 0.5) / (df_t + 0.5)).  Built over ALL query
+    # terms — a streamed document may contain a query term with zero
+    # landed-corpus df (the incremental-ingest case this operator
+    # exists for); df_t = 0 gives the max idf ln(1 + (N + 0.5) / 0.5)
+    # instead of a KeyError.
     nf = float(n_docs)
-    idf = {t: math.log(1.0 + (((nf - df) + 0.5) / (df + 0.5)))
-           for t, df in dfreq.items()}
+    idf = {t: math.log(1.0 + (((nf - dfreq.get(t, 0)) + 0.5)
+                              / (dfreq.get(t, 0) + 0.5)))
+           for t in terms}
     k1f, k1p1, one_m_b, bf = float(k1), float(k1 + 1.0), 1.0 - b, float(b)
     term_set = frozenset(terms)
     bvar = sdf.sparkSession.sparkContext.broadcast((idf, term_set))
-    ws = re.compile(r"\s+")
+    # Java-regex-equivalent ASCII \s — Python's \s is Unicode-aware
+    # (NBSP, thin space, U+2028) and would tokenize differently from
+    # the Spark tokens() used for the corpus stats, breaking the
+    # batch-oracle hash-match on Unicode-whitespace text.
+    ws = re.compile("[ \t\n\x0b\f\r]+")
 
     @pandas_udf("struct<score:double,n_hit:bigint>")
     def score_fn(texts: pd.Series) -> pd.DataFrame:

@@ -1,0 +1,137 @@
+"""Round-10 pins: the r9 ADVICE fixes (stream_bm25 corpus-absent terms
++ Unicode-whitespace tokenization parity, _uniform_bin / packing
+validation, source_overlap phantom shingles) and the round's new
+operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def _stream_scores(spark, tmp_path, corpus, streamed, query):
+    from fsharp_dataframe_spark.streaming.ops import (
+        read_stream_parquet, run_to_memory, stream_bm25_score,
+    )
+
+    d = str(tmp_path / "bm25_src")
+    streamed.coalesce(1).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, streamed.schema)
+    out = stream_bm25_score(s, corpus, query)
+    name = run_to_memory(out, "t_r10_bm25")
+    return {r["doc_id"]: (r["score"], r["n_hit"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+
+def test_stream_bm25_corpus_absent_query_term(spark, tmp_path):
+    """ADVICE r9 (high): a streamed document containing a query term
+    with ZERO landed-corpus df — the incremental-ingest case — must
+    score with the df_t = 0 idf instead of dying with a KeyError."""
+    corpus = spark.createDataFrame(
+        [(1, "spark joins data"), (2, "merge sort")],
+        "doc_id long, text string")
+    new_doc = spark.createDataFrame(
+        [(10, "zebra zebra spark")], "doc_id long, text string")
+    rows = _stream_scores(spark, tmp_path, corpus, new_doc, "spark zebra")
+    score, n_hit = rows[10]
+    assert n_hit == 2
+
+    # replay the documented quantization driver-side: N=2, avgdl=2.5,
+    # dl=3; df(spark)=1, df(zebra)=0 -> idf = ln(1 + (N+0.5)/0.5)
+    def contrib(idf, tf, dl, avgdl, k1=1.2, b=0.75):
+        return (idf * tf) * (k1 + 1.0) / (
+            tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+
+    units = 0
+    for idf, tf in ((math.log(1.0 + ((2 - 1) + 0.5) / 1.5), 1),
+                    (math.log(1.0 + (2 + 0.5) / 0.5), 2)):
+        x = contrib(idf, tf, 3, 2.5) * 1_000_000
+        units += int(math.floor(abs(x) + 0.5)) * (-1 if x < 0 else 1)
+    y = units / 1_000_000.0 * 10_000
+    exp = int(math.floor(abs(y) + 0.5)) * (-1 if y < 0 else 1) / 10_000.0
+    assert score == exp
+
+
+def test_stream_bm25_unicode_whitespace_parity(spark, tmp_path):
+    """ADVICE r9 (medium): Python's \\s is Unicode-aware while Spark
+    tokens() splits on Java's ASCII \\s — a document with NBSP /
+    U+2028 must get the SAME dl/tf (hence score) from the streaming
+    scorer as from the batch bm25_topk over the same corpus."""
+    corpus = spark.createDataFrame(
+        [(1, "spark\u00a0joins spark data"),       # NBSP: ONE token
+         (2, "merge\u2028spark lines"),            # U+2028: ONE token
+         (3, "plain spark prose here")],
+        "doc_id long, text string")
+    from fsharp_dataframe_spark.functions.search import bm25_topk
+
+    batch = {r["doc_id"]: (r["score"], r["n_hit"])
+             for r in bm25_topk(corpus, "spark merge", k=10).collect()}
+    stream = _stream_scores(spark, tmp_path, corpus, corpus, "spark merge")
+    got = {k: v for k, v in stream.items() if v[1] > 0}
+    assert got == batch
+    # and the Unicode glue really is load-bearing: doc 1's tf(spark)
+    # must be 1 (NBSP did NOT split), so its dl is 3 not 4
+    assert stream[1][1] == 1
+
+
+# ---------------------------------------------------- input validation
+
+
+def test_uniform_bin_validates_bounds(spark):
+    from fsharp_dataframe_spark.functions.drift import (
+        binned_auc, population_stability,
+    )
+
+    df = spark.createDataFrame([(1.0, 1)], "v double, y int")
+    with pytest.raises(ValueError, match="hi > lo"):
+        population_stability(df, df, "v", lo=1.0, hi=1.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        population_stability(df, df, "v", lo=2.0, hi=1.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        population_stability(df, df, "v", lo=0.0, hi=1.0, n_bins=0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        binned_auc(df, "v", "y", lo=5.0, hi=5.0)
+
+
+def test_packing_efficiency_validates_seq_lens(spark):
+    from fsharp_dataframe_spark.functions.sampling import packing_efficiency
+
+    df = spark.createDataFrame([("one two",)], "text string")
+    with pytest.raises(ValueError, match="positive"):
+        packing_efficiency(df, [0])
+    with pytest.raises(ValueError, match="positive"):
+        packing_efficiency(df, [128, -4])
+    with pytest.raises(ValueError, match="non-empty"):
+        packing_efficiency(df, [])
+
+
+# ------------------------------------------------------ source_overlap
+
+
+def test_source_overlap_ignores_short_and_blank_docs(spark):
+    """ADVICE r9: blank docs used to emit the empty-string shingle and
+    sub-n docs one truncated shingle, so two sources each containing
+    any blank/short doc counted phantom shared shingles."""
+    from fsharp_dataframe_spark.functions.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [("A", 1, ""), ("A", 2, "   "), ("A", 3, "hi there"),
+         ("A", 4, "one two three four"),
+         ("B", 5, ""), ("B", 6, "hi there"),
+         ("B", 7, "five six seven eight")],
+        "source string, doc_id long, text string")
+    assert source_overlap(df).count() == 0  # no phantom pairs
+
+    # genuine overlap still reported
+    df2 = df.union(spark.createDataFrame(
+        [("A", 8, "alpha beta gamma delta"),
+         ("B", 9, "alpha beta gamma delta")],
+        df.schema))
+    rows = source_overlap(df2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # shared shingles: "alpha beta gamma", "beta gamma delta"
+    assert (r["source_a"], r["source_b"], r["n_shared"]) == ("A", "B", 2)
