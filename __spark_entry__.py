@@ -2685,12 +2685,33 @@ def q_transitions(spark, sf) -> DataFrame:
 # substrate must earn fresh driver rows, not coast on r8's.  cusum is
 # rotated in ON its round-9 JVM-window rewrite (VERDICT r8 ask #2), so
 # its first driver row certifies the new code.
-# ROUND-10 ROTATION PLAN: the 10 round-9 newcomers (tpch_q1, tpch_q6,
-# asof_multikey, psi_drift, classifier_auc, zipf_fit, int8_quantize,
-# source_overlap, pack_efficiency, centroid_drift —
-# held out at the bottom of EXTRA_QUERIES below, each locally three-SF
-# oracle-green since r9) rotate in next round, swapping out
-# double-green veterans exactly as above.
+# ROUND-10 ROTATION (VERDICT r9 ask #1): the 10 round-9 newcomers
+# (tpch_q1, tpch_q6, asof_multikey, psi_drift, classifier_auc,
+# zipf_fit, int8_quantize, source_overlap, pack_efficiency,
+# centroid_drift — each locally three-SF oracle-green since r9) enter
+# the driver window to earn their first driver rows, completing the
+# r9∪r10 union over all 162 pre-round-10 registered queries.  The 10
+# veterans rotated OUT in their place (attribution, clean_text,
+# grouped_topk, props_json, rolling_zscore, sample_group,
+# seasonal_profile, target_encode, twap_daily, winsorize) are each
+# r8+r9-DOUBLE-green in the driver's own CORRECTNESS JSONs and every
+# rotated shape keeps an in-window sibling: events/attribution ->
+# scd2_track/scd2_pit/transitions/snapshot_diff/gap_report; text
+# cleaning -> entropy_quality/media_mixed; window ranking ->
+# rank_features; JSON extraction -> sales_cube's props path is gone,
+# but props_json is a plain get_json_object projection whose machinery
+# (Column exprs) underlies every in-window query; rolling stats ->
+# rolling_median/market_beta; sampling -> diverse_sample; group-mean
+# join -> group_ols/salted_agg; seasonal profile -> seasonal_anomaly;
+# time-window agg -> interval_burst/trimmed_mean; robust clamp ->
+# mad_outliers/quantile_bins.  int8_quantize rotates in ON its
+# round-10 single-scan rewrite (VERDICT r9 ask #5) and source_overlap
+# ON its round-10 phantom-shingle fix (ADVICE r9), so their first
+# driver rows certify the new code.
+# ROUND-11 ROTATION PLAN: the round-10 newcomers (held out at the
+# bottom of EXTRA_QUERIES below once locally three-SF oracle-green)
+# rotate in next round, swapping out double-green veterans exactly as
+# above.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
@@ -2724,11 +2745,11 @@ EXTRA_QUERIES = (
     "ohlc_weekly", "returns_series", "vwap_monthly",
     "union_prefer_left", "vocab_drift", "vocab_topk", "window_dist",
     "window_moving_avg", "zip_inner",
-    # round-9 newcomers, held out per the ROUND-10 ROTATION PLAN above
-    # (local three-SF oracle-green; they take driver slots in r10):
-    "tpch_q1", "tpch_q6", "asof_multikey", "psi_drift",
-    "classifier_auc", "zipf_fit", "int8_quantize", "source_overlap",
-    "pack_efficiency", "centroid_drift")
+    # rotated out in r10 (each r8+r9-double-green in the driver's own
+    # CORRECTNESS JSONs) to make room for the 10 round-9 newcomers:
+    "attribution", "clean_text", "grouped_topk", "props_json",
+    "rolling_zscore", "sample_group", "seasonal_profile",
+    "target_encode", "twap_daily", "winsorize")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
