@@ -2749,7 +2749,10 @@ EXTRA_QUERIES = (
     # CORRECTNESS JSONs) to make room for the 10 round-9 newcomers:
     "attribution", "clean_text", "grouped_topk", "props_json",
     "rolling_zscore", "sample_group", "seasonal_profile",
-    "target_encode", "twap_daily", "winsorize")
+    "target_encode", "twap_daily", "winsorize",
+    # round-10 newcomers, held out per the ROUND-11 ROTATION PLAN above
+    # (local three-SF oracle-green; they take driver slots in r11):
+    "tpch_q17")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2818,6 +2821,51 @@ def q_tpch_q6(spark, sf) -> DataFrame:
         & disc_u.between(5, 7) & (F.col("l_quantity") < 24))
     return f.agg(F.round(F.sum(rev_u) / 10000.0, 2).alias("revenue"),
                  F.count("*").alias("n_lines"))
+
+
+def q_tpch_q17(spark, sf) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (adapted to the synthetic
+    part columns: brand + size band instead of brand + container) —
+    the correlated-scalar-subquery showcase: "lineitems whose quantity
+    is below 20% of THIS part's average quantity".  Decorrelated the
+    way a 1000-executor plan wants it:
+
+    1. the brand/size filter reduces part to a FEW-ROW key set, joined
+       to lineitem as a broadcast hash join (the semi-join reduction);
+    2. the reduced relation is persisted, so the corpus is scanned
+       ONCE and both the subquery side and the probe side read the
+       cached ~0.3%-of-lineitem slice;
+    3. the per-part scalar subquery becomes ONE bounded groupBy
+       (|selected parts| keys, map-side combine) whose result is
+       BROADCAST back to the probe — never a re-shuffle of the probe
+       stream per subquery evaluation (the decorrelation contract the
+       plan pin asserts; at an unfiltered 100 TB the same shape flips
+       to a sort-merge join on the aggregate's own exchange, which AQE
+       picks once the bounded relation outgrows the broadcast budget).
+
+    Exactness: the threshold l_quantity < 0.2·avg(l_quantity) is
+    evaluated as qty_u·5·n < Σqty_u over 1e-2-unit BIGINTs — an exact
+    integer cross-multiplication, so no borderline row can flip on
+    float association; revenue is an exact cents sum divided once.
+    """
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    li = load_table(spark, sf, "lineitem")
+    pt = (load_table(spark, sf, "part")
+          .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 25))
+          .select("p_partkey"))
+    qty_u = F.round(F.col("l_quantity") * 100).cast("long")
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    sel = track_persist(
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select("l_partkey", qty_u.alias("qu"), ep_u.alias("eu")))
+    per_part = sel.groupBy("l_partkey").agg(
+        F.sum("qu").alias("squ"), F.count("*").alias("n"))
+    probe = sel.join(F.broadcast(per_part), "l_partkey")
+    return (probe
+            .filter(F.col("qu") * 5 * F.col("n") < F.col("squ"))
+            .agg(F.round((F.sum("eu") / 100.0) / 7.0, 2).alias("avg_yearly"),
+                 F.count("*").alias("n_lines")))
 
 
 def q_asof_multikey(spark, sf) -> DataFrame:
@@ -3039,6 +3087,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
+        "tpch_q17": q_tpch_q17,
         "asof_multikey": q_asof_multikey,
         "psi_drift": q_psi_drift,
         "classifier_auc": q_classifier_auc,
@@ -4844,6 +4893,23 @@ def _all_oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND round(l_discount * 100)::BIGINT BETWEEN 5 AND 7
               AND l_quantity < 24
+        """,
+        "tpch_q17": """
+            WITH sel AS (
+              SELECT l_partkey,
+                     round(l_quantity * 100)::BIGINT AS qu,
+                     round(l_extendedprice * 100)::BIGINT AS eu
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_brand = 'Brand#23' AND p_size <= 25),
+            pp AS (
+              SELECT l_partkey, sum(qu)::BIGINT AS squ,
+                     count(*)::BIGINT AS n
+              FROM sel GROUP BY 1)
+            SELECT round((sum(eu)::BIGINT / 100.0) / 7.0, 2)
+                     AS avg_yearly,
+                   count(*)::BIGINT AS n_lines
+            FROM sel JOIN pp USING (l_partkey)
+            WHERE qu * 5 * n < squ
         """,
         "asof_multikey": """
             WITH s AS (

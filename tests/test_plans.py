@@ -356,6 +356,9 @@ _AUDIT_ALLOW = {
     "classifier_auc": ("single_partition",),
     # ONE-row aggregate fanned into the L-bounded seq_len table
     "pack_efficiency": ("single_partition",),
+    # ONE-row final scalar aggregate; the decorrelated subquery side
+    # is a broadcast agg-join (pinned by its dedicated plan test)
+    "tpch_q17": ("single_partition",),
 }
 
 
@@ -375,6 +378,28 @@ def test_every_query_passes_plan_audit(spark):
         if found:
             failures.append((name, sorted({k for k, _ in found})))
     assert not failures, failures
+
+
+def test_tpch_q17_subquery_side_is_broadcast_single_scan(spark):
+    # the decorrelation contract (VERDICT r9 ask #2): the per-part
+    # scalar subquery must come back to the probe as a BROADCAST hash
+    # join — never a re-shuffle of the probe stream — and the
+    # brand-reduced lineitem slice must be scanned ONCE (persisted),
+    # feeding both the aggregate and the probe from the cache
+    from fsharp_dataframe_spark.functions.util import release_cached
+
+    try:
+        plan = _plan(spark, "tpch_q17")
+    finally:
+        release_cached()
+    # part-keys reduction + per-part aggregate join: both broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # single corpus scan: both consumers read the persisted slice (the
+    # plan STRING reprints the cached relation's build plan under each
+    # InMemoryTableScan, so count cache reads, not FileScan lines)
+    assert plan.count("InMemoryTableScan") == 2
 
 
 def test_semantic_dedup_pair_join_is_cell_blocked(spark):
