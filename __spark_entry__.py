@@ -2936,8 +2936,8 @@ def q_int8_quantize(spark, sf) -> DataFrame:
     (functions/similarity.quantize_embeddings_int8): symmetric scale
     max|x|/127 and mean |x − q·scale| reconstruction error in integer
     1e-9 units — the memory-planning pass before an int8 ANN index.
-    Two dim-keyed bounded groupBys + a broadcast dim-sized scale
-    table."""
+    ONE corpus scan (the exploded relation is persisted; r10), dim-keyed
+    bounded groupBys + a broadcast dim-sized scale table."""
     from fsharp_dataframe_spark.functions.similarity import (
         quantize_embeddings_int8,
     )

@@ -1370,3 +1370,240 @@ def stream_binned_auc(sdf: DataFrame, score_col: str, label_col: str,
     return (pre.withColumn("__g", F.lit(0)).groupBy("__g")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_centroid_drift(sdf: DataFrame, baseline: DataFrame,
+                          vec_col: str = "embedding",
+                          label_col: str = "label") -> DataFrame:
+    """Streaming per-label embedding-centroid drift against a landed
+    baseline — the live twin of functions/drift.centroid_drift
+    (VERDICT r9 ask #3): the baseline's per-(label, dim) quantized
+    sums and counts are computed ONCE batch-side (a bounded
+    |labels| × dims relation, embedded), and the stream accumulates
+    the current-side sums in checkpointed state keyed BY LABEL,
+    re-emitting each label's drift row every micro-batch ("update"
+    mode — the consumer reads the latest emission per label).
+
+    State per label is (per-dim BIGINT sums, per-dim BIGINT counts) —
+    bounded by construction at 2 × dims longs.  Element quantization
+    to 1e-7 units happens JVM-side (the SAME F.round expression as the
+    batch operator — no Python rounding emulation), and each
+    micro-batch is pre-reduced to (label, dim, partial-sum, count)
+    rows by a stateless Arrow map BEFORE the stateful group, so
+    O(partitions × labels × dims) rows cross the state exchange, never
+    the data.
+
+    Identical integer association to the batch operator (1e-12-unit
+    squared gaps, one sqrt, HALF_UP 6dp), so after an availableNow
+    drive over the current snapshot the last emission per label
+    hash-matches the same DuckDB oracle as the batch centroid_drift
+    query (pinned in tests/test_streaming.py with a checkpoint-restart
+    carry test).  Labels absent from the baseline are ignored (the
+    batch inner join's semantics); labels absent from the stream emit
+    nothing.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    base_rows = (baseline.filter(F.col(vec_col).isNotNull())
+                 .select(F.col(label_col).alias("label"),
+                         F.posexplode(F.col(vec_col)).alias("dim", "x"))
+                 .select("label", "dim",
+                         F.round(F.col("x").cast("double") * 10_000_000)
+                         .cast("long").alias("xu"))
+                 .groupBy("label", "dim")
+                 .agg(F.sum("xu").alias("sb"), F.count("*").alias("nb"))
+                 .collect())
+    base: dict = {}
+    for r in base_rows:
+        base.setdefault(r["label"], {})[int(r["dim"])] = (
+            int(r["sb"]), int(r["nb"]))
+    if not base:
+        raise ValueError("empty baseline snapshot — no centroids")
+    n_dims = 1 + max(d for dims in base.values() for d in dims)
+
+    el = (sdf.filter(F.col(vec_col).isNotNull())
+          .select(F.col(label_col).alias("label"),
+                  F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("label", "dim",
+                  F.round(F.col("x").cast("double") * 10_000_000)
+                  .cast("long").alias("xu")))
+
+    def partials(pdf_iter):
+        for pdf in pdf_iter:
+            g = (pdf.groupby(["label", "dim"])
+                 .agg(su=("xu", "sum"), cnt=("xu", "size")).reset_index())
+            yield g.astype({"label": "int32", "dim": "int32",
+                            "su": "int64", "cnt": "int64"})
+
+    pre = el.mapInPandas(partials, "label int, dim int, su long, cnt long")
+
+    out_schema = T.StructType([
+        T.StructField("label", T.IntegerType(), False),
+        T.StructField("n_base", T.LongType(), False),
+        T.StructField("n_cur", T.LongType(), False),
+        T.StructField("l2_drift", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("sums", T.ArrayType(T.LongType()), True),
+        T.StructField("cnts", T.ArrayType(T.LongType()), True),
+    ])
+
+    def fn(key, pdfs, state):
+        label = int(key[0])
+        if state.exists:
+            sums, cnts = list(state.get[0]), list(state.get[1])
+        else:
+            sums, cnts = [0] * n_dims, [0] * n_dims
+        for pdf in pdfs:
+            for d, s, c in zip(pdf["dim"], pdf["su"], pdf["cnt"]):
+                d = int(d)
+                if d < n_dims:
+                    sums[d] += int(s)
+                    cnts[d] += int(c)
+        state.update((sums, cnts))
+        bd = base.get(label)
+        if bd is None:
+            return  # label unseen in the baseline: no centroid to compare
+        su = 0
+        n_base = n_cur = 0
+        for d, (sb, nb) in bd.items():
+            if d >= n_dims or cnts[d] == 0:
+                continue
+            # the batch association: per-dim means over identical
+            # integers, squared gap re-quantized to 1e-12 units HALF_UP
+            mb = (float(sb) / float(nb)) / 1e7
+            mc = (float(sums[d]) / float(cnts[d])) / 1e7
+            x = ((mb - mc) * (mb - mc)) * 1_000_000_000_000
+            su += int(math.floor(abs(x) + 0.5)) * (-1 if x < 0 else 1)
+            n_base = max(n_base, nb)
+            n_cur = max(n_cur, cnts[d])
+        if n_cur == 0:
+            return
+        drift = math.sqrt(float(su) / 1e12)
+        out = math.floor(drift * 1_000_000 + 0.5) / 1_000_000.0
+        yield pd.DataFrame([(label, n_base, n_cur, out)],
+                           columns=["label", "n_base", "n_cur",
+                                    "l2_drift"])
+
+    return (pre.groupBy("label")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_int8_quantize(sdf: DataFrame, baseline: DataFrame,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Streaming int8 quantization-error monitor against a LANDED
+    snapshot's frozen scale table — the live twin of
+    functions/similarity.quantize_embeddings_int8 (VERDICT r9 ask #3).
+
+    Design note: the batch audit derives scale_d = max|x_d|/127 from
+    the corpus itself, but a streaming twin cannot re-derive the scale
+    as it goes — a later batch that raised max|x_d| would silently
+    invalidate every error term already accumulated under the old
+    scale.  Production freezes the scale when the int8 index is BUILT
+    and monitors incoming data against it, so the twin takes the
+    landed ``baseline`` (the stream_bm25_score snapshot contract): its
+    per-dim scales are computed once batch-side (a dims-row relation,
+    embedded as a literal array), and the stream accumulates per-dim
+    error sums in ONE bounded state vector (2 × dims + 1 BIGINTs).
+
+    Every per-element value is computed JVM-side with the batch
+    operator's own expressions — q = F.round(x/scale), err units =
+    F.round(|x − q·scale|·10⁹) — so streaming the corpus against its
+    own snapshot hash-matches the same DuckDB oracle as the batch
+    int8_quantize query (pinned in tests/test_streaming.py with a
+    checkpoint-restart carry test).  Each micro-batch is pre-reduced
+    to (dim, partial-sum, counts) rows by a stateless Arrow map, so
+    O(partitions × dims) rows cross the state exchange.
+
+    Emits the full per-dim table every micro-batch ("update" mode):
+    (dim, n, scale, mean_abs_err) — n counts STREAMED elements;
+    zero-variance dims (scale 0) report NULL error, dims not yet
+    streamed report n = 0 and NULL error.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    srows = (baseline.filter(F.col(vec_col).isNotNull())
+             .select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+             .select("dim", F.col("x").cast("double").alias("x"))
+             .groupBy("dim")
+             .agg(F.max(F.abs(F.col("x"))).alias("max_abs"))
+             .collect())
+    if not srows:
+        raise ValueError("empty baseline snapshot — no scales")
+    n_dims = 1 + max(int(r["dim"]) for r in srows)
+    scales = [0.0] * n_dims
+    for r in srows:
+        scales[int(r["dim"])] = float(r["max_abs"]) / 127.0
+
+    el = (sdf.filter(F.col(vec_col).isNotNull())
+          .select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .select("dim", F.col("x").cast("double").alias("x")))
+    # the frozen scale rides a literal array (bounded: dims entries);
+    # element_at with a COLUMN index is not constant-folded back into
+    # per-row literals, so codegen stays byte-stable (perf memory)
+    sarr = F.array(*[F.lit(s) for s in scales])
+    s_d = F.element_at(sarr, F.col("dim") + 1)
+    q = F.round(F.col("x") / s_d)
+    err = F.abs(F.col("x") - q * s_d)
+    units = F.when((s_d > 0) & (F.col("dim") < n_dims),
+                   F.round(err * 1_000_000_000).cast("long"))
+    eu = el.filter(F.col("dim") < n_dims).select(
+        "dim", units.alias("u"))
+
+    def partials(pdf_iter):
+        for pdf in pdf_iter:
+            g = (pdf.groupby("dim")
+                 .agg(su=("u", "sum"), nu=("u", "count"),
+                      n=("u", "size")).reset_index())
+            yield g.astype({"dim": "int32", "su": "int64",
+                            "nu": "int64", "n": "int64"})
+
+    pre = eu.mapInPandas(partials, "dim int, su long, nu long, n long")
+
+    out_schema = T.StructType([
+        T.StructField("dim", T.IntegerType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("scale", T.DoubleType(), True),
+        T.StructField("mean_abs_err", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("sus", T.ArrayType(T.LongType()), True),
+        T.StructField("nus", T.ArrayType(T.LongType()), True),
+        T.StructField("ns", T.ArrayType(T.LongType()), True),
+    ])
+
+    def fn(key, pdfs, state):
+        import math
+
+        if state.exists:
+            sus, nus, ns = (list(state.get[0]), list(state.get[1]),
+                            list(state.get[2]))
+        else:
+            sus, nus, ns = [0] * n_dims, [0] * n_dims, [0] * n_dims
+        for pdf in pdfs:
+            for d, su, nu, n in zip(pdf["dim"], pdf["su"], pdf["nu"],
+                                    pdf["n"]):
+                d = int(d)
+                sus[d] += int(su)
+                nus[d] += int(nu)
+                ns[d] += int(n)
+        state.update((sus, nus, ns))
+        rows = []
+        for d in range(n_dims):
+            sc = math.floor(scales[d] * 1_000_000_000 + 0.5) / 1e9
+            if nus[d] > 0:
+                mean = (float(sus[d]) / float(nus[d])) / 1e9
+                mean = (math.floor(abs(mean) * 100_000_000 + 0.5)
+                        * (-1 if mean < 0 else 1) / 1e8)
+            else:
+                mean = None
+            rows.append((d, ns[d], sc, mean))
+        yield pd.DataFrame(rows, columns=["dim", "n", "scale",
+                                          "mean_abs_err"])
+
+    return (pre.withColumn("__g", F.lit(0)).groupBy("__g")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))

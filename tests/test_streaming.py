@@ -1461,3 +1461,158 @@ def test_stream_binned_auc_state_across_restart(spark, tmp_path):
     assert len(emissions) == 1
     r = emissions[0]
     assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 1, 1.0)
+
+
+def test_stream_centroid_drift_matches_duckdb_oracle(spark, tmp_path):
+    """Streaming centroid drift (stream_centroid_drift) driven
+    availableNow over the odd-vec_id half against the landed even
+    half: the last emission per label must hash-match the SAME DuckDB
+    oracle as the batch centroid_drift query."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_centroid_drift
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    d = str(tmp_path / "emb_cd_stream")
+    cur.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, emb.schema)
+    out = stream_centroid_drift(s, base)
+    name = run_to_memory(out, "t_cd_oracle", output_mode="update")
+    got = spark.sql(f"""
+        SELECT label, n_base, n_cur, l2_drift FROM (
+          SELECT *, row_number() OVER (PARTITION BY label
+            ORDER BY mono DESC) AS rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono
+                FROM {name}))
+        WHERE rn = 1 ORDER BY label""").toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["centroid_drift"]).df()
+    con.close()
+    problems = compare("stream_centroid_drift", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_centroid_drift_state_across_restart(spark, tmp_path):
+    """Per-label (sums, counts) carried through the checkpoint: batch
+    2's drift reflects batch 1's vectors too."""
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_centroid_drift
+
+    schema = "vec_id long, embedding array<float>, label int"
+    base = spark.createDataFrame(
+        [(0, [0.0], 1), (2, [2.0], 1)], schema)  # centroid 1.0
+    d = str(tmp_path / "cd_batches")
+    ckpt = str(tmp_path / "cd_ckpt")
+    shutil.rmtree(d, ignore_errors=True)
+    emissions = []
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+
+        def sink(bdf, _epoch):
+            emissions.extend(bdf.collect())
+
+        # memory sink cannot recover from a checkpoint — foreachBatch can
+        q = (stream_centroid_drift(src, base)
+             .writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame([(1, [3.0], 1)], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    assert [(r["n_cur"], r["l2_drift"]) for r in emissions] == [(1, 2.0)]
+    emissions.clear()
+    spark.createDataFrame([(3, [1.0], 1)], schema) \
+        .coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    # state carried: current centroid (3+1)/2 = 2.0, drift |2-1| = 1.0
+    assert [(r["n_cur"], r["l2_drift"]) for r in emissions] == [(2, 1.0)]
+
+
+def test_stream_int8_quantize_matches_duckdb_oracle(spark, tmp_path):
+    """Streaming int8 audit (stream_int8_quantize) scoring the corpus
+    against its OWN frozen-scale snapshot: the last emission per dim
+    must hash-match the SAME DuckDB oracle as the batch int8_quantize
+    query."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_int8_quantize
+
+    emb = load_table(spark, SF, "embeddings")
+    d = str(tmp_path / "emb_q8_stream")
+    emb.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, emb.schema)
+    out = stream_int8_quantize(s, emb)
+    name = run_to_memory(out, "t_q8_oracle", output_mode="update")
+    got = spark.sql(f"""
+        SELECT dim, n, scale, mean_abs_err FROM (
+          SELECT *, row_number() OVER (PARTITION BY dim
+            ORDER BY mono DESC) AS rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono
+                FROM {name}))
+        WHERE rn = 1 ORDER BY dim""").toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["int8_quantize"]).df()
+    con.close()
+    problems = compare("stream_int8_quantize", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_int8_quantize_state_across_restart(spark, tmp_path):
+    """Per-dim error sums carried through the checkpoint, scale frozen
+    from the landed snapshot."""
+    import shutil
+
+    from fsharp_dataframe_spark.streaming.ops import stream_int8_quantize
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame([(0, [127.0])], schema)  # scale 1.0
+    d = str(tmp_path / "q8_batches")
+    ckpt = str(tmp_path / "q8_ckpt")
+    shutil.rmtree(d, ignore_errors=True)
+    emissions = []
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+
+        def sink(bdf, _epoch):
+            emissions.extend(bdf.collect())
+
+        q = (stream_int8_quantize(src, base)
+             .writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    # q = round(1.5/1.0) = 2 (HALF_UP), err 0.5
+    spark.createDataFrame([(1, [1.5])], schema) \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    assert [(r["n"], r["scale"], r["mean_abs_err"])
+            for r in emissions] == [(1, 1.0, 0.5)]
+    emissions.clear()
+    spark.createDataFrame([(2, [2.0])], schema) \
+        .coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    # err 0.0 joins the carried 0.5: mean (0.5+0)/2 = 0.25 over n=2
+    assert [(r["n"], r["scale"], r["mean_abs_err"])
+            for r in emissions] == [(2, 1.0, 0.25)]
