@@ -1451,6 +1451,35 @@ def q_media_png_decode(spark, sf) -> DataFrame:
             .orderBy("media_id"))
 
 
+def q_image_near_dup(spark, sf) -> DataFrame:
+    """Image perceptual near-duplicate detection (r10 VERDICT ask #4):
+    dHash over REAL decoded pixels (multimodal.dhash_media — the
+    media_png_decode decode tier) fed to the SimHash band substrate
+    (dedup.banded_hamming_pairs, pigeonhole-complete for Hamming <= 2).
+    The fixture's pixels are closed form (make_fake_dhash_media: 4x4
+    constant blocks walking +-8 around 128, so the block-mean resize
+    reconstructs the md5-derived 60-bit pattern exactly and every 8th
+    image is a PLANTED near-dup of its predecessor at Hamming 1) —
+    the DuckDB oracle replays pattern, banding, join and popcount
+    verbatim, pinning every decode + hash + pair end to end.
+
+    100 TB shape: executor-generated corpus, Arrow-batched decode,
+    (piece, piece-bits) shuffle keys — never all-pairs."""
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+    from fsharp_dataframe_spark.functions.multimodal import (
+        dhash_media, make_fake_dhash_media,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = make_fake_dhash_media(spark, n)
+    hashes = dhash_media(media)
+    pairs = banded_hamming_pairs(hashes, id_col="media_id",
+                                 sketch_col="dhash", max_hamming=2)
+    return (pairs.select("id_a", "id_b",
+                         F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_hard_negatives(spark, sf) -> DataFrame:
     """Hard-negative mining (similarity.hard_negatives, the DPR §5.2 /
     triplet-loss negatives pass): for every embedding, its 3 most
@@ -2752,7 +2781,7 @@ EXTRA_QUERIES = (
     "target_encode", "twap_daily", "winsorize",
     # round-10 newcomers, held out per the ROUND-11 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r11):
-    "tpch_q17")
+    "tpch_q17", "image_near_dup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3045,6 +3074,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train": q_ivf_train,
         "media_features": q_media_features,
         "media_png_decode": q_media_png_decode,
+        "image_near_dup": q_image_near_dup,
         "media_mixed": q_media_mixed,
         "hybrid_search": q_hybrid_search,
         "dedup_clusters": q_dedup_clusters,
@@ -4412,6 +4442,34 @@ def _all_oracle_sql() -> dict[str, str]:
         # (i+y)%256, so band b (4 rows, height 32 / feat_dim 8) means
         # to an exact quarter-integer starting at y=4b; feat index 1 ->
         # b=0, feat index 5 -> b=4 (y=16)
+        # closed-form dHash replay: md5-derived 60-bit patterns with a
+        # planted 1-bit twin every 8th image, banded [22, 21, 21] and
+        # popcount-verified exactly like the Spark plan
+        "image_near_dup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            b AS (SELECT j, ('0x' || substr(md5(j::VARCHAR), 1, 15))::BIGINT
+                         AS bv
+                  FROM m),
+            p AS (SELECT j AS id,
+                         CASE WHEN j % 8 = 7 THEN
+                           xor(lag(bv) OVER (ORDER BY j),
+                               (1::BIGINT << (j % 60)))
+                         ELSE bv END AS sh
+                  FROM b),
+            q AS (SELECT id, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            c AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                         bit_count(xor(a.sh, b2.sh))::BIGINT AS hamming
+                  FROM q a JOIN q b2
+                    ON a.q = b2.q AND a.qv = b2.qv AND a.id < b2.id)
+            SELECT id_a, id_b, hamming FROM c
+            WHERE hamming <= 2 ORDER BY id_a, id_b
+        """,
         "media_png_decode": """
             SELECT i AS media_id, true AS decode_ok,
                    round(((i % 256) + ((i + 1) % 256) + ((i + 2) % 256)

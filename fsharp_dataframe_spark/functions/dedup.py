@@ -575,30 +575,38 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return g.select(F.col(id_col), sketch.alias("sh"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 8, hash_family: str = "xxh64") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance — COMPLETE for the
-    given bound: the 64-bit sketch is cut into ``max_hamming + 1``
-    disjoint pieces, so any pair within the bound shares at least one
-    equal piece (pigeonhole) and is generated as a candidate;
-    verification = popcount of XOR.  Piece width shrinks as the bound
-    grows (the candidate/recall trade is explicit, not silent).
-    ``hash_family`` — see simhash_table ("md5" gives an engine-
-    replayable sketch at ~2× token-hash expression cost).
+def banded_hamming_pairs(sketches: DataFrame, id_col: str = "doc_id",
+                         sketch_col: str = "sh",
+                         max_hamming: int = 8,
+                         bits: int = 64) -> DataFrame:
+    """Pigeonhole-banded Hamming candidate join over any 64-bit-or-less
+    sketch column — COMPLETE for the given bound: the sketch is cut
+    into ``max_hamming + 1`` disjoint pieces, so any pair within the
+    bound shares at least one equal piece and is generated as a
+    candidate; verification = popcount of XOR.  Piece width shrinks as
+    the bound grows (the candidate/recall trade is explicit, not
+    silent).  The substrate under both text SimHash (simhash_pairs)
+    and image dHash (multimodal.dhash_media) near-dedup — shuffle key
+    = (piece index, piece bits), uniform for hash-like sketches, never
+    all-pairs.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
     """
     n_pieces = max_hamming + 1
-    widths = [64 // n_pieces + (1 if i < 64 % n_pieces else 0) for i in range(n_pieces)]
+    widths = [bits // n_pieces + (1 if i < bits % n_pieces else 0)
+              for i in range(n_pieces)]
     offs, o = [], 0
     for w in widths:
         offs.append((o, w))
         o += w
     from fsharp_dataframe_spark.functions.util import track_persist
 
-    # (id, sh) is one long per doc: materialize so both sides of the
-    # piece self-join read computed sketches instead of re-tokenizing
-    # (a broadcast build side cannot share the shuffle exchange)
-    sh = track_persist(simhash_table(df, id_col, text_col,
-                                     hash_family=hash_family))
+    # (id, sh) is one long per row: materialize so both sides of the
+    # piece self-join read computed sketches instead of recomputing
+    # them (a broadcast build side cannot share the shuffle exchange)
+    sh = track_persist(sketches.select(F.col(id_col),
+                                       F.col(sketch_col).alias("sh"))
+                       .filter(F.col("sh").isNotNull()))
     quarters = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*[
@@ -620,6 +628,18 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 8, hash_family: str = "xxh64") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the text face of
+    banded_hamming_pairs (pigeonhole-complete banding, see there).
+    ``hash_family`` — see simhash_table ("md5" gives an engine-
+    replayable sketch at ~2× token-hash expression cost).
+    """
+    return banded_hamming_pairs(
+        simhash_table(df, id_col, text_col, hash_family=hash_family),
+        id_col=id_col, sketch_col="sh", max_hamming=max_hamming)
 
 
 def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",

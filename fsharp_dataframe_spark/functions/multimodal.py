@@ -85,10 +85,9 @@ def _byte_features(payload: bytes | None, feat_dim: int) -> list[float]:
     return [float(c.mean()) for c in np.array_split(arr, feat_dim)]
 
 
-def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
-    """Tier-1 image decode via PIL: grayscale the image, split into
-    feat_dim horizontal bands, mean intensity per band.  Returns None
-    when PIL is missing or the payload is not a decodable image."""
+def _pil_gray(payload: bytes):
+    """Tier-1 grayscale decode via PIL.  Returns a float32 2-D array,
+    or None when PIL is missing or the payload is not decodable."""
     import io
 
     import numpy as np
@@ -101,17 +100,15 @@ def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
         img = Image.open(io.BytesIO(payload)).convert("L")
     except Exception:
         return None
-    arr = np.asarray(img, dtype=np.float32)
-    return _band_means(arr, feat_dim)
+    return np.asarray(img, dtype=np.float32)
 
 
-def _png_features(payload: bytes, feat_dim: int,
-                  max_pixels: int | None = None) -> list[float] | None:
-    """Tier-2 image decode via the stdlib PNG codec (functions/png.py):
-    same grayscale band-mean features as the PIL tier (identical 601-2
-    luminance, so the two tiers agree on the same PNG).  Returns None
-    when the payload is not a supported PNG.  ``max_pixels`` overrides
-    the codec's CPU/memory cap for trusted corpora."""
+def _png_gray(payload: bytes, max_pixels: int | None = None):
+    """Tier-2 grayscale decode via the stdlib PNG codec
+    (functions/png.py — identical 601-2 luminance to the PIL tier, so
+    the two tiers agree on the same PNG).  Returns a float32 2-D
+    array, or None when the payload is not a supported PNG.
+    ``max_pixels`` overrides the codec's CPU/memory cap."""
     import numpy as np
 
     from fsharp_dataframe_spark.functions import png as PNG
@@ -122,8 +119,33 @@ def _png_features(payload: bytes, feat_dim: int,
             max_pixels=max_pixels or PNG._MAX_PIXELS)
     except Exception:
         return None
-    arr = np.asarray(lum, dtype=np.float32).reshape(h, w)
-    return _band_means(arr, feat_dim)
+    return np.asarray(lum, dtype=np.float32).reshape(h, w)
+
+
+def _decode_gray_array(payload: bytes | None,
+                       max_pixels: int | None = None):
+    """Tiered grayscale decode to a float32 2-D pixel array: PIL, then
+    the stdlib PNG codec, else None — the shared substrate under band
+    features and perceptual hashing."""
+    if payload is None or len(payload) == 0:
+        return None
+    arr = _pil_gray(payload)
+    if arr is None:
+        arr = _png_gray(payload, max_pixels=max_pixels)
+    return arr
+
+
+def _pil_features(payload: bytes, feat_dim: int) -> list[float] | None:
+    """Tier-1 image band-mean features via PIL (see _pil_gray)."""
+    arr = _pil_gray(payload)
+    return None if arr is None else _band_means(arr, feat_dim)
+
+
+def _png_features(payload: bytes, feat_dim: int,
+                  max_pixels: int | None = None) -> list[float] | None:
+    """Tier-2 image band-mean features via the stdlib PNG codec."""
+    arr = _png_gray(payload, max_pixels=max_pixels)
+    return None if arr is None else _band_means(arr, feat_dim)
 
 
 def _band_means(arr, feat_dim: int) -> list[float] | None:
@@ -502,6 +524,135 @@ def make_fake_mixed_media(spark, n: int, width: int = 32,
                                   "duration_s": None})
             yield pd.DataFrame({
                 "media_id": ids, "payload": payloads, "meta": metas,
+            })
+
+    parts = max(1, (int(n) + 4095) // 4096)
+    return spark.range(0, int(n), 1, parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (r10 VERDICT ask #4): dHash over decoded pixels
+
+
+def _dhash_from_gray(arr, hash_w: int = 8, hash_h: int = 8) -> int:
+    """64-bit dHash (difference hash) of a grayscale pixel array: the
+    image is block-mean-resized to (hash_w + 1) × hash_h (np.array_split
+    — deterministic block boundaries, exact means for block-constant
+    images), and bit r·hash_w + c is 1 iff the pixel right of (r, c)
+    is strictly brighter — the standard horizontal-gradient perceptual
+    hash.  Returned as a two's-complement signed 64-bit int (Spark
+    LongType)."""
+    import numpy as np
+
+    rows = np.array_split(arr, hash_h, axis=0)
+    g = np.stack([
+        np.array([b.mean() for b in np.array_split(r, hash_w + 1, axis=1)],
+                 dtype=np.float32)
+        for r in rows])
+    bits = g[:, :-1] < g[:, 1:]
+    h = 0
+    for r in range(hash_h):
+        for c in range(hash_w):
+            if bits[r, c]:
+                h |= 1 << (r * hash_w + c)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+def dhash_media(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id",
+                max_pixels: int | None = None) -> DataFrame:
+    """Per-image 64-bit dHash over the REAL decode tier — the
+    fingerprint stage of image near-duplicate detection.  Arrow-batched
+    mapInPandas (metadata columns pass through nothing; only id +
+    payload are read); rows no tier can decode get a NULL hash and
+    decode_ok = False, never an executor exception.
+
+    Returns (id, dhash long, decode_ok boolean).  Feed the hashes to
+    dedup.banded_hamming_pairs for corpus-scale near-dup pairs (the
+    SimHash band substrate — pigeonhole-complete for the chosen
+    Hamming bound, shuffle keyed by (piece, piece-bits))."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ])
+
+    def _hash(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes, oks = [], []
+            for payload in pdf[payload_col]:
+                arr = _decode_gray_array(payload, max_pixels=max_pixels)
+                if arr is None or arr.size == 0:
+                    hashes.append(None)
+                    oks.append(False)
+                else:
+                    hashes.append(_dhash_from_gray(arr))
+                    oks.append(True)
+            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes,
+                                "decode_ok": oks})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _hash, schema=out_schema)
+
+
+def _dhash_pattern(i: int) -> int:
+    """Closed-form 60-bit pattern for the dHash fixture: md5 of the
+    image id (byte-identical in every engine — the simhash_table md5
+    family's rationale), except every 8th image is a PLANTED NEAR-DUP
+    of its predecessor with exactly one flipped bit."""
+    import hashlib
+
+    def base(j: int) -> int:
+        return int(hashlib.md5(str(j).encode()).hexdigest()[:15], 16)
+
+    if i % 8 == 7:
+        return base(i - 1) ^ (1 << (i % 60))
+    return base(i)
+
+
+def make_fake_dhash_media(spark, n: int) -> DataFrame:
+    """Corpus-scale PNG fixture whose dHash is CLOSED FORM: image i is
+    a 36×32 grayscale PNG built as a 9×8 grid of 4×4 constant blocks
+    walking ±8 around 128 along each block row, so the block-mean
+    resize reconstructs the walk exactly and bit k = r·8 + c of the
+    dHash equals bit k of _dhash_pattern(i) for k < 60 (bits 60-63 are
+    flat steps → 0).  Every i ≡ 7 (mod 8) is a planted near-duplicate
+    of i − 1 at Hamming distance exactly 1.  Executor-generated like
+    make_fake_png_media (no driver-side payload list)."""
+    from fsharp_dataframe_spark.functions.png import encode_png
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            payloads = []
+            for i in ids:
+                p = _dhash_pattern(i)
+                raw = bytearray()
+                for r in range(8):
+                    vals = [128]
+                    for c in range(8):
+                        k = r * 8 + c
+                        if k < 60:
+                            vals.append(vals[-1]
+                                        + (8 if (p >> k) & 1 else -8))
+                        else:
+                            vals.append(vals[-1])
+                    px_row = bytes(v for v in vals for _ in range(4))
+                    raw += px_row * 4
+                payloads.append(encode_png(bytes(raw), 36, 32, 1))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": payloads,
+                "meta": [{"mime": "image/png", "width": 36, "height": 32,
+                          "n_frames": 1, "duration_s": None}
+                         for _ in ids],
             })
 
     parts = max(1, (int(n) + 4095) // 4096)

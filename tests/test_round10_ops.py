@@ -135,3 +135,63 @@ def test_source_overlap_ignores_short_and_blank_docs(spark):
     r = rows[0]
     # shared shingles: "alpha beta gamma", "beta gamma delta"
     assert (r["source_a"], r["source_b"], r["n_shared"]) == ("A", "B", 2)
+
+
+# ----------------------------------------------------- image near-dup
+
+
+def test_dhash_decode_reconstructs_closed_form_pattern(spark):
+    """The decode -> block-mean resize -> gradient-bit pipeline must
+    reconstruct the generator's md5-derived pattern EXACTLY for every
+    image (the closed-form contract the image_near_dup oracle rides)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _dhash_pattern, dhash_media, make_fake_dhash_media,
+    )
+
+    media = make_fake_dhash_media(spark, 40)
+    rows = {r["media_id"]: (r["dhash"], r["decode_ok"])
+            for r in dhash_media(media).collect()}
+    assert len(rows) == 40
+    for i, (h, ok) in rows.items():
+        assert ok and h == _dhash_pattern(i), i
+
+
+def test_image_near_dup_recovers_planted_twins(spark):
+    """Every 8th image is a planted Hamming-1 twin of its predecessor;
+    the banded join must recover exactly those pairs."""
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+    from fsharp_dataframe_spark.functions.multimodal import (
+        dhash_media, make_fake_dhash_media,
+    )
+
+    hashes = dhash_media(make_fake_dhash_media(spark, 64))
+    pairs = banded_hamming_pairs(hashes, id_col="media_id",
+                                 sketch_col="dhash", max_hamming=2)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    exp = {(8 * k + 6, 8 * k + 7): 1 for k in range(8)}
+    assert got == exp
+
+
+def test_image_near_dup_plan_never_cartesian(spark):
+    from fsharp_dataframe_spark.functions.util import release_cached
+    import __spark_entry__ as entry
+
+    try:
+        plan = (entry._all_queries()["image_near_dup"]
+                (spark, "/root/testdata/sf0.001")
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        release_cached()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_undecodable_payload_gets_null_hash(spark):
+    from fsharp_dataframe_spark.functions.multimodal import dhash_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a png")), (2, None)],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: (r["dhash"], r["decode_ok"])
+            for r in dhash_media(df).collect()}
+    assert rows == {1: (None, False), 2: (None, False)}
