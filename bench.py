@@ -43,6 +43,14 @@ MAX_LINE = 1900  # driver tail capture is 2000 chars; leave margin
 REGRESSION_FACTOR = 1.5
 REGRESSION_MIN_ABS = 0.5  # sec — below this, wall-clock is run noise
 
+# r9 VERDICT ask #6: the Python-heavy dedup tail swings ±0.4-0.6s
+# run-to-run with no code change, wide enough to hide a real 20%
+# regression.  Queries whose FIRST measurement exceeds this get one
+# repeat (cache released in between, same standalone-cost basis) and
+# the MIN is recorded — min-of-2 cuts one-sided scheduling noise
+# without re-running the ~145 sub-2s queries.
+REPEAT_THRESHOLD = 2.0  # sec
+
 # Machine-readable measurement-basis changes (r5 VERDICT ask #8): when a
 # query's MEASUREMENT changes (cache policy, hash family, substrate
 # default) rather than its plan, record it here so a judge reading
@@ -113,6 +121,15 @@ ACCOUNTING_CHANGES = [
                "headline_queries_total_wall -> "
                "registry_queries_total_wall: totals are NOT comparable "
                "across that rename (wider query set)."},
+    {"round": 10, "queries": "all (>2s first run)",
+     "change": "queries whose first measurement exceeds 2s are re-run "
+               "once (caches released between runs) and the MIN of the "
+               "two is recorded in qv/total (r9 VERDICT ask #6: the "
+               "±0.5s noise on the 2-4s dedup tail masked real "
+               "regressions).  Totals are therefore biased ~the "
+               "one-sided noise LOWER than r9 on the heavy tail; both "
+               "raw runs are listed under 'Repeated heavy-tail "
+               "queries' in these notes."},
     {"round": 8, "queries": ["ewma", "fill_linear", "chunk_sum",
                              "chunk_dist", "window_dist", "pack_shards",
                              "pack_sequences", "weighted_sample",
@@ -211,7 +228,7 @@ def _report_deltas(timings: dict[str, float]) -> None:
 
 
 def _write_notes(timings: dict[str, float], total: float, sf,
-                 cpus: int) -> None:
+                 cpus: int, repeats: dict[str, list[float]]) -> None:
     """Full per-query detail + accounting prose, committed with the
     round (the stdout line stays compact for the driver's tail)."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -220,12 +237,21 @@ def _write_notes(timings: dict[str, float], total: float, sf,
         "",
         f"Run: sf={sf}, local[{cpus}], {len(timings)} registered "
         f"queries, total {total:.1f}s.  The stdout JSON line's `qv` "
-        "array follows the sorted query-name order below.",
+        "array follows the sorted query-name order below.  Queries "
+        f"whose first run exceeded {REPEAT_THRESHOLD}s were re-run once "
+        "and report the MIN (r9 ask #6); both raw runs are listed "
+        "below.",
         "",
         "## Per-query wall clock (sec)",
         "",
         "```json",
         json.dumps(timings, indent=1, sort_keys=True),
+        "```",
+        "",
+        "## Repeated heavy-tail queries (raw [run1, run2], min recorded)",
+        "",
+        "```json",
+        json.dumps(repeats, indent=1, sort_keys=True),
         "```",
         "",
         "## Measurement-basis accounting history",
@@ -268,21 +294,34 @@ def main():
     from fsharp_dataframe_spark.functions.util import release_cached
 
     timings: dict[str, float] = {}
+    repeats: dict[str, list[float]] = {}
     for name in names:
         q = qs[name]
         t0 = time.time()
         n = q(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
-        # release the query's persisted sketch relations so 141 queries'
-        # cached blocks don't pile up in one session (storage-memory
-        # pressure evicts/recomputes and skews later timings)
+        t1 = round(time.time() - t0, 3)
+        # release the query's persisted sketch relations so 160+
+        # queries' cached blocks don't pile up in one session
+        # (storage-memory pressure evicts/recomputes and skews later
+        # timings) — and so a repeat below pays the same standalone cost
         release_cached()
+        if t1 > REPEAT_THRESHOLD:
+            t0 = time.time()
+            q(spark, sf_dir).count()
+            t2 = round(time.time() - t0, 3)
+            release_cached()
+            repeats[name] = [t1, t2]
+            timings[name] = min(t1, t2)
+        else:
+            timings[name] = t1
+        tag = (f" (min of {repeats[name]})" if name in repeats else "")
+        print(f"# {name}: {timings[name]:.2f}s rows={n}{tag}",
+              file=sys.stderr)
     total = round(sum(timings.values()), 3)
     _report_deltas(timings)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    _write_notes(timings, total, sf_val, cpus)
+    _write_notes(timings, total, sf_val, cpus, repeats)
     line = json.dumps({
         "metric": "registry_queries_total_wall",
         "value": total,
@@ -297,6 +336,9 @@ def main():
         # makes the artifact self-attributing (r8's driver bench ran
         # ~53% hot vs two solo runs with no way to see it)
         "load": [load0, round(os.getloadavg()[0], 1)],
+        # how many qv entries are min-of-2 (first run > REPEAT_THRESHOLD
+        # — r9 ask #6); which ones is in BENCH_NOTES.md
+        "m2": len(repeats),
         "qv": [round(timings[n], 2) for n in names],
     }, separators=(",", ":"))
     assert len(line) < MAX_LINE, (

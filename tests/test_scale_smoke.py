@@ -428,3 +428,12 @@ def test_scale_smoke_asof_composite_bucketed_10m(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition(__asof_bucket#" in line:
             assert "], [__asof_bucket" in line, line
+    # r10 (VERDICT r9 ask #7): every exchange rides a bounded key and
+    # the n_buckets-row carry cascade joins back as a BROADCAST — a
+    # SortMergeJoin would re-shuffle the 10M probe stream against a
+    # 64-row relation
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "__asof_bucket" in line or "rangepartitioning" in line, line
