@@ -2781,7 +2781,7 @@ EXTRA_QUERIES = (
     "target_encode", "twap_daily", "winsorize",
     # round-10 newcomers, held out per the ROUND-11 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r11):
-    "tpch_q17", "image_near_dup")
+    "tpch_q17", "image_near_dup", "tpch_q18", "ngram_novelty")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2895,6 +2895,59 @@ def q_tpch_q17(spark, sf) -> DataFrame:
             .filter(F.col("qu") * 5 * F.col("n") < F.col("squ"))
             .agg(F.round((F.sum("eu") / 100.0) / 7.0, 2).alias("avg_yearly"),
                  F.count("*").alias("n_lines")))
+
+
+def q_tpch_q18(spark, sf) -> DataFrame:
+    """TPC-H Q18 large-volume customers — the HAVING-filtered-aggregate
+    semi-join plan class: orders whose total lineitem quantity exceeds
+    250, top-100 by price.  The 100 TB shape, stage by stage: ONE
+    lineitem groupBy (map-side combine) HAVING-filtered to the rare
+    heavy orders; a key-partitioned join against orders (BOTH sides
+    are data-sized at scale, so no broadcast — the exchange rides
+    o_orderkey); a TakeOrderedAndProject for the top-100 (never a
+    global sort); and ONLY THEN the customer fetch — the 100-row top
+    relation broadcasts INTO the customer scan, instead of joining the
+    full customer dimension before the limit.  Quantities are exact
+    1e-2-unit BIGINT sums; the (price desc, orderkey) order makes the
+    limit deterministic."""
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    qty_u = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (li.groupBy("l_orderkey").agg(F.sum(qty_u).alias("qu"))
+           .filter(F.col("qu") > 25000))
+    top = (o.join(big, o["o_orderkey"] == big["l_orderkey"])
+           .select("o_orderkey", "o_custkey", "o_orderdate",
+                   "o_totalprice", "qu")
+           .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+           .limit(100))
+    out = c.join(F.broadcast(top), c["c_custkey"] == top["o_custkey"])
+    return (out.select(
+        "c_name", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.col("qu") / 100.0, 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+
+
+def q_ngram_novelty(spark, sf) -> DataFrame:
+    """Per-document n-gram repetition share — the boilerplate /
+    memorization signal a pretraining pipeline scores before mixing
+    (Lee 2022's motivation, doc-level): for each document, the share
+    of its distinct 3-gram shingles that also occur in at least one
+    OTHER document.  Docs shorter than one shingle report NULL (no
+    n-grams — the source_overlap short-doc discipline).
+
+    Scale shape: one shingle-keyed groupBy for document frequency
+    (map-side combine, uniform hash keys), one join back on the
+    shingle, one doc-keyed aggregate — the dedup family's exchange
+    discipline, never documents².  The share is the exact
+    basis-points integer div (the dedup_report discipline)."""
+    from fsharp_dataframe_spark.functions.quality import (
+        ngram_repetition_share,
+    )
+
+    return ngram_repetition_share(load_table(spark, sf, "documents"))
 
 
 def q_asof_multikey(spark, sf) -> DataFrame:
@@ -3118,6 +3171,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "ngram_novelty": q_ngram_novelty,
         "asof_multikey": q_asof_multikey,
         "psi_drift": q_psi_drift,
         "classifier_auc": q_classifier_auc,
@@ -4968,6 +5023,54 @@ def _all_oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_lines
             FROM sel JOIN pp USING (l_partkey)
             WHERE qu * 5 * n < squ
+        """,
+        "tpch_q18": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(round(l_quantity * 100)::BIGINT)::BIGINT AS qu
+              FROM lineitem GROUP BY 1
+              HAVING sum(round(l_quantity * 100)::BIGINT) > 25000),
+            top AS (
+              SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, qu
+              FROM orders JOIN big ON o_orderkey = l_orderkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+            SELECT c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   round(qu / 100.0, 2) AS sum_qty
+            FROM customer JOIN top ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        "ngram_novelty": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       range(0, greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i+1 : i+3], ' ')))
+                       AS shingle
+              FROM toks
+              WHERE len(t) >= 3),
+            df AS (SELECT shingle, count(*)::BIGINT AS df
+                   FROM sh GROUP BY 1),
+            per_doc AS (
+              SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                     sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_common
+              FROM sh JOIN df USING (shingle) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(per_doc.n_shingles, 0)::BIGINT AS n_shingles,
+                   coalesce(per_doc.n_common, 0)::BIGINT AS n_common,
+                   ((per_doc.n_common * 10000)
+                    // per_doc.n_shingles)::DOUBLE / 10000.0
+                     AS repeated_share
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN per_doc USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "asof_multikey": """
             WITH s AS (

@@ -280,3 +280,45 @@ def logreg_score(df: DataFrame, weights: list[float],
         z = z + F.lit(float(wj)) * F.col(c)
     return df.withColumn(
         out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6))
+
+
+def ngram_repetition_share(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document n-gram repetition share — the boilerplate /
+    memorization signal a pretraining pipeline scores before mixing
+    (document-level face of Lee 2022's duplicated-span observation):
+    for each document, the share of its DISTINCT n-gram shingles that
+    also occur in at least one other document.  Docs shorter than one
+    shingle report (0, 0, NULL) — a doc with no n-grams has no share
+    (the source_overlap short-doc discipline).
+
+    Scale shape: one shingle-keyed groupBy for document frequency
+    (map-side combine, uniform hash keys), one equi-join back on the
+    shingle, one doc-keyed aggregate — the dedup family's exchange
+    discipline, never documents².  The share is the exact basis-points
+    integer div (the dedup_report discipline), so a SQL oracle replays
+    it bit-for-bit.
+
+    Returns (id, n_shingles, n_common, repeated_share) for EVERY input
+    document, ordered by id.
+    """
+    from fsharp_dataframe_spark.functions.dedup import shingle_table
+    from fsharp_dataframe_spark.functions.text import tokens
+
+    sh = shingle_table(
+        df.filter(F.size(tokens(F.lower(F.col(text_col)))) >= n),
+        id_col=id_col, text_col=text_col, n=n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (sh.join(dfreq, "shingle")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_shingles"),
+                    F.sum((F.col("df") >= 2).cast("long"))
+                    .alias("n_common")))
+    share = (F.expr("CAST(n_common * 10000 AS DECIMAL(38,0))"
+                    " div n_shingles").cast("double") / 10000.0)
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                    share.alias("repeated_share"))
+            .orderBy(id_col))

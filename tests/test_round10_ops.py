@@ -195,3 +195,41 @@ def test_dhash_undecodable_payload_gets_null_hash(spark):
     rows = {r["media_id"]: (r["dhash"], r["decode_ok"])
             for r in dhash_media(df).collect()}
     assert rows == {1: (None, False), 2: (None, False)}
+
+
+# --------------------------------------------- tpch_q18 / ngram_novelty
+
+
+def test_tpch_q18_plan_takeordered_no_global_sort(spark):
+    # the HAVING-filtered semi-join class: top-100 must plan as
+    # TakeOrderedAndProject (never a global sort), nothing cartesian,
+    # no SinglePartition exchange anywhere
+    import __spark_entry__ as entry
+
+    df = entry._all_queries()["tpch_q18"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ngram_repetition_share_semantics(spark):
+    from fsharp_dataframe_spark.functions.quality import (
+        ngram_repetition_share,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four"),   # "one two three" shared with 2
+         (2, "one two three"),
+         (3, "zz yy xx ww vv"),       # 3 shingles, none shared
+         (4, "hi")],                  # too short: no shingles
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["n_shingles"], r["n_common"],
+                          r["repeated_share"])
+            for r in ngram_repetition_share(df).collect()}
+    assert rows == {
+        1: (2, 1, 0.5),
+        2: (1, 1, 1.0),
+        3: (3, 0, 0.0),
+        4: (0, 0, None),
+    }
