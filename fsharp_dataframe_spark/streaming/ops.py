@@ -1607,3 +1607,84 @@ def stream_int8_quantize(sdf: DataFrame, baseline: DataFrame,
     return (pre.withColumn("__g", F.lit(0)).groupBy("__g")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_image_near_dup(sdf: DataFrame, id_col: str = "media_id",
+                          payload_col: str = "payload",
+                          ts_col: str = "ts", watermark: str = "1 hour",
+                          max_hamming: int = 2,
+                          max_pixels: int | None = None) -> DataFrame:
+    """Streaming image near-duplicate CANDIDATES — the dHash face of
+    stream_near_dup_candidates: images arriving within one watermark
+    horizon of each other whose perceptual hashes collide in a
+    pigeonhole piece (the banded_hamming_pairs band construction, so a
+    candidate pair here is a candidate pair there), verified inline by
+    popcount (bit_count is one codegen'd instruction; unlike MinHash
+    no second decode of the payload is needed, so the stream CAN
+    afford exact verification).
+
+    Shape: per-image dHash as a STATELESS Arrow map (decode happens
+    once per image, no state) → watermarked stream-stream SELF-join on
+    (piece, piece-bits) with a bounded time range — Spark keeps one
+    horizon of piece keys in state, O(rate × watermark), independent
+    of corpus size.
+
+    Returns (id_a, id_b, piece, hamming) with id_a < id_b; a pair
+    within the bound that collides in several pieces emits once per
+    piece — the downstream sink's first groupBy dedups, exactly the
+    stream_near_dup_candidates contract.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _decode_gray_array, _dhash_from_gray,
+    )
+
+    @pandas_udf("long")
+    def dh(payloads: pd.Series) -> pd.Series:
+        out = []
+        for p in payloads:
+            arr = _decode_gray_array(p, max_pixels=max_pixels)
+            out.append(None if arr is None or arr.size == 0
+                       else _dhash_from_gray(arr))
+        return pd.Series(out, dtype="Int64")
+
+    n_pieces = max_hamming + 1
+    widths = [64 // n_pieces + (1 if i < 64 % n_pieces else 0)
+              for i in range(n_pieces)]
+    offs, o = [], 0
+    for w in widths:
+        offs.append((o, w))
+        o += w
+    banded = (sdf.select(F.col(id_col), F.col(ts_col),
+                         dh(F.col(payload_col)).alias("sh"))
+              .filter(F.col("sh").isNotNull())
+              .select(id_col, ts_col, "sh",
+                      F.posexplode(F.array(*[
+                          F.shiftright(F.col("sh"), off)
+                          .bitwiseAND(F.lit((1 << w) - 1))
+                          for off, w in offs
+                      ])).alias("q", "qv"))
+              .withWatermark(ts_col, watermark))
+    l, r = banded.alias("l"), banded.alias("r")
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(
+            r,
+            (F.col("l.q") == F.col("r.q"))
+            & (F.col("l.qv") == F.col("r.qv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            # symmetric watermark-bounded range (id order is
+            # independent of arrival order) — state stays one horizon
+            # deep on each side
+            & (F.col(f"r.{ts_col}")
+               >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {watermark}"))
+            & (F.col(f"r.{ts_col}")
+               <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {watermark}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.q").alias("piece"),
+                ham.alias("hamming"))
+    )

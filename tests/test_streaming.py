@@ -1616,3 +1616,33 @@ def test_stream_int8_quantize_state_across_restart(spark, tmp_path):
     # err 0.0 joins the carried 0.5: mean (0.5+0)/2 = 0.25 over n=2
     assert [(r["n"], r["scale"], r["mean_abs_err"])
             for r in emissions] == [(2, 1.0, 0.25)]
+
+
+def test_stream_image_near_dup_matches_batch_pairs(spark, tmp_path):
+    """Streaming dHash candidates over the closed-form image fixture:
+    the deduped (id_a, id_b, hamming) set after an availableNow drive
+    must equal the batch banded_hamming_pairs result on the same
+    corpus (all images inside one watermark horizon)."""
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+    from fsharp_dataframe_spark.functions.multimodal import (
+        dhash_media, make_fake_dhash_media,
+    )
+    from fsharp_dataframe_spark.streaming.ops import stream_image_near_dup
+
+    media = make_fake_dhash_media(spark, 64).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(mins=F.col("media_id").cast("int")))
+    d = str(tmp_path / "img_stream")
+    media.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, media.schema)
+    out = stream_image_near_dup(s, watermark="2 hours")
+    name = run_to_memory(out, "t_img_nd")
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           spark.sql(f"SELECT DISTINCT id_a, id_b, hamming "
+                     f"FROM {name}").collect()}
+    exp = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           banded_hamming_pairs(dhash_media(media), id_col="media_id",
+                                sketch_col="dhash",
+                                max_hamming=2).collect()}
+    assert got == exp
+    assert len(exp) == 8  # the planted twins (64 images / 8)
