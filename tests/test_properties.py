@@ -946,8 +946,9 @@ def test_packing_efficiency_laws(spark, toks, l0):
 @settings(**SETTINGS)
 def test_source_overlap_matches_brute_force(spark, docs):
     """source_overlap equals the brute-force python shingle-set
-    computation on arbitrary tiny corpora (n=3 word shingles incl. the
-    short-text 'one truncated gram' convention)."""
+    computation on arbitrary tiny corpora (n=3 word shingles; docs
+    shorter than one shingle contribute NOTHING — the r10 ADVICE fix
+    that stopped blank/short docs creating phantom shared shingles)."""
     from fsharp_dataframe_spark.functions.dedup import source_overlap
 
     rows = [(i, " ".join(toks), src) for i, (src, toks) in enumerate(docs)]
@@ -957,8 +958,8 @@ def test_source_overlap_matches_brute_force(spark, docs):
 
     def shingles(toks):
         n = 3
-        if len(toks) <= n:
-            return {" ".join(toks)}  # includes "" for empty docs
+        if len(toks) < n:
+            return set()  # no n-grams in a sub-n doc (r10 fix)
         return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
 
     per_src = {}
