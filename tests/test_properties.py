@@ -1053,3 +1053,70 @@ def test_centroid_drift_matches_numpy_reference(spark, rows):
             su += int(math.floor(abs(diff * diff) * 1e12 + 0.5))
         exp = round(math.sqrt(su / 1e12), 6)
         assert got[lab]["l2_drift"] == exp, lab
+
+
+@given(sketches=st.lists(
+    st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+    min_size=1, max_size=12),
+    max_hamming=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_banded_hamming_pairs_complete_and_exact(spark, sketches,
+                                                 max_hamming):
+    """banded_hamming_pairs equals the brute-force all-pairs popcount
+    filter on arbitrary 64-bit sketches INCLUDING sign-bit-set
+    (negative long) values — pigeonhole completeness means no pair
+    within the bound may ever be missed, and arithmetic shiftright's
+    sign-extension must be fully masked out of the piece keys."""
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sketches)], "id long, sh long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           banded_hamming_pairs(df, id_col="id", sketch_col="sh",
+                                max_hamming=max_hamming).collect()}
+    expect = {}
+    for i, a in enumerate(sketches):
+        for j in range(i + 1, len(sketches)):
+            h = bin((a ^ sketches[j]) & ((1 << 64) - 1)).count("1")
+            if h <= max_hamming:
+                expect[(i, j)] = h
+    assert got == expect
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=0, max_size=6),
+    min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_ngram_repetition_share_matches_brute_force(spark, docs):
+    """ngram_repetition_share equals the brute-force python shingle-df
+    computation on arbitrary tiny corpora (sub-n docs report NULL)."""
+    from fsharp_dataframe_spark.functions.quality import (
+        ngram_repetition_share,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shingles"], r["n_common"],
+                         r["repeated_share"])
+           for r in ngram_repetition_share(df).collect()}
+
+    def shingles(toks):
+        if len(toks) < 3:
+            return set()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    per_doc = {i: shingles(toks) for i, toks in enumerate(docs)}
+    dfreq = {}
+    for sset in per_doc.values():
+        for sh in sset:
+            dfreq[sh] = dfreq.get(sh, 0) + 1
+    expect = {}
+    for i, sset in per_doc.items():
+        if not sset:
+            expect[i] = (0, 0, None)
+            continue
+        common = sum(1 for sh in sset if dfreq[sh] >= 2)
+        expect[i] = (len(sset), common,
+                     (common * 10000 // len(sset)) / 10000.0)
+    assert got == expect

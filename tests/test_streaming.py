@@ -1646,3 +1646,57 @@ def test_stream_image_near_dup_matches_batch_pairs(spark, tmp_path):
                                 max_hamming=2).collect()}
     assert got == exp
     assert len(exp) == 8  # the planted twins (64 images / 8)
+
+
+def test_stream_image_near_dup_join_state_across_restart(spark, tmp_path):
+    """Stream-stream join state survives a checkpoint restart: a phase-2
+    image pairs with its phase-1 twin (still inside the watermark
+    horizon) WITHOUT phase 1 being reprocessed — the (6, 7) planted
+    pair from phase 1 is emitted exactly once across both phases."""
+    import shutil
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        make_fake_dhash_media,
+    )
+    from fsharp_dataframe_spark.streaming.ops import stream_image_near_dup
+
+    media = make_fake_dhash_media(spark, 16).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(mins=F.col("media_id").cast("int")))
+    d = str(tmp_path / "img_restart")
+    ckpt = str(tmp_path / "img_ckpt")
+    shutil.rmtree(d, ignore_errors=True)
+    emissions = []
+
+    def run_phase():
+        src = read_stream_parquet(spark, d, media.schema)
+
+        def sink(bdf, _epoch):
+            emissions.extend(bdf.collect())
+
+        q = (stream_image_near_dup(src, watermark="4 hours")
+             .writeStream.outputMode("append").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    # phase 1: images 0..14 — contains the (6, 7) planted twin but NOT
+    # image 15 (the twin of 14)
+    media.filter(F.col("media_id") <= 14) \
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    p1 = {(r["id_a"], r["id_b"]) for r in emissions}
+    assert (6, 7) in p1
+    n_67_phase1 = sum(1 for r in emissions
+                      if (r["id_a"], r["id_b"]) == (6, 7))
+    emissions.clear()
+    # phase 2: ONLY image 15 arrives — it must pair with the
+    # checkpoint-carried image 14 from phase 1
+    media.filter(F.col("media_id") == 15) \
+        .coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    p2 = {(r["id_a"], r["id_b"]) for r in emissions}
+    assert (14, 15) in p2
+    assert (6, 7) not in p2  # phase 1 pairs are not re-emitted
+    assert n_67_phase1 >= 1
