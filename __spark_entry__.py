@@ -1480,6 +1480,38 @@ def q_image_near_dup(spark, sf) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_image_dedup_clusters(spark, sf) -> DataFrame:
+    """Image duplicate CLUSTERING — the composed multimodal dedup
+    capstone: dHash over real decoded pixels (dhash_media) → banded
+    Hamming pairs (pigeonhole-complete, max_hamming=2) → connected
+    components with min-id canonicals (graph.duplicate_clusters,
+    alternating-star contraction).  Transitivity is the point: the
+    fixture plants a (i−6, i−5, i) chain every 16th image at Hamming
+    1 + 2 whose ENDPOINTS are Hamming 3 — never a direct pair, one
+    cluster only via the component closure (the oracle replays the
+    closure as a recursive CTE over the same closed-form pairs).
+
+    100 TB shape: the stages compose without a weak link — Arrow
+    decode, (piece, bits) shuffle keys, per-round star contraction
+    with checkpointed lineage; nothing all-pairs, nothing
+    single-partition."""
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+    from fsharp_dataframe_spark.functions.graph import duplicate_clusters
+    from fsharp_dataframe_spark.functions.multimodal import (
+        dhash_media, make_fake_dhash_media,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    hashes = dhash_media(make_fake_dhash_media(spark, n))
+    pairs = banded_hamming_pairs(hashes, id_col="media_id",
+                                 sketch_col="dhash",
+                                 max_hamming=2).select("id_a", "id_b")
+    ids = spark.range(n).select(F.col("id").alias("media_id"))
+    out = duplicate_clusters(ids, pairs, id_col="media_id")
+    return out.withColumn("is_canonical",
+                          F.col("is_canonical").cast("long"))
+
+
 def q_hard_negatives(spark, sf) -> DataFrame:
     """Hard-negative mining (similarity.hard_negatives, the DPR §5.2 /
     triplet-loss negatives pass): for every embedding, its 3 most
@@ -2782,7 +2814,8 @@ EXTRA_QUERIES = (
     "target_encode", "twap_daily", "winsorize",
     # round-10 newcomers, held out per the ROUND-11 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r11):
-    "tpch_q17", "image_near_dup", "tpch_q18", "ngram_novelty")
+    "tpch_q17", "image_near_dup", "tpch_q18", "ngram_novelty",
+    "image_dedup_clusters")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3129,6 +3162,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_png_decode": q_media_png_decode,
         "image_near_dup": q_image_near_dup,
+        "image_dedup_clusters": q_image_dedup_clusters,
         "media_mixed": q_media_mixed,
         "hybrid_search": q_hybrid_search,
         "dedup_clusters": q_dedup_clusters,
@@ -4499,8 +4533,10 @@ def _all_oracle_sql() -> dict[str, str]:
         # to an exact quarter-integer starting at y=4b; feat index 1 ->
         # b=0, feat index 5 -> b=4 (y=16)
         # closed-form dHash replay: md5-derived 60-bit patterns with a
-        # planted 1-bit twin every 8th image, banded [22, 21, 21] and
-        # popcount-verified exactly like the Spark plan
+        # planted 1-bit twin every 8th image and a planted 2-bit chain
+        # tail every 16th (Hamming 1 + 2, endpoints 3 apart — a
+        # transitive-only cluster for image_dedup_clusters), banded
+        # [22, 21, 21] and popcount-verified exactly like the Spark plan
         "image_near_dup": """
             WITH m AS (SELECT row_number() OVER () - 1 AS j
                        FROM documents),
@@ -4508,8 +4544,13 @@ def _all_oracle_sql() -> dict[str, str]:
                          AS bv
                   FROM m),
             p AS (SELECT j AS id,
-                         CASE WHEN j % 8 = 7 THEN
-                           xor(lag(bv) OVER (ORDER BY j),
+                         CASE WHEN j % 16 = 12 THEN
+                           xor(xor(xor(lag(bv, 6) OVER (ORDER BY j),
+                                       (1::BIGINT << ((j - 5) % 60))),
+                                   (1::BIGINT << ((j + 11) % 60))),
+                               (1::BIGINT << ((j + 37) % 60)))
+                         WHEN j % 8 = 7 THEN
+                           xor(lag(bv, 1) OVER (ORDER BY j),
                                (1::BIGINT << (j % 60)))
                          ELSE bv END AS sh
                   FROM b),
@@ -4525,6 +4566,52 @@ def _all_oracle_sql() -> dict[str, str]:
                     ON a.q = b2.q AND a.qv = b2.qv AND a.id < b2.id)
             SELECT id_a, id_b, hamming FROM c
             WHERE hamming <= 2 ORDER BY id_a, id_b
+        """,
+        # same closed-form pairs as image_near_dup, closed transitively
+        # by a recursive CTE (the dedup_clusters closure pattern)
+        "image_dedup_clusters": """
+            WITH RECURSIVE
+            m AS (SELECT row_number() OVER () - 1 AS j FROM documents),
+            b AS (SELECT j, ('0x' || substr(md5(j::VARCHAR), 1, 15))::BIGINT
+                         AS bv
+                  FROM m),
+            p AS (SELECT j AS id,
+                         CASE WHEN j % 16 = 12 THEN
+                           xor(xor(xor(lag(bv, 6) OVER (ORDER BY j),
+                                       (1::BIGINT << ((j - 5) % 60))),
+                                   (1::BIGINT << ((j + 11) % 60))),
+                               (1::BIGINT << ((j + 37) % 60)))
+                         WHEN j % 8 = 7 THEN
+                           xor(lag(bv, 1) OVER (ORDER BY j),
+                               (1::BIGINT << (j % 60)))
+                         ELSE bv END AS sh
+                  FROM b),
+            q AS (SELECT id, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            c AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+                  FROM q a JOIN q b2
+                    ON a.q = b2.q AND a.qv = b2.qv AND a.id < b2.id
+                  WHERE bit_count(xor(a.sh, b2.sh)) <= 2),
+            edges AS (SELECT id_a AS u, id_b AS v FROM c
+                      UNION SELECT id_b, id_a FROM c),
+            r(u, lbl) AS (
+              SELECT DISTINCT u, u FROM edges
+              UNION
+              SELECT e.u, r.lbl FROM edges e JOIN r ON r.u = e.v),
+            comp AS (SELECT u, min(lbl) AS cluster_id FROM r GROUP BY u),
+            asg AS (
+              SELECT p.id AS media_id,
+                     coalesce(comp.cluster_id, p.id) AS cluster_id
+              FROM p LEFT JOIN comp ON comp.u = p.id)
+            SELECT media_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id)
+                     AS cluster_size,
+                   (media_id = cluster_id)::BIGINT AS is_canonical
+            FROM asg
         """,
         "media_png_decode": """
             SELECT i AS media_id, true AS decode_ok,

@@ -603,13 +603,26 @@ def dhash_media(df: DataFrame, payload_col: str = "payload",
 def _dhash_pattern(i: int) -> int:
     """Closed-form 60-bit pattern for the dHash fixture: md5 of the
     image id (byte-identical in every engine — the simhash_table md5
-    family's rationale), except every 8th image is a PLANTED NEAR-DUP
-    of its predecessor with exactly one flipped bit."""
+    family's rationale), with two planted-near-dup rules:
+
+    - i ≡ 7 (mod 8): one flipped bit vs image i−1 (a Hamming-1 twin);
+    - i ≡ 12 (mod 16): TWO flipped bits vs image i−5 (itself a twin of
+      i−6), making the chain (i−6)–(i−5)–i Hamming 1 + 2 while
+      (i−6, i) is Hamming 3 — outside the max_hamming=2 bound, so the
+      three images form one duplicate CLUSTER only via transitivity
+      (the image_dedup_clusters contract).
+
+    The rules are disjoint (i ≡ 12 mod 16 ⇒ i ≡ 4 mod 8), and the
+    flipped-bit offsets differ mod 60, so the planted Hamming
+    distances are exact."""
     import hashlib
 
     def base(j: int) -> int:
         return int(hashlib.md5(str(j).encode()).hexdigest()[:15], 16)
 
+    if i % 16 == 12:
+        twin = base(i - 6) ^ (1 << ((i - 5) % 60))
+        return twin ^ (1 << ((i + 11) % 60)) ^ (1 << ((i + 37) % 60))
     if i % 8 == 7:
         return base(i - 1) ^ (1 << (i % 60))
     return base(i)

@@ -315,6 +315,8 @@ _AUDIT_ALLOW = {
     "lsh_topk": ("rdd_scan",),
     "media_features": ("rdd_scan",),
     "dedup_clusters": ("rdd_scan",),
+    # same contraction-round localCheckpoint scans (graph.py)
+    "image_dedup_clusters": ("rdd_scan",),
     "dedup_keep_best": ("rdd_scan",),  # same contraction-round checkpoints
     "semantic_dedup": ("rdd_scan",),  # same contraction-round checkpoints
     # the exact small-N tier IS all-pairs by contract (the quadratic

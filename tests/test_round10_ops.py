@@ -156,9 +156,11 @@ def test_dhash_decode_reconstructs_closed_form_pattern(spark):
         assert ok and h == _dhash_pattern(i), i
 
 
-def test_image_near_dup_recovers_planted_twins(spark):
-    """Every 8th image is a planted Hamming-1 twin of its predecessor;
-    the banded join must recover exactly those pairs."""
+def test_image_near_dup_recovers_planted_twins_and_chains(spark):
+    """Every 8th image is a planted Hamming-1 twin of its predecessor,
+    and every 16th a Hamming-2 chain tail; the banded join must
+    recover exactly those pairs — and NOT the Hamming-3 chain
+    endpoints."""
     from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
     from fsharp_dataframe_spark.functions.multimodal import (
         dhash_media, make_fake_dhash_media,
@@ -169,7 +171,32 @@ def test_image_near_dup_recovers_planted_twins(spark):
                                  sketch_col="dhash", max_hamming=2)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     exp = {(8 * k + 6, 8 * k + 7): 1 for k in range(8)}
-    assert got == exp
+    exp.update({(16 * k + 7, 16 * k + 12): 2 for k in range(4)})
+    assert got == exp  # (6, 12) etc. — Hamming 3 — must be absent
+
+
+def test_image_dedup_clusters_transitive_closure(spark):
+    """The (i−6, i−5, i) planted chain must collapse into ONE cluster
+    although its endpoints are Hamming 3 — transitivity through the
+    component closure, the thing a pair list alone cannot give."""
+    import __spark_entry__ as entry
+    from fsharp_dataframe_spark.functions.util import release_cached
+
+    try:
+        rows = {r["media_id"]: (r["cluster_id"], r["cluster_size"],
+                                r["is_canonical"])
+                for r in entry._all_queries()["image_dedup_clusters"](
+                    spark, "/root/testdata/sf0.001").collect()}
+    finally:
+        release_cached()
+    # chain {6, 7, 12}: one cluster, canonical = min id
+    assert rows[6] == (6, 3, 1)
+    assert rows[7] == (6, 3, 0)
+    assert rows[12] == (6, 3, 0)
+    # plain twin pair {14, 15}
+    assert rows[14] == (14, 2, 1) and rows[15] == (14, 2, 0)
+    # an untouched image is its own singleton cluster
+    assert rows[0] == (0, 1, 1)
 
 
 def test_image_near_dup_plan_never_cartesian(spark):

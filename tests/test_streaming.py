@@ -1645,7 +1645,8 @@ def test_stream_image_near_dup_matches_batch_pairs(spark, tmp_path):
                                 sketch_col="dhash",
                                 max_hamming=2).collect()}
     assert got == exp
-    assert len(exp) == 8  # the planted twins (64 images / 8)
+    # 8 planted twins (64/8) + 4 planted chain tails (64/16)
+    assert len(exp) == 12
 
 
 def test_stream_image_near_dup_join_state_across_restart(spark, tmp_path):
