@@ -1,0 +1,103 @@
+"""Multimodal dedup job — the round-10 image tier composed end-to-end,
+each stage a scale-audited engine operator:
+
+    media parquet (binary payloads + typed metadata)
+      → metadata sniff     (stdlib container-header parse — mime +
+                            dimensions WITHOUT decoding; the pass that
+                            routes rows to the expensive decode tier)
+      → dHash              (real decode → 64-bit perceptual hash,
+                            Arrow-batched; undecodable rows degrade to
+                            a NULL hash, never an executor exception)
+      → near-dup pairs     (pigeonhole-complete banded Hamming join —
+                            the SimHash band substrate; shuffle key =
+                            (piece, piece-bits), never all-pairs)
+      → duplicate clusters (connected components, min-id canonicals —
+                            transitive chains collapse even when their
+                            endpoints were never a direct pair)
+      → keep-one survivors (filter is_canonical — the corpus that
+                            ships to training)
+
+Run:  python examples/multimodal_dedup.py [sf_dir]
+
+Prints one JSON line per stage — the shape of a nightly image-corpus
+dedup job.  The demo corpus is the engine's executor-generated
+closed-form PNG fixture; on a real corpus, point the reader at your
+payload parquet and the stages are unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark import get_spark
+from fsharp_dataframe_spark.sources.parquet import load_table
+
+
+def run(spark, sf_dir: str) -> dict[str, object]:
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+    from fsharp_dataframe_spark.functions.graph import duplicate_clusters
+    from fsharp_dataframe_spark.functions.multimodal import (
+        dhash_media, make_fake_dhash_media, media_metadata,
+    )
+
+    n = load_table(spark, sf_dir, "documents").count()
+    media = make_fake_dhash_media(spark, n)
+    out: dict[str, object] = {}
+
+    # 1. metadata BEFORE decode: mime/dimension profile at scan speed
+    meta = media_metadata(media)
+    prof = (meta.groupBy("sniff_mime")
+            .agg(F.count("*").alias("n")).collect())
+    out["sniff"] = {str(r["sniff_mime"]): int(r["n"]) for r in prof}
+
+    # 2. perceptual hash over the real decode tier
+    hashes = dhash_media(media)
+    ok = hashes.agg(
+        F.sum(F.col("decode_ok").cast("long")).alias("ok"),
+        F.count("*").alias("n")).first()
+    out["decode"] = {"n": int(ok["n"]), "decode_ok": int(ok["ok"])}
+
+    # 3. near-dup pairs within Hamming 2 (pigeonhole-complete)
+    pairs = banded_hamming_pairs(hashes, id_col="media_id",
+                                 sketch_col="dhash", max_hamming=2)
+    by_h = {int(r["hamming"]): int(r["n"]) for r in
+            pairs.groupBy("hamming").agg(F.count("*").alias("n"))
+            .collect()}
+    out["pairs"] = {"n_pairs": sum(by_h.values()), "by_hamming": by_h}
+
+    # 4. transitive clusters + canonical survivors
+    ids = spark.range(n).select(F.col("id").alias("media_id"))
+    clusters = duplicate_clusters(ids, pairs.select("id_a", "id_b"),
+                                  id_col="media_id")
+    agg = clusters.agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.max("cluster_size").alias("max_size"),
+        F.sum(F.col("is_canonical").cast("long")).alias("survivors"),
+        F.count("*").alias("n")).first()
+    out["clusters"] = {
+        "n_clusters": int(agg["n_clusters"]),
+        "max_cluster_size": int(agg["max_size"]),
+        "survivors": int(agg["survivors"]),
+        "removed": int(agg["n"] - agg["survivors"]),
+    }
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="multimodal-dedup-example",
+                      master="local[8]", shuffle_partitions=8)
+    for stage, payload in run(spark, sf_dir).items():
+        print(json.dumps({"stage": stage, **payload}
+                         if isinstance(payload, dict)
+                         else {"stage": stage, "value": payload}))
+
+
+if __name__ == "__main__":
+    main()

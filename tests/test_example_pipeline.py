@@ -132,3 +132,21 @@ def test_drift_monitoring_end_to_end(spark):
     assert set(waste) == {32, 64, 128}
     # longer contexts waste at least as much padding per doc
     assert waste[128] >= waste[64] >= waste[32] >= 0.0
+
+
+def test_multimodal_dedup_end_to_end(spark):
+    from multimodal_dedup import run
+
+    out = run(spark, "/root/testdata/sf0.001")
+    n = out["decode"]["n"]
+    assert out["sniff"].get("image/png") == n  # all fixture rows sniff PNG
+    assert out["decode"]["decode_ok"] == n     # and all decode
+    # planted twins (n/8) + chain tails (n/16), nothing else
+    assert out["pairs"]["n_pairs"] == n // 8 + n // 16
+    assert out["pairs"]["by_hamming"] == {1: n // 8, 2: n // 16}
+    c = out["clusters"]
+    assert c["max_cluster_size"] == 3          # the transitive chain
+    assert c["survivors"] + c["removed"] == n
+    # every pair member except one canonical per cluster is removed:
+    # chains remove 2 of 3, twin pairs remove 1 of 2
+    assert c["removed"] == 2 * (n // 16) + (n // 8 - n // 16)
