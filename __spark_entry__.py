@@ -2815,7 +2815,7 @@ EXTRA_QUERIES = (
     # round-10 newcomers, held out per the ROUND-11 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r11):
     "tpch_q17", "image_near_dup", "tpch_q18", "ngram_novelty",
-    "image_dedup_clusters")
+    "image_dedup_clusters", "tpch_q22", "containment_pairs")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2962,6 +2962,53 @@ def q_tpch_q18(spark, sf) -> DataFrame:
         F.round("o_totalprice", 2).alias("o_totalprice"),
         F.round(F.col("qu") / 100.0, 2).alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+
+
+def q_tpch_q22(spark, sf) -> DataFrame:
+    """TPC-H Q22 global-customer shape (adapted to the synthetic
+    schema: "no URGENT order" instead of the phone-prefix/no-order
+    predicate, which the dense synthetic orders make empty) — the
+    scalar-subquery + ANTI-join plan class: customers whose balance
+    beats the positive-balance average AND who never placed an urgent
+    order, rolled up per nation.
+
+    100 TB shape: the average is a ONE-ROW aggregate broadcast into
+    the customer scan (never a re-scan per row); the NOT EXISTS is a
+    LEFT ANTI join keyed on custkey (the urgent filter pushes into the
+    orders scan BEFORE the exchange); the rollup is a bounded-key
+    groupBy.  The threshold is the exact integer cross-multiply
+    bal_u · n > Σbal_u (the tpch_q17 discipline), so no borderline
+    customer flips on float association."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    bal_u = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg1 = (c.filter(F.col("c_acctbal") > 0)
+            .agg(F.sum(bal_u).alias("s"), F.count("*").alias("n")))
+    eligible = (c.select("c_custkey", "c_nationkey",
+                         bal_u.alias("bal_u"))
+                .crossJoin(F.broadcast(avg1))
+                .filter(F.col("bal_u") * F.col("n") > F.col("s")))
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    no_urgent = eligible.join(urgent, "c_custkey", "left_anti")
+    return (no_urgent.groupBy("c_nationkey")
+            .agg(F.count("*").alias("numcust"),
+                 F.round(F.sum("bal_u") / 100.0, 2).alias("totacctbal"))
+            .orderBy("c_nationkey"))
+
+
+def q_containment_pairs(spark, sf) -> DataFrame:
+    """Asymmetric n-gram containment dedup
+    (functions/dedup.containment_pairs — Broder 1997's containment
+    next to his resemblance): |A∩B| / min(|A|, |B|) flags a short doc
+    quoted verbatim inside a long one at 1.0 where Jaccard stays tiny.
+    One shingle-keyed self-join over the persisted (id, shingle)
+    relation — the ngram_jaccard exchange discipline."""
+    from fsharp_dataframe_spark.functions.dedup import containment_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return (containment_pairs(docs, threshold=0.8)
+            .orderBy("id_a", "id_b"))
 
 
 def q_ngram_novelty(spark, sf) -> DataFrame:
@@ -3207,6 +3254,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
+        "tpch_q22": q_tpch_q22,
+        "containment_pairs": q_containment_pairs,
         "ngram_novelty": q_ngram_novelty,
         "asof_multikey": q_asof_multikey,
         "psi_drift": q_psi_drift,
@@ -5128,6 +5177,55 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(qu / 100.0, 2) AS sum_qty
             FROM customer JOIN top ON c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        "tpch_q22": """
+            WITH a AS (
+              SELECT sum(round(c_acctbal * 100)::BIGINT)::BIGINT AS s,
+                     count(*)::BIGINT AS n
+              FROM customer WHERE c_acctbal > 0),
+            e AS (
+              SELECT c_custkey, c_nationkey,
+                     round(c_acctbal * 100)::BIGINT AS bal_u
+              FROM customer, a
+              WHERE round(c_acctbal * 100)::BIGINT * n > s)
+            SELECT c_nationkey, count(*)::BIGINT AS numcust,
+                   round(sum(bal_u) / 100.0, 2) AS totacctbal
+            FROM e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = e.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "containment_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       range(0, greatest(len(t) - 3, 0) + 1),
+                       i -> array_to_string(t[i+1 : i+3], ' ')))
+                       AS shingle
+              FROM toks
+              WHERE len(t) >= 3),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh
+                      FROM sh GROUP BY 1),
+            pr AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*)::BIGINT AS inter
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   round(inter::DOUBLE / least(sa.n_sh, sb.n_sh), 4)
+                     AS containment
+            FROM pr JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(inter::DOUBLE / least(sa.n_sh, sb.n_sh), 4)
+                    >= 0.8
+            ORDER BY id_a, id_b
         """,
         "ngram_novelty": """
             WITH toks AS (

@@ -836,3 +836,51 @@ def source_overlap(df: DataFrame, group_col: str = "source",
     return (j.select("source_a", "source_b", "n_shared",
                      F.round(jac, 6).alias("jaccard"))
             .orderBy("source_a", "source_b"))
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs — the sub-document dup
+    detector Jaccard misses: containment(small ⊂ big) =
+    |shingles(a) ∩ shingles(b)| / min(|a|, |b|), so a short document
+    quoted verbatim inside a long one scores 1.0 while its Jaccard is
+    tiny (Broder 1997's containment measure next to his resemblance).
+    The signal that catches wrapper pages, quote farms and
+    re-publications padding a source article.
+
+    Scale shape: identical to ngram_jaccard_pairs' plain path — one
+    shingle-keyed self-join (the join key distributes by shingle hash)
+    over the PERSISTED (id, shingle) relation, per-pair intersection
+    counts, a per-doc size join AQE broadcasts when small.  Docs
+    shorter than one shingle emit nothing (the source_overlap
+    discipline).  For boilerplate-heavy corpora apply the same
+    hot-shingle cap decomposition documented at ngram_jaccard_pairs
+    (inter = inter_subcap + hot correction) — containment's
+    numerator decomposes identically.
+
+    Returns (id_a, id_b, n_a, n_b, containment) with id_a < id_b and
+    containment >= threshold, rounded 4dp.
+    """
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    sh = track_persist(shingle_table(
+        df.filter(F.size(tokens(F.lower(F.col(text_col)))) >= n),
+        id_col, text_col, n))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    pairs = (
+        l.join(r, on="shingle")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                 F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cont = F.round(F.col("inter")
+                   / F.least(F.col("n_a"), F.col("n_b")), 4)
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("containment", cont)
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "n_a", "n_b", "containment"))

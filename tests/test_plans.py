@@ -361,6 +361,9 @@ _AUDIT_ALLOW = {
     # ONE-row final scalar aggregate; the decorrelated subquery side
     # is a broadcast agg-join (pinned by its dedicated plan test)
     "tpch_q17": ("single_partition",),
+    # ONE-row average broadcast cross join (the lang_mix one-row-totals
+    # shape); the NOT EXISTS is an equi LEFT ANTI join, pinned below
+    "tpch_q22": ("cartesian", "single_partition"),
 }
 
 

@@ -260,3 +260,45 @@ def test_ngram_repetition_share_semantics(spark):
         3: (3, 0, 0.0),
         4: (0, 0, None),
     }
+
+
+# ------------------------------------------ tpch_q22 / containment
+
+
+def test_tpch_q22_anti_join_plan(spark):
+    # the scalar-subquery + anti-join class: the one-row average rides
+    # a broadcast, the NOT EXISTS plans as an equi LEFT ANTI join on
+    # custkey with the urgent filter pushed below the exchange
+    import __spark_entry__ as entry
+
+    df = entry._all_queries()["tpch_q22"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan  # pushed filter
+
+
+def test_containment_pairs_semantics(spark):
+    """A short doc quoted inside a long one scores containment 1.0
+    while its Jaccard is small — the sub-document signal."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, quote),
+         (2, f"intro words here {quote} and a very long tail "
+             "of unrelated filler text goes on and on"),
+         (3, "completely different content nothing shared here"),
+         (4, "hi")],  # sub-n doc: contributes nothing
+        "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["containment"])
+            for r in containment_pairs(df, threshold=0.8).collect()}
+    assert set(rows) == {(1, 2)}
+    n_a, n_b, c = rows[(1, 2)]
+    assert n_a == 2 and c == 1.0  # both of doc 1's shingles inside doc 2
+    # and jaccard would NOT flag the pair at the same bar
+    j = {(r["id_a"], r["id_b"]) for r in
+         ngram_jaccard_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) not in j
