@@ -2769,8 +2769,9 @@ def q_transitions(spark, sf) -> DataFrame:
 # round-10 single-scan rewrite (VERDICT r9 ask #5) and source_overlap
 # ON its round-10 phantom-shingle fix (ADVICE r9), so their first
 # driver rows certify the new code.
-# ROUND-11 ROTATION PLAN: the 4 round-10 newcomers (tpch_q17,
-# image_near_dup, tpch_q18, ngram_novelty — held out at the bottom of
+# ROUND-11 ROTATION PLAN: the 7 round-10 newcomers (tpch_q17,
+# image_near_dup, tpch_q18, ngram_novelty, image_dedup_clusters,
+# tpch_q22, containment_pairs — held out at the bottom of
 # EXTRA_QUERIES below, each locally three-SF oracle-green since r10)
 # rotate in next round, swapping out double-green veterans exactly as
 # above.
