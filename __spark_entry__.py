@@ -3004,11 +3004,14 @@ def q_containment_pairs(spark, sf) -> DataFrame:
     next to his resemblance): |A∩B| / min(|A|, |B|) flags a short doc
     quoted verbatim inside a long one at 1.0 where Jaccard stays tiny.
     One shingle-keyed self-join over the persisted (id, shingle)
-    relation — the ngram_jaccard exchange discipline."""
+    relation — the ngram_jaccard exchange discipline, with the same
+    hot-shingle skew cap (r10 VERDICT ask #2: inter = inter_subcap +
+    hot correction, EXACT over the full sets, so the oracle is
+    unchanged; the cap only bounds candidate-generation fan-out)."""
     from fsharp_dataframe_spark.functions.dedup import containment_pairs
 
     docs = load_table(spark, sf, "documents")
-    return (containment_pairs(docs, threshold=0.8)
+    return (containment_pairs(docs, threshold=0.8, max_doc_freq=10_000)
             .orderBy("id_a", "id_b"))
 
 

@@ -575,6 +575,40 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return g.select(F.col(id_col), sketch.alias("sh"))
 
 
+def pigeonhole_pieces(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) cuts for pigeonhole Hamming banding: the sketch
+    splits into ``max_hamming + 1`` disjoint pieces so any pair within
+    the bound shares >= 1 equal piece.  Fail-fast validation (the
+    _uniform_bin discipline): a plan-build ValueError beats the opaque
+    executor-side LongType overflow ``F.lit(1 << 64)`` used to raise
+    for the max_hamming=0 full-width piece (ADVICE r10)."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if max_hamming + 1 > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {max_hamming + 1} pieces "
+            f"but the sketch has only {bits} bits")
+    n_pieces = max_hamming + 1
+    widths = [bits // n_pieces + (1 if i < bits % n_pieces else 0)
+              for i in range(n_pieces)]
+    offs, o = [], 0
+    for w in widths:
+        offs.append((o, w))
+        o += w
+    return offs
+
+
+def piece_expr(col, off: int, w: int):
+    """Extract the ``w``-bit piece at ``off`` of a long sketch column.
+    A 64-bit-wide piece (max_hamming=0) is the column itself — the
+    mask (1<<64)-1 would overflow LongType at plan build, and masking
+    the full width is the identity anyway."""
+    x = F.shiftright(col, off) if off else col
+    return x if w >= 64 else x.bitwiseAND(F.lit((1 << w) - 1))
+
+
 def banded_hamming_pairs(sketches: DataFrame, id_col: str = "doc_id",
                          sketch_col: str = "sh",
                          max_hamming: int = 8,
@@ -592,13 +626,7 @@ def banded_hamming_pairs(sketches: DataFrame, id_col: str = "doc_id",
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
-    n_pieces = max_hamming + 1
-    widths = [bits // n_pieces + (1 if i < bits % n_pieces else 0)
-              for i in range(n_pieces)]
-    offs, o = [], 0
-    for w in widths:
-        offs.append((o, w))
-        o += w
+    offs = pigeonhole_pieces(bits, max_hamming)
     from fsharp_dataframe_spark.functions.util import track_persist
 
     # (id, sh) is one long per row: materialize so both sides of the
@@ -610,8 +638,7 @@ def banded_hamming_pairs(sketches: DataFrame, id_col: str = "doc_id",
     quarters = sh.select(
         id_col, "sh",
         F.posexplode(F.array(*[
-            F.shiftright(F.col("sh"), off).bitwiseAND(F.lit((1 << w) - 1))
-            for off, w in offs
+            piece_expr(F.col("sh"), off, w) for off, w in offs
         ])).alias("q", "qv"),
     )
     l, r = quarters.alias("l"), quarters.alias("r")
@@ -840,7 +867,8 @@ def source_overlap(df: DataFrame, group_col: str = "source",
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_doc_freq: int | None = None) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs — the sub-document dup
     detector Jaccard misses: containment(small ⊂ big) =
     |shingles(a) ∩ shingles(b)| / min(|a|, |b|), so a short document
@@ -854,10 +882,29 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     over the PERSISTED (id, shingle) relation, per-pair intersection
     counts, a per-doc size join AQE broadcasts when small.  Docs
     shorter than one shingle emit nothing (the source_overlap
-    discipline).  For boilerplate-heavy corpora apply the same
-    hot-shingle cap decomposition documented at ngram_jaccard_pairs
-    (inter = inter_subcap + hot correction) — containment's
-    numerator decomposes identically.
+    discipline).
+
+    ``max_doc_freq`` is the hot-shingle skew guard — MORE important
+    here than for Jaccard, because the sub-document regime this
+    operator targets (wrapper pages, quote farms, boilerplate-padded
+    republications) is exactly the regime where one shared legal
+    footer joins 1M documents on a single shingle key (5·10¹¹ rows in
+    one bucket).  Same EXACT decomposition as ngram_jaccard_pairs
+    (dedup.py ngram_jaccard_pairs guarded path): shingles hotter than
+    the cap are excluded from CANDIDATE GENERATION only, and the
+    numerator is recovered exactly as
+    ``inter = inter_subcap + |hot(a) ∩ hot(b)|`` via per-doc
+    hot-shingle arrays (bytes per doc by construction).  Containment
+    has no union term, so only the numerator decomposes — strictly
+    simpler than Jaccard's.  The denominator min(|a|, |b|) always uses
+    FULL set sizes, so every emitted containment is exact over the
+    full shingle sets.  Recall contract: a pair is found iff it shares
+    at least one sub-cap shingle — a pair whose entire overlap is
+    boilerplate hotter than the cap is not a containment dup worth
+    pairing.  When no shingle exceeds the cap (the clean common case)
+    an emptiness probe over the already-persisted shingle relation
+    falls through to the plain plan, so the guard costs one small
+    aggregate, not two anti-joins.
 
     Returns (id_a, id_b, n_a, n_b, containment) with id_a < id_b and
     containment >= threshold, rounded 4dp.
@@ -868,6 +915,45 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         df.filter(F.size(tokens(F.lower(F.col(text_col)))) >= n),
         id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+
+    if max_doc_freq is not None:
+        hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_doc_freq).select("shingle"))
+        if not hot.isEmpty():
+            # guarded EXACT path: capped self-join for the sub-cap
+            # intersection, tiny per-doc hot arrays for the correction
+            capped = track_persist(sh.join(hot, on="shingle",
+                                           how="left_anti"))
+            l, r = capped.alias("l"), capped.alias("r")
+            pairs = (
+                l.join(r, on="shingle")
+                .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+                .groupBy(F.col(f"l.{id_col}").alias("id_a"),
+                         F.col(f"r.{id_col}").alias("id_b"))
+                .agg(F.count("*").alias("_inter_sub"))
+            )
+            hot_arrays = (sh.join(hot, on="shingle")
+                          .groupBy(id_col)
+                          .agg(F.collect_list("shingle").alias("_hot")))
+            empty = F.array().cast("array<string>")
+            ha = hot_arrays.select(F.col(id_col).alias("id_a"),
+                                   F.col("_hot").alias("_hot_a"))
+            hb = hot_arrays.select(F.col(id_col).alias("id_b"),
+                                   F.col("_hot").alias("_hot_b"))
+            inter = (F.col("_inter_sub")
+                     + F.size(F.array_intersect(
+                         F.coalesce(F.col("_hot_a"), empty),
+                         F.coalesce(F.col("_hot_b"), empty))))
+            cont = F.round(inter / F.least(F.col("n_a"), F.col("n_b")), 4)
+            return (
+                pairs.join(ha, "id_a", "left").join(hb, "id_b", "left")
+                .join(sa, "id_a").join(sb, "id_b")
+                .withColumn("containment", cont)
+                .filter(F.col("containment") >= threshold)
+                .select("id_a", "id_b", "n_a", "n_b", "containment")
+            )
     l, r = sh.alias("l"), sh.alias("r")
     pairs = (
         l.join(r, on="shingle")
@@ -876,8 +962,6 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
                  F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     cont = F.round(F.col("inter")
                    / F.least(F.col("n_a"), F.col("n_b")), 4)
     return (pairs.join(sa, "id_a").join(sb, "id_b")

@@ -1649,20 +1649,19 @@ def stream_image_near_dup(sdf: DataFrame, id_col: str = "media_id",
                        else _dhash_from_gray(arr))
         return pd.Series(out, dtype="Int64")
 
-    n_pieces = max_hamming + 1
-    widths = [64 // n_pieces + (1 if i < 64 % n_pieces else 0)
-              for i in range(n_pieces)]
-    offs, o = [], 0
-    for w in widths:
-        offs.append((o, w))
-        o += w
+    from fsharp_dataframe_spark.functions.dedup import (
+        piece_expr, pigeonhole_pieces,
+    )
+
+    # shared banding substrate: validated cuts + the w=64 full-width
+    # piece handled without the LongType mask overflow (ADVICE r10)
+    offs = pigeonhole_pieces(64, max_hamming)
     banded = (sdf.select(F.col(id_col), F.col(ts_col),
                          dh(F.col(payload_col)).alias("sh"))
               .filter(F.col("sh").isNotNull())
               .select(id_col, ts_col, "sh",
                       F.posexplode(F.array(*[
-                          F.shiftright(F.col("sh"), off)
-                          .bitwiseAND(F.lit((1 << w) - 1))
+                          piece_expr(F.col("sh"), off, w)
                           for off, w in offs
                       ])).alias("q", "qv"))
               .withWatermark(ts_col, watermark))

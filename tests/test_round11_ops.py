@@ -1,0 +1,119 @@
+"""Round-11 pins: the r10 VERDICT asks (containment hot-shingle cap,
+Q21-style multi-EXISTS plan class, batch incremental image near-dup,
+stream_vocab_divergence) and the r10 ADVICE fixes (centroid-drift
+label dtype, banded_hamming max_hamming=0 validation, int8 overflow
+accounting)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- containment guard
+
+
+def test_containment_guard_contract(spark):
+    """r10 VERDICT ask #2 + 'What's wrong' #2: the hot-shingle cap must
+    (a) keep every emitted containment EXACT over the FULL shingle
+    sets, (b) still find pairs whose overlap includes boilerplate
+    (the hot correction), (c) not feed the quadratic boilerplate
+    buckets into candidate generation."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        containment_pairs, shingle_table,
+    )
+
+    boiler = "this page is served by the example content network inc"
+    rows = []
+    for i in range(40):
+        body = f"article number {i} body " + " ".join(
+            f"c{i}w{j}" for j in range(10))
+        rows.append((i, boiler + " " + body))
+    # planted containments: the core of doc i quoted inside a wrapper
+    for i in range(4):
+        rows.append((100 + i, rows[i][1] + " extra wrapper padding "
+                     + " ".join(f"p{i}q{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    exact = {(r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["containment"])
+             for r in containment_pairs(docs, threshold=0.9).collect()}
+    guarded = {(r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["containment"])
+               for r in containment_pairs(docs, threshold=0.9,
+                                          max_doc_freq=10).collect()}
+    planted = {(i, 100 + i) for i in range(4)}
+    assert planted <= set(exact)
+    # the corpus must actually contain above-cap shingles (else this
+    # test exercises nothing)
+    sh = shingle_table(docs)
+    hot_n = (sh.groupBy("shingle").count()
+             .filter(F.col("count") > 10).count())
+    assert hot_n > 0, "fixture must contain hot shingles"
+    # guarded = exact on every pair it emits, full-set sizes included
+    assert set(guarded) == set(exact)
+    for k, v in guarded.items():
+        assert exact[k] == v
+    assert planted <= set(guarded)
+
+
+def test_containment_guard_empty_hot_fast_path(spark):
+    """A generous cap on a clean corpus must not change results (the
+    adaptive emptiness probe falls through to the plain plan)."""
+    from fsharp_dataframe_spark.functions.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, quote),
+         (2, f"wrapper start {quote} wrapper end with long tail "
+             "of filler text that keeps going for a while"),
+         (3, "unrelated content that matches nothing else here")],
+        "doc_id long, text string")
+    plain = {(r["id_a"], r["id_b"]): r["containment"]
+             for r in containment_pairs(docs, threshold=0.8).collect()}
+    guarded = {(r["id_a"], r["id_b"]): r["containment"]
+               for r in containment_pairs(docs, threshold=0.8,
+                                          max_doc_freq=1000).collect()}
+    assert plain == guarded and (1, 2) in plain
+
+
+# --------------------------------------------- banded hamming edges
+
+
+def test_banded_hamming_zero_bound(spark):
+    """ADVICE r10: max_hamming=0 means ONE full-width piece; the old
+    mask F.lit((1 << 64) - 1) overflowed LongType at plan build.  Now
+    it degrades to an exact-sketch equality join."""
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(0, 7), (1, 7), (2, -5), (3, -5), (4, 12)],
+        "doc_id long, sh long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in banded_hamming_pairs(df, max_hamming=0).collect()}
+    assert got == {(0, 1): 0, (2, 3): 0}
+
+
+def test_pigeonhole_validation_fail_fast(spark):
+    from fsharp_dataframe_spark.functions.dedup import pigeonhole_pieces
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        pigeonhole_pieces(64, -1)
+    with pytest.raises(ValueError, match="bits"):
+        pigeonhole_pieces(0, 0)
+    with pytest.raises(ValueError, match="pieces"):
+        pigeonhole_pieces(8, 8)
+    # full coverage of the cut arithmetic at the edges
+    assert pigeonhole_pieces(64, 0) == [(0, 64)]
+    offs = pigeonhole_pieces(64, 2)
+    assert offs == [(0, 22), (22, 21), (43, 21)]
+
+
+def test_stream_image_near_dup_zero_bound_builds(spark):
+    """The streaming twin shares the validated substrate: a
+    max_hamming=0 plan must BUILD (no LongType overflow)."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        piece_expr, pigeonhole_pieces,
+    )
+
+    offs = pigeonhole_pieces(64, 0)
+    df = spark.createDataFrame([(1, 7)], "id long, sh long")
+    got = df.select(*[piece_expr(F.col("sh"), o, w).alias(f"p{i}")
+                      for i, (o, w) in enumerate(offs)]).first()
+    assert got["p0"] == 7
