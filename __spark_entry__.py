@@ -2816,7 +2816,9 @@ EXTRA_QUERIES = (
     # round-10 newcomers, held out per the ROUND-11 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r11):
     "tpch_q17", "image_near_dup", "tpch_q18", "ngram_novelty",
-    "image_dedup_clusters", "tpch_q22", "containment_pairs")
+    "image_dedup_clusters", "tpch_q22", "containment_pairs",
+    # round-11 newcomers (held out for the r12 rotation):
+    "tpch_q21")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2996,6 +2998,63 @@ def q_tpch_q22(spark, sf) -> DataFrame:
             .agg(F.count("*").alias("numcust"),
                  F.round(F.sum("bal_u") / 100.0, 2).alias("totacctbal"))
             .orderBy("c_nationkey"))
+
+
+def q_tpch_q21(spark, sf) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted to the
+    synthetic schema: "late" = returned line, l_returnflag = 'R',
+    since the synthetic lineitem has no receipt/commit dates) — the
+    multi-EXISTS plan class (r10 VERDICT ask #3): for each returned
+    line l1 of supplier s on a finished order, EXISTS another
+    supplier's line on the SAME order (multi-supplier order) and NOT
+    EXISTS another supplier's RETURNED line (s is the only offender).
+
+    Two correlated existentials over the SAME fact relation is the
+    trap: naively each becomes its own lineitem self-shuffle (three
+    scans, three exchanges of the 100 TB table).  Decorrelated the way
+    a 1000-executor plan wants it, BOTH existentials collapse into ONE
+    per-(order, supplier) rollup:
+
+    1. lineitem aggregates ONCE on (l_orderkey, l_suppkey) — map-side
+       combine, ONE exchange and ONE scan of the fact table (the plan
+       pin asserts exactly one lineitem scan survives in the final
+       plan — a self-join decorrelation plants two, because the two
+       consumers' pruned subtrees diverge and defeat ReuseExchange);
+    2. EXISTS(other supplier)      ⟺ the order's rollup has >= 2 rows;
+       NOT EXISTS(other offender)  ⟺ exactly 1 rollup row has a
+       returned line — BOTH fall out of a single window pass
+       (count + sum over partitionBy(l_orderkey)) on the
+       ALREADY-COLLAPSED relation: no join back, no second subtree,
+       one exchange of the rollup (orders × suppliers-per-order grain,
+       a small fraction of lineitem);
+    3. the surviving offender rows join the 'F'-filtered orders on the
+       SAME l_orderkey partitioning, and the supplier name arrives by
+       broadcast at the very end, after all reduction.
+
+    numwait counts qualifying l1 ROWS (n_late_lines per rollup row),
+    matching the correlated SQL exactly."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    o = (load_table(spark, sf, "orders")
+         .filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    late = (F.col("l_returnflag") == "R").cast("int")
+    per_supp = (li.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max(late).alias("has_late"),
+                     F.sum(late).alias("n_late_lines")))
+    w = Window.partitionBy("l_orderkey")
+    waiting = (per_supp
+               .withColumn("n_supp", F.count("*").over(w))
+               .withColumn("n_late_supp", F.sum("has_late").over(w))
+               .filter((F.col("has_late") == 1)
+                       & (F.col("n_supp") >= 2)
+                       & (F.col("n_late_supp") == 1)))
+    j = waiting.join(o, waiting["l_orderkey"] == o["o_orderkey"])
+    return (j.join(F.broadcast(s), j["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.sum("n_late_lines").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name"))
 
 
 def q_containment_pairs(spark, sf) -> DataFrame:
@@ -3258,6 +3317,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
+        "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "containment_pairs": q_containment_pairs,
         "ngram_novelty": q_ngram_novelty,
@@ -5181,6 +5241,29 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(qu / 100.0, 2) AS sum_qty
             FROM customer JOIN top ON c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        # the adapted Q21 correlated form verbatim — DuckDB evaluates
+        # the two existentials directly, pinning the decorrelated
+        # rollup equivalence (EXISTS other supplier ⟺ n_supp >= 2;
+        # NOT EXISTS other offender ⟺ n_late_supp == 1)
+        "tpch_q21": """
+            WITH l1 AS (SELECT * FROM lineitem WHERE l_returnflag = 'R')
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM l1
+            JOIN orders ON o_orderkey = l_orderkey
+                       AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
         """,
         "tpch_q22": """
             WITH a AS (

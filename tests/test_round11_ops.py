@@ -73,6 +73,78 @@ def test_containment_guard_empty_hot_fast_path(spark):
     assert plain == guarded and (1, 2) in plain
 
 
+# ------------------------------------------------------ tpch q21
+
+
+def test_tpch_q21_both_existentials_one_lineitem_scan(spark):
+    """The multi-EXISTS decorrelation contract (r10 VERDICT ask #3):
+    both correlated existentials must ride ONE scan + ONE exchange of
+    the fact table — a self-join decorrelation plants a second
+    lineitem subtree (pruned-filter divergence defeats ReuseExchange),
+    which this pin would catch."""
+    import re
+
+    import __spark_entry__ as entry
+
+    df = entry._all_queries()["tpch_q21"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
+    assert plan.count("Window") == 1  # both existentials in one pass
+    assert "SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q21_semantics_planted(spark):
+    """Hand-built corpus covering every qualification arm: the lone
+    offender on a multi-supplier order counts; single-supplier orders,
+    multi-offender orders, non-'F' orders and clean suppliers don't."""
+    import __spark_entry__ as entry
+    from pyspark.sql import Row
+
+    # order 1: supp 10 returned + supp 11 clean, status F -> 10 waits
+    # order 2: supp 10 returned, sole supplier, F        -> no (no EXISTS)
+    # order 3: supp 10 + supp 11 both returned, F        -> no (NOT EXISTS fails)
+    # order 4: supp 11 returned + supp 10 clean, status O -> no ('F' only)
+    # order 5: supp 12 returned twice + supp 10 clean, F -> 12 waits 2x
+    li = spark.createDataFrame(
+        [(1, 10, "R"), (1, 11, "N"),
+         (2, 10, "R"),
+         (3, 10, "R"), (3, 11, "R"),
+         (4, 11, "R"), (4, 10, "N"),
+         (5, 12, "R"), (5, 12, "R"), (5, 10, "N")],
+        "l_orderkey long, l_suppkey long, l_returnflag string")
+    o = spark.createDataFrame(
+        [(1, "F"), (2, "F"), (3, "F"), (4, "O"), (5, "F")],
+        "o_orderkey long, o_orderstatus string")
+    s = spark.createDataFrame(
+        [(10, "SuppA"), (11, "SuppB"), (12, "SuppC")],
+        "s_suppkey long, s_name string")
+
+    import fsharp_dataframe_spark  # noqa: F401  (same session confs)
+    # replay the registered query's logic on the fixture tables
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    late = (FF.col("l_returnflag") == "R").cast("int")
+    per_supp = (li.groupBy("l_orderkey", "l_suppkey")
+                .agg(FF.max(late).alias("has_late"),
+                     FF.sum(late).alias("n_late_lines")))
+    w = Window.partitionBy("l_orderkey")
+    waiting = (per_supp
+               .withColumn("n_supp", FF.count("*").over(w))
+               .withColumn("n_late_supp", FF.sum("has_late").over(w))
+               .filter((FF.col("has_late") == 1)
+                       & (FF.col("n_supp") >= 2)
+                       & (FF.col("n_late_supp") == 1)))
+    j = waiting.join(o.filter(FF.col("o_orderstatus") == "F"),
+                     waiting["l_orderkey"] == FF.col("o_orderkey"))
+    got = {r["s_name"]: r["numwait"] for r in
+           j.join(s, j["l_suppkey"] == s["s_suppkey"])
+            .groupBy("s_name").agg(FF.sum("n_late_lines").alias("numwait"))
+            .collect()}
+    assert got == {"SuppA": 1, "SuppC": 2}
+
+
 # --------------------------------------------- banded hamming edges
 
 
