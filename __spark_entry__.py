@@ -1512,6 +1512,42 @@ def q_image_dedup_clusters(spark, sf) -> DataFrame:
                           F.col("is_canonical").cast("long"))
 
 
+def q_image_incr_dedup(spark, sf) -> DataFrame:
+    """Batch INCREMENTAL image near-dup (r10 VERDICT ask #4): every
+    fifth image of the closed-form dHash fixture plays a nightly
+    ingest batch, deduplicated against the other 80% playing the
+    landed corpus (an INTERLEAVED split — a contiguous one puts every
+    planted twin pair on one side and the query returns 0 rows,
+    pinning nothing) —
+    dedup.cross_banded_hamming_pairs, the directional piece join whose
+    candidate space is new×existing co-occurrence (the corpus side is
+    NEVER self-joined; re-ingesting a batch is |new|-bounded work
+    however large the corpus grew, mirroring cross_near_dup_pairs).
+
+    100 TB shape: ONE Arrow decode pass over the fixture (persisted,
+    both sides read the cache — in production the corpus side is a
+    stored hamming_piece_table parquet), (piece, piece-bits) shuffle
+    keys, popcount verification before the pair dedup.  The oracle
+    replays pattern, split, banding and popcount verbatim."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        cross_banded_hamming_pairs,
+    )
+    from fsharp_dataframe_spark.functions.multimodal import (
+        dhash_media, make_fake_dhash_media,
+    )
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    n = load_table(spark, sf, "documents").count()
+    hashes = track_persist(dhash_media(make_fake_dhash_media(spark, n)))
+    new_h = hashes.filter(F.col("media_id") % 5 == 4)
+    old_h = hashes.filter(F.col("media_id") % 5 != 4)
+    pairs = cross_banded_hamming_pairs(new_h, old_h, id_col="media_id",
+                                       sketch_col="dhash", max_hamming=2)
+    return (pairs.select("new_id", "old_id",
+                         F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("new_id", "old_id"))
+
+
 def q_hard_negatives(spark, sf) -> DataFrame:
     """Hard-negative mining (similarity.hard_negatives, the DPR §5.2 /
     triplet-loss negatives pass): for every embedding, its 3 most
@@ -2818,7 +2854,7 @@ EXTRA_QUERIES = (
     "tpch_q17", "image_near_dup", "tpch_q18", "ngram_novelty",
     "image_dedup_clusters", "tpch_q22", "containment_pairs",
     # round-11 newcomers (held out for the r12 rotation):
-    "tpch_q21")
+    "tpch_q21", "image_incr_dedup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3273,6 +3309,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": q_media_png_decode,
         "image_near_dup": q_image_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
+        "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
         "hybrid_search": q_hybrid_search,
         "dedup_clusters": q_dedup_clusters,
@@ -4679,6 +4716,41 @@ def _all_oracle_sql() -> dict[str, str]:
                     ON a.q = b2.q AND a.qv = b2.qv AND a.id < b2.id)
             SELECT id_a, id_b, hamming FROM c
             WHERE hamming <= 2 ORDER BY id_a, id_b
+        """,
+        # directional replay of the image_near_dup fixture: every 5th
+        # id (the "new batch") banded-joined against the rest (the
+        # "landed corpus") — a.id%5=4, b.id%5<>4, no old×old or
+        # new×new pair by construction
+        "image_incr_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            b AS (SELECT j, ('0x' || substr(md5(j::VARCHAR), 1, 15))::BIGINT
+                         AS bv
+                  FROM m),
+            p AS (SELECT j AS id,
+                         CASE WHEN j % 16 = 12 THEN
+                           xor(xor(xor(lag(bv, 6) OVER (ORDER BY j),
+                                       (1::BIGINT << ((j - 5) % 60))),
+                                   (1::BIGINT << ((j + 11) % 60))),
+                               (1::BIGINT << ((j + 37) % 60)))
+                         WHEN j % 8 = 7 THEN
+                           xor(lag(bv, 1) OVER (ORDER BY j),
+                               (1::BIGINT << (j % 60)))
+                         ELSE bv END AS sh
+                  FROM b),
+            q AS (SELECT id, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            c AS (SELECT DISTINCT a.id AS new_id, b2.id AS old_id,
+                         bit_count(xor(a.sh, b2.sh))::BIGINT AS hamming
+                  FROM q a JOIN q b2
+                    ON a.q = b2.q AND a.qv = b2.qv
+                  WHERE a.id % 5 = 4 AND b2.id % 5 <> 4)
+            SELECT new_id, old_id, hamming FROM c
+            WHERE hamming <= 2 ORDER BY new_id, old_id
         """,
         # same closed-form pairs as image_near_dup, closed transitively
         # by a recursive CTE (the dedup_clusters closure pattern)

@@ -657,6 +657,76 @@ def banded_hamming_pairs(sketches: DataFrame, id_col: str = "doc_id",
     )
 
 
+def hamming_piece_table(sketches: DataFrame, id_col: str = "doc_id",
+                        sketch_col: str = "sh",
+                        max_hamming: int = 8,
+                        bits: int = 64) -> DataFrame:
+    """(id, sh, q, qv) exploded pigeonhole-piece relation for a sketch
+    column — the PERSISTABLE half of banded Hamming join pipelines: a
+    nightly image-ingest job writes this once for the landed corpus
+    (partitioned by q, or bucketed by (q, qv)) and every new batch
+    joins against the stored table without re-hashing or re-exploding
+    the corpus.  Piece cuts are validated (pigeonhole_pieces) and the
+    NULL sketches rows no decoder could produce are dropped."""
+    offs = pigeonhole_pieces(bits, max_hamming)
+    return (sketches.select(F.col(id_col),
+                            F.col(sketch_col).alias("sh"))
+            .filter(F.col("sh").isNotNull())
+            .select(id_col, "sh",
+                    F.posexplode(F.array(*[
+                        piece_expr(F.col("sh"), off, w) for off, w in offs
+                    ])).alias("q", "qv")))
+
+
+def cross_banded_hamming_pairs(new: DataFrame, existing: DataFrame,
+                               id_col: str = "doc_id",
+                               sketch_col: str = "sh",
+                               max_hamming: int = 8,
+                               bits: int = 64,
+                               existing_is_piece_table: bool = False
+                               ) -> DataFrame:
+    """DIRECTIONAL banded Hamming pairs between a NEW batch of sketches
+    and a LANDED corpus (r10 VERDICT ask #4) — the image face of
+    cross_near_dup_pairs: a nightly ingest must near-dedup fresh
+    images against everything already landed WITHOUT re-running the
+    corpus self-join.  The candidate space is new×existing piece
+    co-occurrence — the existing side is never self-joined, so
+    re-ingesting a batch is |new|-bounded work however large the
+    corpus grew (reference alignment discipline:
+    src/JoinHelpers.fs:42-53 — restrict to the relevant range before
+    joining).
+
+    Pigeonhole-complete for the bound: both sides cut into
+    ``max_hamming + 1`` disjoint pieces (shared validated substrate,
+    pigeonhole_pieces), any pair within the bound collides in >= 1
+    piece, popcount verifies BEFORE the pair dedup (the
+    banded_hamming_pairs ordering — collisions shrink to actual
+    near-dups before the dedup shuffle).
+
+    ``existing_is_piece_table``: pass True when ``existing`` is a
+    stored hamming_piece_table relation (the production shape — the
+    corpus piece table persists across ingests; shuffle keys (q, qv)
+    stay uniform for hash-like sketches).
+
+    Returns (new_id, old_id, hamming) — no id ordering: the sides are
+    distinct relations, and every emitted row means "this NEW item
+    duplicates something ALREADY LANDED"."""
+    npc = hamming_piece_table(new, id_col, sketch_col, max_hamming, bits)
+    opc = (existing if existing_is_piece_table
+           else hamming_piece_table(existing, id_col, sketch_col,
+                                    max_hamming, bits))
+    l, r = npc.alias("l"), opc.alias("r")
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    return (
+        l.join(r, on=["q", "qv"])
+        .select(F.col(f"l.{id_col}").alias("new_id"),
+                F.col(f"r.{id_col}").alias("old_id"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "old_id"])
+    )
+
+
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 8, hash_family: str = "xxh64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — the text face of

@@ -104,3 +104,30 @@ def test_oracle_dtype_kinds_match_spark(spark, con, name):
                 f"spark={stypes[col].simpleString()} — the driver's exact "
                 f"hasher will mismatch")
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ----------------------------------------------------------------------
+# Value-level gate for the CURRENT round's newcomers (r10 VERDICT ask
+# #7): the schema-kind lint above catches int-vs-float drift without
+# executing, but an oracle whose VALUES diverge (wrong cast inside an
+# expression, off-by-one in a closed-form replay) only surfaced in the
+# full check_oracle sweep — 20 minutes in.  This runs the full
+# compare() contract (row count + columns + exact values) at sf0.001
+# for each newcomer, so a broken new oracle fails in seconds inside
+# the normal suite.  Update the list each round when queries are added.
+
+_ROUND_NEWCOMERS = ["tpch_q21", "image_incr_dedup"]
+
+
+@pytest.mark.parametrize("name", _ROUND_NEWCOMERS)
+def test_newcomer_values_match_oracle(spark, con, name):
+    from fsharp_dataframe_spark.functions.util import release_cached
+    from tools.check_oracle import compare
+
+    try:
+        sdf = _ALL_QUERIES[name](spark, SF).toPandas()
+    finally:
+        release_cached()
+    odf = con.execute(_ALL_ORACLES[name]).df()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: " + "; ".join(problems)

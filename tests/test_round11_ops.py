@@ -145,6 +145,78 @@ def test_tpch_q21_semantics_planted(spark):
     assert got == {"SuppA": 1, "SuppC": 2}
 
 
+# -------------------------------------- incremental image near-dup
+
+
+def test_cross_banded_hamming_directional_guard(spark):
+    """The corpus side must NEVER self-pair: two existing sketches at
+    Hamming 0 of each other produce no output row when nothing in the
+    new batch is near them — and new×new must not pair either."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        cross_banded_hamming_pairs,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, 0x0F0F), (2, 0x0F0F),        # exact dups of each other
+         (3, 0x7777000012340000)],
+        "media_id long, sh long")
+    new = spark.createDataFrame(
+        [(10, 0x00FF), (11, 0x00FF)],     # new×new exact dups
+        "media_id long, sh long")
+    got = cross_banded_hamming_pairs(new, existing, id_col="media_id",
+                                     max_hamming=2).collect()
+    assert got == []  # no old×old, no new×new
+
+    # and a genuine new→old near-dup IS found, with the exact distance
+    new2 = spark.createDataFrame(
+        [(10, 0x0F0F ^ (1 << 40))], "media_id long, sh long")
+    got2 = {(r["new_id"], r["old_id"]): r["hamming"]
+            for r in cross_banded_hamming_pairs(
+                new2, existing, id_col="media_id", max_hamming=2).collect()}
+    assert got2 == {(10, 1): 1, (10, 2): 1}
+
+
+def test_cross_banded_hamming_piece_table_path(spark):
+    """The production shape — a persisted hamming_piece_table for the
+    landed corpus — must give identical pairs to the sketch path."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        cross_banded_hamming_pairs, hamming_piece_table,
+    )
+
+    existing = spark.createDataFrame(
+        [(i, (0x1234_5678_9ABC << 4) ^ i) for i in range(8)],
+        "media_id long, sh long")
+    new = spark.createDataFrame(
+        [(100, 0x1234_5678_9ABC0 ^ 3)], "media_id long, sh long")
+    direct = {(r["new_id"], r["old_id"]): r["hamming"]
+              for r in cross_banded_hamming_pairs(
+                  new, existing, id_col="media_id",
+                  max_hamming=2).collect()}
+    pieces = hamming_piece_table(existing, id_col="media_id",
+                                 max_hamming=2)
+    via_table = {(r["new_id"], r["old_id"]): r["hamming"]
+                 for r in cross_banded_hamming_pairs(
+                     new, pieces, id_col="media_id", max_hamming=2,
+                     existing_is_piece_table=True).collect()}
+    assert direct == via_table and direct
+
+
+def test_image_incr_dedup_plan_never_cartesian(spark):
+    import __spark_entry__ as entry
+    from fsharp_dataframe_spark.functions.util import release_cached
+
+    try:
+        df = entry._all_queries()["image_incr_dedup"](
+            spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_cached()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one decode pass: both split sides read the persisted hash table
+    assert plan.count("InMemoryTableScan") == 2
+
+
 # --------------------------------------------- banded hamming edges
 
 
