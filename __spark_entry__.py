@@ -1467,11 +1467,11 @@ def q_image_near_dup(spark, sf) -> DataFrame:
     (piece, piece-bits) shuffle keys — never all-pairs."""
     from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
     from fsharp_dataframe_spark.functions.multimodal import (
-        dhash_media, make_fake_dhash_media,
+        cached_dhash_media, dhash_media,
     )
 
     n = load_table(spark, sf, "documents").count()
-    media = make_fake_dhash_media(spark, n)
+    media = cached_dhash_media(spark, n)
     hashes = dhash_media(media)
     pairs = banded_hamming_pairs(hashes, id_col="media_id",
                                  sketch_col="dhash", max_hamming=2)
@@ -1498,11 +1498,11 @@ def q_image_dedup_clusters(spark, sf) -> DataFrame:
     from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
     from fsharp_dataframe_spark.functions.graph import duplicate_clusters
     from fsharp_dataframe_spark.functions.multimodal import (
-        dhash_media, make_fake_dhash_media,
+        cached_dhash_media, dhash_media,
     )
 
     n = load_table(spark, sf, "documents").count()
-    hashes = dhash_media(make_fake_dhash_media(spark, n))
+    hashes = dhash_media(cached_dhash_media(spark, n))
     pairs = banded_hamming_pairs(hashes, id_col="media_id",
                                  sketch_col="dhash",
                                  max_hamming=2).select("id_a", "id_b")
@@ -1533,12 +1533,12 @@ def q_image_incr_dedup(spark, sf) -> DataFrame:
         cross_banded_hamming_pairs,
     )
     from fsharp_dataframe_spark.functions.multimodal import (
-        dhash_media, make_fake_dhash_media,
+        cached_dhash_media, dhash_media,
     )
     from fsharp_dataframe_spark.functions.util import track_persist
 
     n = load_table(spark, sf, "documents").count()
-    hashes = track_persist(dhash_media(make_fake_dhash_media(spark, n)))
+    hashes = track_persist(dhash_media(cached_dhash_media(spark, n)))
     new_h = hashes.filter(F.col("media_id") % 5 == 4)
     old_h = hashes.filter(F.col("media_id") % 5 != 4)
     pairs = cross_banded_hamming_pairs(new_h, old_h, id_col="media_id",

@@ -130,6 +130,18 @@ ACCOUNTING_CHANGES = [
                "one-sided noise LOWER than r9 on the heavy tail; both "
                "raw runs are listed under 'Repeated heavy-tail "
                "queries' in these notes."},
+    {"round": 11, "queries": ["image_near_dup", "image_dedup_clusters",
+                              "image_incr_dedup"],
+     "change": "the closed-form dHash PNG fixture now comes from a "
+               "write-once parquet cache built during bench warm-up "
+               "(r10 VERDICT ask #5: the pure-Python PNG encode of the "
+               "5,000-image fixture dominated two top-five entries — "
+               "r10's image_dedup_clusters 3.44s / image_near_dup "
+               "2.09s tracked stdlib zlib throughput, masking the "
+               "operator underneath).  Entries now measure Arrow "
+               "decode + banded join + closure; fixture-encode "
+               "seconds are reported separately in these notes.  "
+               "Totals on these queries are NOT comparable to r10."},
     {"round": 8, "queries": ["ewma", "fill_linear", "chunk_sum",
                              "chunk_dist", "window_dist", "pack_shards",
                              "pack_sequences", "weighted_sample",
@@ -228,7 +240,8 @@ def _report_deltas(timings: dict[str, float]) -> None:
 
 
 def _write_notes(timings: dict[str, float], total: float, sf,
-                 cpus: int, repeats: dict[str, list[float]]) -> None:
+                 cpus: int, repeats: dict[str, list[float]],
+                 fixture_sec: float | None = None) -> None:
     """Full per-query detail + accounting prose, committed with the
     round (the stdout line stays compact for the driver's tail)."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -240,7 +253,10 @@ def _write_notes(timings: dict[str, float], total: float, sf,
         "array follows the sorted query-name order below.  Queries "
         f"whose first run exceeded {REPEAT_THRESHOLD}s were re-run once "
         "and report the MIN (r9 ask #6); both raw runs are listed "
-        "below.",
+        "below."
+        + (f"  Media-fixture parquet cache build (warm-up, excluded "
+           f"from every query timing): {fixture_sec}s."
+           if fixture_sec is not None else ""),
         "",
         "## Per-query wall clock (sec)",
         "",
@@ -291,6 +307,23 @@ def main():
     spark.range(10_000).repartition(cpus).select(
         _warm(F.col("id").cast("double"))).count()
     print(f"# warmup: {time.time()-t0:.2f}s", file=sys.stderr)
+    # media fixture cache (r10 VERDICT ask #5): the closed-form dHash
+    # PNG fixture is encoded ONCE into a write-once parquet cache here,
+    # OUTSIDE the timed loop, so the three image queries measure
+    # decode + banded join + closure — not stdlib zlib throughput.
+    # The split is visible: fixture-encode seconds print here and land
+    # in BENCH_NOTES.md.
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_dhash_media,
+    )
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    t0 = time.time()
+    n_media = load_table(spark, sf_dir, "documents").count()
+    cached_dhash_media(spark, n_media).count()
+    fixture_sec = round(time.time() - t0, 2)
+    print(f"# media fixture cache (n={n_media}): {fixture_sec}s "
+          "(excluded from query timings)", file=sys.stderr)
     from fsharp_dataframe_spark.functions.util import release_cached
 
     timings: dict[str, float] = {}
@@ -321,7 +354,7 @@ def main():
     _report_deltas(timings)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    _write_notes(timings, total, sf_val, cpus, repeats)
+    _write_notes(timings, total, sf_val, cpus, repeats, fixture_sec)
     line = json.dumps({
         "metric": "registry_queries_total_wall",
         "value": total,

@@ -628,6 +628,38 @@ def _dhash_pattern(i: int) -> int:
     return base(i)
 
 
+def cached_dhash_media(spark, n: int,
+                       cache_root: str | None = None) -> DataFrame:
+    """Write-once parquet cache of the closed-form dHash PNG fixture
+    (r10 VERDICT "What's wrong" #3: the pure-Python PNG encode of the
+    5,000-image fixture dominated two top-five bench entries, so the
+    bench tracked stdlib zlib throughput instead of the operator —
+    masking any real plan regression underneath).  First call per
+    (cache_root, n) encodes and writes atomically (write to a pid
+    temp dir, rename into place; the loser of a race discards); every
+    later call — bench repeats, oracle gates, the three image queries
+    in one session — reads parquet.  Contents are deterministic
+    closed-form, so the cache can never go stale for a given n."""
+    import os
+    import shutil
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
+    path = os.path.join(root, f"dhash_n{int(n)}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # a dir without _SUCCESS is a crashed write — rebuild it
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        make_fake_dhash_media(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(path).select(
+        *[f.name for f in MEDIA_SCHEMA.fields])
+
+
 def make_fake_dhash_media(spark, n: int) -> DataFrame:
     """Corpus-scale PNG fixture whose dHash is CLOSED FORM: image i is
     a 36×32 grayscale PNG built as a 9×8 grid of 4×4 constant blocks

@@ -1372,6 +1372,109 @@ def stream_binned_auc(sdf: DataFrame, score_col: str, label_col: str,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def stream_vocab_divergence(sdf: DataFrame, baseline: DataFrame,
+                            text_col: str = "text",
+                            alpha: float = 1.0) -> DataFrame:
+    """Streaming vocabulary-drift monitor against a LANDED baseline
+    corpus — the live twin of functions/profile.vocab_divergence
+    (r10 VERDICT ask #6, the last drift-tier member without a stream):
+    per-token contribution to KL(stream ‖ baseline) over the add-alpha
+    smoothed unigram distributions on the UNION vocabulary, re-emitted
+    as the full vocabulary table every micro-batch ("update" mode —
+    the consumer reads the latest emission per token).
+
+    The baseline's token counts are computed ONCE batch-side (a
+    vocabulary-sized relation, embedded); the stream accumulates
+    current-side counts in ONE state entry holding (tokens[],
+    counts[]) — VOCAB-bounded by construction, the stream_psi shape
+    (for corpora whose vocabulary must stay strictly bounded, cap the
+    stream upstream with stream_vocab_heavy_hitters' Misra–Gries
+    substrate and monitor the survivors).  Tokenization happens
+    JVM-side with the batch operator's own expression (explode +
+    tokens(lower(text)) — never a Python re-tokenization that could
+    drift), and each micro-batch is pre-reduced to (token,
+    partial-count) rows by a stateless Arrow map BEFORE the stateful
+    group, so O(partitions × batch-vocab) rows cross the state
+    exchange, never the token stream.
+
+    Every kl_term re-evaluates each batch because the totals (N_a, V)
+    move with the stream; the arithmetic is the batch operator's exact
+    association — float ratios over (count + α)/(N + α·V), one ln,
+    HALF_UP-quantized to millionths (sign-aware floor(|x|·1e6 + 0.5);
+    python round is banker's) — so after an availableNow drive over a
+    static directory the last emission hash-matches the same DuckDB
+    oracle as the batch vocab_drift query (pinned in
+    tests/test_streaming.py with a checkpoint-restart carry test).
+    Returns (token, c_a, c_b, kl_term); tokens only in the baseline
+    appear with c_a = 0, exactly as the batch full-outer join."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fsharp_dataframe_spark.functions.text import tokens
+
+    base = {r["token"]: int(r["c"]) for r in
+            (baseline
+             .select(F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("token"))
+             .groupBy("token").agg(F.count("*").alias("c")).collect())}
+    if not base:
+        raise ValueError("empty baseline corpus — no vocabulary")
+    n_b = sum(base.values())
+    a = float(alpha)
+
+    el = sdf.select(F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("token"))
+
+    def partials(pdf_iter):
+        for pdf in pdf_iter:
+            g = pdf.groupby("token").size().reset_index(name="cnt")
+            yield g.astype({"cnt": "int64"})
+
+    pre = el.mapInPandas(partials, "token string, cnt long")
+
+    out_schema = T.StructType([
+        T.StructField("token", T.StringType(), False),
+        T.StructField("c_a", T.LongType(), False),
+        T.StructField("c_b", T.LongType(), False),
+        T.StructField("kl_term", T.DoubleType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("toks", T.ArrayType(T.StringType()), True),
+        T.StructField("cnts", T.ArrayType(T.LongType()), True),
+    ])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            cur = {t: int(c) for t, c in zip(state.get[0], state.get[1])}
+        else:
+            cur = {}
+        for pdf in pdfs:
+            for t, c in zip(pdf["token"], pdf["cnt"]):
+                cur[t] = cur.get(t, 0) + int(c)
+        state.update((list(cur.keys()), list(cur.values())))
+        vocab = set(cur) | set(base)
+        v = len(vocab)
+        n_a = sum(cur.values())
+        denom_a = float(n_a + a * v)
+        denom_b = float(n_b + a * v)
+        rows = []
+        for t in vocab:
+            ca, cb = cur.get(t, 0), base.get(t, 0)
+            p = (ca + a) / denom_a
+            q = (cb + a) / denom_b
+            x = p * math.log(p / q) * 1_000_000
+            u = (int(math.floor(x + 0.5)) if x >= 0
+                 else -int(math.floor(-x + 0.5)))
+            rows.append((t, ca, cb, round(u / 1_000_000.0, 6)))
+        yield pd.DataFrame(rows, columns=["token", "c_a", "c_b",
+                                          "kl_term"])
+
+    return (pre.withColumn("__g", F.lit(0)).groupBy("__g")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_centroid_drift(sdf: DataFrame, baseline: DataFrame,
                           vec_col: str = "embedding",
                           label_col: str = "label") -> DataFrame:
@@ -1400,7 +1503,11 @@ def stream_centroid_drift(sdf: DataFrame, baseline: DataFrame,
     query (pinned in tests/test_streaming.py with a checkpoint-restart
     carry test).  Labels absent from the baseline are ignored (the
     batch inner join's semantics); labels absent from the stream emit
-    nothing.
+    nothing.  The label column keeps ITS OWN type end to end — the
+    plan schemas derive from ``sdf.schema[label_col]`` (ADVICE r10:
+    the earlier hardcoded int schema made a string-labeled stream die
+    executor-side with an opaque Arrow cast error), matching the batch
+    twin, which accepts any label type.
     """
     import math
 
@@ -1430,17 +1537,27 @@ def stream_centroid_drift(sdf: DataFrame, baseline: DataFrame,
                   F.round(F.col("x").cast("double") * 10_000_000)
                   .cast("long").alias("xu")))
 
+    label_type = sdf.schema[label_col].dataType
+
     def partials(pdf_iter):
         for pdf in pdf_iter:
             g = (pdf.groupby(["label", "dim"])
                  .agg(su=("xu", "sum"), cnt=("xu", "size")).reset_index())
-            yield g.astype({"label": "int32", "dim": "int32",
-                            "su": "int64", "cnt": "int64"})
+            # label keeps its incoming dtype; Arrow casts it to the
+            # declared (stream-derived) field type
+            yield g.astype({"dim": "int32", "su": "int64",
+                            "cnt": "int64"})
 
-    pre = el.mapInPandas(partials, "label int, dim int, su long, cnt long")
+    pre_schema = T.StructType([
+        T.StructField("label", label_type, True),
+        T.StructField("dim", T.IntegerType(), False),
+        T.StructField("su", T.LongType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ])
+    pre = el.mapInPandas(partials, pre_schema)
 
     out_schema = T.StructType([
-        T.StructField("label", T.IntegerType(), False),
+        T.StructField("label", label_type, False),
         T.StructField("n_base", T.LongType(), False),
         T.StructField("n_cur", T.LongType(), False),
         T.StructField("l2_drift", T.DoubleType(), True),
@@ -1451,7 +1568,7 @@ def stream_centroid_drift(sdf: DataFrame, baseline: DataFrame,
     ])
 
     def fn(key, pdfs, state):
-        label = int(key[0])
+        label = key[0]
         if state.exists:
             sums, cnts = list(state.get[0]), list(state.get[1])
         else:
@@ -1521,7 +1638,16 @@ def stream_int8_quantize(sdf: DataFrame, baseline: DataFrame,
     Emits the full per-dim table every micro-batch ("update" mode):
     (dim, n, scale, mean_abs_err) — n counts STREAMED elements;
     zero-variance dims (scale 0) report NULL error, dims not yet
-    streamed report n = 0 and NULL error.
+    streamed report n = 0 and NULL error.  Streamed elements whose dim
+    index EXCEEDS the baseline's width are DROPPED — that is the
+    frozen-scale contract (a dim the snapshot never saw has no scale
+    to quantize against, exactly as a production int8 index would
+    reject a wider vector), so a stream whose vectors outgrew the
+    snapshot under-reports n relative to its element count (ADVICE
+    r10).  Schema drift of that kind is a re-index event, not an
+    error-monitor datum: detect it by comparing the emitted table's
+    width against the producer's vector width, or rebuild the
+    baseline.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -1701,3 +1701,110 @@ def test_stream_image_near_dup_join_state_across_restart(spark, tmp_path):
     assert (14, 15) in p2
     assert (6, 7) not in p2  # phase 1 pairs are not re-emitted
     assert n_67_phase1 >= 1
+
+
+def test_stream_vocab_divergence_matches_duckdb_oracle(spark, tmp_path):
+    """Streaming vocab divergence (stream_vocab_divergence) driving the
+    english docs against the landed non-english baseline: the last
+    emission per token, top-20 by kl_term, must hash-match the SAME
+    DuckDB oracle as the batch vocab_drift query."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_vocab_divergence
+
+    docs = load_table(spark, SF, "documents")
+    base = docs.filter(F.col("lang") != "en")
+    cur = docs.filter(F.col("lang") == "en")
+    d = str(tmp_path / "docs_vd_stream")
+    cur.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    out = stream_vocab_divergence(s, base)
+    name = run_to_memory(out, "t_vd_oracle", output_mode="update")
+    got = spark.sql(f"""
+        SELECT token, c_a, c_b, kl_term FROM (
+          SELECT *, row_number() OVER (PARTITION BY token
+            ORDER BY mono DESC) AS rn
+          FROM (SELECT *, monotonically_increasing_id() AS mono
+                FROM {name}))
+        WHERE rn = 1
+        ORDER BY kl_term DESC, token LIMIT 20""").toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["vocab_drift"]).df()
+    con.close()
+    problems = compare("stream_vocab_divergence", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_vocab_divergence_state_across_restart(spark, tmp_path):
+    """Vocab counts carried through the checkpoint: after batch 2 the
+    emission equals the batch operator over batch1 ∪ batch2."""
+    from fsharp_dataframe_spark.functions.profile import vocab_divergence
+    from fsharp_dataframe_spark.streaming.ops import stream_vocab_divergence
+
+    schema = "doc_id long, text string"
+    base = spark.createDataFrame(
+        [(100, "red red green blue")], schema)
+    b1 = spark.createDataFrame([(1, "red yellow")], schema)
+    b2 = spark.createDataFrame([(2, "yellow yellow purple")], schema)
+    d = str(tmp_path / "vd_batches")
+    ckpt = str(tmp_path / "vd_ckpt")
+    emissions = []
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+
+        def sink(bdf, _epoch):
+            emissions.extend(bdf.collect())
+
+        # memory sink cannot recover from a checkpoint — foreachBatch can
+        q = (stream_vocab_divergence(src, base)
+             .writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    b1.coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    first = {r["token"]: (r["c_a"], r["c_b"], r["kl_term"])
+             for r in emissions}
+    exp1 = {r["token"]: (r["c_a"], r["c_b"], r["kl_term"])
+            for r in vocab_divergence(b1, base).collect()}
+    assert first == exp1
+    emissions.clear()
+    b2.coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    second = {r["token"]: (r["c_a"], r["c_b"], r["kl_term"])
+              for r in emissions}
+    exp2 = {r["token"]: (r["c_a"], r["c_b"], r["kl_term"])
+            for r in vocab_divergence(b1.union(b2), base).collect()}
+    assert second == exp2 and second != exp1
+
+
+def test_stream_centroid_drift_string_labels(spark, tmp_path):
+    """ADVICE r10: the label column keeps its own type — a
+    string-labeled stream must run (the old hardcoded int schema died
+    executor-side) and produce the batch-identical drift."""
+    from fsharp_dataframe_spark.streaming.ops import stream_centroid_drift
+
+    schema = "vec_id long, embedding array<float>, label string"
+    base = spark.createDataFrame(
+        [(0, [0.0], "u"), (2, [2.0], "u"), (4, [9.0], "w")], schema)
+    cur = spark.createDataFrame([(1, [3.0], "u")], schema)
+    d = str(tmp_path / "cd_str_stream")
+    cur.coalesce(1).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, cur.schema)
+    out = stream_centroid_drift(s, base)
+    assert out.schema["label"].dataType.simpleString() == "string"
+    name = run_to_memory(out, "t_cd_str", output_mode="update")
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    got = {r["label"]: (r["n_cur"], r["l2_drift"]) for r in rows}
+    # base centroid("u") = 1.0, stream centroid = 3.0 -> drift 2.0;
+    # label "w" never streamed -> no emission
+    assert got == {"u": (1, 2.0)}
