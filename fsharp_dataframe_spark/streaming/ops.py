@@ -1475,6 +1475,113 @@ def stream_vocab_divergence(sdf: DataFrame, baseline: DataFrame,
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def stream_zipf_fit(sdf: DataFrame, k: int = 300,
+                    text_col: str = "text",
+                    min_count: int = 1) -> DataFrame:
+    """Streaming Zipf-law corpus-health monitor — the live twin of
+    functions/drift.zipf_fit (with stream_vocab_divergence this
+    completes the drift tier's streaming coverage): OLS of
+    ln(frequency) on ln(rank) over the CUMULATIVE stream's top-``k``
+    tokens, one summary row re-emitted every micro-batch ("update"
+    mode) so an ingest dashboard watches the slope walk away from −1
+    the moment a templated/boilerplate feed starts flooding.
+
+    Top-k membership moves as counts accumulate, so the state must
+    hold the full cumulative vocabulary — (tokens[], counts[]),
+    VOCAB-bounded like stream_vocab_divergence, with the same
+    stateless Arrow pre-reduction (O(partitions × batch-vocab) rows
+    cross the state exchange) and the same JVM-side tokenization as
+    the batch plan.  Per emission the top-k selection (count desc,
+    token asc — vocab_topk's deterministic order), the 1e-6 ln-unit
+    HALF_UP quantization, the exact BIGINT OLS moments and the final
+    double associations replay the batch operator term for term, so
+    after an availableNow drive over a static directory the last
+    emission hash-matches the same DuckDB oracle as the batch
+    zipf_fit query (pinned in tests/test_streaming.py with a
+    checkpoint-restart carry test).
+
+    Returns (n_terms, slope, intercept, r2) — slope/intercept in
+    ln-space, rounded 6dp; degenerate fits (under 2 terms, zero rank
+    variance) report NULLs, matching the batch guards."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from fsharp_dataframe_spark.functions.text import tokens
+
+    el = sdf.select(F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("token"))
+
+    def partials(pdf_iter):
+        for pdf in pdf_iter:
+            g = pdf.groupby("token").size().reset_index(name="cnt")
+            yield g.astype({"cnt": "int64"})
+
+    pre = el.mapInPandas(partials, "token string, cnt long")
+
+    out_schema = T.StructType([
+        T.StructField("n_terms", T.LongType(), False),
+        T.StructField("slope", T.DoubleType(), True),
+        T.StructField("intercept", T.DoubleType(), True),
+        T.StructField("r2", T.DoubleType(), True),
+    ])
+    state_schema = T.StructType([
+        T.StructField("toks", T.ArrayType(T.StringType()), True),
+        T.StructField("cnts", T.ArrayType(T.LongType()), True),
+    ])
+
+    def _r6(x: float) -> float:
+        # Spark F.round = HALF_UP (away from zero); python round is
+        # banker's — quantize sign-aware (the streaming discipline)
+        u = (math.floor(x * 1_000_000 + 0.5) if x >= 0
+             else -math.floor(-x * 1_000_000 + 0.5))
+        return u / 1_000_000.0
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            cur = {t: int(c) for t, c in zip(state.get[0], state.get[1])}
+        else:
+            cur = {}
+        for pdf in pdfs:
+            for t, c in zip(pdf["token"], pdf["cnt"]):
+                cur[t] = cur.get(t, 0) + int(c)
+        state.update((list(cur.keys()), list(cur.values())))
+        top = sorted(((c, t) for t, c in cur.items()
+                      if c >= min_count),
+                     key=lambda p: (-p[0], p[1]))[:k]
+        n = len(top)
+        sx = sy = sxy = sxx = syy = 0
+        for rank, (c, _t) in enumerate(top, start=1):
+            xi = int(math.floor(math.log(float(rank)) * 1_000_000 + 0.5))
+            yi = int(math.floor(math.log(float(c)) * 1_000_000 + 0.5))
+            sx += xi
+            sy += yi
+            sxy += xi * yi
+            sxx += xi * xi
+            syy += yi * yi
+        # the batch operator's exact double association over the
+        # integer moments
+        nd = float(n)
+        cov_n = (nd * float(sxy)) - (float(sx) * float(sy))
+        var_x = (nd * float(sxx)) - (float(sx) * float(sx))
+        var_y = (nd * float(syy)) - (float(sy) * float(sy))
+        slope = intercept = r2 = None
+        if n >= 2 and var_x > 0:
+            s = cov_n / var_x
+            slope = _r6(s)
+            intercept = _r6(((float(sy) - s * float(sx)) / nd)
+                            / 1_000_000.0)
+            if var_y > 0:
+                r2 = _r6((cov_n * cov_n) / (var_x * var_y))
+        yield pd.DataFrame([(n, slope, intercept, r2)],
+                           columns=["n_terms", "slope", "intercept",
+                                    "r2"])
+
+    return (pre.withColumn("__g", F.lit(0)).groupBy("__g")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def stream_centroid_drift(sdf: DataFrame, baseline: DataFrame,
                           vec_col: str = "embedding",
                           label_col: str = "label") -> DataFrame:

@@ -1808,3 +1808,81 @@ def test_stream_centroid_drift_string_labels(spark, tmp_path):
     # base centroid("u") = 1.0, stream centroid = 3.0 -> drift 2.0;
     # label "w" never streamed -> no emission
     assert got == {"u": (1, 2.0)}
+
+
+def test_stream_zipf_fit_matches_duckdb_oracle(spark, tmp_path):
+    """Streaming Zipf fit (stream_zipf_fit) driven availableNow over
+    the documents corpus: the last emission must hash-match the SAME
+    DuckDB oracle as the batch zipf_fit query."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_oracle import compare
+    from fsharp_dataframe_spark.streaming.ops import stream_zipf_fit
+
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path / "docs_zipf_stream")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, docs.schema)
+    out = stream_zipf_fit(s, k=300)
+    name = run_to_memory(out, "t_zipf_oracle", output_mode="update")
+    got = spark.sql(f"""
+        SELECT n_terms, slope, intercept, r2 FROM (
+          SELECT *, row_number() OVER (
+            ORDER BY monotonically_increasing_id() DESC) AS rn
+          FROM {name})
+        WHERE rn = 1""").toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    oracle = con.execute(entrymod._all_oracle_sql()["zipf_fit"]).df()
+    con.close()
+    problems = compare("stream_zipf_fit", got, oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_zipf_fit_state_across_restart(spark, tmp_path):
+    """Vocabulary counts carried through the checkpoint: after batch 2
+    the emission equals the batch operator over batch1 ∪ batch2."""
+    from fsharp_dataframe_spark.functions.drift import zipf_fit
+    from fsharp_dataframe_spark.streaming.ops import stream_zipf_fit
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "the the the cat sat on the mat"),
+         (2, "the cat ran far away today")], schema)
+    b2 = spark.createDataFrame(
+        [(3, "the dog and the cat and the bird sat")], schema)
+    d = str(tmp_path / "zipf_batches")
+    ckpt = str(tmp_path / "zipf_ckpt")
+    emissions = []
+
+    def run_phase():
+        src = read_stream_parquet(
+            spark, d, spark.createDataFrame([], schema).schema)
+
+        def sink(bdf, _epoch):
+            emissions.extend(bdf.collect())
+
+        q = (stream_zipf_fit(src, k=10)
+             .writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    b1.coalesce(1).write.mode("overwrite").parquet(d)
+    run_phase()
+    exp1 = zipf_fit(b1, k=10).first()
+    got1 = emissions[-1]
+    assert (got1["n_terms"], got1["slope"], got1["intercept"], got1["r2"]) \
+        == (exp1["n_terms"], exp1["slope"], exp1["intercept"], exp1["r2"])
+    emissions.clear()
+    b2.coalesce(1).write.mode("append").parquet(d)
+    run_phase()
+    exp2 = zipf_fit(b1.union(b2), k=10).first()
+    got2 = emissions[-1]
+    assert (got2["n_terms"], got2["slope"], got2["intercept"], got2["r2"]) \
+        == (exp2["n_terms"], exp2["slope"], exp2["intercept"], exp2["r2"])
+    assert got2["slope"] != got1["slope"]
