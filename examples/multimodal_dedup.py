@@ -16,6 +16,12 @@ each stage a scale-audited engine operator:
                             endpoints were never a direct pair)
       → keep-one survivors (filter is_canonical — the corpus that
                             ships to training)
+      → nightly increment   (the landed survivors' piece table is
+                            WRITTEN ONCE to parquet; tonight's batch
+                            joins against the stored table via
+                            cross_banded_hamming_pairs — directional,
+                            |new|-bounded, the corpus never
+                            self-joined again)
 
 Run:  python examples/multimodal_dedup.py [sf_dir]
 
@@ -86,6 +92,41 @@ def run(spark, sf_dir: str) -> dict[str, object]:
         "survivors": int(agg["survivors"]),
         "removed": int(agg["n"] - agg["survivors"]),
     }
+
+    # 5. the NIGHTLY path: persist the landed survivors' piece table
+    #    once, then dedup tonight's batch against the STORED relation —
+    #    directional (new × landed), |new|-bounded however large the
+    #    corpus grows; the corpus is never re-hashed or self-joined.
+    import tempfile
+
+    from fsharp_dataframe_spark.functions.dedup import (
+        cross_banded_hamming_pairs, hamming_piece_table,
+    )
+
+    canon = clusters.filter(F.col("is_canonical")).select("media_id")
+    landed = hashes.join(canon, "media_id", "left_semi")
+    with tempfile.TemporaryDirectory() as tmp:
+        store = os.path.join(tmp, "corpus_pieces.parquet")
+        hamming_piece_table(landed, id_col="media_id",
+                            sketch_col="dhash", max_hamming=2
+                            ).write.mode("overwrite").parquet(store)
+        # tonight's batch: 48 genuinely new images (fresh fixture ids)
+        # plus 16 RE-CRAWLS of landed content under new media ids —
+        # the mix a real ingest feed delivers
+        fresh = (make_fake_dhash_media(spark, n + 48)
+                 .filter(F.col("media_id") >= n))
+        recrawl = (make_fake_dhash_media(spark, 16)
+                   .withColumn("media_id", F.col("media_id") + n + 48))
+        batch = dhash_media(fresh.union(recrawl))
+        dups = cross_banded_hamming_pairs(
+            batch, spark.read.parquet(store), id_col="media_id",
+            sketch_col="dhash", max_hamming=2,
+            existing_is_piece_table=True)
+        n_dup = dups.select("new_id").distinct().count()
+        n_batch = batch.count()
+    out["nightly"] = {"batch": int(n_batch),
+                      "dup_of_landed": int(n_dup),
+                      "kept": int(n_batch - n_dup)}
     return out
 
 
