@@ -2827,9 +2827,10 @@ def q_transitions(spark, sf) -> DataFrame:
 # -> training_mix/hard_negatives; text-entropy scoring ->
 # ngram_novelty/media_mixed.
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
-# image_incr_dedup — held out at the bottom of EXTRA_QUERIES below,
-# each locally three-SF oracle-green since r11) rotate in next round,
-# swapping out double-green veterans exactly as above.
+# image_incr_dedup, tpch_q13, tpch_q15 — held out at the bottom of
+# EXTRA_QUERIES below, each locally three-SF oracle-green since r11)
+# rotate in next round, swapping out double-green veterans exactly as
+# above.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
@@ -2874,7 +2875,7 @@ EXTRA_QUERIES = (
     "dedup_report", "diverse_sample", "entropy_quality",
     # round-11 newcomers, held out per the ROUND-12 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r12):
-    "tpch_q21", "image_incr_dedup")
+    "tpch_q21", "image_incr_dedup", "tpch_q13", "tpch_q15")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3054,6 +3055,74 @@ def q_tpch_q22(spark, sf) -> DataFrame:
             .agg(F.count("*").alias("numcust"),
                  F.round(F.sum("bal_u") / 100.0, 2).alias("totacctbal"))
             .orderBy("c_nationkey"))
+
+
+def q_tpch_q13(spark, sf) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (adapted to the
+    synthetic schema: the excluded-comment predicate becomes
+    "non-URGENT orders") — the OUTER-join plan class the registry
+    lacked: customers who placed NO qualifying order must appear in
+    the c_count = 0 bucket, so the join cannot be inner and the count
+    must be count(o_orderkey) (nulls don't count), not count(*).
+
+    100 TB shape: the priority filter pushes into the orders scan, and
+    orders are PRE-AGGREGATED to (custkey, n) BEFORE the outer join —
+    the aggregate-below-join rewrite Catalyst does not do for you:
+    joining raw orders first materializes |orders| joined rows and
+    aggregates after, while aggregating first sends map-side-combined
+    per-customer counts into the join, shrinking its probe side from
+    the fact table to the distinct-customer relation.  Customers with
+    no surviving order null-extend and coalesce to the 0 bucket —
+    identical to count(o_orderkey) over the join-then-aggregate form.
+    The distribution rollup is a bounded-key (distinct order counts)
+    second aggregate."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    oc = (load_table(spark, sf, "orders")
+          .filter(F.col("o_orderpriority") != "1-URGENT")
+          .groupBy("o_custkey").agg(F.count("*").alias("_n")))
+    co = (c.join(oc, c["c_custkey"] == oc["o_custkey"], "left")
+          .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count")))
+    return (co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+def q_tpch_q15(spark, sf) -> DataFrame:
+    """TPC-H Q15 top supplier (the revenue view + max-of-aggregate
+    shape) — the ARGMAX-over-aggregate plan class: suppliers whose
+    quarterly revenue EQUALS the maximum revenue (ties kept, per the
+    spec's correlated "= (SELECT max(...))").
+
+    Decorrelated the way a 1000-executor plan wants it: the per-
+    supplier revenue aggregate is computed ONCE over the date-pruned
+    lineitem slice and PERSISTED (supplier-bounded relation — the
+    tpch_q17 single-scan discipline, plan-pinned InMemoryTableScan ==
+    2); the max is a ONE-ROW aggregate over the cached relation
+    broadcast back into it (the tpch_q22 scalar-subquery discipline —
+    never a SinglePartition window over the revenue table); the
+    supplier name arrives by broadcast after the ~1-row filter.
+    Revenue is the exact integer sum Σ eu·(100 − du) in 1e-4 units,
+    divided once — the argmax equality compares BIGINTs, so no
+    borderline supplier flips on float association."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc_u = F.round(F.col("l_discount") * 100).cast("long")
+    rev = track_persist(
+        li.filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(ep_u * (100 - dc_u)).alias("r_u")))
+    mx = rev.agg(F.max("r_u").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev["r_u"] == mx["mx"])
+    return (top.join(F.broadcast(s), top["l_suppkey"] == s["s_suppkey"])
+            .select("s_suppkey", "s_name",
+                    F.round(F.col("r_u") / 10000.0, 2)
+                    .alias("total_revenue"))
+            .orderBy("s_suppkey"))
 
 
 def q_tpch_q21(spark, sf) -> DataFrame:
@@ -3372,6 +3441,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q21": q_tpch_q21,
@@ -5333,6 +5404,34 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(qu / 100.0, 2) AS sum_qty
             FROM customer JOIN top ON c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        "tpch_q13": """
+            WITH co AS (
+              SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+              FROM customer LEFT JOIN orders
+                ON o_custkey = c_custkey
+               AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM co GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(round(l_extendedprice * 100)::BIGINT
+                         * (100 - round(l_discount * 100)::BIGINT)
+                         )::BIGINT AS r_u
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1),
+            m AS (SELECT max(r_u) AS mx FROM rev)
+            SELECT s_suppkey, s_name,
+                   round(r_u / 10000.0, 2) AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey, m
+            WHERE r_u = m.mx
+            ORDER BY s_suppkey
         """,
         # the adapted Q21 correlated form verbatim — DuckDB evaluates
         # the two existentials directly, pinning the decorrelated

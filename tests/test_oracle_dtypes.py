@@ -116,7 +116,8 @@ def test_oracle_dtype_kinds_match_spark(spark, con, name):
 # for each newcomer, so a broken new oracle fails in seconds inside
 # the normal suite.  Update the list each round when queries are added.
 
-_ROUND_NEWCOMERS = ["tpch_q21", "image_incr_dedup"]
+_ROUND_NEWCOMERS = ["tpch_q21", "image_incr_dedup", "tpch_q13",
+                    "tpch_q15"]
 
 
 @pytest.mark.parametrize("name", _ROUND_NEWCOMERS)

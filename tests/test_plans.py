@@ -364,6 +364,11 @@ _AUDIT_ALLOW = {
     # ONE-row average broadcast cross join (the lang_mix one-row-totals
     # shape); the NOT EXISTS is an equi LEFT ANTI join, pinned below
     "tpch_q22": ("cartesian", "single_partition"),
+    # ONE-row max over the persisted supplier-revenue relation (one
+    # partial row per partition crosses the exchange), broadcast back
+    # as the argmax probe — the tpch_q17/q22 scalar-aggregate class;
+    # the single corpus scan is pinned by its dedicated plan test
+    "tpch_q15": ("single_partition",),
 }
 
 

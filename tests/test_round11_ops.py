@@ -145,6 +145,68 @@ def test_tpch_q21_semantics_planted(spark):
     assert got == {"SuppA": 1, "SuppC": 2}
 
 
+# ---------------------------------------------------- tpch q13 / q15
+
+
+def test_tpch_q13_outer_join_covers_every_customer(spark):
+    """The distribution must cover every customer exactly once (an
+    inner join would silently drop customers with no qualifying
+    order), and the plan must be a genuine LEFT outer join."""
+    import __spark_entry__ as entry
+
+    df = entry._all_queries()["tpch_q13"](spark, "/root/testdata/sf0.001")
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    assert sum(rows.values()) == 150  # every customer, once
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan
+
+
+def test_tpch_q13_zero_bucket_planted(spark):
+    """The zero bucket itself (the synthetic orders are dense, so the
+    real tables never exercise it): a customer with no qualifying
+    order — none at all, or only URGENT ones — must land in
+    c_count = 0 under the registered query's exact construction."""
+    from pyspark.sql import functions as FF
+
+    c = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    o = spark.createDataFrame(
+        [(10, 1, "2-HIGH"), (11, 1, "3-MEDIUM"),
+         (12, 2, "1-URGENT")],  # cust 2: urgent only; cust 3: none
+        "o_orderkey long, o_custkey long, o_orderpriority string")
+    oc = (o.filter(FF.col("o_orderpriority") != "1-URGENT")
+          .groupBy("o_custkey").agg(FF.count("*").alias("_n")))
+    co = (c.join(oc, c["c_custkey"] == oc["o_custkey"], "left")
+          .select(FF.coalesce(FF.col("_n"), FF.lit(0)).alias("c_count")))
+    dist = {r["c_count"]: r["custdist"] for r in
+            co.groupBy("c_count").agg(FF.count("*").alias("custdist"))
+            .collect()}
+    assert dist == {2: 1, 0: 2}
+
+
+def test_tpch_q15_plan_single_scan_broadcast_max(spark):
+    """The argmax-over-aggregate contract: the persisted revenue
+    relation feeds BOTH the max and the probe (two cache reads — the
+    plan STRING reprints the cached build plan under each
+    InMemoryTableScan, so count cache reads, not FileScan lines: the
+    q17 pin's lesson), the max arrives by broadcast — never a
+    SinglePartition window — and the date prune reaches the scan."""
+    import __spark_entry__ as entry
+    from fsharp_dataframe_spark.functions.util import release_cached
+
+    try:
+        df = entry._all_queries()["tpch_q15"](
+            spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_cached()
+    assert plan.count("InMemoryTableScan") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan  # the max is a broadcast, not a window
+    # the date prune reaches the (single, cache-reprinted) scan
+    assert "IsNotNull(l_shipdate)" in plan or "l_shipdate" in \
+        plan.split("PushedFilters", 1)[-1][:400]
+
+
 # -------------------------------------- incremental image near-dup
 
 
