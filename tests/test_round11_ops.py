@@ -279,6 +279,38 @@ def test_image_incr_dedup_plan_never_cartesian(spark):
     assert plan.count("InMemoryTableScan") == 2
 
 
+# ------------------------------------------------- vectorized dhash
+
+
+def test_dhash_vectorized_equals_reference():
+    """The reduceat-vectorized dHash (the measured ~18× win that made
+    the image bench entries track the operator, not the per-block
+    .mean() loop) must equal the array_split reference bit for bit:
+    random images, block-constant ties, ragged split boundaries, and
+    the small-image fallback route."""
+    import numpy as np
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _dhash_from_gray, _dhash_from_gray_ref,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(9, 70))
+        arr = rng.integers(0, 256, size=(h, w)).astype(np.float32)
+        assert _dhash_from_gray(arr) == _dhash_from_gray_ref(arr)
+    for v in (0.0, 128.0, 255.0):  # all-tie images hash to 0
+        arr = np.full((32, 36), v, dtype=np.float32)
+        assert _dhash_from_gray(arr) == 0 == _dhash_from_gray_ref(arr)
+    # ragged boundaries (dims not divisible by the grid)
+    arr = rng.integers(0, 256, size=(13, 23)).astype(np.float32)
+    assert _dhash_from_gray(arr) == _dhash_from_gray_ref(arr)
+    # sub-grid images route to the reference (empty-split semantics)
+    small = rng.integers(0, 256, size=(4, 5)).astype(np.float32)
+    assert _dhash_from_gray(small) == _dhash_from_gray_ref(small)
+
+
 # ------------------------------------------------ media fixture cache
 
 
