@@ -2827,10 +2827,10 @@ def q_transitions(spark, sf) -> DataFrame:
 # -> training_mix/hard_negatives; text-entropy scoring ->
 # ngram_novelty/media_mixed.
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
-# image_incr_dedup, tpch_q13, tpch_q15 — held out at the bottom of
-# EXTRA_QUERIES below, each locally three-SF oracle-green since r11)
-# rotate in next round, swapping out double-green veterans exactly as
-# above.
+# image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19 — held out
+# at the bottom of EXTRA_QUERIES below, each locally three-SF
+# oracle-green since r11) rotate in next round, swapping out
+# double-green veterans exactly as above.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
@@ -2875,7 +2875,8 @@ EXTRA_QUERIES = (
     "dedup_report", "diverse_sample", "entropy_quality",
     # round-11 newcomers, held out per the ROUND-12 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r12):
-    "tpch_q21", "image_incr_dedup", "tpch_q13", "tpch_q15")
+    "tpch_q21", "image_incr_dedup", "tpch_q13", "tpch_q15",
+    "tpch_q10", "tpch_q19")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3055,6 +3056,83 @@ def q_tpch_q22(spark, sf) -> DataFrame:
             .agg(F.count("*").alias("numcust"),
                  F.round(F.sum("bal_u") / 100.0, 2).alias("totacctbal"))
             .orderBy("c_nationkey"))
+
+
+def q_tpch_q10(spark, sf) -> DataFrame:
+    """TPC-H Q10 returned-item revenue ranking (date window adapted to
+    the synthetic 1995-2001 order dates) — the multi-join + top-k +
+    POST-LIMIT dimension-fetch plan class: which customers returned
+    the most revenue this year.
+
+    100 TB shape, stage by stage: the returnflag filter pushes into
+    the lineitem scan and the date window into the orders scan BEFORE
+    their key-partitioned join on o_orderkey (both sides data-sized at
+    scale — no broadcast); ONE custkey aggregate (map-side combine) of
+    exact 1e-4-unit revenue BIGINTs; a TakeOrderedAndProject for the
+    top-20 (never a global sort); and ONLY THEN the customer + nation
+    fetch — the 20-row top relation broadcasts INTO the dimension
+    scans (the tpch_q18 post-limit discipline: joining the full
+    customer dimension before the limit drags the whole dimension
+    through the ranking for 20 survivors).  The (revenue desc,
+    custkey) order makes the limit deterministic."""
+    li = (load_table(spark, sf, "lineitem")
+          .filter(F.col("l_returnflag") == "R"))
+    o = (load_table(spark, sf, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1997-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf, "nation").select(
+        "n_nationkey", "n_name")
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc_u = F.round(F.col("l_discount") * 100).cast("long")
+    top = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .groupBy("o_custkey")
+           .agg(F.sum(ep_u * (100 - dc_u)).alias("r_u"))
+           .orderBy(F.col("r_u").desc(), "o_custkey")
+           .limit(20))
+    out = (c.join(F.broadcast(top), c["c_custkey"] == top["o_custkey"])
+           .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"]))
+    return (out.select("c_custkey", "c_name", "n_name",
+                       F.round(F.col("r_u") / 10000.0, 2)
+                       .alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "c_custkey"))
+
+
+def q_tpch_q19(spark, sf) -> DataFrame:
+    """TPC-H Q19 disjunctive-predicate revenue (brand/size/quantity
+    arms adapted to the synthetic part columns) — the OR-of-ANDs
+    pushdown plan class: the filter is a disjunction of three
+    conjunct groups spanning BOTH relations, the shape that defeats
+    naive pushdown (no single conjunct holds globally).
+
+    What the plan must do — and the pin checks: Catalyst distributes
+    the disjunction per relation, so the part scan receives
+    (brand12 ∧ size≤30) ∨ (brand23 ∧ size≤40) ∨ (brand34 ∧ size≤50)
+    and the lineitem scan receives the quantity-range union — each
+    side prunes BEFORE the join instead of shipping the full fact
+    table into a filter-after-join; the residual cross-relation
+    disjunction evaluates on the join output; the reduced part side
+    broadcasts.  Revenue is the exact integer Σ eu·(100 − du) in
+    1e-4 units, divided once."""
+    li = load_table(spark, sf, "lineitem")
+    pt = load_table(spark, sf, "part")
+    j = li.join(pt, li["l_partkey"] == pt["p_partkey"])
+    arm = lambda b, s, ql, qh: (  # noqa: E731
+        (F.col("p_brand") == b) & (F.col("p_size") <= s)
+        & F.col("l_quantity").between(ql, qh))
+    pred = (arm("Brand#12", 30, 1, 15)
+            | arm("Brand#23", 40, 10, 30)
+            | arm("Brand#34", 50, 20, 40))
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc_u = F.round(F.col("l_discount") * 100).cast("long")
+    return (j.filter(pred)
+            .agg(F.round(F.sum(ep_u * (100 - dc_u)) / 10000.0, 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
 
 
 def q_tpch_q13(spark, sf) -> DataFrame:
@@ -3441,10 +3519,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "containment_pairs": q_containment_pairs,
@@ -5404,6 +5484,36 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(qu / 100.0, 2) AS sum_qty
             FROM customer JOIN top ON c_custkey = o_custkey
             ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        "tpch_q10": """
+            WITH rev AS (
+              SELECT o_custkey,
+                     sum(round(l_extendedprice * 100)::BIGINT
+                         * (100 - round(l_discount * 100)::BIGINT)
+                         )::BIGINT AS r_u
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1 ORDER BY r_u DESC, o_custkey LIMIT 20)
+            SELECT c_custkey, c_name, n_name,
+                   round(r_u / 10000.0, 2) AS revenue
+            FROM rev JOIN customer ON c_custkey = o_custkey
+                     JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, c_custkey
+        """,
+        "tpch_q19": """
+            SELECT round(sum(round(l_extendedprice * 100)::BIGINT
+                             * (100 - round(l_discount * 100)::BIGINT))
+                         / 10000.0, 2) AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size <= 30
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#23' AND p_size <= 40
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#34' AND p_size <= 50
+                   AND l_quantity BETWEEN 20 AND 40)
         """,
         "tpch_q13": """
             WITH co AS (

@@ -117,7 +117,7 @@ def test_oracle_dtype_kinds_match_spark(spark, con, name):
 # the normal suite.  Update the list each round when queries are added.
 
 _ROUND_NEWCOMERS = ["tpch_q21", "image_incr_dedup", "tpch_q13",
-                    "tpch_q15"]
+                    "tpch_q15", "tpch_q10", "tpch_q19"]
 
 
 @pytest.mark.parametrize("name", _ROUND_NEWCOMERS)

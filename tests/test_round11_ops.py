@@ -145,6 +145,46 @@ def test_tpch_q21_semantics_planted(spark):
     assert got == {"SuppA": 1, "SuppC": 2}
 
 
+# ---------------------------------------------------- tpch q10 / q19
+
+
+def test_tpch_q19_disjunction_pushes_to_both_scans(spark):
+    """The OR-of-ANDs pushdown contract: the cross-relation
+    disjunction must be distributed per relation — the part scan
+    receives the brand/size union, the lineitem scan the
+    quantity-range union — so each side prunes BEFORE the join."""
+    import __spark_entry__ as entry
+
+    df = entry._all_queries()["tpch_q19"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    li_scan = next(l for l in plan.splitlines()
+                   if "FileScan" in l and "lineitem" in l)
+    pt_scan = next(l for l in plan.splitlines()
+                   if "FileScan" in l and "part.parquet" in l)
+    assert "l_quantity" in li_scan  # quantity union reached the scan
+    assert "p_brand" in pt_scan and "p_size" in pt_scan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q10_topk_then_dimension_fetch(spark):
+    """The post-limit dimension-fetch contract: a
+    TakeOrderedAndProject produces the top-20 BEFORE customer/nation
+    join (the 20-row relation broadcasts into the dimension scans),
+    and the returnflag/date filters reach their scans."""
+    import __spark_entry__ as entry
+
+    df = entry._all_queries()["tpch_q10"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 1
+    assert "SortMergeJoin" not in plan
+    li_scan = next(l for l in plan.splitlines()
+                   if "FileScan" in l and "lineitem" in l)
+    o_scan = next(l for l in plan.splitlines()
+                  if "FileScan" in l and "orders" in l)
+    assert "l_returnflag" in li_scan and "o_orderdate" in o_scan
+
+
 # ---------------------------------------------------- tpch q13 / q15
 
 
