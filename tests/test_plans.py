@@ -347,6 +347,9 @@ _AUDIT_ALLOW = {
     "daily_activity": ("single_partition",),
     # ONE-row final scalar aggregate (filter-scan-sum, no group key)
     "tpch_q6": ("single_partition",),
+    # same ONE-row scalar-aggregate class as tpch_q6 (revenue + count
+    # over the disjunction-pruned join — partials are one row per task)
+    "tpch_q19": ("single_partition",),
     # the n_buckets-row carry-cascade spine of the bucketed as-of —
     # the same allowance class as fill_linear/asof_join above
     "asof_multikey": ("single_partition",),
