@@ -2827,7 +2827,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # -> training_mix/hard_negatives; text-entropy scoring ->
 # ngram_novelty/media_mixed.
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
-# image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19 — held out
+# image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19, and the
+# TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20 — held out
 # at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r11) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -2876,7 +2877,9 @@ EXTRA_QUERIES = (
     # round-11 newcomers, held out per the ROUND-12 ROTATION PLAN above
     # (local three-SF oracle-green; they take driver slots in r12):
     "tpch_q21", "image_incr_dedup", "tpch_q13", "tpch_q15",
-    "tpch_q10", "tpch_q19")
+    "tpch_q10", "tpch_q19",
+    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
+    "tpch_q12", "tpch_q16", "tpch_q20")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3260,6 +3263,385 @@ def q_tpch_q21(spark, sf) -> DataFrame:
             .orderBy(F.col("numwait").desc(), "s_name"))
 
 
+def q_tpch_q2(spark, sf) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted to the synthetic
+    schema: no partsupp, so a supplier's cost for a part = the
+    MINIMUM extended price it ever shipped that part at, exact 1e-2
+    units) — the grouped-argmin correlated-subquery plan class: for
+    each qualifying part, keep exactly the region's suppliers whose
+    cost EQUALS the region-wide minimum for that part (ties kept,
+    per the spec's "= (SELECT min...)").
+
+    Decorrelated the way a 1000-executor plan wants it: the
+    (part, supplier) cost rollup is computed ONCE over lineitem
+    pre-reduced by the broadcast region-supplier filter (map-side
+    combine, ONE fact exchange on the composite key) and PERSISTED
+    (the tpch_q15/q17 single-scan discipline); the per-part minimum
+    is a second, part-grain aggregate of the rollup — NOT a
+    correlated re-scan of lineitem — joined back on
+    (partkey, cost = min) riding the SAME partkey partitioning
+    (part-grain is data-sized at 100 TB, so this join is
+    key-partitioned, not broadcast); part attributes and supplier
+    attributes arrive by broadcast; the top-100 is a
+    TakeOrderedAndProject, never a global sort.  BIGINT cost
+    equality means no borderline supplier flips on float rounding."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    n = load_table(spark, sf, "nation")
+    r = (load_table(spark, sf, "region")
+         .filter(F.col("r_name") == "EUROPE"))
+    eu = (load_table(spark, sf, "supplier")
+          .join(F.broadcast(n),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(r),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    pt = (load_table(spark, sf, "part")
+          .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+          .select("p_partkey", "p_name"))
+    li = load_table(spark, sf, "lineitem")
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cost = track_persist(
+        li.join(F.broadcast(eu.select("s_suppkey")),
+                li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(ep_u).alias("cost_u")))
+    mn = (cost.groupBy("l_partkey")
+          .agg(F.min("cost_u").alias("mn_u"))
+          .select(F.col("l_partkey").alias("_pk"), "mn_u"))
+    best = cost.join(mn, (cost["l_partkey"] == mn["_pk"])
+                     & (cost["cost_u"] == mn["mn_u"]))
+    out = (best.join(F.broadcast(pt),
+                     best["l_partkey"] == pt["p_partkey"])
+           .join(F.broadcast(eu),
+                 best["l_suppkey"] == eu["s_suppkey"]))
+    return (out.select("s_acctbal", "s_name", "n_name", "p_partkey",
+                       "p_name",
+                       F.round(F.col("cost_u") / 100.0, 2)
+                       .alias("supplycost"))
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+def q_tpch_q11(spark, sf) -> DataFrame:
+    """TPC-H Q11 important stock identification (adapted to the
+    synthetic schema: no partsupp, so a part's "stock value" held by
+    one nation's suppliers = the exact 1e-2-unit sum of extended
+    price those suppliers ever shipped of it) — the
+    global-fraction-HAVING plan class: keep parts whose value exceeds
+    TWICE the average per-part value, where the threshold is a scalar
+    subquery over the SAME relation the groups come from.  (The
+    original's fixed 0.0001 fraction is scale-DEPENDENT — TPC-H
+    itself divides it by SF; the average-multiple form is the
+    scale-free equivalent, non-empty at every SF.)
+
+    Decorrelated the way a 1000-executor plan wants it: the per-part
+    value aggregate is computed ONCE over lineitem pre-reduced by the
+    broadcast nation-supplier filter (map-side combine, ONE fact
+    exchange) and PERSISTED (the tpch_q15/q17 single-scan
+    discipline); the grand (total, n_parts) is a ONE-ROW aggregate
+    over the cached part-grain relation broadcast back into it (the
+    tpch_q22 scalar-subquery discipline — never a second lineitem
+    scan, never a SinglePartition window); the HAVING compares
+    value_u > (2·total_u) div n_parts in BIGINTs — integer
+    arithmetic on both engines (truncating division, positive
+    operands), never a float fraction, and 2·total_u stays far under
+    BIGINT range even at 100 TB (one nation's revenue in cents)."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    n7 = (load_table(spark, sf, "supplier")
+          .join(F.broadcast(load_table(spark, sf, "nation")
+                            .filter(F.col("n_name") == "NATION_19")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey"))
+    li = load_table(spark, sf, "lineitem")
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    val = track_persist(
+        li.join(F.broadcast(n7), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(ep_u).alias("value_u")))
+    tot = val.agg(F.sum("value_u").alias("tot_u"),
+                  F.count("*").alias("n_parts"))
+    return (val.join(F.broadcast(tot))
+            .filter(F.col("value_u")
+                    > F.expr("(tot_u * 2) div n_parts"))
+            .select("p_partkey",
+                    F.round(F.col("value_u") / 100.0, 2).alias("value"))
+            .orderBy(F.col("value").desc(), "p_partkey"))
+
+
+def q_tpch_q7(spark, sf) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations — the
+    cross-filtered star-join plan class: the qualifying pair predicate
+    spans TWO dimension branches (supplier's nation × customer's
+    nation), so neither dim filter alone is sufficient and the naive
+    plan carries the full fact join before filtering.
+
+    100 TB shape: both nation maps are pre-restricted to the two
+    qualifying nations BEFORE broadcasting, so each broadcast join is
+    ALSO a semi-reduction of its fact side — lineitem shrinks to the
+    two nations' suppliers' lines (~2/|nations|) and orders shrinks to
+    the two nations' customers' orders BEFORE they meet in the one
+    key-partitioned fact-fact join on l_orderkey; the residual
+    cross-branch disjunction (N1→N2 or N2→N1, never N1→N1) evaluates
+    on the join output, where it must.  Revenue is the exact integer
+    Σ eu·(100 − du) per (supp_nation, cust_nation, year), divided
+    once."""
+    li = (load_table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp"))))
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    n = load_table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_13", "NATION_19"))
+    sn = (load_table(spark, sf, "supplier")
+          .join(F.broadcast(n),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cn = (load_table(spark, sf, "customer")
+          .join(F.broadcast(n),
+                F.col("c_nationkey") == F.col("n_nationkey"))
+          .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    o_red = o.join(F.broadcast(cn), o["o_custkey"] == cn["c_custkey"])
+    li_red = li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc_u = F.round(F.col("l_discount") * 100).cast("long")
+    j = (li_red.join(o_red, li_red["l_orderkey"] == o_red["o_orderkey"])
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(ep_u * (100 - dc_u)) / 10000.0, 2)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+def q_tpch_q8(spark, sf) -> DataFrame:
+    """TPC-H Q8 national market share — the conditional-aggregate-
+    over-star plan class: one nation's share of a region's market for
+    one part type, by order year.  The share's numerator and
+    denominator ride the SAME aggregate (no second scan, no self-join
+    — sum(CASE) / sum), the rewrite the correlated two-query form
+    must decorrelate into.
+
+    100 TB shape: the part-type filter broadcasts into the lineitem
+    scan (fact shrinks ~1/|types| before anything shuffles); the
+    market region restricts orders via the customer→nation→region
+    broadcast chain BEFORE the one key-partitioned fact-fact join on
+    l_orderkey; the supplier→nation flag map broadcasts; the final
+    aggregate has |years| keys.  Volume is the exact integer
+    eu·(100 − du); the share divides two BIGINTs once per year row
+    and rounds to 4 decimals (the tpch_q14 promo-share discipline)."""
+    pt = (load_table(spark, sf, "part")
+          .filter(F.col("p_type") == "STANDARD").select("p_partkey"))
+    li = load_table(spark, sf, "lineitem")
+    o = (load_table(spark, sf, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1998-01-01").cast("timestamp")))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    n = load_table(spark, sf, "nation")
+    r = (load_table(spark, sf, "region")
+         .filter(F.col("r_name") == "EUROPE"))
+    ceu = (load_table(spark, sf, "customer")
+           .join(F.broadcast(n),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("c_custkey"))
+    sn = (load_table(spark, sf, "supplier")
+          .join(F.broadcast(n.select("n_nationkey", "n_name")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc_u = F.round(F.col("l_discount") * 100).cast("long")
+    li_red = (li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+              .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+              .withColumn("vol_u", ep_u * (100 - dc_u)))
+    o_red = o.join(F.broadcast(ceu), o["o_custkey"] == ceu["c_custkey"])
+    j = li_red.join(o_red, li_red["l_orderkey"] == o_red["o_orderkey"])
+    agg = (j.groupBy(F.year("o_orderdate").alias("o_year"))
+           .agg(F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("vol_u")).otherwise(F.lit(0)))
+                .alias("_num"),
+                F.sum("vol_u").alias("_den")))
+    return (agg.select("o_year",
+                       F.round(F.lit(100.0) * F.col("_num")
+                               / F.col("_den"), 4).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+def q_tpch_q9(spark, sf) -> DataFrame:
+    """TPC-H Q9 product-type profit by nation and year (adapted to
+    the synthetic schema: no partsupp, so unit cost =
+    p_retailprice — profit = eu·(100 − du) − retail·qty in exact
+    1e-4 units) — the LIKE-filtered multi-dim star plan class: a
+    substring predicate on the part name gates the whole query, and
+    profit needs columns from THREE relations (lineitem price,
+    part cost, orders date) plus the supplier nation.
+
+    100 TB shape: the LIKE filter cannot prune the parquet scan by
+    min/max stats but DOES reduce the part dim to ~1/|colors| before
+    it broadcasts into lineitem (fact shrinks before the shuffle);
+    the supplier→nation map broadcasts; the one key-partitioned
+    fact-fact join on l_orderkey carries only the reduced fact; the
+    final aggregate has |nations| × |years| keys."""
+    pt = (load_table(spark, sf, "part")
+          .filter(F.col("p_name").like("red %"))
+          .select("p_partkey", "p_retailprice"))
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    sn = (load_table(spark, sf, "supplier")
+          .join(F.broadcast(load_table(spark, sf, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", F.col("n_name").alias("nation")))
+    ep_u = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc_u = F.round(F.col("l_discount") * 100).cast("long")
+    rp_u = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty_l = F.round(F.col("l_quantity")).cast("long")
+    amount_u = ep_u * (100 - dc_u) - rp_u * qty_l * 100
+    li_red = (li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+              .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+              .select("l_orderkey", "nation", amount_u.alias("amount_u")))
+    j = li_red.join(o, li_red["l_orderkey"] == o["o_orderkey"])
+    return (j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum("amount_u") / 10000.0, 2)
+                 .alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+def q_tpch_q12(spark, sf) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority counts (adapted to the
+    synthetic schema: no l_shipmode / commit / receipt dates, so the
+    group key is l_returnflag and "late" = shipped more than 90 days
+    after the order date) — the non-equi-residual fact-fact plan
+    class: the interesting predicate (shipdate > orderdate + 90 days)
+    compares columns from BOTH fact relations, so it cannot push into
+    either scan and must evaluate as a residual on the equi-join
+    output — the pin is that the date-RANGE filter still prunes the
+    lineitem scan and the CASE split never becomes two joins.
+
+    100 TB shape: the 1997 ship-year filter pushes into the lineitem
+    scan; one key-partitioned fact-fact join on l_orderkey (both
+    sides data-sized — no broadcast); the residual interval predicate
+    evaluates post-join; the high/low priority split is a
+    conditional aggregate over the SAME pass (sum(CASE), never a
+    second join or scan) with |returnflag| output keys."""
+    li = (load_table(spark, sf, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_returnflag", "l_shipdate"))
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .filter(F.col("l_shipdate")
+                 > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy("l_returnflag")
+            .agg(F.sum(high.cast("long")).alias("high_line_count"),
+                 F.sum((~high).cast("long")).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
+def q_tpch_q16(spark, sf) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (adapted to the
+    synthetic schema: the supplier-part bridge = DISTINCT lineitem
+    (partkey, suppkey) since there is no partsupp, and "customer
+    complaints" = negative supplier account balance) — the
+    NOT-IN-exclusion + grouped count-distinct plan class: how many
+    DISTINCT suppliers offer each surviving (brand, type, size)
+    combination, excluding one brand, one type, a size IN-list, and
+    every blacklisted supplier.
+
+    100 TB shape: the NOT IN subquery is supplier-bounded, so it
+    decorrelates to a BROADCAST anti-join (null-free blacklist — the
+    NOT IN ≡ LeftAnti equivalence holds because s_suppkey is a
+    non-null key); the part predicate reduces the dim BEFORE it
+    broadcasts into the bridge; the bridge itself is ONE fact
+    exchange on (partkey, suppkey) with map-side-combined
+    DISTINCT; the final count(DISTINCT suppkey) re-shuffles only the
+    bridge-grain relation on the (brand, type, size) key — Spark's
+    two-phase distinct aggregate, never a second fact scan."""
+    li = load_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey").distinct()
+    bad = (load_table(spark, sf, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pt = (load_table(spark, sf, "part")
+          .filter((F.col("p_brand") != "Brand#5")
+                  & (F.col("p_type") != "PROMO")
+                  & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+    ps = (li.join(F.broadcast(bad),
+                  li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+          .join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]))
+    return (ps.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                     "p_size"))
+
+
+def q_tpch_q20(spark, sf) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted to the synthetic
+    schema: no partsupp availqty, so the qualifying condition becomes
+    "the supplier's all-time shipped quantity of the part exceeds
+    half the part's total 1997 volume" — a dominant-supplier test
+    with the same nested shape) — the nested-IN plan class: suppkey
+    IN (... partkey IN (...) AND qty > 0.5 × (correlated scalar
+    subquery)), TPC-H's deepest subquery nest.
+
+    Decorrelated the way a 1000-executor plan wants it: the part-name
+    prefix filter reduces the part dim BEFORE it broadcasts into
+    lineitem (fact shrinks first); BOTH aggregates — the per-(part,
+    supplier) all-time quantity AND the per-part 1997 quantity — fall
+    out of ONE rollup pass over the reduced fact (conditional sum +
+    a window re-aggregate over the ALREADY-COLLAPSED part grain, the
+    tpch_q21 single-exchange discipline), never a second lineitem
+    scan per subquery level; the qualifying suppkeys collapse to a
+    supplier-bounded DISTINCT that BROADCASTS as a LeftSemi into the
+    region-filtered supplier dim.  Parts with zero 1997 volume are
+    excluded (the correlated scalar subquery is NULL there —
+    comparison false), matching the spec's semantics.  Quantities
+    compare as exact BIGINTs via cross-multiplication (2·qty_all >
+    qty97), never a float 0.5 factor."""
+    pt = (load_table(spark, sf, "part")
+          .filter(F.col("p_name").like("small %")).select("p_partkey"))
+    li = load_table(spark, sf, "lineitem")
+    qty_l = F.round(F.col("l_quantity")).cast("long")
+    in97 = ((F.col("l_shipdate")
+             >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1998-01-01").cast("timestamp")))
+    rollup = (li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum(qty_l).alias("qty_all"),
+                   F.sum(F.when(in97, qty_l).otherwise(F.lit(0)))
+                   .alias("qty_97")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("l_partkey")
+    qual = (rollup
+            .withColumn("qty97_part", F.sum("qty_97").over(w))
+            .filter((F.col("qty97_part") > 0)
+                    & (F.col("qty_all") * 2 > F.col("qty97_part")))
+            .select("l_suppkey").distinct())
+    n = load_table(spark, sf, "nation")
+    r = (load_table(spark, sf, "region")
+         .filter(F.col("r_name") == "ASIA"))
+    s_asia = (load_table(spark, sf, "supplier")
+              .join(F.broadcast(n),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(r),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("s_suppkey", "s_name"))
+    return (s_asia.join(F.broadcast(qual),
+                        s_asia["s_suppkey"] == qual["l_suppkey"],
+                        "left_semi")
+            .orderBy("s_suppkey"))
+
+
 def q_containment_pairs(spark, sf) -> DataFrame:
     """Asymmetric n-gram containment dedup
     (functions/dedup.containment_pairs — Broder 1997's containment
@@ -3519,12 +3901,20 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
         "tpch_q17": q_tpch_q17,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
         "containment_pairs": q_containment_pairs,
@@ -5541,6 +5931,169 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(r_u / 10000.0, 2) AS total_revenue
             FROM rev JOIN supplier ON s_suppkey = l_suppkey, m
             WHERE r_u = m.mx
+            ORDER BY s_suppkey
+        """,
+        # the adapted Q2 correlated form verbatim — DuckDB evaluates
+        # the per-part scalar min subquery directly, pinning the
+        # decorrelated rollup + join-back equivalence
+        "tpch_q2": """
+            WITH eu AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              WHERE r_name = 'EUROPE'),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     min(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                       AS cost_u
+              FROM lineitem JOIN eu ON s_suppkey = l_suppkey
+              GROUP BY 1, 2)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                   round(cost_u / 100.0, 2) AS supplycost
+            FROM part
+            JOIN cost ON l_partkey = p_partkey
+            JOIN eu ON s_suppkey = l_suppkey
+            WHERE p_type = 'LARGE' AND p_size <= 15
+              AND cost_u = (SELECT min(c2.cost_u) FROM cost c2
+                            WHERE c2.l_partkey = p_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        # the adapted Q11 correlated form — the scalar total is the
+        # HAVING subquery over the same grouped relation; the exact
+        # BIGINT cross-multiplication mirrors the Spark side
+        "tpch_q11": """
+            WITH val AS (
+              SELECT l_partkey AS p_partkey,
+                     sum(round(l_extendedprice * 100)::BIGINT)::BIGINT
+                       AS value_u
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE n_name = 'NATION_19'
+              GROUP BY 1)
+            SELECT p_partkey, round(value_u / 100.0, 2) AS value
+            FROM val, (SELECT sum(value_u)::BIGINT AS tot_u,
+                              count(*)::BIGINT AS n_parts FROM val) t
+            WHERE value_u > (tot_u * 2) // n_parts
+            ORDER BY value DESC, p_partkey
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(r_u / 10000.0, 2) AS revenue
+            FROM (
+              SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                     year(l_shipdate)::INTEGER AS l_year,
+                     sum(round(l_extendedprice * 100)::BIGINT
+                         * (100 - round(l_discount * 100)::BIGINT)
+                         )::BIGINT AS r_u
+              FROM lineitem
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+              JOIN nation cn ON cn.n_nationkey = c_nationkey
+              WHERE ((sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+                  OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13'))
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2, 3)
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q8": """
+            SELECT o_year,
+                   round(100.0 * num / den, 4) AS mkt_share
+            FROM (
+              SELECT year(o_orderdate)::INTEGER AS o_year,
+                     sum(CASE WHEN sn.n_name = 'NATION_3'
+                         THEN round(l_extendedprice * 100)::BIGINT
+                              * (100 - round(l_discount * 100)::BIGINT)
+                         ELSE 0 END)::BIGINT AS num,
+                     sum(round(l_extendedprice * 100)::BIGINT
+                         * (100 - round(l_discount * 100)::BIGINT)
+                         )::BIGINT AS den
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation cn ON cn.n_nationkey = c_nationkey
+              JOIN region ON r_regionkey = cn.n_regionkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+              WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1)
+            ORDER BY o_year
+        """,
+        "tpch_q9": """
+            SELECT nation, o_year, round(p_u / 10000.0, 2) AS sum_profit
+            FROM (
+              SELECT n_name AS nation,
+                     year(o_orderdate)::INTEGER AS o_year,
+                     sum(round(l_extendedprice * 100)::BIGINT
+                         * (100 - round(l_discount * 100)::BIGINT)
+                         - round(p_retailprice * 100)::BIGINT
+                           * round(l_quantity)::BIGINT * 100
+                         )::BIGINT AS p_u
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              WHERE p_name LIKE 'red %'
+              GROUP BY 1, 2)
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q12": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        # the adapted Q16 NOT-IN form verbatim — DuckDB evaluates the
+        # exclusion subquery directly, pinning the broadcast
+        # anti-join equivalence (null-free key side)
+        "tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # the adapted Q20 nested-IN form verbatim — DuckDB evaluates
+        # the correlated scalar 1997-volume subquery directly (NULL
+        # for parts with no 1997 lines -> comparison false), pinning
+        # the single-rollup + window decorrelation
+        "tpch_q20": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem l1
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'small %')
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(round(l_quantity)::BIGINT) * 2 > (
+                  SELECT sum(round(l2.l_quantity)::BIGINT)
+                  FROM lineitem l2
+                  WHERE l2.l_partkey = l1.l_partkey
+                    AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+                    AND l2.l_shipdate < TIMESTAMP '1998-01-01'))
             ORDER BY s_suppkey
         """,
         # the adapted Q21 correlated form verbatim — DuckDB evaluates

@@ -372,6 +372,15 @@ _AUDIT_ALLOW = {
     # as the argmax probe — the tpch_q17/q22 scalar-aggregate class;
     # the single corpus scan is pinned by its dedicated plan test
     "tpch_q15": ("single_partition",),
+    # Catalyst-INJECTED bloom-filter runtime filter on the grouped-
+    # argmin join-back: a one-row bloom_filter_agg buffer built from
+    # the pruned part keys (an optimizer win, not a query smell —
+    # the buffer is one fixed-size row by construction)
+    "tpch_q2": ("single_partition",),
+    # ONE-row (total, n_parts) broadcast cross join back into the
+    # persisted part-grain value relation — the tpch_q22 one-row
+    # scalar-subquery class
+    "tpch_q11": ("cartesian", "single_partition"),
 }
 
 
