@@ -723,6 +723,80 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
     )
 
 
+def cosine_bucket_table(df: DataFrame, dim: int | None = None,
+                        n_bits: int = 10, n_tables: int = 6,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """The persistable LSH half of an incremental embedding-dedup
+    index: one (id, tbl, bucket) row per vector per table, the
+    relation a nightly ingest job writes ONCE for the landed corpus
+    (partition by ``tbl`` on disk) and joins every new batch against
+    — the embedding tier's hamming_piece_table.
+
+    Same deterministic hyperplane family as cosine_near_dup_pairs /
+    lsh_buckets_all, so a table built yesterday collides with a batch
+    hashed today."""
+    dim = dim or len(df.select(vec_col).first()[0])
+    return df.select(
+        F.col(id_col),
+        F.posexplode(lsh_buckets_all(F.col(vec_col), dim, n_bits,
+                                     n_tables)).alias("tbl", "bucket"))
+
+
+def cross_cosine_near_dup_pairs(new: DataFrame, existing: DataFrame,
+                                threshold: float = 0.9,
+                                dim: int | None = None,
+                                n_bits: int = 10, n_tables: int = 6,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                existing_buckets: DataFrame | None = None,
+                                ) -> DataFrame:
+    """Directional (new-batch × landed-corpus) embedding near-dup —
+    the incremental-ingest path that completes the discipline across
+    all three modality tiers (text: cross_near_dup_pairs, image:
+    cross_banded_hamming_pairs, embeddings: here): candidates collide
+    in a shared LSH bucket in ANY table, then the exact cosine
+    verifies — and the CORPUS SIDE IS NEVER SELF-JOINED: tonight's
+    re-ingest costs O(|new| × bucket occupancy), not a re-run of the
+    full corpus self-join.
+
+    Pass ``existing_buckets`` (a persisted cosine_bucket_table — read
+    back from parquet, bucket-pruned by the optimizer) to skip
+    re-hashing the landed corpus entirely; the ``existing`` frame then
+    only serves vector lookups for the |new|-bounded candidate set.
+
+    Verification is the join path of cosine_near_dup_pairs (attach
+    each side's vector by id, Arrow-batched dot, one rounding) —
+    candidates here are |new|-bounded, so the id joins are O(pairs)
+    and AQE broadcasts the batch side.  Scores are IEEE-identical to
+    the exact tier (same fold and op order), so at total-recall LSH
+    sizing the exact directional SQL is the oracle.
+
+    Reference anchor for the directional alignment discipline:
+    src/JoinHelpers.fs:42-53 (restrict-to-range before joining)."""
+    dim = dim or len(new.select(vec_col).first()[0])
+    nb = cosine_bucket_table(new, dim, n_bits, n_tables, id_col, vec_col)
+    eb = (existing_buckets if existing_buckets is not None
+          else cosine_bucket_table(existing, dim, n_bits, n_tables,
+                                   id_col, vec_col))
+    cand = (nb.alias("n").join(eb.alias("e"), on=["tbl", "bucket"])
+            .select(F.col(f"n.{id_col}").alias("new_id"),
+                    F.col(f"e.{id_col}").alias("old_id"))
+            .dropDuplicates(["new_id", "old_id"]))
+    nv = new.select(F.col(id_col).alias("new_id"),
+                    F.col(vec_col).alias("_va"),
+                    norm(F.col(vec_col)).alias("_na"))
+    ev = existing.select(F.col(id_col).alias("old_id"),
+                         F.col(vec_col).alias("_vb"),
+                         norm(F.col(vec_col)).alias("_nb"))
+    sim = dot_batch(F.col("_va"), F.col("_vb")) / (F.col("_na")
+                                                   * F.col("_nb"))
+    return (cand.join(nv, on="new_id").join(ev, on="old_id")
+            .withColumn("cosine_sim", F.round(sim, 4))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("new_id", "old_id", "cosine_sim"))
+
+
 def _py_cosine(a: list[float], b: list[float]) -> float:
     num = s_a = s_b = 0.0
     for x, y in zip(a, b):

@@ -319,6 +319,85 @@ def test_image_incr_dedup_plan_never_cartesian(spark):
     assert plan.count("InMemoryTableScan") == 2
 
 
+# -------------------------------------- incremental embedding dedup
+
+
+def test_cross_cosine_directional_guard(spark):
+    """The corpus side must NEVER self-pair: two identical landed
+    vectors produce no row when nothing in the new batch is near
+    them — and new×new must not pair either."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        cross_cosine_near_dup_pairs,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    existing = spark.createDataFrame(
+        [(1, v), (2, v)],              # exact landed dups of each other
+        "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        [(10, w), (11, w)],            # new×new exact dups
+        "vec_id long, embedding array<float>")
+    got = cross_cosine_near_dup_pairs(new, existing, threshold=0.9,
+                                      dim=4, n_bits=2,
+                                      n_tables=8).collect()
+    assert got == []  # no old×old, no new×new
+
+    # a genuine new→old near-dup IS found, with the exact score
+    new2 = spark.createDataFrame([(10, v)],
+                                 "vec_id long, embedding array<float>")
+    got2 = {(r["new_id"], r["old_id"]): r["cosine_sim"]
+            for r in cross_cosine_near_dup_pairs(
+                new2, existing, threshold=0.9, dim=4, n_bits=2,
+                n_tables=8).collect()}
+    assert got2 == {(10, 1): 1.0, (10, 2): 1.0}
+
+
+def test_cross_cosine_bucket_table_path(spark):
+    """The production shape — a persisted cosine_bucket_table for the
+    landed corpus — must give identical pairs to the direct path."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        cosine_bucket_table, cross_cosine_near_dup_pairs,
+    )
+
+    import random
+    rng = random.Random(3)
+    mk = lambda: [rng.uniform(-1, 1) for _ in range(8)]  # noqa: E731
+    base = mk()
+    existing = spark.createDataFrame(
+        [(i, mk()) for i in range(12)] + [(50, base)],
+        "vec_id long, embedding array<float>")
+    near = [x + rng.uniform(-0.01, 0.01) for x in base]
+    new = spark.createDataFrame(
+        [(100, near), (101, mk())],
+        "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.95, dim=8, n_bits=2, n_tables=12)
+    direct = {(r["new_id"], r["old_id"]): r["cosine_sim"]
+              for r in cross_cosine_near_dup_pairs(
+                  new, existing, **kw).collect()}
+    bt = cosine_bucket_table(existing, dim=8, n_bits=2, n_tables=12)
+    via_table = {(r["new_id"], r["old_id"]): r["cosine_sim"]
+                 for r in cross_cosine_near_dup_pairs(
+                     new, existing, existing_buckets=bt,
+                     **kw).collect()}
+    assert direct == via_table
+    assert (100, 50) in direct  # the planted near-dup is found
+
+
+def test_embed_incr_dedup_plan_never_cartesian(spark):
+    import __spark_entry__ as entry
+    from fsharp_dataframe_spark.functions.util import release_cached
+
+    try:
+        df = entry._all_queries()["embed_incr_dedup"](
+            spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        release_cached()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # ------------------------------------------------- vectorized dhash
 
 
