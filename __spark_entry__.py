@@ -1515,6 +1515,41 @@ def q_image_near_dup(spark, sf) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_audio_near_dup(spark, sf) -> DataFrame:
+    """Audio perceptual near-duplicate detection — the audio
+    counterpart of image_near_dup, completing the multimodal tier's
+    REAL decode story: spectral-band fingerprints over genuinely
+    decoded PCM (multimodal.audio_fingerprint — stdlib WAV decode +
+    vectorized rFFT band-energy delta coding, the Haitsma-Kalker
+    2002 family) fed to the SAME pigeonhole band substrate
+    (dedup.banded_hamming_pairs — nothing audio-specific below the
+    fingerprint).  The fixture's WAVEFORMS are closed form
+    (make_fake_audio_media: per-window tones at exact rFFT band
+    centers, amplitudes chained so adjacent-band energy comparisons
+    reproduce the md5-derived 60-bit pattern bit for bit; every 8th
+    clip a PLANTED Hamming-1 twin of its predecessor) — the DuckDB
+    oracle replays pattern, banding, join and popcount verbatim,
+    pinning decode + FFT + hash + pair end to end.
+
+    100 TB shape: executor-generated corpus, Arrow-batched decode,
+    (piece, piece-bits) shuffle keys — never all-pairs.  The
+    incremental ingest path is cross_banded_hamming_pairs over a
+    persisted piece table, identical to images."""
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_fingerprint, cached_audio_media,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_media(spark, n)
+    fps = audio_fingerprint(media)
+    pairs = banded_hamming_pairs(fps, id_col="media_id",
+                                 sketch_col="afp", max_hamming=2)
+    return (pairs.select("id_a", "id_b",
+                         F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("id_a", "id_b"))
+
+
 def q_image_dedup_clusters(spark, sf) -> DataFrame:
     """Image duplicate CLUSTERING — the composed multimodal dedup
     capstone: dHash over real decoded pixels (dhash_media) → banded
@@ -2863,8 +2898,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # ngram_novelty/media_mixed.
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
 # image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19, and the
-# TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20 and
-# embed_incr_dedup — held out
+# TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20,
+# embed_incr_dedup and audio_near_dup — held out
 # at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r11) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -2915,7 +2950,8 @@ EXTRA_QUERIES = (
     "tpch_q21", "image_incr_dedup", "tpch_q13", "tpch_q15",
     "tpch_q10", "tpch_q19",
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q12", "tpch_q16", "tpch_q20", "embed_incr_dedup")
+    "tpch_q12", "tpch_q16", "tpch_q20", "embed_incr_dedup",
+    "audio_near_dup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3894,6 +3930,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_png_decode": q_media_png_decode,
         "image_near_dup": q_image_near_dup,
+        "audio_near_dup": q_audio_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -5301,6 +5338,40 @@ def _all_oracle_sql() -> dict[str, str]:
         # tail every 16th (Hamming 1 + 2, endpoints 3 apart — a
         # transitive-only cluster for image_dedup_clusters), banded
         # [22, 21, 21] and popcount-verified exactly like the Spark plan
+        # the audio pattern replay — the image_near_dup oracle's shape
+        # under the audio fixture's 'a'-salted md5 pattern: the REAL
+        # WAV-decode + FFT pipeline must land exactly on the closed
+        # form, then banding + popcount replay verbatim
+        "audio_near_dup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            b AS (SELECT j, ('0x' || substr(md5('a' || j::VARCHAR), 1, 15))::BIGINT
+                         AS bv
+                  FROM m),
+            p AS (SELECT j AS id,
+                         CASE WHEN j % 16 = 12 THEN
+                           xor(xor(xor(lag(bv, 6) OVER (ORDER BY j),
+                                       (1::BIGINT << ((j - 5) % 60))),
+                                   (1::BIGINT << ((j + 11) % 60))),
+                               (1::BIGINT << ((j + 37) % 60)))
+                         WHEN j % 8 = 7 THEN
+                           xor(lag(bv, 1) OVER (ORDER BY j),
+                               (1::BIGINT << (j % 60)))
+                         ELSE bv END AS sh
+                  FROM b),
+            q AS (SELECT id, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            c AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                         bit_count(xor(a.sh, b2.sh))::BIGINT AS hamming
+                  FROM q a JOIN q b2
+                    ON a.q = b2.q AND a.qv = b2.qv AND a.id < b2.id)
+            SELECT id_a, id_b, hamming FROM c
+            WHERE hamming <= 2 ORDER BY id_a, id_b
+        """,
         "image_near_dup": """
             WITH m AS (SELECT row_number() OVER () - 1 AS j
                        FROM documents),

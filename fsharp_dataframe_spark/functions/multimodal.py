@@ -764,3 +764,206 @@ def make_fake_dhash_media(spark, n: int) -> DataFrame:
     parts = max(1, (int(n) + 4095) // 4096)
     return spark.range(0, int(n), 1, parts).mapInPandas(
         gen, schema=MEDIA_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# audio: real WAV decode tier + spectral-band fingerprint
+# ----------------------------------------------------------------------
+
+AFP_SR = 8000          # fixture sample rate
+AFP_WIN = 256          # samples per analysis window
+AFP_N_WIN = 8          # windows per clip (8 windows x 8 bits = 64)
+AFP_N_BANDS = 9        # adjacent-band comparisons yield 8 bits/window
+
+
+def _afp_from_samples(s):
+    """64-bit audio fingerprint from PCM samples (float array):
+    bit w·8 + b = 1 iff window w's spectral energy in band b exceeds
+    band b+1 — the adjacent-band delta coding of the chromaprint /
+    Haitsma-Kalker (2002) family, over 9 four-bin rFFT bands per
+    256-sample window.  Clips shorter than one fingerprint frame
+    (2048 samples) return None; longer clips fingerprint their first
+    frame (the lookup-key contract — match windows, not whole files).
+
+    One vectorized rFFT per clip (the (8, 256) window matrix in a
+    single call — the r11 dHash reduceat lesson applied from day
+    one), band sums by slice."""
+    import numpy as np
+
+    need = AFP_WIN * AFP_N_WIN
+    if s is None or len(s) < need:
+        return None
+    seg = np.asarray(s[:need], dtype=np.float64).reshape(AFP_N_WIN,
+                                                         AFP_WIN)
+    X = np.abs(np.fft.rfft(seg, axis=1)) ** 2        # (8, 129)
+    e = np.stack([X[:, 4 + 4 * b: 8 + 4 * b].sum(axis=1)
+                  for b in range(AFP_N_BANDS)], axis=1)   # (8, 9)
+    bits = e[:, :-1] > e[:, 1:]                      # (8, 8)
+    fp = 0
+    for w in range(AFP_N_WIN):
+        for b in range(8):
+            if bits[w, b]:
+                fp |= 1 << (w * 8 + b)
+    return fp
+
+
+def _decode_wav_samples(payload: bytes | None):
+    """PCM16 mono WAV decode via the stdlib wave module — REAL audio
+    decode for the one container format that needs no external codec
+    (compressed formats stay behind DecoderUnavailable, the
+    extract_features contract).  Returns float64 samples or None."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None:
+        return None
+    try:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+            if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                return None
+            raw = wf.readframes(wf.getnframes())
+    except Exception:
+        return None
+    return np.frombuffer(raw, dtype="<i2").astype(np.float64)
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """Per-clip 64-bit audio fingerprint over the REAL decode tier —
+    the audio counterpart of dhash_media: Arrow-batched mapInPandas,
+    stdlib-WAV decode (no codec dependency), NULL fingerprint +
+    decode_ok=False for anything undecodable, never an executor
+    exception.
+
+    Returns (id, afp long, decode_ok boolean).  Feed the fingerprints
+    to dedup.banded_hamming_pairs for corpus-scale near-dup pairs, or
+    dedup.cross_banded_hamming_pairs(new, landed_piece_table) for the
+    incremental ingest path — the SAME validated pigeonhole substrate
+    as images; nothing audio-specific below the fingerprint."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("afp", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ])
+
+    def _fp(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            fps, oks = [], []
+            for payload in pdf[payload_col]:
+                fp = _afp_from_samples(_decode_wav_samples(payload))
+                fps.append(fp)
+                oks.append(fp is not None)
+            yield pd.DataFrame({id_col: pdf[id_col], "afp": fps,
+                                "decode_ok": oks})
+
+    from fsharp_dataframe_spark.functions.util import spread
+
+    return spread(df, id_col, payload_col).mapInPandas(
+        _fp, schema=out_schema)
+
+
+def _afp_pattern(i: int) -> int:
+    """Closed-form 60-bit pattern for the audio fixture — the
+    _dhash_pattern rules under a DIFFERENT hash salt ('a' + id, so the
+    audio oracle's rows never mirror the image oracle's): md5-based
+    base pattern, i ≡ 7 (mod 8) a Hamming-1 twin of i−1, i ≡ 12
+    (mod 16) two more flips on i−6's twin — the (i−6)–(i−5)–i chain
+    is Hamming 1 + 2 with endpoints at 3."""
+    import hashlib
+
+    def base(j: int) -> int:
+        return int(hashlib.md5(f"a{j}".encode()).hexdigest()[:15], 16)
+
+    if i % 16 == 12:
+        twin = base(i - 6) ^ (1 << ((i - 5) % 60))
+        return twin ^ (1 << ((i + 11) % 60)) ^ (1 << ((i + 37) % 60))
+    if i % 8 == 7:
+        return base(i - 1) ^ (1 << (i % 60))
+    return base(i)
+
+
+def make_fake_audio_media(spark, n: int) -> DataFrame:
+    """Corpus-scale WAV fixture whose fingerprint is CLOSED FORM: clip
+    i synthesizes, per 256-sample window, nine tones at the exact
+    centers of the fingerprint's rFFT bands (integer cycles — zero
+    spectral leakage) with amplitudes chained ×1.6 / ÷1.6 so the
+    adjacent-band energy comparisons reproduce _afp_pattern(i) bit
+    for bit (2.56× energy steps dwarf int16 quantization noise;
+    round-trip exactness property-pinned in tests).  Executor-
+    generated like make_fake_dhash_media."""
+    def gen(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        t = np.arange(AFP_WIN)
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            payloads = []
+            for i in ids:
+                p = _afp_pattern(i)
+                frames = []
+                for w in range(AFP_N_WIN):
+                    amps = [1.0]
+                    for b in range(8):
+                        k = w * 8 + b
+                        bit = (p >> k) & 1 if k < 60 else 0
+                        amps.append(amps[-1] / 1.6 if bit
+                                    else amps[-1] * 1.6)
+                    x = np.zeros(AFP_WIN)
+                    for b, a in enumerate(amps):
+                        cb = 5 + 4 * b
+                        x = x + a * np.sin(2 * np.pi * cb * t / AFP_WIN)
+                    x = x * (12000.0 / np.max(np.abs(x)))
+                    frames.append(np.round(x).astype(np.int16))
+                samples = np.concatenate(frames)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(AFP_SR)
+                    wf.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            dur = AFP_WIN * AFP_N_WIN / AFP_SR
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": payloads,
+                "meta": [{"mime": "audio/wav", "width": None,
+                          "height": None,
+                          "n_frames": AFP_WIN * AFP_N_WIN,
+                          "duration_s": dur} for _ in ids],
+            })
+
+    parts = max(1, (int(n) + 4095) // 4096)
+    return spark.range(0, int(n), 1, parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def cached_audio_media(spark, n: int,
+                       cache_root: str | None = None) -> DataFrame:
+    """Write-once parquet cache of the closed-form WAV fixture — the
+    cached_dhash_media discipline (atomic pid-temp rename, _SUCCESS
+    sentinel, deterministic contents so staleness is impossible)."""
+    import os
+    import shutil
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
+    path = os.path.join(root, f"audio_n{int(n)}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        make_fake_audio_media(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(path).select(
+        *[f.name for f in MEDIA_SCHEMA.fields])

@@ -398,6 +398,98 @@ def test_embed_incr_dedup_plan_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# -------------------------------------------- audio fingerprint tier
+
+
+def test_audio_fixture_fingerprint_closed_form(spark):
+    """The REAL pipeline — stdlib WAV decode + vectorized rFFT band
+    deltas — must land exactly on the engineered closed form for
+    every clip, including both planted-twin rules (i%8==7 Hamming-1,
+    i%16==12 chain-of-3)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _afp_pattern, audio_fingerprint, make_fake_audio_media,
+    )
+
+    got = {r["media_id"]: r["afp"]
+           for r in audio_fingerprint(
+               make_fake_audio_media(spark, 64)).collect()}
+    assert len(got) == 64
+    for i in range(64):
+        assert got[i] == _afp_pattern(i), i
+    # planted chain: 6-7 at Hamming 1, 7-12 at 2, endpoints at 3
+    h = lambda a, b: bin(got[a] ^ got[b]).count("1")  # noqa: E731
+    assert h(6, 7) == 1 and h(7, 12) == 2 and h(6, 12) == 3
+
+
+def test_audio_fingerprint_undecodable_rows(spark):
+    """NULL payloads, non-WAV bytes, stereo/8-bit WAVs and sub-frame
+    clips degrade to (NULL, decode_ok=False) per row — never an
+    executor exception; a longer clip fingerprints its FIRST frame."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _afp_pattern, audio_fingerprint, make_fake_audio_media,
+    )
+
+    good = make_fake_audio_media(spark, 1).collect()[0]["payload"]
+
+    def wav(samples, ch=1, width=2):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(ch)
+            wf.setsampwidth(width)
+            wf.setframerate(8000)
+            wf.writeframes(samples)
+        return buf.getvalue()
+
+    short = wav(np.zeros(100, dtype=np.int16).tobytes())
+    stereo = wav(np.zeros(8192, dtype=np.int16).tobytes(), ch=2)
+    longer = bytes(good) + b""  # same header; first frame decides
+    rows = spark.createDataFrame(
+        [(0, bytearray(good)), (1, None), (2, bytearray(b"not a wav")),
+         (3, bytearray(short)), (4, bytearray(stereo))],
+        "media_id long, payload binary")
+    got = {r["media_id"]: (r["afp"], r["decode_ok"])
+           for r in audio_fingerprint(rows).collect()}
+    assert got[0] == (_afp_pattern(0), True)
+    for i in (1, 2, 3, 4):
+        assert got[i] == (None, False), i
+    # a clip longer than one frame keeps its first-frame fingerprint
+    with wave.open(io.BytesIO(bytes(good)), "rb") as wf:
+        raw = wf.readframes(wf.getnframes())
+    ext = wav(raw + np.zeros(4096, dtype=np.int16).tobytes())
+    rows2 = spark.createDataFrame([(9, bytearray(ext))],
+                                  "media_id long, payload binary")
+    r9 = audio_fingerprint(rows2).collect()[0]
+    assert (r9["afp"], r9["decode_ok"]) == (_afp_pattern(0), True)
+
+
+def test_cached_audio_media_roundtrip(spark, tmp_path):
+    """The write-once parquet cache returns exactly the generated
+    fixture and reuses files on the second call."""
+    import os
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_fingerprint, cached_audio_media, make_fake_audio_media,
+    )
+
+    root = str(tmp_path / "media_cache")
+    a = cached_audio_media(spark, 16, cache_root=root)
+    path = os.path.join(root, "audio_n16.parquet")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    b = cached_audio_media(spark, 16, cache_root=root)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+    gen = {r["media_id"]: r["afp"] for r in audio_fingerprint(
+        make_fake_audio_media(spark, 16)).collect()}
+    got = {r["media_id"]: r["afp"] for r in audio_fingerprint(b).collect()}
+    assert got == gen and len(got) == 16
+    assert a.columns == b.columns
+
+
 # ------------------------------------------------- vectorized dhash
 
 
