@@ -1550,6 +1550,38 @@ def q_audio_near_dup(spark, sf) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_video_near_dup(spark, sf) -> DataFrame:
+    """Video near-duplicate detection by temporally-aligned frame
+    match — the multi-frame capstone of the multimodal tier
+    (multimodal.video_near_dup): sample every 2nd frame of each FSV1
+    container (concatenated intra-only PNG frames — the one video
+    layout decodable without an external codec; inter-coded formats
+    stay behind DecoderUnavailable), dHash each sampled frame through
+    the REAL image decode path, pair same-position frames within
+    Hamming ≤ 2 on (frame, piece, piece-bits) shuffle keys, and keep
+    video pairs whose matches cover ≥ half the comparable sampled
+    positions (2·matched ≥ compared, exact integers).
+
+    The fixture's per-frame dHashes are closed form ('v'-salted md5
+    patterns rendered as block-walk PNGs; every 8th video a planted
+    RE-UPLOAD of its predecessor — same frames, one-bit watermark
+    change on frame 0) — the DuckDB oracle replays frame grid,
+    sampling stride, pattern, banding, popcount and the video-level
+    rollup verbatim.
+
+    100 TB shape: pixels never shuffle (hashes leave the decode pass
+    as 8-byte longs); never all-pairs; per-video sampled counts are a
+    video-grain aggregate joined back on the pair keys."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, video_near_dup,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    return (video_near_dup(media, every_n=2, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
 def q_image_dedup_clusters(spark, sf) -> DataFrame:
     """Image duplicate CLUSTERING — the composed multimodal dedup
     capstone: dHash over real decoded pixels (dhash_media) → banded
@@ -2899,7 +2931,7 @@ def q_transitions(spark, sf) -> DataFrame:
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
 # image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19, and the
 # TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20,
-# embed_incr_dedup and audio_near_dup — held out
+# embed_incr_dedup, audio_near_dup and video_near_dup — held out
 # at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r11) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -2951,7 +2983,7 @@ EXTRA_QUERIES = (
     "tpch_q10", "tpch_q19",
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q12", "tpch_q16", "tpch_q20", "embed_incr_dedup",
-    "audio_near_dup")
+    "audio_near_dup", "video_near_dup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3931,6 +3963,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": q_media_png_decode,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
+        "video_near_dup": q_video_near_dup,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -5338,6 +5371,52 @@ def _all_oracle_sql() -> dict[str, str]:
         # tail every 16th (Hamming 1 + 2, endpoints 3 apart — a
         # transitive-only cluster for image_dedup_clusters), banded
         # [22, 21, 21] and popcount-verified exactly like the Spark plan
+        # the video replay: frame grid + sampling stride + 'v'-salted
+        # pattern + banding + popcount + the video-level rollup — the
+        # REAL container-parse + per-frame decode pipeline must land
+        # exactly on this closed form
+        "video_near_dup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, unnest(range(0, nf)) AS f FROM v),
+            p AS (SELECT i, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr WHERE f % 2 = 0),
+            q AS (SELECT i, f, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            fp AS (SELECT DISTINCT a.i AS id_a, b2.i AS id_b, a.f AS f
+                   FROM q a JOIN q b2
+                     ON a.f = b2.f AND a.q = b2.q AND a.qv = b2.qv
+                    AND a.i < b2.i
+                   WHERE bit_count(xor(a.sh, b2.sh)) <= 2),
+            mt AS (SELECT id_a, id_b, count(*)::BIGINT AS matched_frames
+                   FROM fp GROUP BY 1, 2),
+            ct AS (SELECT i, count(*)::BIGINT AS ns FROM p GROUP BY 1)
+            SELECT id_a, id_b, matched_frames,
+                   least(ca.ns, cb.ns)::BIGINT AS compared_frames
+            FROM mt JOIN ct ca ON ca.i = id_a
+                    JOIN ct cb ON cb.i = id_b
+            WHERE matched_frames * 2 >= least(ca.ns, cb.ns)
+            ORDER BY id_a, id_b
+        """,
         # the audio pattern replay — the image_near_dup oracle's shape
         # under the audio fixture's 'a'-salted md5 pattern: the REAL
         # WAV-decode + FFT pipeline must land exactly on the closed

@@ -721,38 +721,42 @@ def cached_dhash_media(spark, n: int,
         *[f.name for f in MEDIA_SCHEMA.fields])
 
 
-def make_fake_dhash_media(spark, n: int) -> DataFrame:
-    """Corpus-scale PNG fixture whose dHash is CLOSED FORM: image i is
-    a 36×32 grayscale PNG built as a 9×8 grid of 4×4 constant blocks
-    walking ±8 around 128 along each block row, so the block-mean
-    resize reconstructs the walk exactly and bit k = r·8 + c of the
-    dHash equals bit k of _dhash_pattern(i) for k < 60 (bits 60-63 are
-    flat steps → 0).  Every i ≡ 7 (mod 8) is a planted near-duplicate
-    of i − 1 at Hamming distance exactly 1.  Executor-generated like
-    make_fake_png_media (no driver-side payload list)."""
+def _pattern_png_bytes(p: int) -> bytes:
+    """36×32 grayscale PNG whose dHash IS the 60-bit pattern ``p``: a
+    9×8 grid of 4×4 constant blocks walking ±8 around 128 along each
+    block row, so the block-mean resize reconstructs the walk exactly
+    and bit k = r·8 + c of the dHash equals bit k of p for k < 60
+    (bits 60-63 are flat steps → 0).  Shared by the image fixture and
+    the video fixture's per-frame builder."""
     from fsharp_dataframe_spark.functions.png import encode_png
 
+    raw = bytearray()
+    for r in range(8):
+        vals = [128]
+        for c in range(8):
+            k = r * 8 + c
+            if k < 60:
+                vals.append(vals[-1] + (8 if (p >> k) & 1 else -8))
+            else:
+                vals.append(vals[-1])
+        px_row = bytes(v for v in vals for _ in range(4))
+        raw += px_row * 4
+    return encode_png(bytes(raw), 36, 32, 1)
+
+
+def make_fake_dhash_media(spark, n: int) -> DataFrame:
+    """Corpus-scale PNG fixture whose dHash is CLOSED FORM
+    (_pattern_png_bytes over _dhash_pattern).  Every i ≡ 7 (mod 8) is
+    a planted near-duplicate of i − 1 at Hamming distance exactly 1.
+    Executor-generated like make_fake_png_media (no driver-side
+    payload list)."""
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             ids = [int(i) for i in pdf["id"]]
-            payloads = []
-            for i in ids:
-                p = _dhash_pattern(i)
-                raw = bytearray()
-                for r in range(8):
-                    vals = [128]
-                    for c in range(8):
-                        k = r * 8 + c
-                        if k < 60:
-                            vals.append(vals[-1]
-                                        + (8 if (p >> k) & 1 else -8))
-                        else:
-                            vals.append(vals[-1])
-                    px_row = bytes(v for v in vals for _ in range(4))
-                    raw += px_row * 4
-                payloads.append(encode_png(bytes(raw), 36, 32, 1))
+            payloads = [_pattern_png_bytes(_dhash_pattern(i))
+                        for i in ids]
             yield pd.DataFrame({
                 "media_id": ids,
                 "payload": payloads,
@@ -961,6 +965,260 @@ def cached_audio_media(spark, n: int,
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         make_fake_audio_media(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(path).select(
+        *[f.name for f in MEDIA_SCHEMA.fields])
+
+
+# ----------------------------------------------------------------------
+# video: multi-frame container with a REAL per-frame decode path
+# ----------------------------------------------------------------------
+
+_FSV_MAGIC = b"FSV1"
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Minimal multi-frame media container: magic, u32 frame count,
+    u32 per-frame lengths, concatenated frame payloads (each an
+    ordinary PNG here — an MJPEG-style intra-only stream, the one
+    video layout decodable without an external codec).  Real inter-
+    coded formats (H.264 etc.) stay behind DecoderUnavailable, the
+    extract_features contract; everything ABOVE the frame codec —
+    container parse, frame sampling, per-frame hashing, temporal
+    alignment — is the part that matters for the Spark plumbing and
+    is fully real."""
+    import struct
+
+    out = bytearray(_FSV_MAGIC)
+    out += struct.pack("<I", len(frames))
+    for fr in frames:
+        out += struct.pack("<I", len(fr))
+    for fr in frames:
+        out += fr
+    return bytes(out)
+
+
+def unpack_frame(payload: bytes | None, idx: int) -> bytes | None:
+    """Extract frame ``idx`` from a pack_frames container; None for
+    anything malformed (wrong magic, truncated, index out of range) —
+    the per-row degradation contract."""
+    import struct
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 8 or b[:4] != _FSV_MAGIC:
+        return None
+    n = struct.unpack_from("<I", b, 4)[0]
+    if idx < 0 or idx >= n or len(b) < 8 + 4 * n:
+        return None
+    lens = struct.unpack_from(f"<{n}I", b, 8)
+    off = 8 + 4 * n + sum(lens[:idx])
+    end = off + lens[idx]
+    if end > len(b):
+        return None
+    return b[off:end]
+
+
+def video_frame_hashes(df: DataFrame, every_n: int = 2,
+                       payload_col: str = "payload",
+                       id_col: str = "media_id",
+                       max_pixels: int | None = None) -> DataFrame:
+    """Per-sampled-frame dHash over the REAL decode path: parse the
+    container, sample every ``every_n``-th frame (frame_sample_plan's
+    stride contract), decode each sampled frame through the image
+    tier's codecs, dHash it.  Arrow-batched; undecodable rows or
+    frames degrade per row to NULL + decode_ok=False.
+
+    Returns (id, frame_idx int, dhash long, decode_ok).  At 100 TB
+    the payload bytes stream through one mapInPandas — frames never
+    explode into a shuffle carrying pixel data; only the 8-byte
+    hashes move."""
+    import struct
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ])
+
+    def _hash(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes, oks = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else None
+                n = 0
+                if b is not None and len(b) >= 8 and b[:4] == _FSV_MAGIC:
+                    n = struct.unpack_from("<I", b, 4)[0]
+                if n == 0:
+                    ids.append(int(mid))
+                    idxs.append(0)
+                    hashes.append(None)
+                    oks.append(False)
+                    continue
+                for f in range(0, n, every_n):
+                    fr = unpack_frame(b, f)
+                    arr = (None if fr is None else
+                           _decode_gray_array(fr, max_pixels=max_pixels))
+                    ids.append(int(mid))
+                    idxs.append(f)
+                    if arr is None or arr.size == 0:
+                        hashes.append(None)
+                        oks.append(False)
+                    else:
+                        hashes.append(_dhash_from_gray(arr))
+                        oks.append(True)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
+                                "dhash": hashes, "decode_ok": oks})
+
+    from fsharp_dataframe_spark.functions.util import spread
+
+    return spread(df, id_col, payload_col).mapInPandas(
+        _hash, schema=out_schema)
+
+
+def video_near_dup(df: DataFrame, every_n: int = 2, max_hamming: int = 2,
+                   payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Video near-duplicate pairs by temporally-aligned frame match —
+    the multimodal capstone for multi-frame media: sample every
+    ``every_n``-th frame, dHash each through the real decode path,
+    find SAME-POSITION frame pairs within ``max_hamming`` via the
+    pigeonhole band substrate (the frame index joins the shuffle key,
+    so only temporally aligned frames ever collide — re-encodes and
+    re-uploads align; clipped videos are a different operator), and
+    keep video pairs where matched frames cover at least half the
+    comparable sampled positions (2·matched ≥ comparable, exact
+    integers).
+
+    Returns (id_a, id_b, matched_frames, compared_frames) with
+    compared = min(sampled_a, sampled_b).
+
+    100 TB shape: pixels never shuffle (hashes leave the decode pass
+    as 8-byte longs); candidates ride (frame, piece-index, piece-bits)
+    keys — uniform for hash-like sketches and never all-pairs; the
+    Hamming filter runs BEFORE the pair aggregate (the
+    banded_hamming_pairs discipline); the per-video sampled counts
+    are a dim-sized aggregate broadcast back into the pair rollup."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        pigeonhole_pieces, piece_expr,
+    )
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    fh = track_persist(
+        video_frame_hashes(df, every_n=every_n, payload_col=payload_col,
+                           id_col=id_col)
+        .filter(F.col("decode_ok"))
+        .select(F.col(id_col).alias("vid"), "frame_idx",
+                F.col("dhash").alias("sh")))
+    offs = pigeonhole_pieces(64, max_hamming)
+    pieces = fh.select(
+        "vid", "frame_idx", "sh",
+        F.posexplode(F.array(*[piece_expr(F.col("sh"), o, w)
+                               for o, w in offs])).alias("q", "qv"))
+    l, r = pieces.alias("l"), pieces.alias("r")
+    frame_pairs = (
+        l.join(r, (F.col("l.frame_idx") == F.col("r.frame_idx"))
+               & (F.col("l.q") == F.col("r.q"))
+               & (F.col("l.qv") == F.col("r.qv"))
+               & (F.col("l.vid") < F.col("r.vid")))
+        .select(F.col("l.vid").alias("id_a"),
+                F.col("r.vid").alias("id_b"),
+                F.col("l.frame_idx").alias("frame_idx"),
+                F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b", "frame_idx"]))
+    matched = (frame_pairs.groupBy("id_a", "id_b")
+               .agg(F.count("*").alias("matched_frames")))
+    counts = fh.groupBy("vid").agg(F.count("*").alias("n_sampled"))
+    out = (matched
+           .join(counts.select(F.col("vid").alias("id_a"),
+                               F.col("n_sampled").alias("_na")), "id_a")
+           .join(counts.select(F.col("vid").alias("id_b"),
+                               F.col("n_sampled").alias("_nb")), "id_b")
+           .withColumn("compared_frames",
+                       F.least(F.col("_na"), F.col("_nb"))))
+    return (out.filter(F.col("matched_frames") * 2
+                       >= F.col("compared_frames"))
+            .select("id_a", "id_b", "matched_frames", "compared_frames"))
+
+
+def _video_frame_pattern(i: int, f: int) -> int:
+    """Closed-form 60-bit pattern for frame f of video i ('v'-salted
+    md5, so neither the image nor the audio oracle rows repeat):
+    every i ≡ 7 (mod 8) is a planted RE-UPLOAD of video i−1 — same
+    frame count, same frames — except frame 0 carries a one-bit
+    overlay change (the watermark/logo case), keeping every sampled
+    position within Hamming 1."""
+    import hashlib
+
+    def base(j: int, g: int) -> int:
+        return int(hashlib.md5(f"v{j}_{g}".encode()).hexdigest()[:15],
+                   16)
+
+    if i % 8 == 7:
+        p = base(i - 1, f)
+        return p ^ (1 << (i % 60)) if f == 0 else p
+    return base(i, f)
+
+
+def video_frame_count(i: int) -> int:
+    """Frame count for fixture video i: 2..14 frames, with planted
+    re-uploads (i ≡ 7 mod 8) keeping their source's count so sampled
+    positions align."""
+    j = i - 1 if i % 8 == 7 else i
+    return (j % 13) + 2
+
+
+def make_fake_video_media(spark, n: int) -> DataFrame:
+    """Corpus-scale video fixture with CLOSED-FORM per-frame dHashes:
+    video i packs video_frame_count(i) pattern PNGs
+    (_pattern_png_bytes over _video_frame_pattern) into the FSV1
+    container.  Executor-generated."""
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            payloads, metas = [], []
+            for i in ids:
+                nf = video_frame_count(i)
+                frames = [_pattern_png_bytes(_video_frame_pattern(i, f))
+                          for f in range(nf)]
+                payloads.append(pack_frames(frames))
+                metas.append({"mime": "video/x-fsv", "width": 36,
+                              "height": 32, "n_frames": nf,
+                              "duration_s": nf / 4.0})
+            yield pd.DataFrame({"media_id": ids, "payload": payloads,
+                                "meta": metas})
+
+    parts = max(1, (int(n) + 4095) // 4096)
+    return spark.range(0, int(n), 1, parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def cached_video_media(spark, n: int,
+                       cache_root: str | None = None) -> DataFrame:
+    """Write-once parquet cache of the closed-form video fixture —
+    the cached_dhash_media discipline."""
+    import os
+    import shutil
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
+    path = os.path.join(root, f"video_n{int(n)}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        make_fake_video_media(spark, n).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:

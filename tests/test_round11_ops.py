@@ -490,6 +490,104 @@ def test_cached_audio_media_roundtrip(spark, tmp_path):
     assert a.columns == b.columns
 
 
+# ----------------------------------------------------- video tier
+
+
+def test_video_frame_hashes_closed_form_and_degradation(spark):
+    """Container parse + per-frame real decode must land exactly on
+    the closed form for every sampled frame; malformed payloads
+    (NULL, wrong magic, truncated container) degrade per row."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _video_frame_pattern, make_fake_video_media, pack_frames,
+        video_frame_count, video_frame_hashes,
+    )
+
+    fh = {(r["media_id"], r["frame_idx"]): (r["dhash"], r["decode_ok"])
+          for r in video_frame_hashes(
+              make_fake_video_media(spark, 32)).collect()}
+    for i in range(32):
+        for f in range(0, video_frame_count(i), 2):
+            assert fh[(i, f)] == (_video_frame_pattern(i, f), True)
+    # every sampled position accounted for, nothing extra
+    assert len(fh) == sum(len(range(0, video_frame_count(i), 2))
+                          for i in range(32))
+
+    good = pack_frames([b"not a png"])  # container ok, frame undecodable
+    bad = spark.createDataFrame(
+        [(0, None), (1, bytearray(b"JUNKJUNKJUNK")),
+         (2, bytearray(good[:6])), (3, bytearray(good))],
+        "media_id long, payload binary")
+    got = {(r["media_id"], r["frame_idx"]): (r["dhash"], r["decode_ok"])
+           for r in video_frame_hashes(bad).collect()}
+    assert got == {(0, 0): (None, False), (1, 0): (None, False),
+                   (2, 0): (None, False), (3, 0): (None, False)}
+
+
+def test_video_near_dup_planted_and_threshold(spark):
+    """The planted re-uploads (i ≡ 7 mod 8, one-bit watermark change
+    on frame 0) are found with FULL frame coverage; unrelated videos
+    never pair; and the half-coverage threshold is exact — 2 matches
+    of 4 compared passes, 1 of 4 does not."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _pattern_png_bytes, make_fake_video_media, pack_frames,
+        video_near_dup,
+    )
+
+    got = {(r["id_a"], r["id_b"]): (r["matched_frames"],
+                                    r["compared_frames"])
+           for r in video_near_dup(
+               make_fake_video_media(spark, 16)).collect()}
+    assert set(got) == {(6, 7), (14, 15)}
+    for (a, b), (m, c) in got.items():
+        assert m == c  # every sampled position matches
+
+    # threshold boundary: 8-frame videos (4 sampled); video 1 shares
+    # exactly 2 sampled frames with video 0 (passes 2*2 >= 4), video 2
+    # shares exactly 1 (fails 2*1 < 4)
+    def pat(tag, f):
+        import hashlib
+        return int(hashlib.md5(f"{tag}_{f}".encode()).hexdigest()[:15],
+                   16)
+
+    def vid(pats):
+        return pack_frames([_pattern_png_bytes(p) for p in pats])
+
+    base = [pat("x", f) for f in range(8)]
+    share2 = [base[0], pat("y", 1), base[2], pat("y", 3),
+              pat("y", 4), pat("y", 5), pat("y", 6), pat("y", 7)]
+    share1 = [base[0], pat("z", 1), pat("z", 2), pat("z", 3),
+              pat("z", 4), pat("z", 5), pat("z", 6), pat("z", 7)]
+    rows = spark.createDataFrame(
+        [(0, bytearray(vid(base))), (1, bytearray(vid(share2))),
+         (2, bytearray(vid(share1)))],
+        "media_id long, payload binary")
+    out = {(r["id_a"], r["id_b"]): (r["matched_frames"],
+                                    r["compared_frames"])
+           for r in video_near_dup(rows).collect()}
+    assert out == {(0, 1): (2, 4)}
+
+
+def test_cached_video_media_roundtrip(spark, tmp_path):
+    import os
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, make_fake_video_media, video_frame_hashes,
+    )
+
+    root = str(tmp_path / "media_cache")
+    cached_video_media(spark, 8, cache_root=root)
+    path = os.path.join(root, "video_n8.parquet")
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    b = cached_video_media(spark, 8, cache_root=root)
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+    gen = {(r["media_id"], r["frame_idx"]): r["dhash"]
+           for r in video_frame_hashes(
+               make_fake_video_media(spark, 8)).collect()}
+    got = {(r["media_id"], r["frame_idx"]): r["dhash"]
+           for r in video_frame_hashes(b).collect()}
+    assert got == gen
+
+
 # ------------------------------------------------- vectorized dhash
 
 
