@@ -22,6 +22,10 @@ each stage a scale-audited engine operator:
                             cross_banded_hamming_pairs — directional,
                             |new|-bounded, the corpus never
                             self-joined again)
+      → other modalities   (audio spectral fingerprints and
+                            temporally-aligned video frame hashes ride
+                            the SAME band substrate — the pipeline is
+                            modality-agnostic below the fingerprint)
 
 Run:  python examples/multimodal_dedup.py [sf_dir]
 
@@ -127,6 +131,28 @@ def run(spark, sf_dir: str) -> dict[str, object]:
     out["nightly"] = {"batch": int(n_batch),
                       "dup_of_landed": int(n_dup),
                       "kept": int(n_batch - n_dup)}
+
+    # 6. the SAME substrate carries the other modalities: audio
+    #    spectral-band fingerprints (real stdlib-WAV decode) ride the
+    #    identical pigeonhole band join, and video near-dup is
+    #    temporally-aligned per-frame dHash over a really-decodable
+    #    multi-frame container — nothing modality-specific exists
+    #    below the fingerprint, so the cluster/increment stages above
+    #    apply unchanged.
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_fingerprint, make_fake_audio_media, make_fake_video_media,
+        video_near_dup,
+    )
+
+    na, nv = min(n, 256), min(n, 128)
+    a_pairs = banded_hamming_pairs(
+        audio_fingerprint(make_fake_audio_media(spark, na)),
+        id_col="media_id", sketch_col="afp", max_hamming=2)
+    v_pairs = video_near_dup(make_fake_video_media(spark, nv))
+    out["other_modalities"] = {"audio_n": int(na),
+                               "audio_pairs": int(a_pairs.count()),
+                               "video_n": int(nv),
+                               "video_pairs": int(v_pairs.count())}
     return out
 
 

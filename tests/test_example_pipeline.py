@@ -150,3 +150,10 @@ def test_multimodal_dedup_end_to_end(spark):
     # every pair member except one canonical per cluster is removed:
     # chains remove 2 of 3, twin pairs remove 1 of 2
     assert c["removed"] == 2 * (n // 16) + (n // 8 - n // 16)
+    # the modality-agnostic substrate: the audio fixture plants the
+    # same twin (n/8) + chain-tail (n/16) pair structure; the video
+    # fixture plants one re-upload pair per 8 videos
+    om = out["other_modalities"]
+    na, nv = om["audio_n"], om["video_n"]
+    assert om["audio_pairs"] == na // 8 + na // 16
+    assert om["video_pairs"] == nv // 8
