@@ -1882,6 +1882,48 @@ def stream_image_near_dup(sdf: DataFrame, id_col: str = "media_id",
                        else _dhash_from_gray(arr))
         return pd.Series(out, dtype="Int64")
 
+    return _stream_sketch_near_dup(sdf, dh, id_col=id_col,
+                                   payload_col=payload_col,
+                                   ts_col=ts_col, watermark=watermark,
+                                   max_hamming=max_hamming)
+
+
+def stream_audio_near_dup(sdf: DataFrame, id_col: str = "media_id",
+                          payload_col: str = "payload",
+                          ts_col: str = "ts", watermark: str = "1 hour",
+                          max_hamming: int = 2) -> DataFrame:
+    """Streaming AUDIO near-duplicate candidates — the spectral-band
+    fingerprint (multimodal.audio_fingerprint's real stdlib-WAV decode
+    + rFFT delta coding) riding the identical watermarked piece-join
+    core as stream_image_near_dup; nothing modality-specific exists
+    below the fingerprint, so the state bound, pigeonhole
+    completeness and emission contract are the image stream's."""
+    from pyspark.sql.functions import pandas_udf
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _afp_from_samples, _decode_wav_samples,
+    )
+
+    @pandas_udf("long")
+    def afp(payloads: pd.Series) -> pd.Series:
+        out = [_afp_from_samples(_decode_wav_samples(p))
+               for p in payloads]
+        return pd.Series(out, dtype="Int64")
+
+    return _stream_sketch_near_dup(sdf, afp, id_col=id_col,
+                                   payload_col=payload_col,
+                                   ts_col=ts_col, watermark=watermark,
+                                   max_hamming=max_hamming)
+
+
+def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
+                            payload_col: str, ts_col: str,
+                            watermark: str, max_hamming: int) -> DataFrame:
+    """Shared watermarked piece-join core under the image and audio
+    candidate streams: stateless Arrow sketch → pigeonhole banding →
+    stream-stream self-join on (piece, piece-bits) over one symmetric
+    watermark horizon — O(rate × watermark) state, independent of
+    corpus size."""
     from fsharp_dataframe_spark.functions.dedup import (
         piece_expr, pigeonhole_pieces,
     )
@@ -1890,7 +1932,7 @@ def stream_image_near_dup(sdf: DataFrame, id_col: str = "media_id",
     # piece handled without the LongType mask overflow (ADVICE r10)
     offs = pigeonhole_pieces(64, max_hamming)
     banded = (sdf.select(F.col(id_col), F.col(ts_col),
-                         dh(F.col(payload_col)).alias("sh"))
+                         sketch_udf(F.col(payload_col)).alias("sh"))
               .filter(F.col("sh").isNotNull())
               .select(id_col, ts_col, "sh",
                       F.posexplode(F.array(*[

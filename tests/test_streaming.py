@@ -1886,3 +1886,35 @@ def test_stream_zipf_fit_state_across_restart(spark, tmp_path):
     assert (got2["n_terms"], got2["slope"], got2["intercept"], got2["r2"]) \
         == (exp2["n_terms"], exp2["slope"], exp2["intercept"], exp2["r2"])
     assert got2["slope"] != got1["slope"]
+
+
+def test_stream_audio_near_dup_matches_batch_pairs(spark, tmp_path):
+    """Streaming audio candidates over the closed-form WAV fixture:
+    the deduped (id_a, id_b, hamming) set after an availableNow drive
+    must equal the batch banded_hamming_pairs result on the same
+    corpus (all clips inside one watermark horizon) — the image
+    stream's contract under the shared piece-join core."""
+    from fsharp_dataframe_spark.functions.dedup import banded_hamming_pairs
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_fingerprint, make_fake_audio_media,
+    )
+    from fsharp_dataframe_spark.streaming.ops import stream_audio_near_dup
+
+    media = make_fake_audio_media(spark, 64).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(mins=F.col("media_id").cast("int")))
+    d = str(tmp_path / "aud_stream")
+    media.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, media.schema)
+    out = stream_audio_near_dup(s, watermark="2 hours")
+    name = run_to_memory(out, "t_aud_nd")
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           spark.sql(f"SELECT DISTINCT id_a, id_b, hamming "
+                     f"FROM {name}").collect()}
+    exp = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           banded_hamming_pairs(audio_fingerprint(media),
+                                id_col="media_id", sketch_col="afp",
+                                max_hamming=2).collect()}
+    assert got == exp
+    # 8 planted twins (64/8) + 4 planted chain tails (64/16)
+    assert len(exp) == 12
