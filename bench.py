@@ -142,6 +142,15 @@ ACCOUNTING_CHANGES = [
                "decode + banded join + closure; fixture-encode "
                "seconds are reported separately in these notes.  "
                "Totals on these queries are NOT comparable to r10."},
+    {"round": 11, "queries": "all",
+     "change": "registry grew 169 -> 186: +14 TPC-H plan classes "
+               "(tpch_q2/q7/q8/q9/q10/q11/q12/q13/q15/q16/q19/q20/q21 "
+               "+ q18/q17/q22 landed late in r10) completing all 22 "
+               "classic shapes, +image_incr_dedup, +embed_incr_dedup, "
+               "+audio_near_dup, +video_near_dup.  Totals are NOT "
+               "comparable to r10; compare name-keyed.  The audio and "
+               "video fixture caches build during warm-up next to the "
+               "image cache (same write-once parquet discipline)."},
     {"round": 8, "queries": ["ewma", "fill_linear", "chunk_sum",
                              "chunk_dist", "window_dist", "pack_shards",
                              "pack_sequences", "weighted_sample",
@@ -314,16 +323,18 @@ def main():
     # The split is visible: fixture-encode seconds print here and land
     # in BENCH_NOTES.md.
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_dhash_media,
+        cached_audio_media, cached_dhash_media, cached_video_media,
     )
     from fsharp_dataframe_spark.sources.parquet import load_table
 
     t0 = time.time()
     n_media = load_table(spark, sf_dir, "documents").count()
     cached_dhash_media(spark, n_media).count()
+    cached_audio_media(spark, n_media).count()
+    cached_video_media(spark, n_media).count()
     fixture_sec = round(time.time() - t0, 2)
-    print(f"# media fixture cache (n={n_media}): {fixture_sec}s "
-          "(excluded from query timings)", file=sys.stderr)
+    print(f"# media fixture caches (n={n_media} x image/audio/video): "
+          f"{fixture_sec}s (excluded from query timings)", file=sys.stderr)
     from fsharp_dataframe_spark.functions.util import release_cached
 
     timings: dict[str, float] = {}
