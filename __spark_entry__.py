@@ -1582,6 +1582,31 @@ def q_video_near_dup(spark, sf) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_video_incr_dedup(spark, sf) -> DataFrame:
+    """Batch INCREMENTAL video near-dup — the directional ingest path
+    for the last modality tier (text, image and embeddings have
+    theirs): every fifth video of the closed-form fixture plays a
+    nightly batch, deduplicated against the other 80% playing the
+    landed corpus via multimodal.cross_video_near_dup — the new
+    batch's frame pieces joined against the corpus's STORED
+    frame-piece table (video_frame_piece_table, persisted once in
+    production), the corpus never re-decoded or self-joined; same
+    temporally-aligned 2·matched ≥ compared semantics as
+    video_near_dup.  The oracle replays frame grid, stride, pattern,
+    banding, popcount, the directional split and the video rollup
+    verbatim."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, cross_video_near_dup,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    new = media.filter(F.col("media_id") % 5 == 4)
+    old = media.filter(F.col("media_id") % 5 != 4)
+    return (cross_video_near_dup(new, old, every_n=2, max_hamming=2)
+            .orderBy("new_id", "old_id"))
+
+
 def q_image_dedup_clusters(spark, sf) -> DataFrame:
     """Image duplicate CLUSTERING — the composed multimodal dedup
     capstone: dHash over real decoded pixels (dhash_media) → banded
@@ -2931,7 +2956,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
 # image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19, and the
 # TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20,
-# embed_incr_dedup, audio_near_dup and video_near_dup — held out
+# embed_incr_dedup, audio_near_dup, video_near_dup and
+# video_incr_dedup — held out
 # at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r11) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -2983,7 +3009,7 @@ EXTRA_QUERIES = (
     "tpch_q10", "tpch_q19",
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q12", "tpch_q16", "tpch_q20", "embed_incr_dedup",
-    "audio_near_dup", "video_near_dup")
+    "audio_near_dup", "video_near_dup", "video_incr_dedup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3964,6 +3990,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
+        "video_incr_dedup": q_video_incr_dedup,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -5416,6 +5443,52 @@ def _all_oracle_sql() -> dict[str, str]:
                     JOIN ct cb ON cb.i = id_b
             WHERE matched_frames * 2 >= least(ca.ns, cb.ns)
             ORDER BY id_a, id_b
+        """,
+        # the directional video replay: the video_near_dup closed form
+        # with the mod-5 ingest split — new×existing pairs only
+        "video_incr_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, unnest(range(0, nf)) AS f FROM v),
+            p AS (SELECT i, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr WHERE f % 2 = 0),
+            q AS (SELECT i, f, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            fp AS (SELECT DISTINCT a.i AS new_id, b2.i AS old_id,
+                          a.f AS f
+                   FROM q a JOIN q b2
+                     ON a.f = b2.f AND a.q = b2.q AND a.qv = b2.qv
+                   WHERE a.i % 5 = 4 AND b2.i % 5 <> 4
+                     AND bit_count(xor(a.sh, b2.sh)) <= 2),
+            mt AS (SELECT new_id, old_id,
+                          count(*)::BIGINT AS matched_frames
+                   FROM fp GROUP BY 1, 2),
+            ct AS (SELECT i, count(*)::BIGINT AS ns FROM p GROUP BY 1)
+            SELECT new_id, old_id, matched_frames,
+                   least(ca.ns, cb.ns)::BIGINT AS compared_frames
+            FROM mt JOIN ct ca ON ca.i = new_id
+                    JOIN ct cb ON cb.i = old_id
+            WHERE matched_frames * 2 >= least(ca.ns, cb.ns)
+            ORDER BY new_id, old_id
         """,
         # the audio pattern replay — the image_near_dup oracle's shape
         # under the audio fixture's 'a'-salted md5 pattern: the REAL

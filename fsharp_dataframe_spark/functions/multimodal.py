@@ -1106,22 +1106,13 @@ def video_near_dup(df: DataFrame, every_n: int = 2, max_hamming: int = 2,
     Hamming filter runs BEFORE the pair aggregate (the
     banded_hamming_pairs discipline); the per-video sampled counts
     are a dim-sized aggregate broadcast back into the pair rollup."""
-    from fsharp_dataframe_spark.functions.dedup import (
-        pigeonhole_pieces, piece_expr,
-    )
     from fsharp_dataframe_spark.functions.util import track_persist
 
-    fh = track_persist(
-        video_frame_hashes(df, every_n=every_n, payload_col=payload_col,
-                           id_col=id_col)
-        .filter(F.col("decode_ok"))
-        .select(F.col(id_col).alias("vid"), "frame_idx",
-                F.col("dhash").alias("sh")))
-    offs = pigeonhole_pieces(64, max_hamming)
-    pieces = fh.select(
-        "vid", "frame_idx", "sh",
-        F.posexplode(F.array(*[piece_expr(F.col("sh"), o, w)
-                               for o, w in offs])).alias("q", "qv"))
+    pieces = track_persist(
+        video_frame_piece_table(df, every_n=every_n,
+                                max_hamming=max_hamming,
+                                payload_col=payload_col,
+                                id_col=id_col))
     l, r = pieces.alias("l"), pieces.alias("r")
     frame_pairs = (
         l.join(r, (F.col("l.frame_idx") == F.col("r.frame_idx"))
@@ -1137,7 +1128,8 @@ def video_near_dup(df: DataFrame, every_n: int = 2, max_hamming: int = 2,
         .dropDuplicates(["id_a", "id_b", "frame_idx"]))
     matched = (frame_pairs.groupBy("id_a", "id_b")
                .agg(F.count("*").alias("matched_frames")))
-    counts = fh.groupBy("vid").agg(F.count("*").alias("n_sampled"))
+    counts = (pieces.select("vid", "frame_idx").distinct()
+              .groupBy("vid").agg(F.count("*").alias("n_sampled")))
     out = (matched
            .join(counts.select(F.col("vid").alias("id_a"),
                                F.col("n_sampled").alias("_na")), "id_a")
@@ -1148,6 +1140,98 @@ def video_near_dup(df: DataFrame, every_n: int = 2, max_hamming: int = 2,
     return (out.filter(F.col("matched_frames") * 2
                        >= F.col("compared_frames"))
             .select("id_a", "id_b", "matched_frames", "compared_frames"))
+
+
+def video_frame_piece_table(df: DataFrame, every_n: int = 2,
+                            max_hamming: int = 2,
+                            payload_col: str = "payload",
+                            id_col: str = "media_id") -> DataFrame:
+    """The persistable half of an incremental video-dedup index: one
+    (vid, frame_idx, sh, q, qv) row per sampled frame per pigeonhole
+    piece — written ONCE for the landed corpus (partition by ``q`` on
+    disk), joined by every new batch.  The video tier's
+    hamming_piece_table / cosine_bucket_table."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        piece_expr, pigeonhole_pieces,
+    )
+
+    fh = (video_frame_hashes(df, every_n=every_n,
+                             payload_col=payload_col, id_col=id_col)
+          .filter(F.col("decode_ok"))
+          .select(F.col(id_col).alias("vid"), "frame_idx",
+                  F.col("dhash").alias("sh")))
+    offs = pigeonhole_pieces(64, max_hamming)
+    return fh.select(
+        "vid", "frame_idx", "sh",
+        F.posexplode(F.array(*[piece_expr(F.col("sh"), o, w)
+                               for o, w in offs])).alias("q", "qv"))
+
+
+def cross_video_near_dup(new: DataFrame, existing: DataFrame,
+                         every_n: int = 2, max_hamming: int = 2,
+                         payload_col: str = "payload",
+                         id_col: str = "media_id",
+                         existing_is_piece_table: bool = False,
+                         ) -> DataFrame:
+    """Directional (new-batch × landed-corpus) video near-dup — the
+    incremental ingest path for the fourth and last modality tier
+    (text, image, embeddings all have theirs): tonight's videos are
+    frame-hashed once and their pieces joined against the corpus's
+    STORED frame-piece table — the corpus is never re-decoded or
+    self-joined, so re-ingest is |new|-bounded however large the
+    corpus grew.
+
+    Same temporally-aligned semantics as video_near_dup (frame index
+    in the join key, 2·matched ≥ compared with compared =
+    min(sampled_new, sampled_old)); returns (new_id, old_id,
+    matched_frames, compared_frames).
+
+    Pass ``existing_is_piece_table=True`` when ``existing`` is a
+    persisted video_frame_piece_table read back from parquet (the
+    production shape — piece-partitioned storage makes the join
+    piece-pruned); otherwise it is hashed in this pass."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    npc = track_persist(
+        video_frame_piece_table(new, every_n=every_n,
+                                max_hamming=max_hamming,
+                                payload_col=payload_col,
+                                id_col=id_col))
+    epc = (existing if existing_is_piece_table
+           else video_frame_piece_table(existing, every_n=every_n,
+                                        max_hamming=max_hamming,
+                                        payload_col=payload_col,
+                                        id_col=id_col))
+    frame_pairs = (
+        npc.alias("n").join(
+            epc.alias("e"),
+            (F.col("n.frame_idx") == F.col("e.frame_idx"))
+            & (F.col("n.q") == F.col("e.q"))
+            & (F.col("n.qv") == F.col("e.qv")))
+        .select(F.col("n.vid").alias("new_id"),
+                F.col("e.vid").alias("old_id"),
+                F.col("n.frame_idx").alias("frame_idx"),
+                F.bit_count(F.col("n.sh").bitwiseXOR(F.col("e.sh")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "old_id", "frame_idx"]))
+    matched = (frame_pairs.groupBy("new_id", "old_id")
+               .agg(F.count("*").alias("matched_frames")))
+    n_cnt = (npc.select("vid", "frame_idx").distinct()
+             .groupBy("vid").agg(F.count("*").alias("_na")))
+    e_cnt = (epc.select("vid", "frame_idx").distinct()
+             .groupBy("vid").agg(F.count("*").alias("_nb")))
+    out = (matched
+           .join(n_cnt.select(F.col("vid").alias("new_id"), "_na"),
+                 "new_id")
+           .join(e_cnt.select(F.col("vid").alias("old_id"), "_nb"),
+                 "old_id")
+           .withColumn("compared_frames",
+                       F.least(F.col("_na"), F.col("_nb"))))
+    return (out.filter(F.col("matched_frames") * 2
+                       >= F.col("compared_frames"))
+            .select("new_id", "old_id", "matched_frames",
+                    "compared_frames"))
 
 
 def _video_frame_pattern(i: int, f: int) -> int:

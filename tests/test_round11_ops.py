@@ -588,6 +588,46 @@ def test_cached_video_media_roundtrip(spark, tmp_path):
     assert got == gen
 
 
+def test_cross_video_near_dup_directional_guard(spark):
+    """The corpus side must NEVER self-pair: two identical landed
+    videos produce no row when nothing in the new batch matches —
+    and new×new must not pair either; a genuine new→old re-crawl IS
+    found against BOTH its landed copies, and the persisted
+    piece-table path gives identical results."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _pattern_png_bytes, cross_video_near_dup, pack_frames,
+        video_frame_piece_table,
+    )
+
+    def vid(tag):
+        import hashlib
+        pats = [int(hashlib.md5(f"{tag}_{f}".encode())
+                    .hexdigest()[:15], 16) for f in range(4)]
+        return bytearray(pack_frames(
+            [_pattern_png_bytes(p) for p in pats]))
+
+    existing = spark.createDataFrame(
+        [(1, vid("dup")), (2, vid("dup")), (3, vid("other"))],
+        "media_id long, payload binary")
+    new = spark.createDataFrame(
+        [(10, vid("fresh")), (11, vid("fresh"))],
+        "media_id long, payload binary")
+    assert cross_video_near_dup(new, existing).collect() == []
+
+    recrawl = spark.createDataFrame([(10, vid("dup"))],
+                                    "media_id long, payload binary")
+    direct = {(r["new_id"], r["old_id"]):
+              (r["matched_frames"], r["compared_frames"])
+              for r in cross_video_near_dup(recrawl, existing).collect()}
+    assert direct == {(10, 1): (2, 2), (10, 2): (2, 2)}
+    pt = video_frame_piece_table(existing)
+    via = {(r["new_id"], r["old_id"]):
+           (r["matched_frames"], r["compared_frames"])
+           for r in cross_video_near_dup(
+               recrawl, pt, existing_is_piece_table=True).collect()}
+    assert via == direct
+
+
 # ------------------------------------------------- vectorized dhash
 
 
