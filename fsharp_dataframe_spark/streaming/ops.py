@@ -1916,14 +1916,84 @@ def stream_audio_near_dup(sdf: DataFrame, id_col: str = "media_id",
                                    max_hamming=max_hamming)
 
 
+def stream_video_near_dup(sdf: DataFrame, id_col: str = "media_id",
+                          payload_col: str = "payload",
+                          ts_col: str = "ts", watermark: str = "1 hour",
+                          every_n: int = 2,
+                          max_hamming: int = 2) -> DataFrame:
+    """Streaming VIDEO near-duplicate candidates: containers arriving
+    within one watermark horizon whose SAME-POSITION sampled frames
+    collide in a pigeonhole piece (the video_near_dup alignment — the
+    frame index rides the join key, so only temporally aligned frames
+    ever hold state against each other).  Emits FRAME-level candidate
+    rows (id_a, id_b, frame_idx, piece, hamming); the video-level
+    2·matched ≥ compared rollup is the consumer's first groupBy — the
+    stream_near_dup_candidates emission contract.
+
+    The frame hash is a stateless Arrow pass (container parse +
+    per-frame decode happen once per video, pixels never enter
+    state); join state is O(rate × frames-per-video × watermark)."""
+    import struct as _struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _FSV_MAGIC, _decode_gray_array, _dhash_from_gray, unpack_frame,
+    )
+
+    @pandas_udf("array<struct<frame_idx:int, sh:long>>")
+    def vfh(payloads: pd.Series) -> pd.Series:
+        rows = []
+        for p in payloads:
+            out = []
+            b = bytes(p) if p is not None else None
+            n = 0
+            if b is not None and len(b) >= 8 and b[:4] == _FSV_MAGIC:
+                n = _struct.unpack_from("<I", b, 4)[0]
+            for f in range(0, n, every_n):
+                fr = unpack_frame(b, f)
+                arr = (None if fr is None
+                       else _decode_gray_array(fr))
+                if arr is not None and arr.size:
+                    out.append({"frame_idx": f,
+                                "sh": _dhash_from_gray(arr)})
+            rows.append(out)
+        return pd.Series(rows)
+
+    sk = (sdf.select(F.col(id_col), F.col(ts_col),
+                     F.explode(vfh(F.col(payload_col))).alias("_fh"))
+          .select(id_col, ts_col,
+                  F.col("_fh.frame_idx").alias("frame_idx"),
+                  F.col("_fh.sh").alias("sh")))
+    return _stream_pieces_near_dup(sk, id_col=id_col, ts_col=ts_col,
+                                   watermark=watermark,
+                                   max_hamming=max_hamming,
+                                   align_cols=("frame_idx",))
+
+
 def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
                             payload_col: str, ts_col: str,
                             watermark: str, max_hamming: int) -> DataFrame:
-    """Shared watermarked piece-join core under the image and audio
-    candidate streams: stateless Arrow sketch → pigeonhole banding →
-    stream-stream self-join on (piece, piece-bits) over one symmetric
-    watermark horizon — O(rate × watermark) state, independent of
-    corpus size."""
+    """Scalar-sketch front of the shared piece-join core (image dHash,
+    audio fingerprint): one stateless Arrow sketch per payload, then
+    the watermarked self-join."""
+    sk = (sdf.select(F.col(id_col), F.col(ts_col),
+                     sketch_udf(F.col(payload_col)).alias("sh"))
+          .filter(F.col("sh").isNotNull()))
+    return _stream_pieces_near_dup(sk, id_col=id_col, ts_col=ts_col,
+                                   watermark=watermark,
+                                   max_hamming=max_hamming)
+
+
+def _stream_pieces_near_dup(sketched: DataFrame, id_col: str,
+                            ts_col: str, watermark: str,
+                            max_hamming: int,
+                            align_cols: tuple = ()) -> DataFrame:
+    """Shared watermarked piece-join core under the image, audio and
+    video candidate streams: pigeonhole banding of a pre-sketched
+    (id, ts, sh[, align…]) stream → stream-stream self-join on
+    (align…, piece, piece-bits) over one symmetric watermark horizon —
+    O(rate × watermark) state, independent of corpus size."""
     from fsharp_dataframe_spark.functions.dedup import (
         piece_expr, pigeonhole_pieces,
     )
@@ -1931,10 +2001,8 @@ def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
     # shared banding substrate: validated cuts + the w=64 full-width
     # piece handled without the LongType mask overflow (ADVICE r10)
     offs = pigeonhole_pieces(64, max_hamming)
-    banded = (sdf.select(F.col(id_col), F.col(ts_col),
-                         sketch_udf(F.col(payload_col)).alias("sh"))
-              .filter(F.col("sh").isNotNull())
-              .select(id_col, ts_col, "sh",
+    banded = (sketched
+              .select(id_col, ts_col, *align_cols, "sh",
                       F.posexplode(F.array(*[
                           piece_expr(F.col("sh"), off, w)
                           for off, w in offs
@@ -1942,10 +2010,7 @@ def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
               .withWatermark(ts_col, watermark))
     l, r = banded.alias("l"), banded.alias("r")
     ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
-    return (
-        l.join(
-            r,
-            (F.col("l.q") == F.col("r.q"))
+    cond = ((F.col("l.q") == F.col("r.q"))
             & (F.col("l.qv") == F.col("r.qv"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
             # symmetric watermark-bounded range (id order is
@@ -1954,11 +2019,15 @@ def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
             & (F.col(f"r.{ts_col}")
                >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {watermark}"))
             & (F.col(f"r.{ts_col}")
-               <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {watermark}")),
-        )
+               <= F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {watermark}")))
+    for a in align_cols:
+        cond = cond & (F.col(f"l.{a}") == F.col(f"r.{a}"))
+    return (
+        l.join(r, cond)
         .filter(ham <= max_hamming)
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"),
+                *[F.col(f"l.{a}").alias(a) for a in align_cols],
                 F.col("l.q").alias("piece"),
                 ham.alias("hamming"))
     )

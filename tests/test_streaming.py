@@ -1918,3 +1918,35 @@ def test_stream_audio_near_dup_matches_batch_pairs(spark, tmp_path):
     assert got == exp
     # 8 planted twins (64/8) + 4 planted chain tails (64/16)
     assert len(exp) == 12
+
+
+def test_stream_video_near_dup_matches_batch_pairs(spark, tmp_path):
+    """Streaming video frame candidates over the closed-form fixture:
+    the video-level rollup of the deduped frame candidates (the
+    consumer's first groupBy) must equal batch video_near_dup on the
+    same corpus (all videos inside one watermark horizon)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        make_fake_video_media, video_near_dup,
+    )
+    from fsharp_dataframe_spark.streaming.ops import stream_video_near_dup
+
+    media = make_fake_video_media(spark, 32).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(mins=F.col("media_id").cast("int")))
+    d = str(tmp_path / "vid_stream")
+    media.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, media.schema)
+    out = stream_video_near_dup(s, watermark="2 hours")
+    name = run_to_memory(out, "t_vid_nd")
+    # consumer-side rollup: distinct matched frame positions per pair
+    got = {(r["id_a"], r["id_b"]): r["m"] for r in spark.sql(
+        f"SELECT id_a, id_b, count(DISTINCT frame_idx) AS m "
+        f"FROM {name} GROUP BY 1, 2").collect()}
+    exp = {(r["id_a"], r["id_b"]): r["matched_frames"] for r in
+           video_near_dup(media).collect()}
+    # batch applies the half-coverage threshold; the stream emits raw
+    # candidates — every batch pair must appear with the same count
+    # (the planted re-uploads match at EVERY sampled position, so no
+    # sub-threshold candidate pairs exist in this fixture)
+    assert got == exp
+    assert set(exp) == {(6, 7), (14, 15), (22, 23), (30, 31)}
