@@ -157,3 +157,16 @@ def test_multimodal_dedup_end_to_end(spark):
     na, nv = om["audio_n"], om["video_n"]
     assert om["audio_pairs"] == na // 8 + na // 16
     assert om["video_pairs"] == nv // 8
+
+
+def test_tpch_suite_example_runs_all_22(spark):
+    from tpch_analytics import run
+
+    rows = run(spark, "/root/testdata/sf0.001")
+    assert [r["query"] for r in rows] == [f"tpch_q{i}"
+                                          for i in range(1, 23)]
+    # every query returns rows at the smallest SF (q20's qualifying
+    # population is the only one allowed to thin out to zero there)
+    empty_ok = {name for name, n in
+                ((r["query"], r["rows"]) for r in rows) if n == 0}
+    assert empty_ok <= {"tpch_q20"}, empty_ok
