@@ -1056,6 +1056,11 @@ def video_frame_hashes(df: DataFrame, every_n: int = 2,
                 n = 0
                 if b is not None and len(b) >= 8 and b[:4] == _FSV_MAGIC:
                     n = struct.unpack_from("<I", b, 4)[0]
+                    # a truncated/hostile header can DECLARE billions
+                    # of frames in 8 bytes — bound the loop by what
+                    # the payload can physically hold before iterating
+                    if 8 + 4 * n > len(b):
+                        n = 0
                 if n == 0:
                     ids.append(int(mid))
                     idxs.append(0)

@@ -736,7 +736,14 @@ def cosine_bucket_table(df: DataFrame, dim: int | None = None,
     Same deterministic hyperplane family as cosine_near_dup_pairs /
     lsh_buckets_all, so a table built yesterday collides with a batch
     hashed today."""
-    dim = dim or len(df.select(vec_col).first()[0])
+    if dim is None:
+        row = (df.select(vec_col)
+               .filter(F.col(vec_col).isNotNull()).first())
+        if row is None:
+            raise ValueError(
+                "cosine_bucket_table: cannot infer dim from an empty "
+                "or all-NULL vector column — pass dim explicitly")
+        dim = len(row[0])
     return df.select(
         F.col(id_col),
         F.posexplode(lsh_buckets_all(F.col(vec_col), dim, n_bits,
@@ -774,7 +781,18 @@ def cross_cosine_near_dup_pairs(new: DataFrame, existing: DataFrame,
 
     Reference anchor for the directional alignment discipline:
     src/JoinHelpers.fs:42-53 (restrict-to-range before joining)."""
-    dim = dim or len(new.select(vec_col).first()[0])
+    if dim is None:
+        row = (new.select(vec_col)
+               .filter(F.col(vec_col).isNotNull()).first())
+        if row is None:
+            # an EMPTY nightly batch is routine, not an error — the
+            # result is typed-empty (new_id, old_id, cosine_sim)
+            return (new.limit(0)
+                    .select(F.col(id_col).alias("new_id"))
+                    .crossJoin(existing.limit(0)
+                               .select(F.col(id_col).alias("old_id")))
+                    .withColumn("cosine_sim", F.lit(0.0)))
+        dim = len(row[0])
     nb = cosine_bucket_table(new, dim, n_bits, n_tables, id_col, vec_col)
     eb = (existing_buckets if existing_buckets is not None
           else cosine_bucket_table(existing, dim, n_bits, n_tables,

@@ -1950,6 +1950,10 @@ def stream_video_near_dup(sdf: DataFrame, id_col: str = "media_id",
             n = 0
             if b is not None and len(b) >= 8 and b[:4] == _FSV_MAGIC:
                 n = _struct.unpack_from("<I", b, 4)[0]
+                # bound by what the payload can hold (the batch
+                # path's hostile-header guard)
+                if 8 + 4 * n > len(b):
+                    n = 0
             for f in range(0, n, every_n):
                 fr = unpack_frame(b, f)
                 arr = (None if fr is None

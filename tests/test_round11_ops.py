@@ -733,3 +733,46 @@ def test_stream_image_near_dup_zero_bound_builds(spark):
     got = df.select(*[piece_expr(F.col("sh"), o, w).alias(f"p{i}")
                       for i, (o, w) in enumerate(offs)]).first()
     assert got["p0"] == 7
+
+
+def test_cross_cosine_empty_new_batch(spark):
+    """An EMPTY nightly batch is routine: typed-empty result (and
+    explicit-dim calls also return empty), never a crash on dim
+    inference; the bucket-table builder raises a clear error when dim
+    is uninferable."""
+    import pytest as _pytest
+
+    from fsharp_dataframe_spark.functions.similarity import (
+        cosine_bucket_table, cross_cosine_near_dup_pairs,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    empty = existing.limit(0)
+    out = cross_cosine_near_dup_pairs(empty, existing, threshold=0.9)
+    assert out.columns == ["new_id", "old_id", "cosine_sim"]
+    assert out.collect() == []
+    out2 = cross_cosine_near_dup_pairs(empty, existing, threshold=0.9,
+                                       dim=2, n_bits=2, n_tables=2)
+    assert out2.collect() == []
+    with _pytest.raises(ValueError, match="dim"):
+        cosine_bucket_table(empty)
+
+
+def test_video_hostile_header_bounded(spark):
+    """A truncated container whose header DECLARES billions of frames
+    must degrade per row instantly (the loop is bounded by what the
+    payload can physically hold), in the batch and stream hash paths
+    alike."""
+    import struct
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _FSV_MAGIC, video_frame_hashes,
+    )
+
+    hostile = _FSV_MAGIC + struct.pack("<I", 2_000_000_000)
+    rows = spark.createDataFrame([(0, bytearray(hostile))],
+                                 "media_id long, payload binary")
+    got = video_frame_hashes(rows).collect()
+    assert [(r["media_id"], r["frame_idx"], r["dhash"], r["decode_ok"])
+            for r in got] == [(0, 0, None, False)]
