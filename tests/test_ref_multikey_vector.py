@@ -95,3 +95,54 @@ def test_vector_select_nan_becomes_missing(spark):
     mapped = s.map_values(lambda c: F.lit(float("nan")).cast("double"))
     assert mapped.df.count() == 10
     assert mapped.df.filter(F.col(mapped.value_col).isNotNull()).count() == 0
+
+
+# ----------------------------------------------------------------------
+# LazySeries.fs — the DelayedSeries tests' OBSERVABLE semantics.  The
+# reference records which (lo, hi) range its loader is called with;
+# the Spark analogue of "the loader saw a restricted range" is "the
+# range predicate reached the parquet scan as PushedFilters" (plans
+# are lazy by construction — DelayedSeries-as-API is subsumed,
+# SURVEY §7.4).  tests/LazySeries.fs:37-72.
+# ----------------------------------------------------------------------
+
+
+def _lazy_series(spark, tmp_path):
+    p = str(tmp_path / "lazy_ints.parquet")
+    spark.createDataFrame([(i, i) for i in range(0, 101)],
+                          "key int, value int").write.mode(
+        "overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    return Series(df, key=["key"], value="value", ordered=True)
+
+
+def _pushed(series):
+    plan = series.df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    return scan.split("PushedFilters:", 1)[-1]
+
+
+def test_lazy_after_before_combined_restriction(spark, tmp_path):
+    """`Multiple range restrictions are combined for sample calls`
+    (LazySeries.fs:55-62): after(10).before(90) yields 11..89 AND the
+    combined exclusive range reaches the scan as pushed filters —
+    the engine's equivalent of the loader seeing
+    [(10, Exclusive), (90, Exclusive)]."""
+    s = _lazy_series(spark, tmp_path).after(10).before(90)
+    vals = [r["value"] for r in s.df.orderBy("key").collect()]
+    assert vals == list(range(11, 90))
+    pushed = _pushed(s)
+    assert "GreaterThan(key,10)" in pushed
+    assert "LessThan(key,90)" in pushed
+
+
+def test_lazy_splicing_inclusive_restriction(spark, tmp_path):
+    """`Splicing syntax creates inclusive restrictions`
+    (LazySeries.fs:64-71): between(50, 60) yields 50..60 with the
+    inclusive bounds pushed to the scan."""
+    s = _lazy_series(spark, tmp_path).between(50, 60)
+    vals = [r["value"] for r in s.df.orderBy("key").collect()]
+    assert vals == list(range(50, 61))
+    pushed = _pushed(s)
+    assert "GreaterThanOrEqual(key,50)" in pushed
+    assert "LessThanOrEqual(key,60)" in pushed
