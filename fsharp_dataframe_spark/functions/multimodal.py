@@ -401,7 +401,9 @@ def sniff_image_metadata(payload: bytes | None):
       header (skipping the non-frame C4/C8/CC markers) and read
       height/width from it — the standard dimensions-without-decode
       parse (ISO/IEC 10918-1 B.2.2);
-    - WAV:  RIFF....WAVE, mime only (no pixel dims).
+    - WAV:  RIFF....WAVE, mime only (no pixel dims);
+    - FSV1: the multi-frame container — frame dims sniffed from frame
+      0's own header (still header-only, no pixel decode).
 
     Returns (mime, width, height), all None when nothing matches —
     callers treat that as "unknown payload", never an error.
@@ -442,6 +444,16 @@ def sniff_image_metadata(payload: bytes | None):
         return ("image/jpeg", None, None)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return ("audio/x-wav", None, None)
+    if b[:4] == b"FSV1" and len(b) >= 8:
+        # multi-frame container: frame dimensions come from frame 0's
+        # OWN header — still a header-only parse, no pixel decode
+        n = struct.unpack_from("<I", b, 4)[0]
+        if n > 0 and 8 + 4 * n <= len(b):
+            fr = unpack_frame(b, 0)
+            if fr is not None:
+                _, w, h = sniff_image_metadata(fr)
+                return ("video/x-fsv", w, h)
+        return ("video/x-fsv", None, None)
     return (None, None, None)
 
 

@@ -776,3 +776,25 @@ def test_video_hostile_header_bounded(spark):
     got = video_frame_hashes(rows).collect()
     assert [(r["media_id"], r["frame_idx"], r["dhash"], r["decode_ok"])
             for r in got] == [(0, 0, None, False)]
+
+
+def test_sniff_routes_all_modalities(spark):
+    """The no-decode metadata pass routes a mixed corpus by modality:
+    PNG with dims, WAV, and the FSV1 container whose frame dims come
+    from frame 0's own header — plus the hostile declared-count case
+    degrading to mime-only."""
+    import struct
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _FSV_MAGIC, make_fake_audio_media, make_fake_dhash_media,
+        make_fake_video_media, sniff_image_metadata,
+    )
+
+    png = make_fake_dhash_media(spark, 1).collect()[0]["payload"]
+    wav = make_fake_audio_media(spark, 1).collect()[0]["payload"]
+    vid = make_fake_video_media(spark, 1).collect()[0]["payload"]
+    assert sniff_image_metadata(png) == ("image/png", 36, 32)
+    assert sniff_image_metadata(wav) == ("audio/x-wav", None, None)
+    assert sniff_image_metadata(vid) == ("video/x-fsv", 36, 32)
+    hostile = _FSV_MAGIC + struct.pack("<I", 2_000_000_000)
+    assert sniff_image_metadata(hostile) == ("video/x-fsv", None, None)
