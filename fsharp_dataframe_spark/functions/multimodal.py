@@ -326,14 +326,19 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10,
     step every_n as rows.  Shows the fan-out shape: one row per sampled
     frame, partitioned by media_id.
 
-    ``decode=True`` would decode each sampled frame to pixels — that
-    step needs a video codec (ffmpeg/pyav) this container doesn't
-    have, so it raises DecoderUnavailable (the clearly-marked stub;
-    the plan itself — schema, fan-out, partitioning — is real)."""
+    ``decode=True`` decodes each sampled frame to a perceptual hash
+    when the payload is an FSV1 intra-only container
+    (video_frame_hashes — a REAL parse + per-frame decode since r11);
+    inter-coded formats (H.264 etc.) still need ffmpeg/pyav and raise
+    DecoderUnavailable, the clearly-marked stub.  Pass the payload
+    column through for the decode path."""
     if decode:
-        raise DecoderUnavailable(
-            "video frame decode needs ffmpeg/pyav; only the sampling "
-            "plan (media_id, frame_idx fan-out) is available here")
+        if "payload" not in df.columns:
+            raise DecoderUnavailable(
+                "inter-coded video decode needs ffmpeg/pyav; FSV1 "
+                "containers decode via video_frame_hashes (pass the "
+                "payload column through)")
+        return video_frame_hashes(df, every_n=every_n)
     idx = F.sequence(F.lit(0), F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
                      F.lit(every_n))
     return df.select("media_id", F.explode(idx).alias("frame_idx"))

@@ -168,10 +168,30 @@ def test_resize_media_real_png_payload(spark):
         assert px == expect
 
 
-def test_frame_sample_decode_is_stubbed(spark):
+def test_frame_sample_decode_tiers(spark):
+    """decode=True is real for FSV1 containers (r11: routes through
+    video_frame_hashes), degrades per row for non-FSV1 payloads, and
+    stays a clearly-marked DecoderUnavailable stub when no payload
+    column exists to decode (inter-coded formats need ffmpeg/pyav)."""
     media = make_fake_media(spark, n=4)
     with pytest.raises(DecoderUnavailable):
-        frame_sample_plan(media, decode=True)
+        frame_sample_plan(media.drop("payload"), decode=True)
+    # patterned-byte payloads are not FSV1: per-row degradation
+    got = frame_sample_plan(media, decode=True).collect()
+    assert len(got) == 4
+    assert all(r["dhash"] is None and not r["decode_ok"] for r in got)
+    # FSV1 containers really decode — identical to video_frame_hashes
+    from fsharp_dataframe_spark.functions.multimodal import (
+        make_fake_video_media, video_frame_hashes,
+    )
+
+    vids = make_fake_video_media(spark, 6)
+    via_plan = {(r["media_id"], r["frame_idx"]): r["dhash"]
+                for r in frame_sample_plan(vids, every_n=2,
+                                           decode=True).collect()}
+    direct = {(r["media_id"], r["frame_idx"]): r["dhash"]
+              for r in video_frame_hashes(vids, every_n=2).collect()}
+    assert via_plan == direct and via_plan
 
 
 def test_frame_sample_plan_fanout(spark):
