@@ -1957,6 +1957,32 @@ def q_semantic_dedup(spark, sf) -> DataFrame:
     return out.withColumn("is_canonical", F.col("is_canonical").cast("long"))
 
 
+def q_semantic_incr_dedup(spark, sf) -> DataFrame:
+    """Batch INCREMENTAL semantic dedup — the IVF-cell-blocked
+    directional ingest path (similarity.cross_semantic_dedup), the
+    SemDeDup sibling of embed_incr_dedup's LSH path: every fifth
+    vector plays a nightly batch, assigned to the SAME frozen seed
+    centroids as the landed 80% and compared only within its cell —
+    Σ|cell_new|·|cell_old| candidate work, the corpus never
+    self-joined.  Cross-cell duplicates are by contract out of scope
+    (SemDeDup's approximation); the oracle replays assignment, the
+    directional split and the within-cell pairs verbatim, so the
+    contract is pinned, not fuzzed."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        cross_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    old = emb.filter(F.col("vec_id") % 5 != 4)
+    return (cross_semantic_dedup(new, old, cents, threshold=0.4)
+            .orderBy("new_id", "old_id"))
+
+
 def q_embed_project(spark, sf) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64 → 8 dims
     (functions/similarity.random_projection, Achlioptas ±1/√k): a
@@ -2956,8 +2982,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
 # image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19, and the
 # TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20,
-# embed_incr_dedup, audio_near_dup, video_near_dup and
-# video_incr_dedup — held out
+# embed_incr_dedup, audio_near_dup, video_near_dup, video_incr_dedup
+# and semantic_incr_dedup — held out
 # at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r11) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -3009,7 +3035,8 @@ EXTRA_QUERIES = (
     "tpch_q10", "tpch_q19",
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q12", "tpch_q16", "tpch_q20", "embed_incr_dedup",
-    "audio_near_dup", "video_near_dup", "video_incr_dedup")
+    "audio_near_dup", "video_near_dup", "video_incr_dedup",
+    "semantic_incr_dedup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3978,6 +4005,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "embed_incr_dedup": q_embed_incr_dedup,
+        "semantic_incr_dedup": q_semantic_incr_dedup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "near_dedup": q_near_dedup,
@@ -5165,6 +5193,34 @@ def _all_oracle_sql() -> dict[str, str]:
         # LSH cascade vs the SAME exact-tier oracle: total recall at
         # target_recall=0.999 (measured at all 3 SFs, deterministic
         # hash family) makes a recall regression a hash failure
+        # directional SemDeDup: assignment + split + within-cell pairs
+        # replayed verbatim — the cell blocking IS the pinned contract
+        "semantic_incr_dedup": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS c
+              FROM embeddings WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id AS vid, cents.cid AS cid,
+                     list_dot_product(e.embedding::DOUBLE[], cents.c)
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(cents.c, cents.c))) AS sim
+              FROM embeddings e CROSS JOIN cents),
+            assigned AS (
+              SELECT vid, arg_max(cid, sim)::INT AS cell
+              FROM scored GROUP BY vid),
+            vecs AS (
+              SELECT a.vid, a.cell, e.embedding::DOUBLE[] AS emb,
+                     sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+              FROM assigned a JOIN embeddings e ON e.vec_id = a.vid)
+            SELECT n.vid AS new_id, x.vid AS old_id,
+                   round(list_dot_product(n.emb, x.emb)
+                         / (n.nrm * x.nrm), 4) AS cosine_sim
+            FROM vecs n JOIN vecs x
+              ON n.cell = x.cell AND n.vid % 5 = 4 AND x.vid % 5 <> 4
+            WHERE round(list_dot_product(n.emb, x.emb)
+                        / (n.nrm * x.nrm), 4) >= 0.4
+            ORDER BY new_id, old_id
+        """,
         # the exact DIRECTIONAL cross product — total-recall LSH
         # sizing makes the cascade oracle-exact (see the docstring)
         "embed_incr_dedup": """

@@ -950,6 +950,61 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
         id_col, "sem_cell", "cluster_id", "cluster_size", "is_canonical")
 
 
+def semantic_assignment_table(df: DataFrame,
+                              centroids: list[list[float]],
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """The persistable half of an incremental semantic-dedup index:
+    (id, vector, norm, cell) for the landed corpus — written ONCE,
+    partitioned by ``ivf_cell`` on disk so tonight's batch join is
+    cell-pruned.  The IVF-path sibling of cosine_bucket_table."""
+    return ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col), F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"), "ivf_cell")
+
+
+def cross_semantic_dedup(new: DataFrame, existing: DataFrame,
+                         centroids: list[list[float]],
+                         threshold: float = 0.95,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         existing_assignments: DataFrame | None = None,
+                         ) -> DataFrame:
+    """Directional (new-batch × landed-corpus) SemDeDup (Abbas et al.
+    2023) — the IVF-cell-blocked sibling of
+    cross_cosine_near_dup_pairs: both sides assign to the SAME frozen
+    coarse centroids, candidates are new×existing pairs in the SAME
+    cell (the shuffle key is the cell id — Σ|cell_new|·|cell_old|,
+    never |new|·|corpus|), and the exact cosine decides.  THE CORPUS
+    IS NEVER SELF-JOINED: re-ingest is |new|-bounded however large
+    the corpus grew.  Cross-cell duplicates are by contract not
+    considered — SemDeDup's own approximation, pinned (not fuzzed) by
+    the oracle replaying the identical assignment.
+
+    Pass ``existing_assignments`` (a persisted
+    semantic_assignment_table read back from cell-partitioned
+    parquet) to skip re-assigning the landed corpus entirely.
+    Centroids must be the FROZEN set the landed table was built with
+    — re-fitting them would silently re-shuffle cell boundaries under
+    the stored assignment (the stream_int8_quantize frozen-scale
+    rationale).
+
+    Returns (new_id, old_id, cosine_sim >= threshold)."""
+    na = semantic_assignment_table(new, centroids, id_col, vec_col)
+    ea = (existing_assignments if existing_assignments is not None
+          else semantic_assignment_table(existing, centroids, id_col,
+                                         vec_col))
+    n, e = na.alias("n"), ea.alias("e")
+    sim = dot_batch(F.col("n._v"), F.col("e._v")) / (F.col("n._n")
+                                                     * F.col("e._n"))
+    return (n.join(e, F.col("n.ivf_cell") == F.col("e.ivf_cell"))
+            .withColumn("cosine_sim", F.round(sim, 4))
+            .filter(F.col("cosine_sim") >= threshold)
+            .select(F.col(f"n.{id_col}").alias("new_id"),
+                    F.col(f"e.{id_col}").alias("old_id"),
+                    "cosine_sim"))
+
+
 def random_projection(df: DataFrame, out_dim: int, dim: int | None = None,
                       seed: int = 0, vec_col: str = "embedding",
                       out_col: str = "projected") -> DataFrame:

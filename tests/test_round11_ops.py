@@ -798,3 +798,44 @@ def test_sniff_routes_all_modalities(spark):
     assert sniff_image_metadata(vid) == ("video/x-fsv", 36, 32)
     hostile = _FSV_MAGIC + struct.pack("<I", 2_000_000_000)
     assert sniff_image_metadata(hostile) == ("video/x-fsv", None, None)
+
+
+def test_cross_semantic_dedup_directional_guard(spark):
+    """The IVF-path incremental: the corpus never self-pairs, new
+    never self-pairs, a genuine new→old in-cell dup IS found, and the
+    persisted-assignment path is identical to the direct path."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        cross_semantic_dedup, semantic_assignment_table,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    v, w = [0.9, 0.1, 0.0], [0.1, 0.9, 0.0]
+    existing = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)],   # 1 and 2 are exact landed dups
+        "vec_id long, embedding array<float>")
+    new = spark.createDataFrame(
+        [(10, w), (11, w)],         # new x new exact dups, cell 1
+        "vec_id long, embedding array<float>")
+    got = {(r["new_id"], r["old_id"]): r["cosine_sim"]
+           for r in cross_semantic_dedup(new, existing, cents,
+                                         threshold=0.99).collect()}
+    # no old x old (1,2), no new x new (10,11); (10,3)/(11,3) ARE
+    # found — same cell, cosine 1.0
+    assert got == {(10, 3): 1.0, (11, 3): 1.0}
+
+    at = semantic_assignment_table(existing, cents)
+    via = {(r["new_id"], r["old_id"]): r["cosine_sim"]
+           for r in cross_semantic_dedup(
+               new, existing, cents, threshold=0.99,
+               existing_assignments=at).collect()}
+    assert via == got
+
+    # cross-cell dups are BY CONTRACT not considered (SemDeDup's
+    # approximation): an exact dup of v in cell 0 vs a new w-cell row
+    # emits nothing even at threshold 0
+    far = spark.createDataFrame([(20, v)],
+                                "vec_id long, embedding array<float>")
+    none = cross_semantic_dedup(
+        far, existing.filter(F.col("vec_id") == 3), cents,
+        threshold=0.0).collect()
+    assert none == []
