@@ -1916,6 +1916,30 @@ def stream_audio_near_dup(sdf: DataFrame, id_col: str = "media_id",
                                    max_hamming=max_hamming)
 
 
+def stream_distinct_sketch(sdf: DataFrame, by, col: str,
+                           lg_k: int = 12) -> DataFrame:
+    """Streaming per-group distinct-count monitor on the SAME
+    mergeable HLL substrate as the batch rollup
+    (functions/sketch.distinct_sketch_rollup — Spark's native Apache
+    DataSketches hll_sketch_agg): a plain streaming aggregation whose
+    state per group is ONE ~2^lg_k-byte sketch, merged JVM-side
+    across micro-batches ("update"/"complete" mode — the consumer
+    reads the latest estimate per group).
+
+    EXACTLY batch-parity by construction: sketch merging is lossless
+    with respect to the sketch (the batch module's pinned invariant),
+    so the stream's estimate after any prefix of micro-batches equals
+    the batch estimate over the same rows — same engine, same hash,
+    no cross-engine tolerance needed.  State is groups × 2^lg_k
+    bytes, independent of row count — the cheapest possible
+    "distinct users per slice" monitor at 100 TB rates."""
+    keys = [by] if isinstance(by, str) else list(by)
+    return (sdf.groupBy(*keys)
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col(col), F.lit(int(lg_k))))
+                .alias("n_distinct")))
+
+
 def stream_video_near_dup(sdf: DataFrame, id_col: str = "media_id",
                           payload_col: str = "payload",
                           ts_col: str = "ts", watermark: str = "1 hour",

@@ -1950,3 +1950,35 @@ def test_stream_video_near_dup_matches_batch_pairs(spark, tmp_path):
     # sub-threshold candidate pairs exist in this fixture)
     assert got == exp
     assert set(exp) == {(6, 7), (14, 15), (22, 23), (30, 31)}
+
+
+def test_stream_distinct_sketch_matches_batch(spark, tmp_path):
+    """Streaming HLL distinct estimates equal the batch sketch rollup
+    EXACTLY (same engine, same mergeable sketch — the batch module's
+    lossless-merge invariant), even when the rows arrive as multiple
+    files/micro-batches."""
+    from fsharp_dataframe_spark.functions.sketch import (
+        distinct_sketch_rollup, estimate_distinct,
+    )
+    from fsharp_dataframe_spark.streaming.ops import stream_distinct_sketch
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    d = str(tmp_path / "ev_sketch")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, ev.schema)
+    out = stream_distinct_sketch(s, "event_type", "user_id")
+    name = run_to_memory(out, "t_hll", output_mode="complete")
+    got = {r["event_type"]: r["n_distinct"] for r in
+           spark.sql(f"SELECT * FROM {name}").collect()}
+    exp = {r["event_type"]: r["n_distinct"] for r in
+           estimate_distinct(
+               distinct_sketch_rollup(ev, "event_type", "user_id"))
+           .collect()}
+    assert got == exp and len(exp) >= 3
+    # and the estimates are sane vs exact distinct counts (~1.6% rse
+    # at lg_k=12; these groups are small enough to be near-exact)
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k, v in exp.items():
+        assert abs(v - exact[k]) <= max(2, 0.05 * exact[k])
