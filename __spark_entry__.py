@@ -1607,6 +1607,45 @@ def q_video_incr_dedup(spark, sf) -> DataFrame:
             .orderBy("new_id", "old_id"))
 
 
+def q_media_catalog(spark, sf) -> DataFrame:
+    """Modality catalog over a mixed image+audio+video corpus — the
+    routing pass a 100 TB media pipeline runs FIRST: the three
+    closed-form fixtures (PNG, WAV, FSV1 container) union into one
+    binary-payload table and media_metadata sniffs mime + dimensions
+    from HEADERS ONLY (no decode — FSV1 dims come from frame 0's own
+    header), then a mime-keyed rollup reports per-modality row
+    counts, how many rows carry sniffable pixel dimensions, and the
+    declared frame total from the TYPED metadata column.
+
+    Every number is closed form (fixture geometry + the
+    video_frame_count formula), so the oracle derives the whole
+    catalog from arithmetic over row_number — the sniff tier is now
+    oracle-gated across all three modalities, not just PNG.
+
+    100 TB shape: one narrow Arrow pass over payload headers + a
+    |mimes|-key aggregate; payloads never shuffle."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_audio_media, cached_dhash_media, cached_video_media,
+        media_metadata,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    img = cached_dhash_media(spark, n)
+    aud = cached_audio_media(spark, n).withColumn(
+        "media_id", F.col("media_id") + F.lit(n))
+    vid = cached_video_media(spark, n).withColumn(
+        "media_id", F.col("media_id") + F.lit(2 * n))
+    corpus = img.unionByName(aud).unionByName(vid)
+    meta = media_metadata(corpus)
+    return (meta.groupBy("sniff_mime")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("sniff_width").isNotNull().cast("long"))
+                 .alias("n_with_dims"),
+                 F.sum(F.col("meta.n_frames").cast("long"))
+                 .alias("total_frames"))
+            .orderBy("sniff_mime"))
+
+
 def q_image_dedup_clusters(spark, sf) -> DataFrame:
     """Image duplicate CLUSTERING — the composed multimodal dedup
     capstone: dHash over real decoded pixels (dhash_media) → banded
@@ -2982,8 +3021,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
 # image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19, and the
 # TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20,
-# embed_incr_dedup, audio_near_dup, video_near_dup, video_incr_dedup
-# and semantic_incr_dedup — held out
+# embed_incr_dedup, audio_near_dup, video_near_dup, video_incr_dedup,
+# semantic_incr_dedup and media_catalog — held out
 # at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r11) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -3036,7 +3075,7 @@ EXTRA_QUERIES = (
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q12", "tpch_q16", "tpch_q20", "embed_incr_dedup",
     "audio_near_dup", "video_near_dup", "video_incr_dedup",
-    "semantic_incr_dedup")
+    "semantic_incr_dedup", "media_catalog")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4019,6 +4058,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup": q_audio_near_dup,
         "video_near_dup": q_video_near_dup,
         "video_incr_dedup": q_video_incr_dedup,
+        "media_catalog": q_media_catalog,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -5499,6 +5539,29 @@ def _all_oracle_sql() -> dict[str, str]:
                     JOIN ct cb ON cb.i = id_b
             WHERE matched_frames * 2 >= least(ca.ns, cb.ns)
             ORDER BY id_a, id_b
+        """,
+        # the catalog replay: per-modality counts derived purely from
+        # the fixtures' closed forms (n PNGs at 36x32 / n WAVs with
+        # 2048 declared frames / n FSV1 videos whose frame counts
+        # follow the video_frame_count formula)
+        "media_catalog": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            vf AS (SELECT sum(CASE WHEN j % 8 = 7
+                                   THEN ((j - 1) % 13) + 2
+                                   ELSE (j % 13) + 2 END)::BIGINT AS tf,
+                          count(*)::BIGINT AS n
+                   FROM m)
+            SELECT * FROM (
+              SELECT 'audio/x-wav' AS sniff_mime, n AS n_rows,
+                     0::BIGINT AS n_with_dims,
+                     (n * 2048)::BIGINT AS total_frames
+              FROM vf
+              UNION ALL
+              SELECT 'image/png', n, n::BIGINT, n::BIGINT FROM vf
+              UNION ALL
+              SELECT 'video/x-fsv', n, n::BIGINT, tf FROM vf)
+            ORDER BY sniff_mime
         """,
         # the directional video replay: the video_near_dup closed form
         # with the mod-5 ingest split — new×existing pairs only
