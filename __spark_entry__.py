@@ -1607,6 +1607,33 @@ def q_video_incr_dedup(spark, sf) -> DataFrame:
             .orderBy("new_id", "old_id"))
 
 
+def q_audio_incr_dedup(spark, sf) -> DataFrame:
+    """Batch INCREMENTAL audio near-dup — pinning the claim that the
+    audio tier rides the image incremental path UNCHANGED
+    (dedup.cross_banded_hamming_pairs over spectral fingerprints, no
+    audio-specific join code): every fifth clip plays a nightly
+    batch against the other 80%'s persisted-shape piece table; the
+    oracle replays the 'a'-salted pattern, the mod-5 split, banding
+    and popcount verbatim."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        cross_banded_hamming_pairs,
+    )
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_fingerprint, cached_audio_media,
+    )
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    n = load_table(spark, sf, "documents").count()
+    fps = track_persist(audio_fingerprint(cached_audio_media(spark, n)))
+    new = fps.filter(F.col("media_id") % 5 == 4)
+    old = fps.filter(F.col("media_id") % 5 != 4)
+    pairs = cross_banded_hamming_pairs(new, old, id_col="media_id",
+                                       sketch_col="afp", max_hamming=2)
+    return (pairs.select("new_id", "old_id",
+                         F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("new_id", "old_id"))
+
+
 def q_media_catalog(spark, sf) -> DataFrame:
     """Modality catalog over a mixed image+audio+video corpus — the
     routing pass a 100 TB media pipeline runs FIRST: the three
@@ -3021,8 +3048,8 @@ def q_transitions(spark, sf) -> DataFrame:
 # ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
 # image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19, and the
 # TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20,
-# embed_incr_dedup, audio_near_dup, video_near_dup, video_incr_dedup,
-# semantic_incr_dedup and media_catalog — held out
+# embed_incr_dedup, audio_near_dup, audio_incr_dedup, video_near_dup,
+# video_incr_dedup, semantic_incr_dedup and media_catalog — held out
 # at the bottom of EXTRA_QUERIES below, each locally three-SF
 # oracle-green since r11) rotate in next round, swapping out
 # double-green veterans exactly as above.
@@ -3075,7 +3102,7 @@ EXTRA_QUERIES = (
     "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
     "tpch_q12", "tpch_q16", "tpch_q20", "embed_incr_dedup",
     "audio_near_dup", "video_near_dup", "video_incr_dedup",
-    "semantic_incr_dedup", "media_catalog")
+    "semantic_incr_dedup", "media_catalog", "audio_incr_dedup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4056,6 +4083,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": q_media_png_decode,
         "image_near_dup": q_image_near_dup,
         "audio_near_dup": q_audio_near_dup,
+        "audio_incr_dedup": q_audio_incr_dedup,
         "video_near_dup": q_video_near_dup,
         "video_incr_dedup": q_video_incr_dedup,
         "media_catalog": q_media_catalog,
@@ -5608,6 +5636,40 @@ def _all_oracle_sql() -> dict[str, str]:
                     JOIN ct cb ON cb.i = old_id
             WHERE matched_frames * 2 >= least(ca.ns, cb.ns)
             ORDER BY new_id, old_id
+        """,
+        # the image_incr_dedup oracle under the audio fixture's
+        # 'a'-salted pattern — directional split, banding and popcount
+        # replayed verbatim
+        "audio_incr_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            b AS (SELECT j, ('0x' || substr(md5('a' || j::VARCHAR), 1, 15))::BIGINT
+                         AS bv
+                  FROM m),
+            p AS (SELECT j AS id,
+                         CASE WHEN j % 16 = 12 THEN
+                           xor(xor(xor(lag(bv, 6) OVER (ORDER BY j),
+                                       (1::BIGINT << ((j - 5) % 60))),
+                                   (1::BIGINT << ((j + 11) % 60))),
+                               (1::BIGINT << ((j + 37) % 60)))
+                         WHEN j % 8 = 7 THEN
+                           xor(lag(bv, 1) OVER (ORDER BY j),
+                               (1::BIGINT << (j % 60)))
+                         ELSE bv END AS sh
+                  FROM b),
+            q AS (SELECT id, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            c AS (SELECT DISTINCT a.id AS new_id, b2.id AS old_id,
+                         bit_count(xor(a.sh, b2.sh))::BIGINT AS hamming
+                  FROM q a JOIN q b2
+                    ON a.q = b2.q AND a.qv = b2.qv
+                  WHERE a.id % 5 = 4 AND b2.id % 5 <> 4)
+            SELECT new_id, old_id, hamming FROM c
+            WHERE hamming <= 2 ORDER BY new_id, old_id
         """,
         # the audio pattern replay — the image_near_dup oracle's shape
         # under the audio fixture's 'a'-salted md5 pattern: the REAL

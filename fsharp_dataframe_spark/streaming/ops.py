@@ -1916,6 +1916,24 @@ def stream_audio_near_dup(sdf: DataFrame, id_col: str = "media_id",
                                    max_hamming=max_hamming)
 
 
+def stream_media_catalog(sdf: DataFrame,
+                         payload_col: str = "payload") -> DataFrame:
+    """Streaming modality monitor — the live face of the
+    media_catalog routing pass: the stateless header-only sniff
+    (multimodal.media_metadata — mime + dimensions WITHOUT decoding,
+    FSV1 dims from frame 0's own header) feeds a mime-keyed streaming
+    count ("update"/"complete" mode).  State is |mimes| rows of two
+    BIGINTs — the cheapest possible "what is the crawler feeding us"
+    dashboard at ingest rates; payloads never enter state."""
+    from fsharp_dataframe_spark.functions.multimodal import media_metadata
+
+    meta = media_metadata(sdf, payload_col)
+    return (meta.groupBy("sniff_mime")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum(F.col("sniff_width").isNotNull().cast("long"))
+                 .alias("n_with_dims")))
+
+
 def stream_distinct_sketch(sdf: DataFrame, by, col: str,
                            lg_k: int = 12) -> DataFrame:
     """Streaming per-group distinct-count monitor on the SAME

@@ -122,7 +122,8 @@ _ROUND_NEWCOMERS = ["tpch_q21", "image_incr_dedup", "tpch_q13",
                     "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
                     "embed_incr_dedup", "audio_near_dup",
                     "video_near_dup", "video_incr_dedup",
-                    "semantic_incr_dedup", "media_catalog"]
+                    "semantic_incr_dedup", "media_catalog",
+                    "audio_incr_dedup"]
 
 
 @pytest.mark.parametrize("name", _ROUND_NEWCOMERS)

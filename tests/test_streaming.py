@@ -1982,3 +1982,36 @@ def test_stream_distinct_sketch_matches_batch(spark, tmp_path):
              .agg(F.countDistinct("user_id").alias("n")).collect()}
     for k, v in exp.items():
         assert abs(v - exact[k]) <= max(2, 0.05 * exact[k])
+
+
+def test_stream_media_catalog_matches_batch(spark, tmp_path):
+    """The streaming modality monitor equals the batch catalog rollup
+    over the same mixed image+audio+video corpus — exact counts, same
+    header-only sniff."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        make_fake_audio_media, make_fake_dhash_media,
+        make_fake_video_media, media_metadata,
+    )
+    from fsharp_dataframe_spark.streaming.ops import stream_media_catalog
+
+    img = make_fake_dhash_media(spark, 16)
+    aud = make_fake_audio_media(spark, 16).withColumn(
+        "media_id", F.col("media_id") + 16)
+    vid = make_fake_video_media(spark, 16).withColumn(
+        "media_id", F.col("media_id") + 32)
+    corpus = img.unionByName(aud).unionByName(vid)
+    d = str(tmp_path / "media_cat")
+    corpus.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, corpus.schema)
+    out = stream_media_catalog(s)
+    name = run_to_memory(out, "t_mcat", output_mode="complete")
+    got = {r["sniff_mime"]: (r["n_rows"], r["n_with_dims"]) for r in
+           spark.sql(f"SELECT * FROM {name}").collect()}
+    exp = {r["sniff_mime"]: (r["n_rows"], r["n_with_dims"]) for r in
+           media_metadata(corpus).groupBy("sniff_mime")
+           .agg(F.count("*").alias("n_rows"),
+                F.sum(F.col("sniff_width").isNotNull().cast("long"))
+                .alias("n_with_dims")).collect()}
+    assert got == exp
+    assert got == {"image/png": (16, 16), "audio/x-wav": (16, 0),
+                   "video/x-fsv": (16, 16)}
