@@ -2015,3 +2015,52 @@ def test_stream_media_catalog_matches_batch(spark, tmp_path):
     assert got == exp
     assert got == {"image/png": (16, 16), "audio/x-wav": (16, 0),
                    "video/x-fsv": (16, 16)}
+
+
+def test_stream_distinct_sketch_state_across_restart(spark, tmp_path):
+    """HLL aggregation state survives a checkpoint restart: phase 2
+    adds users to a group WITHOUT phase 1 being reprocessed, and the
+    final per-group estimates equal the batch sketch over the UNION
+    of both phases — the lossless-merge invariant carried through the
+    state store."""
+    import shutil
+
+    from fsharp_dataframe_spark.functions.sketch import (
+        distinct_sketch_rollup, estimate_distinct,
+    )
+    from fsharp_dataframe_spark.streaming.ops import stream_distinct_sketch
+
+    rows = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i % 37) for i in range(200)],
+        "event_id long, event_type string, user_id long")
+    d = str(tmp_path / "hll_restart")
+    ckpt = str(tmp_path / "hll_ckpt")
+    shutil.rmtree(d, ignore_errors=True)
+    latest = {}
+
+    def run_phase():
+        src = read_stream_parquet(spark, d, rows.schema)
+
+        def sink(bdf, _epoch):
+            for r in bdf.collect():
+                latest[r["event_type"]] = r["n_distinct"]
+
+        q = (stream_distinct_sketch(src, "event_type", "user_id")
+             .writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    rows.filter(F.col("event_id") < 100).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    run_phase()
+    # phase 2: the rest arrive into the SAME groups
+    rows.filter(F.col("event_id") >= 100).coalesce(1) \
+        .write.mode("append").parquet(d)
+    run_phase()
+    exp = {r["event_type"]: r["n_distinct"] for r in
+           estimate_distinct(
+               distinct_sketch_rollup(rows, "event_type", "user_id"))
+           .collect()}
+    assert latest == exp and set(exp) == {"a", "b"}
