@@ -1120,3 +1120,30 @@ def test_ngram_repetition_share_matches_brute_force(spark, docs):
         expect[i] = (len(sset), common,
                      (common * 10000 // len(sset)) / 10000.0)
     assert got == expect
+
+
+def test_audio_fingerprint_amplitude_invariance():
+    """The spectral-band fingerprint compares RATIOS of band energies
+    (bit = e_b > e_{b+1}), so uniform gain must not change it — the
+    property that makes it a perceptual hash (a re-encoded clip at a
+    different volume is the same audio).  Pinned over random PCM:
+    scaling float samples by any positive constant preserves the
+    fingerprint bit for bit; negation (phase flip) preserves it too
+    (energies are magnitudes)."""
+    import numpy as np
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _afp_from_samples,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        s = rng.normal(0.0, 1000.0, size=2048)
+        base = _afp_from_samples(s)
+        for g in (0.25, 3.0, 17.5):
+            assert _afp_from_samples(s * g) == base
+        assert _afp_from_samples(-s) == base
+    # sub-frame clips stay None under any gain
+    short = rng.normal(0.0, 1000.0, size=500)
+    assert _afp_from_samples(short) is None
+    assert _afp_from_samples(short * 4.0) is None
