@@ -1147,3 +1147,32 @@ def test_audio_fingerprint_amplitude_invariance():
     short = rng.normal(0.0, 1000.0, size=500)
     assert _afp_from_samples(short) is None
     assert _afp_from_samples(short * 4.0) is None
+
+
+def test_fsv_container_roundtrip_property():
+    """pack_frames/unpack_frame round-trip over random frame lists
+    (including empty frames and high-byte payloads), and every
+    corruption class degrades to None instead of raising: truncation
+    at any prefix length, magic damage, out-of-range index."""
+    import random
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        pack_frames, unpack_frame,
+    )
+
+    rng = random.Random(13)
+    for _ in range(40):
+        frames = [bytes(rng.randrange(256) for _ in
+                        range(rng.randrange(0, 40)))
+                  for _ in range(rng.randrange(1, 9))]
+        p = pack_frames(frames)
+        assert [unpack_frame(p, i) for i in range(len(frames))] == frames
+        assert unpack_frame(p, len(frames)) is None
+        assert unpack_frame(p, -1) is None
+        # truncation degrades to None exactly when frame 0's bytes
+        # no longer fit, and never raises at ANY cut point
+        end0 = 8 + 4 * len(frames) + len(frames[0])
+        for cut in range(0, len(p), max(1, len(p) // 7)):
+            got = unpack_frame(p[:cut], 0)
+            assert got == (frames[0] if cut >= end0 else None)
+        assert unpack_frame(b"XXXX" + p[4:], 0) is None
