@@ -3045,14 +3045,32 @@ def q_transitions(spark, sf) -> DataFrame:
 # the in-window image dedup trio + ngram_novelty; diversity sampling
 # -> training_mix/hard_negatives; text-entropy scoring ->
 # ngram_novelty/media_mixed.
-# ROUND-12 ROTATION PLAN: the round-11 newcomers (tpch_q21,
-# image_incr_dedup, tpch_q13, tpch_q15, tpch_q10, tpch_q19, and the
-# TPC-H-completion batch tpch_q2/q7/q8/q9/q11/q12/q16/q20,
-# embed_incr_dedup, audio_near_dup, audio_incr_dedup, video_near_dup,
-# video_incr_dedup, semantic_incr_dedup and media_catalog — held out
-# at the bottom of EXTRA_QUERIES below, each locally three-SF
-# oracle-green since r11) rotate in next round, swapping out
-# double-green veterans exactly as above.
+# ROUND-12 ROTATION (VERDICT r11 ask #1, executed): the 21 round-11
+# newcomers (tpch_q2/q7/q8/q9/q10/q11/q12/q13/q15/q16/q19/q20/q21,
+# image_incr_dedup, embed_incr_dedup, semantic_incr_dedup,
+# audio_near_dup, audio_incr_dedup, video_near_dup, video_incr_dedup,
+# media_catalog — each locally three-SF oracle-green since r11) enter
+# the driver window to earn their first driver rows, so the r11∪r12
+# CORRECTNESS union covers all 190 registered queries.  The 21
+# veterans rotated OUT in their place are each r10+r11-DOUBLE-green
+# in the driver's own CORRECTNESS JSONs, and every rotated shape
+# keeps an in-window sibling: the six classic TPC-H veterans
+# tpch_q1/q3/q4/q5/q6/q14 -> the 13 incoming TPC-H plan classes plus
+# in-window q17/q18/q22 (scan-agg, join-order, exists/semi, OR-
+# distribution shapes all covered); ewma/fill_linear (bucketed carry
+# substrate) -> pack_sequences + window_while_par (kept in-window);
+# media_png_decode/media_mixed -> media_catalog (incoming) +
+# image_near_dup/image_dedup_clusters (in-window) + the four incoming
+# modality tiers; scd2_pit -> scd2_track; rolling_median (ordered
+# window rollup) -> trimmed_mean + interval_burst; market_beta
+# (grouped regression) -> group_ols; quantile_bins (robust clamp) ->
+# mad_outliers; salted_agg (skew-guarded agg) -> sales_cube +
+# group_ols; phrase_hits -> hybrid_search; fuzzy_names (linkage) ->
+# hard_negatives + the incoming embed/semantic incremental paths;
+# token_budget -> training_mix + pack_efficiency; psi_drift ->
+# centroid_drift + classifier_auc + zipf_fit; snapshot_diff ->
+# transitions + scd2_track; gap_report -> interval_burst +
+# transitions.
 EXTRA_QUERIES = (
     "append_frames", "asof_join", "bigram_quality", "bpe_pairs",
     "c4_stats", "cast_types", "chunk_docs", "chunk_sum", "chunk_while",
@@ -3095,14 +3113,14 @@ EXTRA_QUERIES = (
     # CORRECTNESS JSONs) to make room for the 7 round-10 newcomers:
     "asof_tolerance", "basket_pairs", "chunk_dist", "cusum",
     "dedup_report", "diverse_sample", "entropy_quality",
-    # round-11 newcomers, held out per the ROUND-12 ROTATION PLAN above
-    # (local three-SF oracle-green; they take driver slots in r12):
-    "tpch_q21", "image_incr_dedup", "tpch_q13", "tpch_q15",
-    "tpch_q10", "tpch_q19",
-    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q11",
-    "tpch_q12", "tpch_q16", "tpch_q20", "embed_incr_dedup",
-    "audio_near_dup", "video_near_dup", "video_incr_dedup",
-    "semantic_incr_dedup", "media_catalog", "audio_incr_dedup")
+    # rotated out in r12 (each r10+r11-double-green in the driver's
+    # own CORRECTNESS JSONs) to make room for the 21 round-11
+    # newcomers, sibling map in the ROUND-12 ROTATION comment above:
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q14",
+    "ewma", "fill_linear", "media_png_decode", "media_mixed",
+    "scd2_pit", "rolling_median", "market_beta", "quantile_bins",
+    "salted_agg", "phrase_hits", "fuzzy_names", "token_budget",
+    "psi_drift", "snapshot_diff", "gap_report")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

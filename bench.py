@@ -143,14 +143,17 @@ ACCOUNTING_CHANGES = [
                "seconds are reported separately in these notes.  "
                "Totals on these queries are NOT comparable to r10."},
     {"round": 11, "queries": "all",
-     "change": "registry grew 169 -> 186: +14 TPC-H plan classes "
-               "(tpch_q2/q7/q8/q9/q10/q11/q12/q13/q15/q16/q19/q20/q21 "
-               "+ q18/q17/q22 landed late in r10) completing all 22 "
-               "classic shapes, +image_incr_dedup, +embed_incr_dedup, "
-               "+audio_near_dup, +video_near_dup.  Totals are NOT "
-               "comparable to r10; compare name-keyed.  The audio and "
-               "video fixture caches build during warm-up next to the "
-               "image cache (same write-once parquet discipline)."},
+     "change": "registry grew 169 -> 190: the 21 round-11 newcomers "
+               "(the ROUND-12 ROTATION PLAN list in __spark_entry__) "
+               "are 13 TPC-H plan classes "
+               "(tpch_q2/q7/q8/q9/q10/q11/q12/q13/q15/q16/q19/q20/q21) "
+               "completing all 22 classic shapes, plus image_incr_dedup, "
+               "embed_incr_dedup, semantic_incr_dedup, audio_near_dup, "
+               "audio_incr_dedup, video_near_dup, video_incr_dedup and "
+               "media_catalog.  Totals are NOT comparable to r10; "
+               "compare name-keyed.  The audio and video fixture caches "
+               "build during warm-up next to the image cache (same "
+               "write-once parquet discipline)."},
     {"round": 8, "queries": ["ewma", "fill_linear", "chunk_sum",
                              "chunk_dist", "window_dist", "pack_shards",
                              "pack_sequences", "weighted_sample",
