@@ -51,6 +51,16 @@ REGRESSION_MIN_ABS = 0.5  # sec — below this, wall-clock is run noise
 # without re-running the ~145 sub-2s queries.
 REPEAT_THRESHOLD = 2.0  # sec
 
+# r11 VERDICT ask #6: BENCH_r11 ran on a contended driver box (load0
+# 3.2) and recorded a uniform ~1.55x inflation across all 169 common
+# queries — a box signature, not plan drift, but it polluted the
+# round-over-round artifact.  When the 1-min load average at session
+# start exceeds this, EVERY query gets min-of-2 and the >REPEAT_
+# THRESHOLD tail gets min-of-3, so a contended run converges toward
+# solo numbers instead of recording the inflation verbatim.  On a
+# quiet box nothing changes (same basis as r10/r11 artifacts).
+HOT_LOAD_THRESHOLD = 2.0  # 1-min loadavg
+
 # Machine-readable measurement-basis changes (r5 VERDICT ask #8): when a
 # query's MEASUREMENT changes (cache policy, hash family, substrate
 # default) rather than its plan, record it here so a judge reading
@@ -154,6 +164,37 @@ ACCOUNTING_CHANGES = [
                "compare name-keyed.  The audio and video fixture caches "
                "build during warm-up next to the image cache (same "
                "write-once parquet discipline)."},
+    {"round": 12, "queries": ["minhash_pairs", "ngram_jaccard",
+                              "incremental_dedup", "quantile_bins",
+                              "containment_pairs"],
+     "change": "r11-drift attribution (r11 VERDICT ask #2), measured "
+               "with tools/microbench.py (fresh session, bench.py's "
+               "warm-up, 5 repeats per query, release_cached between, "
+               "MEDIAN compared) A/B-ing HEAD against the r10 tip "
+               "e92abb3 back-to-back on one box: minhash_pairs 1.78 "
+               "vs 1.84, ngram_jaccard 1.98 vs 1.84, incremental_dedup "
+               "3.81 vs 3.53, quantile_bins 3.33 vs 3.29, control "
+               "ivf_train 3.10 vs 3.23 — code-attributable delta is "
+               "within the control's +-8% noise band on every family "
+               "member, i.e. the code is FLAT r10->r12 (the judge's "
+               "byte-identical diff confirmed the same from the other "
+               "side).  containment_pairs 2.71 vs 1.86 is the r11 "
+               "hot-shingle cap-probe rewrite already on the books "
+               "above.  Both checkouts run ~25-35% slower than the "
+               "BENCH_r10 artifact's recorded 1.44/1.50/2.62 on "
+               "today's box, so the r10-artifact-vs-r11-probe drift "
+               "is ENVIRONMENTAL (box/page-cache/CPU state between "
+               "round recordings), not a plan or session-shape "
+               "regression.  The microbench medians above are the "
+               "pinned comparison basis for this family going "
+               "forward; re-pin with the same command before reading "
+               "any future family drift as real."},
+    {"round": 12, "queries": "all (hot box only)",
+     "change": "when the 1-min load average at session start exceeds "
+               "2.0, every query records min-of-2 and the >2s tail "
+               "min-of-3 (r11 VERDICT ask #6: BENCH_r11's hot-box run "
+               "recorded a uniform ~1.55x inflation verbatim).  On a "
+               "quiet box the basis is unchanged from r10/r11."},
     {"round": 8, "queries": ["ewma", "fill_linear", "chunk_sum",
                              "chunk_dist", "window_dist", "pack_shards",
                              "pack_sequences", "weighted_sample",
@@ -264,8 +305,9 @@ def _write_notes(timings: dict[str, float], total: float, sf,
         f"queries, total {total:.1f}s.  The stdout JSON line's `qv` "
         "array follows the sorted query-name order below.  Queries "
         f"whose first run exceeded {REPEAT_THRESHOLD}s were re-run once "
-        "and report the MIN (r9 ask #6); both raw runs are listed "
-        "below."
+        "and report the MIN (r9 ask #6); on a hot box (load0 > "
+        f"{HOT_LOAD_THRESHOLD}) every query is min-of-2 and the tail "
+        "min-of-3 (r11 ask #6); all raw runs are listed below."
         + (f"  Media-fixture parquet cache build (warm-up, excluded "
            f"from every query timing): {fixture_sec}s."
            if fixture_sec is not None else ""),
@@ -340,6 +382,11 @@ def main():
           f"{fixture_sec}s (excluded from query timings)", file=sys.stderr)
     from fsharp_dataframe_spark.functions.util import release_cached
 
+    hot = load0 > HOT_LOAD_THRESHOLD
+    if hot:
+        print(f"# HOT BOX (load0={load0} > {HOT_LOAD_THRESHOLD}): "
+              "min-of-2 for all queries, min-of-3 for the "
+              f">{REPEAT_THRESHOLD}s tail (r11 ask #6)", file=sys.stderr)
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
     for name in names:
@@ -352,15 +399,19 @@ def main():
         # (storage-memory pressure evicts/recomputes and skews later
         # timings) — and so a repeat below pays the same standalone cost
         release_cached()
-        if t1 > REPEAT_THRESHOLD:
+        runs = [t1]
+        # quiet box: min-of-2 on the >threshold tail (r9 ask #6);
+        # hot box: min-of-2 everywhere, min-of-3 on the tail (r11 #6)
+        want = (3 if t1 > REPEAT_THRESHOLD else 2) if hot else (
+            2 if t1 > REPEAT_THRESHOLD else 1)
+        while len(runs) < want:
             t0 = time.time()
             q(spark, sf_dir).count()
-            t2 = round(time.time() - t0, 3)
+            runs.append(round(time.time() - t0, 3))
             release_cached()
-            repeats[name] = [t1, t2]
-            timings[name] = min(t1, t2)
-        else:
-            timings[name] = t1
+        if len(runs) > 1:
+            repeats[name] = runs
+        timings[name] = min(runs)
         tag = (f" (min of {repeats[name]})" if name in repeats else "")
         print(f"# {name}: {timings[name]:.2f}s rows={n}{tag}",
               file=sys.stderr)
