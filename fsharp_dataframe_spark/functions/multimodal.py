@@ -176,6 +176,21 @@ def _image_features(payload: bytes | None, feat_dim: int,
     return decoded
 
 
+def _nullable_i64(values):
+    """A pandas nullable-Int64 array for a 64-bit hash column that may
+    contain None rows.  A plain ``pd.DataFrame({col: [int, ..., None]})``
+    silently coerces the column to float64, rounding every value above
+    2^53 — for a 60-bit fingerprint that zeroes the low ~7 bits of the
+    WHOLE batch the moment one row is undecodable (found via a planted
+    zero-frame video sharing a batch with real ones: its single NULL
+    row corrupted every other video's hashes in the batch).  The
+    nullable extension dtype keeps int64 exactness alongside NULLs and
+    converts losslessly through Arrow."""
+    import pandas as pd
+
+    return pd.array(values, dtype="Int64")
+
+
 def _resolve_real_decode(real_decode) -> bool:
     """Executor-side resolution of the real_decode flag: 'auto' means
     real decode (the stdlib PNG tier makes it always available);
@@ -665,7 +680,8 @@ def dhash_media(df: DataFrame, payload_col: str = "payload",
                 else:
                     hashes.append(_dhash_from_gray(arr))
                     oks.append(True)
-            yield pd.DataFrame({id_col: pdf[id_col], "dhash": hashes,
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "dhash": _nullable_i64(hashes),
                                 "decode_ok": oks})
 
     # decode is the CPU-heavy step: spread() rebalances a few-partition
@@ -825,6 +841,12 @@ def _afp_from_samples(s):
         for b in range(8):
             if bits[w, b]:
                 fp |= 1 << (w * 8 + b)
+    # two's-complement wrap (the _dhash_from_gray discipline): real
+    # audio can set bit 63, and an unwrapped Python int >= 2^63 would
+    # overflow LongType in the Arrow batch — an executor exception the
+    # per-row degradation contract forbids
+    if fp >= 1 << 63:
+        fp -= 1 << 64
     return fp
 
 
@@ -862,7 +884,13 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
     to dedup.banded_hamming_pairs for corpus-scale near-dup pairs, or
     dedup.cross_banded_hamming_pairs(new, landed_piece_table) for the
     incremental ingest path — the SAME validated pigeonhole substrate
-    as images; nothing audio-specific below the fingerprint."""
+    as images; nothing audio-specific below the fingerprint.
+
+    This is the FIRST-WINDOW LOOKUP-KEY FAST PATH: only the first
+    2048 samples are fingerprinted, so a duplicate whose head differs
+    is invisible here.  Whole-stream matching — one fingerprint per
+    2048-sample window, matched offset-tolerantly — is
+    audio_window_fingerprints / audio_stream_near_dup below."""
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
         T.StructField("afp", T.LongType(), True),
@@ -878,7 +906,8 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
                 fp = _afp_from_samples(_decode_wav_samples(payload))
                 fps.append(fp)
                 oks.append(fp is not None)
-            yield pd.DataFrame({id_col: pdf[id_col], "afp": fps,
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "afp": _nullable_i64(fps),
                                 "decode_ok": oks})
 
     from fsharp_dataframe_spark.functions.util import spread
@@ -1097,7 +1126,8 @@ def video_frame_hashes(df: DataFrame, every_n: int = 2,
                         hashes.append(_dhash_from_gray(arr))
                         oks.append(True)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
-                                "dhash": hashes, "decode_ok": oks})
+                                "dhash": _nullable_i64(hashes),
+                                "decode_ok": oks})
 
     from fsharp_dataframe_spark.functions.util import spread
 
@@ -1325,6 +1355,545 @@ def cached_video_media(spark, n: int,
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         make_fake_video_media(spark, n).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(path).select(
+        *[f.name for f in MEDIA_SCHEMA.fields])
+
+
+# ----------------------------------------------------------------------
+# offset-tolerant matching core (audio windows + video frames)
+# ----------------------------------------------------------------------
+
+
+def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
+                       max_hamming: int, directional: bool) -> DataFrame:
+    """Offset-voting rollup shared by the whole-stream audio and the
+    trim-tolerant video tiers: join per-position hashes on (piece,
+    piece-bits) WITHOUT the position key, vote on the position delta
+    per candidate pair, keep the dominant offset, and keep pairs whose
+    matches at that offset cover >= half the positions alignable at it
+    (2*matched >= comparable, exact integers).  This is what catches a
+    re-upload with a trimmed head — the first thing a real media
+    ingest pipeline meets — which the same-position matchers
+    (video_near_dup, banded first-window audio) provably miss.
+
+    ``left``/``right``: standardized piece tables (id, idx, sh, q, qv)
+    whose positions are sampled at ``stride`` starting from 0 (audio
+    windows: stride 1; video frames: stride every_n).  With
+    ``directional=False`` both sides are the same relation and pairs
+    are id-ordered (id_l < id_r); with ``directional=True`` left is
+    the new batch and right the landed corpus — never old x old or
+    new x new.
+
+    Offset convention: idx_first - idx_second where `first` is the
+    smaller-id (symmetric) / corpus (directional) side — i.e. the
+    number of head positions trimmed from the later/new item (positive
+    for a head-trimmed re-upload).
+
+    Positions alignable at offset t = offset/stride (with n_first /
+    n_second sampled positions a side):
+        comparable = min(n_second-1, n_first-1-t) - max(0, -t) + 1
+    — the exact count of k with 0 <= k < n_second and
+    0 <= k + t < n_first.
+
+    100 TB shape: candidate fan-out is bounded by (q, qv) hash-key
+    occupancy (the banded join's own discipline — uniform for
+    hash-like sketches, never all-pairs); the offset vote is one
+    groupBy on (id, id, offset) small-int keys plus a per-pair
+    row_number window — no per-pair sequence alignment; the position
+    counts are an item-grain (dim-sized) aggregate joined back on the
+    pair keys; pixels/samples never shuffle (hashes left the decode
+    pass as 8-byte longs upstream)."""
+    from pyspark.sql import Window
+
+    l, r = left.alias("l"), right.alias("r")
+    cond = ((F.col("l.q") == F.col("r.q"))
+            & (F.col("l.qv") == F.col("r.qv")))
+    if not directional:
+        cond = cond & (F.col("l.id") < F.col("r.id"))
+    cand = (l.join(r, cond)
+            .select(F.col("l.id").alias("id_l"),
+                    F.col("r.id").alias("id_r"),
+                    F.col("l.idx").alias("idx_l"),
+                    F.col("r.idx").alias("idx_r"),
+                    F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_l", "id_r", "idx_l", "idx_r"]))
+    off = (F.col("idx_l") - F.col("idx_r") if not directional
+           else F.col("idx_r") - F.col("idx_l"))
+    votes = (cand.groupBy("id_l", "id_r",
+                          off.cast("long").alias("offset"))
+             .agg(F.count("*").alias("matched")))
+    w = Window.partitionBy("id_l", "id_r").orderBy(
+        F.col("matched").desc(), F.col("offset").asc())
+    dom = (votes.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") == 1).drop("_rk"))
+    cnt_l = (left.select("id", "idx").distinct().groupBy("id")
+             .agg(F.count("*").alias("_na")))
+    cnt_r = (right.select("id", "idx").distinct().groupBy("id")
+             .agg(F.count("*").alias("_nb")))
+    out = (dom
+           .join(cnt_l.withColumnRenamed("id", "id_l"), "id_l")
+           .join(cnt_r.withColumnRenamed("id", "id_r"), "id_r"))
+    n_first = F.col("_na") if not directional else F.col("_nb")
+    n_second = F.col("_nb") if not directional else F.col("_na")
+    t = (F.col("offset") / F.lit(int(stride))).cast("long")
+    comparable = (F.least(n_second - 1, n_first - 1 - t)
+                  - F.greatest(F.lit(0), -t) + 1)
+    out = out.withColumn("comparable",
+                         F.greatest(F.lit(0), comparable).cast("long"))
+    return (out.filter((F.col("comparable") > 0)
+                       & (F.col("matched") * 2 >= F.col("comparable")))
+            .select("id_l", "id_r", "offset", "matched", "comparable"))
+
+
+# ----------------------------------------------------------------------
+# audio: whole-stream windowed fingerprints (the full Haitsma-Kalker
+# framing — audio_fingerprint above is the first-window fast path)
+# ----------------------------------------------------------------------
+
+AFP_FRAME = AFP_WIN * AFP_N_WIN  # 2048 samples per fingerprint window
+
+
+def _afp_all_windows(s) -> list[int]:
+    """One 64-bit fingerprint per NON-OVERLAPPING 2048-sample window
+    over the whole sample stream — the per-window twin of
+    _afp_from_samples (identical math per window; window 0 equals the
+    first-window fast path bit for bit, property-pinned).  One
+    vectorized rFFT over the (k*8, 256) matrix of ALL windows' frames
+    in a single call; packing via the uint64 dot + two's-complement
+    wrap (the _dhash_from_gray discipline).  Streams shorter than one
+    window return []."""
+    import numpy as np
+
+    if s is None:
+        return []
+    k = len(s) // AFP_FRAME
+    if k == 0:
+        return []
+    seg = np.asarray(s[:k * AFP_FRAME], dtype=np.float64).reshape(
+        k * AFP_N_WIN, AFP_WIN)
+    X = np.abs(np.fft.rfft(seg, axis=1)) ** 2      # (k*8, 129)
+    e = np.stack([X[:, 4 + 4 * b: 8 + 4 * b].sum(axis=1)
+                  for b in range(AFP_N_BANDS)], axis=1)   # (k*8, 9)
+    bits = (e[:, :-1] > e[:, 1:]).reshape(k, 64)   # (k, 64)
+    powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+    fps = bits.astype(np.uint64) @ powers          # (k,) uint64
+    out = []
+    for fp in fps:
+        fp = int(fp)
+        if fp >= 1 << 63:
+            fp -= 1 << 64
+        out.append(fp)
+    return out
+
+
+def audio_window_fingerprints(df: DataFrame,
+                              payload_col: str = "payload",
+                              id_col: str = "media_id") -> DataFrame:
+    """Whole-stream audio fingerprinting: one 64-bit spectral-band
+    fingerprint per non-overlapping 2048-sample window (the actual
+    Haitsma-Kalker 2002 design — fingerprint windowed sub-sequences,
+    match clips that share an aligned run; audio_fingerprint keeps the
+    first-window lookup-key fast path).  Arrow-batched mapInPandas
+    over the stdlib-WAV decode tier; undecodable / too-short rows
+    degrade per row to a single (win_idx 0, NULL, decode_ok=False) —
+    never an executor exception.
+
+    Returns (id, win_idx int, afp long, decode_ok).  The audio twin
+    of video_frame_hashes: at 100 TB the payload bytes stream through
+    one mapInPandas — windows never explode into a shuffle carrying
+    samples; only the 8-byte fingerprints move."""
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType(), False),
+        T.StructField("afp", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ])
+
+    def _fp(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, fps, oks = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                wfps = _afp_all_windows(_decode_wav_samples(payload))
+                if not wfps:
+                    ids.append(int(mid))
+                    idxs.append(0)
+                    fps.append(None)
+                    oks.append(False)
+                    continue
+                for wi, fp in enumerate(wfps):
+                    ids.append(int(mid))
+                    idxs.append(wi)
+                    fps.append(fp)
+                    oks.append(True)
+            yield pd.DataFrame({id_col: ids, "win_idx": idxs,
+                                "afp": _nullable_i64(fps),
+                                "decode_ok": oks})
+
+    from fsharp_dataframe_spark.functions.util import spread
+
+    return spread(df, id_col, payload_col).mapInPandas(
+        _fp, schema=out_schema)
+
+
+def audio_window_piece_table(df: DataFrame, max_hamming: int = 2,
+                             payload_col: str = "payload",
+                             id_col: str = "media_id") -> DataFrame:
+    """The persistable half of an incremental whole-stream audio-dedup
+    index: one (aid, win_idx, sh, q, qv) row per window per pigeonhole
+    piece — written ONCE for the landed corpus (partition by ``q`` on
+    disk), joined by every new batch.  The audio twin of
+    video_frame_piece_table."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        piece_expr, pigeonhole_pieces,
+    )
+
+    fh = (audio_window_fingerprints(df, payload_col=payload_col,
+                                    id_col=id_col)
+          .filter(F.col("decode_ok"))
+          .select(F.col(id_col).alias("aid"), "win_idx",
+                  F.col("afp").alias("sh")))
+    offs = pigeonhole_pieces(64, max_hamming)
+    return fh.select(
+        "aid", "win_idx", "sh",
+        F.posexplode(F.array(*[piece_expr(F.col("sh"), o, w)
+                               for o, w in offs])).alias("q", "qv"))
+
+
+def audio_stream_near_dup(df: DataFrame, max_hamming: int = 2,
+                          payload_col: str = "payload",
+                          id_col: str = "media_id") -> DataFrame:
+    """Whole-stream audio near-duplicate pairs, OFFSET-TOLERANT: clips
+    sharing an aligned run of window fingerprints match even when one
+    clip's head is trimmed — window hashes join on (piece, piece-bits)
+    without the position key, the per-pair position delta is voted on,
+    and the dominant offset must cover >= half the windows alignable
+    at it (2*matched >= comparable).  The first-window fast path
+    (audio_fingerprint) and any same-position matcher provably miss a
+    dup whose first 0.26 s differ; this operator is the fix.
+
+    Returns (id_a, id_b, offset, matched_windows, comparable_windows)
+    with offset = windows trimmed from id_b's head relative to id_a
+    (positive when the larger-id clip lost its head).
+
+    Scale shape: see _offset_vote_pairs — banded candidates, never
+    all-pairs, one small-key vote aggregate, dim-sized counts."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    pieces = track_persist(
+        audio_window_piece_table(df, max_hamming=max_hamming,
+                                 payload_col=payload_col,
+                                 id_col=id_col)
+        .select(F.col("aid").alias("id"),
+                F.col("win_idx").alias("idx"), "sh", "q", "qv"))
+    out = _offset_vote_pairs(pieces, pieces, stride=1,
+                             max_hamming=max_hamming, directional=False)
+    return out.select(F.col("id_l").alias("id_a"),
+                      F.col("id_r").alias("id_b"), "offset",
+                      F.col("matched").alias("matched_windows"),
+                      F.col("comparable").alias("comparable_windows"))
+
+
+def cross_audio_stream_near_dup(new: DataFrame, existing: DataFrame,
+                                max_hamming: int = 2,
+                                payload_col: str = "payload",
+                                id_col: str = "media_id",
+                                existing_is_piece_table: bool = False,
+                                ) -> DataFrame:
+    """Directional (new-batch x landed-corpus) whole-stream audio
+    near-dup — the incremental ingest path riding the same piece-table
+    machinery as every other modality tier: tonight's clips are
+    window-fingerprinted once and their pieces joined against the
+    corpus's STORED window-piece table (audio_window_piece_table,
+    persisted once in production; pass
+    ``existing_is_piece_table=True`` for that shape) — the corpus is
+    never re-decoded or self-joined, so re-ingest is |new|-bounded.
+
+    Same offset-vote semantics as audio_stream_near_dup; returns
+    (new_id, old_id, offset, matched_windows, comparable_windows) with
+    offset = windows trimmed from the NEW clip's head relative to the
+    landed one."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    npc = track_persist(
+        audio_window_piece_table(new, max_hamming=max_hamming,
+                                 payload_col=payload_col,
+                                 id_col=id_col)
+        .select(F.col("aid").alias("id"),
+                F.col("win_idx").alias("idx"), "sh", "q", "qv"))
+    epc = (existing if existing_is_piece_table
+           else audio_window_piece_table(existing,
+                                         max_hamming=max_hamming,
+                                         payload_col=payload_col,
+                                         id_col=id_col))
+    epc = epc.select(F.col("aid").alias("id"),
+                     F.col("win_idx").alias("idx"), "sh", "q", "qv")
+    out = _offset_vote_pairs(npc, epc, stride=1,
+                             max_hamming=max_hamming, directional=True)
+    return out.select(F.col("id_l").alias("new_id"),
+                      F.col("id_r").alias("old_id"), "offset",
+                      F.col("matched").alias("matched_windows"),
+                      F.col("comparable").alias("comparable_windows"))
+
+
+# ----------------------------------------------------------------------
+# video: temporal-offset-tolerant matching (clips / trimmed re-uploads)
+# ----------------------------------------------------------------------
+
+
+def trim_video_head(df: DataFrame, n_frames: int,
+                    payload_col: str = "payload") -> DataFrame:
+    """Drop the first ``n_frames`` frames of each FSV1 container — the
+    head-trim transform (intros cut, re-encode leaders dropped) that
+    produces exactly the re-uploads video_near_dup's same-position
+    contract misses and video_near_dup_offset catches.  Real container
+    parse + repack through the same pack_frames/unpack_frame code as
+    the decode tier; malformed containers degrade per row to a NULL
+    payload.  A trim past the end leaves an empty (zero-frame)
+    container — still well-formed, hashes to nothing downstream.
+    ``meta.n_frames`` is patched to match when the column exists."""
+    import struct
+
+    nf_drop = int(n_frames)
+
+    def _trim(col):
+        import pandas as pd
+
+        out = []
+        for payload in col:
+            b = bytes(payload) if payload is not None else None
+            if (b is None or len(b) < 8 or b[:4] != _FSV_MAGIC):
+                out.append(None)
+                continue
+            n = struct.unpack_from("<I", b, 4)[0]
+            if 8 + 4 * n > len(b):
+                out.append(None)
+                continue
+            frames = []
+            ok = True
+            for f in range(nf_drop, n):
+                fr = unpack_frame(b, f)
+                if fr is None:
+                    ok = False
+                    break
+                frames.append(fr)
+            out.append(pack_frames(frames) if ok else None)
+        return pd.Series(out)
+
+    import pandas as pd  # noqa: F401  (pandas_udf import-time check)
+
+    trim_udf = F.pandas_udf(_trim, T.BinaryType())
+    out = df.withColumn(payload_col, trim_udf(F.col(payload_col)))
+    if "meta" in out.columns and payload_col == "payload":
+        out = out.withColumn(
+            "meta", F.col("meta").withField(
+                "n_frames",
+                F.greatest(F.lit(0),
+                           F.col("meta.n_frames") - F.lit(nf_drop))))
+    return out
+
+
+def _video_pieces_std(df: DataFrame, every_n: int, max_hamming: int,
+                      payload_col: str, id_col: str) -> DataFrame:
+    """video_frame_piece_table renamed to the _offset_vote_pairs
+    standard (id, idx, sh, q, qv)."""
+    return (video_frame_piece_table(df, every_n=every_n,
+                                    max_hamming=max_hamming,
+                                    payload_col=payload_col,
+                                    id_col=id_col)
+            .select(F.col("vid").alias("id"),
+                    F.col("frame_idx").alias("idx"), "sh", "q", "qv"))
+
+
+def video_near_dup_offset(df: DataFrame, every_n: int = 2,
+                          max_hamming: int = 2,
+                          payload_col: str = "payload",
+                          id_col: str = "media_id") -> DataFrame:
+    """Temporal-offset-tolerant video near-duplicate pairs: frame
+    dHashes join on (piece, piece-bits) WITHOUT the frame-position
+    key, the per-pair frame-index delta is voted on, and the dominant
+    offset must cover >= half the frames alignable at it — so a
+    re-upload with its intro trimmed (the first thing a real
+    video-ingest pipeline meets) matches, where video_near_dup's
+    same-position contract provably misses it.
+
+    Returns (id_a, id_b, offset, matched_frames, comparable_frames)
+    with offset in FRAME units (a multiple of ``every_n`` by
+    construction) = frames trimmed from id_b's head relative to id_a.
+    Note the sampling-stride blind spot, inherent to strided frame
+    sampling: a trim that is not a multiple of ``every_n`` shifts the
+    sampled grid off the original's and cannot match — sample every
+    frame (every_n=1) where sub-stride trims matter.
+
+    Scale shape: see _offset_vote_pairs."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    pieces = track_persist(_video_pieces_std(df, every_n, max_hamming,
+                                             payload_col, id_col))
+    out = _offset_vote_pairs(pieces, pieces, stride=every_n,
+                             max_hamming=max_hamming, directional=False)
+    return out.select(F.col("id_l").alias("id_a"),
+                      F.col("id_r").alias("id_b"), "offset",
+                      F.col("matched").alias("matched_frames"),
+                      F.col("comparable").alias("comparable_frames"))
+
+
+def cross_video_near_dup_offset(new: DataFrame, existing: DataFrame,
+                                every_n: int = 2, max_hamming: int = 2,
+                                payload_col: str = "payload",
+                                id_col: str = "media_id",
+                                existing_is_piece_table: bool = False,
+                                ) -> DataFrame:
+    """Directional (new-batch x landed-corpus) offset-tolerant video
+    near-dup: tonight's videos are frame-hashed once and their pieces
+    joined against the corpus's STORED frame-piece table
+    (video_frame_piece_table — the SAME persisted index half the
+    same-position cross_video_near_dup uses, so one index serves both
+    matchers); the corpus is never re-decoded or self-joined.
+
+    Returns (new_id, old_id, offset, matched_frames,
+    comparable_frames) with offset = frames trimmed from the NEW
+    video's head relative to the landed one."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    npc = track_persist(_video_pieces_std(new, every_n, max_hamming,
+                                          payload_col, id_col))
+    epc = (existing.select(F.col("vid").alias("id"),
+                           F.col("frame_idx").alias("idx"),
+                           "sh", "q", "qv")
+           if existing_is_piece_table
+           else _video_pieces_std(existing, every_n, max_hamming,
+                                  payload_col, id_col))
+    out = _offset_vote_pairs(npc, epc, stride=every_n,
+                             max_hamming=max_hamming, directional=True)
+    return out.select(F.col("id_l").alias("new_id"),
+                      F.col("id_r").alias("old_id"), "offset",
+                      F.col("matched").alias("matched_frames"),
+                      F.col("comparable").alias("comparable_frames"))
+
+
+# ----------------------------------------------------------------------
+# multi-window audio stream fixture (closed-form, oracle-replayable)
+# ----------------------------------------------------------------------
+
+
+def _afp_stream_pattern(i: int, w: int) -> int:
+    """Closed-form 60-bit pattern for window ``w`` of audio stream
+    ``i`` ('s'-salted md5, so stream-fixture rows never mirror the
+    image/audio/video fixtures'): every stream i = 5 (mod 6) is a
+    HEAD-TRIMMED re-upload of stream i-1 — its window w carries
+    stream i-1's window w+1 pattern, so its first 0.26 s differ and
+    the same-position matchers provably miss the pair while the
+    offset vote catches it at offset 1."""
+    import hashlib
+
+    if i % 6 == 5:
+        i, w = i - 1, w + 1
+    return int(hashlib.md5(f"s{i}_{w}".encode()).hexdigest()[:15], 16)
+
+
+def audio_stream_window_count(i: int) -> int:
+    """Window count of fixture stream ``i``: 2..6 windows, one fewer
+    for the planted head-trimmed re-uploads (they lost window 0)."""
+    if i % 6 == 5:
+        return ((i - 1) % 5) + 1
+    return (i % 5) + 2
+
+
+def _synth_fp_window(p: int):
+    """2048 int16 samples whose fingerprint equals pattern ``p`` bit
+    for bit — the make_fake_audio_media tone chain (nine band-center
+    integer-cycle tones per 256-sample frame, amplitudes chained
+    x1.6 / /1.6 so the adjacent-band comparisons reproduce the bits;
+    2.56x energy steps dwarf int16 quantization noise)."""
+    import numpy as np
+
+    t = np.arange(AFP_WIN)
+    frames = []
+    for w in range(AFP_N_WIN):
+        amps = [1.0]
+        for b in range(8):
+            k = w * 8 + b
+            bit = (p >> k) & 1 if k < 60 else 0
+            amps.append(amps[-1] / 1.6 if bit else amps[-1] * 1.6)
+        x = np.zeros(AFP_WIN)
+        for b, a in enumerate(amps):
+            cb = 5 + 4 * b
+            x = x + a * np.sin(2 * np.pi * cb * t / AFP_WIN)
+        x = x * (12000.0 / np.max(np.abs(x)))
+        frames.append(np.round(x).astype(np.int16))
+    return np.concatenate(frames)
+
+
+def make_fake_audio_stream_media(spark, n: int) -> DataFrame:
+    """Corpus-scale MULTI-WINDOW WAV fixture whose per-window
+    fingerprints are CLOSED FORM (_afp_stream_pattern): stream i has
+    audio_stream_window_count(i) windows of 2048 samples; every 6th
+    stream is a planted head-trimmed re-upload of its predecessor
+    (window w == predecessor's window w+1, bit for bit) — invisible
+    to first-window / same-position matching, caught by the offset
+    vote.  Executor-generated like make_fake_audio_media."""
+    def gen(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            payloads = []
+            for i in ids:
+                nw = audio_stream_window_count(i)
+                samples = np.concatenate(
+                    [_synth_fp_window(_afp_stream_pattern(i, w))
+                     for w in range(nw)])
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(AFP_SR)
+                    wf.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            metas = []
+            for i in ids:
+                nw = audio_stream_window_count(i)
+                metas.append({"mime": "audio/wav", "width": None,
+                              "height": None,
+                              "n_frames": nw * AFP_FRAME,
+                              "duration_s": nw * AFP_FRAME / AFP_SR})
+            yield pd.DataFrame({"media_id": ids, "payload": payloads,
+                                "meta": metas})
+
+    parts = max(1, (int(n) + 4095) // 4096)
+    return spark.range(0, int(n), 1, parts).mapInPandas(
+        gen, schema=MEDIA_SCHEMA)
+
+
+def cached_audio_stream_media(spark, n: int,
+                              cache_root: str | None = None) -> DataFrame:
+    """Write-once parquet cache of the multi-window WAV fixture — the
+    cached_dhash_media discipline (atomic pid-temp rename, _SUCCESS
+    sentinel, deterministic contents)."""
+    import os
+    import shutil
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
+    path = os.path.join(root, f"audio_stream_n{int(n)}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        make_fake_audio_stream_media(spark, n).write.mode(
+            "overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:

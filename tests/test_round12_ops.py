@@ -1,0 +1,211 @@
+"""Round-12 operators: whole-stream audio fingerprints, temporal-
+offset-tolerant audio/video matching, the FSV1 head-trim transform,
+and the nullable-Int64 fingerprint-batch regression.
+
+Reference anchors: the stream tiers are parity-plus LLM-pipeline
+operators (no reference twin); the matching discipline follows
+Haitsma & Kalker (2002) windowed fingerprinting, banded via the
+pigeonhole substrate of functions/dedup.py.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.functions import multimodal as M
+
+
+# ----------------------------------------------------------------------
+# the nullable-Int64 regression: one undecodable row in a batch used to
+# coerce the whole hash column to float64, zeroing the low ~7 bits of
+# every 60-bit fingerprint in the batch
+# ----------------------------------------------------------------------
+
+
+def test_one_bad_row_does_not_corrupt_batch_hashes(spark):
+    n = 60
+    media = M.make_fake_video_media(spark, n)
+    # trimming 2 frames off a 2-frame video leaves a ZERO-frame (still
+    # well-formed) container -> one NULL-hash row sharing batches with
+    # real ones; ids where (i % 13) == 0 hit that edge
+    clones = (M.trim_video_head(media.filter(F.col("media_id") % 7 == 3), 2)
+              .withColumn("media_id", F.col("media_id") + n))
+    got = {(r["media_id"], r["frame_idx"]): r["dhash"]
+           for r in M.video_frame_hashes(clones, every_n=2).collect()
+           if r["dhash"] is not None}
+    assert got, "expected decodable clone frames"
+    for (mid, f), dh in got.items():
+        assert dh == M._video_frame_pattern(mid - n, f + 2), (mid, f)
+    # the zero-frame clone degrades to a NULL row, not an exception
+    empties = [r for r in M.video_frame_hashes(clones, every_n=2).collect()
+               if not r["decode_ok"]]
+    assert any(M.video_frame_count(r["media_id"] - n) == 2
+               for r in empties)
+
+
+def test_nullable_i64_preserves_exact_int64():
+    vals = M._nullable_i64([(1 << 60) - 1, None, 123])
+    assert vals[0] == (1 << 60) - 1 and vals[2] == 123
+    assert vals[1] is not True and str(vals[1]) == "<NA>"
+
+
+# ----------------------------------------------------------------------
+# whole-stream audio windows
+# ----------------------------------------------------------------------
+
+
+def test_audio_window_fingerprints_match_closed_form(spark):
+    df = M.make_fake_audio_stream_media(spark, 36)
+    rows = M.audio_window_fingerprints(df).filter("decode_ok").collect()
+    counts = {}
+    for r in rows:
+        assert r["afp"] == M._afp_stream_pattern(r["media_id"],
+                                                 r["win_idx"])
+        counts[r["media_id"]] = counts.get(r["media_id"], 0) + 1
+    for i in range(36):
+        assert counts[i] == M.audio_stream_window_count(i)
+
+
+def test_audio_window_zero_equals_first_window_fast_path(spark):
+    df = M.make_fake_audio_stream_media(spark, 12)
+    fast = {r["media_id"]: r["afp"]
+            for r in M.audio_fingerprint(df).filter("decode_ok").collect()}
+    w0 = {r["media_id"]: r["afp"]
+          for r in M.audio_window_fingerprints(df)
+          .filter("decode_ok and win_idx = 0").collect()}
+    assert fast == w0
+
+
+def test_afp_all_windows_short_and_null():
+    assert M._afp_all_windows(None) == []
+    assert M._afp_all_windows([0.0] * (M.AFP_FRAME - 1)) == []
+
+
+def test_audio_stream_near_dup_catches_trimmed_head(spark):
+    n = 36
+    df = M.make_fake_audio_stream_media(spark, n)
+    pairs = {(r["id_a"], r["id_b"]):
+             (r["offset"], r["matched_windows"], r["comparable_windows"])
+             for r in M.audio_stream_near_dup(df).collect()}
+    planted = [(i - 1, i) for i in range(n) if i % 6 == 5]
+    for a, b in planted:
+        off, m, c = pairs[(a, b)]
+        assert off == 1 and m == c == M.audio_stream_window_count(b)
+    assert set(pairs) == set(planted)
+    # the first-window fast path provably misses every planted pair:
+    # window 0 of the trimmed clip is window 1 of its source
+    from fsharp_dataframe_spark.functions.dedup import (
+        banded_hamming_pairs,
+    )
+    fps = (M.audio_fingerprint(df).filter("decode_ok")
+           .select(F.col("media_id").alias("doc_id"),
+                   F.col("afp").alias("sh")))
+    fast_pairs = {(r["id_a"], r["id_b"]) for r in banded_hamming_pairs(
+        fps, id_col="doc_id", sketch_col="sh", max_hamming=2).collect()}
+    assert not (fast_pairs & set(planted))
+
+
+def test_cross_audio_stream_near_dup_directional(spark):
+    n = 36
+    df = M.make_fake_audio_stream_media(spark, n)
+    new = df.filter(F.col("media_id") % 6 == 5)
+    old = df.filter(F.col("media_id") % 6 != 5)
+    got = {(r["new_id"], r["old_id"]): r["offset"]
+           for r in M.cross_audio_stream_near_dup(new, old).collect()}
+    assert got == {(i, i - 1): 1 for i in range(n) if i % 6 == 5}
+    # piece-table shape: landed corpus joined as a persisted relation
+    pt = M.audio_window_piece_table(old)
+    got2 = {(r["new_id"], r["old_id"]): r["offset"]
+            for r in M.cross_audio_stream_near_dup(
+                new, pt, existing_is_piece_table=True).collect()}
+    assert got2 == got
+
+
+# ----------------------------------------------------------------------
+# offset-tolerant video matching
+# ----------------------------------------------------------------------
+
+
+def _video_corpus_with_trims(spark, n):
+    media = M.make_fake_video_media(spark, n)
+    clones = (M.trim_video_head(
+        media.filter(F.col("media_id") % 7 == 3), 2)
+        .withColumn("media_id", F.col("media_id") + n))
+    return media, clones, media.unionByName(clones)
+
+
+def test_video_near_dup_offset_catches_trims(spark):
+    n = 60
+    media, clones, corpus = _video_corpus_with_trims(spark, n)
+    got = {(r["id_a"], r["id_b"]):
+           (r["offset"], r["matched_frames"], r["comparable_frames"])
+           for r in M.video_near_dup_offset(corpus, every_n=2,
+                                            max_hamming=2).collect()}
+    planted = [(i, i + n) for i in range(n)
+               if i % 7 == 3 and M.video_frame_count(i) > 2]
+    for a, b in planted:
+        off, m, c = got[(a, b)]
+        assert off == 2 and m == c
+    # the same-position matcher provably misses every planted trim pair
+    sp = {(r["id_a"], r["id_b"]) for r in M.video_near_dup(
+        corpus, every_n=2, max_hamming=2).collect()}
+    assert not (sp & set(planted))
+    # and the offset matcher still finds the same-position re-uploads
+    # (dominant offset 0) the old operator finds
+    assert sp <= {k for k, v in got.items() if v[0] == 0}
+
+
+def test_cross_video_near_dup_offset_directional(spark):
+    n = 42
+    media, clones, _ = _video_corpus_with_trims(spark, n)
+    got = {(r["new_id"], r["old_id"]): r["offset"]
+           for r in M.cross_video_near_dup_offset(
+               clones, media, every_n=2, max_hamming=2).collect()}
+    planted = {(i + n, i): 2 for i in range(n)
+               if i % 7 == 3 and M.video_frame_count(i) > 2}
+    for k, off in planted.items():
+        assert got.get(k) == off, (k, got.get(k))
+    # persisted-piece-table shape gives identical results
+    pt = M.video_frame_piece_table(media, every_n=2, max_hamming=2)
+    got2 = {(r["new_id"], r["old_id"]): r["offset"]
+            for r in M.cross_video_near_dup_offset(
+                clones, pt, every_n=2, max_hamming=2,
+                existing_is_piece_table=True).collect()}
+    assert got2 == got
+
+
+def test_trim_video_head_meta_and_degradation(spark):
+    media = M.make_fake_video_media(spark, 10)
+    t = M.trim_video_head(media, 2)
+    rows = {r["media_id"]: r for r in t.collect()}
+    for i, r in rows.items():
+        want = max(0, M.video_frame_count(i) - 2)
+        assert r["meta"]["n_frames"] == want
+        if r["payload"] is not None:
+            import struct
+
+            assert struct.unpack_from("<I", bytes(r["payload"]), 4)[0] \
+                == want
+    # malformed container degrades to NULL payload, no exception
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"NOTAVIDEO")), (1, None)],
+        "media_id long, payload binary")
+    out = {r["media_id"]: r["payload"]
+           for r in M.trim_video_head(bad, 1).collect()}
+    assert out[0] is None and out[1] is None
+
+
+def test_offset_vote_comparable_formula(spark):
+    # trim 4 (= 2 sampled positions at stride 2): comparable at the
+    # dominant offset must be min(nb-1, na-1-t) - max(0,-t) + 1
+    n = 30
+    media = M.make_fake_video_media(spark, n)
+    big = media.filter(F.col("media_id") == 12)  # nf = 14, sampled 7
+    clone = (M.trim_video_head(big, 4)
+             .withColumn("media_id", F.lit(99).cast("long")))
+    got = M.video_near_dup_offset(big.unionByName(clone), every_n=2,
+                                  max_hamming=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # na=7, nb=5, offset 4 frames -> t=2: min(4, 7-1-2)=4 -> 4-0+1=5
+    assert (r["id_a"], r["id_b"], r["offset"]) == (12, 99, 4)
+    assert r["comparable_frames"] == 5 and r["matched_frames"] == 5
