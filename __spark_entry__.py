@@ -3120,7 +3120,13 @@ EXTRA_QUERIES = (
     "ewma", "fill_linear", "media_png_decode", "media_mixed",
     "scd2_pit", "rolling_median", "market_beta", "quantile_bins",
     "salted_agg", "phrase_hits", "fuzzy_names", "token_budget",
-    "psi_drift", "snapshot_diff", "gap_report")
+    "psi_drift", "snapshot_diff", "gap_report",
+    # ROUND-13 ROTATION PLAN: the round-12 newcomers below (each
+    # locally three-SF oracle-green since r12) rotate into the driver
+    # window next round, swapping out r11+r12-double-green veterans
+    # with in-window siblings, exactly as every round since r7:
+    "audio_stream_dedup", "audio_stream_incr",
+    "video_offset_dedup", "video_offset_incr")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4034,6 +4040,118 @@ def q_centroid_drift(spark, sf) -> DataFrame:
                           emb.filter(F.col("vec_id") % 2 == 1))
 
 
+def q_audio_stream_dedup(spark, sf) -> DataFrame:
+    """Whole-stream audio near-dup, OFFSET-TOLERANT
+    (multimodal.audio_stream_near_dup): one 64-bit spectral-band
+    fingerprint per NON-OVERLAPPING 2048-sample window over each
+    clip's full stream (the actual Haitsma-Kalker 2002 windowed
+    design — the r11 audio_near_dup query keeps the first-window
+    lookup-key fast path), window hashes joined on (piece,
+    piece-bits) WITHOUT the position key, the per-pair window delta
+    voted on, and the dominant offset kept when its matches cover
+    >= half the windows alignable at it (2*matched >= comparable).
+
+    The fixture plants HEAD-TRIMMED re-uploads (every 6th clip is its
+    predecessor minus window 0) that the first-window fast path and
+    any same-position matcher provably miss (pinned in
+    tests/test_round12_ops.py); the DuckDB oracle replays window
+    counts, 's'-salted patterns, banding, popcount, the offset vote
+    and the coverage rule verbatim.
+
+    100 TB shape: samples never shuffle (fingerprints leave the
+    decode pass as 8-byte longs); candidates bounded by hash-key
+    occupancy, never all-pairs; the vote is one groupBy on small-int
+    keys; window counts are a clip-grain aggregate."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_stream_near_dup, cached_audio_stream_media,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    return (audio_stream_near_dup(media, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+def q_audio_stream_incr(spark, sf) -> DataFrame:
+    """Directional incremental whole-stream audio near-dup
+    (multimodal.cross_audio_stream_near_dup): the planted head-trimmed
+    clips (media_id % 6 == 5) play a nightly batch deduplicated
+    against the rest playing the landed corpus — the new batch's
+    window pieces joined against the corpus's STORED window-piece
+    table shape (audio_window_piece_table, persisted once in
+    production); the corpus is never re-decoded or self-joined, so
+    re-ingest is |new|-bounded.  Same offset-vote semantics as
+    audio_stream_dedup; the oracle replays the directional split."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_audio_stream_media, cross_audio_stream_near_dup,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    new = media.filter(F.col("media_id") % 6 == 5)
+    old = media.filter(F.col("media_id") % 6 != 5)
+    return (cross_audio_stream_near_dup(new, old, max_hamming=2)
+            .orderBy("new_id", "old_id"))
+
+
+def q_video_offset_dedup(spark, sf) -> DataFrame:
+    """Temporal-offset-tolerant video near-dup
+    (multimodal.video_near_dup_offset) over the closed-form video
+    fixture UNION head-trimmed re-uploads built through the REAL
+    container transform (multimodal.trim_video_head drops the first 2
+    frames of every 7th video and repacks the FSV1 container): frame
+    dHashes join on (piece, piece-bits) without the frame-position
+    key, the frame-index delta is voted on, and the dominant offset
+    must cover >= half the frames alignable at it — catching the
+    trimmed re-uploads video_near_dup's same-position contract
+    provably misses (pinned in tests) while still reporting the
+    planted same-position re-uploads at offset 0.
+
+    The oracle replays frame grid, trim, stride, 'v'-salted patterns,
+    banding, popcount, offset vote and coverage rule verbatim
+    (including the 2-frame videos whose trim leaves a zero-frame
+    container that hashes to nothing).
+
+    100 TB shape: pixels never shuffle; candidates bounded by
+    hash-key occupancy; one small-key vote aggregate; dim-sized
+    per-video counts."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, trim_video_head, video_near_dup_offset,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    clones = (trim_video_head(media.filter(F.col("media_id") % 7 == 3), 2)
+              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    corpus = media.unionByName(clones)
+    return (video_near_dup_offset(corpus, every_n=2, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+def q_video_offset_incr(spark, sf) -> DataFrame:
+    """Directional incremental offset-tolerant video near-dup
+    (multimodal.cross_video_near_dup_offset): the head-trimmed
+    re-uploads play a nightly batch deduplicated against the full
+    fixture playing the landed corpus — the new batch's frame pieces
+    joined against the corpus's STORED frame-piece table
+    (video_frame_piece_table, the SAME persisted index half the
+    same-position video_incr_dedup path uses, so one index serves
+    both matchers); the corpus is never re-decoded or self-joined.
+    Offset is reported in frame units = frames trimmed from the new
+    video's head (2 for every planted clone)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, cross_video_near_dup_offset, trim_video_head,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    clones = (trim_video_head(media.filter(F.col("media_id") % 7 == 3), 2)
+              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    return (cross_video_near_dup_offset(clones, media, every_n=2,
+                                        max_hamming=2)
+            .orderBy("new_id", "old_id"))
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_agg": q_group_agg,
@@ -4105,6 +4223,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dup": q_video_near_dup,
         "video_incr_dedup": q_video_incr_dedup,
         "media_catalog": q_media_catalog,
+        "audio_stream_dedup": q_audio_stream_dedup,
+        "audio_stream_incr": q_audio_stream_incr,
+        "video_offset_dedup": q_video_offset_dedup,
+        "video_offset_incr": q_video_offset_incr,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -5653,6 +5775,257 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM mt JOIN ct ca ON ca.i = new_id
                     JOIN ct cb ON cb.i = old_id
             WHERE matched_frames * 2 >= least(ca.ns, cb.ns)
+            ORDER BY new_id, old_id
+        """,
+        # whole-stream audio offset-vote replay: 's'-salted per-window
+        # patterns (every 6th stream = predecessor minus window 0),
+        # banding, popcount, DISTINCT candidate windows, the
+        # (id, id, delta) vote, dominant-offset row_number (ties to the
+        # smaller offset), and the alignable-window coverage rule —
+        # all verbatim from multimodal._offset_vote_pairs (stride 1)
+        "audio_stream_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i,
+                         CASE WHEN j % 6 = 5 THEN ((j - 1) % 5) + 1
+                              ELSE (j % 5) + 2 END AS nw
+                  FROM m),
+            w AS (SELECT i, unnest(range(0, nw)) AS w FROM a),
+            p AS (SELECT i, w,
+                     CASE WHEN i % 6 = 5 THEN
+                       ('0x' || substr(md5('s' || (i-1)::VARCHAR
+                          || '_' || (w+1)::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('s' || i::VARCHAR
+                          || '_' || w::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM w),
+            q AS (SELECT i, w, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            cand AS (SELECT DISTINCT a1.i AS id_a, b2.i AS id_b,
+                            a1.w AS wa, b2.w AS wb
+                     FROM q a1 JOIN q b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.i < b2.i
+                     WHERE bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT id_a, id_b, (wa - wb)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ct AS (SELECT i, count(*)::BIGINT AS ns FROM p GROUP BY 1),
+            f AS (SELECT d.id_a, d.id_b, d.dlt AS "offset", d.matched,
+                         greatest(0, least(cb.ns - 1, ca.ns - 1 - d.dlt)
+                                  - greatest(0, -d.dlt) + 1)::BIGINT
+                           AS comparable
+                  FROM d JOIN ct ca ON ca.i = d.id_a
+                         JOIN ct cb ON cb.i = d.id_b
+                  WHERE d.rk = 1)
+            SELECT id_a, id_b, "offset",
+                   matched AS matched_windows,
+                   comparable AS comparable_windows
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY id_a, id_b
+        """,
+        # the directional replay: trimmed streams (i % 6 = 5) are the
+        # new batch, everything else the landed corpus; offset =
+        # w_old - w_new (head windows the new clip lost)
+        "audio_stream_incr": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i,
+                         CASE WHEN j % 6 = 5 THEN ((j - 1) % 5) + 1
+                              ELSE (j % 5) + 2 END AS nw
+                  FROM m),
+            w AS (SELECT i, unnest(range(0, nw)) AS w FROM a),
+            p AS (SELECT i, w,
+                     CASE WHEN i % 6 = 5 THEN
+                       ('0x' || substr(md5('s' || (i-1)::VARCHAR
+                          || '_' || (w+1)::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('s' || i::VARCHAR
+                          || '_' || w::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM w),
+            q AS (SELECT i, w, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            cand AS (SELECT DISTINCT a1.i AS new_id, b2.i AS old_id,
+                            a1.w AS wn, b2.w AS wo
+                     FROM q a1 JOIN q b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                     WHERE a1.i % 6 = 5 AND b2.i % 6 <> 5
+                       AND bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT new_id, old_id, (wo - wn)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (
+                         PARTITION BY new_id, old_id
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ct AS (SELECT i, count(*)::BIGINT AS ns FROM p GROUP BY 1),
+            f AS (SELECT d.new_id, d.old_id, d.dlt AS "offset", d.matched,
+                         greatest(0, least(cn.ns - 1, co.ns - 1 - d.dlt)
+                                  - greatest(0, -d.dlt) + 1)::BIGINT
+                           AS comparable
+                  FROM d JOIN ct cn ON cn.i = d.new_id
+                         JOIN ct co ON co.i = d.old_id
+                  WHERE d.rk = 1)
+            SELECT new_id, old_id, "offset",
+                   matched AS matched_windows,
+                   comparable AS comparable_windows
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY new_id, old_id
+        """,
+        # offset-tolerant video replay: the video_near_dup closed form
+        # UNION head-trimmed clones (every 7th video minus its first 2
+        # frames, clone id = source + |documents|; a 2-frame source
+        # leaves a zero-frame container that contributes no rows),
+        # then the offset vote with t = off // 2 (frame-unit offsets
+        # over the every-2nd-frame sampling stride)
+        "video_offset_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+            pat AS (SELECT i, nf, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr),
+            samp AS (
+              SELECT i::BIGINT AS vid, f AS idx, sh
+              FROM pat WHERE f % 2 = 0
+              UNION ALL
+              SELECT (i + (SELECT count(*) FROM documents))::BIGINT
+                       AS vid, (f - 2) AS idx, sh
+              FROM pat
+              WHERE i % 7 = 3 AND nf > 2 AND f >= 2
+                AND (f - 2) % 2 = 0),
+            q AS (SELECT vid, idx, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM samp),
+            cand AS (SELECT DISTINCT a1.vid AS id_a, b2.vid AS id_b,
+                            a1.idx AS ia, b2.idx AS ib
+                     FROM q a1 JOIN q b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.vid < b2.vid
+                     WHERE bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT id_a, id_b, (ia - ib)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ct AS (SELECT vid, count(DISTINCT idx)::BIGINT AS ns
+                   FROM samp GROUP BY 1),
+            f AS (SELECT d.id_a, d.id_b, d.dlt AS "offset", d.matched,
+                         greatest(0, least(cb.ns - 1,
+                                           ca.ns - 1 - (d.dlt // 2))
+                                  - greatest(0, -(d.dlt // 2)) + 1
+                                  )::BIGINT AS comparable
+                  FROM d JOIN ct ca ON ca.vid = d.id_a
+                         JOIN ct cb ON cb.vid = d.id_b
+                  WHERE d.rk = 1)
+            SELECT id_a, id_b, "offset",
+                   matched AS matched_frames,
+                   comparable AS comparable_frames
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY id_a, id_b
+        """,
+        # the directional replay: trimmed clones are the new batch,
+        # the full fixture the landed corpus; offset = idx_old -
+        # idx_new (frames the new video lost from its head)
+        "video_offset_incr": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+            pat AS (SELECT i, nf, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr),
+            sn AS (SELECT (i + (SELECT count(*) FROM documents))::BIGINT
+                            AS vid, (f - 2) AS idx, sh
+                   FROM pat
+                   WHERE i % 7 = 3 AND nf > 2 AND f >= 2
+                     AND (f - 2) % 2 = 0),
+            so AS (SELECT i::BIGINT AS vid, f AS idx, sh
+                   FROM pat WHERE f % 2 = 0),
+            qn AS (SELECT vid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM sn),
+            qo AS (SELECT vid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM so),
+            cand AS (SELECT DISTINCT a1.vid AS new_id, b2.vid AS old_id,
+                            a1.idx AS ine, b2.idx AS iold
+                     FROM qn a1 JOIN qo b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                     WHERE bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT new_id, old_id, (iold - ine)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (
+                         PARTITION BY new_id, old_id
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            cn AS (SELECT vid, count(DISTINCT idx)::BIGINT AS ns
+                   FROM sn GROUP BY 1),
+            co AS (SELECT vid, count(DISTINCT idx)::BIGINT AS ns
+                   FROM so GROUP BY 1),
+            f AS (SELECT d.new_id, d.old_id, d.dlt AS "offset", d.matched,
+                         greatest(0, least(n1.ns - 1,
+                                           o1.ns - 1 - (d.dlt // 2))
+                                  - greatest(0, -(d.dlt // 2)) + 1
+                                  )::BIGINT AS comparable
+                  FROM d JOIN cn n1 ON n1.vid = d.new_id
+                         JOIN co o1 ON o1.vid = d.old_id
+                  WHERE d.rk = 1)
+            SELECT new_id, old_id, "offset",
+                   matched AS matched_frames,
+                   comparable AS comparable_frames
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY new_id, old_id
         """,
         # the image_incr_dedup oracle under the audio fixture's

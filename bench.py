@@ -164,6 +164,15 @@ ACCOUNTING_CHANGES = [
                "compare name-keyed.  The audio and video fixture caches "
                "build during warm-up next to the image cache (same "
                "write-once parquet discipline)."},
+    {"round": 12, "queries": "all",
+     "change": "registry grew 190 -> 194: +audio_stream_dedup and "
+               "+audio_stream_incr (whole-stream windowed audio "
+               "fingerprints matched by offset vote) and "
+               "+video_offset_dedup and +video_offset_incr "
+               "(temporal-offset-tolerant video matching over "
+               "head-trimmed re-uploads).  Totals are NOT comparable "
+               "to r11; compare name-keyed.  The audio-stream fixture "
+               "cache builds during warm-up next to the other three."},
     {"round": 12, "queries": ["minhash_pairs", "ngram_jaccard",
                               "incremental_dedup", "quantile_bins",
                               "containment_pairs"],
@@ -368,7 +377,8 @@ def main():
     # The split is visible: fixture-encode seconds print here and land
     # in BENCH_NOTES.md.
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_audio_media, cached_dhash_media, cached_video_media,
+        cached_audio_media, cached_audio_stream_media, cached_dhash_media,
+        cached_video_media,
     )
     from fsharp_dataframe_spark.sources.parquet import load_table
 
@@ -377,9 +387,11 @@ def main():
     cached_dhash_media(spark, n_media).count()
     cached_audio_media(spark, n_media).count()
     cached_video_media(spark, n_media).count()
+    cached_audio_stream_media(spark, n_media).count()
     fixture_sec = round(time.time() - t0, 2)
-    print(f"# media fixture caches (n={n_media} x image/audio/video): "
-          f"{fixture_sec}s (excluded from query timings)", file=sys.stderr)
+    print(f"# media fixture caches (n={n_media} x image/audio/video/"
+          f"audio-stream): {fixture_sec}s (excluded from query timings)",
+          file=sys.stderr)
     from fsharp_dataframe_spark.functions.util import release_cached
 
     hot = load0 > HOT_LOAD_THRESHOLD

@@ -111,9 +111,14 @@ def run(spark, sf_dir: str) -> dict[str, object]:
     landed = hashes.join(canon, "media_id", "left_semi")
     with tempfile.TemporaryDirectory() as tmp:
         store = os.path.join(tmp, "corpus_pieces.parquet")
-        hamming_piece_table(landed, id_col="media_id",
-                            sketch_col="dhash", max_hamming=2
-                            ).write.mode("overwrite").parquet(store)
+        from fsharp_dataframe_spark.functions.index_store import (
+            save_index_table,
+        )
+
+        save_index_table(
+            hamming_piece_table(landed, id_col="media_id",
+                                sketch_col="dhash", max_hamming=2),
+            store, partition_by=("q",))
         # tonight's batch: 48 genuinely new images (fresh fixture ids)
         # plus 16 RE-CRAWLS of landed content under new media ids —
         # the mix a real ingest feed delivers
@@ -128,9 +133,30 @@ def run(spark, sf_dir: str) -> dict[str, object]:
             existing_is_piece_table=True)
         n_dup = dups.select("new_id").distinct().count()
         n_batch = batch.count()
+        # close the loop (the index-maintenance story): tonight's
+        # SURVIVORS land in the stored piece table as a pure
+        # |new|-bounded append — the corpus index is never rebuilt,
+        # and tomorrow's batch joins the grown table.  Run
+        # compact_index_table periodically once per-append files
+        # accumulate.
+        from fsharp_dataframe_spark.functions.index_store import (
+            append_index_rows,
+        )
+
+        survivors = batch.join(dups.select(F.col("new_id").alias(
+            "media_id")).distinct(), "media_id", "left_anti")
+        before = spark.read.parquet(store).count()
+        append_index_rows(
+            spark, store,
+            hamming_piece_table(survivors, id_col="media_id",
+                                sketch_col="dhash", max_hamming=2),
+            id_col="media_id", partition_by=("q",))
+        after = spark.read.parquet(store).count()
     out["nightly"] = {"batch": int(n_batch),
                       "dup_of_landed": int(n_dup),
-                      "kept": int(n_batch - n_dup)}
+                      "kept": int(n_batch - n_dup),
+                      "index_rows_before": int(before),
+                      "index_rows_after": int(after)}
 
     # 6. the SAME substrate carries the other modalities: audio
     #    spectral-band fingerprints (real stdlib-WAV decode) ride the
