@@ -446,8 +446,9 @@ def main():
         # makes the artifact self-attributing (r8's driver bench ran
         # ~53% hot vs two solo runs with no way to see it)
         "load": [load0, round(os.getloadavg()[0], 1)],
-        # how many qv entries are min-of-2 (first run > REPEAT_THRESHOLD
-        # — r9 ask #6); which ones is in BENCH_NOTES.md
+        # how many qv entries are a min over repeats (>threshold tail
+        # on a quiet box — r9 ask #6; every query on a hot box — r11
+        # ask #6); which ones and the raw runs are in BENCH_NOTES.md
         "m2": len(repeats),
         "qv": [round(timings[n], 2) for n in names],
     }, separators=(",", ":"))

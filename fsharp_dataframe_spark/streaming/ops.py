@@ -1958,23 +1958,12 @@ def stream_distinct_sketch(sdf: DataFrame, by, col: str,
                 .alias("n_distinct")))
 
 
-def stream_video_near_dup(sdf: DataFrame, id_col: str = "media_id",
-                          payload_col: str = "payload",
-                          ts_col: str = "ts", watermark: str = "1 hour",
-                          every_n: int = 2,
-                          max_hamming: int = 2) -> DataFrame:
-    """Streaming VIDEO near-duplicate candidates: containers arriving
-    within one watermark horizon whose SAME-POSITION sampled frames
-    collide in a pigeonhole piece (the video_near_dup alignment — the
-    frame index rides the join key, so only temporally aligned frames
-    ever hold state against each other).  Emits FRAME-level candidate
-    rows (id_a, id_b, frame_idx, piece, hamming); the video-level
-    2·matched ≥ compared rollup is the consumer's first groupBy — the
-    stream_near_dup_candidates emission contract.
-
-    The frame hash is a stateless Arrow pass (container parse +
+def _video_frame_sketch(sdf: DataFrame, id_col: str, payload_col: str,
+                        ts_col: str, every_n: int) -> DataFrame:
+    """Stateless per-frame dHash front shared by the aligned and the
+    offset-tolerant video candidate streams: container parse +
     per-frame decode happen once per video, pixels never enter
-    state); join state is O(rate × frames-per-video × watermark)."""
+    state; emits one (id, ts, frame_idx, sh) row per sampled frame."""
     import struct as _struct
 
     from pyspark.sql.functions import pandas_udf
@@ -2006,15 +1995,107 @@ def stream_video_near_dup(sdf: DataFrame, id_col: str = "media_id",
             rows.append(out)
         return pd.Series(rows)
 
-    sk = (sdf.select(F.col(id_col), F.col(ts_col),
-                     F.explode(vfh(F.col(payload_col))).alias("_fh"))
-          .select(id_col, ts_col,
-                  F.col("_fh.frame_idx").alias("frame_idx"),
-                  F.col("_fh.sh").alias("sh")))
+    return (sdf.select(F.col(id_col), F.col(ts_col),
+                       F.explode(vfh(F.col(payload_col))).alias("_fh"))
+            .select(id_col, ts_col,
+                    F.col("_fh.frame_idx").alias("frame_idx"),
+                    F.col("_fh.sh").alias("sh")))
+
+
+def stream_video_near_dup(sdf: DataFrame, id_col: str = "media_id",
+                          payload_col: str = "payload",
+                          ts_col: str = "ts", watermark: str = "1 hour",
+                          every_n: int = 2,
+                          max_hamming: int = 2) -> DataFrame:
+    """Streaming VIDEO near-duplicate candidates: containers arriving
+    within one watermark horizon whose SAME-POSITION sampled frames
+    collide in a pigeonhole piece (the video_near_dup alignment — the
+    frame index rides the join key, so only temporally aligned frames
+    ever hold state against each other).  Emits FRAME-level candidate
+    rows (id_a, id_b, frame_idx, piece, hamming); the video-level
+    2·matched ≥ compared rollup is the consumer's first groupBy — the
+    stream_near_dup_candidates emission contract.
+
+    The frame hash is a stateless Arrow pass (the shared
+    _video_frame_sketch front); join state is O(rate ×
+    frames-per-video × watermark)."""
+    sk = _video_frame_sketch(sdf, id_col, payload_col, ts_col, every_n)
     return _stream_pieces_near_dup(sk, id_col=id_col, ts_col=ts_col,
                                    watermark=watermark,
                                    max_hamming=max_hamming,
                                    align_cols=("frame_idx",))
+
+
+def stream_video_offset_near_dup(sdf: DataFrame,
+                                 id_col: str = "media_id",
+                                 payload_col: str = "payload",
+                                 ts_col: str = "ts",
+                                 watermark: str = "1 hour",
+                                 every_n: int = 2,
+                                 max_hamming: int = 2) -> DataFrame:
+    """Streaming OFFSET-TOLERANT video candidates — the live face of
+    video_near_dup_offset (head-trimmed re-uploads arriving within
+    one watermark horizon): the same per-frame dHash front as
+    stream_video_near_dup, but the frame index is CARRIED instead of
+    joined, so frames collide on (piece, piece-bits) alone and each
+    candidate row reports (frame_idx_a, frame_idx_b,
+    frame_idx_delta).  The consumer's offset vote — groupBy (id_a,
+    id_b, frame_idx_delta), dominant offset, coverage rule — is its
+    first batch aggregate, exactly the batch _offset_vote_pairs
+    discipline (the stream_near_dup_candidates emission contract).
+
+    State: identical horizon bound to the aligned stream; per-row
+    fan-out grows by the removed alignment key exactly as the batch
+    offset matcher's candidate set does (hash-key occupancy, never
+    all-pairs)."""
+    sk = _video_frame_sketch(sdf, id_col, payload_col, ts_col, every_n)
+    return _stream_pieces_near_dup(sk, id_col=id_col, ts_col=ts_col,
+                                   watermark=watermark,
+                                   max_hamming=max_hamming,
+                                   carry_cols=("frame_idx",))
+
+
+def stream_audio_window_near_dup(sdf: DataFrame,
+                                 id_col: str = "media_id",
+                                 payload_col: str = "payload",
+                                 ts_col: str = "ts",
+                                 watermark: str = "1 hour",
+                                 max_hamming: int = 2) -> DataFrame:
+    """Streaming WHOLE-STREAM audio candidates — the live face of
+    audio_stream_near_dup: one spectral fingerprint per 2048-sample
+    window (multimodal._afp_all_windows, one vectorized rFFT per
+    clip), window indexes CARRIED through the piece join so clips
+    sharing any aligned run collide whatever their head offset; each
+    candidate row reports (win_idx_a, win_idx_b, win_idx_delta) and
+    the consumer's offset vote is its first batch aggregate.
+
+    Samples never enter state (fingerprints leave the stateless
+    Arrow pass as 8-byte longs); join state is O(rate ×
+    windows-per-clip × watermark)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        _afp_all_windows, _decode_wav_samples,
+    )
+
+    @pandas_udf("array<struct<win_idx:int, sh:long>>")
+    def awf(payloads: pd.Series) -> pd.Series:
+        rows = []
+        for p in payloads:
+            fps = _afp_all_windows(_decode_wav_samples(p))
+            rows.append([{"win_idx": i, "sh": fp}
+                         for i, fp in enumerate(fps)])
+        return pd.Series(rows)
+
+    sk = (sdf.select(F.col(id_col), F.col(ts_col),
+                     F.explode(awf(F.col(payload_col))).alias("_wf"))
+          .select(id_col, ts_col,
+                  F.col("_wf.win_idx").alias("win_idx"),
+                  F.col("_wf.sh").alias("sh")))
+    return _stream_pieces_near_dup(sk, id_col=id_col, ts_col=ts_col,
+                                   watermark=watermark,
+                                   max_hamming=max_hamming,
+                                   carry_cols=("win_idx",))
 
 
 def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
@@ -2034,12 +2115,19 @@ def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
 def _stream_pieces_near_dup(sketched: DataFrame, id_col: str,
                             ts_col: str, watermark: str,
                             max_hamming: int,
-                            align_cols: tuple = ()) -> DataFrame:
+                            align_cols: tuple = (),
+                            carry_cols: tuple = ()) -> DataFrame:
     """Shared watermarked piece-join core under the image, audio and
     video candidate streams: pigeonhole banding of a pre-sketched
-    (id, ts, sh[, align…]) stream → stream-stream self-join on
-    (align…, piece, piece-bits) over one symmetric watermark horizon —
-    O(rate × watermark) state, independent of corpus size."""
+    (id, ts, sh[, align…][, carry…]) stream → stream-stream self-join
+    on (align…, piece, piece-bits) over one symmetric watermark
+    horizon — O(rate × watermark) state, independent of corpus size.
+
+    ``align_cols`` join (same-position matching); ``carry_cols`` are
+    kept from BOTH sides in the output WITHOUT joining (emitted as
+    <c>_a / <c>_b plus their delta) — the offset-tolerant emission:
+    the consumer's offset vote is its first groupBy, exactly the
+    batch _offset_vote_pairs discipline."""
     from fsharp_dataframe_spark.functions.dedup import (
         piece_expr, pigeonhole_pieces,
     )
@@ -2048,7 +2136,7 @@ def _stream_pieces_near_dup(sketched: DataFrame, id_col: str,
     # piece handled without the LongType mask overflow (ADVICE r10)
     offs = pigeonhole_pieces(64, max_hamming)
     banded = (sketched
-              .select(id_col, ts_col, *align_cols, "sh",
+              .select(id_col, ts_col, *align_cols, *carry_cols, "sh",
                       F.posexplode(F.array(*[
                           piece_expr(F.col("sh"), off, w)
                           for off, w in offs
@@ -2074,6 +2162,11 @@ def _stream_pieces_near_dup(sketched: DataFrame, id_col: str,
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"),
                 *[F.col(f"l.{a}").alias(a) for a in align_cols],
+                *[x for c in carry_cols for x in (
+                    F.col(f"l.{c}").alias(f"{c}_a"),
+                    F.col(f"r.{c}").alias(f"{c}_b"),
+                    (F.col(f"l.{c}") - F.col(f"r.{c}")).cast("long")
+                    .alias(f"{c}_delta"))],
                 F.col("l.q").alias("piece"),
                 ham.alias("hamming"))
     )

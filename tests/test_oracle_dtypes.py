@@ -116,14 +116,8 @@ def test_oracle_dtype_kinds_match_spark(spark, con, name):
 # for each newcomer, so a broken new oracle fails in seconds inside
 # the normal suite.  Update the list each round when queries are added.
 
-_ROUND_NEWCOMERS = ["tpch_q21", "image_incr_dedup", "tpch_q13",
-                    "tpch_q15", "tpch_q10", "tpch_q19",
-                    "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9",
-                    "tpch_q11", "tpch_q12", "tpch_q16", "tpch_q20",
-                    "embed_incr_dedup", "audio_near_dup",
-                    "video_near_dup", "video_incr_dedup",
-                    "semantic_incr_dedup", "media_catalog",
-                    "audio_incr_dedup"]
+_ROUND_NEWCOMERS = ["audio_stream_dedup", "audio_stream_incr",
+                    "video_offset_dedup", "video_offset_incr"]
 
 
 @pytest.mark.parametrize("name", _ROUND_NEWCOMERS)

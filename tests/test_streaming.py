@@ -2064,3 +2064,79 @@ def test_stream_distinct_sketch_state_across_restart(spark, tmp_path):
                distinct_sketch_rollup(rows, "event_type", "user_id"))
            .collect()}
     assert latest == exp and set(exp) == {"a", "b"}
+
+
+def test_stream_audio_window_near_dup_offset_parity(spark, tmp_path):
+    """Streaming whole-stream audio candidates carry both window
+    indexes; the consumer's offset vote (its first batch aggregate)
+    must reproduce batch audio_stream_near_dup on the same corpus —
+    including the planted head-trimmed re-uploads that same-position
+    matching misses."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_stream_near_dup, make_fake_audio_stream_media,
+    )
+    from fsharp_dataframe_spark.streaming.ops import (
+        stream_audio_window_near_dup,
+    )
+
+    media = make_fake_audio_stream_media(spark, 24).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(mins=F.col("media_id").cast("int")))
+    d = str(tmp_path / "aud_stream")
+    media.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, media.schema)
+    out = stream_audio_window_near_dup(s, watermark="2 hours")
+    name = run_to_memory(out, "t_aud_off")
+    got = {(r["id_a"], r["id_b"]): (r["off"], r["m"]) for r in spark.sql(
+        f"""WITH c AS (SELECT DISTINCT id_a, id_b, win_idx_a,
+                              win_idx_b, win_idx_delta FROM {name}),
+            v AS (SELECT id_a, id_b, win_idx_delta AS d,
+                         count(*) AS m FROM c GROUP BY 1, 2, 3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY m DESC, d ASC) AS rk FROM v)
+            SELECT id_a, id_b, d AS off, m FROM r WHERE rk = 1
+        """).collect()}
+    exp = {(r["id_a"], r["id_b"]): (r["offset"], r["matched_windows"])
+           for r in audio_stream_near_dup(media).collect()}
+    assert got == exp
+    assert all(off == 1 for off, _ in exp.values()) and exp
+
+
+def test_stream_video_offset_near_dup_parity(spark, tmp_path):
+    """Streaming offset-tolerant video candidates: the consumer's
+    offset vote reproduces batch video_near_dup_offset over a corpus
+    holding both same-position re-uploads (offset 0) and real
+    head-trimmed clones (offset 2, built through trim_video_head)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        make_fake_video_media, trim_video_head, video_near_dup_offset,
+    )
+    from fsharp_dataframe_spark.streaming.ops import (
+        stream_video_offset_near_dup,
+    )
+
+    n = 32
+    base = make_fake_video_media(spark, n)
+    clones = (trim_video_head(base.filter(F.col("media_id") % 7 == 3), 2)
+              .withColumn("media_id", F.col("media_id") + n))
+    media = base.unionByName(clones).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(mins=F.col("media_id").cast("int")))
+    d = str(tmp_path / "vid_off_stream")
+    media.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, media.schema)
+    out = stream_video_offset_near_dup(s, watermark="3 hours")
+    name = run_to_memory(out, "t_vid_off")
+    got = {(r["id_a"], r["id_b"]): (r["off"], r["m"]) for r in spark.sql(
+        f"""WITH c AS (SELECT DISTINCT id_a, id_b, frame_idx_a,
+                              frame_idx_b, frame_idx_delta FROM {name}),
+            v AS (SELECT id_a, id_b, frame_idx_delta AS d,
+                         count(*) AS m FROM c GROUP BY 1, 2, 3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY m DESC, d ASC) AS rk FROM v)
+            SELECT id_a, id_b, d AS off, m FROM r WHERE rk = 1
+        """).collect()}
+    exp = {(r["id_a"], r["id_b"]): (r["offset"], r["matched_frames"])
+           for r in video_near_dup_offset(media).collect()}
+    assert got == exp
+    offsets = {v[0] for v in exp.values()}
+    assert 0 in offsets and 2 in offsets  # both planted shapes present
