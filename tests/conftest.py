@@ -23,5 +23,8 @@ def sf_dir():
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: multi-minute scale-smoke tests (always run in CI; "
-        "deselect locally with -m 'not slow')")
+        "markers", "slow: multi-minute suites — the 10M-row scale "
+        "smokes and the streaming checkpoint-restart pins (each a full "
+        "stop/start cycle).  The FINAL per-round gate runs everything; "
+        "`-m 'not slow'` is the mid-round smoke tier (r11 VERDICT ask "
+        "#7), documented in SURVEY §8h.")

@@ -137,6 +137,7 @@ def test_stream_text_quality_stateless(spark):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_stream_fill_forward_state_survives_batches_and_restart(spark, tmp_path):
     """Custom stateful operator (applyInPandasWithState): per-entity
     LOCF fill whose carry must survive (a) micro-batch boundaries and
@@ -364,6 +365,7 @@ def test_stream_vocab_heavy_hitters_bounded_state_small_m(spark, tmp_path):
         assert r["est_count"] <= true <= r["est_count"] + r["max_err"], r
 
 
+@pytest.mark.slow
 def test_stream_vocab_heavy_hitters_state_survives_restart(spark, tmp_path):
     """The Misra-Gries summaries must accumulate across a stop/start
     cycle: phase 2's counts add onto phase 1's checkpointed state, so
@@ -479,6 +481,7 @@ def test_stream_funnel_matches_batch_single_batch(spark, events_stream_dir):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_stream_funnel_state_carries_across_restart(spark, tmp_path):
     """A key that did 'view' in phase 1 and 'click' in phase 2 advances
     to stage 2 only if phase 1's anchor survived the checkpoint."""
@@ -1268,6 +1271,7 @@ def test_stream_bm25_matches_duckdb_oracle(spark, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+@pytest.mark.slow
 def test_stream_bm25_checkpoint_restart_exactly_once(spark, tmp_path):
     """Stateless scoring + checkpoint = exactly-once across a restart:
     phase 2 scores ONLY the new file; phase 1's documents are not
@@ -1342,6 +1346,7 @@ def test_stream_psi_matches_duckdb_oracle(spark, events_stream_dir):
     assert not problems, "; ".join(problems)
 
 
+@pytest.mark.slow
 def test_stream_psi_state_accumulates_across_restart(spark, tmp_path):
     """Bin counts carried through the checkpoint: batch 2's emission
     reflects batch 1's observations too."""
@@ -1422,6 +1427,7 @@ def test_stream_binned_auc_matches_duckdb_oracle(spark, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+@pytest.mark.slow
 def test_stream_binned_auc_state_across_restart(spark, tmp_path):
     """Per-bin (pos, neg) counts survive a checkpoint restart: batch
     2's AUC reflects batch 1's rows too."""
@@ -1499,6 +1505,7 @@ def test_stream_centroid_drift_matches_duckdb_oracle(spark, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+@pytest.mark.slow
 def test_stream_centroid_drift_state_across_restart(spark, tmp_path):
     """Per-label (sums, counts) carried through the checkpoint: batch
     2's drift reflects batch 1's vectors too."""
@@ -1575,6 +1582,7 @@ def test_stream_int8_quantize_matches_duckdb_oracle(spark, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+@pytest.mark.slow
 def test_stream_int8_quantize_state_across_restart(spark, tmp_path):
     """Per-dim error sums carried through the checkpoint, scale frozen
     from the landed snapshot."""
@@ -1649,6 +1657,7 @@ def test_stream_image_near_dup_matches_batch_pairs(spark, tmp_path):
     assert len(exp) == 12
 
 
+@pytest.mark.slow
 def test_stream_image_near_dup_join_state_across_restart(spark, tmp_path):
     """Stream-stream join state survives a checkpoint restart: a phase-2
     image pairs with its phase-1 twin (still inside the watermark
@@ -1740,6 +1749,7 @@ def test_stream_vocab_divergence_matches_duckdb_oracle(spark, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+@pytest.mark.slow
 def test_stream_vocab_divergence_state_across_restart(spark, tmp_path):
     """Vocab counts carried through the checkpoint: after batch 2 the
     emission equals the batch operator over batch1 ∪ batch2."""
@@ -1842,6 +1852,7 @@ def test_stream_zipf_fit_matches_duckdb_oracle(spark, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+@pytest.mark.slow
 def test_stream_zipf_fit_state_across_restart(spark, tmp_path):
     """Vocabulary counts carried through the checkpoint: after batch 2
     the emission equals the batch operator over batch1 ∪ batch2."""
@@ -2017,6 +2028,7 @@ def test_stream_media_catalog_matches_batch(spark, tmp_path):
                    "video/x-fsv": (16, 16)}
 
 
+@pytest.mark.slow
 def test_stream_distinct_sketch_state_across_restart(spark, tmp_path):
     """HLL aggregation state survives a checkpoint restart: phase 2
     adds users to a group WITHOUT phase 1 being reprocessed, and the
