@@ -173,6 +173,20 @@ ACCOUNTING_CHANGES = [
                "head-trimmed re-uploads).  Totals are NOT comparable "
                "to r11; compare name-keyed.  The audio-stream fixture "
                "cache builds during warm-up next to the other three."},
+    {"round": 12, "queries": ["dedup_clusters", "dedup_keep_best",
+                              "semantic_dedup", "image_dedup_clusters"],
+     "change": "connected_components gained a count-gated small-graph "
+               "fast path (exact driver union-find below 100k edges, "
+               "label-identical; the star contraction stays the scale "
+               "path and both paths are equivalence-pinned): the "
+               "contraction's per-round job latency was 2-3s of pure "
+               "scheduler overhead on the hundreds-of-edges dup graphs "
+               "at bench scale.  Pinned microbench medians (n=3, same "
+               "box): dedup_clusters 6.40 -> 4.48, dedup_keep_best "
+               "6.09 -> 3.80, semantic_dedup 6.45 -> 3.71; "
+               "image_dedup_clusters 2.52 after.  A plan change, not a "
+               "measurement change — results bit-identical "
+               "(oracle-pinned at sf0.001/0.01)."},
     {"round": 12, "queries": ["minhash_pairs", "ngram_jaccard",
                               "incremental_dedup", "quantile_bins",
                               "containment_pairs"],

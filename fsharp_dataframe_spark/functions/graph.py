@@ -65,8 +65,48 @@ def _small_star(e: DataFrame) -> DataFrame:
     return moved.union(root).dropDuplicates()
 
 
+def _union_find_components(e: DataFrame) -> DataFrame:
+    """Driver-side union-find over a COUNT-GATED canonical edge set —
+    the small-graph fast path of connected_components.  The star
+    contraction pays O(rounds) of job+shuffle latency regardless of
+    data size (measured 2-3 s for a 256-edge dup graph on local[32]:
+    pure scheduler overhead, zero compute); below the gate a collect
+    of <= ~1.6 MB of edge longs plus path-compressed union-find is
+    exact, label-identical (component = min reachable id) and
+    O(E α(E)).  This is the repo's guarded-materializer discipline
+    (smallness-guarded transpose, sizeInBytes broadcast gates) — the
+    caller's gate bounds the collect, and the contraction remains the
+    path that runs at any real scale."""
+    rows = e.collect()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = find(int(row["hi"])), find(int(row["lo"]))
+        if a != b:
+            # union by id: smaller id becomes the root, so the final
+            # root of every set IS its minimum member and component
+            # labels match the contraction's min-reachable-id contract
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+    nodes = {int(r["hi"]) for r in rows} | {int(r["lo"]) for r in rows}
+    out = [(n, find(n)) for n in sorted(nodes)]
+    return e.sparkSession.createDataFrame(
+        out, schema="node BIGINT, component BIGINT")
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         small_graph_max_edges: int = 100_000) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
     Returns (node BIGINT, component BIGINT) for every node that appears
@@ -83,6 +123,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     localCheckpoint for checkpoint.  Convergence is checked with a
     single count+hash aggregate per round (edge sets are compared by
     (count, sum(xxhash64)) — no driver-side edge materialization).
+
+    ``small_graph_max_edges``: edge sets at or below this count (the
+    count the convergence probe already fetched) skip the contraction
+    for an exact driver-side union-find with IDENTICAL labels — the
+    round-trip latency of even one contraction round dwarfs a
+    megabyte collect.  0/None disables the fast path.
     """
     def sig(df: DataFrame) -> tuple[int, int]:
         # bit_xor: order-free and overflow-free under ANSI mode (a
@@ -100,6 +146,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     prev = sig(e)
     if prev[0] == 0:
         return e.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    # small-graph fast path: the edge COUNT is already on the driver
+    # (the sig() convergence probe), so the gate is free.  Near-dup
+    # graphs at test scale are hundreds of edges; the contraction's
+    # per-round job latency dominates below ~10^5 edges on any
+    # cluster.  Pass small_graph_max_edges=0 to force the distributed
+    # path (the equivalence test does).
+    if small_graph_max_edges and prev[0] <= small_graph_max_edges:
+        return _union_find_components(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = sig(e2)

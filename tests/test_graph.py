@@ -130,3 +130,20 @@ def test_duplicate_clusters_keep_best_winner_rule(spark):
     # cluster ids unchanged by the winner rule (still min id)
     assert rows[5]["cluster_id"] == 0
     assert out.filter("is_canonical").count() == 3
+
+
+def test_cc_distributed_and_union_find_paths_agree(spark):
+    """The small-graph driver union-find (default below the gate) and
+    the star contraction (the 100 TB path, forced via gate=0) emit
+    IDENTICAL (node, component) labels."""
+    rng = random.Random(11)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {(r["node"], r["component"])
+            for r in connected_components(df).collect()}
+    dist = {(r["node"], r["component"])
+            for r in connected_components(
+                df, small_graph_max_edges=0).collect()}
+    assert fast == dist and fast
