@@ -3126,7 +3126,7 @@ EXTRA_QUERIES = (
     # window next round, swapping out r11+r12-double-green veterans
     # with in-window siblings, exactly as every round since r7:
     "audio_stream_dedup", "audio_stream_incr",
-    "video_offset_dedup", "video_offset_incr")
+    "video_offset_dedup", "video_offset_incr", "audio_snippet_search")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4152,6 +4152,40 @@ def q_video_offset_incr(spark, sf) -> DataFrame:
             .orderBy("new_id", "old_id"))
 
 
+def q_audio_snippet_search(spark, sf) -> DataFrame:
+    """Query-by-example audio search (multimodal.audio_snippet_search):
+    2-window snippets cut out of every 7th clip through the REAL
+    decode + re-encode slice transform (slice_audio_windows; clips too
+    short for the slice degrade to NULL and vanish), then every corpus
+    clip CONTAINING a snippet — all snippet windows matched at one
+    dominant offset, the containment rule, stricter than near-dup's
+    half-coverage vote — is reported with the window position where
+    the snippet starts.  Finds the snippet in its source clip AND in
+    the source's planted head-trimmed re-uploads at the shifted
+    offset (the piece substrate makes that free).
+
+    The oracle derives the snippet windows from the corpus pattern
+    relation itself (window w of the snippet = window w+1 of its
+    source clip), then replays banding, popcount, the offset vote and
+    the matched == n_snippet_windows containment rule verbatim.
+
+    100 TB shape: |snippets|-bounded against any corpus size; with a
+    persisted audio_window_piece_table the SAME stored index serves
+    near-dup ingest and snippet search."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_snippet_search, cached_audio_stream_media,
+        slice_audio_windows,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    src = media.filter(F.col("media_id") % 7 == 2)
+    snips = (slice_audio_windows(src, 1, 2)
+             .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    return (audio_snippet_search(snips, media, max_hamming=2)
+            .orderBy("snippet_id", "clip_id"))
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_agg": q_group_agg,
@@ -4227,6 +4261,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stream_incr": q_audio_stream_incr,
         "video_offset_dedup": q_video_offset_dedup,
         "video_offset_incr": q_video_offset_incr,
+        "audio_snippet_search": q_audio_snippet_search,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -5831,6 +5866,73 @@ def _all_oracle_sql() -> dict[str, str]:
                    comparable AS comparable_windows
             FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY id_a, id_b
+        """,
+        # snippet containment replay: snippet windows derive from the
+        # corpus pattern relation itself (snippet window w = source
+        # clip's window w+1), then the offset vote with the
+        # matched == n_snippet_windows containment rule
+        "audio_snippet_search": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i,
+                         CASE WHEN j % 6 = 5 THEN ((j - 1) % 5) + 1
+                              ELSE (j % 5) + 2 END AS nw
+                  FROM m),
+            w AS (SELECT i, unnest(range(0, nw)) AS w FROM a),
+            p AS (SELECT i, w,
+                     CASE WHEN i % 6 = 5 THEN
+                       ('0x' || substr(md5('s' || (i-1)::VARCHAR
+                          || '_' || (w+1)::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('s' || i::VARCHAR
+                          || '_' || w::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM w),
+            sn AS (SELECT (p.i + (SELECT count(*) FROM documents))
+                            ::BIGINT AS sid,
+                          (p.w - 1) AS wi, p.sh
+                   FROM p JOIN a ON a.i = p.i
+                   WHERE p.i % 7 = 2 AND a.nw >= 3
+                     AND p.w IN (1, 2)),
+            qs AS (SELECT sid, wi, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM sn),
+            qc AS (SELECT i, w, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM p),
+            cand AS (SELECT DISTINCT s.sid, c.i AS cid,
+                            s.wi, c.w
+                     FROM qs s JOIN qc c
+                       ON s.q = c.q AND s.qv = c.qv
+                     WHERE bit_count(xor(s.sh, c.sh)) <= 2),
+            vv AS (SELECT sid, cid, (w - wi)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY sid, cid
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ns AS (SELECT sid, count(DISTINCT wi)::BIGINT AS n
+                   FROM sn GROUP BY 1),
+            nc AS (SELECT i, count(*)::BIGINT AS n FROM p GROUP BY 1),
+            f AS (SELECT d.sid, d.cid, d.dlt AS "offset", d.matched,
+                         greatest(0, least(s1.n - 1,
+                                           c1.n - 1 - d.dlt)
+                                  - greatest(0, -d.dlt) + 1)::BIGINT
+                           AS comparable,
+                         s1.n AS n_snip
+                  FROM d JOIN ns s1 ON s1.sid = d.sid
+                         JOIN nc c1 ON c1.i = d.cid
+                  WHERE d.rk = 1)
+            SELECT sid AS snippet_id, cid AS clip_id, "offset",
+                   matched AS n_windows
+            FROM f WHERE comparable > 0 AND matched = n_snip
+            ORDER BY snippet_id, clip_id
         """,
         # the directional replay: trimmed streams (i % 6 = 5) are the
         # new batch, everything else the landed corpus; offset =

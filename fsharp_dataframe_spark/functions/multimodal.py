@@ -1369,7 +1369,8 @@ def cached_video_media(spark, n: int,
 
 
 def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
-                       max_hamming: int, directional: bool) -> DataFrame:
+                       max_hamming: int, directional: bool,
+                       require_full_left: bool = False) -> DataFrame:
     """Offset-voting rollup shared by the whole-stream audio and the
     trim-tolerant video tiers: join per-position hashes on (piece,
     piece-bits) WITHOUT the position key, vote on the position delta
@@ -1446,8 +1447,12 @@ def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
                   - F.greatest(F.lit(0), -t) + 1)
     out = out.withColumn("comparable",
                          F.greatest(F.lit(0), comparable).cast("long"))
-    return (out.filter((F.col("comparable") > 0)
-                       & (F.col("matched") * 2 >= F.col("comparable")))
+    # require_full_left: CONTAINMENT instead of coverage — every one
+    # of the left side's positions must match at the dominant offset
+    # (the snippet-search rule: "this jingle occurs in that clip")
+    keep = (F.col("matched") == F.col("_na") if require_full_left
+            else F.col("matched") * 2 >= F.col("comparable"))
+    return (out.filter((F.col("comparable") > 0) & keep)
             .select("id_l", "id_r", "offset", "matched", "comparable"))
 
 
@@ -1900,3 +1905,108 @@ def cached_audio_stream_media(spark, n: int,
             shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     return spark.read.parquet(path).select(
         *[f.name for f in MEDIA_SCHEMA.fields])
+
+
+# ----------------------------------------------------------------------
+# audio snippet search (query-by-example containment)
+# ----------------------------------------------------------------------
+
+
+def slice_audio_windows(df: DataFrame, start_win: int, n_win: int,
+                        payload_col: str = "payload") -> DataFrame:
+    """Cut an ``n_win``-window snippet starting at window ``start_win``
+    out of each WAV clip — the query-extraction transform for
+    snippet search (and the audio twin of trim_video_head: real
+    decode + re-encode through the stdlib WAV path, per-row NULL
+    degradation for undecodable or too-short clips).
+    ``meta.n_frames``/``duration_s`` are patched when present."""
+    lo = int(start_win) * AFP_FRAME
+    hi = (int(start_win) + int(n_win)) * AFP_FRAME
+
+    def _slice(col):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for payload in col:
+            s = _decode_wav_samples(payload)
+            if s is None or len(s) < hi:
+                out.append(None)
+                continue
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(AFP_SR)
+                wf.writeframes(
+                    np.asarray(s[lo:hi], dtype="<i2").tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    import pandas as pd  # noqa: F401
+
+    slice_udf = F.pandas_udf(_slice, T.BinaryType())
+    out = df.withColumn(payload_col, slice_udf(F.col(payload_col)))
+    if "meta" in out.columns and payload_col == "payload":
+        out = (out.withColumn(
+            "meta", F.col("meta").withField(
+                "n_frames",
+                F.when(F.col(payload_col).isNotNull(),
+                       F.lit(int(n_win) * AFP_FRAME)).otherwise(F.lit(0))))
+            .withColumn(
+            "meta", F.col("meta").withField(
+                "duration_s",
+                F.when(F.col(payload_col).isNotNull(),
+                       F.lit(int(n_win) * AFP_FRAME / AFP_SR))
+                .otherwise(F.lit(0.0)))))
+    return out
+
+
+def audio_snippet_search(snippets: DataFrame, corpus: DataFrame,
+                         max_hamming: int = 2,
+                         payload_col: str = "payload",
+                         id_col: str = "media_id",
+                         corpus_is_piece_table: bool = False,
+                         ) -> DataFrame:
+    """Query-by-example audio search: find every corpus clip that
+    CONTAINS a query snippet — all of the snippet's window
+    fingerprints match at one dominant offset (the containment rule,
+    stricter than near-dup's half-coverage vote).  The "does this
+    jingle / ad / sample occur anywhere in the corpus" primitive.
+
+    Directional by construction (snippets x corpus, never corpus x
+    corpus); pass ``corpus_is_piece_table=True`` to search a PERSISTED
+    audio_window_piece_table — the same stored index half the
+    near-dup ingest paths join, so one index serves dedup and search.
+
+    Returns (snippet_id, clip_id, offset, n_windows) with offset =
+    the window position in the clip where the snippet starts.
+
+    100 TB shape: identical to _offset_vote_pairs — banded candidates
+    bounded by hash-key occupancy, one small-key vote, dim-sized
+    counts; a million-snippet query set is |snippets|-bounded against
+    any corpus size."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    spc = track_persist(
+        audio_window_piece_table(snippets, max_hamming=max_hamming,
+                                 payload_col=payload_col,
+                                 id_col=id_col)
+        .select(F.col("aid").alias("id"),
+                F.col("win_idx").alias("idx"), "sh", "q", "qv"))
+    cpc = (corpus if corpus_is_piece_table
+           else audio_window_piece_table(corpus,
+                                         max_hamming=max_hamming,
+                                         payload_col=payload_col,
+                                         id_col=id_col))
+    cpc = cpc.select(F.col("aid").alias("id"),
+                     F.col("win_idx").alias("idx"), "sh", "q", "qv")
+    out = _offset_vote_pairs(spc, cpc, stride=1,
+                             max_hamming=max_hamming, directional=True,
+                             require_full_left=True)
+    return out.select(F.col("id_l").alias("snippet_id"),
+                      F.col("id_r").alias("clip_id"), "offset",
+                      F.col("matched").alias("n_windows"))

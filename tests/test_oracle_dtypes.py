@@ -117,7 +117,8 @@ def test_oracle_dtype_kinds_match_spark(spark, con, name):
 # the normal suite.  Update the list each round when queries are added.
 
 _ROUND_NEWCOMERS = ["audio_stream_dedup", "audio_stream_incr",
-                    "video_offset_dedup", "video_offset_incr"]
+                    "video_offset_dedup", "video_offset_incr",
+                    "audio_snippet_search"]
 
 
 @pytest.mark.parametrize("name", _ROUND_NEWCOMERS)

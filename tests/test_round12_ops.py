@@ -209,3 +209,54 @@ def test_offset_vote_comparable_formula(spark):
     # na=7, nb=5, offset 4 frames -> t=2: min(4, 7-1-2)=4 -> 4-0+1=5
     assert (r["id_a"], r["id_b"], r["offset"]) == (12, 99, 4)
     assert r["comparable_frames"] == 5 and r["matched_frames"] == 5
+
+
+# ----------------------------------------------------------------------
+# audio snippet search (query-by-example containment)
+# ----------------------------------------------------------------------
+
+
+def test_slice_audio_windows_roundtrip_and_degradation(spark):
+    media = M.make_fake_audio_stream_media(spark, 14)
+    sl = M.slice_audio_windows(media, 1, 2)
+    rows = {r["media_id"]: r for r in sl.collect()}
+    for i, r in rows.items():
+        nw = M.audio_stream_window_count(i)
+        if nw >= 3:
+            # the slice's window fingerprints are the source's 1..2
+            fps = M._afp_all_windows(
+                M._decode_wav_samples(r["payload"]))
+            assert fps == [M._afp_stream_pattern(i, 1),
+                           M._afp_stream_pattern(i, 2)]
+            assert r["meta"]["n_frames"] == 2 * M.AFP_FRAME
+        else:
+            assert r["payload"] is None
+            assert r["meta"]["n_frames"] == 0
+
+
+def test_audio_snippet_search_containment(spark):
+    n = 42
+    media = M.make_fake_audio_stream_media(spark, n)
+    src = media.filter(F.col("media_id") % 7 == 2)
+    snips = (M.slice_audio_windows(src, 1, 2)
+             .withColumn("media_id", F.col("media_id") + n))
+    hits = {(r["snippet_id"], r["clip_id"]): (r["offset"], r["n_windows"])
+            for r in M.audio_snippet_search(snips, media).collect()}
+    # every viable snippet finds its source clip at window offset 1
+    for i in range(n):
+        if i % 7 == 2 and M.audio_stream_window_count(i) >= 3:
+            assert hits[(i + n, i)] == (1, 2), i
+    # the piece substrate finds the re-upload family for free:
+    # snippet of 16 occurs in 17 (17 = 16 minus window 0) at offset 0
+    assert hits[(16 + n, 17)] == (0, 2)
+    # snippet of the TRIMMED clip 23 occurs in its source 22 shifted
+    assert hits[(23 + n, 22)] == (2, 2)
+    # containment is strict: no partial (1-of-2) hits are emitted
+    assert all(v[1] == 2 for v in hits.values())
+    # searching a persisted piece table gives identical results
+    pt = M.audio_window_piece_table(media)
+    hits2 = {(r["snippet_id"], r["clip_id"]):
+             (r["offset"], r["n_windows"])
+             for r in M.audio_snippet_search(
+                 snips, pt, corpus_is_piece_table=True).collect()}
+    assert hits2 == hits
