@@ -3126,7 +3126,8 @@ EXTRA_QUERIES = (
     # window next round, swapping out r11+r12-double-green veterans
     # with in-window siblings, exactly as every round since r7:
     "audio_stream_dedup", "audio_stream_incr",
-    "video_offset_dedup", "video_offset_incr", "audio_snippet_search")
+    "video_offset_dedup", "video_offset_incr", "audio_snippet_search",
+    "video_snippet_search")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4186,6 +4187,35 @@ def q_audio_snippet_search(spark, sf) -> DataFrame:
             .orderBy("snippet_id", "clip_id"))
 
 
+def q_video_snippet_search(spark, sf) -> DataFrame:
+    """Query-by-example VIDEO search (multimodal.video_snippet_search):
+    4-frame excerpts cut out of every 9th video through the real FSV1
+    parse + repack slice transform (slice_video_frames; clips too
+    short degrade to NULL and vanish), then every corpus video
+    CONTAINING an excerpt — all sampled excerpt frames matched at one
+    dominant offset — reported with the frame position where the
+    excerpt starts.  Finds the excerpt in its source AND in the
+    source's planted re-uploads (their frames beyond the frame-0
+    watermark are identical).  The cut position (frame 2) shares the
+    every-2nd-frame sampling parity — the documented stride-alignment
+    contract; sample every_n=1 to search arbitrary cuts.
+
+    The oracle derives excerpt frames from the corpus pattern
+    relation (excerpt frame g = source frame g+2), then replays
+    banding, popcount, the offset vote and the containment rule."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, slice_video_frames, video_snippet_search,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    src = media.filter(F.col("media_id") % 9 == 4)
+    snips = (slice_video_frames(src, 2, 4)
+             .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    return (video_snippet_search(snips, media, every_n=2, max_hamming=2)
+            .orderBy("snippet_id", "clip_id"))
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_agg": q_group_agg,
@@ -4262,6 +4292,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_offset_dedup": q_video_offset_dedup,
         "video_offset_incr": q_video_offset_incr,
         "audio_snippet_search": q_audio_snippet_search,
+        "video_snippet_search": q_video_snippet_search,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -6056,6 +6087,79 @@ def _all_oracle_sql() -> dict[str, str]:
                    comparable AS comparable_frames
             FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY id_a, id_b
+        """,
+        # video snippet containment replay: excerpt frames derive from
+        # the corpus pattern relation (excerpt frame g = source frame
+        # g+2), then the offset vote with the containment rule over
+        # the every-2nd-frame sampling
+        "video_snippet_search": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+            pat AS (SELECT i, nf, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr),
+            sn AS (SELECT (i + (SELECT count(*) FROM documents))
+                            ::BIGINT AS sid,
+                          (f - 2) AS wi, sh
+                   FROM pat
+                   WHERE i % 9 = 4 AND nf >= 6
+                     AND f >= 2 AND f < 6 AND (f - 2) % 2 = 0),
+            so AS (SELECT i::BIGINT AS cid, f AS idx, sh
+                   FROM pat WHERE f % 2 = 0),
+            qs AS (SELECT sid, wi, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM sn),
+            qc AS (SELECT cid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM so),
+            cand AS (SELECT DISTINCT s.sid, c.cid, s.wi, c.idx
+                     FROM qs s JOIN qc c
+                       ON s.q = c.q AND s.qv = c.qv
+                     WHERE bit_count(xor(s.sh, c.sh)) <= 2),
+            vv AS (SELECT sid, cid, (idx - wi)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY sid, cid
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ns AS (SELECT sid, count(DISTINCT wi)::BIGINT AS n
+                   FROM sn GROUP BY 1),
+            nc AS (SELECT cid, count(DISTINCT idx)::BIGINT AS n
+                   FROM so GROUP BY 1),
+            f AS (SELECT d.sid, d.cid, d.dlt AS "offset", d.matched,
+                         greatest(0, least(s1.n - 1,
+                                           c1.n - 1 - (d.dlt // 2))
+                                  - greatest(0, -(d.dlt // 2)) + 1
+                                  )::BIGINT AS comparable,
+                         s1.n AS n_snip
+                  FROM d JOIN ns s1 ON s1.sid = d.sid
+                         JOIN nc c1 ON c1.cid = d.cid
+                  WHERE d.rk = 1)
+            SELECT sid AS snippet_id, cid AS clip_id, "offset",
+                   matched AS n_frames
+            FROM f WHERE comparable > 0 AND matched = n_snip
+            ORDER BY snippet_id, clip_id
         """,
         # the directional replay: trimmed clones are the new batch,
         # the full fixture the landed corpus; offset = idx_old -

@@ -165,16 +165,16 @@ ACCOUNTING_CHANGES = [
                "build during warm-up next to the image cache (same "
                "write-once parquet discipline)."},
     {"round": 12, "queries": "all",
-     "change": "registry grew 190 -> 195: +audio_stream_dedup and "
+     "change": "registry grew 190 -> 196: +audio_stream_dedup and "
                "+audio_stream_incr (whole-stream windowed audio "
                "fingerprints matched by offset vote), "
                "+video_offset_dedup and +video_offset_incr "
                "(temporal-offset-tolerant video matching over "
-               "head-trimmed re-uploads), +audio_snippet_search "
-               "(query-by-example containment).  Totals are NOT "
-               "comparable to r11; compare name-keyed.  The "
-               "audio-stream fixture cache builds during warm-up next "
-               "to the other three."},
+               "head-trimmed re-uploads), +audio_snippet_search and "
+               "+video_snippet_search (query-by-example containment). "
+               "Totals are NOT comparable to r11; compare name-keyed. "
+               "The audio-stream fixture cache builds during warm-up "
+               "next to the other three."},
     {"round": 12, "queries": ["dedup_clusters", "dedup_keep_best",
                               "semantic_dedup", "image_dedup_clusters"],
      "change": "connected_components gained a count-gated small-graph "

@@ -2010,3 +2010,92 @@ def audio_snippet_search(snippets: DataFrame, corpus: DataFrame,
     return out.select(F.col("id_l").alias("snippet_id"),
                       F.col("id_r").alias("clip_id"), "offset",
                       F.col("matched").alias("n_windows"))
+
+
+def slice_video_frames(df: DataFrame, start_frame: int, n_frames: int,
+                       payload_col: str = "payload") -> DataFrame:
+    """Cut an ``n_frames`` excerpt starting at ``start_frame`` out of
+    each FSV1 container — the query-extraction transform for video
+    snippet search (trim_video_head's two-sided sibling; same real
+    parse + repack, per-row NULL degradation for malformed containers
+    or clips too short for the slice).  ``meta.n_frames`` is patched
+    when present."""
+    import struct
+
+    lo, k = int(start_frame), int(n_frames)
+
+    def _slice(col):
+        import pandas as pd
+
+        out = []
+        for payload in col:
+            b = bytes(payload) if payload is not None else None
+            if b is None or len(b) < 8 or b[:4] != _FSV_MAGIC:
+                out.append(None)
+                continue
+            n = struct.unpack_from("<I", b, 4)[0]
+            if 8 + 4 * n > len(b) or n < lo + k:
+                out.append(None)
+                continue
+            frames = []
+            ok = True
+            for f in range(lo, lo + k):
+                fr = unpack_frame(b, f)
+                if fr is None:
+                    ok = False
+                    break
+                frames.append(fr)
+            out.append(pack_frames(frames) if ok else None)
+        return pd.Series(out)
+
+    import pandas as pd  # noqa: F401
+
+    slice_udf = F.pandas_udf(_slice, T.BinaryType())
+    out = df.withColumn(payload_col, slice_udf(F.col(payload_col)))
+    if "meta" in out.columns and payload_col == "payload":
+        out = out.withColumn(
+            "meta", F.col("meta").withField(
+                "n_frames",
+                F.when(F.col(payload_col).isNotNull(), F.lit(k))
+                .otherwise(F.lit(0))))
+    return out
+
+
+def video_snippet_search(snippets: DataFrame, corpus: DataFrame,
+                         every_n: int = 2, max_hamming: int = 2,
+                         payload_col: str = "payload",
+                         id_col: str = "media_id",
+                         corpus_is_piece_table: bool = False,
+                         ) -> DataFrame:
+    """Query-by-example video search: find every corpus video that
+    CONTAINS a query excerpt — all of the snippet's sampled-frame
+    dHashes match at one dominant offset (matched == n_snippet_frames,
+    the audio_snippet_search containment rule on the video tier).
+
+    Alignment contract, inherent to strided sampling: the snippet's
+    cut position must share the sampling parity with the source
+    (``start_frame`` a multiple of ``every_n``) or its sampled grid
+    falls between the corpus's sampled frames — sample every frame
+    (every_n=1) to search arbitrary cut positions.
+
+    Directional; pass ``corpus_is_piece_table=True`` to search a
+    persisted video_frame_piece_table — the SAME stored index half
+    the near-dup ingest paths join.  Returns (snippet_id, clip_id,
+    offset, n_frames) with offset = the frame position in the clip
+    where the excerpt starts."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    spc = track_persist(_video_pieces_std(snippets, every_n, max_hamming,
+                                          payload_col, id_col))
+    cpc = (corpus.select(F.col("vid").alias("id"),
+                         F.col("frame_idx").alias("idx"),
+                         "sh", "q", "qv")
+           if corpus_is_piece_table
+           else _video_pieces_std(corpus, every_n, max_hamming,
+                                  payload_col, id_col))
+    out = _offset_vote_pairs(spc, cpc, stride=every_n,
+                             max_hamming=max_hamming, directional=True,
+                             require_full_left=True)
+    return out.select(F.col("id_l").alias("snippet_id"),
+                      F.col("id_r").alias("clip_id"), "offset",
+                      F.col("matched").alias("n_frames"))

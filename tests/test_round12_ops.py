@@ -260,3 +260,35 @@ def test_audio_snippet_search_containment(spark):
              for r in M.audio_snippet_search(
                  snips, pt, corpus_is_piece_table=True).collect()}
     assert hits2 == hits
+
+
+def test_video_snippet_search_containment(spark):
+    n = 54
+    media = M.make_fake_video_media(spark, n)
+    src = media.filter(F.col("media_id") % 9 == 4)
+    snips = (M.slice_video_frames(src, 2, 4)
+             .withColumn("media_id", F.col("media_id") + n))
+    hits = {(r["snippet_id"], r["clip_id"]): (r["offset"], r["n_frames"])
+            for r in M.video_snippet_search(snips, media,
+                                            every_n=2).collect()}
+    for i in range(n):
+        if i % 9 == 4 and M.video_frame_count(i) >= 6:
+            assert hits[(i + n, i)] == (2, 2), i
+    # re-upload family found for free: 85 = excerpt of 31 (twin of 30)
+    assert hits[(31 + n, 30)] == (2, 2)
+    assert all(v[1] == 2 for v in hits.values())  # strict containment
+    # slice degradation: too-short or malformed -> NULL payload
+    sl = {r["media_id"]: r for r in M.slice_video_frames(
+        media.limit(12), 2, 4).collect()}
+    for i, r in sl.items():
+        if M.video_frame_count(i) < 6:
+            assert r["payload"] is None and r["meta"]["n_frames"] == 0
+        else:
+            assert r["meta"]["n_frames"] == 4
+    # persisted-index path identical
+    pt = M.video_frame_piece_table(media, every_n=2, max_hamming=2)
+    hits2 = {(r["snippet_id"], r["clip_id"]): (r["offset"], r["n_frames"])
+             for r in M.video_snippet_search(
+                 snips, pt, every_n=2,
+                 corpus_is_piece_table=True).collect()}
+    assert hits2 == hits
