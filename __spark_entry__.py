@@ -3127,7 +3127,7 @@ EXTRA_QUERIES = (
     # with in-window siblings, exactly as every round since r7:
     "audio_stream_dedup", "audio_stream_incr",
     "video_offset_dedup", "video_offset_incr", "audio_snippet_search",
-    "video_snippet_search")
+    "video_snippet_search", "video_segments")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4216,6 +4216,46 @@ def q_video_snippet_search(spark, sf) -> DataFrame:
             .orderBy("snippet_id", "clip_id"))
 
 
+def q_video_segments(spark, sf) -> DataFrame:
+    """Shared-segment report over a corpus holding COMPILATIONS
+    (multimodal.video_shared_segments): every 11th video is spliced
+    with the video three ids later through the real container concat
+    transform (concat_video_payloads — parse both, repack), and every
+    (pair, offset) with >= 2 matched sampled frames is reported — so
+    each compilation resolves into ITS SEPARATE SOURCES at two
+    different offsets (head at 0, tail at -2*head_frames/... its
+    splice position), the case a single-dominant-offset matcher
+    structurally cannot express and the coverage rule would reject.
+    Ordinary re-upload pairs appear as single offset-0 segments.
+
+    The oracle replays the splice (head frames at their positions,
+    tail frames shifted by the head's frame count), the every-2nd
+    sampling over the SPLICED grid, banding, popcount and the
+    min_run=2 vote filter verbatim.
+
+    100 TB shape: the offset matchers' exactly — banded candidates,
+    one small-key vote, NO dominant-offset window (every qualifying
+    offset is output), pixels never shuffle."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, concat_video_payloads, video_shared_segments,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    heads = media.filter((F.col("media_id") % 11 == 6)
+                         & (F.col("media_id") + 3 < F.lit(n)))
+    tails = media.select(F.col("media_id").alias("tid"),
+                         F.col("payload").alias("tail_payload"))
+    paired = heads.join(tails, F.col("tid") == F.col("media_id") + 3)
+    comps = (concat_video_payloads(paired, "tail_payload")
+             .withColumn("media_id", F.col("media_id") + F.lit(n))
+             .select("media_id", "payload", "meta"))
+    corpus = media.unionByName(comps)
+    return (video_shared_segments(corpus, every_n=2, max_hamming=2,
+                                  min_run=2)
+            .orderBy("id_a", "id_b", "offset"))
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_agg": q_group_agg,
@@ -4293,6 +4333,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_offset_incr": q_video_offset_incr,
         "audio_snippet_search": q_audio_snippet_search,
         "video_snippet_search": q_video_snippet_search,
+        "video_segments": q_video_segments,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -6087,6 +6128,68 @@ def _all_oracle_sql() -> dict[str, str]:
                    comparable AS comparable_frames
             FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY id_a, id_b
+        """,
+        # shared-segment replay: compilations = head video's frames at
+        # their own positions + tail video's frames shifted by the
+        # head's frame count, sampled on the SPLICED grid; then the
+        # plain (pair, offset) vote with the min_run=2 filter — no
+        # dominant offset, no coverage rule
+        "video_segments": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+            pat AS (SELECT i, nf, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr),
+            heads AS (SELECT i, nf FROM v
+                      WHERE i % 11 = 6
+                        AND i + 3 < (SELECT count(*) FROM documents)),
+            samp AS (
+              SELECT i::BIGINT AS vid, f AS idx, sh
+              FROM pat WHERE f % 2 = 0
+              UNION ALL
+              SELECT (h.i + (SELECT count(*) FROM documents))::BIGINT,
+                     p.f, p.sh
+              FROM heads h JOIN pat p ON p.i = h.i
+              WHERE p.f % 2 = 0
+              UNION ALL
+              SELECT (h.i + (SELECT count(*) FROM documents))::BIGINT,
+                     h.nf + p.f, p.sh
+              FROM heads h JOIN pat p ON p.i = h.i + 3
+              WHERE (h.nf + p.f) % 2 = 0),
+            q AS (SELECT vid, idx, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM samp),
+            cand AS (SELECT DISTINCT a1.vid AS id_a, b2.vid AS id_b,
+                            a1.idx AS ia, b2.idx AS ib
+                     FROM q a1 JOIN q b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.vid < b2.vid
+                     WHERE bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT id_a, id_b, (ia - ib)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3)
+            SELECT id_a, id_b, dlt AS "offset",
+                   matched AS matched_frames
+            FROM vv WHERE matched >= 2
+            ORDER BY id_a, id_b, "offset"
         """,
         # video snippet containment replay: excerpt frames derive from
         # the corpus pattern relation (excerpt frame g = source frame

@@ -165,13 +165,15 @@ ACCOUNTING_CHANGES = [
                "build during warm-up next to the image cache (same "
                "write-once parquet discipline)."},
     {"round": 12, "queries": "all",
-     "change": "registry grew 190 -> 196: +audio_stream_dedup and "
+     "change": "registry grew 190 -> 197: +audio_stream_dedup and "
                "+audio_stream_incr (whole-stream windowed audio "
                "fingerprints matched by offset vote), "
                "+video_offset_dedup and +video_offset_incr "
                "(temporal-offset-tolerant video matching over "
                "head-trimmed re-uploads), +audio_snippet_search and "
-               "+video_snippet_search (query-by-example containment). "
+               "+video_snippet_search (query-by-example containment), "
+               "+video_segments (multi-offset shared-segment report "
+               "for compilations/splices).  "
                "Totals are NOT comparable to r11; compare name-keyed. "
                "The audio-stream fixture cache builds during warm-up "
                "next to the other three."},

@@ -1368,6 +1368,34 @@ def cached_video_media(spark, n: int,
 # ----------------------------------------------------------------------
 
 
+def _offset_votes(left: DataFrame, right: DataFrame, max_hamming: int,
+                  directional: bool) -> DataFrame:
+    """The candidate + vote front shared by the offset matchers and
+    the segment report: banded (piece, piece-bits) join WITHOUT the
+    position key, Hamming filter, DISTINCT position pairs, then one
+    groupBy on (id_l, id_r, offset) — offset = idx_first - idx_second
+    with `first` the smaller-id / corpus side."""
+    l, r = left.alias("l"), right.alias("r")
+    cond = ((F.col("l.q") == F.col("r.q"))
+            & (F.col("l.qv") == F.col("r.qv")))
+    if not directional:
+        cond = cond & (F.col("l.id") < F.col("r.id"))
+    cand = (l.join(r, cond)
+            .select(F.col("l.id").alias("id_l"),
+                    F.col("r.id").alias("id_r"),
+                    F.col("l.idx").alias("idx_l"),
+                    F.col("r.idx").alias("idx_r"),
+                    F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["id_l", "id_r", "idx_l", "idx_r"]))
+    off = (F.col("idx_l") - F.col("idx_r") if not directional
+           else F.col("idx_r") - F.col("idx_l"))
+    return (cand.groupBy("id_l", "id_r",
+                         off.cast("long").alias("offset"))
+            .agg(F.count("*").alias("matched")))
+
+
 def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
                        max_hamming: int, directional: bool,
                        require_full_left: bool = False) -> DataFrame:
@@ -1410,25 +1438,7 @@ def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
     pass as 8-byte longs upstream)."""
     from pyspark.sql import Window
 
-    l, r = left.alias("l"), right.alias("r")
-    cond = ((F.col("l.q") == F.col("r.q"))
-            & (F.col("l.qv") == F.col("r.qv")))
-    if not directional:
-        cond = cond & (F.col("l.id") < F.col("r.id"))
-    cand = (l.join(r, cond)
-            .select(F.col("l.id").alias("id_l"),
-                    F.col("r.id").alias("id_r"),
-                    F.col("l.idx").alias("idx_l"),
-                    F.col("r.idx").alias("idx_r"),
-                    F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
-                    .alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .dropDuplicates(["id_l", "id_r", "idx_l", "idx_r"]))
-    off = (F.col("idx_l") - F.col("idx_r") if not directional
-           else F.col("idx_r") - F.col("idx_l"))
-    votes = (cand.groupBy("id_l", "id_r",
-                          off.cast("long").alias("offset"))
-             .agg(F.count("*").alias("matched")))
+    votes = _offset_votes(left, right, max_hamming, directional)
     w = Window.partitionBy("id_l", "id_r").orderBy(
         F.col("matched").desc(), F.col("offset").asc())
     dom = (votes.withColumn("_rk", F.row_number().over(w))
@@ -2099,3 +2109,84 @@ def video_snippet_search(snippets: DataFrame, corpus: DataFrame,
     return out.select(F.col("id_l").alias("snippet_id"),
                       F.col("id_r").alias("clip_id"), "offset",
                       F.col("matched").alias("n_frames"))
+
+
+# ----------------------------------------------------------------------
+# shared-segment reporting (compilations / splices — multi-offset)
+# ----------------------------------------------------------------------
+
+
+def concat_video_payloads(df: DataFrame, other_col: str,
+                          payload_col: str = "payload") -> DataFrame:
+    """Concatenate two FSV1 containers row-wise (``payload_col`` then
+    ``other_col``) — the splice/compilation transform: real parse +
+    repack through the container code, NULL degradation when either
+    side is malformed.  Metadata is NOT patched (two containers'
+    attributes don't merge meaningfully) — re-derive it with
+    media_metadata, the catalog pass."""
+    import struct
+
+    def _frames(b):
+        if b is None or len(b) < 8 or b[:4] != _FSV_MAGIC:
+            return None
+        n = struct.unpack_from("<I", b, 4)[0]
+        if 8 + 4 * n > len(b):
+            return None
+        out = []
+        for f in range(n):
+            fr = unpack_frame(b, f)
+            if fr is None:
+                return None
+            out.append(fr)
+        return out
+
+    def _concat(a_col, b_col):
+        import pandas as pd
+
+        out = []
+        for a, b in zip(a_col, b_col):
+            fa = _frames(bytes(a) if a is not None else None)
+            fb = _frames(bytes(b) if b is not None else None)
+            out.append(pack_frames(fa + fb)
+                       if fa is not None and fb is not None else None)
+        return pd.Series(out)
+
+    import pandas as pd  # noqa: F401
+
+    concat_udf = F.pandas_udf(_concat, T.BinaryType())
+    return df.withColumn(payload_col,
+                         concat_udf(F.col(payload_col), F.col(other_col)))
+
+
+def video_shared_segments(df: DataFrame, every_n: int = 2,
+                          max_hamming: int = 2, min_run: int = 2,
+                          payload_col: str = "payload",
+                          id_col: str = "media_id") -> DataFrame:
+    """SEGMENT report for multi-source media — compilations, supercuts,
+    videos splicing material from several originals: every (pair,
+    offset) whose matched sampled frames reach ``min_run`` is reported,
+    so a video carrying segments of TWO sources shows up twice at two
+    different offsets.  This is the case the single-dominant-offset
+    matchers (video_near_dup_offset) structurally cannot express, and
+    the coverage rule would reject (each borrowed segment covers only
+    part of the compilation).
+
+    Returns (id_a, id_b, offset, matched_frames) with id_a < id_b and
+    offset = idx_a - idx_b in frame units.  ``min_run`` suppresses
+    single-frame coincidences; raise it to demand longer shared runs.
+    Same stride-parity contract as the other offset operators.
+
+    100 TB shape: exactly the offset matchers' — banded candidates
+    bounded by hash-key occupancy, one small-key vote aggregate, no
+    dominant-offset window at all (every qualifying offset IS output),
+    pixels never shuffle."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    pieces = track_persist(_video_pieces_std(df, every_n, max_hamming,
+                                             payload_col, id_col))
+    votes = _offset_votes(pieces, pieces, max_hamming=max_hamming,
+                          directional=False)
+    return (votes.filter(F.col("matched") >= int(min_run))
+            .select(F.col("id_l").alias("id_a"),
+                    F.col("id_r").alias("id_b"), "offset",
+                    F.col("matched").alias("matched_frames")))

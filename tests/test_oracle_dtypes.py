@@ -118,7 +118,8 @@ def test_oracle_dtype_kinds_match_spark(spark, con, name):
 
 _ROUND_NEWCOMERS = ["audio_stream_dedup", "audio_stream_incr",
                     "video_offset_dedup", "video_offset_incr",
-                    "audio_snippet_search", "video_snippet_search"]
+                    "audio_snippet_search", "video_snippet_search",
+                    "video_segments"]
 
 
 @pytest.mark.parametrize("name", _ROUND_NEWCOMERS)

@@ -292,3 +292,59 @@ def test_video_snippet_search_containment(spark):
                  snips, pt, every_n=2,
                  corpus_is_piece_table=True).collect()}
     assert hits2 == hits
+
+
+def test_video_shared_segments_resolves_compilations(spark):
+    n = 44
+    media = M.make_fake_video_media(spark, n)
+    heads = media.filter((F.col("media_id") % 11 == 6)
+                         & (F.col("media_id") + 3 < n))
+    tails = media.select(F.col("media_id").alias("tid"),
+                         F.col("payload").alias("tail_payload"))
+    paired = heads.join(tails, F.col("tid") == F.col("media_id") + 3)
+    comps = (M.concat_video_payloads(paired, "tail_payload")
+             .withColumn("media_id", F.col("media_id") + n)
+             .select("media_id", "payload", "meta"))
+    corpus = media.unionByName(comps)
+    segs = {(r["id_a"], r["id_b"], r["offset"]): r["matched_frames"]
+            for r in M.video_shared_segments(
+                corpus, every_n=2, max_hamming=2, min_run=2).collect()}
+    import math
+
+    for i in (6, 17, 28, 39):
+        nf_h = M.video_frame_count(i)
+        nf_t = M.video_frame_count(i + 3)
+        cid = i + n
+        # head segment at offset 0 with the head's sampled count
+        assert segs[(i, cid, 0)] == math.ceil(nf_h / 2), i
+        # tail segment at offset -nf_head (all fixture heads are even,
+        # so the spliced tail keeps the sampling parity)
+        assert nf_h % 2 == 0
+        assert segs[(i + 3, cid, -nf_h)] == math.ceil(nf_t / 2), i
+    # the differentiator vs the dominant-offset matcher: a video
+    # containing TWO segments of the SAME source (here: a doubled
+    # video — source spliced with itself) yields TWO segment rows for
+    # ONE pair; the dominant-offset matcher can only report one
+    src6 = media.filter(F.col("media_id") == 6)
+    doubled = (M.concat_video_payloads(
+        src6.withColumn("tail_payload", F.col("payload")),
+        "tail_payload")
+        .withColumn("media_id", F.lit(2 * n).cast("long"))
+        .select("media_id", "payload", "meta"))
+    duo = media.filter(F.col("media_id") == 6).unionByName(doubled)
+    segs2 = {(r["id_a"], r["id_b"], r["offset"]): r["matched_frames"]
+             for r in M.video_shared_segments(
+                 duo, every_n=2, max_hamming=2, min_run=2).collect()}
+    nf6 = M.video_frame_count(6)
+    assert segs2[(6, 2 * n, 0)] == math.ceil(nf6 / 2)
+    assert segs2[(6, 2 * n, -nf6)] == math.ceil(nf6 / 2)
+    one = M.video_near_dup_offset(duo, every_n=2,
+                                  max_hamming=2).collect()
+    assert len([r for r in one
+                if (r["id_a"], r["id_b"]) == (6, 2 * n)]) <= 1
+    # malformed degradation: concat with a bad side yields NULL
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"FSV1\x00\x00\x00\x00"), bytearray(b"junk"))],
+        "media_id long, payload binary, tail_payload binary")
+    assert M.concat_video_payloads(bad, "tail_payload") \
+        .collect()[0]["payload"] is None
