@@ -348,3 +348,18 @@ def test_video_shared_segments_resolves_compilations(spark):
         "media_id long, payload binary, tail_payload binary")
     assert M.concat_video_payloads(bad, "tail_payload") \
         .collect()[0]["payload"] is None
+
+
+def test_offset_vote_comparable_formula_matches_brute_force():
+    """The closed-form alignable-position count used by every offset
+    matcher and oracle — comparable(t) = min(n_second-1, n_first-1-t)
+    - max(0, -t) + 1 — equals the brute-force count of aligned index
+    pairs for every (n_first, n_second, t) in a dense grid."""
+    for n_first in range(1, 9):
+        for n_second in range(1, 9):
+            for t in range(-10, 11):
+                brute = sum(1 for k in range(n_second)
+                            if 0 <= k + t < n_first)
+                formula = max(0, min(n_second - 1, n_first - 1 - t)
+                              - max(0, -t) + 1)
+                assert brute == formula, (n_first, n_second, t)
