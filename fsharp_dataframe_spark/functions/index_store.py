@@ -128,11 +128,20 @@ def compact_index_table(spark: SparkSession, path: str,
     return count
 
 
+INT_PARTITION_COLS = ("q", "tbl")
+
+
 def read_index_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an index half back for the incremental matchers (pass to
     cross_* with ``existing_is_piece_table=True`` /
-    ``existing_buckets=``).  Partition columns come back as strings
-    under hive partitioning unless the session infers types; cast is
-    handled here so the join keys keep their written dtypes."""
+    ``existing_buckets=``).  Hive partition columns (the piece index
+    ``q`` / LSH table id ``tbl``) come back as STRINGS when the
+    session disables spark.sql.sources.partitionColumnTypeInference;
+    the cast back to int happens here so the incremental piece joins
+    keep their written dtypes instead of leaning on implicit casts
+    (ADVICE r12)."""
     df = read_parquet(spark, path)
+    for c in INT_PARTITION_COLS:
+        if c in df.columns and dict(df.dtypes)[c] == "string":
+            df = df.withColumn(c, F.col(c).cast("int"))
     return df

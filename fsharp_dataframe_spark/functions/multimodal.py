@@ -1380,6 +1380,11 @@ def _offset_votes(left: DataFrame, right: DataFrame, max_hamming: int,
             & (F.col("l.qv") == F.col("r.qv")))
     if not directional:
         cond = cond & (F.col("l.id") < F.col("r.id"))
+    else:
+        # a partial re-ingest can land a batch whose ids overlap the
+        # corpus; without this guard each such clip emits a trivial
+        # self-pair at offset 0 that passes coverage (ADVICE r12)
+        cond = cond & (F.col("l.id") != F.col("r.id"))
     cand = (l.join(r, cond)
             .select(F.col("l.id").alias("id_l"),
                     F.col("r.id").alias("id_r"),
@@ -1452,7 +1457,12 @@ def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
            .join(cnt_r.withColumnRenamed("id", "id_r"), "id_r"))
     n_first = F.col("_na") if not directional else F.col("_nb")
     n_second = F.col("_nb") if not directional else F.col("_na")
-    t = (F.col("offset") / F.lit(int(stride))).cast("long")
+    # floor division, NOT truncation: the DuckDB oracles (and the
+    # documented alignable-count formula) use floor semantics, and
+    # while the shipped queries' stride-parity contract makes negative
+    # non-multiple offsets impossible, the library accepts arbitrary
+    # piece tables where mixed-parity grids produce them (ADVICE r12)
+    t = F.floor(F.col("offset") / F.lit(int(stride))).cast("long")
     comparable = (F.least(n_second - 1, n_first - 1 - t)
                   - F.greatest(F.lit(0), -t) + 1)
     out = out.withColumn("comparable",
@@ -1707,11 +1717,18 @@ def trim_video_head(df: DataFrame, n_frames: int,
     trim_udf = F.pandas_udf(_trim, T.BinaryType())
     out = df.withColumn(payload_col, trim_udf(F.col(payload_col)))
     if "meta" in out.columns and payload_col == "payload":
+        # guard on payload nullity like the slice transforms: a row
+        # whose container degraded to NULL keeps n_frames = 0 instead
+        # of a phantom count inconsistent with the NULL payload
+        # (ADVICE r12)
         out = out.withColumn(
             "meta", F.col("meta").withField(
                 "n_frames",
-                F.greatest(F.lit(0),
-                           F.col("meta.n_frames") - F.lit(nf_drop))))
+                F.when(F.col(payload_col).isNotNull(),
+                       F.greatest(F.lit(0),
+                                  F.col("meta.n_frames")
+                                  - F.lit(nf_drop)))
+                .otherwise(F.lit(0))))
     return out
 
 
