@@ -152,13 +152,31 @@ def run(spark, sf_dir: str) -> dict[str, object]:
                                 sketch_col="dhash", max_hamming=2),
             id_col="media_id", partition_by=("q",))
         after = spark.read.parquet(store).count()
+
+        # 6. TAKEDOWN: a retirement request (rights revoked, user
+        #    deletion) retires ids from the stored index in place —
+        #    partition-scoped antijoin rewrite, untouched partitions
+        #    keep their files; the retired media can never match
+        #    again (delete_index_rows: removed == rebuilt-without,
+        #    pinned in test_round13_ops).
+        from fsharp_dataframe_spark.functions.index_store import (
+            delete_index_rows, read_index_table,
+        )
+
+        retired = [int(r["media_id"]) for r in
+                   survivors.select("media_id").limit(3).collect()]
+        delete_index_rows(spark, store, retired, id_col="media_id",
+                          partition_by=("q",))
+        after_del = read_index_table(spark, store).count()
     out["nightly"] = {"batch": int(n_batch),
                       "dup_of_landed": int(n_dup),
                       "kept": int(n_batch - n_dup),
                       "index_rows_before": int(before),
                       "index_rows_after": int(after)}
+    out["takedown"] = {"retired_ids": retired,
+                       "index_rows_after": int(after_del)}
 
-    # 6. the SAME substrate carries the other modalities: audio
+    # 7. the SAME substrate carries the other modalities: audio
     #    spectral-band fingerprints (real stdlib-WAV decode) ride the
     #    identical pigeonhole band join, and video near-dup is
     #    temporally-aligned per-frame dHash over a really-decodable

@@ -75,6 +75,86 @@ def append_index_rows(spark: SparkSession, path: str, new_rows: DataFrame,
     w.write.mode("append").partitionBy(*partition_by).parquet(path)
 
 
+def delete_index_rows(spark: SparkSession, path: str, ids,
+                      id_col: str,
+                      partition_by: tuple[str, ...] = ("q",)) -> None:
+    """Retire ids from a persisted index half — the takedown /
+    right-to-be-forgotten path that completes the maintenance loop
+    (save → append → compact → DELETE).  Rows whose ``id_col`` is in
+    ``ids`` (a DataFrame holding that column, or a plain iterable)
+    are removed via the merge_parquet discipline: an id-antijoin over
+    ONLY the partitions that actually hold the ids, rewritten in
+    place with dynamic partitionOverwriteMode; untouched partitions
+    keep their files bit-for-bit.  A partition whose every row is
+    retired is dropped outright (dynamic overwrite alone would leave
+    it stale — it only replaces partitions present in the written
+    data).
+
+    Piece/bucket tables spread each id across all ``partition_by``
+    values, so a takedown typically rewrites each of those few
+    partitions once — bounded by partition count x partition size,
+    never by a full-table shuffle.  The invariant the tests pin: a
+    deleted-from table is ROW-IDENTICAL to an index rebuilt from
+    scratch without the retired ids, and the incremental matchers
+    return identical results over either."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids],
+                                    f"{id_col} long")
+    ids = ids.select(id_col).distinct()
+    existing = read_index_table(spark, path)
+    touched = (existing.join(ids, on=id_col, how="left_semi")
+               .select(*partition_by).distinct().collect())
+    if not touched:
+        return
+    cond = None
+    for r in touched:
+        c = None
+        for k in partition_by:
+            eq = F.col(k).eqNullSafe(F.lit(r[k]))
+            c = eq if c is None else (c & eq)
+        cond = c if cond is None else (cond | c)
+    affected = existing.filter(cond)
+    kept = (affected.join(ids, on=id_col, how="left_anti")
+            .localCheckpoint(eager=True))
+    kept_parts = {tuple(r[k] for k in partition_by)
+                  for r in kept.select(*partition_by).distinct()
+                  .collect()}
+    emptied = [r for r in touched
+               if tuple(r[k] for k in partition_by) not in kept_parts]
+    if kept_parts:
+        w = kept.repartition(*[F.col(c) for c in partition_by])
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (w.write.mode("overwrite").partitionBy(*partition_by)
+             .parquet(path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    keep_dir = None
+    if not kept_parts and emptied:
+        # retiring EVERY id would leave a directory with no parquet
+        # files — unreadable (no schema to infer).  Keep one partition
+        # directory alive with a single zero-row schema-carrying file
+        # so the empty table still reads back (and later appends land
+        # into the same layout).
+        r0 = emptied[0]
+        seg = "/".join(f"{k}={r0[k]}" for k in partition_by)
+        keep_dir = path.rstrip("/") + "/" + seg
+        (kept.drop(*partition_by).limit(0).coalesce(1)
+         .write.mode("overwrite").parquet(keep_dir))
+        emptied = emptied[1:]
+    for r in emptied:
+        seg = "/".join(f"{k}={r[k]}" for k in partition_by)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/" + seg), True)
+
+
 def compact_index_table(spark: SparkSession, path: str,
                         partition_by: tuple[str, ...] = ("q",),
                         target_bytes: int = 256 * 1024 * 1024,

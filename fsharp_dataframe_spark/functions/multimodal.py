@@ -850,11 +850,34 @@ def _afp_from_samples(s):
     return fp
 
 
-def _decode_wav_samples(payload: bytes | None):
+def _resample_linear(x, sr_from: int, sr_to: int):
+    """Linear-interpolation resample — the canonical-rate normalizer
+    under the audio decode tier.  Identity (same array, no float
+    churn) when the rates already agree, so 8 kHz fixtures round-trip
+    bit-for-bit."""
+    import numpy as np
+
+    if sr_from == sr_to:
+        return x
+    n_out = int(round(len(x) * sr_to / sr_from))
+    t_out = np.arange(n_out) * (sr_from / sr_to)
+    return np.interp(t_out, np.arange(len(x)), x)
+
+
+def _decode_wav_samples(payload: bytes | None, target_sr: int | None = None):
     """PCM16 mono WAV decode via the stdlib wave module — REAL audio
     decode for the one container format that needs no external codec
     (compressed formats stay behind DecoderUnavailable, the
-    extract_features contract).  Returns float64 samples or None."""
+    extract_features contract).  Returns float64 samples or None.
+
+    ``target_sr``: rate-normalize to a canonical sample rate (linear
+    interpolation).  The spectral-band fingerprints are amplitude- and
+    phase-invariant but NOT rate-invariant — a 44.1k→48k re-encode
+    rescales every band and misses by ~30 bits (pinned in
+    test_round13_ops) — so the fingerprint tiers decode at
+    ``target_sr=AFP_SR``; normalization reproduces the canonical-rate
+    fingerprints EXACTLY for linear-resampled re-encodes (pinned).
+    Same-rate clips take the identity path (no float churn)."""
     import io
     import wave
 
@@ -866,10 +889,14 @@ def _decode_wav_samples(payload: bytes | None):
         with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
             if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
                 return None
+            rate = wf.getframerate()
             raw = wf.readframes(wf.getnframes())
     except Exception:
         return None
-    return np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if target_sr is not None and rate != target_sr:
+        s = _resample_linear(s, rate, target_sr)
+    return s
 
 
 def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
@@ -903,7 +930,8 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             fps, oks = [], []
             for payload in pdf[payload_col]:
-                fp = _afp_from_samples(_decode_wav_samples(payload))
+                fp = _afp_from_samples(
+                    _decode_wav_samples(payload, target_sr=AFP_SR))
                 fps.append(fp)
                 oks.append(fp is not None)
             yield pd.DataFrame({id_col: pdf[id_col],
@@ -1484,24 +1512,28 @@ def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
 AFP_FRAME = AFP_WIN * AFP_N_WIN  # 2048 samples per fingerprint window
 
 
-def _afp_all_windows(s) -> list[int]:
-    """One 64-bit fingerprint per NON-OVERLAPPING 2048-sample window
-    over the whole sample stream — the per-window twin of
+AFP_HOP = AFP_FRAME // 4  # 512-sample default hop for overlapped framing
+
+
+def _afp_windows_hop(s, hop: int) -> list[int]:
+    """One 64-bit fingerprint per 2048-sample window taken every
+    ``hop`` samples over the whole stream — the per-window twin of
     _afp_from_samples (identical math per window; window 0 equals the
     first-window fast path bit for bit, property-pinned).  One
     vectorized rFFT over the (k*8, 256) matrix of ALL windows' frames
-    in a single call; packing via the uint64 dot + two's-complement
+    in a single call (overlapping windows gather rows from the same
+    sample buffer — no copy explosion beyond the 4x frame fan-out at
+    the default hop); packing via the uint64 dot + two's-complement
     wrap (the _dhash_from_gray discipline).  Streams shorter than one
     window return []."""
     import numpy as np
 
-    if s is None:
+    if s is None or len(s) < AFP_FRAME:
         return []
-    k = len(s) // AFP_FRAME
-    if k == 0:
-        return []
-    seg = np.asarray(s[:k * AFP_FRAME], dtype=np.float64).reshape(
-        k * AFP_N_WIN, AFP_WIN)
+    k = (len(s) - AFP_FRAME) // hop + 1
+    x = np.asarray(s, dtype=np.float64)
+    idx = (np.arange(k) * hop)[:, None] + np.arange(AFP_FRAME)
+    seg = x[idx].reshape(k * AFP_N_WIN, AFP_WIN)
     X = np.abs(np.fft.rfft(seg, axis=1)) ** 2      # (k*8, 129)
     e = np.stack([X[:, 4 + 4 * b: 8 + 4 * b].sum(axis=1)
                   for b in range(AFP_N_BANDS)], axis=1)   # (k*8, 9)
@@ -1515,6 +1547,15 @@ def _afp_all_windows(s) -> list[int]:
             fp -= 1 << 64
         out.append(fp)
     return out
+
+
+def _afp_all_windows(s) -> list[int]:
+    """One 64-bit fingerprint per NON-OVERLAPPING 2048-sample window —
+    _afp_windows_hop at hop = window (the r12 framing, kept as the
+    cheap tier: 4x fewer windows than the overlapped default, blind to
+    trims that are not window multiples — audio_overlap_* is the
+    offset-resolution fix)."""
+    return _afp_windows_hop(s, AFP_FRAME)
 
 
 def audio_window_fingerprints(df: DataFrame,
@@ -1546,7 +1587,8 @@ def audio_window_fingerprints(df: DataFrame,
         for pdf in batches:
             ids, idxs, fps, oks = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                wfps = _afp_all_windows(_decode_wav_samples(payload))
+                wfps = _afp_all_windows(
+                    _decode_wav_samples(payload, target_sr=AFP_SR))
                 if not wfps:
                     ids.append(int(mid))
                     idxs.append(0)
@@ -1959,7 +2001,10 @@ def slice_audio_windows(df: DataFrame, start_win: int, n_win: int,
 
         out = []
         for payload in col:
-            s = _decode_wav_samples(payload)
+            # canonical-rate decode so window units mean the same
+            # thing for every input rate; same-rate clips take the
+            # identity path (bit-for-bit round-trip, pinned)
+            s = _decode_wav_samples(payload, target_sr=AFP_SR)
             if s is None or len(s) < hi:
                 out.append(None)
                 continue
@@ -2207,3 +2252,430 @@ def video_shared_segments(df: DataFrame, every_n: int = 2,
             .select(F.col("id_l").alias("id_a"),
                     F.col("id_r").alias("id_b"), "offset",
                     F.col("matched").alias("matched_frames")))
+
+
+# ----------------------------------------------------------------------
+# audio: head-trim / resample transforms (real decode + re-encode)
+# ----------------------------------------------------------------------
+
+
+def trim_audio_head(df: DataFrame, n_samples: int,
+                    payload_col: str = "payload") -> DataFrame:
+    """Drop the first ``n_samples`` samples of each WAV clip — the
+    audio head-trim transform (ad leaders cut, re-encode padding
+    dropped) that produces exactly the re-uploads the non-overlapping
+    window framing misses when the trim is not a 2048-sample multiple,
+    and audio_overlap_near_dup catches at hop resolution.  Real stdlib
+    WAV decode + re-encode (the trim_video_head discipline); clips
+    shorter than the trim or undecodable degrade per row to a NULL
+    payload.  ``meta.n_frames``/``duration_s`` are patched when the
+    meta column exists, guarded on payload nullity."""
+    ns_drop = int(n_samples)
+
+    def _trim(col):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for payload in col:
+            s = _decode_wav_samples(payload, target_sr=AFP_SR)
+            if s is None or len(s) <= ns_drop:
+                out.append(None)
+                continue
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(AFP_SR)
+                wf.writeframes(
+                    np.asarray(s[ns_drop:], dtype="<i2").tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    import pandas as pd  # noqa: F401  (pandas_udf import-time check)
+
+    trim_udf = F.pandas_udf(_trim, T.BinaryType())
+    out = df.withColumn(payload_col, trim_udf(F.col(payload_col)))
+    if "meta" in out.columns and payload_col == "payload":
+        nf = F.greatest(F.lit(0), F.col("meta.n_frames") - F.lit(ns_drop))
+        out = out.withColumn(
+            "meta",
+            F.col("meta")
+            .withField("n_frames",
+                       F.when(F.col(payload_col).isNotNull(), nf)
+                       .otherwise(F.lit(0)))
+            .withField("duration_s",
+                       F.when(F.col(payload_col).isNotNull(),
+                              nf.cast("double") / F.lit(float(AFP_SR)))
+                       .otherwise(F.lit(0.0))))
+    return out
+
+
+def resample_audio(df: DataFrame, target_sr: int,
+                   payload_col: str = "payload") -> DataFrame:
+    """Re-encode each WAV clip at ``target_sr`` (linear-interpolation
+    resample — the re-encode transform a real ingest meets when
+    sources arrive at 44.1k/48k/16k).  The fingerprint tiers decode at
+    the canonical AFP_SR, so a resampled re-upload fingerprints
+    IDENTICALLY to its source (pinned in test_round13_ops — the rate
+    normalization is exact for linearly-resampled content, ~30 bits
+    off without it).  Undecodable rows degrade to NULL payloads;
+    ``meta.n_frames``/``duration_s`` are patched when present."""
+    sr = int(target_sr)
+
+    def _rs(col):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for payload in col:
+            # read the native rate from the header — resampling is
+            # relative to whatever rate the clip actually carries
+            try:
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                    native = wf.getframerate()
+            except Exception:
+                native = None
+            s = _decode_wav_samples(payload)  # native rate
+            if s is None or len(s) == 0 or native is None:
+                out.append(None)
+                continue
+            r = np.round(_resample_linear(s, native, sr))
+            r = np.clip(r, -32768, 32767)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(sr)
+                wf.writeframes(np.asarray(r, dtype="<i2").tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    import pandas as pd  # noqa: F401
+
+    rs_udf = F.pandas_udf(_rs, T.BinaryType())
+    out = df.withColumn(payload_col, rs_udf(F.col(payload_col)))
+    if "meta" in out.columns and payload_col == "payload":
+        nf = F.round(F.col("meta.n_frames") * F.lit(sr)
+                     / F.lit(AFP_SR)).cast("int")
+        out = out.withColumn(
+            "meta",
+            F.col("meta")
+            .withField("n_frames",
+                       F.when(F.col(payload_col).isNotNull(), nf)
+                       .otherwise(F.lit(0)))
+            .withField("duration_s",
+                       F.when(F.col(payload_col).isNotNull(),
+                              nf.cast("double") / F.lit(float(sr)))
+                       .otherwise(F.lit(0.0))))
+    return out
+
+
+# ----------------------------------------------------------------------
+# audio: OVERLAPPED-hop framing (sub-window trim resolution)
+# ----------------------------------------------------------------------
+
+
+def audio_overlap_fingerprints(df: DataFrame, hop: int = AFP_HOP,
+                               payload_col: str = "payload",
+                               id_col: str = "media_id") -> DataFrame:
+    """Whole-stream audio fingerprints at OVERLAPPED framing: one
+    64-bit spectral-band fingerprint per 2048-sample window taken
+    every ``hop`` samples (default window/4 = 512) — the actual
+    Haitsma-Kalker sub-fingerprint stream.  The non-overlapping
+    framing (audio_window_fingerprints) is blind to any head trim
+    that is not a 2048-sample multiple: the trimmed stream's window
+    grid shifts off the original's and every fingerprint scrambles
+    (~30 bits, pinned).  Overlapped framing restores alignment for
+    any trim that is a HOP multiple — offset resolution improves from
+    2048 to ``hop`` samples at a 2048/hop fan-out in window count
+    (4x at the default), which is the explicit recall/cost dial.
+
+    Returns (id, win_idx int, afp long, decode_ok) with win_idx in
+    hop units; decodes at the canonical AFP_SR (rate-normalized).
+    100 TB shape: identical to audio_window_fingerprints — payload
+    bytes stream through ONE mapInPandas, a single vectorized rFFT
+    per clip covers all windows, only 8-byte longs leave the pass."""
+    hop = int(hop)
+    if not 1 <= hop <= AFP_FRAME:
+        raise ValueError(f"hop must be in 1..{AFP_FRAME}, got {hop}")
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType(), False),
+        T.StructField("afp", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ])
+
+    def _fp(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, fps, oks = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                wfps = _afp_windows_hop(
+                    _decode_wav_samples(payload, target_sr=AFP_SR), hop)
+                if not wfps:
+                    ids.append(int(mid))
+                    idxs.append(0)
+                    fps.append(None)
+                    oks.append(False)
+                    continue
+                for wi, fp in enumerate(wfps):
+                    ids.append(int(mid))
+                    idxs.append(wi)
+                    fps.append(fp)
+                    oks.append(True)
+            yield pd.DataFrame({id_col: ids, "win_idx": idxs,
+                                "afp": _nullable_i64(fps),
+                                "decode_ok": oks})
+
+    from fsharp_dataframe_spark.functions.util import spread
+
+    return spread(df, id_col, payload_col).mapInPandas(
+        _fp, schema=out_schema)
+
+
+def audio_overlap_piece_table(df: DataFrame, hop: int = AFP_HOP,
+                              max_hamming: int = 2,
+                              payload_col: str = "payload",
+                              id_col: str = "media_id") -> DataFrame:
+    """Persistable index half for the overlapped framing: one
+    (aid, win_idx, sh, q, qv) row per overlapped window per pigeonhole
+    piece — written once for the landed corpus (partition by ``q``),
+    joined by every new batch.  Same schema as
+    audio_window_piece_table, 2048/hop times the rows."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        piece_expr, pigeonhole_pieces,
+    )
+
+    fh = (audio_overlap_fingerprints(df, hop=hop,
+                                     payload_col=payload_col,
+                                     id_col=id_col)
+          .filter(F.col("decode_ok"))
+          .select(F.col(id_col).alias("aid"), "win_idx",
+                  F.col("afp").alias("sh")))
+    offs = pigeonhole_pieces(64, max_hamming)
+    return fh.select(
+        "aid", "win_idx", "sh",
+        F.posexplode(F.array(*[piece_expr(F.col("sh"), o, w)
+                               for o, w in offs])).alias("q", "qv"))
+
+
+def audio_overlap_near_dup(df: DataFrame, hop: int = AFP_HOP,
+                           max_hamming: int = 2,
+                           payload_col: str = "payload",
+                           id_col: str = "media_id") -> DataFrame:
+    """Whole-stream audio near-duplicate pairs at HOP-resolution
+    offset tolerance: clips sharing an aligned run of overlapped
+    window fingerprints match when the head trim is any hop multiple
+    — where audio_stream_near_dup's non-overlapping framing provably
+    misses every trim that is not a full 2048-sample window (pinned
+    with a planted 1024-sample trim in test_round13_ops).  Same vote
+    and coverage semantics as audio_stream_near_dup; offsets are in
+    hop units (offset * hop = samples trimmed).
+
+    Returns (id_a, id_b, offset, matched_windows, comparable_windows).
+    Scale shape: see _offset_vote_pairs — banded candidates, never
+    all-pairs, one small-key vote aggregate, dim-sized counts; the
+    overlapped fan-out multiplies index rows by 2048/hop, not
+    candidate fan-out per row (hash-key occupancy still rules)."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    pieces = track_persist(
+        audio_overlap_piece_table(df, hop=hop, max_hamming=max_hamming,
+                                  payload_col=payload_col,
+                                  id_col=id_col)
+        .select(F.col("aid").alias("id"),
+                F.col("win_idx").alias("idx"), "sh", "q", "qv"))
+    out = _offset_vote_pairs(pieces, pieces, stride=1,
+                             max_hamming=max_hamming, directional=False)
+    return out.select(F.col("id_l").alias("id_a"),
+                      F.col("id_r").alias("id_b"), "offset",
+                      F.col("matched").alias("matched_windows"),
+                      F.col("comparable").alias("comparable_windows"))
+
+
+def cross_audio_overlap_near_dup(new: DataFrame, existing: DataFrame,
+                                 hop: int = AFP_HOP,
+                                 max_hamming: int = 2,
+                                 payload_col: str = "payload",
+                                 id_col: str = "media_id",
+                                 existing_is_piece_table: bool = False,
+                                 ) -> DataFrame:
+    """Directional (new-batch x landed-corpus) overlapped-framing
+    audio near-dup — the incremental ingest path: tonight's clips are
+    overlap-fingerprinted once and joined against the corpus's STORED
+    overlap piece table (audio_overlap_piece_table, persisted once;
+    pass ``existing_is_piece_table=True`` for that shape); the corpus
+    is never re-decoded or self-joined, so re-ingest is |new|-bounded.
+    Returns (new_id, old_id, offset, matched_windows,
+    comparable_windows) with offset in hop units = audio trimmed from
+    the NEW clip's head."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    npc = track_persist(
+        audio_overlap_piece_table(new, hop=hop, max_hamming=max_hamming,
+                                  payload_col=payload_col,
+                                  id_col=id_col)
+        .select(F.col("aid").alias("id"),
+                F.col("win_idx").alias("idx"), "sh", "q", "qv"))
+    epc = (existing if existing_is_piece_table
+           else audio_overlap_piece_table(existing, hop=hop,
+                                          max_hamming=max_hamming,
+                                          payload_col=payload_col,
+                                          id_col=id_col))
+    epc = epc.select(F.col("aid").alias("id"),
+                     F.col("win_idx").alias("idx"), "sh", "q", "qv")
+    out = _offset_vote_pairs(npc, epc, stride=1,
+                             max_hamming=max_hamming, directional=True)
+    return out.select(F.col("id_l").alias("new_id"),
+                      F.col("id_r").alias("old_id"), "offset",
+                      F.col("matched").alias("matched_windows"),
+                      F.col("comparable").alias("comparable_windows"))
+
+
+# ----------------------------------------------------------------------
+# video: DUAL-PARITY sampling (odd-trim tolerance at stride-2 defaults)
+# ----------------------------------------------------------------------
+
+
+def _offset_vote_pairs_dualgrid(grid: DataFrame, dense: DataFrame,
+                                max_hamming: int,
+                                directional: bool) -> DataFrame:
+    """Offset-vote rollup for the dual-parity video tier: the LEFT
+    side's positions sit on the even stride-2 grid (idx in {0, 2, 4,
+    ...}); the RIGHT side is DENSE (every frame hashed).  Votes and the
+    dominant offset work exactly as _offset_vote_pairs; only the
+    alignable-position count changes — comparable(t) = #{even j in
+    [0, n_left_frames) : 0 <= j -/+ t < m_right} (symmetric / 
+    directional), i.e. with a = j/2, na = |grid positions|:
+
+        symmetric  (t = idx_l - idx_r):
+            a in [max(0, ceil(t/2)),  min(na-1, floor((m_r-1+t)/2))]
+        directional (t = idx_r - idx_l):
+            a in [max(0, ceil(-t/2)), min(na-1, floor((m_r-1-t)/2))]
+
+    (both pinned against brute force in test_round13_ops).  Because
+    the right side is dense, ANY integer offset aligns — including the
+    odd trims the stride-2 grids are structurally blind to — while an
+    even offset reproduces the stride-2 matched/comparable numbers
+    exactly (same even-grid matches, same count; pinned)."""
+    from pyspark.sql import Window
+
+    votes = _offset_votes(grid, dense, max_hamming, directional)
+    w = Window.partitionBy("id_l", "id_r").orderBy(
+        F.col("matched").desc(), F.col("offset").asc())
+    dom = (votes.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") == 1).drop("_rk"))
+    cnt_g = (grid.select("id", "idx").distinct().groupBy("id")
+             .agg(F.count("*").alias("_na")))
+    cnt_d = (dense.select("id", "idx").distinct().groupBy("id")
+             .agg(F.count("*").alias("_nb")))
+    out = (dom
+           .join(cnt_g.withColumnRenamed("id", "id_l"), "id_l")
+           .join(cnt_d.withColumnRenamed("id", "id_r"), "id_r"))
+    t = F.col("offset")
+    sgn = F.lit(-1) if directional else F.lit(1)
+    lo = F.greatest(F.lit(0),
+                    F.ceil(sgn * t / F.lit(2.0)).cast("long"))
+    hi = F.least(F.col("_na") - 1,
+                 F.floor((F.col("_nb") - 1 + sgn * t) / F.lit(2.0))
+                 .cast("long"))
+    out = out.withColumn(
+        "comparable", F.greatest(F.lit(0), hi - lo + 1).cast("long"))
+    keep = F.col("matched") * 2 >= F.col("comparable")
+    return (out.filter((F.col("comparable") > 0) & keep)
+            .select("id_l", "id_r", "offset", "matched", "comparable"))
+
+
+def video_near_dup_dual(df: DataFrame, every_n: int = 2,
+                        max_hamming: int = 2,
+                        payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Temporal-offset-tolerant video near-dup with DUAL-PARITY
+    sampling: the piece table hashes EVERY frame (both parities of the
+    stride-2 grid) while votes are cast from the even grid — so a
+    re-upload trimmed by an ODD frame count (one dropped leader frame,
+    the classic re-encode artifact) is caught under the default
+    parameters, where video_near_dup_offset's stride-2 grids shift off
+    each other and provably miss (pinned in test_round13_ops).  For
+    even trims and same-position re-uploads the reported (offset,
+    matched, comparable) are IDENTICAL to video_near_dup_offset's
+    (also pinned): the dense side only adds odd-frame rows that an
+    even-offset dominant alignment never touches.
+
+    Returns (id_a, id_b, offset, matched_frames, comparable_frames)
+    with offset in frame units, any integer; the smaller id is the
+    voting (even-grid) side.  Only every_n=2 is supported — at larger
+    strides "both parities" no longer spans all residues and the
+    blind spot returns; sample every_n=1 there instead.
+
+    100 TB shape: the piece index doubles (every frame vs every 2nd)
+    — that is the explicit recall/cost dial — but candidate fan-out
+    stays hash-key-occupancy-bounded, the vote is one small-key
+    groupBy, counts are dim-sized, pixels never shuffle."""
+    if int(every_n) != 2:
+        raise ValueError(
+            "dual-parity sampling is defined for every_n=2; use "
+            "video_near_dup_offset(every_n=1) for arbitrary strides")
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    dense = track_persist(_video_pieces_std(df, 1, max_hamming,
+                                            payload_col, id_col))
+    grid = dense.filter(F.col("idx") % 2 == 0)
+    out = _offset_vote_pairs_dualgrid(grid, dense,
+                                      max_hamming=max_hamming,
+                                      directional=False)
+    return out.select(F.col("id_l").alias("id_a"),
+                      F.col("id_r").alias("id_b"), "offset",
+                      F.col("matched").alias("matched_frames"),
+                      F.col("comparable").alias("comparable_frames"))
+
+
+def cross_video_near_dup_dual(new: DataFrame, existing: DataFrame,
+                              every_n: int = 2, max_hamming: int = 2,
+                              payload_col: str = "payload",
+                              id_col: str = "media_id",
+                              existing_is_piece_table: bool = False,
+                              ) -> DataFrame:
+    """Directional (new-batch x landed-corpus) dual-parity video
+    near-dup: tonight's videos are hashed at the CHEAP stride-2 grid
+    (half the decode/hash volume of the corpus side) and joined
+    against the corpus's DENSE stored piece table
+    (video_frame_piece_table at every_n=1 — a superset of the stride-2
+    index, so the same persisted table also serves the same-position
+    and even-offset matchers by filtering idx % 2 = 0).  An odd-trimmed
+    new upload lands on the corpus's odd frames and is caught; the
+    corpus is never re-decoded or self-joined.
+
+    Returns (new_id, old_id, offset, matched_frames,
+    comparable_frames), offset = frames trimmed from the NEW video's
+    head (any integer)."""
+    if int(every_n) != 2:
+        raise ValueError(
+            "dual-parity sampling is defined for every_n=2; use "
+            "cross_video_near_dup_offset(every_n=1) for arbitrary "
+            "strides")
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    npc = track_persist(_video_pieces_std(new, 2, max_hamming,
+                                          payload_col, id_col))
+    epc = (existing.select(F.col("vid").alias("id"),
+                           F.col("frame_idx").alias("idx"),
+                           "sh", "q", "qv")
+           if existing_is_piece_table
+           else _video_pieces_std(existing, 1, max_hamming,
+                                  payload_col, id_col))
+    out = _offset_vote_pairs_dualgrid(npc, epc,
+                                      max_hamming=max_hamming,
+                                      directional=True)
+    return out.select(F.col("id_l").alias("new_id"),
+                      F.col("id_r").alias("old_id"), "offset",
+                      F.col("matched").alias("matched_frames"),
+                      F.col("comparable").alias("comparable_frames"))

@@ -1901,12 +1901,12 @@ def stream_audio_near_dup(sdf: DataFrame, id_col: str = "media_id",
     from pyspark.sql.functions import pandas_udf
 
     from fsharp_dataframe_spark.functions.multimodal import (
-        _afp_from_samples, _decode_wav_samples,
+        AFP_SR, _afp_from_samples, _decode_wav_samples,
     )
 
     @pandas_udf("long")
     def afp(payloads: pd.Series) -> pd.Series:
-        out = [_afp_from_samples(_decode_wav_samples(p))
+        out = [_afp_from_samples(_decode_wav_samples(p, target_sr=AFP_SR))
                for p in payloads]
         return pd.Series(out, dtype="Int64")
 
@@ -2075,14 +2075,14 @@ def stream_audio_window_near_dup(sdf: DataFrame,
     from pyspark.sql.functions import pandas_udf
 
     from fsharp_dataframe_spark.functions.multimodal import (
-        _afp_all_windows, _decode_wav_samples,
+        AFP_SR, _afp_all_windows, _decode_wav_samples,
     )
 
     @pandas_udf("array<struct<win_idx:int, sh:long>>")
     def awf(payloads: pd.Series) -> pd.Series:
         rows = []
         for p in payloads:
-            fps = _afp_all_windows(_decode_wav_samples(p))
+            fps = _afp_all_windows(_decode_wav_samples(p, target_sr=AFP_SR))
             rows.append([{"win_idx": i, "sh": fp}
                          for i, fp in enumerate(fps)])
         return pd.Series(rows)

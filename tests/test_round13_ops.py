@@ -90,3 +90,350 @@ def test_read_index_table_casts_string_partition_cols(spark, tmp_path):
         assert back.count() == pt.count()
     finally:
         spark.conf.set(key, old)
+
+
+# ----------------------------------------------------------------------
+# overlapped-hop audio framing
+# ----------------------------------------------------------------------
+
+
+def test_afp_windows_hop_reduces_to_nonoverlap_and_fast_path():
+    import numpy as np
+
+    i = 3
+    pats = [M._afp_stream_pattern(i, w) for w in range(4)]
+    s = np.concatenate([M._synth_fp_window(p) for p in pats])
+    assert M._afp_windows_hop(s, M.AFP_FRAME) == M._afp_all_windows(s)
+    assert M._afp_windows_hop(s, M.AFP_HOP)[0] == M._afp_from_samples(s)
+    assert M._afp_windows_hop(None, M.AFP_HOP) == []
+    assert M._afp_windows_hop(s[: M.AFP_FRAME - 1], M.AFP_HOP) == []
+
+
+def test_overlapped_fingerprints_are_pattern_byte_assemblies():
+    # window at hop h starts at frame 2h; each 256-sample synth frame
+    # independently encodes its 8 pattern bits, so the overlapped
+    # fingerprint is the byte concatenation of adjacent block patterns
+    import numpy as np
+
+    i, nw = 3, 5
+    pats = [M._afp_stream_pattern(i, w) for w in range(nw)]
+    s = np.concatenate([M._synth_fp_window(p) for p in pats])
+    fps = M._afp_windows_hop(s, M.AFP_HOP)
+    assert len(fps) == 4 * nw - 3
+    hopf = M.AFP_HOP // M.AFP_WIN
+    for h, fp in enumerate(fps):
+        u = 0
+        for j in range(8):
+            f = h * hopf + j
+            w, r = divmod(f, 8)
+            u |= ((pats[w] >> (r * 8)) & 255) << (8 * j)
+        if u >= 1 << 63:
+            u -= 1 << 64
+        assert fp == u, h
+
+
+def _audio_corpus_with_sample_trims(spark, n, trim=1024, mod=4, res=2):
+    media = M.make_fake_audio_stream_media(spark, n)
+    clones = (M.trim_audio_head(
+        media.filter(F.col("media_id") % mod == res), trim)
+        .withColumn("media_id", F.col("media_id") + n))
+    return media, clones, media.unionByName(clones)
+
+
+def test_audio_overlap_catches_subwindow_trim_nonoverlap_misses(spark):
+    n = 24
+    media, clones, corpus = _audio_corpus_with_sample_trims(spark, n)
+    # the planted trim is 1024 samples = 2 hops, NOT a window multiple:
+    # the non-overlapping framing provably misses every planted pair
+    miss = {(r["id_a"], r["id_b"])
+            for r in M.audio_stream_near_dup(corpus).collect()}
+    planted = {(i, i + n) for i in range(n)
+               if i % 4 == 2 and M.audio_stream_window_count(i) >= 2}
+    assert not (miss & planted)
+    # overlapped framing catches them at offset 2 (hop units) with
+    # full coverage
+    got = {(r["id_a"], r["id_b"]):
+           (r["offset"], r["matched_windows"], r["comparable_windows"])
+           for r in M.audio_overlap_near_dup(corpus).collect()}
+    for a, b in planted:
+        off, m, c = got[(a, b)]
+        nw = M.audio_stream_window_count(a)
+        assert off == 2 and m == c == 4 * nw - 5, (a, b, off, m, c)
+    # and still reports the fixture's own window-trimmed plants
+    # (i % 6 == 5: one full window = 4 hops)
+    for i in range(n):
+        if i % 6 == 5:
+            assert got[(i - 1, i)][0] == 4
+
+
+def test_cross_audio_overlap_near_dup_directional(spark):
+    n = 24
+    media, clones, corpus = _audio_corpus_with_sample_trims(spark, n)
+    got = {(r["new_id"], r["old_id"]): r["offset"]
+           for r in M.cross_audio_overlap_near_dup(clones, media)
+           .collect()}
+    planted = {(i + n, i): 2 for i in range(n)
+               if i % 4 == 2 and M.audio_stream_window_count(i) >= 2}
+    for k, v in planted.items():
+        assert got[k] == v
+    # stored-index shape: corpus joined as a persisted piece table
+    pt = (M.audio_overlap_piece_table(media))
+    got2 = {(r["new_id"], r["old_id"]): r["offset"]
+            for r in M.cross_audio_overlap_near_dup(
+                clones, pt, existing_is_piece_table=True).collect()}
+    assert got2 == got
+
+
+def test_trim_audio_head_meta_and_degradation(spark):
+    media = M.make_fake_audio_stream_media(spark, 14)
+    t = M.trim_audio_head(media, 1024)
+    for r in t.collect():
+        nw = M.audio_stream_window_count(r["media_id"])
+        if nw * M.AFP_FRAME > 1024:
+            assert r["payload"] is not None
+            s = M._decode_wav_samples(r["payload"])
+            assert len(s) == nw * M.AFP_FRAME - 1024
+            assert r["meta"]["n_frames"] == nw * M.AFP_FRAME - 1024
+        else:
+            assert r["payload"] is None
+            assert r["meta"]["n_frames"] == 0
+    bad = spark.createDataFrame(
+        [(0, bytearray(b"NOTAWAV"), None)], M.MEDIA_SCHEMA)
+    assert M.trim_audio_head(bad, 8).collect()[0]["payload"] is None
+
+
+# ----------------------------------------------------------------------
+# sample-rate robustness (the r12 re-encode probe, resolved)
+# ----------------------------------------------------------------------
+
+
+def test_resampled_reencode_fingerprints_exactly_match(spark):
+    n = 18
+    media = M.make_fake_audio_stream_media(spark, n)
+    for sr in (16000, 44100):
+        clones = M.resample_audio(media, sr)
+        src = {(r["media_id"], r["win_idx"]): r["afp"]
+               for r in M.audio_window_fingerprints(media)
+               .filter("decode_ok").collect()}
+        got = {(r["media_id"], r["win_idx"]): r["afp"]
+               for r in M.audio_window_fingerprints(clones)
+               .filter("decode_ok").collect()}
+        # rate normalization reproduces the canonical fingerprints
+        # EXACTLY for linearly-resampled re-encodes
+        assert got == src, sr
+
+
+def test_unnormalized_decode_misses_resampled_clips():
+    # the pinned r12 probe: without rate normalization a re-encoded
+    # clip's bands rescale and every fingerprint misses by >> 2 bits
+    import numpy as np
+
+    i = 2
+    pats = [M._afp_stream_pattern(i, w) for w in range(4)]
+    s = np.concatenate([M._synth_fp_window(p) for p in pats]).astype(
+        np.float64)
+    up = np.round(M._resample_linear(s, 8000, 16000))
+    raw = M._afp_all_windows(up)  # fingerprinted at the WRONG rate
+    orig = M._afp_all_windows(s)
+    for a in raw[:4]:
+        assert min(bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                   for b in orig) > 2
+
+
+def test_audio_stream_near_dup_catches_rate_reencodes(spark):
+    n = 18
+    media = M.make_fake_audio_stream_media(spark, n)
+    clones = (M.resample_audio(media.filter(F.col("media_id") % 9 == 4),
+                               16000)
+              .withColumn("media_id", F.col("media_id") + n))
+    got = {(r["id_a"], r["id_b"]):
+           (r["offset"], r["matched_windows"], r["comparable_windows"])
+           for r in M.audio_stream_near_dup(
+               media.unionByName(clones)).collect()}
+    for i in range(n):
+        if i % 9 == 4:
+            off, m, c = got[(i, i + n)]
+            nw = M.audio_stream_window_count(i)
+            assert off == 0 and m == c == nw
+
+
+# ----------------------------------------------------------------------
+# dual-parity video sampling
+# ----------------------------------------------------------------------
+
+
+def _video_corpus_with_odd_trims(spark, n, mod=5, res=1):
+    media = M.make_fake_video_media(spark, n)
+    clones = (M.trim_video_head(
+        media.filter(F.col("media_id") % mod == res), 1)
+        .withColumn("media_id", F.col("media_id") + n))
+    return media, clones, media.unionByName(clones)
+
+
+def test_video_dual_catches_odd_trim_stride2_misses(spark):
+    n = 40
+    media, clones, corpus = _video_corpus_with_odd_trims(spark, n)
+    planted = {(i, i + n) for i in range(n)
+               if i % 5 == 1 and M.video_frame_count(i) >= 3}
+    # the stride-2 grids shift off each other on an odd trim: provably
+    # missed by the r12 offset matcher under default parameters
+    miss = {(r["id_a"], r["id_b"])
+            for r in M.video_near_dup_offset(corpus, every_n=2)
+            .collect()}
+    assert not (miss & planted)
+    got = {(r["id_a"], r["id_b"]):
+           (r["offset"], r["matched_frames"], r["comparable_frames"])
+           for r in M.video_near_dup_dual(corpus).collect()}
+    for a, b in planted:
+        off, m, c = got[(a, b)]
+        mfr = M.video_frame_count(a)
+        assert off == 1, (a, b)
+        assert m == c == (mfr - 1) // 2, (a, b, m, c)
+
+
+def test_video_dual_matches_offset_matcher_on_even_and_same(spark):
+    # for same-position re-uploads and even trims the dual matcher's
+    # (offset, matched, comparable) are IDENTICAL to the r12 stride-2
+    # offset matcher's
+    n = 40
+    media = M.make_fake_video_media(spark, n)
+    eclones = (M.trim_video_head(media.filter(F.col("media_id") % 7 == 3),
+                                 2)
+               .withColumn("media_id", F.col("media_id") + n))
+    corpus = media.unionByName(eclones)
+    off = {(r["id_a"], r["id_b"]):
+           (r["offset"], r["matched_frames"], r["comparable_frames"])
+           for r in M.video_near_dup_offset(corpus, every_n=2).collect()}
+    dual = {(r["id_a"], r["id_b"]):
+            (r["offset"], r["matched_frames"], r["comparable_frames"])
+            for r in M.video_near_dup_dual(corpus).collect()}
+    assert off == dual
+
+
+def test_cross_video_near_dup_dual_directional(spark):
+    n = 40
+    media, clones, corpus = _video_corpus_with_odd_trims(spark, n)
+    got = {(r["new_id"], r["old_id"]): r["offset"]
+           for r in M.cross_video_near_dup_dual(clones, media).collect()}
+    for i in range(n):
+        if i % 5 == 1 and M.video_frame_count(i) >= 3:
+            assert got[(i + n, i)] == 1
+    # dense stored-index shape (the every_n=1 piece table serves the
+    # same-position, even-offset AND dual matchers)
+    pt = M.video_frame_piece_table(media, every_n=1)
+    got2 = {(r["new_id"], r["old_id"]): r["offset"]
+            for r in M.cross_video_near_dup_dual(
+                clones, pt, existing_is_piece_table=True).collect()}
+    assert got2 == got
+
+
+def test_dualgrid_comparable_formula_matches_brute_force():
+    """The dual-parity alignable-count formulas (even grid vs dense)
+    against brute force, both directions, dense (n_l, m_r, t) grid."""
+    import math
+
+    for n_l in range(1, 10):
+        na = (n_l + 1) // 2
+        for m_r in range(1, 10):
+            for t in range(-11, 12):
+                brute = sum(1 for j in range(0, n_l, 2)
+                            if 0 <= j - t < m_r)
+                lo = max(0, math.ceil(t / 2))
+                hi = min(na - 1, (m_r - 1 + t) // 2)
+                assert brute == max(0, hi - lo + 1), (n_l, m_r, t)
+                bruted = sum(1 for j in range(0, n_l, 2)
+                             if 0 <= j + t < m_r)
+                lo = max(0, math.ceil(-t / 2))
+                hi = min(na - 1, (m_r - 1 - t) // 2)
+                assert bruted == max(0, hi - lo + 1), (n_l, m_r, t)
+
+
+def test_dual_parity_rejects_other_strides():
+    with pytest.raises(ValueError):
+        M.video_near_dup_dual(None, every_n=4)
+    with pytest.raises(ValueError):
+        M.cross_video_near_dup_dual(None, None, every_n=1)
+
+
+# ----------------------------------------------------------------------
+# index retirement (delete_index_rows — the takedown path)
+# ----------------------------------------------------------------------
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols)
+                  for r in df.select(*cols).collect())
+
+
+def test_delete_index_rows_equals_rebuild_without(spark, tmp_path):
+    from fsharp_dataframe_spark.functions.index_store import (
+        delete_index_rows, read_index_table, save_index_table,
+    )
+
+    n = 48
+    media = M.make_fake_video_media(spark, n)
+    path = str(tmp_path / "pieces")
+    save_index_table(M.video_frame_piece_table(media, every_n=2),
+                     path, partition_by=("q",))
+    gone = [i for i in range(n) if i % 5 == 4]
+    delete_index_rows(spark, path, gone, id_col="vid",
+                      partition_by=("q",))
+    cols = ["vid", "frame_idx", "sh", "q", "qv"]
+    rebuilt = M.video_frame_piece_table(
+        media.filter(F.col("media_id") % 5 != 4), every_n=2)
+    assert _sorted_rows(read_index_table(spark, path), cols) \
+        == _sorted_rows(rebuilt, cols)
+    # matcher equality over the retired index: a new batch matched
+    # against the deleted-from table equals a match against a fresh
+    # index of the surviving corpus
+    batch = (M.trim_video_head(media.filter(F.col("media_id") % 8 == 6),
+                               2)
+             .withColumn("media_id", F.col("media_id") + n))
+    stored = read_index_table(spark, path)
+    got = _sorted_rows(M.cross_video_near_dup_offset(
+        batch, stored, existing_is_piece_table=True),
+        ["new_id", "old_id", "offset"])
+    fresh = _sorted_rows(M.cross_video_near_dup_offset(
+        batch, media.filter(F.col("media_id") % 5 != 4)),
+        ["new_id", "old_id", "offset"])
+    assert got == fresh
+    # deleting ids the index never held is a no-op
+    before = _sorted_rows(read_index_table(spark, path), cols)
+    delete_index_rows(spark, path, [10_000, 10_001], id_col="vid")
+    assert _sorted_rows(read_index_table(spark, path), cols) == before
+
+
+def test_delete_index_rows_cosine_buckets(spark, tmp_path, sf_dir):
+    from fsharp_dataframe_spark.functions.index_store import (
+        delete_index_rows, read_index_table, save_index_table,
+    )
+    from fsharp_dataframe_spark.functions.similarity import (
+        cosine_bucket_table,
+    )
+    from fsharp_dataframe_spark.sources.parquet import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    path = str(tmp_path / "buckets")
+    save_index_table(cosine_bucket_table(emb), path,
+                     partition_by=("tbl",))
+    gone = emb.filter(F.col("vec_id") % 4 == 1).select("vec_id")
+    delete_index_rows(spark, path, gone, id_col="vec_id",
+                      partition_by=("tbl",))
+    cols = ["vec_id", "tbl", "bucket"]
+    rebuilt = cosine_bucket_table(emb.filter(F.col("vec_id") % 4 != 1))
+    assert _sorted_rows(read_index_table(spark, path), cols) \
+        == _sorted_rows(rebuilt, cols)
+
+
+def test_delete_index_rows_drops_emptied_partitions(spark, tmp_path):
+    from fsharp_dataframe_spark.functions.index_store import (
+        delete_index_rows, read_index_table, save_index_table,
+    )
+
+    media = M.make_fake_video_media(spark, 6)
+    path = str(tmp_path / "pieces")
+    save_index_table(M.video_frame_piece_table(media, every_n=2),
+                     path, partition_by=("q",))
+    # retiring EVERY id empties all partitions; stale dirs must go
+    delete_index_rows(spark, path, list(range(6)), id_col="vid")
+    assert read_index_table(spark, path).count() == 0
