@@ -3121,13 +3121,31 @@ EXTRA_QUERIES = (
     "scd2_pit", "rolling_median", "market_beta", "quantile_bins",
     "salted_agg", "phrase_hits", "fuzzy_names", "token_budget",
     "psi_drift", "snapshot_diff", "gap_report",
-    # ROUND-13 ROTATION PLAN: the round-12 newcomers below (each
-    # locally three-SF oracle-green since r12) rotate into the driver
-    # window next round, swapping out r11+r12-double-green veterans
+    # ROUND-13 ROTATION (VERDICT r12 ask #1, executed): the 7
+    # round-12 newcomers (audio_stream_dedup/incr, video_offset_dedup/
+    # incr, audio/video snippet search, video_segments) ENTER the
+    # driver window to earn their first driver rows, so the r12 u r13
+    # CORRECTNESS union covers all 197 pre-round-13 queries.  The 7
+    # veterans rotated OUT below are each r11+r12-DOUBLE-green in the
+    # driver's own CORRECTNESS JSONs, and every rotated shape keeps an
+    # in-window sibling: image_near_dup (banded dHash pair join) ->
+    # image_dedup_clusters + image_incr_dedup (in-window) + the seven
+    # incoming banded offset/containment tiers; containment_pairs
+    # (n-gram containment join) -> source_overlap + ngram_novelty;
+    # tpch_q17 (correlated scalar-avg subquery) -> tpch_q2 (correlated
+    # min) + tpch_q20 (nested scalar agg); tpch_q18 (group-having
+    # semi) -> tpch_q10/q20/q21; tpch_q22 (anti-join + scalar avg) ->
+    # tpch_q16 (not-in) + tpch_q21 (exists/anti); trimmed_mean
+    # (per-group ordered trim) -> mad_outliers + interval_burst;
+    # classifier_auc (rank/window agg) -> rank_features + zipf_fit:
+    "image_near_dup", "containment_pairs", "tpch_q17", "tpch_q18",
+    "tpch_q22", "trimmed_mean", "classifier_auc",
+    # ROUND-14 ROTATION PLAN: the round-13 newcomers below (each
+    # locally three-SF oracle-green since r13) rotate into the driver
+    # window next round, swapping out r12+r13-double-green veterans
     # with in-window siblings, exactly as every round since r7:
-    "audio_stream_dedup", "audio_stream_incr",
-    "video_offset_dedup", "video_offset_incr", "audio_snippet_search",
-    "video_snippet_search", "video_segments")
+    "audio_overlap_dedup", "audio_overlap_incr", "audio_rate_dedup",
+    "video_dual_dedup", "video_dual_incr")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4256,6 +4274,164 @@ def q_video_segments(spark, sf) -> DataFrame:
             .orderBy("id_a", "id_b", "offset"))
 
 
+
+
+def q_audio_overlap_dedup(spark, sf) -> DataFrame:
+    """Overlapped-hop whole-stream audio near-dup
+    (multimodal.audio_overlap_near_dup): one 64-bit spectral-band
+    fingerprint per 2048-sample window every 512 samples (hop =
+    window/4, the actual Haitsma-Kalker sub-fingerprint stream) over
+    the multi-window WAV fixture UNION 1024-sample head-trimmed
+    re-uploads built through the REAL decode + re-encode transform
+    (multimodal.trim_audio_head).  The planted trim is two hops but
+    NOT a window multiple: the r12 non-overlapping framing provably
+    misses every planted pair (its window grid shifts off the
+    original's and every fingerprint scrambles ~30 bits — pinned in
+    tests/test_round13_ops.py), while the overlapped framing matches
+    them at offset 2 hop units with full coverage.
+
+    The oracle replays the overlapped framing CLOSED FORM: each
+    256-sample synth frame independently encodes 8 pattern bits, so
+    the fingerprint of the window starting at frame 2h is the byte
+    concatenation of adjacent block patterns (property-pinned) —
+    assembled in unsigned HUGEINT space (masked pieces and popcounts
+    are two's-complement-invariant), then banding, the offset vote
+    and the coverage rule verbatim.
+
+    100 TB shape: identical to audio_stream_dedup — samples never
+    shuffle, ONE vectorized rFFT per clip covers all windows, the
+    overlapped fan-out multiplies index rows 4x (the explicit
+    recall/cost dial), candidates stay hash-key-occupancy-bounded."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_overlap_near_dup, cached_audio_stream_media,
+        trim_audio_head,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    clones = (trim_audio_head(media.filter(F.col("media_id") % 4 == 2),
+                              1024)
+              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    corpus = media.unionByName(clones)
+    return (audio_overlap_near_dup(corpus, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+def q_audio_overlap_incr(spark, sf) -> DataFrame:
+    """Directional incremental overlapped-hop audio near-dup
+    (multimodal.cross_audio_overlap_near_dup): the 1024-sample-trimmed
+    re-uploads play a nightly batch deduplicated against the full
+    fixture playing the landed corpus — the batch's overlapped pieces
+    joined against the corpus's STORED overlap piece table shape
+    (audio_overlap_piece_table, persisted once in production); the
+    corpus is never re-decoded or self-joined, so re-ingest is
+    |new|-bounded.  Offset is reported in hop units = 512-sample
+    steps trimmed from the new clip's head (2 for every planted
+    clone).  Oracle: the overlapped closed form, directional split."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_audio_stream_media, cross_audio_overlap_near_dup,
+        trim_audio_head,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    clones = (trim_audio_head(media.filter(F.col("media_id") % 4 == 2),
+                              1024)
+              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    return (cross_audio_overlap_near_dup(clones, media, max_hamming=2)
+            .orderBy("new_id", "old_id"))
+
+
+def q_audio_rate_dedup(spark, sf) -> DataFrame:
+    """Sample-rate-robust whole-stream audio near-dup: every 9th clip
+    is RE-ENCODED AT 16 kHz through the real resample transform
+    (multimodal.resample_audio — linear interpolation, new WAV header)
+    and the offset-vote matcher catches each re-encode at offset 0
+    with full coverage, because the decode tier rate-normalizes to
+    the canonical 8 kHz (multimodal._decode_wav_samples(target_sr=)).
+    Without normalization the re-encode's spectral bands rescale and
+    every fingerprint misses by ~30 bits (the r12 robustness probe,
+    pinned in tests/test_round13_ops.py); with it the normalized
+    fingerprints are BIT-IDENTICAL to the source's (pinned), which is
+    exactly what the oracle replays: clone windows = source windows,
+    then banding, vote and coverage verbatim.
+
+    100 TB shape: normalization is one np.interp inside the existing
+    decode pass — no new shuffle, no new pass over the payload."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_stream_near_dup, cached_audio_stream_media,
+        resample_audio,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    clones = (resample_audio(media.filter(F.col("media_id") % 9 == 4),
+                             16000)
+              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    corpus = media.unionByName(clones)
+    return (audio_stream_near_dup(corpus, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+def q_video_dual_dedup(spark, sf) -> DataFrame:
+    """DUAL-PARITY offset-tolerant video near-dup
+    (multimodal.video_near_dup_dual) over the closed-form video
+    fixture UNION ONE-frame head-trimmed re-uploads (the classic
+    dropped-leader-frame re-encode artifact) built through the real
+    container transform (trim_video_head).  The piece table hashes
+    EVERY frame while votes are cast from the even stride-2 grid: an
+    odd trim shifts the stride-2 grids off each other, so the r12
+    offset matcher provably misses every planted pair under default
+    parameters (pinned in tests/test_round13_ops.py) — the dense
+    side catches them at offset 1, while same-position and even-trim
+    pairs report numbers IDENTICAL to video_near_dup_offset (also
+    pinned).  The oracle replays trim, dense/grid split, banding,
+    popcount, the dual-grid alignable-count formulas (brute-force
+    pinned) and the coverage rule verbatim.
+
+    100 TB shape: the piece index doubles (every frame vs every 2nd
+    — the explicit recall/cost dial); candidates stay
+    hash-key-occupancy-bounded, the vote is one small-key groupBy,
+    pixels never shuffle."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, trim_video_head, video_near_dup_dual,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    clones = (trim_video_head(media.filter(F.col("media_id") % 5 == 1),
+                              1)
+              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    corpus = media.unionByName(clones)
+    return (video_near_dup_dual(corpus, every_n=2, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+def q_video_dual_incr(spark, sf) -> DataFrame:
+    """Directional incremental dual-parity video near-dup
+    (multimodal.cross_video_near_dup_dual): the one-frame-trimmed
+    re-uploads play a nightly batch hashed at the CHEAP stride-2 grid
+    and joined against the corpus's DENSE stored piece table
+    (video_frame_piece_table at every_n=1 — a superset of the
+    stride-2 index, so one persisted table serves the same-position,
+    even-offset AND dual matchers); the corpus is never re-decoded or
+    self-joined.  Offset = frames trimmed from the new video's head
+    (1 for every planted clone, an odd value no stride-2 grid pair
+    can express)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, cross_video_near_dup_dual, trim_video_head,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    clones = (trim_video_head(media.filter(F.col("media_id") % 5 == 1),
+                              1)
+              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    return (cross_video_near_dup_dual(clones, media, every_n=2,
+                                      max_hamming=2)
+            .orderBy("new_id", "old_id"))
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_agg": q_group_agg,
@@ -4334,6 +4510,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snippet_search": q_audio_snippet_search,
         "video_snippet_search": q_video_snippet_search,
         "video_segments": q_video_segments,
+        "audio_overlap_dedup": q_audio_overlap_dedup,
+        "audio_overlap_incr": q_audio_overlap_incr,
+        "audio_rate_dedup": q_audio_rate_dedup,
+        "video_dual_dedup": q_video_dual_dedup,
+        "video_dual_incr": q_video_dual_incr,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -6190,6 +6371,363 @@ def _all_oracle_sql() -> dict[str, str]:
                    matched AS matched_frames
             FROM vv WHERE matched >= 2
             ORDER BY id_a, id_b, "offset"
+        """,
+        # overlapped-hop framing replay, in unsigned HUGEINT space
+        # (BIGINT << overflows; masked pieces and popcounts are
+        # two's-complement-invariant): each 256-sample synth frame
+        # encodes 8 pattern bits, so the fingerprint of the window
+        # starting at frame 2h is the byte concatenation of adjacent
+        # block patterns (property-pinned in test_round13_ops); base
+        # streams have 4*nw-3 hop windows, the 1024-sample-trimmed
+        # clones (i % 4 = 2, nw >= 2) shift the grid by exactly 2 hops
+        "audio_overlap_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i,
+                         CASE WHEN j % 6 = 5 THEN ((j - 1) % 5) + 1
+                              ELSE (j % 5) + 2 END AS nw
+                  FROM m),
+            blk AS (SELECT i, unnest(range(0, nw)) AS w FROM a),
+            p AS (SELECT i, w,
+                     (CASE WHEN i % 6 = 5 THEN
+                       ('0x' || substr(md5('s' || (i-1)::VARCHAR
+                          || '_' || (w+1)::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('s' || i::VARCHAR
+                          || '_' || w::VARCHAR), 1, 15))::BIGINT
+                     END)::HUGEINT AS ph
+                  FROM blk),
+            fb AS (SELECT i, w * 8 + r AS f,
+                          ((ph >> (r * 8)) & 255) AS byte
+                   FROM (SELECT i, w, ph,
+                                unnest(range(0, 8)) AS r FROM p)),
+            wn AS (SELECT i, unnest(range(0, 4 * nw - 3)) AS h FROM a),
+            wb AS (SELECT wn.i AS i, wn.h AS h,
+                          sum(fb.byte << (8 * (fb.f - 2 * wn.h)))
+                            ::HUGEINT AS u
+                   FROM wn JOIN fb ON fb.i = wn.i
+                        AND fb.f BETWEEN 2 * wn.h AND 2 * wn.h + 7
+                   GROUP BY 1, 2),
+            aw AS (SELECT i::BIGINT AS id, h, u FROM wb
+                   UNION ALL
+                   SELECT (wb.i + (SELECT count(*) FROM documents))
+                            ::BIGINT AS id, (wb.h - 2) AS h, wb.u
+                   FROM wb JOIN a ON a.i = wb.i
+                   WHERE wb.i % 4 = 2 AND a.nw >= 2 AND wb.h >= 2),
+            q AS (SELECT id, h, u,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([(u & 4194303)::BIGINT,
+                                 ((u >> 22) & 2097151)::BIGINT,
+                                 ((u >> 43) & 2097151)::BIGINT]) AS qv
+                  FROM aw),
+            cand AS (SELECT DISTINCT a1.id AS id_a, b2.id AS id_b,
+                            a1.h AS ha, b2.h AS hb
+                     FROM q a1 JOIN q b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.id < b2.id
+                     WHERE bit_count(xor(a1.u, b2.u)) <= 2),
+            vv AS (SELECT id_a, id_b, (ha - hb)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ct AS (SELECT id, count(*)::BIGINT AS ns FROM aw
+                   GROUP BY 1),
+            f AS (SELECT d.id_a, d.id_b, d.dlt AS "offset", d.matched,
+                         greatest(0, least(cb.ns - 1, ca.ns - 1 - d.dlt)
+                                  - greatest(0, -d.dlt) + 1)::BIGINT
+                           AS comparable
+                  FROM d JOIN ct ca ON ca.id = d.id_a
+                         JOIN ct cb ON cb.id = d.id_b
+                  WHERE d.rk = 1)
+            SELECT id_a, id_b, "offset",
+                   matched AS matched_windows,
+                   comparable AS comparable_windows
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY id_a, id_b
+        """,
+        # directional replay: the trimmed clones are the new batch,
+        # the full fixture the landed corpus; offset = h_old - h_new
+        "audio_overlap_incr": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i,
+                         CASE WHEN j % 6 = 5 THEN ((j - 1) % 5) + 1
+                              ELSE (j % 5) + 2 END AS nw
+                  FROM m),
+            blk AS (SELECT i, unnest(range(0, nw)) AS w FROM a),
+            p AS (SELECT i, w,
+                     (CASE WHEN i % 6 = 5 THEN
+                       ('0x' || substr(md5('s' || (i-1)::VARCHAR
+                          || '_' || (w+1)::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('s' || i::VARCHAR
+                          || '_' || w::VARCHAR), 1, 15))::BIGINT
+                     END)::HUGEINT AS ph
+                  FROM blk),
+            fb AS (SELECT i, w * 8 + r AS f,
+                          ((ph >> (r * 8)) & 255) AS byte
+                   FROM (SELECT i, w, ph,
+                                unnest(range(0, 8)) AS r FROM p)),
+            wn AS (SELECT i, unnest(range(0, 4 * nw - 3)) AS h FROM a),
+            wb AS (SELECT wn.i AS i, wn.h AS h,
+                          sum(fb.byte << (8 * (fb.f - 2 * wn.h)))
+                            ::HUGEINT AS u
+                   FROM wn JOIN fb ON fb.i = wn.i
+                        AND fb.f BETWEEN 2 * wn.h AND 2 * wn.h + 7
+                   GROUP BY 1, 2),
+            nw_t AS (SELECT (wb.i + (SELECT count(*) FROM documents))
+                              ::BIGINT AS id, (wb.h - 2) AS h, wb.u
+                     FROM wb JOIN a ON a.i = wb.i
+                     WHERE wb.i % 4 = 2 AND a.nw >= 2 AND wb.h >= 2),
+            ow_t AS (SELECT i::BIGINT AS id, h, u FROM wb),
+            qn AS (SELECT id, h, u,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([(u & 4194303)::BIGINT,
+                                  ((u >> 22) & 2097151)::BIGINT,
+                                  ((u >> 43) & 2097151)::BIGINT]) AS qv
+                   FROM nw_t),
+            qo AS (SELECT id, h, u,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([(u & 4194303)::BIGINT,
+                                  ((u >> 22) & 2097151)::BIGINT,
+                                  ((u >> 43) & 2097151)::BIGINT]) AS qv
+                   FROM ow_t),
+            cand AS (SELECT DISTINCT a1.id AS new_id, b2.id AS old_id,
+                            a1.h AS hn, b2.h AS ho
+                     FROM qn a1 JOIN qo b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.id <> b2.id
+                     WHERE bit_count(xor(a1.u, b2.u)) <= 2),
+            vv AS (SELECT new_id, old_id, (ho - hn)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (
+                         PARTITION BY new_id, old_id
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            cn AS (SELECT id, count(*)::BIGINT AS ns FROM nw_t
+                   GROUP BY 1),
+            co AS (SELECT id, count(*)::BIGINT AS ns FROM ow_t
+                   GROUP BY 1),
+            f AS (SELECT d.new_id, d.old_id, d.dlt AS "offset",
+                         d.matched,
+                         greatest(0, least(c1.ns - 1, c2.ns - 1 - d.dlt)
+                                  - greatest(0, -d.dlt) + 1)::BIGINT
+                           AS comparable
+                  FROM d JOIN cn c1 ON c1.id = d.new_id
+                         JOIN co c2 ON c2.id = d.old_id
+                  WHERE d.rk = 1)
+            SELECT new_id, old_id, "offset",
+                   matched AS matched_windows,
+                   comparable AS comparable_windows
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY new_id, old_id
+        """,
+        # rate-normalized decode replay: a 16 kHz linear re-encode
+        # fingerprints BIT-IDENTICALLY to its 8 kHz source (pinned),
+        # so clone windows ARE the source windows; then the
+        # audio_stream_dedup vote verbatim over the union
+        "audio_rate_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i,
+                         CASE WHEN j % 6 = 5 THEN ((j - 1) % 5) + 1
+                              ELSE (j % 5) + 2 END AS nw
+                  FROM m),
+            w AS (SELECT i, unnest(range(0, nw)) AS w FROM a),
+            p0 AS (SELECT i, w,
+                     CASE WHEN i % 6 = 5 THEN
+                       ('0x' || substr(md5('s' || (i-1)::VARCHAR
+                          || '_' || (w+1)::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('s' || i::VARCHAR
+                          || '_' || w::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM w),
+            p AS (SELECT i::BIGINT AS id, w, sh FROM p0
+                  UNION ALL
+                  SELECT (i + (SELECT count(*) FROM documents))
+                           ::BIGINT AS id, w, sh
+                  FROM p0 WHERE i % 9 = 4),
+            q AS (SELECT id, w, sh,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([sh & 4194303,
+                                 (sh >> 22) & 2097151,
+                                 (sh >> 43) & 2097151]) AS qv
+                  FROM p),
+            cand AS (SELECT DISTINCT a1.id AS id_a, b2.id AS id_b,
+                            a1.w AS wa, b2.w AS wb
+                     FROM q a1 JOIN q b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.id < b2.id
+                     WHERE bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT id_a, id_b, (wa - wb)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ct AS (SELECT id, count(*)::BIGINT AS ns FROM p
+                   GROUP BY 1),
+            f AS (SELECT d.id_a, d.id_b, d.dlt AS "offset", d.matched,
+                         greatest(0, least(cb.ns - 1, ca.ns - 1 - d.dlt)
+                                  - greatest(0, -d.dlt) + 1)::BIGINT
+                           AS comparable
+                  FROM d JOIN ct ca ON ca.id = d.id_a
+                         JOIN ct cb ON cb.id = d.id_b
+                  WHERE d.rk = 1)
+            SELECT id_a, id_b, "offset",
+                   matched AS matched_windows,
+                   comparable AS comparable_windows
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY id_a, id_b
+        """,
+        # dual-parity replay: the piece side is DENSE (every frame),
+        # votes cast from the even grid; clones are every 5th video
+        # minus its first frame (an odd trim no stride-2 grid pair can
+        # express); the alignable count uses the dual-grid formulas
+        # pinned against brute force in test_round13_ops
+        "video_dual_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+            pat AS (SELECT i, nf, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr),
+            dense AS (
+              SELECT i::BIGINT AS vid, f AS idx, sh FROM pat
+              UNION ALL
+              SELECT (i + (SELECT count(*) FROM documents))::BIGINT
+                       AS vid, (f - 1) AS idx, sh
+              FROM pat WHERE i % 5 = 1 AND f >= 1),
+            qd AS (SELECT vid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM dense),
+            cand AS (SELECT DISTINCT a1.vid AS id_a, b2.vid AS id_b,
+                            a1.idx AS ia, b2.idx AS ib
+                     FROM qd a1 JOIN qd b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.vid < b2.vid
+                     WHERE a1.idx % 2 = 0
+                       AND bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT id_a, id_b, (ia - ib)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            cg AS (SELECT vid, count(*)::BIGINT AS na FROM dense
+                   WHERE idx % 2 = 0 GROUP BY 1),
+            cd AS (SELECT vid, count(*)::BIGINT AS mb FROM dense
+                   GROUP BY 1),
+            f AS (SELECT d.id_a, d.id_b, d.dlt AS "offset", d.matched,
+                         greatest(0,
+                           least(cg.na - 1,
+                                 floor((cd.mb - 1 + d.dlt) / 2.0)
+                                   ::BIGINT)
+                           - greatest(0, ceil(d.dlt / 2.0)::BIGINT)
+                           + 1)::BIGINT AS comparable
+                  FROM d JOIN cg ON cg.vid = d.id_a
+                         JOIN cd ON cd.vid = d.id_b
+                  WHERE d.rk = 1)
+            SELECT id_a, id_b, "offset",
+                   matched AS matched_frames,
+                   comparable AS comparable_frames
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY id_a, id_b
+        """,
+        # directional dual-parity replay: clones (new, stride-2 grid)
+        # against the dense base corpus; offset = ib - ia
+        "video_dual_incr": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+            pat AS (SELECT i, nf, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr),
+            newg AS (SELECT (i + (SELECT count(*) FROM documents))
+                              ::BIGINT AS vid, (f - 1) AS idx, sh
+                     FROM pat
+                     WHERE i % 5 = 1 AND f >= 1 AND (f - 1) % 2 = 0),
+            oldd AS (SELECT i::BIGINT AS vid, f AS idx, sh FROM pat),
+            qn AS (SELECT vid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM newg),
+            qo AS (SELECT vid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM oldd),
+            cand AS (SELECT DISTINCT a1.vid AS new_id, b2.vid AS old_id,
+                            a1.idx AS ia, b2.idx AS ib
+                     FROM qn a1 JOIN qo b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.vid <> b2.vid
+                     WHERE bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT new_id, old_id, (ib - ia)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (
+                         PARTITION BY new_id, old_id
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            cg AS (SELECT vid, count(*)::BIGINT AS na FROM newg
+                   GROUP BY 1),
+            cd AS (SELECT vid, count(*)::BIGINT AS mb FROM oldd
+                   GROUP BY 1),
+            f AS (SELECT d.new_id, d.old_id, d.dlt AS "offset",
+                         d.matched,
+                         greatest(0,
+                           least(cg.na - 1,
+                                 floor((cd.mb - 1 - d.dlt) / 2.0)
+                                   ::BIGINT)
+                           - greatest(0, ceil(-d.dlt / 2.0)::BIGINT)
+                           + 1)::BIGINT AS comparable
+                  FROM d JOIN cg ON cg.vid = d.new_id
+                         JOIN cd ON cd.vid = d.old_id
+                  WHERE d.rk = 1)
+            SELECT new_id, old_id, "offset",
+                   matched AS matched_frames,
+                   comparable AS comparable_frames
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY new_id, old_id
         """,
         # video snippet containment replay: excerpt frames derive from
         # the corpus pattern relation (excerpt frame g = source frame

@@ -6,6 +6,17 @@ columns sorted by name with NaN/NULL canonicalization — the same
 contract the driver applies.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Sweep discipline (r12 VERDICT ask #7 — written down so it survives
+builder turnover): the full 3-SF triple sweep (every registered query
+at sf0.001 AND sf0.01 AND sf0.1) runs ONCE per round, at the final
+gate, per SURVEY §8h.  Per-commit during the round, run the cheap
+tier instead: this round's NEWCOMERS plus the query families the
+commit actually touched, at all 3 SFs (bugs have been scale-dependent
+in both directions — a sparse-bucket carry bug appeared only at
+sf0.001, a float-sum ordering flip only at sf0.1 — so never drop an
+SF from the per-commit tier; drop QUERIES, which is what the name
+arguments are for).
 """
 
 from __future__ import annotations
