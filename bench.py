@@ -177,6 +177,36 @@ ACCOUNTING_CHANGES = [
                "Totals are NOT comparable to r11; compare name-keyed. "
                "The audio-stream fixture cache builds during warm-up "
                "next to the other three."},
+    {"round": 13, "queries": "all",
+     "change": "registry grew 197 -> 202: +audio_overlap_dedup and "
+               "+audio_overlap_incr (overlapped-hop framing, hop = "
+               "window/4, catches sub-window head trims the "
+               "non-overlapping framing provably misses), "
+               "+audio_rate_dedup (rate-normalized decode catches "
+               "16 kHz re-encodes bit-exactly), +video_dual_dedup and "
+               "+video_dual_incr (dual-parity sampling catches "
+               "one-frame trims under stride-2 defaults).  Totals are "
+               "NOT comparable to r12; compare name-keyed.  The five "
+               "ride the cached audio-stream/video fixtures plus real "
+               "per-run trim/resample transforms."},
+    {"round": 13, "queries": ["minhash_pairs", "ngram_jaccard",
+                              "incremental_dedup", "quantile_bins",
+                              "dedup_clusters", "dedup_keep_best",
+                              "semantic_dedup", "image_dedup_clusters"],
+     "change": "r13 microbench RE-PIN of the shingle + cluster family "
+               "medians (r12 VERDICT ask #6; tools/microbench.py, "
+               "same command as the r12 pin): minhash_pairs 2.44, "
+               "ngram_jaccard 2.38, incremental_dedup 3.87, "
+               "quantile_bins 3.90 with control ivf_train 4.51 -- the "
+               "control moved +45% vs its r12 median 3.10, i.e. "
+               "today's box runs uniformly slower, and every family "
+               "member's move is inside the control's band: the code "
+               "is FLAT r12->r13 (no shingle/cluster code changed "
+               "this round; the diff is media tiers + index "
+               "maintenance).  Cluster-family medians recorded in the "
+               "same run: see BENCH_NOTES.md round-13 section.  These "
+               "medians are the forward basis; re-pin before reading "
+               "any future family drift as real."},
     {"round": 12, "queries": ["dedup_clusters", "dedup_keep_best",
                               "semantic_dedup", "image_dedup_clusters"],
      "change": "connected_components gained a count-gated small-graph "

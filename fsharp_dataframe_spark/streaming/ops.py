@@ -2098,6 +2098,63 @@ def stream_audio_window_near_dup(sdf: DataFrame,
                                    carry_cols=("win_idx",))
 
 
+def stream_audio_overlap_near_dup(sdf: DataFrame,
+                                  id_col: str = "media_id",
+                                  payload_col: str = "payload",
+                                  ts_col: str = "ts",
+                                  watermark: str = "1 hour",
+                                  hop: int | None = None,
+                                  max_hamming: int = 2) -> DataFrame:
+    """Streaming OVERLAPPED-framing audio candidates — the live face
+    of audio_overlap_near_dup: one spectral fingerprint per
+    2048-sample window every ``hop`` samples (default window/4;
+    multimodal._afp_windows_hop, one vectorized rFFT per clip,
+    rate-normalized decode), window indexes CARRIED through the piece
+    join so clips sharing any hop-aligned run collide whatever their
+    head offset — including the sub-window trims the non-overlapping
+    stream (stream_audio_window_near_dup) is structurally blind to.
+    Each candidate row reports (win_idx_a, win_idx_b, win_idx_delta);
+    the consumer's offset vote is its first batch aggregate (pinned
+    batch-parity in test_streaming).
+
+    The DUAL-PARITY video tier needs no twin of its own: its stream
+    face IS stream_video_offset_near_dup(every_n=1) (dense candidate
+    emission), with the dual-grid vote — filter win a-side even, the
+    dual alignable-count formula — as the consumer's first aggregate
+    (also pinned).
+
+    State: the window twin's bound times the 2048/hop overlap fan-out
+    (4x at the default) — the same recall/cost dial as the batch
+    operator; samples never enter state."""
+    from pyspark.sql.functions import pandas_udf
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        AFP_HOP, AFP_SR, _afp_windows_hop, _decode_wav_samples,
+    )
+
+    hop = int(hop) if hop is not None else AFP_HOP
+
+    @pandas_udf("array<struct<win_idx:int, sh:long>>")
+    def awf(payloads: pd.Series) -> pd.Series:
+        rows = []
+        for p in payloads:
+            fps = _afp_windows_hop(
+                _decode_wav_samples(p, target_sr=AFP_SR), hop)
+            rows.append([{"win_idx": i, "sh": fp}
+                         for i, fp in enumerate(fps)])
+        return pd.Series(rows)
+
+    sk = (sdf.select(F.col(id_col), F.col(ts_col),
+                     F.explode(awf(F.col(payload_col))).alias("_wf"))
+          .select(id_col, ts_col,
+                  F.col("_wf.win_idx").alias("win_idx"),
+                  F.col("_wf.sh").alias("sh")))
+    return _stream_pieces_near_dup(sk, id_col=id_col, ts_col=ts_col,
+                                   watermark=watermark,
+                                   max_hamming=max_hamming,
+                                   carry_cols=("win_idx",))
+
+
 def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
                             payload_col: str, ts_col: str,
                             watermark: str, max_hamming: int) -> DataFrame:
@@ -2110,6 +2167,137 @@ def _stream_sketch_near_dup(sdf: DataFrame, sketch_udf, id_col: str,
     return _stream_pieces_near_dup(sk, id_col=id_col, ts_col=ts_col,
                                    watermark=watermark,
                                    max_hamming=max_hamming)
+
+
+def _stream_static_pieces_near_dup(sketched: DataFrame,
+                                   stored: DataFrame, id_col: str,
+                                   max_hamming: int,
+                                   align_cols: tuple = (),
+                                   carry_cols: tuple = ()) -> DataFrame:
+    """Stream-STATIC piece-join core — the live face of the cross_*
+    incremental matchers: a sketched ingest stream (id[, idx…], sh)
+    banded and equi-joined against the corpus's STORED piece table
+    (the persisted index half every batch cross_* path uses, read
+    with read_index_table).  Structured Streaming executes a
+    stream-static inner join STATELESSLY per micro-batch — no
+    watermark, no join state, corpus size irrelevant to state — so
+    this is the production nightly-vs-landed shape running
+    continuously.  The static side must carry (id, [align/carry
+    cols…], sh, q, qv) with the SAME column names as the stream side
+    except id, which is emitted as old_id.
+
+    Emits (new_id, old_id[, aligns][, <c>_new/<c>_old/<c>_delta…],
+    piece, hamming); the consumer's offset vote / rollup is its first
+    batch aggregate, exactly the batch cross_* discipline.  An id
+    present on both sides is guarded out (the ADVICE r12 directional
+    contract).
+
+    100 TB shape: per micro-batch this is the batch cross join —
+    candidates bounded by hash-key occupancy against a
+    partition-pruned (``q``) static scan; cache the static side to
+    stop per-batch re-reads, refresh it on the index-append cadence."""
+    from fsharp_dataframe_spark.functions.dedup import (
+        piece_expr, pigeonhole_pieces,
+    )
+
+    offs = pigeonhole_pieces(64, max_hamming)
+    banded = sketched.select(
+        id_col, *align_cols, *carry_cols, "sh",
+        F.posexplode(F.array(*[piece_expr(F.col("sh"), off, w)
+                               for off, w in offs])).alias("q", "qv"))
+    l, r = banded.alias("l"), stored.alias("r")
+    ham = F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+    cond = ((F.col("l.q") == F.col("r.q"))
+            & (F.col("l.qv") == F.col("r.qv"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")))
+    for a in align_cols:
+        cond = cond & (F.col(f"l.{a}") == F.col(f"r.{a}"))
+    return (
+        l.join(r, cond)
+        .filter(ham <= max_hamming)
+        .select(F.col(f"l.{id_col}").alias("new_id"),
+                F.col(f"r.{id_col}").alias("old_id"),
+                *[F.col(f"l.{a}").alias(a) for a in align_cols],
+                *[x for c in carry_cols for x in (
+                    F.col(f"l.{c}").alias(f"{c}_new"),
+                    F.col(f"r.{c}").alias(f"{c}_old"),
+                    (F.col(f"r.{c}") - F.col(f"l.{c}")).cast("long")
+                    .alias(f"{c}_delta"))],
+                F.col("l.q").alias("piece"),
+                ham.alias("hamming"))
+    )
+
+
+def stream_cross_video_near_dup_offset(sdf: DataFrame,
+                                       stored_pieces: DataFrame,
+                                       id_col: str = "media_id",
+                                       payload_col: str = "payload",
+                                       ts_col: str = "ts",
+                                       every_n: int = 2,
+                                       max_hamming: int = 2
+                                       ) -> DataFrame:
+    """Live incremental offset-tolerant VIDEO ingest: the arriving
+    stream's frames are hashed once (stateless Arrow pass) and joined
+    against the corpus's STORED frame-piece table
+    (video_frame_piece_table / read_index_table — the same persisted
+    index half the batch cross_video_near_dup_offset uses), with NO
+    join state: stream-static joins run per micro-batch.  Emits
+    frame-level candidates (frame_idx_new/old/delta); the consumer's
+    offset vote is the batch discipline (pinned batch-parity).  Pass
+    the DENSE (every_n=1) stored table and vote dual-grid for the
+    dual-parity face."""
+    sk = _video_frame_sketch(sdf, id_col, payload_col, ts_col, every_n)
+    stored = stored_pieces.select(
+        F.col("vid").alias(id_col),
+        F.col("frame_idx"), "sh", "q", "qv")
+    return _stream_static_pieces_near_dup(
+        sk.drop(ts_col), stored, id_col=id_col,
+        max_hamming=max_hamming, carry_cols=("frame_idx",))
+
+
+def stream_cross_audio_overlap_near_dup(sdf: DataFrame,
+                                        stored_pieces: DataFrame,
+                                        id_col: str = "media_id",
+                                        payload_col: str = "payload",
+                                        ts_col: str = "ts",
+                                        hop: int | None = None,
+                                        max_hamming: int = 2
+                                        ) -> DataFrame:
+    """Live incremental overlapped-framing AUDIO ingest against the
+    stored overlap piece table (audio_overlap_piece_table) — the
+    stream-static twin of cross_audio_overlap_near_dup: stateless per
+    micro-batch, corpus size irrelevant to state, sub-window head
+    trims caught at hop resolution.  Emits (win_idx_new/old/delta)
+    candidates; consumer votes the batch discipline (pinned)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        AFP_HOP, AFP_SR, _afp_windows_hop, _decode_wav_samples,
+    )
+
+    hop = int(hop) if hop is not None else AFP_HOP
+
+    @pandas_udf("array<struct<win_idx:int, sh:long>>")
+    def awf(payloads: pd.Series) -> pd.Series:
+        rows = []
+        for p in payloads:
+            fps = _afp_windows_hop(
+                _decode_wav_samples(p, target_sr=AFP_SR), hop)
+            rows.append([{"win_idx": i, "sh": fp}
+                         for i, fp in enumerate(fps)])
+        return pd.Series(rows)
+
+    sk = (sdf.select(F.col(id_col),
+                     F.explode(awf(F.col(payload_col))).alias("_wf"))
+          .select(id_col,
+                  F.col("_wf.win_idx").alias("win_idx"),
+                  F.col("_wf.sh").alias("sh")))
+    stored = stored_pieces.select(
+        F.col("aid").alias(id_col),
+        F.col("win_idx"), "sh", "q", "qv")
+    return _stream_static_pieces_near_dup(
+        sk, stored, id_col=id_col, max_hamming=max_hamming,
+        carry_cols=("win_idx",))
 
 
 def _stream_pieces_near_dup(sketched: DataFrame, id_col: str,

@@ -437,3 +437,260 @@ def test_delete_index_rows_drops_emptied_partitions(spark, tmp_path):
     # retiring EVERY id empties all partitions; stale dirs must go
     delete_index_rows(spark, path, list(range(6)), id_col="vid")
     assert read_index_table(spark, path).count() == 0
+
+
+# ----------------------------------------------------------------------
+# streaming twins (batch parity, the candidate-emission contract)
+# ----------------------------------------------------------------------
+
+
+def test_stream_audio_overlap_near_dup_parity(spark, tmp_path):
+    """Streaming overlapped-framing audio candidates: the consumer's
+    offset vote + coverage rule (its first batch aggregate, with the
+    per-clip window counts it owns via the piece index) reproduces
+    batch audio_overlap_near_dup over a corpus holding 1024-sample
+    head-trimmed clones the non-overlapping stream cannot see."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_overlap_fingerprints, audio_overlap_near_dup,
+        make_fake_audio_stream_media, trim_audio_head,
+    )
+    from fsharp_dataframe_spark.streaming.ops import (
+        read_stream_parquet, run_to_memory,
+        stream_audio_overlap_near_dup,
+    )
+
+    n = 18
+    base = make_fake_audio_stream_media(spark, n)
+    clones = (trim_audio_head(base.filter(F.col("media_id") % 4 == 2),
+                              1024)
+              .withColumn("media_id", F.col("media_id") + n))
+    media = base.unionByName(clones).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(mins=F.col("media_id").cast("int")))
+    d = str(tmp_path / "aud_ovl_stream")
+    media.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, media.schema)
+    out = stream_audio_overlap_near_dup(s, watermark="2 hours")
+    name = run_to_memory(out, "t_aud_ovl")
+    (audio_overlap_fingerprints(media).filter("decode_ok")
+     .groupBy("media_id").count()
+     .createOrReplaceTempView("t_aud_ovl_ct"))
+    got = {(r["id_a"], r["id_b"]): (r["off"], r["m"], r["c"])
+           for r in spark.sql(
+        f"""WITH c AS (SELECT DISTINCT id_a, id_b, win_idx_a,
+                              win_idx_b, win_idx_delta FROM {name}),
+            v AS (SELECT id_a, id_b, win_idx_delta AS d,
+                         count(*) AS m FROM c GROUP BY 1, 2, 3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY m DESC, d ASC) AS rk FROM v),
+            f AS (SELECT r.id_a, r.id_b, r.d, r.m,
+                         greatest(0, least(cb.count - 1,
+                                           ca.count - 1 - r.d)
+                                  - greatest(0, -r.d) + 1) AS c
+                  FROM r JOIN t_aud_ovl_ct ca ON ca.media_id = r.id_a
+                         JOIN t_aud_ovl_ct cb ON cb.media_id = r.id_b
+                  WHERE r.rk = 1)
+            SELECT id_a, id_b, d AS off, m, c FROM f
+            WHERE c > 0 AND 2 * m >= c
+        """).collect()}
+    exp = {(r["id_a"], r["id_b"]):
+           (r["offset"], r["matched_windows"], r["comparable_windows"])
+           for r in audio_overlap_near_dup(media).collect()}
+    assert got == exp
+    planted = {(i, i + n) for i in range(n)
+               if i % 4 == 2 and
+               __import__("fsharp_dataframe_spark.functions.multimodal",
+                          fromlist=["x"]).audio_stream_window_count(i)
+               >= 2}
+    assert planted <= set(exp)
+
+
+def test_stream_video_dual_face_parity(spark, tmp_path):
+    """The dual-parity video tier's stream face is
+    stream_video_offset_near_dup(every_n=1): the consumer's dual-grid
+    vote (filter the a-side to even frames, dual alignable count)
+    over the dense candidate stream reproduces batch
+    video_near_dup_dual — including the one-frame-trimmed clones the
+    stride-2 stream cannot see."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        make_fake_video_media, trim_video_head, video_frame_hashes,
+        video_near_dup_dual,
+    )
+    from fsharp_dataframe_spark.streaming.ops import (
+        read_stream_parquet, run_to_memory,
+        stream_video_offset_near_dup,
+    )
+
+    n = 24
+    base = make_fake_video_media(spark, n)
+    clones = (trim_video_head(base.filter(F.col("media_id") % 5 == 1),
+                              1)
+              .withColumn("media_id", F.col("media_id") + n))
+    media = base.unionByName(clones).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+        + F.make_interval(mins=F.col("media_id").cast("int")))
+    d = str(tmp_path / "vid_dual_stream")
+    media.repartition(3).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, media.schema)
+    out = stream_video_offset_near_dup(s, every_n=1,
+                                       watermark="2 hours")
+    name = run_to_memory(out, "t_vid_dual")
+    (video_frame_hashes(media, every_n=1).filter("decode_ok")
+     .groupBy("media_id").count()
+     .createOrReplaceTempView("t_vid_dual_ct"))
+    got = {(r["id_a"], r["id_b"]): (r["off"], r["m"], r["c"])
+           for r in spark.sql(
+        f"""WITH c AS (SELECT DISTINCT id_a, id_b, frame_idx_a,
+                              frame_idx_b, frame_idx_delta FROM {name}
+                       WHERE frame_idx_a % 2 = 0),
+            v AS (SELECT id_a, id_b, frame_idx_delta AS d,
+                         count(*) AS m FROM c GROUP BY 1, 2, 3),
+            r AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY m DESC, d ASC) AS rk FROM v),
+            f AS (SELECT r.id_a, r.id_b, r.d, r.m,
+                         greatest(0,
+                           least(CAST(ceil(ca.count / 2.0) AS BIGINT)
+                                   - 1,
+                                 CAST(floor((cb.count - 1 + r.d) / 2.0)
+                                      AS BIGINT))
+                           - greatest(0, CAST(ceil(r.d / 2.0)
+                                              AS BIGINT)) + 1) AS c
+                  FROM r JOIN t_vid_dual_ct ca ON ca.media_id = r.id_a
+                         JOIN t_vid_dual_ct cb ON cb.media_id = r.id_b
+                  WHERE r.rk = 1)
+            SELECT id_a, id_b, d AS off, m, c FROM f
+            WHERE c > 0 AND 2 * m >= c
+        """).collect()}
+    exp = {(r["id_a"], r["id_b"]):
+           (r["offset"], r["matched_frames"], r["comparable_frames"])
+           for r in video_near_dup_dual(media).collect()}
+    assert got == exp
+    from fsharp_dataframe_spark.functions.multimodal import (
+        video_frame_count,
+    )
+    planted = {(i, i + n) for i in range(n)
+               if i % 5 == 1 and video_frame_count(i) >= 3}
+    assert planted <= set(exp)
+
+
+def test_stream_static_cross_video_offset_parity(spark, tmp_path):
+    """Stream-STATIC incremental face: the arriving batch streamed
+    against the corpus's stored frame-piece table (no join state, no
+    watermark) — the consumer's directional offset vote reproduces
+    batch cross_video_near_dup_offset exactly."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cross_video_near_dup_offset, make_fake_video_media,
+        trim_video_head, video_frame_hashes, video_frame_piece_table,
+    )
+    from fsharp_dataframe_spark.streaming.ops import (
+        read_stream_parquet, run_to_memory,
+        stream_cross_video_near_dup_offset,
+    )
+
+    n = 32
+    base = make_fake_video_media(spark, n)
+    clones = (trim_video_head(base.filter(F.col("media_id") % 7 == 3),
+                              2)
+              .withColumn("media_id", F.col("media_id") + n))
+    batch = clones.withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    d = str(tmp_path / "vid_cross_stream")
+    batch.repartition(2).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, batch.schema)
+    stored = video_frame_piece_table(base, every_n=2)
+    out = stream_cross_video_near_dup_offset(s, stored, every_n=2)
+    name = run_to_memory(out, "t_vid_cross")
+    (video_frame_hashes(clones, every_n=2).filter("decode_ok")
+     .groupBy("media_id").count()
+     .createOrReplaceTempView("t_vc_new_ct"))
+    (stored.select("vid", "frame_idx").distinct()
+     .groupBy("vid").count()
+     .createOrReplaceTempView("t_vc_old_ct"))
+    got = {(r["new_id"], r["old_id"]): (r["off"], r["m"], r["c"])
+           for r in spark.sql(
+        f"""WITH c AS (SELECT DISTINCT new_id, old_id, frame_idx_new,
+                              frame_idx_old, frame_idx_delta
+                       FROM {name}),
+            v AS (SELECT new_id, old_id, frame_idx_delta AS d,
+                         count(*) AS m FROM c GROUP BY 1, 2, 3),
+            r AS (SELECT *, row_number() OVER (
+                         PARTITION BY new_id, old_id
+                         ORDER BY m DESC, d ASC) AS rk FROM v),
+            f AS (SELECT r.new_id, r.old_id, r.d, r.m,
+                         greatest(0,
+                           least(cn.count - 1,
+                                 co.count - 1
+                                   - CAST(floor(r.d / 2.0) AS BIGINT))
+                           - greatest(0, -CAST(floor(r.d / 2.0)
+                                               AS BIGINT)) + 1) AS c
+                  FROM r JOIN t_vc_new_ct cn ON cn.media_id = r.new_id
+                         JOIN t_vc_old_ct co ON co.vid = r.old_id
+                  WHERE r.rk = 1)
+            SELECT new_id, old_id, d AS off, m, c FROM f
+            WHERE c > 0 AND 2 * m >= c
+        """).collect()}
+    exp = {(r["new_id"], r["old_id"]):
+           (r["offset"], r["matched_frames"], r["comparable_frames"])
+           for r in cross_video_near_dup_offset(
+               clones, stored, every_n=2,
+               existing_is_piece_table=True).collect()}
+    assert got == exp and exp
+
+
+def test_stream_static_cross_audio_overlap_parity(spark, tmp_path):
+    """Stream-static incremental overlapped-audio face vs batch
+    cross_audio_overlap_near_dup over the stored overlap index."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_overlap_fingerprints, audio_overlap_piece_table,
+        cross_audio_overlap_near_dup, make_fake_audio_stream_media,
+        trim_audio_head,
+    )
+    from fsharp_dataframe_spark.streaming.ops import (
+        read_stream_parquet, run_to_memory,
+        stream_cross_audio_overlap_near_dup,
+    )
+
+    n = 20
+    base = make_fake_audio_stream_media(spark, n)
+    clones = (trim_audio_head(base.filter(F.col("media_id") % 4 == 2),
+                              1024)
+              .withColumn("media_id", F.col("media_id") + n))
+    batch = clones.withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    d = str(tmp_path / "aud_cross_stream")
+    batch.repartition(2).write.mode("overwrite").parquet(d)
+    s = read_stream_parquet(spark, d, batch.schema)
+    stored = audio_overlap_piece_table(base)
+    out = stream_cross_audio_overlap_near_dup(s, stored)
+    name = run_to_memory(out, "t_aud_cross")
+    (audio_overlap_fingerprints(clones).filter("decode_ok")
+     .groupBy("media_id").count()
+     .createOrReplaceTempView("t_ac_new_ct"))
+    (stored.select("aid", "win_idx").distinct()
+     .groupBy("aid").count()
+     .createOrReplaceTempView("t_ac_old_ct"))
+    got = {(r["new_id"], r["old_id"]): (r["off"], r["m"], r["c"])
+           for r in spark.sql(
+        f"""WITH c AS (SELECT DISTINCT new_id, old_id, win_idx_new,
+                              win_idx_old, win_idx_delta FROM {name}),
+            v AS (SELECT new_id, old_id, win_idx_delta AS d,
+                         count(*) AS m FROM c GROUP BY 1, 2, 3),
+            r AS (SELECT *, row_number() OVER (
+                         PARTITION BY new_id, old_id
+                         ORDER BY m DESC, d ASC) AS rk FROM v),
+            f AS (SELECT r.new_id, r.old_id, r.d, r.m,
+                         greatest(0, least(cn.count - 1,
+                                           co.count - 1 - r.d)
+                                  - greatest(0, -r.d) + 1) AS c
+                  FROM r JOIN t_ac_new_ct cn ON cn.media_id = r.new_id
+                         JOIN t_ac_old_ct co ON co.aid = r.old_id
+                  WHERE r.rk = 1)
+            SELECT new_id, old_id, d AS off, m, c FROM f
+            WHERE c > 0 AND 2 * m >= c
+        """).collect()}
+    exp = {(r["new_id"], r["old_id"]):
+           (r["offset"], r["matched_windows"],
+            r["comparable_windows"])
+           for r in cross_audio_overlap_near_dup(
+               clones, stored, existing_is_piece_table=True).collect()}
+    assert got == exp and exp
