@@ -203,10 +203,12 @@ ACCOUNTING_CHANGES = [
                "member's move is inside the control's band: the code "
                "is FLAT r12->r13 (no shingle/cluster code changed "
                "this round; the diff is media tiers + index "
-               "maintenance).  Cluster-family medians recorded in the "
-               "same run: see BENCH_NOTES.md round-13 section.  These "
-               "medians are the forward basis; re-pin before reading "
-               "any future family drift as real."},
+               "maintenance).  Cluster family, quiet-box run (load0 "
+               "0.10): dedup_clusters 3.95, dedup_keep_best 3.93, "
+               "semantic_dedup 3.88, image_dedup_clusters 2.43 -- "
+               "+5-15% vs the r12 medians, inside the box-slowdown "
+               "band.  These medians are the forward basis; re-pin "
+               "before reading any future family drift as real."},
     {"round": 12, "queries": ["dedup_clusters", "dedup_keep_best",
                               "semantic_dedup", "image_dedup_clusters"],
      "change": "connected_components gained a count-gated small-graph "
