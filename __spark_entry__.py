@@ -3145,7 +3145,7 @@ EXTRA_QUERIES = (
     # window next round, swapping out r12+r13-double-green veterans
     # with in-window siblings, exactly as every round since r7:
     "audio_overlap_dedup", "audio_overlap_incr", "audio_rate_dedup",
-    "video_dual_dedup", "video_dual_incr")
+    "video_dual_dedup", "video_dual_incr", "audio_overlap_snippet")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4432,6 +4432,47 @@ def q_video_dual_incr(spark, sf) -> DataFrame:
             .orderBy("new_id", "old_id"))
 
 
+
+
+def q_audio_overlap_snippet(spark, sf) -> DataFrame:
+    """Query-by-example audio search at HOP resolution
+    (multimodal.audio_overlap_snippet_search): 2560-sample snippets
+    cut at sample 1536 — THREE hops, NOT a window multiple — through
+    the real sample-resolution slice transform
+    (multimodal.slice_audio_samples; clips too short degrade to NULL
+    and vanish), then every corpus clip CONTAINING a snippet (all its
+    overlap windows matched at one dominant offset) reported with the
+    hop position where the snippet starts.  The r12 window-grid
+    snippet path provably misses every such sub-window cut (its grid
+    shifts mid-window and every fingerprint scrambles — pinned in
+    tests/test_round13_ops.py); the overlap framing finds them at
+    offset 3, and finds each snippet in its source's planted
+    window-trim twins at the shifted offset for free off the piece
+    substrate.
+
+    Oracle: snippet windows ARE the source's overlap windows 3 and 4
+    (the hop grid makes the cut closed-form — the same HUGEINT
+    byte-assembly replay as audio_overlap_dedup), then banding, the
+    offset vote and the matched == n_snippet_windows containment rule
+    verbatim.
+
+    100 TB shape: |snippets|-bounded against any corpus size; with a
+    persisted audio_overlap_piece_table the SAME stored index serves
+    overlap near-dup ingest AND sub-window snippet search."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_overlap_snippet_search, cached_audio_stream_media,
+        slice_audio_samples,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    src = media.filter(F.col("media_id") % 5 == 3)
+    snips = (slice_audio_samples(src, 1536, 2560)
+             .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    return (audio_overlap_snippet_search(snips, media, max_hamming=2)
+            .orderBy("snippet_id", "clip_id"))
+
+
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "group_agg": q_group_agg,
@@ -4515,6 +4556,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rate_dedup": q_audio_rate_dedup,
         "video_dual_dedup": q_video_dual_dedup,
         "video_dual_incr": q_video_dual_incr,
+        "audio_overlap_snippet": q_audio_overlap_snippet,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
         "media_mixed": q_media_mixed,
@@ -6728,6 +6770,84 @@ def _all_oracle_sql() -> dict[str, str]:
                    comparable AS comparable_frames
             FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY new_id, old_id
+        """,
+        # hop-resolution snippet containment: snippet windows ARE the
+        # source's overlap windows 3 and 4 (the 1536-sample cut = 3
+        # hops on the closed-form hop grid), then the HUGEINT
+        # byte-assembly replay + offset vote + containment rule
+        "audio_overlap_snippet": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i,
+                         CASE WHEN j % 6 = 5 THEN ((j - 1) % 5) + 1
+                              ELSE (j % 5) + 2 END AS nw
+                  FROM m),
+            blk AS (SELECT i, unnest(range(0, nw)) AS w FROM a),
+            p AS (SELECT i, w,
+                     (CASE WHEN i % 6 = 5 THEN
+                       ('0x' || substr(md5('s' || (i-1)::VARCHAR
+                          || '_' || (w+1)::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('s' || i::VARCHAR
+                          || '_' || w::VARCHAR), 1, 15))::BIGINT
+                     END)::HUGEINT AS ph
+                  FROM blk),
+            fb AS (SELECT i, w * 8 + r AS f,
+                          ((ph >> (r * 8)) & 255) AS byte
+                   FROM (SELECT i, w, ph,
+                                unnest(range(0, 8)) AS r FROM p)),
+            wn AS (SELECT i, unnest(range(0, 4 * nw - 3)) AS h FROM a),
+            wb AS (SELECT wn.i AS i, wn.h AS h,
+                          sum(fb.byte << (8 * (fb.f - 2 * wn.h)))
+                            ::HUGEINT AS u
+                   FROM wn JOIN fb ON fb.i = wn.i
+                        AND fb.f BETWEEN 2 * wn.h AND 2 * wn.h + 7
+                   GROUP BY 1, 2),
+            sn AS (SELECT (wb.i + (SELECT count(*) FROM documents))
+                            ::BIGINT AS sid, (wb.h - 3) AS wi, wb.u
+                   FROM wb JOIN a ON a.i = wb.i
+                   WHERE wb.i % 5 = 3 AND a.nw >= 2
+                     AND wb.h IN (3, 4)),
+            qs AS (SELECT sid, wi, u,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([(u & 4194303)::BIGINT,
+                                  ((u >> 22) & 2097151)::BIGINT,
+                                  ((u >> 43) & 2097151)::BIGINT]) AS qv
+                   FROM sn),
+            qc AS (SELECT i::BIGINT AS cid, h, u,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([(u & 4194303)::BIGINT,
+                                  ((u >> 22) & 2097151)::BIGINT,
+                                  ((u >> 43) & 2097151)::BIGINT]) AS qv
+                   FROM wb),
+            cand AS (SELECT DISTINCT s.sid, c.cid, s.wi, c.h
+                     FROM qs s JOIN qc c
+                       ON s.q = c.q AND s.qv = c.qv
+                      AND s.sid <> c.cid
+                     WHERE bit_count(xor(s.u, c.u)) <= 2),
+            vv AS (SELECT sid, cid, (h - wi)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY sid, cid
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ns AS (SELECT sid, count(DISTINCT wi)::BIGINT AS n
+                   FROM sn GROUP BY 1),
+            nc AS (SELECT i::BIGINT AS cid, count(*)::BIGINT AS n
+                   FROM wb GROUP BY 1),
+            f AS (SELECT d.sid, d.cid, d.dlt AS "offset", d.matched,
+                         greatest(0, least(s1.n - 1,
+                                           c1.n - 1 - d.dlt)
+                                  - greatest(0, -d.dlt) + 1)::BIGINT
+                           AS comparable,
+                         s1.n AS n_snip
+                  FROM d JOIN ns s1 ON s1.sid = d.sid
+                         JOIN nc c1 ON c1.cid = d.cid
+                  WHERE d.rk = 1)
+            SELECT sid AS snippet_id, cid AS clip_id, "offset",
+                   matched AS n_windows
+            FROM f WHERE comparable > 0 AND matched = n_snip
+            ORDER BY snippet_id, clip_id
         """,
         # video snippet containment replay: excerpt frames derive from
         # the corpus pattern relation (excerpt frame g = source frame

@@ -178,14 +178,17 @@ ACCOUNTING_CHANGES = [
                "The audio-stream fixture cache builds during warm-up "
                "next to the other three."},
     {"round": 13, "queries": "all",
-     "change": "registry grew 197 -> 202: +audio_overlap_dedup and "
+     "change": "registry grew 197 -> 203: +audio_overlap_dedup and "
                "+audio_overlap_incr (overlapped-hop framing, hop = "
                "window/4, catches sub-window head trims the "
                "non-overlapping framing provably misses), "
                "+audio_rate_dedup (rate-normalized decode catches "
                "16 kHz re-encodes bit-exactly), +video_dual_dedup and "
                "+video_dual_incr (dual-parity sampling catches "
-               "one-frame trims under stride-2 defaults).  Totals are "
+               "one-frame trims under stride-2 defaults), "
+               "+audio_overlap_snippet (sub-window snippet cuts found "
+               "at hop resolution over the same overlap index).  "
+               "Totals are "
                "NOT comparable to r12; compare name-keyed.  The five "
                "ride the cached audio-stream/video fixtures plus real "
                "per-run trim/resample transforms."},

@@ -211,6 +211,35 @@ def compact_index_table(spark: SparkSession, path: str,
 INT_PARTITION_COLS = ("q", "tbl")
 
 
+def vacuum_index_table(spark: SparkSession, path: str) -> list[str]:
+    """Remove the crash-window leftovers the rename-aside discipline
+    can strand: ``<path>.__old__`` (the pre-compaction/merge table
+    kept alive through the two-rename window) and
+    ``<path>.__staging__`` (a write that never got swapped in).  Both
+    are safe to delete ONLY when the live table exists and reads —
+    verified here before anything is touched; if the live table is
+    missing or unreadable the vacuum refuses (the leftover IS the
+    recovery copy) — so run it as the post-maintenance sweep, not
+    unconditionally.  Returns the paths it deleted."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise IOError(
+            f"vacuum_index_table: live table {path} missing — the "
+            f"__old__/__staging__ leftovers may be the only copy; "
+            f"recover first, then vacuum")
+    read_index_table(spark, path).schema  # must parse: readable table
+    removed = []
+    for suffix in (".__old__", ".__staging__"):
+        side = path.rstrip("/") + suffix
+        spath = jvm.org.apache.hadoop.fs.Path(side)
+        if fs.exists(spath):
+            fs.delete(spath, True)
+            removed.append(side)
+    return removed
+
+
 def read_index_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an index half back for the incremental matchers (pass to
     cross_* with ``existing_is_piece_table=True`` /

@@ -2679,3 +2679,110 @@ def cross_video_near_dup_dual(new: DataFrame, existing: DataFrame,
                       F.col("id_r").alias("old_id"), "offset",
                       F.col("matched").alias("matched_frames"),
                       F.col("comparable").alias("comparable_frames"))
+
+
+# ----------------------------------------------------------------------
+# audio: sample-resolution slicing + overlap-framed snippet search
+# ----------------------------------------------------------------------
+
+
+def slice_audio_samples(df: DataFrame, start_sample: int,
+                        n_samples: int,
+                        payload_col: str = "payload") -> DataFrame:
+    """Cut an ``n_samples`` excerpt starting at ``start_sample`` out
+    of each WAV clip — SAMPLE-resolution query extraction (the window
+    slicer slice_audio_windows quantizes to 2048-sample units; a real
+    query clip starts wherever the user cut it).  Real canonical-rate
+    decode + re-encode; clips too short for the slice degrade to a
+    NULL payload; meta patched under the nullity guard."""
+    lo, n = int(start_sample), int(n_samples)
+    hi = lo + n
+
+    def _slice(col):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for payload in col:
+            s = _decode_wav_samples(payload, target_sr=AFP_SR)
+            if s is None or len(s) < hi:
+                out.append(None)
+                continue
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(AFP_SR)
+                wf.writeframes(
+                    np.asarray(s[lo:hi], dtype="<i2").tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    import pandas as pd  # noqa: F401
+
+    sl_udf = F.pandas_udf(_slice, T.BinaryType())
+    out = df.withColumn(payload_col, sl_udf(F.col(payload_col)))
+    if "meta" in out.columns and payload_col == "payload":
+        out = out.withColumn(
+            "meta",
+            F.col("meta")
+            .withField("n_frames",
+                       F.when(F.col(payload_col).isNotNull(), F.lit(n))
+                       .otherwise(F.lit(0)))
+            .withField("duration_s",
+                       F.when(F.col(payload_col).isNotNull(),
+                              F.lit(n / AFP_SR))
+                       .otherwise(F.lit(0.0))))
+    return out
+
+
+def audio_overlap_snippet_search(snippets: DataFrame, corpus: DataFrame,
+                                 hop: int = AFP_HOP,
+                                 max_hamming: int = 2,
+                                 payload_col: str = "payload",
+                                 id_col: str = "media_id",
+                                 corpus_is_piece_table: bool = False,
+                                 ) -> DataFrame:
+    """Query-by-example audio search at HOP resolution: find every
+    corpus clip containing a snippet whose cut position is any HOP
+    multiple — where audio_snippet_search's non-overlapping window
+    grid can only locate cuts at 2048-sample multiples (a snippet cut
+    mid-window fingerprints to garbage on that grid and is provably
+    missed, pinned in test_round13_ops).  Same containment rule (all
+    snippet windows match at one dominant offset); offset is reported
+    in hop units = where in the clip the snippet starts.
+
+    Pass ``corpus_is_piece_table=True`` to search a PERSISTED
+    audio_overlap_piece_table — the same stored index half the
+    overlap near-dup ingest joins, so one overlap index serves dedup
+    AND search.  Returns (snippet_id, clip_id, offset, n_windows).
+
+    100 TB shape: identical to audio_snippet_search —
+    |snippets|-bounded against any corpus size, banded candidates,
+    one small-key vote; the overlap index costs 2048/hop more rows
+    (the shared recall/cost dial)."""
+    from fsharp_dataframe_spark.functions.util import track_persist
+
+    spc = track_persist(
+        audio_overlap_piece_table(snippets, hop=hop,
+                                  max_hamming=max_hamming,
+                                  payload_col=payload_col,
+                                  id_col=id_col)
+        .select(F.col("aid").alias("id"),
+                F.col("win_idx").alias("idx"), "sh", "q", "qv"))
+    cpc = (corpus if corpus_is_piece_table
+           else audio_overlap_piece_table(corpus, hop=hop,
+                                          max_hamming=max_hamming,
+                                          payload_col=payload_col,
+                                          id_col=id_col))
+    cpc = cpc.select(F.col("aid").alias("id"),
+                     F.col("win_idx").alias("idx"), "sh", "q", "qv")
+    out = _offset_vote_pairs(spc, cpc, stride=1,
+                             max_hamming=max_hamming, directional=True,
+                             require_full_left=True)
+    return out.select(F.col("id_l").alias("snippet_id"),
+                      F.col("id_r").alias("clip_id"), "offset",
+                      F.col("matched").alias("n_windows"))

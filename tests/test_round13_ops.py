@@ -694,3 +694,101 @@ def test_stream_static_cross_audio_overlap_parity(spark, tmp_path):
            for r in cross_audio_overlap_near_dup(
                clones, stored, existing_is_piece_table=True).collect()}
     assert got == exp and exp
+
+
+# ----------------------------------------------------------------------
+# sample-resolution slicing + overlap-framed snippet search
+# ----------------------------------------------------------------------
+
+
+def test_slice_audio_samples_roundtrip_and_degradation(spark):
+    media = M.make_fake_audio_stream_media(spark, 14)
+    sl = M.slice_audio_samples(media, 1536, 2560)
+    for r in sl.collect():
+        nw = M.audio_stream_window_count(r["media_id"])
+        if nw * M.AFP_FRAME >= 1536 + 2560:
+            s = M._decode_wav_samples(r["payload"])
+            assert len(s) == 2560
+            assert r["meta"]["n_frames"] == 2560
+        else:
+            assert r["payload"] is None
+            assert r["meta"]["n_frames"] == 0
+
+
+def test_audio_overlap_snippet_search_subwindow_cut(spark):
+    """A snippet cut at sample 1536 (3 hops, NOT a window multiple):
+    the non-overlapping snippet path provably misses it — its window
+    grid shifts mid-window and every fingerprint scrambles — while
+    the overlap-framed search finds it at hop offset 3, in its source
+    AND in the source's planted window-trim twins at the shifted
+    offset."""
+    n = 30
+    media = M.make_fake_audio_stream_media(spark, n)
+    src = media.filter(F.col("media_id") % 5 == 3)
+    snips = (M.slice_audio_samples(src, 1536, 2560)
+             .withColumn("media_id", F.col("media_id") + n))
+    # the r12 window-grid search cannot see a sub-window cut
+    missed = {(r["snippet_id"], r["clip_id"])
+              for r in M.audio_snippet_search(snips, media).collect()}
+    planted = {(i + n, i) for i in range(n)
+               if i % 5 == 3
+               and M.audio_stream_window_count(i) * M.AFP_FRAME
+               >= 1536 + 2560}
+    assert not (missed & planted)
+    got = {(r["snippet_id"], r["clip_id"]): (r["offset"], r["n_windows"])
+           for r in M.audio_overlap_snippet_search(snips, media)
+           .collect()}
+    for k in planted:
+        assert got[k] == (3, 2), k
+    # source's head-trimmed twin (i+1 = i minus one window): snippet
+    # content sits 4 hops earlier there
+    for i in range(n):
+        if (i % 5 == 3 and (i + 1) % 6 == 5 and i + 1 < n
+                and (i + n, i) in planted
+                and M.audio_stream_window_count(i + 1) * M.AFP_FRAME
+                >= 2560 - 512):
+            # clip i+1's windows = source windows shifted by -4 hops;
+            # containment needs both snippet windows present
+            if (i + n, i + 1) in got:
+                assert got[(i + n, i + 1)][0] == -1
+    # stored-index path: one overlap index serves dedup AND search
+    pt = M.audio_overlap_piece_table(media)
+    got2 = {(r["snippet_id"], r["clip_id"]):
+            (r["offset"], r["n_windows"])
+            for r in M.audio_overlap_snippet_search(
+                snips, pt, corpus_is_piece_table=True).collect()}
+    assert got2 == got
+
+
+# ----------------------------------------------------------------------
+# index vacuum (crash-window leftovers)
+# ----------------------------------------------------------------------
+
+
+def test_vacuum_index_table(spark, tmp_path):
+    import os
+
+    from fsharp_dataframe_spark.functions.index_store import (
+        read_index_table, save_index_table, vacuum_index_table,
+    )
+
+    media = M.make_fake_video_media(spark, 8)
+    path = str(tmp_path / "pieces")
+    pt = M.video_frame_piece_table(media, every_n=2)
+    save_index_table(pt, path, partition_by=("q",))
+    # strand both crash-window leftovers
+    os.makedirs(path + ".__old__", exist_ok=True)
+    os.makedirs(path + ".__staging__", exist_ok=True)
+    removed = vacuum_index_table(spark, path)
+    assert sorted(removed) == sorted(
+        [path + ".__old__", path + ".__staging__"])
+    assert not os.path.exists(path + ".__old__")
+    assert read_index_table(spark, path).count() == pt.count()
+    # refuses when the live table is gone — the leftover IS recovery
+    os.makedirs(path + ".__old__", exist_ok=True)
+    import shutil
+
+    shutil.rmtree(path)
+    with pytest.raises(IOError):
+        vacuum_index_table(spark, path)
+    assert os.path.exists(path + ".__old__")
