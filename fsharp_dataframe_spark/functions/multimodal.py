@@ -2265,8 +2265,11 @@ def trim_audio_head(df: DataFrame, n_samples: int,
     audio head-trim transform (ad leaders cut, re-encode padding
     dropped) that produces exactly the re-uploads the non-overlapping
     window framing misses when the trim is not a 2048-sample multiple,
-    and audio_overlap_near_dup catches at hop resolution.  Real stdlib
-    WAV decode + re-encode (the trim_video_head discipline); clips
+    and audio_overlap_near_dup catches at hop resolution.  The trim
+    is measured in CANONICAL-rate samples: decode normalizes to
+    AFP_SR first (identity for same-rate clips), so ``n_samples``
+    means the same duration whatever rate the clip arrived at.  Real
+    stdlib WAV decode + re-encode (the trim_video_head discipline); clips
     shorter than the trim or undecodable degrade per row to a NULL
     payload.  ``meta.n_frames``/``duration_s`` are patched when the
     meta column exists, guarded on payload nullity."""
@@ -2323,7 +2326,10 @@ def resample_audio(df: DataFrame, target_sr: int,
     IDENTICALLY to its source (pinned in test_round13_ops — the rate
     normalization is exact for linearly-resampled content, ~30 bits
     off without it).  Undecodable rows degrade to NULL payloads;
-    ``meta.n_frames``/``duration_s`` are patched when present."""
+    ``meta.n_frames``/``duration_s`` are patched from the TRUE output
+    sample count the re-encode pass emits (not a rate-ratio guess —
+    a non-canonical-rate source's count comes from its own header),
+    guarded on payload nullity."""
     sr = int(target_sr)
 
     def _rs(col):
@@ -2333,7 +2339,7 @@ def resample_audio(df: DataFrame, target_sr: int,
         import numpy as np
         import pandas as pd
 
-        out = []
+        payloads, counts = [], []
         for payload in col:
             # read the native rate from the header — resampling is
             # relative to whatever rate the clip actually carries
@@ -2344,7 +2350,8 @@ def resample_audio(df: DataFrame, target_sr: int,
                 native = None
             s = _decode_wav_samples(payload)  # native rate
             if s is None or len(s) == 0 or native is None:
-                out.append(None)
+                payloads.append(None)
+                counts.append(0)
                 continue
             r = np.round(_resample_linear(s, native, sr))
             r = np.clip(r, -32768, 32767)
@@ -2354,16 +2361,19 @@ def resample_audio(df: DataFrame, target_sr: int,
                 wf.setsampwidth(2)
                 wf.setframerate(sr)
                 wf.writeframes(np.asarray(r, dtype="<i2").tobytes())
-            out.append(buf.getvalue())
-        return pd.Series(out)
+            payloads.append(buf.getvalue())
+            counts.append(len(r))
+        return pd.DataFrame({"payload": payloads, "n_out": counts})
 
     import pandas as pd  # noqa: F401
 
-    rs_udf = F.pandas_udf(_rs, T.BinaryType())
-    out = df.withColumn(payload_col, rs_udf(F.col(payload_col)))
+    rs_udf = F.pandas_udf(
+        _rs, T.StructType([T.StructField("payload", T.BinaryType()),
+                           T.StructField("n_out", T.IntegerType())]))
+    out = df.withColumn("_rs", rs_udf(F.col(payload_col)))
+    out = out.withColumn(payload_col, F.col("_rs.payload"))
     if "meta" in out.columns and payload_col == "payload":
-        nf = F.round(F.col("meta.n_frames") * F.lit(sr)
-                     / F.lit(AFP_SR)).cast("int")
+        nf = F.col("_rs.n_out")
         out = out.withColumn(
             "meta",
             F.col("meta")
@@ -2374,7 +2384,7 @@ def resample_audio(df: DataFrame, target_sr: int,
                        F.when(F.col(payload_col).isNotNull(),
                               nf.cast("double") / F.lit(float(sr)))
                        .otherwise(F.lit(0.0))))
-    return out
+    return out.drop("_rs")
 
 
 # ----------------------------------------------------------------------

@@ -792,3 +792,25 @@ def test_vacuum_index_table(spark, tmp_path):
     with pytest.raises(IOError):
         vacuum_index_table(spark, path)
     assert os.path.exists(path + ".__old__")
+
+
+def test_resample_audio_meta_tracks_true_output_count(spark):
+    # a non-canonical-rate SOURCE: meta must come from the emitted
+    # sample count, not a canonical-rate ratio guess
+    media = M.make_fake_audio_stream_media(spark, 6)
+    up16 = M.resample_audio(media, 16000)        # 8k -> 16k
+    back = M.resample_audio(up16, 12000)         # 16k -> 12k source
+    for r in back.collect():
+        if r["payload"] is None:
+            assert r["meta"]["n_frames"] == 0
+            continue
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(r["payload"])), "rb") as wf:
+            assert wf.getframerate() == 12000
+            n = wf.getnframes()
+        nw = M.audio_stream_window_count(r["media_id"])
+        assert n == round(nw * M.AFP_FRAME * 12000 / 8000)
+        assert r["meta"]["n_frames"] == n
+        assert abs(r["meta"]["duration_s"] - n / 12000) < 1e-9
