@@ -2192,10 +2192,17 @@ def _stream_static_pieces_near_dup(sketched: DataFrame,
     present on both sides is guarded out (the ADVICE r12 directional
     contract).
 
+    REFRESH CONTRACT (pinned in test_round13_ops): the static side's
+    file listing is captured when the DataFrame is created — rows
+    appended to the stored index WHILE the query runs are NOT seen by
+    later micro-batches.  On the index-append cadence, re-read the
+    index (read_index_table) and restart the query (checkpointed
+    restarts resume the source exactly); a nightly
+    append-then-restart loop is the production shape.
+
     100 TB shape: per micro-batch this is the batch cross join —
     candidates bounded by hash-key occupancy against a
-    partition-pruned (``q``) static scan; cache the static side to
-    stop per-batch re-reads, refresh it on the index-append cadence."""
+    partition-pruned (``q``) static scan pinned at plan time."""
     from fsharp_dataframe_spark.functions.dedup import (
         piece_expr, pigeonhole_pieces,
     )

@@ -814,3 +814,76 @@ def test_resample_audio_meta_tracks_true_output_count(spark):
         assert n == round(nw * M.AFP_FRAME * 12000 / 8000)
         assert r["meta"]["n_frames"] == n
         assert abs(r["meta"]["duration_s"] - n / 12000) < 1e-9
+
+
+def test_stream_static_refresh_contract(spark, tmp_path):
+    """The stream-static matchers' refresh contract, pinned: the
+    stored index's file listing is captured when the static DataFrame
+    is created — rows appended mid-stream are INVISIBLE to later
+    micro-batches; re-reading the index and restarting the
+    checkpointed query picks them up exactly (the nightly
+    append-then-restart loop)."""
+    import os
+
+    from fsharp_dataframe_spark.functions.index_store import (
+        append_index_rows, read_index_table, save_index_table,
+    )
+    from fsharp_dataframe_spark.streaming.ops import (
+        read_stream_parquet, stream_cross_video_near_dup_offset,
+    )
+
+    n = 24
+    base = M.make_fake_video_media(spark, n)
+    idx = str(tmp_path / "idx")
+    save_index_table(
+        M.video_frame_piece_table(
+            base.filter(F.col("media_id") < 12), every_n=2),
+        idx, partition_by=("q",))
+    clones = (M.trim_video_head(base.filter(F.col("media_id") % 7 == 3),
+                                2)
+              .withColumn("media_id", F.col("media_id") + n)
+              .withColumn("ts", F.lit("2024-01-01 00:00:00")
+                          .cast("timestamp")))
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    # batch 1: clones of landed sources (3, 10) -> matched against v1
+    (clones.filter(F.col("media_id") - n < 12)
+     .write.mode("overwrite").parquet(src))
+    stored_v1 = read_index_table(spark, idx)
+
+    outdir = str(tmp_path / "out")
+
+    def run_once(stored):
+        # memory sink cannot recover from a checkpoint — file sink can
+        out = stream_cross_video_near_dup_offset(
+            read_stream_parquet(spark, src, clones.schema), stored,
+            every_n=2)
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", outdir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+        return {r["old_id"]
+                for r in spark.read.parquet(outdir).collect()}
+
+    assert run_once(stored_v1) == {3, 10}
+    # mid-cadence: index grows by the second half; a batch fed to the
+    # STALE static DataFrame must not see it (listing pinned at
+    # creation)
+    append_index_rows(
+        spark, idx,
+        M.video_frame_piece_table(
+            base.filter(F.col("media_id") >= 12), every_n=2),
+        id_col="vid", partition_by=("q",))
+    (clones.filter(F.col("media_id") - n >= 12)
+     .write.mode("append").parquet(src))
+    # cumulative file-sink rows still read {3, 10}: 17 was NOT matched
+    assert run_once(stored_v1) == {3, 10}  # blind: 17 missed
+    # the append-then-restart loop: re-read the index, restart the
+    # checkpointed query, feed a fresh re-upload of the appended half
+    fresh = (M.trim_video_head(base.filter(F.col("media_id") == 17), 2)
+             .withColumn("media_id", F.col("media_id") + F.lit(100 + n))
+             .withColumn("ts", F.lit("2024-01-01 00:00:00")
+                         .cast("timestamp")))
+    fresh.write.mode("append").parquet(src)
+    assert run_once(read_index_table(spark, idx)) == {3, 10, 17}
