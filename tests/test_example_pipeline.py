@@ -170,3 +170,44 @@ def test_tpch_suite_example_runs_all_22(spark):
     empty_ok = {name for name, n in
                 ((r["query"], r["rows"]) for r in rows) if n == 0}
     assert empty_ok <= {"tpch_q20"}, empty_ok
+
+
+def test_audio_ingest_end_to_end(spark):
+    from audio_ingest import run
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_stream_window_count as nw,
+    )
+
+    out = run(spark, "/root/testdata/sf0.001")
+    n = 240
+    landed = [i for i in range(n) if i % 3 != 2]
+    rows = lambda i: (4 * nw(i) - 3) * 3  # noqa: E731
+    assert out["index"]["landed_clips"] == len(landed)
+    assert out["index"]["index_rows"] == sum(rows(i) for i in landed)
+    # nightly: every fixture plant (i % 6 == 5, all of which fall in
+    # the fresh third), every 1024-sample trim and every 16 kHz
+    # re-encode is a dup; only non-plant fresh clips survive
+    plants = [i for i in range(n) if i % 3 == 2 and i % 6 == 5]
+    trims = [i for i in landed if i % 5 == 0 and nw(i) >= 2]
+    reenc = [i for i in landed if i % 5 == 1]
+    fresh = [i for i in range(n) if i % 3 == 2]
+    assert out["nightly"]["batch"] == len(fresh) + len(trims) + len(reenc)
+    assert out["nightly"]["dup_of_landed"] == (
+        len(plants) + len(trims) + len(reenc))
+    assert out["nightly"]["kept"] == len(fresh) - len(plants)
+    # snippets: one containment hit per query — no landed clip is a
+    # plant (every i % 6 == 5 has i % 3 == 2), so only the source hits
+    snips = [i for i in landed if i % 7 == 3 and nw(i) >= 2]
+    assert out["snippets"]["queries"] == len(snips)
+    assert out["snippets"]["containment_hits"] == len(snips)
+    # append is |survivors|-bounded; takedown removes exactly the
+    # retired clips' rows (clone ids offset by n keep the source nw)
+    kept = [i for i in fresh if i % 6 != 5]
+    before = out["index"]["index_rows"] + sum(rows(i) for i in kept)
+    assert out["append"]["index_rows_after"] == before
+    retired = out["takedown"]["retired_ids"]
+    assert len(retired) == 2
+    assert out["takedown"]["index_rows_after"] == before - sum(
+        rows(i % n) for i in retired)
+    assert out["takedown"]["vacuumed"] == []
