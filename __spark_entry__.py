@@ -3140,12 +3140,33 @@ EXTRA_QUERIES = (
     # classifier_auc (rank/window agg) -> rank_features + zipf_fit:
     "image_near_dup", "containment_pairs", "tpch_q17", "tpch_q18",
     "tpch_q22", "trimmed_mean", "classifier_auc",
-    # ROUND-14 ROTATION PLAN: the round-13 newcomers below (each
-    # locally three-SF oracle-green since r13) rotate into the driver
-    # window next round, swapping out r12+r13-double-green veterans
-    # with in-window siblings, exactly as every round since r7:
-    "audio_overlap_dedup", "audio_overlap_incr", "audio_rate_dedup",
-    "video_dual_dedup", "video_dual_incr", "audio_overlap_snippet")
+    # ROUND-14 ROTATION (VERDICT r13 ask #1, executed): the 6
+    # round-13 newcomers (audio_overlap_dedup/incr, audio_rate_dedup,
+    # video_dual_dedup/incr, audio_overlap_snippet) ENTER the driver
+    # window to earn their first driver rows, so the r13 u r14
+    # CORRECTNESS union covers all 203 pre-round-14 queries.  The 6
+    # veterans rotated OUT below are each r12+r13-DOUBLE-green in the
+    # driver's own CORRECTNESS JSONs, and every rotated shape keeps an
+    # in-window sibling: audio_near_dup / audio_incr_dedup
+    # (same-position banded audio tier) -> audio_stream_dedup /
+    # audio_stream_incr + audio_snippet_search (in-window) + the
+    # incoming overlapped tiers audio_overlap_dedup / _incr /
+    # _snippet + audio_rate_dedup; video_near_dup / video_incr_dedup
+    # (same-position banded video tier) -> video_offset_dedup /
+    # video_offset_incr + video_segments + video_snippet_search
+    # (in-window) + the incoming video_dual_dedup / video_dual_incr;
+    # tpch_q12 (join + conditional two-way agg) -> tpch_q8
+    # (CASE-share agg) + tpch_q7 (join-heavy conditional rollup);
+    # tpch_q13 (left outer join + group-count histogram) -> tpch_q16
+    # (count-distinct distribution) + tpch_q10/q21 (outer/anti
+    # shapes):
+    "audio_near_dup", "audio_incr_dedup", "video_near_dup",
+    "video_incr_dedup", "tpch_q12", "tpch_q13")
+    # ROUND-15 ROTATION PLAN: any round-14 newcomers (each held under
+    # the local three-SF oracle gate this round) rotate into the
+    # driver window next round, swapping out r13+r14-double-green
+    # veterans with in-window siblings, exactly as every round since
+    # r7.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
