@@ -96,7 +96,26 @@ def delete_index_rows(spark: SparkSession, path: str, ids,
     never by a full-table shuffle.  The invariant the tests pin: a
     deleted-from table is ROW-IDENTICAL to an index rebuilt from
     scratch without the retired ids, and the incremental matchers
-    return identical results over either."""
+    return identical results over either.
+
+    Crash window + recovery (ADVICE r13): the dynamic overwrite of
+    kept partitions and the manual deletes of emptied partitions are
+    two steps, not one atomic swap.  The operation is IDEMPOTENT —
+    after a failure anywhere in the window, RE-RUN with the same ids:
+    partitions already rewritten antijoin to themselves (no-op), and
+    an emptied partition whose delete never happened still holds the
+    retired ids, so the re-run's touched scan finds and removes it.
+    Until the re-run completes, retired ids may still be live; a
+    caller that must detect an incomplete takedown should verify with
+    ``read_index_table(...).join(ids, 'left_semi').count() == 0``.
+
+    Partition values must be non-null integers (the layout this
+    module's writers produce — piece index ``q`` / LSH table id
+    ``tbl``).  Emptied-partition directories are built as ``k=v``
+    text; Hive layout writes NULL as ``__HIVE_DEFAULT_PARTITION__``
+    and URL-escapes string values, so a null or non-integer value
+    would silently miss its directory — refused loudly instead
+    (ADVICE r13)."""
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(i),) for i in ids],
                                     f"{id_col} long")
@@ -106,6 +125,19 @@ def delete_index_rows(spark: SparkSession, path: str, ids,
                .select(*partition_by).distinct().collect())
     if not touched:
         return
+    for r in touched:
+        for k in partition_by:
+            v = r[k]
+            if type(v) is not int:
+                raise ValueError(
+                    f"delete_index_rows: partition column {k!r} holds "
+                    f"{v!r} ({type(v).__name__}) — directory paths are "
+                    f"built as '{k}=<value>' which only matches the "
+                    f"Hive layout for non-null integer values (NULL is "
+                    f"written as __HIVE_DEFAULT_PARTITION__, strings "
+                    f"are URL-escaped).  Retire ids from integer-keyed "
+                    f"index tables (this module's writers), or rebuild "
+                    f"the table without the retired ids instead.")
     cond = None
     for r in touched:
         c = None
@@ -240,6 +272,32 @@ def vacuum_index_table(spark: SparkSession, path: str) -> list[str]:
     return removed
 
 
+def _hive_partition_values(spark: SparkSession, path: str,
+                           col: str) -> list[str]:
+    """Collect the raw ``col=value`` directory values for one hive
+    partition column by walking the table's directory tree — a
+    filesystem listing (no Spark job), O(#partition directories)."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    vals: list[str] = []
+    stack = [jvm.org.apache.hadoop.fs.Path(path)]
+    while stack:
+        p = stack.pop()
+        for st in fs.listStatus(p):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if "=" not in name:
+                continue
+            k, v = name.split("=", 1)
+            if k == col:
+                vals.append(v)
+            else:
+                stack.append(st.getPath())
+    return vals
+
+
 def read_index_table(spark: SparkSession, path: str) -> DataFrame:
     """Read an index half back for the incremental matchers (pass to
     cross_* with ``existing_is_piece_table=True`` /
@@ -248,9 +306,32 @@ def read_index_table(spark: SparkSession, path: str) -> DataFrame:
     session disables spark.sql.sources.partitionColumnTypeInference;
     the cast back to int happens here so the incremental piece joins
     keep their written dtypes instead of leaning on implicit casts
-    (ADVICE r12)."""
+    (ADVICE r12).  The cast is SCOPED: directory names are checked
+    first (a filesystem listing, no job) and the column is cast only
+    when every partition value parses as an integer — a user table
+    partitioned by a non-numeric column that happens to be named
+    ``q``/``tbl`` keeps its strings (with a warning) instead of
+    having its join keys silently cast to NULL (ADVICE r13)."""
     df = read_parquet(spark, path)
     for c in INT_PARTITION_COLS:
         if c in df.columns and dict(df.dtypes)[c] == "string":
-            df = df.withColumn(c, F.col(c).cast("int"))
+            raw = _hive_partition_values(spark, path, c)
+            ok = bool(raw)
+            for v in raw:
+                try:
+                    int(v)
+                except ValueError:
+                    ok = False
+                    break
+            if ok:
+                df = df.withColumn(c, F.col(c).cast("int"))
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"read_index_table: partition column {c!r} at "
+                    f"{path} holds non-integer values — left as "
+                    f"string (this module's writers key {c!r} by "
+                    f"int; cast explicitly if these strings are "
+                    f"intentional)", stacklevel=2)
     return df

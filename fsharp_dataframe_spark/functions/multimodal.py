@@ -2271,8 +2271,14 @@ def trim_audio_head(df: DataFrame, n_samples: int,
     means the same duration whatever rate the clip arrived at.  Real
     stdlib WAV decode + re-encode (the trim_video_head discipline); clips
     shorter than the trim or undecodable degrade per row to a NULL
-    payload.  ``meta.n_frames``/``duration_s`` are patched when the
-    meta column exists, guarded on payload nullity."""
+    payload.  ``meta.n_frames``/``duration_s`` are patched from the
+    TRUE output sample count the re-encode pass emits (the
+    resample_audio discipline — the output is canonical-rate, so
+    subtracting the trim from the NATIVE-rate header count would be
+    silently wrong for any non-AFP_SR input; ADVICE r13), guarded on
+    payload nullity.  Quantization matches resample_audio's re-encode
+    (np.round, not truncation), so a rate-normalized trim
+    fingerprints on the same int16 grid as a resampled re-encode."""
     ns_drop = int(n_samples)
 
     def _trim(col):
@@ -2282,28 +2288,33 @@ def trim_audio_head(df: DataFrame, n_samples: int,
         import numpy as np
         import pandas as pd
 
-        out = []
+        payloads, counts = [], []
         for payload in col:
             s = _decode_wav_samples(payload, target_sr=AFP_SR)
             if s is None or len(s) <= ns_drop:
-                out.append(None)
+                payloads.append(None)
+                counts.append(0)
                 continue
+            r = np.clip(np.round(s[ns_drop:]), -32768, 32767)
             buf = io.BytesIO()
             with wave.open(buf, "wb") as wf:
                 wf.setnchannels(1)
                 wf.setsampwidth(2)
                 wf.setframerate(AFP_SR)
-                wf.writeframes(
-                    np.asarray(s[ns_drop:], dtype="<i2").tobytes())
-            out.append(buf.getvalue())
-        return pd.Series(out)
+                wf.writeframes(np.asarray(r, dtype="<i2").tobytes())
+            payloads.append(buf.getvalue())
+            counts.append(len(r))
+        return pd.DataFrame({"payload": payloads, "n_out": counts})
 
     import pandas as pd  # noqa: F401  (pandas_udf import-time check)
 
-    trim_udf = F.pandas_udf(_trim, T.BinaryType())
-    out = df.withColumn(payload_col, trim_udf(F.col(payload_col)))
+    trim_udf = F.pandas_udf(
+        _trim, T.StructType([T.StructField("payload", T.BinaryType()),
+                             T.StructField("n_out", T.IntegerType())]))
+    out = df.withColumn("_tr", trim_udf(F.col(payload_col)))
+    out = out.withColumn(payload_col, F.col("_tr.payload"))
     if "meta" in out.columns and payload_col == "payload":
-        nf = F.greatest(F.lit(0), F.col("meta.n_frames") - F.lit(ns_drop))
+        nf = F.col("_tr.n_out")
         out = out.withColumn(
             "meta",
             F.col("meta")
@@ -2314,7 +2325,7 @@ def trim_audio_head(df: DataFrame, n_samples: int,
                        F.when(F.col(payload_col).isNotNull(),
                               nf.cast("double") / F.lit(float(AFP_SR)))
                        .otherwise(F.lit(0.0))))
-    return out
+    return out.drop("_tr")
 
 
 def resample_audio(df: DataFrame, target_sr: int,
@@ -2704,7 +2715,10 @@ def slice_audio_samples(df: DataFrame, start_sample: int,
     slicer slice_audio_windows quantizes to 2048-sample units; a real
     query clip starts wherever the user cut it).  Real canonical-rate
     decode + re-encode; clips too short for the slice degrade to a
-    NULL payload; meta patched under the nullity guard."""
+    NULL payload; meta patched under the nullity guard.  Quantization
+    matches resample_audio's re-encode (np.round, not truncation), so
+    a slice of a rate-normalized clip lands on the same int16 grid as
+    a resampled re-encode of it (ADVICE r13)."""
     lo, n = int(start_sample), int(n_samples)
     hi = lo + n
 
@@ -2721,13 +2735,13 @@ def slice_audio_samples(df: DataFrame, start_sample: int,
             if s is None or len(s) < hi:
                 out.append(None)
                 continue
+            r = np.clip(np.round(s[lo:hi]), -32768, 32767)
             buf = io.BytesIO()
             with wave.open(buf, "wb") as wf:
                 wf.setnchannels(1)
                 wf.setsampwidth(2)
                 wf.setframerate(AFP_SR)
-                wf.writeframes(
-                    np.asarray(s[lo:hi], dtype="<i2").tobytes())
+                wf.writeframes(np.asarray(r, dtype="<i2").tobytes())
             out.append(buf.getvalue())
         return pd.Series(out)
 

@@ -1,0 +1,218 @@
+"""Round-14 operators and the five ADVICE r13 regressions:
+
+- trim_audio_head meta carries the TRUE canonical-rate output count
+  (the resample_audio discipline), not native-header-minus-trim;
+- trim_audio_head / slice_audio_samples re-encode with np.round, not
+  int truncation, so rate-normalized transforms land on the same
+  int16 grid as resample_audio;
+- delete_index_rows refuses null / non-integer partition values
+  (directory paths are built as ``k=v`` text, which only matches the
+  Hive layout for non-null integers) and documents idempotent re-run
+  as the crash recovery;
+- read_index_table scopes its q/tbl int cast to tables whose
+  partition directory values actually parse as integers.
+
+Reference anchors: the media tiers are parity-plus LLM-pipeline
+operators (no reference twin); the audio framing follows Haitsma &
+Kalker (2002).
+"""
+
+import io
+import wave
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fsharp_dataframe_spark.functions import multimodal as M
+
+
+def _decode(payload):
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    return rate, np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
+# ----------------------------------------------------------------------
+# ADVICE r13 regressions: audio transform meta + quantization
+# ----------------------------------------------------------------------
+
+
+def test_trim_audio_head_meta_true_count_noncanonical_rate(spark):
+    # a 16 kHz source: the output is re-encoded at AFP_SR after rate
+    # normalization, so n_frames must be the canonical-rate output
+    # count, NOT the 16 kHz header count minus the trim (ADVICE r13)
+    media = M.make_fake_audio_stream_media(spark, 6)
+    up16 = M.resample_audio(media, 16000)
+    ns = 700  # deliberately not a hop or window multiple
+    out = M.trim_audio_head(up16, ns)
+    rows = out.collect()
+    assert any(r["payload"] is not None for r in rows)
+    for r in rows:
+        if r["payload"] is None:
+            assert r["meta"]["n_frames"] == 0
+            assert r["meta"]["duration_s"] == 0.0
+            continue
+        rate, s = _decode(r["payload"])
+        assert rate == M.AFP_SR
+        # true output count = canonical-rate length minus the trim;
+        # the 16 kHz header count minus ns would be ~2x too large
+        nw = M.audio_stream_window_count(r["media_id"])
+        n16 = round(nw * M.AFP_FRAME * 16000 / 8000)
+        ncanon = round(n16 * M.AFP_SR / 16000)
+        assert len(s) == ncanon - ns
+        assert r["meta"]["n_frames"] == len(s)
+        assert abs(r["meta"]["duration_s"] - len(s) / M.AFP_SR) < 1e-9
+        assert r["meta"]["n_frames"] != n16 - ns  # the old bug's value
+
+
+def test_trim_audio_head_quantizes_like_resample(spark):
+    # trimming a non-canonical-rate clip must produce the SAME int16
+    # samples as resampling it to AFP_SR first and dropping the head:
+    # np.round at the re-encode, not truncation toward zero
+    media = M.make_fake_audio_stream_media(spark, 6)
+    up16 = M.resample_audio(media, 16000)
+    ns = 512
+    trimmed = {r["media_id"]: r["payload"]
+               for r in M.trim_audio_head(up16, ns).collect()}
+    normed = {r["media_id"]: r["payload"]
+              for r in M.resample_audio(up16, M.AFP_SR).collect()}
+    checked = 0
+    for mid, p in trimmed.items():
+        if p is None or normed.get(mid) is None:
+            continue
+        _, s_trim = _decode(p)
+        _, s_norm = _decode(normed[mid])
+        assert np.array_equal(s_trim, s_norm[ns:])
+        checked += 1
+    assert checked >= 4
+
+
+def test_slice_audio_samples_quantizes_like_resample(spark):
+    media = M.make_fake_audio_stream_media(spark, 6)
+    up16 = M.resample_audio(media, 16000)
+    lo, n = 1536, 4096
+    sliced = {r["media_id"]: r["payload"]
+              for r in M.slice_audio_samples(up16, lo, n).collect()}
+    normed = {r["media_id"]: r["payload"]
+              for r in M.resample_audio(up16, M.AFP_SR).collect()}
+    checked = 0
+    for mid, p in sliced.items():
+        if p is None or normed.get(mid) is None:
+            continue
+        _, s_sl = _decode(p)
+        _, s_norm = _decode(normed[mid])
+        assert np.array_equal(s_sl, s_norm[lo:lo + n])
+        checked += 1
+    assert checked >= 4
+
+
+def test_trim_audio_head_canonical_rate_unchanged(spark):
+    # identity decode path: an 8 kHz clip's trim is still the exact
+    # byte-level suffix (np.round is a no-op on integral samples)
+    media = M.make_fake_audio_stream_media(spark, 4)
+    ns = 1024
+    src = {r["media_id"]: r["payload"] for r in media.collect()}
+    out = {r["media_id"]: r["payload"]
+           for r in M.trim_audio_head(media, ns).collect()}
+    checked = 0
+    for mid, p in out.items():
+        if p is None or src.get(mid) is None:
+            continue
+        _, s_t = _decode(p)
+        _, s_s = _decode(src[mid])
+        assert np.array_equal(s_t, s_s[ns:])
+        checked += 1
+    assert checked >= 3
+
+
+# ----------------------------------------------------------------------
+# ADVICE r13 regressions: index_store partition-value hygiene
+# ----------------------------------------------------------------------
+
+
+def test_delete_index_rows_refuses_non_integer_partitions(spark,
+                                                          tmp_path):
+    from fsharp_dataframe_spark.functions.index_store import (
+        delete_index_rows, save_index_table,
+    )
+
+    path = str(tmp_path / "strkeyed")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+        "media_id long, q string, v long")
+    save_index_table(df, path, partition_by=("q",))
+    with pytest.raises(ValueError, match="non-null integer"):
+        delete_index_rows(spark, path, [1], id_col="media_id",
+                          partition_by=("q",))
+    # untouched: the refusal happened before any rewrite
+    from fsharp_dataframe_spark.sources.parquet import read_parquet
+
+    assert read_parquet(spark, path).count() == 3
+
+
+def test_delete_index_rows_refuses_null_partitions(spark, tmp_path):
+    from fsharp_dataframe_spark.functions.index_store import (
+        delete_index_rows, save_index_table,
+    )
+
+    path = str(tmp_path / "nullkeyed")
+    df = spark.createDataFrame(
+        [(1, 7, 10), (2, None, 20)], "media_id long, q int, v long")
+    save_index_table(df, path, partition_by=("q",))
+    with pytest.raises(ValueError, match="non-null integer"):
+        delete_index_rows(spark, path, [2], id_col="media_id",
+                          partition_by=("q",))
+
+
+def test_delete_index_rows_int_partitions_still_work(spark, tmp_path):
+    # the refusal must not catch the supported layout (ints restored
+    # by read_index_table's scoped cast even with inference off)
+    from fsharp_dataframe_spark.functions.index_store import (
+        delete_index_rows, read_index_table, save_index_table,
+    )
+
+    media = M.make_fake_video_media(spark, 8)
+    pt = M.video_frame_piece_table(media, every_n=2)
+    path = str(tmp_path / "intkeyed")
+    save_index_table(pt, path, partition_by=("q",))
+    delete_index_rows(spark, path, [3], id_col="vid",
+                      partition_by=("q",))
+    left = read_index_table(spark, path)
+    assert left.filter(F.col("vid") == 3).count() == 0
+    assert left.count() == pt.filter(F.col("vid") != 3).count()
+
+
+def test_read_index_table_scoped_cast(spark, tmp_path):
+    from fsharp_dataframe_spark.functions.index_store import (
+        read_index_table, save_index_table,
+    )
+
+    # a user table partitioned by a NON-numeric column named q: the
+    # reader must keep strings (warning), not cast join keys to NULL
+    path = str(tmp_path / "userq")
+    df = spark.createDataFrame(
+        [(1, "east", 10), (2, "west", 20)],
+        "media_id long, q string, v long")
+    save_index_table(df, path, partition_by=("q",))
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference", "true")
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference", "false")
+    try:
+        with pytest.warns(UserWarning, match="non-integer"):
+            got = read_index_table(spark, path)
+        assert dict(got.dtypes)["q"] == "string"
+        assert {r["q"] for r in got.collect()} == {"east", "west"}
+        # integer-valued directories still cast (the r12 behavior)
+        path2 = str(tmp_path / "intq")
+        media = M.make_fake_video_media(spark, 4)
+        save_index_table(M.video_frame_piece_table(media, every_n=2),
+                         path2, partition_by=("q",))
+        got2 = read_index_table(spark, path2)
+        assert dict(got2.dtypes)["q"] == "int"
+        assert got2.filter(F.col("q").isNull()).count() == 0
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference", prev)
