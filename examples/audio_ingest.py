@@ -21,6 +21,10 @@ each stage a scale-audited engine operator:
       → append + takedown    (survivors land as a pure partitioned
                               append; a retirement request retires ids
                               in place; vacuum clears crash leftovers)
+      → retention            (expire_index_rows sweeps rows older
+                              than the retention horizon by their
+                              ingest-day watermark — the TTL half of
+                              the maintenance loop)
 
 Run:  python examples/audio_ingest.py [sf_dir]
 
@@ -46,8 +50,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fsharp_dataframe_spark import get_spark
 from fsharp_dataframe_spark.functions.index_store import (
-    append_index_rows, delete_index_rows, read_index_table,
-    save_index_table, vacuum_index_table,
+    append_index_rows, delete_index_rows, expire_index_rows,
+    read_index_table, save_index_table, vacuum_index_table,
 )
 from fsharp_dataframe_spark.functions.multimodal import (
     audio_overlap_piece_table, audio_overlap_snippet_search,
@@ -67,8 +71,10 @@ def run(spark, sf_dir: str) -> dict:
 
         # 1. corpus index: written once, partitioned by the piece
         #    index so nightly joins prune directories
-        save_index_table(audio_overlap_piece_table(landed), store,
-                         partition_by=("q",))
+        save_index_table(
+            audio_overlap_piece_table(landed)
+            .withColumn("ingest_day", F.lit(0)), store,
+            partition_by=("q",))
         idx_rows = read_index_table(spark, store).count()
         out["index"] = {"landed_clips": int(landed.count()),
                         "index_rows": int(idx_rows)}
@@ -110,7 +116,8 @@ def run(spark, sf_dir: str) -> dict:
             dups.select(F.col("new_id").alias("media_id")).distinct(),
             "media_id", "left_anti")
         append_index_rows(spark, store,
-                          audio_overlap_piece_table(survivors),
+                          audio_overlap_piece_table(survivors)
+                          .withColumn("ingest_day", F.lit(1)),
                           id_col="aid", partition_by=("q",))
         out["append"] = {"index_rows_after": int(
             read_index_table(spark, store).count())}
@@ -127,6 +134,15 @@ def run(spark, sf_dir: str) -> dict:
                            "index_rows_after": int(
                                read_index_table(spark, store).count()),
                            "vacuumed": removed}
+
+        # 6. retention: expire every index row older than the current
+        #    ingest day (the TTL sweep — media indexes age out by
+        #    watermark as well as by explicit takedown ids)
+        expired = expire_index_rows(spark, store, "ingest_day", 1,
+                                    partition_by=("q",))
+        out["retention"] = {"expired_rows": int(expired),
+                            "index_rows_after": int(
+                                read_index_table(spark, store).count())}
     return out
 
 

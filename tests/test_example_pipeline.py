@@ -211,3 +211,10 @@ def test_audio_ingest_end_to_end(spark):
     assert out["takedown"]["index_rows_after"] == before - sum(
         rows(i % n) for i in retired)
     assert out["takedown"]["vacuumed"] == []
+    # retention: the TTL sweep expires exactly the day-0 (initial
+    # corpus) rows, leaving the day-1 survivors minus the takedown
+    assert out["retention"]["expired_rows"] == \
+        out["index"]["index_rows"]
+    assert out["retention"]["index_rows_after"] == (
+        out["takedown"]["index_rows_after"]
+        - out["index"]["index_rows"])

@@ -184,6 +184,144 @@ def test_delete_index_rows_int_partitions_still_work(spark, tmp_path):
     assert left.count() == pt.filter(F.col("vid") != 3).count()
 
 
+# ----------------------------------------------------------------------
+# TTL retention sweep (expire_index_rows, VERDICT r13 ask #4)
+# ----------------------------------------------------------------------
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols)
+                  for r in df.select(*cols).collect())
+
+
+def test_expire_index_rows_equals_rebuild_without(spark, tmp_path):
+    # non-partition watermark: touched partitions rewritten with only
+    # their fresh rows; result row-identical to an index rebuilt over
+    # the fresh corpus; returned count exact; re-run a no-op
+    from fsharp_dataframe_spark.functions.index_store import (
+        expire_index_rows, read_index_table, save_index_table,
+    )
+
+    n = 24
+    media = M.make_fake_video_media(spark, n)
+    pt = (M.video_frame_piece_table(media, every_n=2)
+          .withColumn("ingest_day",
+                      (F.col("vid") % 4).cast("long")))
+    path = str(tmp_path / "aged")
+    save_index_table(pt, path, partition_by=("q",))
+    n_old = pt.filter(F.col("ingest_day") < 2).count()
+    got = expire_index_rows(spark, path, "ingest_day", 2,
+                            partition_by=("q",))
+    assert got == n_old
+    cols = ["vid", "frame_idx", "sh", "q", "qv", "ingest_day"]
+    rebuilt = (M.video_frame_piece_table(
+        media.filter(F.col("media_id") % 4 >= 2), every_n=2)
+        .withColumn("ingest_day", (F.col("vid") % 4).cast("long")))
+    assert _sorted_rows(read_index_table(spark, path), cols) \
+        == _sorted_rows(rebuilt, cols)
+    # idempotent: the same cutoff again expires nothing
+    assert expire_index_rows(spark, path, "ingest_day", 2) == 0
+    # all-fresh no-op
+    assert expire_index_rows(spark, path, "ingest_day", 0) == 0
+
+
+def test_expire_index_rows_null_watermark_survives(spark, tmp_path):
+    from fsharp_dataframe_spark.functions.index_store import (
+        expire_index_rows, read_index_table, save_index_table,
+    )
+
+    path = str(tmp_path / "nullwm")
+    df = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, None), (3, 1, 5)],
+        "media_id long, q int, day long")
+    save_index_table(df, path, partition_by=("q",))
+    assert expire_index_rows(spark, path, "day", 7) == 1
+    left = _sorted_rows(read_index_table(spark, path),
+                        ["media_id", "q", "day"])
+    # unknown age is not old age: the NULL-watermark row survives
+    assert left == [(1, 0, 10), (2, 0, None)]
+
+
+def test_expire_index_rows_partition_pruned(spark, tmp_path):
+    # watermark IS a partition key: expired directories are dropped
+    # whole; fresh partitions keep their files BIT-FOR-BIT (no read,
+    # no rewrite) — the 100 TB retention shape
+    import os
+
+    from fsharp_dataframe_spark.functions.index_store import (
+        expire_index_rows, read_index_table, save_index_table,
+    )
+
+    n = 24
+    media = M.make_fake_video_media(spark, n)
+    pt = (M.video_frame_piece_table(media, every_n=2)
+          .withColumn("day", (F.col("vid") % 3).cast("int")))
+    path = str(tmp_path / "daykeyed")
+    save_index_table(pt, path, partition_by=("q", "day"))
+
+    def _snap(root):
+        snap = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    snap[p] = (st.st_size, st.st_mtime_ns)
+        return snap
+
+    fresh_before = {p: v for p, v in _snap(path).items()
+                    if "/day=2/" in p or "/day=1/" in p}
+    n_old = pt.filter(F.col("day") < 1).count()
+    got = expire_index_rows(spark, path, "day", 1,
+                            partition_by=("q", "day"))
+    assert got == n_old
+    cols = ["vid", "frame_idx", "sh", "q", "qv", "day"]
+    rebuilt = (M.video_frame_piece_table(
+        media.filter(F.col("media_id") % 3 >= 1), every_n=2)
+        .withColumn("day", (F.col("vid") % 3).cast("int")))
+    assert _sorted_rows(read_index_table(spark, path), cols) \
+        == _sorted_rows(rebuilt, cols)
+    fresh_after = {p: v for p, v in _snap(path).items()
+                   if "/day=2/" in p or "/day=1/" in p}
+    assert fresh_before == fresh_after  # untouched = bit-for-bit
+    # no day=0 directory survives (dropped outright, no marker file)
+    assert not any("/day=0" in d for d, _, _ in os.walk(path))
+    # idempotent
+    assert expire_index_rows(spark, path, "day", 1,
+                             partition_by=("q", "day")) == 0
+
+
+def test_expire_index_rows_partition_pruned_empties_table(spark,
+                                                          tmp_path):
+    from fsharp_dataframe_spark.functions.index_store import (
+        expire_index_rows, read_index_table, save_index_table,
+    )
+
+    path = str(tmp_path / "allold")
+    df = spark.createDataFrame(
+        [(1, 0, 3), (2, 1, 4)], "media_id long, q int, day int")
+    save_index_table(df, path, partition_by=("q", "day"))
+    assert expire_index_rows(spark, path, "day", 99,
+                             partition_by=("q", "day")) == 2
+    # fully-expired table still reads back (zero rows, schema kept)
+    assert read_index_table(spark, path).count() == 0
+
+
+def test_expire_index_rows_rejects_non_int_cutoff_on_partition_key(
+        spark, tmp_path):
+    from fsharp_dataframe_spark.functions.index_store import (
+        expire_index_rows, save_index_table,
+    )
+
+    path = str(tmp_path / "badcut")
+    df = spark.createDataFrame(
+        [(1, 0, 3)], "media_id long, q int, day int")
+    save_index_table(df, path, partition_by=("q", "day"))
+    with pytest.raises(ValueError, match="integer"):
+        expire_index_rows(spark, path, "day", "2024-01-01",
+                          partition_by=("q", "day"))
+
+
 def test_read_index_table_scoped_cast(spark, tmp_path):
     from fsharp_dataframe_spark.functions.index_store import (
         read_index_table, save_index_table,
