@@ -3161,12 +3161,12 @@ EXTRA_QUERIES = (
     # (count-distinct distribution) + tpch_q10/q21 (outer/anti
     # shapes):
     "audio_near_dup", "audio_incr_dedup", "video_near_dup",
-    "video_incr_dedup", "tpch_q12", "tpch_q13")
-    # ROUND-15 ROTATION PLAN: any round-14 newcomers (each held under
-    # the local three-SF oracle gate this round) rotate into the
-    # driver window next round, swapping out r13+r14-double-green
-    # veterans with in-window siblings, exactly as every round since
-    # r7.
+    "video_incr_dedup", "tpch_q12", "tpch_q13",
+    # ROUND-15 ROTATION PLAN: the round-14 newcomers below (each
+    # locally three-SF oracle-green since r14) rotate into the driver
+    # window next round, swapping out r13+r14-double-green veterans
+    # with in-window siblings, exactly as every round since r7:
+    "video_residue_dedup", "video_residue_incr")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4455,6 +4455,67 @@ def q_video_dual_incr(spark, sf) -> DataFrame:
 
 
 
+def q_video_residue_dedup(spark, sf) -> DataFrame:
+    """RESIDUE-SET offset-tolerant video near-dup
+    (multimodal.video_near_dup_dual at every_n=3 — the r13 dual
+    parity GENERALIZED, VERDICT r13 ask #3: the s≠2 refusal is gone)
+    over the closed-form video fixture UNION 1-frame AND 2-frame
+    head-trimmed re-uploads (neither a stride-3 multiple) built
+    through the real container transform (trim_video_head).  The
+    piece table hashes EVERY frame while votes are cast from the
+    ``j ≡ 0 (mod 3)`` grid: both trims shift same-grid matchers off
+    each other, so video_near_dup_offset(every_n=3) provably misses
+    every planted pair (pinned in tests/test_round14_ops.py) — the
+    dense side catches them at offsets 1 and 2.  The oracle replays
+    trim, dense/grid split, banding, popcount, the residue-set
+    alignable-count closed form (brute-force pinned for several
+    strides and residue sets) and the coverage rule verbatim.
+
+    100 TB shape: the piece index is 3x the sampled matcher's (the
+    explicit recall/cost dial); candidates stay
+    hash-key-occupancy-bounded, the vote is one small-key groupBy,
+    pixels never shuffle."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, trim_video_head, video_near_dup_dual,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    t1 = (trim_video_head(media.filter(F.col("media_id") % 5 == 1), 1)
+          .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    t2 = (trim_video_head(media.filter(F.col("media_id") % 5 == 3), 2)
+          .withColumn("media_id", F.col("media_id") + F.lit(2 * n)))
+    corpus = media.unionByName(t1).unionByName(t2)
+    return (video_near_dup_dual(corpus, every_n=3, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
+def q_video_residue_incr(spark, sf) -> DataFrame:
+    """Directional incremental residue-set video near-dup
+    (multimodal.cross_video_near_dup_dual at every_n=3): the 1- and
+    2-frame-trimmed re-uploads play a nightly batch hashed at the
+    CHEAP ``j ≡ 0 (mod 3)`` grid (one third of the corpus side's
+    decode volume) and joined against the corpus's DENSE stored
+    piece table (video_frame_piece_table at every_n=1 — the superset
+    that serves every residue grid); the corpus is never re-decoded
+    or self-joined.  Offset = frames trimmed from the new video's
+    head (1 or 2 for the planted clones — values no stride-3 grid
+    pair can express)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_video_media, cross_video_near_dup_dual, trim_video_head,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_video_media(spark, n)
+    t1 = (trim_video_head(media.filter(F.col("media_id") % 5 == 1), 1)
+          .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    t2 = (trim_video_head(media.filter(F.col("media_id") % 5 == 3), 2)
+          .withColumn("media_id", F.col("media_id") + F.lit(2 * n)))
+    return (cross_video_near_dup_dual(t1.unionByName(t2), media,
+                                      every_n=3, max_hamming=2)
+            .orderBy("new_id", "old_id"))
+
+
 def q_audio_overlap_snippet(spark, sf) -> DataFrame:
     """Query-by-example audio search at HOP resolution
     (multimodal.audio_overlap_snippet_search): 2560-sample snippets
@@ -4577,6 +4638,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rate_dedup": q_audio_rate_dedup,
         "video_dual_dedup": q_video_dual_dedup,
         "video_dual_incr": q_video_dual_incr,
+        "video_residue_dedup": q_video_residue_dedup,
+        "video_residue_incr": q_video_residue_incr,
         "audio_overlap_snippet": q_audio_overlap_snippet,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_incr_dedup": q_image_incr_dedup,
@@ -6717,6 +6780,167 @@ def _all_oracle_sql() -> dict[str, str]:
                    comparable AS comparable_frames
             FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY id_a, id_b
+        """,
+        # residue-set replay at stride 3 (r14): dense side = base
+        # fixture UNION 1- and 2-frame-trimmed clones; votes from the
+        # j % 3 = 0 grid; comparable = #{j ≡ 0 (mod 3) in [lo, hi]}
+        # = floor(hi/3) - floor((lo-1)/3) with lo = max(0, dlt),
+        # hi = min(gmax, mb - 1 + dlt) — the general closed form the
+        # engine computes (brute-force pinned in test_round14_ops)
+        "video_residue_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+            pat AS (SELECT i, nf, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr),
+            nn AS (SELECT count(*) FROM documents),
+            dense AS (
+              SELECT i::BIGINT AS vid, f AS idx, sh FROM pat
+              UNION ALL
+              SELECT (i + (SELECT * FROM nn))::BIGINT AS vid,
+                     (f - 1) AS idx, sh
+              FROM pat WHERE i % 5 = 1 AND f >= 1
+              UNION ALL
+              SELECT (i + 2 * (SELECT * FROM nn))::BIGINT AS vid,
+                     (f - 2) AS idx, sh
+              FROM pat WHERE i % 5 = 3 AND f >= 2),
+            qd AS (SELECT vid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM dense),
+            cand AS (SELECT DISTINCT a1.vid AS id_a, b2.vid AS id_b,
+                            a1.idx AS ia, b2.idx AS ib
+                     FROM qd a1 JOIN qd b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.vid < b2.vid
+                     WHERE a1.idx % 3 = 0
+                       AND bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT id_a, id_b, (ia - ib)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            cg AS (SELECT vid, max(idx)::BIGINT AS gmax FROM dense
+                   WHERE idx % 3 = 0 GROUP BY 1),
+            cd AS (SELECT vid, count(*)::BIGINT AS mb FROM dense
+                   GROUP BY 1),
+            f AS (SELECT d.id_a, d.id_b, d.dlt AS "offset", d.matched,
+                         CASE WHEN least(cg.gmax, cd.mb - 1 + d.dlt)
+                                   >= greatest(0, d.dlt)
+                           THEN (floor(least(cg.gmax,
+                                             cd.mb - 1 + d.dlt) / 3.0)
+                                 - floor((greatest(0, d.dlt) - 1)
+                                         / 3.0))::BIGINT
+                           ELSE 0 END AS comparable
+                  FROM d JOIN cg ON cg.vid = d.id_a
+                         JOIN cd ON cd.vid = d.id_b
+                  WHERE d.rk = 1)
+            SELECT id_a, id_b, "offset",
+                   matched AS matched_frames,
+                   comparable AS comparable_frames
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY id_a, id_b
+        """,
+        # directional residue-set replay at stride 3: trimmed clones
+        # (new, j % 3 = 0 grid) against the dense base corpus;
+        # offset = ib - ia; lo = max(0, -dlt), hi = min(gmax,
+        # mb - 1 - dlt)
+        "video_residue_incr": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            v AS (SELECT j AS i,
+                         CASE WHEN j % 8 = 7 THEN ((j - 1) % 13) + 2
+                              ELSE (j % 13) + 2 END AS nf
+                  FROM m),
+            fr AS (SELECT i, nf, unnest(range(0, nf)) AS f FROM v),
+            pat AS (SELECT i, nf, f,
+                     CASE WHEN i % 8 = 7 AND f = 0 THEN
+                       xor(('0x' || substr(md5('v' || (i-1)::VARCHAR
+                              || '_' || f::VARCHAR), 1, 15))::BIGINT,
+                           (1::BIGINT << (i % 60)))
+                     WHEN i % 8 = 7 THEN
+                       ('0x' || substr(md5('v' || (i-1)::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('v' || i::VARCHAR
+                          || '_' || f::VARCHAR), 1, 15))::BIGINT
+                     END AS sh
+                  FROM fr),
+            nn AS (SELECT count(*) FROM documents),
+            newall AS (
+              SELECT (i + (SELECT * FROM nn))::BIGINT AS vid,
+                     (f - 1) AS idx, sh
+              FROM pat WHERE i % 5 = 1 AND f >= 1
+              UNION ALL
+              SELECT (i + 2 * (SELECT * FROM nn))::BIGINT AS vid,
+                     (f - 2) AS idx, sh
+              FROM pat WHERE i % 5 = 3 AND f >= 2),
+            newg AS (SELECT * FROM newall WHERE idx % 3 = 0),
+            oldd AS (SELECT i::BIGINT AS vid, f AS idx, sh FROM pat),
+            qn AS (SELECT vid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM newg),
+            qo AS (SELECT vid, idx, sh,
+                          unnest([0, 1, 2]) AS q,
+                          unnest([sh & 4194303,
+                                  (sh >> 22) & 2097151,
+                                  (sh >> 43) & 2097151]) AS qv
+                   FROM oldd),
+            cand AS (SELECT DISTINCT a1.vid AS new_id, b2.vid AS old_id,
+                            a1.idx AS ia, b2.idx AS ib
+                     FROM qn a1 JOIN qo b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.vid <> b2.vid
+                     WHERE bit_count(xor(a1.sh, b2.sh)) <= 2),
+            vv AS (SELECT new_id, old_id, (ib - ia)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (
+                         PARTITION BY new_id, old_id
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            cg AS (SELECT vid, max(idx)::BIGINT AS gmax FROM newg
+                   GROUP BY 1),
+            cd AS (SELECT vid, count(*)::BIGINT AS mb FROM oldd
+                   GROUP BY 1),
+            f AS (SELECT d.new_id, d.old_id, d.dlt AS "offset",
+                         d.matched,
+                         CASE WHEN least(cg.gmax, cd.mb - 1 - d.dlt)
+                                   >= greatest(0, -d.dlt)
+                           THEN (floor(least(cg.gmax,
+                                             cd.mb - 1 - d.dlt) / 3.0)
+                                 - floor((greatest(0, -d.dlt) - 1)
+                                         / 3.0))::BIGINT
+                           ELSE 0 END AS comparable
+                  FROM d JOIN cg ON cg.vid = d.new_id
+                         JOIN cd ON cd.vid = d.old_id
+                  WHERE d.rk = 1)
+            SELECT new_id, old_id, "offset",
+                   matched AS matched_frames,
+                   comparable AS comparable_frames
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY new_id, old_id
         """,
         # directional dual-parity replay: clones (new, stride-2 grid)
         # against the dense base corpus; offset = ib - ia

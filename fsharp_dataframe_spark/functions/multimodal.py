@@ -1100,18 +1100,26 @@ def unpack_frame(payload: bytes | None, idx: int) -> bytes | None:
 def video_frame_hashes(df: DataFrame, every_n: int = 2,
                        payload_col: str = "payload",
                        id_col: str = "media_id",
-                       max_pixels: int | None = None) -> DataFrame:
+                       max_pixels: int | None = None,
+                       residues=(0,)) -> DataFrame:
     """Per-sampled-frame dHash over the REAL decode path: parse the
-    container, sample every ``every_n``-th frame (frame_sample_plan's
-    stride contract), decode each sampled frame through the image
-    tier's codecs, dHash it.  Arrow-batched; undecodable rows or
-    frames degrade per row to NULL + decode_ok=False.
+    container, sample the frames ``f ≡ r (mod every_n)`` for ``r`` in
+    ``residues`` (default ``(0,)`` — every ``every_n``-th frame,
+    frame_sample_plan's stride contract), decode each sampled frame
+    through the image tier's codecs, dHash it.  Arrow-batched;
+    undecodable rows or frames degrade per row to NULL +
+    decode_ok=False.  ``residues`` lets the residue-set matchers
+    decode ONLY their voting grid — |residues|/every_n of the dense
+    decode volume.
 
     Returns (id, frame_idx int, dhash long, decode_ok).  At 100 TB
     the payload bytes stream through one mapInPandas — frames never
     explode into a shuffle carrying pixel data; only the 8-byte
     hashes move."""
     import struct
+
+    rs = _check_residues(every_n, residues)
+    every_n = int(every_n)
 
     out_schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
@@ -1141,7 +1149,10 @@ def video_frame_hashes(df: DataFrame, every_n: int = 2,
                     hashes.append(None)
                     oks.append(False)
                     continue
-                for f in range(0, n, every_n):
+                frames = (range(0, n, every_n) if rs == (0,) else
+                          sorted(f for r in rs
+                                 for f in range(r, n, every_n)))
+                for f in frames:
                     fr = unpack_frame(b, f)
                     arr = (None if fr is None else
                            _decode_gray_array(fr, max_pixels=max_pixels))
@@ -1225,18 +1236,22 @@ def video_near_dup(df: DataFrame, every_n: int = 2, max_hamming: int = 2,
 def video_frame_piece_table(df: DataFrame, every_n: int = 2,
                             max_hamming: int = 2,
                             payload_col: str = "payload",
-                            id_col: str = "media_id") -> DataFrame:
+                            id_col: str = "media_id",
+                            residues=(0,)) -> DataFrame:
     """The persistable half of an incremental video-dedup index: one
     (vid, frame_idx, sh, q, qv) row per sampled frame per pigeonhole
     piece — written ONCE for the landed corpus (partition by ``q`` on
     disk), joined by every new batch.  The video tier's
-    hamming_piece_table / cosine_bucket_table."""
+    hamming_piece_table / cosine_bucket_table.  ``residues`` narrows
+    the sampled grid to ``f ≡ r (mod every_n)`` (the residue-set
+    matchers' decode-only-the-voting-grid path)."""
     from fsharp_dataframe_spark.functions.dedup import (
         piece_expr, pigeonhole_pieces,
     )
 
     fh = (video_frame_hashes(df, every_n=every_n,
-                             payload_col=payload_col, id_col=id_col)
+                             payload_col=payload_col, id_col=id_col,
+                             residues=residues)
           .filter(F.col("decode_ok"))
           .select(F.col(id_col).alias("vid"), "frame_idx",
                   F.col("dhash").alias("sh")))
@@ -1775,13 +1790,15 @@ def trim_video_head(df: DataFrame, n_frames: int,
 
 
 def _video_pieces_std(df: DataFrame, every_n: int, max_hamming: int,
-                      payload_col: str, id_col: str) -> DataFrame:
+                      payload_col: str, id_col: str,
+                      residues=(0,)) -> DataFrame:
     """video_frame_piece_table renamed to the _offset_vote_pairs
     standard (id, idx, sh, q, qv)."""
     return (video_frame_piece_table(df, every_n=every_n,
                                     max_hamming=max_hamming,
                                     payload_col=payload_col,
-                                    id_col=id_col)
+                                    id_col=id_col,
+                                    residues=residues)
             .select(F.col("vid").alias("id"),
                     F.col("frame_idx").alias("idx"), "sh", "q", "qv"))
 
@@ -2562,54 +2579,81 @@ def cross_audio_overlap_near_dup(new: DataFrame, existing: DataFrame,
 
 
 # ----------------------------------------------------------------------
-# video: DUAL-PARITY sampling (odd-trim tolerance at stride-2 defaults)
+# video: RESIDUE-SET sampling (dual parity generalized — any-stride
+# trim tolerance; every_n=2, residues=(0,) is the r13 dual-parity
+# special case, bit-identical results pinned)
 # ----------------------------------------------------------------------
 
 
-def _offset_vote_pairs_dualgrid(grid: DataFrame, dense: DataFrame,
+def _check_residues(every_n: int, residues) -> tuple[int, ...]:
+    s = int(every_n)
+    if s < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    rs = tuple(sorted({int(r) for r in residues}))
+    if not rs:
+        raise ValueError("residues must be non-empty")
+    if any(r < 0 or r >= s for r in rs):
+        raise ValueError(
+            f"residues must lie in 0..{s - 1} (mod every_n={s}), "
+            f"got {tuple(residues)}")
+    return rs
+
+
+def _offset_vote_pairs_residues(grid: DataFrame, dense: DataFrame,
+                                stride: int, residues,
                                 max_hamming: int,
                                 directional: bool) -> DataFrame:
-    """Offset-vote rollup for the dual-parity video tier: the LEFT
-    side's positions sit on the even stride-2 grid (idx in {0, 2, 4,
-    ...}); the RIGHT side is DENSE (every frame hashed).  Votes and the
-    dominant offset work exactly as _offset_vote_pairs; only the
-    alignable-position count changes — comparable(t) = #{even j in
-    [0, n_left_frames) : 0 <= j -/+ t < m_right} (symmetric / 
-    directional), i.e. with a = j/2, na = |grid positions|:
+    """Offset-vote rollup for the residue-set video tier: the LEFT
+    side's positions are the frames ``j ≡ r (mod stride)`` for ``r``
+    in ``residues``; the RIGHT side is DENSE (every frame hashed).
+    Votes and the dominant offset work exactly as _offset_vote_pairs;
+    only the alignable-position count changes —
 
-        symmetric  (t = idx_l - idx_r):
-            a in [max(0, ceil(t/2)),  min(na-1, floor((m_r-1+t)/2))]
-        directional (t = idx_r - idx_l):
-            a in [max(0, ceil(-t/2)), min(na-1, floor((m_r-1-t)/2))]
+        comparable(t) = #{j in left grid : 0 <= j -/+ t < m_right}
+                      = sum over r in residues of
+                        #{j ≡ r (mod s) : lo <= j <= hi}
+        with  lo = max(0, ±t),  hi = min(gmax_left, m_right - 1 ± t)
+        and   #{j ≡ r in [lo, hi]} = floor((hi-r)/s)
+                                     - floor((lo-1-r)/s)
 
-    (both pinned against brute force in test_round13_ops).  Because
-    the right side is dense, ANY integer offset aligns — including the
-    odd trims the stride-2 grids are structurally blind to — while an
-    even offset reproduces the stride-2 matched/comparable numbers
-    exactly (same even-grid matches, same count; pinned)."""
+    (sign +t symmetric / -t directional; gmax_left = the left side's
+    largest grid position, so j never exceeds frames the left clip
+    actually has).  At stride=2, residues=(0,) this closed form
+    reduces exactly to the r13 dual-parity formulas (pinned
+    bit-identical in test_round14_ops against brute force and the
+    registered video_dual oracles).  Because the right side is dense,
+    ANY integer offset aligns — a trim of ANY size is caught at any
+    stride, where same-grid matchers are structurally blind to
+    non-multiples of the stride."""
     from pyspark.sql import Window
 
+    s = int(stride)
+    rs = _check_residues(s, residues)
     votes = _offset_votes(grid, dense, max_hamming, directional)
     w = Window.partitionBy("id_l", "id_r").orderBy(
         F.col("matched").desc(), F.col("offset").asc())
     dom = (votes.withColumn("_rk", F.row_number().over(w))
            .filter(F.col("_rk") == 1).drop("_rk"))
-    cnt_g = (grid.select("id", "idx").distinct().groupBy("id")
-             .agg(F.count("*").alias("_na")))
+    gstat = (grid.select("id", "idx").distinct().groupBy("id")
+             .agg(F.max("idx").alias("_gmax")))
     cnt_d = (dense.select("id", "idx").distinct().groupBy("id")
              .agg(F.count("*").alias("_nb")))
     out = (dom
-           .join(cnt_g.withColumnRenamed("id", "id_l"), "id_l")
+           .join(gstat.withColumnRenamed("id", "id_l"), "id_l")
            .join(cnt_d.withColumnRenamed("id", "id_r"), "id_r"))
     t = F.col("offset")
     sgn = F.lit(-1) if directional else F.lit(1)
-    lo = F.greatest(F.lit(0),
-                    F.ceil(sgn * t / F.lit(2.0)).cast("long"))
-    hi = F.least(F.col("_na") - 1,
-                 F.floor((F.col("_nb") - 1 + sgn * t) / F.lit(2.0))
-                 .cast("long"))
+    lo = F.greatest(F.lit(0), (sgn * t).cast("long"))
+    hi = F.least(F.col("_gmax").cast("long"),
+                 (F.col("_nb") - 1 + sgn * t).cast("long"))
+    comp = None
+    for r in rs:
+        c = (F.floor((hi - F.lit(r)) / F.lit(float(s)))
+             - F.floor((lo - 1 - F.lit(r)) / F.lit(float(s))))
+        comp = c if comp is None else comp + c
     out = out.withColumn(
-        "comparable", F.greatest(F.lit(0), hi - lo + 1).cast("long"))
+        "comparable",
+        F.when(hi >= lo, comp).otherwise(F.lit(0)).cast("long"))
     keep = F.col("matched") * 2 >= F.col("comparable")
     return (out.filter((F.col("comparable") > 0) & keep)
             .select("id_l", "id_r", "offset", "matched", "comparable"))
@@ -2618,39 +2662,43 @@ def _offset_vote_pairs_dualgrid(grid: DataFrame, dense: DataFrame,
 def video_near_dup_dual(df: DataFrame, every_n: int = 2,
                         max_hamming: int = 2,
                         payload_col: str = "payload",
-                        id_col: str = "media_id") -> DataFrame:
-    """Temporal-offset-tolerant video near-dup with DUAL-PARITY
-    sampling: the piece table hashes EVERY frame (both parities of the
-    stride-2 grid) while votes are cast from the even grid — so a
-    re-upload trimmed by an ODD frame count (one dropped leader frame,
-    the classic re-encode artifact) is caught under the default
-    parameters, where video_near_dup_offset's stride-2 grids shift off
-    each other and provably miss (pinned in test_round13_ops).  For
-    even trims and same-position re-uploads the reported (offset,
-    matched, comparable) are IDENTICAL to video_near_dup_offset's
-    (also pinned): the dense side only adds odd-frame rows that an
-    even-offset dominant alignment never touches.
+                        id_col: str = "media_id",
+                        residues=(0,)) -> DataFrame:
+    """Temporal-offset-tolerant video near-dup with RESIDUE-SET
+    sampling (dual parity generalized, VERDICT r13 ask #3): the piece
+    table hashes EVERY frame while votes are cast from the frames
+    ``j ≡ r (mod every_n)`` for ``r`` in ``residues`` (default the
+    ``(0,)`` grid) — so a re-upload trimmed by ANY frame count is
+    caught at ANY stride, where video_near_dup_offset's same-stride
+    grids shift off each other and provably miss every trim that is
+    not a stride multiple (pinned: odd trims at every_n=2 in
+    test_round13_ops, 1- and 2-frame trims at every_n=3 in
+    test_round14_ops).  At the every_n=2 default this IS the r13
+    dual-parity matcher — for even trims and same-position re-uploads
+    the reported (offset, matched, comparable) are IDENTICAL to
+    video_near_dup_offset's (pinned): the dense side only adds
+    off-grid rows that an on-grid dominant alignment never touches.
 
     Returns (id_a, id_b, offset, matched_frames, comparable_frames)
     with offset in frame units, any integer; the smaller id is the
-    voting (even-grid) side.  Only every_n=2 is supported — at larger
-    strides "both parities" no longer spans all residues and the
-    blind spot returns; sample every_n=1 there instead.
+    voting (grid) side.  ``residues`` is the vote-density dial: more
+    residues = more votes per pair (tighter coverage statistics) at
+    proportionally more candidate rows; the dense right side already
+    guarantees every offset aligns with a single residue.
 
-    100 TB shape: the piece index doubles (every frame vs every 2nd)
-    — that is the explicit recall/cost dial — but candidate fan-out
-    stays hash-key-occupancy-bounded, the vote is one small-key
-    groupBy, counts are dim-sized, pixels never shuffle."""
-    if int(every_n) != 2:
-        raise ValueError(
-            "dual-parity sampling is defined for every_n=2; use "
-            "video_near_dup_offset(every_n=1) for arbitrary strides")
+    100 TB shape: the piece index is ``every_n/1`` denser than the
+    sampled matcher (the explicit recall/cost dial) — but candidate
+    fan-out stays hash-key-occupancy-bounded, the vote is one
+    small-key groupBy, counts are dim-sized, pixels never shuffle."""
     from fsharp_dataframe_spark.functions.util import track_persist
 
+    s = int(every_n)
+    rs = _check_residues(s, residues)
     dense = track_persist(_video_pieces_std(df, 1, max_hamming,
                                             payload_col, id_col))
-    grid = dense.filter(F.col("idx") % 2 == 0)
-    out = _offset_vote_pairs_dualgrid(grid, dense,
+    grid = dense.filter((F.col("idx") % s).isin(list(rs)))
+    out = _offset_vote_pairs_residues(grid, dense, stride=s,
+                                      residues=rs,
                                       max_hamming=max_hamming,
                                       directional=False)
     return out.select(F.col("id_l").alias("id_a"),
@@ -2664,36 +2712,37 @@ def cross_video_near_dup_dual(new: DataFrame, existing: DataFrame,
                               payload_col: str = "payload",
                               id_col: str = "media_id",
                               existing_is_piece_table: bool = False,
-                              ) -> DataFrame:
-    """Directional (new-batch x landed-corpus) dual-parity video
-    near-dup: tonight's videos are hashed at the CHEAP stride-2 grid
-    (half the decode/hash volume of the corpus side) and joined
+                              residues=(0,)) -> DataFrame:
+    """Directional (new-batch x landed-corpus) residue-set video
+    near-dup: tonight's videos are hashed at the CHEAP residue grid
+    (only frames ``j ≡ r (mod every_n)`` are decoded —
+    |residues|/every_n of the corpus side's decode volume) and joined
     against the corpus's DENSE stored piece table
-    (video_frame_piece_table at every_n=1 — a superset of the stride-2
-    index, so the same persisted table also serves the same-position
-    and even-offset matchers by filtering idx % 2 = 0).  An odd-trimmed
-    new upload lands on the corpus's odd frames and is caught; the
-    corpus is never re-decoded or self-joined.
+    (video_frame_piece_table at every_n=1 — a superset of every
+    residue grid, so ONE persisted table serves the same-position,
+    offset, dual and residue matchers).  A new upload trimmed by ANY
+    frame count lands on the corpus's dense rows and is caught; the
+    corpus is never re-decoded or self-joined.  every_n=2,
+    residues=(0,) is the r13 dual-parity cross matcher, bit-identical.
 
     Returns (new_id, old_id, offset, matched_frames,
     comparable_frames), offset = frames trimmed from the NEW video's
     head (any integer)."""
-    if int(every_n) != 2:
-        raise ValueError(
-            "dual-parity sampling is defined for every_n=2; use "
-            "cross_video_near_dup_offset(every_n=1) for arbitrary "
-            "strides")
     from fsharp_dataframe_spark.functions.util import track_persist
 
-    npc = track_persist(_video_pieces_std(new, 2, max_hamming,
-                                          payload_col, id_col))
+    s = int(every_n)
+    rs = _check_residues(s, residues)
+    npc = track_persist(_video_pieces_std(new, s, max_hamming,
+                                          payload_col, id_col,
+                                          residues=rs))
     epc = (existing.select(F.col("vid").alias("id"),
                            F.col("frame_idx").alias("idx"),
                            "sh", "q", "qv")
            if existing_is_piece_table
            else _video_pieces_std(existing, 1, max_hamming,
                                   payload_col, id_col))
-    out = _offset_vote_pairs_dualgrid(npc, epc,
+    out = _offset_vote_pairs_residues(npc, epc, stride=s,
+                                      residues=rs,
                                       max_hamming=max_hamming,
                                       directional=True)
     return out.select(F.col("id_l").alias("new_id"),

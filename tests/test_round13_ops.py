@@ -348,11 +348,19 @@ def test_dualgrid_comparable_formula_matches_brute_force():
                 assert bruted == max(0, hi - lo + 1), (n_l, m_r, t)
 
 
-def test_dual_parity_rejects_other_strides():
-    with pytest.raises(ValueError):
-        M.video_near_dup_dual(None, every_n=4)
-    with pytest.raises(ValueError):
-        M.cross_video_near_dup_dual(None, None, every_n=1)
+def test_residue_set_validation():
+    # r14 generalized dual parity to residue sets: any stride is now
+    # accepted (the r13 refusal is gone, VERDICT r13 ask #3), but the
+    # residues must be a non-empty subset of 0..every_n-1
+    with pytest.raises(ValueError, match="residues"):
+        M.video_near_dup_dual(None, every_n=4, residues=())
+    with pytest.raises(ValueError, match="residues"):
+        M.video_near_dup_dual(None, every_n=2, residues=(2,))
+    with pytest.raises(ValueError, match="residues"):
+        M.cross_video_near_dup_dual(None, None, every_n=3,
+                                    residues=(-1,))
+    with pytest.raises(ValueError, match="every_n"):
+        M.video_near_dup_dual(None, every_n=0)
 
 
 # ----------------------------------------------------------------------
