@@ -3166,7 +3166,8 @@ EXTRA_QUERIES = (
     # locally three-SF oracle-green since r14) rotate into the driver
     # window next round, swapping out r13+r14-double-green veterans
     # with in-window siblings, exactly as every round since r7:
-    "video_residue_dedup", "video_residue_incr")
+    "video_residue_dedup", "video_residue_incr",
+    "audio_hop_fine_dedup")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4455,6 +4456,47 @@ def q_video_dual_incr(spark, sf) -> DataFrame:
 
 
 
+def q_audio_hop_fine_dedup(spark, sf) -> DataFrame:
+    """FINE-HOP overlapped audio near-dup — the measured point on the
+    hop recall/cost dial (VERDICT r13 ask #2): hop=256 (one analysis
+    frame) over the closed-form WAV fixture UNION 768-sample
+    head-trimmed re-uploads built through the real decode+re-encode
+    transform (trim_audio_head).  768 samples = 1.5 default hops =
+    3 analysis frames: the DEFAULT hop=512 framing provably misses
+    every planted pair (its windows land mid-hop off the source grid
+    and scramble — pinned in tests/test_round14_ops.py), the hop=256
+    framing catches them all at offset 3 (hop units) with full
+    coverage.  Dial arithmetic, measured: hop 512 -> 256 doubles the
+    index rows (2048/hop fan-out 4x -> 8x of non-overlapped) and
+    moves the trim-offset resolution from 512 to 256 samples = the
+    256-sample analysis-frame grid, which is this EXACT-matching
+    family's floor: a trim that is not a frame multiple shifts every
+    frame's FFT window and scrambles all bits at ANY hop (the
+    sub-frame boundary, also pinned) — catching those takes
+    Haitsma-Kalker bit-error-rate matching, a different verify stage,
+    not a smaller hop.  The oracle replays the hop-256 window
+    assembly (one byte per analysis frame, frames [h, h+7] per
+    window), banding, popcount and the offset vote verbatim in
+    unsigned HUGEINT.
+
+    100 TB shape: identical to audio_overlap_near_dup — ONE
+    mapInPandas decode, banded candidates, small-key vote; the 2x
+    rows vs the default hop are the explicit, documented cost."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_overlap_near_dup, cached_audio_stream_media,
+        trim_audio_head,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    clones = (trim_audio_head(media.filter(F.col("media_id") % 4 == 1),
+                              768)
+              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    corpus = media.unionByName(clones)
+    return (audio_overlap_near_dup(corpus, hop=256, max_hamming=2)
+            .orderBy("id_a", "id_b"))
+
+
 def q_video_residue_dedup(spark, sf) -> DataFrame:
     """RESIDUE-SET offset-tolerant video near-dup
     (multimodal.video_near_dup_dual at every_n=3 — the r13 dual
@@ -4638,6 +4680,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rate_dedup": q_audio_rate_dedup,
         "video_dual_dedup": q_video_dual_dedup,
         "video_dual_incr": q_video_dual_incr,
+        "audio_hop_fine_dedup": q_audio_hop_fine_dedup,
         "video_residue_dedup": q_video_residue_dedup,
         "video_residue_incr": q_video_residue_incr,
         "audio_overlap_snippet": q_audio_overlap_snippet,
@@ -6778,6 +6821,77 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, "offset",
                    matched AS matched_frames,
                    comparable AS comparable_frames
+            FROM f WHERE comparable > 0 AND matched * 2 >= comparable
+            ORDER BY id_a, id_b
+        """,
+        # fine-hop replay (r14): hop=256 = ONE analysis frame, so a
+        # window at hop position h covers frames [h, h+7] and its
+        # fingerprint is the byte concatenation of those frames'
+        # pattern bytes (assembled in unsigned HUGEINT); 768-sample
+        # trims = 3 frames land the clones at offset 3
+        "audio_hop_fine_dedup": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i,
+                         CASE WHEN j % 6 = 5 THEN ((j - 1) % 5) + 1
+                              ELSE (j % 5) + 2 END AS nw
+                  FROM m),
+            blk AS (SELECT i, unnest(range(0, nw)) AS w FROM a),
+            p AS (SELECT i, w,
+                     (CASE WHEN i % 6 = 5 THEN
+                       ('0x' || substr(md5('s' || (i-1)::VARCHAR
+                          || '_' || (w+1)::VARCHAR), 1, 15))::BIGINT
+                     ELSE
+                       ('0x' || substr(md5('s' || i::VARCHAR
+                          || '_' || w::VARCHAR), 1, 15))::BIGINT
+                     END)::HUGEINT AS ph
+                  FROM blk),
+            fb AS (SELECT i, w * 8 + r AS f,
+                          ((ph >> (r * 8)) & 255) AS byte
+                   FROM (SELECT i, w, ph,
+                                unnest(range(0, 8)) AS r FROM p)),
+            wn AS (SELECT i, unnest(range(0, 8 * nw - 7)) AS h FROM a),
+            wb AS (SELECT wn.i AS i, wn.h AS h,
+                          sum(fb.byte << (8 * (fb.f - wn.h)))
+                            ::HUGEINT AS u
+                   FROM wn JOIN fb ON fb.i = wn.i
+                        AND fb.f BETWEEN wn.h AND wn.h + 7
+                   GROUP BY 1, 2),
+            aw AS (SELECT i::BIGINT AS id, h, u FROM wb
+                   UNION ALL
+                   SELECT (wb.i + (SELECT count(*) FROM documents))
+                            ::BIGINT AS id, (wb.h - 3) AS h, wb.u
+                   FROM wb WHERE wb.i % 4 = 1 AND wb.h >= 3),
+            q AS (SELECT id, h, u,
+                         unnest([0, 1, 2]) AS q,
+                         unnest([(u & 4194303)::BIGINT,
+                                 ((u >> 22) & 2097151)::BIGINT,
+                                 ((u >> 43) & 2097151)::BIGINT]) AS qv
+                  FROM aw),
+            cand AS (SELECT DISTINCT a1.id AS id_a, b2.id AS id_b,
+                            a1.h AS ha, b2.h AS hb
+                     FROM q a1 JOIN q b2
+                       ON a1.q = b2.q AND a1.qv = b2.qv
+                      AND a1.id < b2.id
+                     WHERE bit_count(xor(a1.u, b2.u)) <= 2),
+            vv AS (SELECT id_a, id_b, (ha - hb)::BIGINT AS dlt,
+                          count(*)::BIGINT AS matched
+                   FROM cand GROUP BY 1, 2, 3),
+            d AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                         ORDER BY matched DESC, dlt ASC) AS rk
+                  FROM vv),
+            ct AS (SELECT id, count(*)::BIGINT AS ns FROM aw
+                   GROUP BY 1),
+            f AS (SELECT d.id_a, d.id_b, d.dlt AS "offset", d.matched,
+                         greatest(0, least(cb.ns - 1, ca.ns - 1 - d.dlt)
+                                  - greatest(0, -d.dlt) + 1)::BIGINT
+                           AS comparable
+                  FROM d JOIN ct ca ON ca.id = d.id_a
+                         JOIN ct cb ON cb.id = d.id_b
+                  WHERE d.rk = 1)
+            SELECT id_a, id_b, "offset",
+                   matched AS matched_windows,
+                   comparable AS comparable_windows
             FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY id_a, id_b
         """,

@@ -2434,6 +2434,16 @@ def audio_overlap_fingerprints(df: DataFrame, hop: int = AFP_HOP,
     any trim that is a HOP multiple — offset resolution improves from
     2048 to ``hop`` samples at a 2048/hop fan-out in window count
     (4x at the default), which is the explicit recall/cost dial.
+    Measured dial point (r14, pinned + oracle-backed as
+    audio_hop_fine_dedup): hop=256 — one analysis frame — doubles the
+    default index and catches 768-sample (3-frame) trims the default
+    provably misses.  The dial's floor is the 256-sample ANALYSIS
+    FRAME grid, not the hop: a trim that is not a frame multiple
+    shifts every frame's FFT window and scrambles all bits at ANY hop
+    (pinned with a 100-sample trim) — catching sub-frame trims takes
+    Haitsma-Kalker bit-error-rate matching over dense hop=64
+    sub-fingerprints (a different verify stage), not a smaller hop
+    here.
 
     Returns (id, win_idx int, afp long, decode_ok) with win_idx in
     hop units; decodes at the canonical AFP_SR (rate-normalized).
@@ -2516,7 +2526,11 @@ def audio_overlap_near_dup(df: DataFrame, hop: int = AFP_HOP,
     misses every trim that is not a full 2048-sample window (pinned
     with a planted 1024-sample trim in test_round13_ops).  Same vote
     and coverage semantics as audio_stream_near_dup; offsets are in
-    hop units (offset * hop = samples trimmed).
+    hop units (offset * hop = samples trimmed).  Shrinking ``hop``
+    buys trim resolution down to the 256-sample analysis-frame grid
+    and no further (see audio_overlap_fingerprints — the hop=256
+    point is measured and pinned; sub-frame trims are the exact
+    family's documented floor).
 
     Returns (id_a, id_b, offset, matched_windows, comparable_windows).
     Scale shape: see _offset_vote_pairs — banded candidates, never

