@@ -34,7 +34,10 @@ the reader at your payload parquet and the stages are unchanged.
 For a CONTINUOUS ingest, stream_cross_audio_overlap_near_dup joins
 the live stream against the same stored index (stateless per
 micro-batch; re-read the index and restart the checkpointed query on
-the append cadence — the pinned refresh contract).
+the append cadence — the pinned refresh contract), or
+run_stream_cross_refreshed runs the batch matcher inside
+foreachBatch with a per-micro-batch index re-read, so appends become
+visible with NO restart (pinned in test_round14_ops).
 """
 
 from __future__ import annotations

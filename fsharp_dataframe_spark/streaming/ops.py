@@ -2195,10 +2195,14 @@ def _stream_static_pieces_near_dup(sketched: DataFrame,
     REFRESH CONTRACT (pinned in test_round13_ops): the static side's
     file listing is captured when the DataFrame is created — rows
     appended to the stored index WHILE the query runs are NOT seen by
-    later micro-batches.  On the index-append cadence, re-read the
-    index (read_index_table) and restart the query (checkpointed
-    restarts resume the source exactly); a nightly
-    append-then-restart loop is the production shape.
+    later micro-batches.  Two production shapes: (a) on the
+    index-append cadence, re-read the index (read_index_table) and
+    restart the query (checkpointed restarts resume the source
+    exactly) — the nightly append-then-restart loop; or (b)
+    run_stream_cross_refreshed (r14), which runs the matcher inside
+    foreachBatch and re-reads the index PER MICRO-BATCH — appends
+    become visible without any restart (pinned in
+    test_round14_ops).
 
     100 TB shape: per micro-batch this is the batch cross join —
     candidates bounded by hash-key occupancy against a
@@ -2305,6 +2309,61 @@ def stream_cross_audio_overlap_near_dup(sdf: DataFrame,
     return _stream_static_pieces_near_dup(
         sk, stored, id_col=id_col, max_hamming=max_hamming,
         carry_cols=("win_idx",))
+
+
+def run_stream_cross_refreshed(sdf: DataFrame, index_path: str,
+                               matcher, out_path: str,
+                               checkpoint: str,
+                               query_name: str = "cross_refreshed"):
+    """Snapshot-REFRESHED stream-static incremental matching — the
+    no-restart alternative to the pinned stream-static contract
+    (VERDICT r13 ask #6): the ingest stream is executed through
+    ``foreachBatch``, and each micro-batch re-reads the stored index
+    (read_index_table — a FRESH DataFrame, fresh file listing) before
+    running the BATCH cross matcher against it.  Rows appended to the
+    index between micro-batches are visible to the next batch with no
+    checkpoint restart; the nightly loop becomes append → (nothing).
+
+    ``matcher(batch_df, stored_df) -> DataFrame`` is any batch cross_*
+    front with ``existing_is_piece_table=True`` semantics, e.g.::
+
+        lambda b, s: cross_video_near_dup_offset(
+            b, s, existing_is_piece_table=True)
+
+    Results land under ``out_path/batch=<epoch>`` via per-batch
+    OVERWRITE, so a retried epoch rewrites its own directory —
+    idempotent output despite foreachBatch's at-least-once replay
+    (read the result with ``spark.read.parquet(out_path)``; the
+    ``batch`` directory key is informational).  Returns the started
+    StreamingQuery; callers own stop().
+
+    100 TB shape: per micro-batch this IS the batch cross join —
+    banded candidates against a partition-pruned (``q``) index scan;
+    the re-read costs one file listing per batch (align the trigger
+    with the append cadence).  The restart path remains correct and
+    cheaper when appends are rare; this runner removes the restart
+    when they are not."""
+    from fsharp_dataframe_spark.functions.index_store import (
+        read_index_table,
+    )
+    from fsharp_dataframe_spark.functions.util import cache_scope
+
+    def _once(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stored = read_index_table(batch_df.sparkSession, index_path)
+        # cache_scope: the batch matchers persist their sketch
+        # relations; a long-running stream must release them per
+        # epoch or the executor cache fills with dead batches
+        with cache_scope():
+            out = matcher(batch_df, stored)
+            (out.write.mode("overwrite")
+             .parquet(f"{out_path.rstrip('/')}/batch={batch_id}"))
+
+    return (sdf.writeStream.foreachBatch(_once)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint)
+            .start())
 
 
 def _stream_pieces_near_dup(sketched: DataFrame, id_col: str,

@@ -412,6 +412,73 @@ def test_video_frame_hashes_residue_grid(spark):
 
 
 # ----------------------------------------------------------------------
+# snapshot-refreshed stream-static matching (no restart, VERDICT r13
+# ask #6): foreachBatch re-reads the stored index per micro-batch
+# ----------------------------------------------------------------------
+
+
+def test_stream_cross_refreshed_sees_appends_without_restart(
+        spark, tmp_path):
+    """The no-restart twin of the r13 refresh-contract pin: the SAME
+    corpus/append legs, but run through run_stream_cross_refreshed —
+    the index append becomes visible to the NEXT micro-batch of one
+    continuously-running query; no checkpoint restart leg exists."""
+    from fsharp_dataframe_spark.functions.index_store import (
+        append_index_rows, save_index_table,
+    )
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cross_video_near_dup_offset,
+    )
+    from fsharp_dataframe_spark.streaming.ops import (
+        read_stream_parquet, run_stream_cross_refreshed,
+    )
+
+    n = 24
+    base = M.make_fake_video_media(spark, n)
+    idx = str(tmp_path / "idx")
+    save_index_table(
+        M.video_frame_piece_table(
+            base.filter(F.col("media_id") < 12), every_n=2),
+        idx, partition_by=("q",))
+    clones = (M.trim_video_head(base.filter(F.col("media_id") % 7 == 3),
+                                2)
+              .withColumn("media_id", F.col("media_id") + n)
+              .withColumn("ts", F.lit("2024-01-01 00:00:00")
+                          .cast("timestamp")))
+    src = str(tmp_path / "src")
+    outdir = str(tmp_path / "out")
+    (clones.filter(F.col("media_id") - n < 12)
+     .write.mode("overwrite").parquet(src))
+    q = run_stream_cross_refreshed(
+        read_stream_parquet(spark, src, clones.schema), idx,
+        lambda b, s: cross_video_near_dup_offset(
+            b, s, every_n=2, existing_is_piece_table=True),
+        out_path=outdir, checkpoint=str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+
+        def olds():
+            return {r["old_id"]
+                    for r in spark.read.parquet(outdir).collect()}
+
+        assert olds() == {3, 10}
+        # append to the index MID-STREAM, then feed clones of the
+        # appended half — the running query's next micro-batch
+        # re-reads the index and sees them: no restart
+        append_index_rows(
+            spark, idx,
+            M.video_frame_piece_table(
+                base.filter(F.col("media_id") >= 12), every_n=2),
+            id_col="vid", partition_by=("q",))
+        (clones.filter(F.col("media_id") - n >= 12)
+         .write.mode("append").parquet(src))
+        q.processAllAvailable()
+        assert olds() == {3, 10, 17}
+    finally:
+        q.stop()
+
+
+# ----------------------------------------------------------------------
 # TTL retention sweep (expire_index_rows, VERDICT r13 ask #4)
 # ----------------------------------------------------------------------
 
