@@ -192,6 +192,29 @@ ACCOUNTING_CHANGES = [
                "NOT comparable to r12; compare name-keyed.  The five "
                "ride the cached audio-stream/video fixtures plus real "
                "per-run trim/resample transforms."},
+    {"round": 14, "queries": "all",
+     "change": "registry grew 203 -> 206: +video_residue_dedup and "
+               "+video_residue_incr (dual parity generalized to "
+               "residue sets — any-stride trim tolerance at "
+               "every_n=3 with planted 1- and 2-frame trims), "
+               "+audio_hop_fine_dedup (the measured hop=256 point on "
+               "the overlap dial: catches 768-sample/3-frame trims "
+               "the default hop=512 provably misses; the 256-sample "
+               "analysis-frame grid is the exact family's pinned "
+               "floor).  Totals are NOT comparable to r13; compare "
+               "name-keyed.  All three ride the cached video/audio "
+               "fixtures plus real per-run trim transforms."},
+    {"round": 14, "queries": ["ewma", "pack_sequences", "pack_shards",
+                              "perplexity_buckets"],
+     "change": "r13-drift attribution MEASURED (r13 VERDICT ask #5; "
+               "tools/microbench.py, HEAD vs the r12 tip f07d7db "
+               "back-to-back, quiet box): ewma 3.70 vs 4.03 (HEAD "
+               "-8%), pack_sequences 2.10 vs 1.84 (+14% median, +4% "
+               "on mins), pack_shards 1.07 vs 1.05, "
+               "perplexity_buckets 2.38 vs 2.43, control ivf_train "
+               "3.93 vs 3.76 (+4.5%) — code FLAT r12->r14 on all "
+               "four; the BENCH_r13 ewma 4.85 was the box (its "
+               "microbench control ran +45% that session)."},
     {"round": 13, "queries": ["minhash_pairs", "ngram_jaccard",
                               "incremental_dedup", "quantile_bins",
                               "dedup_clusters", "dedup_keep_best",
