@@ -3167,7 +3167,7 @@ EXTRA_QUERIES = (
     # window next round, swapping out r13+r14-double-green veterans
     # with in-window siblings, exactly as every round since r7:
     "video_residue_dedup", "video_residue_incr",
-    "audio_hop_fine_dedup")
+    "audio_hop_fine_dedup", "audio_ber_verify")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4497,6 +4497,46 @@ def q_audio_hop_fine_dedup(spark, sf) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_audio_ber_verify(spark, sf) -> DataFrame:
+    """Pairwise BER verify stage (multimodal.audio_ber_verify) — the
+    Haitsma-Kalker bit-error-rate stage that closes the exact
+    family's pinned floor: candidate pairs (here the planted clones)
+    are aligned at SAMPLE resolution by FFT cross-correlation and
+    their overlapped fingerprints compared over the aligned overlap.
+    The fixture plants 100-sample trims (NOT a multiple of the
+    256-sample analysis frame — invisible to every banded hop tier,
+    pinned) on one subset and 768-sample trims on another, both
+    through the real decode+re-encode transform; every pair verifies
+    at lag = the exact trim with ber = 0.0 and the closed-form
+    aligned window count.  The oracle is pure fixture arithmetic —
+    lag, window count and the exact-zero BER are all determined by
+    the trim and the stream length, no FFT replay needed.
+
+    100 TB shape: the VERIFY-STAGE contract — |pairs|-bounded, one
+    FFT pair per candidate, payload bytes cross the pair join once,
+    the corpus is never self-joined here (coarse tiers emit the
+    candidates)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        audio_ber_verify, cached_audio_stream_media, trim_audio_head,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_audio_stream_media(spark, n)
+    t100 = (trim_audio_head(media.filter(F.col("media_id") % 6 == 1),
+                            100)
+            .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    t768 = (trim_audio_head(media.filter(F.col("media_id") % 6 == 3),
+                            768)
+            .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    corpus = media.unionByName(t100).unionByName(t768)
+    pairs = (spark.range(0, int(n))
+             .select(F.col("id").alias("id_a"))
+             .filter((F.col("id_a") % 6 == 1)
+                     | (F.col("id_a") % 6 == 3))
+             .withColumn("id_b", F.col("id_a") + F.lit(n)))
+    return audio_ber_verify(pairs, corpus).orderBy("id_a")
+
+
 def q_video_residue_dedup(spark, sf) -> DataFrame:
     """RESIDUE-SET offset-tolerant video near-dup
     (multimodal.video_near_dup_dual at every_n=3 — the r13 dual
@@ -4680,6 +4720,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rate_dedup": q_audio_rate_dedup,
         "video_dual_dedup": q_video_dual_dedup,
         "video_dual_incr": q_video_dual_incr,
+        "audio_ber_verify": q_audio_ber_verify,
         "audio_hop_fine_dedup": q_audio_hop_fine_dedup,
         "video_residue_dedup": q_video_residue_dedup,
         "video_residue_incr": q_video_residue_incr,
@@ -6823,6 +6864,29 @@ def _all_oracle_sql() -> dict[str, str]:
                    comparable AS comparable_frames
             FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY id_a, id_b
+        """,
+        # BER verify-stage replay (r14): pure fixture arithmetic —
+        # an exact head trim of t samples verifies at lag = t with
+        # ber = 0.0 over the aligned overlap's hop windows; lag,
+        # window count and the exact zero are closed form, no FFT
+        # replay needed (sub-frame alignment correctness is pinned in
+        # test_round14_ops against unrelated-pair controls)
+        "audio_ber_verify": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents),
+            a AS (SELECT j AS i, (j % 5) + 2 AS nw FROM m
+                  WHERE j % 6 = 1 OR j % 6 = 3),
+            f AS (SELECT i::BIGINT AS id_a,
+                         (i + (SELECT count(*) FROM documents))
+                           ::BIGINT AS id_b,
+                         (CASE WHEN i % 6 = 1 THEN 100
+                               ELSE 768 END)::BIGINT AS lag,
+                         nw * 2048 AS len
+                  FROM a)
+            SELECT id_a, id_b, lag,
+                   ((len - lag - 2048) // 512 + 1)::INT AS n_windows,
+                   0.0::DOUBLE AS ber
+            FROM f ORDER BY id_a
         """,
         # fine-hop replay (r14): hop=256 = ONE analysis frame, so a
         # window at hop position h covers frames [h, h+7] and its

@@ -193,7 +193,7 @@ ACCOUNTING_CHANGES = [
                "ride the cached audio-stream/video fixtures plus real "
                "per-run trim/resample transforms."},
     {"round": 14, "queries": "all",
-     "change": "registry grew 203 -> 206: +video_residue_dedup and "
+     "change": "registry grew 203 -> 207: +video_residue_dedup and "
                "+video_residue_incr (dual parity generalized to "
                "residue sets — any-stride trim tolerance at "
                "every_n=3 with planted 1- and 2-frame trims), "
@@ -201,8 +201,12 @@ ACCOUNTING_CHANGES = [
                "the overlap dial: catches 768-sample/3-frame trims "
                "the default hop=512 provably misses; the 256-sample "
                "analysis-frame grid is the exact family's pinned "
-               "floor).  Totals are NOT comparable to r13; compare "
-               "name-keyed.  All three ride the cached video/audio "
+               "floor), +audio_ber_verify (the Haitsma-Kalker "
+               "bit-error-rate verify stage that closes that floor "
+               "for candidate pairs: FFT sample-resolution alignment "
+               "+ fingerprint agreement; 100-sample trims verify at "
+               "ber 0).  Totals are NOT comparable to r13; compare "
+               "name-keyed.  All four ride the cached video/audio "
                "fixtures plus real per-run trim transforms."},
     {"round": 14, "queries": ["ewma", "pack_sequences", "pack_shards",
                               "perplexity_buckets"],
