@@ -2863,8 +2863,11 @@ def audio_ber_verify(pairs: DataFrame, media: DataFrame,
     100 TB shape: THE VERIFY-STAGE CONTRACT — cost is |pairs|-bounded
     and payload bytes cross the pair join once (candidates are few by
     construction: coarse tiers emit them, the corpus is NEVER
-    self-joined here); one Arrow mapInPandas pass, one FFT pair per
-    candidate, no state."""
+    self-joined here).  The corpus scan is filtered FIRST by a
+    broadcast semi-join on the pair ids, so only the candidate
+    clips' payloads ever shuffle — a naive pairs-x-media join would
+    hash-repartition the whole corpus's bytes; one Arrow mapInPandas
+    pass, one FFT pair per candidate, no state."""
     lagmax = int(max_lag)
     hop = int(hop)
     out_schema = T.StructType([
@@ -2875,12 +2878,19 @@ def audio_ber_verify(pairs: DataFrame, media: DataFrame,
         T.StructField("ber", T.DoubleType(), True),
     ])
 
-    pa = media.select(F.col(id_col).alias(a_col),
-                      F.col(payload_col).alias("_pa"))
-    pb = media.select(F.col(id_col).alias(b_col),
-                      F.col(payload_col).alias("_pb"))
-    joined = (pairs.select(a_col, b_col)
-              .join(pa, a_col).join(pb, b_col))
+    pr = pairs.select(a_col, b_col)
+    ids = (pr.select(F.col(a_col).alias(id_col))
+           .unionByName(pr.select(F.col(b_col).alias(id_col)))
+           .distinct())
+    # broadcast semi: the corpus is scanned in place and FILTERED to
+    # the candidate ids — no corpus-wide payload shuffle; the joins
+    # below move only the |pairs|-bounded subset
+    sub = media.join(F.broadcast(ids), id_col, "left_semi")
+    pa = sub.select(F.col(id_col).alias(a_col),
+                    F.col(payload_col).alias("_pa"))
+    pb = sub.select(F.col(id_col).alias(b_col),
+                    F.col(payload_col).alias("_pb"))
+    joined = pr.join(pa, a_col).join(pb, b_col)
 
     def _verify(batches: Iterator) -> Iterator:
         import numpy as np
