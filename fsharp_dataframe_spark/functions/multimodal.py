@@ -2884,13 +2884,20 @@ def audio_ber_verify(pairs: DataFrame, media: DataFrame,
            .distinct())
     # broadcast semi: the corpus is scanned in place and FILTERED to
     # the candidate ids — no corpus-wide payload shuffle; the joins
-    # below move only the |pairs|-bounded subset
+    # below move only the |pairs|-bounded subset.  ONLY the id-width
+    # relations broadcast: the payload-carrying sides ride
+    # shuffle_hash hints, because Spark's post-semi-join size
+    # estimates otherwise look small enough to BROADCAST hundreds of
+    # MB of payload bytes into the driver (observed blowing a
+    # default-heap driver mid-session at sf0.1)
     sub = media.join(F.broadcast(ids), id_col, "left_semi")
     pa = sub.select(F.col(id_col).alias(a_col),
                     F.col(payload_col).alias("_pa"))
     pb = sub.select(F.col(id_col).alias(b_col),
                     F.col(payload_col).alias("_pb"))
-    joined = pr.join(pa, a_col).join(pb, b_col)
+    joined = (pa.join(F.broadcast(pr), a_col)
+              .hint("shuffle_hash")
+              .join(pb.hint("shuffle_hash"), b_col))
 
     def _verify(batches: Iterator) -> Iterator:
         import numpy as np
