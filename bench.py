@@ -219,6 +219,19 @@ ACCOUNTING_CHANGES = [
                "3.93 vs 3.76 (+4.5%) — code FLAT r12->r14 on all "
                "four; the BENCH_r13 ewma 4.85 was the box (its "
                "microbench control ran +45% that session)."},
+    {"round": 14, "queries": "all",
+     "change": "today's box swings wide run-to-run: three back-to-back "
+               "full-registry runs on IDENTICAL code read 236.7 / 276.1 "
+               "/ 231.8 s (common-203 vs BENCH_r13: +19% / +41% / +17%) "
+               "with the inflated set SHIFTING between runs "
+               "(frame_shift_diff 0.21->1.78 in run 2 only; "
+               "image_dedup_clusters 2.04->4.40 in run 3 only; trivial "
+               "Column-expression queries inflating up to 8x) — a box "
+               "signature, not plan drift; the quiet-box A/B microbench "
+               "the same day pinned ewma/pack/perplexity FLAT vs the "
+               "r12 tip with the control at +4.5%.  Compare name-keyed "
+               "and trust the pinned microbench medians, not "
+               "single-shot artifacts recorded on this box."},
     {"round": 13, "queries": ["minhash_pairs", "ngram_jaccard",
                               "incremental_dedup", "quantile_bins",
                               "dedup_clusters", "dedup_keep_best",
