@@ -3167,7 +3167,7 @@ EXTRA_QUERIES = (
     # window next round, swapping out r13+r14-double-green veterans
     # with in-window siblings, exactly as every round since r7:
     "video_residue_dedup", "video_residue_incr",
-    "audio_hop_fine_dedup", "audio_ber_verify")
+    "audio_hop_fine_dedup", "audio_ber_verify", "image_crop_verify")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4497,6 +4497,42 @@ def q_audio_hop_fine_dedup(spark, sf) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def q_image_crop_verify(spark, sf) -> DataFrame:
+    """Pairwise image SHIFT-verify stage
+    (multimodal.image_shift_verify) — the 2-D twin of the audio BER
+    stage: cropped re-uploads (watermark strips, letterbox cuts —
+    here a (3, 2)-origin crop through the REAL decode+re-encode
+    transform multimodal.crop_media) are the image artifact
+    whole-image dHash is structurally blind to (the resize grid
+    re-bins and every bit scrambles — the banded tier finds zero
+    planted pairs, pinned in tests/test_round14_ops.py).  The verify
+    stage aligns each candidate pair by 2-D FFT cross-correlation and
+    reports exact pixel agreement over the aligned overlap: every
+    planted pair verifies at (dy, dx) = (3, 2) with agreement = 1.0
+    over (32-3) x (36-2) = 986 pixels — the oracle is pure fixture
+    arithmetic (every fixture image is 36x32; the crop geometry and
+    the exact-1.0 agreement are closed form, no FFT replay needed).
+
+    100 TB shape: the verify-stage contract — |pairs|-bounded, one
+    2-D FFT pair per candidate, payloads filtered by broadcast semi
+    before any shuffle, corpus never self-joined."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_dhash_media, crop_media, image_shift_verify,
+    )
+
+    n = load_table(spark, sf, "documents").count()
+    media = cached_dhash_media(spark, n)
+    crops = (crop_media(media.filter(F.col("media_id") % 5 == 2),
+                        3, 2)
+             .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    corpus = media.unionByName(crops)
+    pairs = (spark.range(0, int(n))
+             .select(F.col("id").alias("id_a"))
+             .filter(F.col("id_a") % 5 == 2)
+             .withColumn("id_b", F.col("id_a") + F.lit(n)))
+    return image_shift_verify(pairs, corpus).orderBy("id_a")
+
+
 def q_audio_ber_verify(spark, sf) -> DataFrame:
     """Pairwise BER verify stage (multimodal.audio_ber_verify) — the
     Haitsma-Kalker bit-error-rate stage that closes the exact
@@ -4721,6 +4757,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_dual_dedup": q_video_dual_dedup,
         "video_dual_incr": q_video_dual_incr,
         "audio_ber_verify": q_audio_ber_verify,
+        "image_crop_verify": q_image_crop_verify,
         "audio_hop_fine_dedup": q_audio_hop_fine_dedup,
         "video_residue_dedup": q_video_residue_dedup,
         "video_residue_incr": q_video_residue_incr,
@@ -6864,6 +6901,20 @@ def _all_oracle_sql() -> dict[str, str]:
                    comparable AS comparable_frames
             FROM f WHERE comparable > 0 AND matched * 2 >= comparable
             ORDER BY id_a, id_b
+        """,
+        # image shift-verify replay (r14): pure fixture arithmetic —
+        # every fixture image is 36x32, the planted crop starts at
+        # (3, 2), and an exact crop agrees 1.0 over the full overlap
+        "image_crop_verify": """
+            WITH m AS (SELECT row_number() OVER () - 1 AS j
+                       FROM documents)
+            SELECT j::BIGINT AS id_a,
+                   (j + (SELECT count(*) FROM documents))::BIGINT
+                     AS id_b,
+                   3::BIGINT AS dy, 2::BIGINT AS dx,
+                   ((32 - 3) * (36 - 2))::BIGINT AS overlap_px,
+                   1.0::DOUBLE AS agreement
+            FROM m WHERE j % 5 = 2 ORDER BY id_a
         """,
         # BER verify-stage replay (r14): pure fixture arithmetic —
         # an exact head trim of t samples verifies at lag = t with

@@ -2826,6 +2826,34 @@ def slice_audio_samples(df: DataFrame, start_sample: int,
     return out
 
 
+def _pair_payloads(pairs: DataFrame, media: DataFrame,
+                   payload_col: str, id_col: str,
+                   a_col: str, b_col: str) -> DataFrame:
+    """Join a (small by contract) candidate-pair relation with both
+    sides' payloads — the shared front of the pairwise verify stages
+    (audio_ber_verify / image_shift_verify).  Broadcast-hygiene
+    shape: the corpus is scanned in place and FILTERED first by a
+    broadcast semi-join on the pair ids (no corpus-wide payload
+    shuffle), and ONLY the id-width relations broadcast — the
+    payload-carrying sides ride shuffle_hash hints, because Spark's
+    post-semi-join size estimates otherwise look small enough to
+    BROADCAST hundreds of MB of payload bytes into the driver
+    (observed blowing a default-heap driver mid-session at sf0.1).
+    Returns (a_col, b_col, _pa, _pb)."""
+    pr = pairs.select(a_col, b_col)
+    ids = (pr.select(F.col(a_col).alias(id_col))
+           .unionByName(pr.select(F.col(b_col).alias(id_col)))
+           .distinct())
+    sub = media.join(F.broadcast(ids), id_col, "left_semi")
+    pa = sub.select(F.col(id_col).alias(a_col),
+                    F.col(payload_col).alias("_pa"))
+    pb = sub.select(F.col(id_col).alias(b_col),
+                    F.col(payload_col).alias("_pb"))
+    return (pa.join(F.broadcast(pr), a_col)
+            .hint("shuffle_hash")
+            .join(pb.hint("shuffle_hash"), b_col))
+
+
 def audio_ber_verify(pairs: DataFrame, media: DataFrame,
                      max_lag: int = AFP_FRAME, hop: int = AFP_HOP,
                      payload_col: str = "payload",
@@ -2878,26 +2906,8 @@ def audio_ber_verify(pairs: DataFrame, media: DataFrame,
         T.StructField("ber", T.DoubleType(), True),
     ])
 
-    pr = pairs.select(a_col, b_col)
-    ids = (pr.select(F.col(a_col).alias(id_col))
-           .unionByName(pr.select(F.col(b_col).alias(id_col)))
-           .distinct())
-    # broadcast semi: the corpus is scanned in place and FILTERED to
-    # the candidate ids — no corpus-wide payload shuffle; the joins
-    # below move only the |pairs|-bounded subset.  ONLY the id-width
-    # relations broadcast: the payload-carrying sides ride
-    # shuffle_hash hints, because Spark's post-semi-join size
-    # estimates otherwise look small enough to BROADCAST hundreds of
-    # MB of payload bytes into the driver (observed blowing a
-    # default-heap driver mid-session at sf0.1)
-    sub = media.join(F.broadcast(ids), id_col, "left_semi")
-    pa = sub.select(F.col(id_col).alias(a_col),
-                    F.col(payload_col).alias("_pa"))
-    pb = sub.select(F.col(id_col).alias(b_col),
-                    F.col(payload_col).alias("_pb"))
-    joined = (pa.join(F.broadcast(pr), a_col)
-              .hint("shuffle_hash")
-              .join(pb.hint("shuffle_hash"), b_col))
+    joined = _pair_payloads(pairs, media, payload_col, id_col,
+                            a_col, b_col)
 
     def _verify(batches: Iterator) -> Iterator:
         import numpy as np
@@ -2950,6 +2960,210 @@ def audio_ber_verify(pairs: DataFrame, media: DataFrame,
             yield pd.DataFrame({a_col: ia, b_col: ib,
                                 "lag": _nullable_i64(lags),
                                 "n_windows": nws, "ber": bers})
+
+    import pandas as pd  # noqa: F401
+
+    from fsharp_dataframe_spark.functions.util import spread
+
+    return spread(joined, a_col, b_col, "_pa", "_pb").mapInPandas(
+        _verify, schema=out_schema)
+
+
+# ----------------------------------------------------------------------
+# image: crop transform + shift-verify (the image analog of the audio
+# trim/BER pair: crops are the image tier's re-upload artifact, and
+# whole-image dHash is structurally blind to them)
+# ----------------------------------------------------------------------
+
+
+def crop_media(df: DataFrame, top: int = 0, left: int = 0,
+               height: int | None = None, width: int | None = None,
+               payload_col: str = "payload") -> DataFrame:
+    """Crop each image payload to the window starting at ``(top,
+    left)`` with the given ``height``/``width`` (default: to the
+    bottom/right edge) — the image head-trim: watermark strips,
+    letterbox cuts and thumbnail crops are exactly the re-uploads a
+    whole-image perceptual hash misses (the dHash grid re-bins and
+    every bit scrambles — pinned in test_round14_ops;
+    image_shift_verify is the stage that catches them).  REAL decode
+    + re-encode through the engine's grayscale analysis space (the
+    stdlib PNG codec): pixel-exact for grayscale sources like every
+    engine fixture; color sources land as their 601-2 luminance
+    (documented, the same plane every image operator analyzes).
+    Images too small for the window, or undecodable payloads, degrade
+    per row to a NULL payload; ``meta.width``/``height`` are patched
+    under the nullity guard."""
+    t0, l0 = int(top), int(left)
+    if t0 < 0 or l0 < 0:
+        raise ValueError(f"top/left must be >= 0, got ({top}, {left})")
+    hh = None if height is None else int(height)
+    ww = None if width is None else int(width)
+
+    def _crop(col):
+        import numpy as np
+        import pandas as pd
+
+        from fsharp_dataframe_spark.functions.png import encode_png
+
+        payloads, hs, ws = [], [], []
+        for payload in col:
+            g = _decode_gray_array(payload)
+            if g is None:
+                payloads.append(None)
+                hs.append(0)
+                ws.append(0)
+                continue
+            h, w = g.shape
+            y1 = h if hh is None else t0 + hh
+            x1 = w if ww is None else l0 + ww
+            if y1 > h or x1 > w or y1 - t0 < 1 or x1 - l0 < 1:
+                payloads.append(None)
+                hs.append(0)
+                ws.append(0)
+                continue
+            c = np.clip(np.round(g[t0:y1, l0:x1]), 0, 255).astype(
+                np.uint8)
+            payloads.append(encode_png(c.tobytes(), c.shape[1],
+                                       c.shape[0], 1))
+            hs.append(int(c.shape[0]))
+            ws.append(int(c.shape[1]))
+        return pd.DataFrame({"payload": payloads, "h": hs, "w": ws})
+
+    import pandas as pd  # noqa: F401
+
+    crop_udf = F.pandas_udf(
+        _crop, T.StructType([T.StructField("payload", T.BinaryType()),
+                             T.StructField("h", T.IntegerType()),
+                             T.StructField("w", T.IntegerType())]))
+    out = df.withColumn("_cr", crop_udf(F.col(payload_col)))
+    out = out.withColumn(payload_col, F.col("_cr.payload"))
+    if "meta" in out.columns and payload_col == "payload":
+        ok = F.col(payload_col).isNotNull()
+        out = out.withColumn(
+            "meta",
+            F.col("meta")
+            .withField("height", F.when(ok, F.col("_cr.h"))
+                       .otherwise(F.lit(0)))
+            .withField("width", F.when(ok, F.col("_cr.w"))
+                       .otherwise(F.lit(0))))
+    return out.drop("_cr")
+
+
+def image_shift_verify(pairs: DataFrame, media: DataFrame,
+                       max_shift: int = 64, top_k: int = 5,
+                       payload_col: str = "payload",
+                       id_col: str = "media_id",
+                       a_col: str = "id_a",
+                       b_col: str = "id_b") -> DataFrame:
+    """Pairwise SHIFT-verify stage for images — the 2-D twin of
+    audio_ber_verify: given a candidate pair from any coarse tier (a
+    banded dHash near-miss, metadata blocking, a takedown report),
+    align the two images at PIXEL resolution by 2-D FFT
+    cross-correlation over ``±max_shift`` in each axis, then report
+    the EXACT pixel-agreement fraction over the aligned overlap.  A
+    crop of any geometry verifies at agreement = 1.0 with (dy, dx) =
+    the crop origin — where the whole-image dHash tier provably
+    misses every crop (the resize grid re-bins, pinned); unrelated
+    images agree at chance level.  The correlation peak is REFINED by
+    exact agreement over the ``top_k`` highest-correlation shifts
+    (block-flat regions plateau the correlation surface; exact
+    agreement disambiguates deterministically, smallest (dy, dx)
+    winning ties).
+
+    Returns (id_a, id_b, dy, dx, overlap_px, agreement); (dy, dx) > 0
+    means id_b is id_a's content starting at that offset
+    (id_b ≈ id_a[dy:, dx:]).  Undecodable payloads or an empty
+    overlap report overlap_px = 0 with NULL agreement.
+
+    100 TB shape: the verify-stage contract (see _pair_payloads) —
+    |pairs|-bounded, one 2-D FFT pair per candidate, payloads
+    filtered by broadcast semi before any shuffle, no state."""
+    smax = int(max_shift)
+    kbest = max(1, int(top_k))
+    out_schema = T.StructType([
+        T.StructField(a_col, T.LongType(), False),
+        T.StructField(b_col, T.LongType(), False),
+        T.StructField("dy", T.LongType(), True),
+        T.StructField("dx", T.LongType(), True),
+        T.StructField("overlap_px", T.LongType(), False),
+        T.StructField("agreement", T.DoubleType(), True),
+    ])
+    joined = _pair_payloads(pairs, media, payload_col, id_col,
+                            a_col, b_col)
+
+    def _verify(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def agree(ga, gb, dy, dx):
+            ya, xa = max(0, dy), max(0, dx)
+            yb, xb = max(0, -dy), max(0, -dx)
+            h = min(ga.shape[0] - ya, gb.shape[0] - yb)
+            w = min(ga.shape[1] - xa, gb.shape[1] - xb)
+            if h < 1 or w < 1:
+                return 0, None
+            a = ga[ya:ya + h, xa:xa + w]
+            b = gb[yb:yb + h, xb:xb + w]
+            return h * w, float(np.mean(a == b))
+
+        for pdf in batches:
+            ia, ib, dys, dxs, ovs, ags = [], [], [], [], [], []
+            for ra, rb, qa, qb in zip(pdf[a_col], pdf[b_col],
+                                      pdf["_pa"], pdf["_pb"]):
+                ia.append(int(ra))
+                ib.append(int(rb))
+                ga = _decode_gray_array(qa)
+                gb = _decode_gray_array(qb)
+                if ga is None or gb is None or not ga.size \
+                        or not gb.size:
+                    dys.append(None)
+                    dxs.append(None)
+                    ovs.append(0)
+                    ags.append(None)
+                    continue
+                fa = ga - ga.mean()
+                fb = gb - gb.mean()
+                sh = (1 << (ga.shape[0] + gb.shape[0] - 1)
+                      .bit_length(),
+                      1 << (ga.shape[1] + gb.shape[1] - 1)
+                      .bit_length())
+                C = np.fft.irfft2(
+                    np.fft.rfft2(fa, sh)
+                    * np.conj(np.fft.rfft2(fb, sh)), sh)
+                my = min(smax, ga.shape[0] - 1, gb.shape[0] - 1)
+                mx = min(smax, ga.shape[1] - 1, gb.shape[1] - 1)
+                ys = np.r_[0:my + 1, sh[0] - my:sh[0]]
+                xs = np.r_[0:mx + 1, sh[1] - mx:sh[1]]
+                ylab = np.r_[0:my + 1, -my:0]
+                xlab = np.r_[0:mx + 1, -mx:0]
+                win = C[np.ix_(ys, xs)]
+                flat = np.argsort(win, axis=None)[::-1][:kbest]
+                best = None
+                for f in flat:
+                    dy = int(ylab[f // win.shape[1]])
+                    dx = int(xlab[f % win.shape[1]])
+                    ov, ag = agree(ga, gb, dy, dx)
+                    if ag is None:
+                        continue
+                    key = (-ag, abs(dy) + abs(dx), dy, dx)
+                    if best is None or key < best[0]:
+                        best = (key, dy, dx, ov, ag)
+                if best is None:
+                    dys.append(None)
+                    dxs.append(None)
+                    ovs.append(0)
+                    ags.append(None)
+                    continue
+                _, dy, dx, ov, ag = best
+                dys.append(dy)
+                dxs.append(dx)
+                ovs.append(ov)
+                ags.append(ag)
+            yield pd.DataFrame({a_col: ia, b_col: ib,
+                                "dy": _nullable_i64(dys),
+                                "dx": _nullable_i64(dxs),
+                                "overlap_px": ovs,
+                                "agreement": ags})
 
     import pandas as pd  # noqa: F401
 
