@@ -193,7 +193,7 @@ ACCOUNTING_CHANGES = [
                "ride the cached audio-stream/video fixtures plus real "
                "per-run trim/resample transforms."},
     {"round": 14, "queries": "all",
-     "change": "registry grew 203 -> 207: +video_residue_dedup and "
+     "change": "registry grew 203 -> 208: +video_residue_dedup and "
                "+video_residue_incr (dual parity generalized to "
                "residue sets — any-stride trim tolerance at "
                "every_n=3 with planted 1- and 2-frame trims), "
@@ -205,9 +205,13 @@ ACCOUNTING_CHANGES = [
                "bit-error-rate verify stage that closes that floor "
                "for candidate pairs: FFT sample-resolution alignment "
                "+ fingerprint agreement; 100-sample trims verify at "
-               "ber 0).  Totals are NOT comparable to r13; compare "
-               "name-keyed.  All four ride the cached video/audio "
-               "fixtures plus real per-run trim transforms."},
+               "ber 0), +image_crop_verify (the 2-D twin: crop_media "
+               "real crops + image_shift_verify 2-D FFT alignment + "
+               "exact pixel agreement, closing the crop blind spot "
+               "whole-image dHash provably has).  Totals are NOT "
+               "comparable to r13; compare name-keyed.  All five ride "
+               "the cached media fixtures plus real per-run "
+               "trim/crop transforms."},
     {"round": 14, "queries": ["ewma", "pack_sequences", "pack_shards",
                               "perplexity_buckets"],
      "change": "r13-drift attribution MEASURED (r13 VERDICT ask #5; "
