@@ -2831,15 +2831,17 @@ def _pair_payloads(pairs: DataFrame, media: DataFrame,
                    a_col: str, b_col: str) -> DataFrame:
     """Join a (small by contract) candidate-pair relation with both
     sides' payloads — the shared front of the pairwise verify stages
-    (audio_ber_verify / image_shift_verify).  Broadcast-hygiene
+    (audio_ber_verify / image_shift_verify).  Memory-hygiene
     shape: the corpus is scanned in place and FILTERED first by a
     broadcast semi-join on the pair ids (no corpus-wide payload
     shuffle), and ONLY the id-width relations broadcast — the
-    payload-carrying sides ride shuffle_hash hints, because Spark's
-    post-semi-join size estimates otherwise look small enough to
-    BROADCAST hundreds of MB of payload bytes into the driver
-    (observed blowing a default-heap driver mid-session at sf0.1).
-    Returns (a_col, b_col, _pa, _pb)."""
+    payload-carrying join rides sort-merge hints.  Both alternatives
+    put payload bytes in JVM memory and each was observed killing a
+    default-heap session mid-sweep at sf0.1: Spark's post-semi-join
+    size estimates look small enough to BROADCAST hundreds of MB of
+    payloads into the driver, and a shuffle_hash hint builds the same
+    bytes into in-memory per-partition hash maps; sort-merge SPILLS
+    under pressure instead.  Returns (a_col, b_col, _pa, _pb)."""
     pr = pairs.select(a_col, b_col)
     ids = (pr.select(F.col(a_col).alias(id_col))
            .unionByName(pr.select(F.col(b_col).alias(id_col)))
@@ -2850,8 +2852,8 @@ def _pair_payloads(pairs: DataFrame, media: DataFrame,
     pb = sub.select(F.col(id_col).alias(b_col),
                     F.col(payload_col).alias("_pb"))
     return (pa.join(F.broadcast(pr), a_col)
-            .hint("shuffle_hash")
-            .join(pb.hint("shuffle_hash"), b_col))
+            .hint("merge")
+            .join(pb.hint("merge"), b_col))
 
 
 def audio_ber_verify(pairs: DataFrame, media: DataFrame,
@@ -2963,10 +2965,14 @@ def audio_ber_verify(pairs: DataFrame, media: DataFrame,
 
     import pandas as pd  # noqa: F401
 
-    from fsharp_dataframe_spark.functions.util import spread
-
-    return spread(joined, a_col, b_col, "_pa", "_pb").mapInPandas(
-        _verify, schema=out_schema)
+    # finer-than-core partitioning: each task's Arrow batch holds TWO
+    # payloads per row, so a parallelism-sized split can stage
+    # hundreds of MB of bytes per concurrent task — 8x more, smaller
+    # slices bound the in-flight Arrow memory; the extra shuffle
+    # moves only the |pairs|-bounded relation
+    p8 = joined.sparkSession.sparkContext.defaultParallelism * 8
+    return (joined.select(a_col, b_col, "_pa", "_pb")
+            .repartition(p8).mapInPandas(_verify, schema=out_schema))
 
 
 # ----------------------------------------------------------------------
@@ -3167,10 +3173,14 @@ def image_shift_verify(pairs: DataFrame, media: DataFrame,
 
     import pandas as pd  # noqa: F401
 
-    from fsharp_dataframe_spark.functions.util import spread
-
-    return spread(joined, a_col, b_col, "_pa", "_pb").mapInPandas(
-        _verify, schema=out_schema)
+    # finer-than-core partitioning: each task's Arrow batch holds TWO
+    # payloads per row, so a parallelism-sized split can stage
+    # hundreds of MB of bytes per concurrent task — 8x more, smaller
+    # slices bound the in-flight Arrow memory; the extra shuffle
+    # moves only the |pairs|-bounded relation
+    p8 = joined.sparkSession.sparkContext.defaultParallelism * 8
+    return (joined.select(a_col, b_col, "_pa", "_pb")
+            .repartition(p8).mapInPandas(_verify, schema=out_schema))
 
 
 def audio_overlap_snippet_search(snippets: DataFrame, corpus: DataFrame,
