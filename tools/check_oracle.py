@@ -93,9 +93,19 @@ def main():
     # Deliberately a VANILLA session (no get_spark) so this gate reproduces
     # the driver's harness, which builds its own plain SparkSession: any
     # reliance on get_spark()-only session confs fails here first.
+    # ONE infra knob is sized, not semantic: driver memory.  The
+    # driver's harness runs a 50-query window; this tool runs the
+    # FULL registry in one session (4x the queries, and in local mode
+    # executors share the driver JVM), and the default 1g heap was
+    # observed dying ~117 queries into the sf0.1 sweep when the
+    # payload-pair verify stages ran on an already-fragmented heap —
+    # a local-mode sizing artifact (a real cluster gives executors
+    # their own memory; payloads never transit a driver).  4g mirrors
+    # the 128 GiB bench box; every SEMANTIC conf stays vanilla.
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory", "4g")
              .appName("check_oracle").getOrCreate())
     con = duckdb.connect()
     for t in TABLES:
