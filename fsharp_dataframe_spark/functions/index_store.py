@@ -120,7 +120,8 @@ def delete_index_rows(spark: SparkSession, path: str, ids,
         ids = spark.createDataFrame([(int(i),) for i in ids],
                                     f"{id_col} long")
     ids = ids.select(id_col).distinct()
-    existing = read_index_table(spark, path)
+    existing = _restore_int_partition_dtypes(
+        spark, path, read_index_table(spark, path), partition_by)
     touched = (existing.join(ids, on=id_col, how="left_semi")
                .select(*partition_by).distinct().collect())
     if not touched:
@@ -253,7 +254,8 @@ def expire_index_rows(spark: SparkSession, path: str,
     the incremental matchers return identical results over either.
     Crash recovery matches delete_index_rows: the sweep is IDEMPOTENT
     — re-run with the same cutoff after any failure."""
-    existing = read_index_table(spark, path)
+    existing = _restore_int_partition_dtypes(
+        spark, path, read_index_table(spark, path), partition_by)
     if watermark_col in partition_by:
         if type(cutoff) is not int:
             raise ValueError(
@@ -417,8 +419,21 @@ def read_index_table(spark: SparkSession, path: str) -> DataFrame:
     partitioned by a non-numeric column that happens to be named
     ``q``/``tbl`` keeps its strings (with a warning) instead of
     having its join keys silently cast to NULL (ADVICE r13)."""
-    df = read_parquet(spark, path)
-    for c in INT_PARTITION_COLS:
+    return _restore_int_partition_dtypes(
+        spark, path, read_parquet(spark, path), INT_PARTITION_COLS)
+
+
+def _restore_int_partition_dtypes(spark: SparkSession, path: str,
+                                  df: DataFrame, cols) -> DataFrame:
+    """Scoped string→int restore for hive partition columns read back
+    as strings under disabled partitionColumnTypeInference: directory
+    names are checked first (a filesystem listing, no job) and a
+    column is cast only when EVERY partition value parses as an
+    integer.  read_index_table applies it to the writer-owned keys
+    (``q``/``tbl``); the retirement ops apply it to their full
+    ``partition_by`` so a time-partitioned layout like ("q", "day")
+    retires correctly in inference-off sessions too (ADVICE r14)."""
+    for c in cols:
         if c in df.columns and dict(df.dtypes)[c] == "string":
             raw = _hive_partition_values(spark, path, c)
             ok = bool(raw)

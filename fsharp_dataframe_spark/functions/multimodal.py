@@ -2841,8 +2841,16 @@ def _pair_payloads(pairs: DataFrame, media: DataFrame,
     size estimates look small enough to BROADCAST hundreds of MB of
     payloads into the driver, and a shuffle_hash hint builds the same
     bytes into in-memory per-partition hash maps; sort-merge SPILLS
-    under pressure instead.  Returns (a_col, b_col, _pa, _pb)."""
-    pr = pairs.select(a_col, b_col)
+    under pressure instead.  The pair relation is DEDUPED on
+    (a_col, b_col) — coarse tiers can emit the same candidate twice
+    and each duplicate would repeat the FFT verify — and joined LEFT
+    from the pairs so a candidate whose id is missing from the media
+    relation (a takedown landed between tiers, a partial corpus) is
+    still REPORTED by the verify stages with a NULL payload (→
+    n_windows/overlap_px = 0, NULL metric), consistent with the
+    undecodable-row contract (ADVICE r14).  Returns
+    (a_col, b_col, _pa, _pb)."""
+    pr = pairs.select(a_col, b_col).dropDuplicates([a_col, b_col])
     ids = (pr.select(F.col(a_col).alias(id_col))
            .unionByName(pr.select(F.col(b_col).alias(id_col)))
            .distinct())
@@ -2851,9 +2859,8 @@ def _pair_payloads(pairs: DataFrame, media: DataFrame,
                     F.col(payload_col).alias("_pa"))
     pb = sub.select(F.col(id_col).alias(b_col),
                     F.col(payload_col).alias("_pb"))
-    return (pa.join(F.broadcast(pr), a_col)
-            .hint("merge")
-            .join(pb.hint("merge"), b_col))
+    return (pr.join(pa.hint("merge"), a_col, "left")
+            .join(pb.hint("merge"), b_col, "left"))
 
 
 def audio_ber_verify(pairs: DataFrame, media: DataFrame,

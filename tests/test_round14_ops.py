@@ -810,9 +810,9 @@ def test_read_index_table_scoped_cast(spark, tmp_path):
         "media_id long, q string, v long")
     save_index_table(df, path, partition_by=("q",))
     prev = spark.conf.get(
-        "spark.sql.sources.partitionColumnTypeInference", "true")
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
     spark.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference", "false")
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     try:
         with pytest.warns(UserWarning, match="non-integer"):
             got = read_index_table(spark, path)
@@ -828,4 +828,4 @@ def test_read_index_table_scoped_cast(spark, tmp_path):
         assert got2.filter(F.col("q").isNull()).count() == 0
     finally:
         spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference", prev)
+            "spark.sql.sources.partitionColumnTypeInference.enabled", prev)
