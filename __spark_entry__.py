@@ -3162,12 +3162,29 @@ EXTRA_QUERIES = (
     # shapes):
     "audio_near_dup", "audio_incr_dedup", "video_near_dup",
     "video_incr_dedup", "tpch_q12", "tpch_q13",
-    # ROUND-15 ROTATION PLAN: the round-14 newcomers below (each
-    # locally three-SF oracle-green since r14) rotate into the driver
-    # window next round, swapping out r13+r14-double-green veterans
-    # with in-window siblings, exactly as every round since r7:
-    "video_residue_dedup", "video_residue_incr",
-    "audio_hop_fine_dedup", "audio_ber_verify", "image_crop_verify")
+    # ROUND-15 ROTATION (VERDICT r14 ask #1, executed): the 5
+    # round-14 newcomers (video_residue_dedup/incr,
+    # audio_hop_fine_dedup, audio_ber_verify, image_crop_verify)
+    # ENTER the driver window to earn their first driver rows, so the
+    # r14 u r15 CORRECTNESS union covers all 208 pre-round-15
+    # queries.  The 5 veterans rotated OUT below are each r13+r14-
+    # DOUBLE-green in the driver's own CORRECTNESS JSONs, and every
+    # rotated shape keeps an in-window sibling: video_offset_dedup /
+    # video_offset_incr (offset-vote video tier) -> the incoming
+    # video_residue_dedup / video_residue_incr (the residue-set
+    # generalization of the same vote) + video_dual_dedup /
+    # video_dual_incr + video_segments (in-window); audio_stream_dedup
+    # (whole-stream banded audio tier) -> audio_stream_incr (its
+    # directional twin, kept in-window) + audio_overlap_dedup /
+    # audio_overlap_incr / audio_rate_dedup (in-window) + the incoming
+    # audio_hop_fine_dedup / audio_ber_verify; audio_snippet_search
+    # (sub-window containment search) -> audio_overlap_snippet +
+    # video_snippet_search (in-window, same containment rule);
+    # image_dedup_clusters (banded dHash cluster tier) ->
+    # image_incr_dedup (in-window banded image tier) + the incoming
+    # image_crop_verify (the stage behind its near-misses):
+    "video_offset_dedup", "video_offset_incr", "audio_stream_dedup",
+    "audio_snippet_search", "image_dedup_clusters")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

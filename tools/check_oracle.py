@@ -88,8 +88,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    # --driver-window: run ONLY queries() (the driver's 50-query t2
+    # window) in a DEFAULT-heap session — the exact harness shape the
+    # driver runs, for pre-clearing a rotation before handover
+    # (VERDICT r14 ask #1); without it, the full registry runs with
+    # the 4g local-mode sizing documented below.
+    argv = [a for a in sys.argv[1:] if a != "--driver-window"]
+    driver_window = "--driver-window" in sys.argv[1:]
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     # Deliberately a VANILLA session (no get_spark) so this gate reproduces
     # the driver's harness, which builds its own plain SparkSession: any
     # reliance on get_spark()-only session confs fails here first.
@@ -103,17 +110,23 @@ def main():
     # their own memory; payloads never transit a driver).  4g mirrors
     # the 128 GiB bench box; every SEMANTIC conf stays vanilla.
     from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
-             .config("spark.driver.memory", "4g")
-             .appName("check_oracle").getOrCreate())
+    b = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .appName("check_oracle"))
+    if not driver_window:
+        b = b.config("spark.driver.memory", "4g")
+    spark = b.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     # the driver only sees queries(); the local gate checks the held-out
     # extras too, so demotion never relaxes the correctness bar
-    qs = {**entrymod.queries(), **entrymod.extra_queries()}
-    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+    if driver_window:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
+    else:
+        qs = {**entrymod.queries(), **entrymod.extra_queries()}
+        oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     n_ok = n_bad = 0
     for name, q in qs.items():
         if only and name not in only:
