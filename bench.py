@@ -61,6 +61,50 @@ REPEAT_THRESHOLD = 2.0  # sec
 # quiet box nothing changes (same basis as r10/r11 artifacts).
 HOT_LOAD_THRESHOLD = 2.0  # 1-min loadavg
 
+# r14 VERDICT ask #2a: min-of-N does NOT converge when contention is
+# SUSTAINED (the r14 artifact recorded ivf_assign raw retries
+# 9.0/11.4/8.4 on code byte-identical to its 0.64 s r13 run), so
+# escalation alone cannot rescue a hot-box recording.  The guard now
+# REFUSES to start timing on a hot box: before the session spins up,
+# bench WAITS (polling the 1-min load) until load drops below
+# HOT_LOAD_THRESHOLD, up to SPARK_GRAFT_LOAD_WAIT seconds (default
+# 900; 0 disables).  Only if the budget exhausts does it fall back to
+# the r11 min-of-N escalation, and the artifact then self-attributes
+# via its recorded load + "w" (seconds waited).  The wait happens
+# BEFORE get_spark so JVM spin-up doesn't pollute the reading.
+LOAD_WAIT_BUDGET = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "900"))
+LOAD_POLL_SEC = 15
+
+# r14 VERDICT ask #2b: three rounds attributed bench drift to "the
+# box" with no instrument that could SEE the cause — load average
+# only counts THIS VM's runnable threads, so a co-tenant VM eating
+# the physical cores is invisible to it (r14's artifact recorded
+# sustained 13x inflation on byte-identical code at load0 2.8).  On
+# a virtualized box the hypervisor reports exactly that contention
+# as CPU STEAL time (/proc/stat field 8): cycles our runnable vCPUs
+# wanted but the host gave to someone else.  The bench now (1)
+# PROBES steal under full-core JVM load before timing and waits
+# until the probe is clean, (2) samples steal around EVERY timed
+# run, re-running a query whose best run was stolen from, and (3)
+# records run-level steal in the artifact ("st", percent) with
+# per-query steal for contended entries in BENCH_NOTES — so a
+# contaminated recording is self-attributing instead of a
+# three-round argument.
+STEAL_THRESHOLD_PCT = 8.0
+STEAL_RERUN_CAP = 2  # extra reruns granted when the best run is stolen
+
+
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return v[7], sum(v)
+
+
+def _steal_pct(a: tuple[int, int], b: tuple[int, int]) -> float:
+    ds, dt = b[0] - a[0], b[1] - a[1]
+    return 100.0 * ds / dt if dt > 0 else 0.0
+
 # Machine-readable measurement-basis changes (r5 VERDICT ask #8): when a
 # query's MEASUREMENT changes (cache policy, hash family, substrate
 # default) rather than its plan, record it here so a judge reading
@@ -400,7 +444,10 @@ def _report_deltas(timings: dict[str, float]) -> None:
 
 def _write_notes(timings: dict[str, float], total: float, sf,
                  cpus: int, repeats: dict[str, list[float]],
-                 fixture_sec: float | None = None) -> None:
+                 fixture_sec: float | None = None,
+                 steals: dict[str, float] | None = None,
+                 run_steal: float | None = None,
+                 probe_steal: float | None = None) -> None:
     """Full per-query detail + accounting prose, committed with the
     round (the stdout line stays compact for the driver's tail)."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -430,6 +477,20 @@ def _write_notes(timings: dict[str, float], total: float, sf,
         json.dumps(repeats, indent=1, sort_keys=True),
         "```",
         "",
+        "## CPU steal (hypervisor contention — r14 ask #2)",
+        "",
+        f"Pre-run full-core probe: {probe_steal}%.  Whole-run steal: "
+        f"{run_steal}% (percent of this VM's CPU demand the host gave "
+        "to a co-tenant; >~8% under load means the wall clocks above "
+        "are inflated by contention this VM cannot see in loadavg).  "
+        "Queries whose RECORDED (min) run still had >5% steal after "
+        "the steal-rerun guard:",
+        "",
+        "```json",
+        json.dumps({k: v for k, v in sorted((steals or {}).items())
+                    if v > 5.0}, indent=1, sort_keys=True),
+        "```",
+        "",
         "## Measurement-basis accounting history",
         "",
         "```json",
@@ -444,12 +505,43 @@ def _write_notes(timings: dict[str, float], total: float, sf,
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # load guard (r14 ask #2a): refuse to record on a hot box — wait
+    # for quiet, up to the budget, BEFORE the JVM spins up
+    waited = 0
+    load0 = round(os.getloadavg()[0], 1)
+    while load0 > HOT_LOAD_THRESHOLD and waited < LOAD_WAIT_BUDGET:
+        if waited == 0:
+            print(f"# load guard: load0={load0} > "
+                  f"{HOT_LOAD_THRESHOLD}, waiting for a quiet box "
+                  f"(budget {LOAD_WAIT_BUDGET}s)", file=sys.stderr)
+        time.sleep(LOAD_POLL_SEC)
+        waited += LOAD_POLL_SEC
+        load0 = round(os.getloadavg()[0], 1)
+    if waited:
+        print(f"# load guard: proceeding at load0={load0} after "
+              f"{waited}s wait", file=sys.stderr)
     spark = get_spark(
         app_name="fsharp_dataframe_spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    load0 = round(os.getloadavg()[0], 1)
+    # steal probe (r14 ask #2b): a full-core JVM burn long enough to
+    # read /proc/stat steal under the load we are about to generate —
+    # load average cannot see a co-tenant VM, steal time can.  Wait
+    # (within the shared budget) until a probe comes back clean.
+    probe_steal = None
+    while waited < LOAD_WAIT_BUDGET:
+        a = _cpu_times()
+        spark.range(4_000_000_000).selectExpr("sum(id % 1000)").collect()
+        probe_steal = round(_steal_pct(a, _cpu_times()), 1)
+        if probe_steal <= STEAL_THRESHOLD_PCT:
+            break
+        print(f"# steal probe: {probe_steal}% CPU stolen under "
+              f"full-core load (> {STEAL_THRESHOLD_PCT}%) — "
+              f"co-tenant contention, waiting", file=sys.stderr)
+        time.sleep(LOAD_POLL_SEC)
+        waited += LOAD_POLL_SEC
+    print(f"# steal probe: {probe_steal}%", file=sys.stderr)
     qs = entrymod._all_queries()
     names = sorted(qs)  # the `qv` order — reconstructible from the repo
     # warm-up OUTSIDE the timed loop: JVM/codegen spin-up, parquet
@@ -498,37 +590,58 @@ def main():
               f">{REPEAT_THRESHOLD}s tail (r11 ask #6)", file=sys.stderr)
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
+    steals: dict[str, float] = {}  # steal% of the RECORDED (min) run
+    run_cpu0 = _cpu_times()
     for name in names:
         q = qs[name]
+        c0 = _cpu_times()
         t0 = time.time()
         n = q(spark, sf_dir).count()
         t1 = round(time.time() - t0, 3)
+        st1 = round(_steal_pct(c0, _cpu_times()), 1)
         # release the query's persisted sketch relations so 160+
         # queries' cached blocks don't pile up in one session
         # (storage-memory pressure evicts/recomputes and skews later
         # timings) — and so a repeat below pays the same standalone cost
         release_cached()
-        runs = [t1]
+        runs, rsteals = [t1], [st1]
         # quiet box: min-of-2 on the >threshold tail (r9 ask #6);
-        # hot box: min-of-2 everywhere, min-of-3 on the tail (r11 #6)
+        # hot box: min-of-2 everywhere, min-of-3 on the tail (r11 #6);
+        # stolen best run: up to STEAL_RERUN_CAP extra reruns until a
+        # clean measurement exists (r14 ask #2 — min-of-N alone was
+        # shown not to converge under SUSTAINED contention)
         want = (3 if t1 > REPEAT_THRESHOLD else 2) if hot else (
             2 if t1 > REPEAT_THRESHOLD else 1)
-        while len(runs) < want:
+        while True:
+            if len(runs) < want:
+                pass  # scheduled repeat still owed
+            elif (rsteals[runs.index(min(runs))] > STEAL_THRESHOLD_PCT
+                  and len(runs) < want + STEAL_RERUN_CAP):
+                pass  # best run was stolen from — earn a clean one
+            else:
+                break
+            c0 = _cpu_times()
             t0 = time.time()
             q(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
+            rsteals.append(round(_steal_pct(c0, _cpu_times()), 1))
             release_cached()
         if len(runs) > 1:
             repeats[name] = runs
         timings[name] = min(runs)
+        steals[name] = rsteals[runs.index(min(runs))]
         tag = (f" (min of {repeats[name]})" if name in repeats else "")
+        if steals[name] > STEAL_THRESHOLD_PCT:
+            tag += f" [STOLEN {steals[name]}%]"
         print(f"# {name}: {timings[name]:.2f}s rows={n}{tag}",
               file=sys.stderr)
+    run_steal = round(_steal_pct(run_cpu0, _cpu_times()), 1)
     total = round(sum(timings.values()), 3)
     _report_deltas(timings)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    _write_notes(timings, total, sf_val, cpus, repeats, fixture_sec)
+    _write_notes(timings, total, sf_val, cpus, repeats, fixture_sec,
+                 steals, run_steal, probe_steal)
     line = json.dumps({
         "metric": "registry_queries_total_wall",
         "value": total,
@@ -543,6 +656,14 @@ def main():
         # makes the artifact self-attributing (r8's driver bench ran
         # ~53% hot vs two solo runs with no way to see it)
         "load": [load0, round(os.getloadavg()[0], 1)],
+        # seconds the load guard waited for a quiet box before the
+        # session started (0 = started quiet; budget exhausted if
+        # load[0] still exceeds HOT_LOAD_THRESHOLD)
+        "w": waited,
+        # CPU steal percent: [pre-run full-core probe, whole run] —
+        # the co-tenant-contention instrument (r14 ask #2); >~8%
+        # under load marks a recording inflated by the host, not code
+        "st": [probe_steal, run_steal],
         # how many qv entries are a min over repeats (>threshold tail
         # on a quiet box — r9 ask #6; every query on a hot box — r11
         # ask #6); which ones and the raw runs are in BENCH_NOTES.md

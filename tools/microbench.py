@@ -13,7 +13,8 @@ median of 5 fresh-session repeats is stable to ~±3% on a quiet box,
 where bench.py single-shots swing ±20% on the Python-heavy tail.
 
 Usage:
-    python tools/microbench.py [SF_DIR] [-n REPEATS] QUERY [QUERY ...]
+    python tools/microbench.py [SF_DIR] [-n REPEATS] [--preload N] \
+        QUERY [QUERY ...]
     # e.g. the r11 shingle-drift family + flat control:
     python tools/microbench.py /root/testdata/sf0.1 -n 5 \
         minhash_pairs ngram_jaccard incremental_dedup quantile_bins \
@@ -44,6 +45,19 @@ def main() -> None:
     if "-n" in argv:
         i = argv.index("-n")
         repeats = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    # --preload N (r14 VERDICT ask #2b): before timing, run the first
+    # N registry queries (sorted-name order, untimed, release_cached
+    # between) in THIS session — the session-position experiment.
+    # bench.py times every query deep inside a 200+-query session;
+    # fresh-session microbench medians can't see state that accretes
+    # over a long session (JIT/codegen cache, JVM heap aging, Arrow
+    # worker churn).  Compare --preload 0 vs --preload 100 medians on
+    # the same box to measure that named cause directly.
+    preload = 0
+    if "--preload" in argv:
+        i = argv.index("--preload")
+        preload = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
     sf_dir = "/root/testdata/sf0.1"
     if argv and os.path.isdir(argv[0]):
@@ -78,28 +92,44 @@ def main() -> None:
 
     from fsharp_dataframe_spark.functions.util import release_cached
 
+    if preload:
+        t0 = time.time()
+        for pn in sorted(qs)[:preload]:
+            qs[pn](spark, sf_dir).count()
+            release_cached()
+        print(f"# preload: {preload} queries in "
+              f"{time.time()-t0:.1f}s (untimed)", file=sys.stderr)
+
+    from bench import _cpu_times, _steal_pct
+
     load0 = round(os.getloadavg()[0], 2)
     total_median = 0.0
     for name in names:
         q = qs[name]
         runs: list[float] = []
+        steals: list[float] = []
         for _ in range(repeats):
+            c0 = _cpu_times()
             t0 = time.time()
             q(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
+            steals.append(round(_steal_pct(c0, _cpu_times()), 1))
             release_cached()
         med = round(statistics.median(runs), 3)
         total_median += med
         print(json.dumps({
             "q": name, "runs": runs, "median": med,
             "min": min(runs),
+            # per-run CPU steal % — co-tenant contention marker; a
+            # run with >~8% steal is host-inflated (see bench.py)
+            "steal": steals,
             "load": [load0, round(os.getloadavg()[0], 2)],
         }, separators=(",", ":")))
         sys.stdout.flush()
     print(json.dumps({
         "total_median": round(total_median, 3),
         "n_queries": len(names), "repeats": repeats, "sf_dir": sf_dir,
-        "cpus": cpus,
+        "cpus": cpus, "preload": preload,
     }, separators=(",", ":")))
 
 
