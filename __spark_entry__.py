@@ -1323,7 +1323,7 @@ def q_ivf_train(spark, sf) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     cents = kmeans_fit(emb, k=8, max_iter=2, tol=0.0)
     assigned = ivf_assign(emb, cents)
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    carr = F.lit([[float(x) for x in c] for c in cents])  # one Literal node
     sim = cosine(F.col("embedding"), F.element_at(carr, F.col("ivf_cell") + 1))
     return (assigned.select(F.col("ivf_cell").alias("cell"), sim.alias("s"))
             .groupBy("cell")
@@ -4152,6 +4152,98 @@ def q_audio_stream_incr(spark, sf) -> DataFrame:
             .orderBy("new_id", "old_id"))
 
 
+# ---------------------------------------------------------------------
+# Clone-fixture cache registry (OPTIMIZATION r15, VERDICT r14 ask #6).
+#
+# Twelve media queries plant their near-dup corpora by pushing a subset
+# of the cached fixture through a REAL decode+re-encode transform
+# (trim_audio_head / trim_video_head / resample_audio / crop_media).
+# Those transforms are fixture CONSTRUCTION, not the operator under
+# test, yet they ran inside the timed query on every bench run —
+# image_crop_verify's 8.8 s driver recording was mostly n/5 PNG
+# re-encodes.  Each distinct clone relation is registered here ONCE
+# (key encodes transform + params + id filter; n is appended by
+# _cached_clone_rel) and rides the same write-once parquet cache as
+# the media fixtures (multimodal.cached_clone — the r11 accounting
+# rule).  bench.py builds them in warm-up and reports the transform
+# seconds separately; results are bit-identical (the transform's own
+# output through a parquet round-trip, re-verified by every DuckDB
+# oracle sweep, which replays the transforms symbolically).
+# ---------------------------------------------------------------------
+
+def _shift_ids(df: DataFrame, n: int) -> DataFrame:
+    return df.withColumn("media_id", F.col("media_id") + F.lit(int(n)))
+
+
+def _clone_specs() -> dict:
+    """key -> (media_cache_loader, build(media, n) -> clone relation)."""
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_audio_stream_media, cached_dhash_media, cached_video_media,
+        crop_media, resample_audio, trim_audio_head, trim_video_head,
+    )
+
+    def _m(col_mod: int, r: int):
+        return lambda m: m.filter(F.col("media_id") % col_mod == r)
+
+    return {
+        # audio (whole-stream WAV fixture)
+        "audio_trim1024_m4r2": (cached_audio_stream_media, lambda m, n:
+            _shift_ids(trim_audio_head(_m(4, 2)(m), 1024), n)),
+        "audio_trim768_m4r1": (cached_audio_stream_media, lambda m, n:
+            _shift_ids(trim_audio_head(_m(4, 1)(m), 768), n)),
+        "audio_trim100_m6r1": (cached_audio_stream_media, lambda m, n:
+            _shift_ids(trim_audio_head(_m(6, 1)(m), 100), n)),
+        "audio_trim768_m6r3": (cached_audio_stream_media, lambda m, n:
+            _shift_ids(trim_audio_head(_m(6, 3)(m), 768), n)),
+        "audio_rs16k_m9r4": (cached_audio_stream_media, lambda m, n:
+            _shift_ids(resample_audio(_m(9, 4)(m), 16000), n)),
+        # video (FSV1 container fixture)
+        "video_trim2_m7r3": (cached_video_media, lambda m, n:
+            _shift_ids(trim_video_head(_m(7, 3)(m), 2), n)),
+        "video_trim1_m5r1": (cached_video_media, lambda m, n:
+            _shift_ids(trim_video_head(_m(5, 1)(m), 1), n)),
+        # the residue queries land this relation at ids + 2n (the t1
+        # relation owns ids + n), hence the doubled shift
+        "video_trim2_m5r3": (cached_video_media, lambda m, n:
+            _shift_ids(trim_video_head(_m(5, 3)(m), 2), 2 * int(n))),
+        # image (dHash PNG fixture)
+        "image_crop3x2_m5r2": (cached_dhash_media, lambda m, n:
+            _shift_ids(crop_media(_m(5, 2)(m), 3, 2), n)),
+    }
+
+
+def _cached_clone_rel(spark, key: str, n: int) -> DataFrame:
+    from fsharp_dataframe_spark.functions.multimodal import cached_clone
+
+    loader, build = _clone_specs()[key]
+    media = loader(spark, int(n))
+    return cached_clone(spark, f"{key}_n{int(n)}",
+                        lambda: build(media, int(n)))
+
+
+def warm_fixture_caches(spark, sf_dir: str) -> float:
+    """Build every write-once media-fixture AND clone-transform parquet
+    cache for ``sf_dir``'s corpus size — called by bench.py's warm-up
+    so no timed query pays fixture construction (the seconds are
+    reported separately in BENCH_NOTES.md).  Idempotent and cheap when
+    the caches already exist (a parquet count per relation)."""
+    import time as _time
+
+    from fsharp_dataframe_spark.functions.multimodal import (
+        cached_audio_media, cached_audio_stream_media, cached_dhash_media,
+        cached_video_media,
+    )
+
+    t0 = _time.time()
+    n = load_table(spark, sf_dir, "documents").count()
+    for loader in (cached_dhash_media, cached_audio_media,
+                   cached_video_media, cached_audio_stream_media):
+        loader(spark, n).count()
+    for key in _clone_specs():
+        _cached_clone_rel(spark, key, n).count()
+    return round(_time.time() - t0, 2)
+
+
 def q_video_offset_dedup(spark, sf) -> DataFrame:
     """Temporal-offset-tolerant video near-dup
     (multimodal.video_near_dup_offset) over the closed-form video
@@ -4174,13 +4266,12 @@ def q_video_offset_dedup(spark, sf) -> DataFrame:
     hash-key occupancy; one small-key vote aggregate; dim-sized
     per-video counts."""
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_video_media, trim_video_head, video_near_dup_offset,
+        cached_video_media, video_near_dup_offset,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_video_media(spark, n)
-    clones = (trim_video_head(media.filter(F.col("media_id") % 7 == 3), 2)
-              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    clones = _cached_clone_rel(spark, "video_trim2_m7r3", n)
     corpus = media.unionByName(clones)
     return (video_near_dup_offset(corpus, every_n=2, max_hamming=2)
             .orderBy("id_a", "id_b"))
@@ -4198,13 +4289,11 @@ def q_video_offset_incr(spark, sf) -> DataFrame:
     Offset is reported in frame units = frames trimmed from the new
     video's head (2 for every planted clone)."""
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_video_media, cross_video_near_dup_offset, trim_video_head,
-    )
+        cached_video_media, cross_video_near_dup_offset    )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_video_media(spark, n)
-    clones = (trim_video_head(media.filter(F.col("media_id") % 7 == 3), 2)
-              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    clones = _cached_clone_rel(spark, "video_trim2_m7r3", n)
     return (cross_video_near_dup_offset(clones, media, every_n=2,
                                         max_hamming=2)
             .orderBy("new_id", "old_id"))
@@ -4343,14 +4432,11 @@ def q_audio_overlap_dedup(spark, sf) -> DataFrame:
     recall/cost dial), candidates stay hash-key-occupancy-bounded."""
     from fsharp_dataframe_spark.functions.multimodal import (
         audio_overlap_near_dup, cached_audio_stream_media,
-        trim_audio_head,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_audio_stream_media(spark, n)
-    clones = (trim_audio_head(media.filter(F.col("media_id") % 4 == 2),
-                              1024)
-              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    clones = _cached_clone_rel(spark, "audio_trim1024_m4r2", n)
     corpus = media.unionByName(clones)
     return (audio_overlap_near_dup(corpus, max_hamming=2)
             .orderBy("id_a", "id_b"))
@@ -4369,14 +4455,11 @@ def q_audio_overlap_incr(spark, sf) -> DataFrame:
     clone).  Oracle: the overlapped closed form, directional split."""
     from fsharp_dataframe_spark.functions.multimodal import (
         cached_audio_stream_media, cross_audio_overlap_near_dup,
-        trim_audio_head,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_audio_stream_media(spark, n)
-    clones = (trim_audio_head(media.filter(F.col("media_id") % 4 == 2),
-                              1024)
-              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    clones = _cached_clone_rel(spark, "audio_trim1024_m4r2", n)
     return (cross_audio_overlap_near_dup(clones, media, max_hamming=2)
             .orderBy("new_id", "old_id"))
 
@@ -4399,14 +4482,11 @@ def q_audio_rate_dedup(spark, sf) -> DataFrame:
     decode pass — no new shuffle, no new pass over the payload."""
     from fsharp_dataframe_spark.functions.multimodal import (
         audio_stream_near_dup, cached_audio_stream_media,
-        resample_audio,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_audio_stream_media(spark, n)
-    clones = (resample_audio(media.filter(F.col("media_id") % 9 == 4),
-                             16000)
-              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    clones = _cached_clone_rel(spark, "audio_rs16k_m9r4", n)
     corpus = media.unionByName(clones)
     return (audio_stream_near_dup(corpus, max_hamming=2)
             .orderBy("id_a", "id_b"))
@@ -4433,14 +4513,12 @@ def q_video_dual_dedup(spark, sf) -> DataFrame:
     hash-key-occupancy-bounded, the vote is one small-key groupBy,
     pixels never shuffle."""
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_video_media, trim_video_head, video_near_dup_dual,
+        cached_video_media, video_near_dup_dual,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_video_media(spark, n)
-    clones = (trim_video_head(media.filter(F.col("media_id") % 5 == 1),
-                              1)
-              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    clones = _cached_clone_rel(spark, "video_trim1_m5r1", n)
     corpus = media.unionByName(clones)
     return (video_near_dup_dual(corpus, every_n=2, max_hamming=2)
             .orderBy("id_a", "id_b"))
@@ -4458,14 +4536,12 @@ def q_video_dual_incr(spark, sf) -> DataFrame:
     (1 for every planted clone, an odd value no stride-2 grid pair
     can express)."""
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_video_media, cross_video_near_dup_dual, trim_video_head,
+        cached_video_media, cross_video_near_dup_dual,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_video_media(spark, n)
-    clones = (trim_video_head(media.filter(F.col("media_id") % 5 == 1),
-                              1)
-              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    clones = _cached_clone_rel(spark, "video_trim1_m5r1", n)
     return (cross_video_near_dup_dual(clones, media, every_n=2,
                                       max_hamming=2)
             .orderBy("new_id", "old_id"))
@@ -4501,14 +4577,11 @@ def q_audio_hop_fine_dedup(spark, sf) -> DataFrame:
     rows vs the default hop are the explicit, documented cost."""
     from fsharp_dataframe_spark.functions.multimodal import (
         audio_overlap_near_dup, cached_audio_stream_media,
-        trim_audio_head,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_audio_stream_media(spark, n)
-    clones = (trim_audio_head(media.filter(F.col("media_id") % 4 == 1),
-                              768)
-              .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    clones = _cached_clone_rel(spark, "audio_trim768_m4r1", n)
     corpus = media.unionByName(clones)
     return (audio_overlap_near_dup(corpus, hop=256, max_hamming=2)
             .orderBy("id_a", "id_b"))
@@ -4534,14 +4607,12 @@ def q_image_crop_verify(spark, sf) -> DataFrame:
     2-D FFT pair per candidate, payloads filtered by broadcast semi
     before any shuffle, corpus never self-joined."""
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_dhash_media, crop_media, image_shift_verify,
+        cached_dhash_media, image_shift_verify,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_dhash_media(spark, n)
-    crops = (crop_media(media.filter(F.col("media_id") % 5 == 2),
-                        3, 2)
-             .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    crops = _cached_clone_rel(spark, "image_crop3x2_m5r2", n)
     corpus = media.unionByName(crops)
     pairs = (spark.range(0, int(n))
              .select(F.col("id").alias("id_a"))
@@ -4570,17 +4641,13 @@ def q_audio_ber_verify(spark, sf) -> DataFrame:
     the corpus is never self-joined here (coarse tiers emit the
     candidates)."""
     from fsharp_dataframe_spark.functions.multimodal import (
-        audio_ber_verify, cached_audio_stream_media, trim_audio_head,
+        audio_ber_verify, cached_audio_stream_media,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_audio_stream_media(spark, n)
-    t100 = (trim_audio_head(media.filter(F.col("media_id") % 6 == 1),
-                            100)
-            .withColumn("media_id", F.col("media_id") + F.lit(n)))
-    t768 = (trim_audio_head(media.filter(F.col("media_id") % 6 == 3),
-                            768)
-            .withColumn("media_id", F.col("media_id") + F.lit(n)))
+    t100 = _cached_clone_rel(spark, "audio_trim100_m6r1", n)
+    t768 = _cached_clone_rel(spark, "audio_trim768_m6r3", n)
     corpus = media.unionByName(t100).unionByName(t768)
     pairs = (spark.range(0, int(n))
              .select(F.col("id").alias("id_a"))
@@ -4611,15 +4678,13 @@ def q_video_residue_dedup(spark, sf) -> DataFrame:
     hash-key-occupancy-bounded, the vote is one small-key groupBy,
     pixels never shuffle."""
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_video_media, trim_video_head, video_near_dup_dual,
+        cached_video_media, video_near_dup_dual,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_video_media(spark, n)
-    t1 = (trim_video_head(media.filter(F.col("media_id") % 5 == 1), 1)
-          .withColumn("media_id", F.col("media_id") + F.lit(n)))
-    t2 = (trim_video_head(media.filter(F.col("media_id") % 5 == 3), 2)
-          .withColumn("media_id", F.col("media_id") + F.lit(2 * n)))
+    t1 = _cached_clone_rel(spark, "video_trim1_m5r1", n)
+    t2 = _cached_clone_rel(spark, "video_trim2_m5r3", n)
     corpus = media.unionByName(t1).unionByName(t2)
     return (video_near_dup_dual(corpus, every_n=3, max_hamming=2)
             .orderBy("id_a", "id_b"))
@@ -4637,15 +4702,13 @@ def q_video_residue_incr(spark, sf) -> DataFrame:
     head (1 or 2 for the planted clones — values no stride-3 grid
     pair can express)."""
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_video_media, cross_video_near_dup_dual, trim_video_head,
+        cached_video_media, cross_video_near_dup_dual,
     )
 
     n = load_table(spark, sf, "documents").count()
     media = cached_video_media(spark, n)
-    t1 = (trim_video_head(media.filter(F.col("media_id") % 5 == 1), 1)
-          .withColumn("media_id", F.col("media_id") + F.lit(n)))
-    t2 = (trim_video_head(media.filter(F.col("media_id") % 5 == 3), 2)
-          .withColumn("media_id", F.col("media_id") + F.lit(2 * n)))
+    t1 = _cached_clone_rel(spark, "video_trim1_m5r1", n)
+    t2 = _cached_clone_rel(spark, "video_trim2_m5r3", n)
     return (cross_video_near_dup_dual(t1.unionByName(t2), media,
                                       every_n=3, max_hamming=2)
             .orderBy("new_id", "old_id"))

@@ -112,6 +112,25 @@ def _steal_pct(a: tuple[int, int], b: tuple[int, int]) -> float:
 # are {"round": N, "queries": [...] or "all", "change": ...}; keep old
 # entries — the list is the accounting history.
 ACCOUNTING_CHANGES = [
+    {"round": 15, "queries": ["video_offset_dedup", "video_offset_incr",
+                              "audio_overlap_dedup", "audio_overlap_incr",
+                              "audio_rate_dedup", "video_dual_dedup",
+                              "video_dual_incr", "audio_hop_fine_dedup",
+                              "image_crop_verify", "audio_ber_verify",
+                              "video_residue_dedup", "video_residue_incr"],
+     "change": "clone-transform relations (head-trimmed / resampled / "
+               "cropped re-uploads planted by the twelve media queries) "
+               "moved into the write-once parquet fixture cache built "
+               "during warm-up (multimodal.cached_clone; VERDICT r14 "
+               "ask #6 — the r11 accounting rule: image_crop_verify's "
+               "8.8 s driver recording was dominated by re-running the "
+               "n/5 PNG crop transform every run, and every trim query "
+               "paid its decode+re-encode the same way).  These entries "
+               "now measure the dedup/verify OPERATOR (decode + banded "
+               "join / FFT verify + closure) over bit-identical input "
+               "bytes; transform seconds are reported separately next "
+               "to the media-fixture cache build.  Totals on these "
+               "twelve queries are NOT comparable to r14."},
     {"round": 5, "queries": "all",
      "change": "bench releases tracked caches between queries; each "
                "query now pays its standalone cost (r4 numbers let "
@@ -565,22 +584,14 @@ def main():
     # decode + banded join + closure — not stdlib zlib throughput.
     # The split is visible: fixture-encode seconds print here and land
     # in BENCH_NOTES.md.
-    from fsharp_dataframe_spark.functions.multimodal import (
-        cached_audio_media, cached_audio_stream_media, cached_dhash_media,
-        cached_video_media,
-    )
-    from fsharp_dataframe_spark.sources.parquet import load_table
-
-    t0 = time.time()
-    n_media = load_table(spark, sf_dir, "documents").count()
-    cached_dhash_media(spark, n_media).count()
-    cached_audio_media(spark, n_media).count()
-    cached_video_media(spark, n_media).count()
-    cached_audio_stream_media(spark, n_media).count()
-    fixture_sec = round(time.time() - t0, 2)
-    print(f"# media fixture caches (n={n_media} x image/audio/video/"
-          f"audio-stream): {fixture_sec}s (excluded from query timings)",
-          file=sys.stderr)
+    # r15: one entry point builds the four media fixture caches AND
+    # the twelve registered queries' clone-transform caches (trim /
+    # resample / crop re-uploads — VERDICT r14 ask #6: measure the
+    # operator, not the fixture re-encode); seconds reported here and
+    # in BENCH_NOTES, excluded from every query timing.
+    fixture_sec = entrymod.warm_fixture_caches(spark, sf_dir)
+    print(f"# media fixture + clone caches: {fixture_sec}s "
+          "(excluded from query timings)", file=sys.stderr)
     from fsharp_dataframe_spark.functions.util import release_cached
 
     hot = load0 > HOT_LOAD_THRESHOLD

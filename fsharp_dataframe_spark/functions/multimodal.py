@@ -722,6 +722,21 @@ def _dhash_pattern(i: int) -> int:
     return base(i)
 
 
+def _cache_files(df: DataFrame) -> DataFrame:
+    """Lay a fixture cache out in ~core-count parquet files
+    (OPTIMIZATION r15, guide §6 file sizing): the single-row-group
+    2-3-file layout the default writer produced meant every scan that
+    FEEDS a mapInPandas/mapInArrow decode ran 2-4 tasks on a 32-core
+    box — the Python fingerprint pass, the media family's dominant
+    compute, was measured running 4-way with 28 cores idle (r15
+    event-log profile: 1.5-3 s decode stages).  Round-robin
+    repartition at cache-BUILD time (warm-up, untimed); contents are
+    the same rows — every consumer aggregates/joins, so layout is
+    result-invisible (oracle-re-verified)."""
+    n_files = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    return df.repartition(n_files)
+
+
 def cached_dhash_media(spark, n: int,
                        cache_root: str | None = None) -> DataFrame:
     """Write-once parquet cache of the closed-form dHash PNG fixture
@@ -745,7 +760,56 @@ def cached_dhash_media(spark, n: int,
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
-        make_fake_dhash_media(spark, n).write.mode("overwrite").parquet(tmp)
+        # write ~core-count files (r15, guide §6): a 2-file cache gates
+        # every downstream DECODE pass (one scan task per single-row-
+        # group file) at 2 tasks — the Python fingerprint stage, the
+        # dominant per-query compute of the whole media family, ran on
+        # 2-4 of 32 cores.  Layout only; contents unchanged.
+        _cache_files(make_fake_dhash_media(spark, n)).write.mode(
+            "overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.parquet(path).select(
+        *[f.name for f in MEDIA_SCHEMA.fields])
+
+
+def cached_clone(spark, key: str, builder,
+                 cache_root: str | None = None) -> DataFrame:
+    """Write-once parquet cache of a DETERMINISTIC clone-transform
+    relation (head-trimmed / resampled / cropped re-uploads of the
+    cached media fixtures) — the r11 fixture-cache accounting rule
+    extended to the planted clone corpora (VERDICT r14 ask #6): the
+    bench should measure the dedup/verify OPERATOR, not the per-run
+    decode+re-encode of its planted INPUT corpus (image_crop_verify
+    spent most of its 8.8 s driver recording rebuilding n/5 crops
+    through the real PNG transform every run).
+
+    Same discipline as cached_dhash_media: first call per
+    (cache_root, key) runs the REAL transform once and writes
+    atomically (pid temp dir + rename; the loser of a race discards);
+    every later call — bench repeats, oracle gates, sibling queries
+    sharing a clone relation — reads parquet.  ``key`` must encode
+    every parameter the relation depends on (transform name, params,
+    id-subset filter, fixture size n); contents are deterministic
+    closed-form for a given key, so the cache can never go stale.
+    The cached bytes are the transform's own output through a parquet
+    round-trip — bit-identical input to the operator under test, and
+    the DuckDB oracles (which replay the transforms symbolically)
+    re-verify that every sweep."""
+    import os
+    import shutil
+
+    root = cache_root or os.environ.get(
+        "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
+    path = os.path.join(root, f"clone_{key}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # a dir without _SUCCESS is a crashed write — rebuild it
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        _cache_files(builder()).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
@@ -1038,7 +1102,8 @@ def cached_audio_media(spark, n: int,
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
-        make_fake_audio_media(spark, n).write.mode("overwrite").parquet(tmp)
+        _cache_files(make_fake_audio_media(spark, n)).write.mode(
+            "overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
@@ -1397,7 +1462,8 @@ def cached_video_media(spark, n: int,
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
-        make_fake_video_media(spark, n).write.mode("overwrite").parquet(tmp)
+        _cache_files(make_fake_video_media(spark, n)).write.mode(
+            "overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
@@ -1983,7 +2049,7 @@ def cached_audio_stream_media(spark, n: int,
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
-        make_fake_audio_stream_media(spark, n).write.mode(
+        _cache_files(make_fake_audio_stream_media(spark, n)).write.mode(
             "overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
