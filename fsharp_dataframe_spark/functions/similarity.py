@@ -48,7 +48,7 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     folding); Spark plans the limit as TakeOrderedAndProject — no full
     sort, no shuffle of the data itself.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])  # one Literal node
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 4).alias("cosine_sim"),
@@ -80,12 +80,12 @@ def lsh_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 0) -> Column
     to re-inline when the bucket fed several downstream columns).
     Fold order per plane is unchanged, so buckets are bit-identical to
     _py_bucket's driver-side doubles."""
-    planes = F.array(*[
-        F.array(*[F.lit(w) for w in _hyperplane_weights(seed, j, dim)])
-        for j in range(n_bits)
-    ])
+    # single Literal nodes (not n_bits·dim CreateArray trees) — same
+    # values, ~1000x fewer expression nodes for the analyzer to walk
+    planes = F.lit([[float(w) for w in _hyperplane_weights(seed, j, dim)]
+                    for j in range(n_bits)])
     sims = F.transform(planes, lambda p: dot(vec, p))
-    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
+    weights = F.lit([1 << j for j in range(n_bits)]).cast("array<bigint>")
     return F.aggregate(
         F.zip_with(sims, weights,
                    lambda s, w: F.when(s > 0, w).otherwise(F.lit(0)).cast("long")),
@@ -216,7 +216,16 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     an argmin over cells — a narrow map, no shuffle.  Downstream ANN
     probes only the query's nearest cells.
     """
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # ONE Literal node of array<array<double>>, not a CreateArray tree
+    # of k·dim Literal leaves: the values are identical (constant
+    # folding collapsed the tree anyway), but the analyzer/optimizer
+    # walked the k·dim-node tree on every rule pass — at k=8, dim=64
+    # that was measurably seconds of DRIVER time per kmeans iteration
+    # (r15 event-log profile: ivf_train spent 8.5 s in between-job
+    # gaps vs 1.8 s of task work).  A complex-typed Literal also rides
+    # the codegen references[] array instead of the generated source
+    # (the r8 bucketed-substrate discipline).
+    cents = F.lit([[float(x) for x in c] for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
     # lambda-let: bind sims once — argmax references it twice, and a
     # bare column reference would re-inline the whole n_cells×dim
@@ -488,7 +497,16 @@ def ivf_knn_join(df: DataFrame, centroids: list[list[float]], k: int = 5,
     in the cell-blocked candidate join BEFORE the top-k, the same
     contract as knn_join_exact(neq_label_col=...) (SQL != semantics:
     NULL labels never match)."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # ONE Literal node of array<array<double>>, not a CreateArray tree
+    # of k·dim Literal leaves: the values are identical (constant
+    # folding collapsed the tree anyway), but the analyzer/optimizer
+    # walked the k·dim-node tree on every rule pass — at k=8, dim=64
+    # that was measurably seconds of DRIVER time per kmeans iteration
+    # (r15 event-log profile: ivf_train spent 8.5 s in between-job
+    # gaps vs 1.8 s of task work).  A complex-typed Literal also rides
+    # the codegen references[] array instead of the generated source
+    # (the r8 bucketed-substrate discipline).
+    cents = F.lit([[float(x) for x in c] for c in centroids])
     sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
     # top-n_probe cells per vector (probe list), exploded to (vector,
     # probe_cell) rows; the data side is the same vectors keyed by

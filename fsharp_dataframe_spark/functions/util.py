@@ -17,6 +17,33 @@ from pyspark.sql import DataFrame
 _TRACKED_PERSISTS: list[DataFrame] = []
 
 
+def pin_group_parallelism(df: DataFrame, group_cols) -> DataFrame:
+    """Pin the exchange feeding a grouped PYTHON stage at the session's
+    configured shuffle parallelism (OPTIMIZATION r15, guide §2).
+
+    AQE's partition coalescing sizes post-shuffle partitions by BYTES,
+    which is right for JVM operators but blind to opaque Python
+    compute: a keyed Arrow fold over 100k small rows shuffles ~3 MB,
+    AQE coalesces it to 1-2 partitions, and the per-group pandas work
+    runs effectively serial (measured: q_ewma's fold stage ran 2 tasks
+    / 5.1 s wall with 30 cores idle).  An explicit repartition with an
+    EXPLICIT partition count is exempt from AQE coalescing and
+    satisfies the downstream groupBy's ClusteredDistribution, so the
+    group stage runs at the parallelism the session was configured for
+    — locally the core count, on a cluster whatever
+    spark.sql.shuffle.partitions the deploy tuned (we deliberately
+    reuse that knob rather than invent one: it is exactly the
+    parallelism this exchange would have had before AQE coalescing).
+    Data bytes are unchanged; only the partition COUNT of one exchange
+    is pinned, so results are bit-identical."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # e.g. "auto" on some platforms
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *group_cols)
+
+
 def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() + register for release_cached()/cache_scope()."""
     from pyspark import StorageLevel

@@ -121,9 +121,14 @@ def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
 
         # hot-key guard (r8 VERDICT ask #6): each by-entity's history
         # is one Arrow group — fail loudly on a pathological key
-        from fsharp_dataframe_spark.functions.util import guard_arrow_group
+        from fsharp_dataframe_spark.functions.util import (
+            guard_arrow_group, pin_group_parallelism,
+        )
 
-        out = df.groupBy(*by).applyInPandas(
+        # pin the exchange at session parallelism: AQE's byte-based
+        # coalescing is blind to the per-group Python cost and was
+        # measured running this fold on 2 of 32 cores (r15)
+        out = pin_group_parallelism(df, by).groupBy(*by).applyInPandas(
             guard_arrow_group(fn, f"ewma(by={by})"), schema)
         return Series(out, key=key_cols, value=value_col, ordered=True,
                       _canonicalize=False)
@@ -160,11 +165,17 @@ def series_ewma(s: Series, alpha: float, by: list[str] | None = None,
         pdf["__first_x"] = first_x
         return pdf[[_B, *key_cols, value_col, "__pos", "__first_x"]]
 
-    from fsharp_dataframe_spark.functions.util import track_persist
+    from fsharp_dataframe_spark.functions.util import (
+        pin_group_parallelism, track_persist,
+    )
 
     # persisted: the census below and the final patch both consume it —
-    # without a stage boundary the Arrow fold would run twice
-    local = track_persist(base.groupBy(_B).applyInPandas(local_fn, loc_schema))
+    # without a stage boundary the Arrow fold would run twice.  The
+    # bucket exchange is pinned at session parallelism (AQE's byte
+    # heuristic under-parallelizes Python folds — r15)
+    local = track_persist(
+        pin_group_parallelism(base, [_B]).groupBy(_B)
+        .applyInPandas(local_fn, loc_schema))
 
     # census: one scalar summary per bucket (n, local_final, first_x) —
     # a SINGLE job over the persisted fold output (min_by on __pos is

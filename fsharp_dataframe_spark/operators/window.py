@@ -462,10 +462,14 @@ def _while_apply(s: Series, cond, agg, by: list[str] | None, out_type: str, mode
     if by:
         # hot-key guard (r8 VERDICT ask #6): the per-entity scan
         # materializes each entity's history as one Arrow group
-        from fsharp_dataframe_spark.functions.util import guard_arrow_group
+        from fsharp_dataframe_spark.functions.util import (
+            guard_arrow_group, pin_group_parallelism,
+        )
 
         fn = guard_arrow_group(fn, f"{mode}(by={by})")
-        grouped = s.df.groupBy(*by)
+        # pin at session parallelism — AQE byte-coalescing is blind to
+        # the per-group Python scan cost (r15)
+        grouped = pin_group_parallelism(s.df, by).groupBy(*by)
     else:
         # mirror Spark's own WindowExec warning: an arbitrary-predicate
         # scan over the whole series is ONE task; the distance forms
@@ -558,7 +562,12 @@ def _window_while_bounded(s: Series, cond, agg, max_rows: int,
             rows.append((*key_vals, agg(seg) if len(seg) else None))
         return pd.DataFrame(rows, columns=key_cols + [value_col])
 
-    out = aug.groupBy("__gbucket").applyInPandas(fn, schema)
+    from fsharp_dataframe_spark.functions.util import pin_group_parallelism
+
+    # pin at session parallelism — the per-bucket Python scan is
+    # compute-bound at byte sizes AQE would coalesce away (r15)
+    out = (pin_group_parallelism(aug, ["__gbucket"])
+           .groupBy("__gbucket").applyInPandas(fn, schema))
     return Series(out, key=key_cols, value=value_col, ordered=True,
                   _canonicalize=True)
 
@@ -744,12 +753,16 @@ def series_chunk_dist_bucketed(s: Series, dist, agg, out_type: str = "double",
         out["__chunk"] = [starts[i] for i in idx]
         return out
 
-    labeled = base.groupBy("__cb").applyInPandas(assign_fn, mid_schema)
+    from fsharp_dataframe_spark.functions.util import pin_group_parallelism
+
+    labeled = (pin_group_parallelism(base, ["__cb"])
+               .groupBy("__cb").applyInPandas(assign_fn, mid_schema))
 
     def agg_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(k, ignore_index=True)
         return pd.DataFrame([[pdf["__chunk"].iloc[0], agg(pdf)]],
                             columns=[k, value_col])
 
-    out = labeled.groupBy("__chunk").applyInPandas(agg_fn, out_schema)
+    out = (pin_group_parallelism(labeled, ["__chunk"])
+           .groupBy("__chunk").applyInPandas(agg_fn, out_schema))
     return Series(out, key=[k], value=value_col, ordered=True, _canonicalize=True)

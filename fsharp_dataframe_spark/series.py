@@ -909,8 +909,15 @@ class GroupedSeries:
         Arrow batch in one worker, so a pathological hot key fails
         loudly against ``max_group_rows`` (default
         util.MAX_ARROW_GROUP_ROWS) instead of OOMing the executor."""
-        from fsharp_dataframe_spark.functions.util import guard_arrow_group
+        from fsharp_dataframe_spark.functions.util import (
+            guard_arrow_group, pin_group_parallelism,
+        )
 
-        return self.df.groupBy(*self.group_cols).applyInPandas(
-            guard_arrow_group(fn, "apply_in_pandas", max_group_rows),
-            schema)
+        # pin the feeding exchange at session parallelism: AQE's
+        # byte-based coalescing under-parallelizes opaque Python
+        # group lambdas (r15)
+        return (pin_group_parallelism(self.df, list(self.group_cols))
+                .groupBy(*self.group_cols).applyInPandas(
+                    guard_arrow_group(fn, "apply_in_pandas",
+                                      max_group_rows),
+                    schema))
