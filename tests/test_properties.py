@@ -19,8 +19,19 @@ from fsharp_dataframe_spark.series import Series
 KEYSETS = st.lists(st.integers(min_value=0, max_value=400), min_size=1,
                    max_size=30, unique=True)
 
-SETTINGS = dict(max_examples=8, deadline=None,
+SETTINGS = dict(max_examples=8, deadline=None, derandomize=True,
                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+def spark_round(x, scale=0):
+    """Exact model of Spark's Round on DoubleType: HALF_UP over
+    BigDecimal.valueOf(x), i.e. the shortest round-trip decimal repr of
+    the double — NOT floor(x+0.5), which disagrees one ulp below a .5
+    boundary (e.g. 0.49999999999999994 + 0.5 rounds to 1.0 in binary,
+    but the true value is < 0.5 so Spark yields 0)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(float(x)))
+                 .quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
 
 
 def sob(spark, pairs, ordered=True):
@@ -986,8 +997,6 @@ def test_int8_quantize_matches_numpy_reference(spark, vecs):
     """quantize_embeddings_int8 equals a numpy reference (symmetric
     max-abs/127 scale, HALF_UP integer codes, 1e-9-unit error sums)
     on arbitrary small vector sets, including zero-variance dims."""
-    import math
-
     from fsharp_dataframe_spark.functions.similarity import (
         quantize_embeddings_int8,
     )
@@ -1002,19 +1011,46 @@ def test_int8_quantize_matches_numpy_reference(spark, vecs):
         scale = ma / 127.0
         r = got[d]
         assert r["n"] == len(xs)
-        assert r["scale"] == round(scale, 9)
+        assert r["scale"] == spark_round(scale, 9)
         if scale == 0:
             assert r["mean_abs_err"] is None
             continue
+        # every rounding below uses spark_round: floor(x+0.5) is NOT
+        # Spark's semantics one ulp below a .5 boundary (the r15 driver
+        # gate failure; see test_int8_quantize_halfup_boundary_pin)
         units = 0
         for x in xs:
-            q = math.floor(abs(x / scale) + 0.5) * (1 if x >= 0 else -1)
+            q = spark_round(x / scale)
             e = abs(x - q * scale)
-            units += int(math.floor(e * 1e9 + 0.5))
+            units += int(spark_round(e * 1e9))
         m = (units / len(xs)) / 1e9
-        # HALF_UP at 8dp like Spark F.round (python round is banker's)
-        exp = math.floor(m * 1e8 + 0.5) / 1e8
+        exp = spark_round(m, 8)
         assert r["mean_abs_err"] == exp, d
+
+
+def test_int8_quantize_halfup_boundary_pin(spark):
+    """Deterministic pin of the r15 driver-gate counterexample: an
+    element whose |err|*1e9 is 0.49999999999999994 (one ulp below 0.5).
+    floor(e*1e9+0.5) says 1 unit (binary x+0.5 rounds up to 1.0);
+    Spark's Round (HALF_UP on the shortest decimal repr) says 0.  The
+    third element puts the dim total at 14-vs-15 units over n=3 so the
+    disagreement survives the 8dp output round: the buggy model
+    predicts mean_abs_err=1e-08, the engine (and DuckDB oracle
+    semantics) produce 0.0."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    xb = float.fromhex("0x1.12e0be826d694p-31")  # 4.999999999999999e-10
+    vals = [1.0, xb, 1.42e-8]
+    df = spark.createDataFrame(
+        [(i, [v, 0.0]) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>")
+    got = {r["dim"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert got[0]["n"] == 3
+    assert got[0]["scale"] == spark_round(1.0 / 127.0, 9)
+    assert got[0]["mean_abs_err"] == 0.0   # floor(+0.5) model says 1e-08
+    assert got[1]["mean_abs_err"] is None  # zero-variance dim
 
 
 @given(rows=st.lists(st.tuples(
