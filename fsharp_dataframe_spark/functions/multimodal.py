@@ -722,19 +722,33 @@ def _dhash_pattern(i: int) -> int:
     return base(i)
 
 
+def _cache_layout_files() -> int:
+    """File count for the media fixture caches.  r16: FIXED at 32
+    (env-overridable via SPARK_GRAFT_CACHE_FILES) instead of the r15
+    defaultParallelism — a core-count-dependent layout meant the 8-core
+    scaling run either inherited the 32-core layout or silently kept a
+    stale 2-3-file one (ADVICE r15: the _SUCCESS check short-circuits,
+    so layout changes never applied to existing caches; fixed by the
+    _f{n} path suffix below).  32 files keep a 32-core box's decode
+    passes fully parallel, and Spark's openCost packing merges them to
+    ~core-count scan tasks on smaller sessions, so one layout serves
+    every core count.  Measured r16 (video_dual_incr, interleaved,
+    warm): 32 files 2.8 s / 8 files 3.1 s / 4 files 11.6 s — MORE
+    files win; the r15 VERDICT's few-file hypothesis is refuted."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_CACHE_FILES", "0") or 0) or 32
+
+
 def _cache_files(df: DataFrame) -> DataFrame:
-    """Lay a fixture cache out in ~core-count parquet files
-    (OPTIMIZATION r15, guide §6 file sizing): the single-row-group
-    2-3-file layout the default writer produced meant every scan that
-    FEEDS a mapInPandas/mapInArrow decode ran 2-4 tasks on a 32-core
-    box — the Python fingerprint pass, the media family's dominant
-    compute, was measured running 4-way with 28 cores idle (r15
-    event-log profile: 1.5-3 s decode stages).  Round-robin
-    repartition at cache-BUILD time (warm-up, untimed); contents are
-    the same rows — every consumer aggregates/joins, so layout is
-    result-invisible (oracle-re-verified)."""
-    n_files = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-    return df.repartition(n_files)
+    """Lay a fixture cache out in a fixed number of parquet files
+    (guide §6: file layout gates the reader parallelism of every
+    mapInPandas decode pass — the media family's dominant compute ran
+    2-4 tasks off the default writer's 2-3 single-row-group files).
+    Round-robin repartition at cache-BUILD time (warm-up, untimed);
+    contents are the same rows — every consumer aggregates/joins, so
+    layout is result-invisible (oracle-re-verified)."""
+    return df.repartition(_cache_layout_files())
 
 
 def cached_dhash_media(spark, n: int,
@@ -754,7 +768,7 @@ def cached_dhash_media(spark, n: int,
 
     root = cache_root or os.environ.get(
         "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
-    path = os.path.join(root, f"dhash_n{int(n)}.parquet")
+    path = os.path.join(root, f"dhash_n{int(n)}_f{_cache_layout_files()}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # a dir without _SUCCESS is a crashed write — rebuild it
         shutil.rmtree(path, ignore_errors=True)
@@ -775,6 +789,16 @@ def cached_dhash_media(spark, n: int,
         *[f.name for f in MEDIA_SCHEMA.fields])
 
 
+# r16 (ADVICE r15): the clone-cache key encodes transform name/params/
+# filter/n but NOT the transform implementation — a bugfix to
+# trim_audio_head / trim_video_head / resample_audio / crop_media
+# would silently serve stale clone corpora until an oracle sweep
+# hash-mismatched.  Bump this version token in the SAME commit as any
+# behavior change to those transforms; it is folded into every clone
+# cache path.
+CLONE_CACHE_VERSION = 1
+
+
 def cached_clone(spark, key: str, builder,
                  cache_root: str | None = None) -> DataFrame:
     """Write-once parquet cache of a DETERMINISTIC clone-transform
@@ -793,7 +817,9 @@ def cached_clone(spark, key: str, builder,
     sharing a clone relation — reads parquet.  ``key`` must encode
     every parameter the relation depends on (transform name, params,
     id-subset filter, fixture size n); contents are deterministic
-    closed-form for a given key, so the cache can never go stale.
+    closed-form for a given key AND transform implementation — a
+    change to the transforms themselves must bump CLONE_CACHE_VERSION
+    (folded into the path) or the cache serves stale corpora.
     The cached bytes are the transform's own output through a parquet
     round-trip — bit-identical input to the operator under test, and
     the DuckDB oracles (which replay the transforms symbolically)
@@ -803,7 +829,10 @@ def cached_clone(spark, key: str, builder,
 
     root = cache_root or os.environ.get(
         "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
-    path = os.path.join(root, f"clone_{key}.parquet")
+    path = os.path.join(
+        root,
+        f"clone_{key}_v{CLONE_CACHE_VERSION}"
+        f"_f{_cache_layout_files()}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # a dir without _SUCCESS is a crashed write — rebuild it
         shutil.rmtree(path, ignore_errors=True)
@@ -1097,7 +1126,7 @@ def cached_audio_media(spark, n: int,
 
     root = cache_root or os.environ.get(
         "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
-    path = os.path.join(root, f"audio_n{int(n)}.parquet")
+    path = os.path.join(root, f"audio_n{int(n)}_f{_cache_layout_files()}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
@@ -1284,8 +1313,12 @@ def video_near_dup(df: DataFrame, every_n: int = 2, max_hamming: int = 2,
         .dropDuplicates(["id_a", "id_b", "frame_idx"]))
     matched = (frame_pairs.groupBy("id_a", "id_b")
                .agg(F.count("*").alias("matched_frames")))
-    counts = (pieces.select("vid", "frame_idx").distinct()
-              .groupBy("vid").agg(F.count("*").alias("n_sampled")))
+    # r16: exactly max_hamming+1 piece rows per sampled frame (the
+    # pigeonhole posexplode), so count(*)/(max_hamming+1) replaces the
+    # former distinct-then-count's extra exchange (guide §2.4)
+    counts = (pieces.groupBy("vid")
+              .agg((F.count("*") / (max_hamming + 1)).cast("long")
+                   .alias("n_sampled")))
     out = (matched
            .join(counts.select(F.col("vid").alias("id_a"),
                                F.col("n_sampled").alias("_na")), "id_a")
@@ -1358,10 +1391,9 @@ def cross_video_near_dup(new: DataFrame, existing: DataFrame,
                                 payload_col=payload_col,
                                 id_col=id_col))
     epc = (existing if existing_is_piece_table
-           else video_frame_piece_table(existing, every_n=every_n,
-                                        max_hamming=max_hamming,
-                                        payload_col=payload_col,
-                                        id_col=id_col))
+           else track_persist(video_frame_piece_table(
+               existing, every_n=every_n, max_hamming=max_hamming,
+               payload_col=payload_col, id_col=id_col)))
     frame_pairs = (
         npc.alias("n").join(
             epc.alias("e"),
@@ -1377,10 +1409,15 @@ def cross_video_near_dup(new: DataFrame, existing: DataFrame,
         .dropDuplicates(["new_id", "old_id", "frame_idx"]))
     matched = (frame_pairs.groupBy("new_id", "old_id")
                .agg(F.count("*").alias("matched_frames")))
-    n_cnt = (npc.select("vid", "frame_idx").distinct()
-             .groupBy("vid").agg(F.count("*").alias("_na")))
-    e_cnt = (epc.select("vid", "frame_idx").distinct()
-             .groupBy("vid").agg(F.count("*").alias("_nb")))
+    # r16: the builders emit exactly max_hamming+1 piece rows per
+    # sampled frame (pigeonhole posexplode over decode_ok rows), so the
+    # distinct-frame count is count(*)/(max_hamming+1) — one map-side-
+    # combining aggregate instead of distinct-then-count (guide §2.4)
+    _p = max_hamming + 1
+    n_cnt = (npc.groupBy("vid")
+             .agg((F.count("*") / _p).cast("long").alias("_na")))
+    e_cnt = (epc.groupBy("vid")
+             .agg((F.count("*") / _p).cast("long").alias("_nb")))
     out = (matched
            .join(n_cnt.select(F.col("vid").alias("new_id"), "_na"),
                  "new_id")
@@ -1457,7 +1494,7 @@ def cached_video_media(spark, n: int,
 
     root = cache_root or os.environ.get(
         "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
-    path = os.path.join(root, f"video_n{int(n)}.parquet")
+    path = os.path.join(root, f"video_n{int(n)}_f{_cache_layout_files()}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
@@ -1510,9 +1547,49 @@ def _offset_votes(left: DataFrame, right: DataFrame, max_hamming: int,
             .agg(F.count("*").alias("matched")))
 
 
+def _dominant_offset(votes: DataFrame) -> DataFrame:
+    """Dominant offset per pair — highest matched, ties to the
+    smallest offset.  r16 (guide §2.4): one max(struct) aggregate
+    instead of the former row_number window: the vote relation arrives
+    partitioned by (id_l, id_r, offset) from its groupBy, so the
+    window needed ANOTHER exchange on (id_l, id_r) plus a full sort of
+    every partition; the aggregate pre-combines map-side and skips the
+    sort.  struct comparison is lexicographic, so max(struct(matched,
+    -offset)) is EXACTLY the window's orderBy(matched desc, offset
+    asc) pick — results bit-identical (oracle-re-verified)."""
+    return (votes.groupBy("id_l", "id_r")
+            .agg(F.max(F.struct(F.col("matched"),
+                                (-F.col("offset")).alias("_no")))
+                 .alias("_w"))
+            .select("id_l", "id_r",
+                    (-F.col("_w._no")).cast("long").alias("offset"),
+                    F.col("_w.matched").alias("matched")))
+
+
+def _distinct_idx_counts(side: DataFrame, n_pieces: int | None,
+                         alias: str) -> DataFrame:
+    """Per-id count of DISTINCT positions in a standardized piece
+    table (id, idx, sh, q, qv).  r16 (guide §2.3/§2.4): the engine's
+    piece builders emit EXACTLY ``n_pieces`` rows per (id, idx) —
+    pigeonhole_pieces is a fixed-size posexplode over decode_ok rows —
+    so the distinct-position count is count(*)/n_pieces: one
+    map-side-combining aggregate instead of the former
+    distinct-then-count (two exchanges, the first carrying every piece
+    row).  Exact integer division by construction.  ``n_pieces=None``
+    keeps the general distinct path for caller-supplied piece tables
+    the builders didn't shape."""
+    if n_pieces:
+        return (side.groupBy("id")
+                .agg((F.count("*") / int(n_pieces)).cast("long")
+                     .alias(alias)))
+    return (side.select("id", "idx").distinct().groupBy("id")
+            .agg(F.count("*").alias(alias)))
+
+
 def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
                        max_hamming: int, directional: bool,
-                       require_full_left: bool = False) -> DataFrame:
+                       require_full_left: bool = False,
+                       n_pieces: int | None = None) -> DataFrame:
     """Offset-voting rollup shared by the whole-stream audio and the
     trim-tolerant video tiers: join per-position hashes on (piece,
     piece-bits) WITHOUT the position key, vote on the position delta
@@ -1550,17 +1627,13 @@ def _offset_vote_pairs(left: DataFrame, right: DataFrame, stride: int,
     counts are an item-grain (dim-sized) aggregate joined back on the
     pair keys; pixels/samples never shuffle (hashes left the decode
     pass as 8-byte longs upstream)."""
-    from pyspark.sql import Window
-
     votes = _offset_votes(left, right, max_hamming, directional)
-    w = Window.partitionBy("id_l", "id_r").orderBy(
-        F.col("matched").desc(), F.col("offset").asc())
-    dom = (votes.withColumn("_rk", F.row_number().over(w))
-           .filter(F.col("_rk") == 1).drop("_rk"))
-    cnt_l = (left.select("id", "idx").distinct().groupBy("id")
-             .agg(F.count("*").alias("_na")))
-    cnt_r = (right.select("id", "idx").distinct().groupBy("id")
-             .agg(F.count("*").alias("_nb")))
+    dom = _dominant_offset(votes)
+    cnt_l = _distinct_idx_counts(left, n_pieces, "_na")
+    # symmetric matchers pass the SAME persisted piece relation on
+    # both sides — build the per-id count aggregate once (r16)
+    cnt_r = (cnt_l.withColumnRenamed("_na", "_nb") if left is right
+             else _distinct_idx_counts(right, n_pieces, "_nb"))
     out = (dom
            .join(cnt_l.withColumnRenamed("id", "id_l"), "id_l")
            .join(cnt_r.withColumnRenamed("id", "id_r"), "id_r"))
@@ -1742,7 +1815,8 @@ def audio_stream_near_dup(df: DataFrame, max_hamming: int = 2,
         .select(F.col("aid").alias("id"),
                 F.col("win_idx").alias("idx"), "sh", "q", "qv"))
     out = _offset_vote_pairs(pieces, pieces, stride=1,
-                             max_hamming=max_hamming, directional=False)
+                             max_hamming=max_hamming, directional=False,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("id_a"),
                       F.col("id_r").alias("id_b"), "offset",
                       F.col("matched").alias("matched_windows"),
@@ -1777,14 +1851,14 @@ def cross_audio_stream_near_dup(new: DataFrame, existing: DataFrame,
         .select(F.col("aid").alias("id"),
                 F.col("win_idx").alias("idx"), "sh", "q", "qv"))
     epc = (existing if existing_is_piece_table
-           else audio_window_piece_table(existing,
-                                         max_hamming=max_hamming,
-                                         payload_col=payload_col,
-                                         id_col=id_col))
+           else track_persist(audio_window_piece_table(
+               existing, max_hamming=max_hamming,
+               payload_col=payload_col, id_col=id_col)))
     epc = epc.select(F.col("aid").alias("id"),
                      F.col("win_idx").alias("idx"), "sh", "q", "qv")
     out = _offset_vote_pairs(npc, epc, stride=1,
-                             max_hamming=max_hamming, directional=True)
+                             max_hamming=max_hamming, directional=True,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("new_id"),
                       F.col("id_r").alias("old_id"), "offset",
                       F.col("matched").alias("matched_windows"),
@@ -1895,7 +1969,8 @@ def video_near_dup_offset(df: DataFrame, every_n: int = 2,
     pieces = track_persist(_video_pieces_std(df, every_n, max_hamming,
                                              payload_col, id_col))
     out = _offset_vote_pairs(pieces, pieces, stride=every_n,
-                             max_hamming=max_hamming, directional=False)
+                             max_hamming=max_hamming, directional=False,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("id_a"),
                       F.col("id_r").alias("id_b"), "offset",
                       F.col("matched").alias("matched_frames"),
@@ -1926,10 +2001,11 @@ def cross_video_near_dup_offset(new: DataFrame, existing: DataFrame,
                            F.col("frame_idx").alias("idx"),
                            "sh", "q", "qv")
            if existing_is_piece_table
-           else _video_pieces_std(existing, every_n, max_hamming,
-                                  payload_col, id_col))
+           else track_persist(_video_pieces_std(
+               existing, every_n, max_hamming, payload_col, id_col)))
     out = _offset_vote_pairs(npc, epc, stride=every_n,
-                             max_hamming=max_hamming, directional=True)
+                             max_hamming=max_hamming, directional=True,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("new_id"),
                       F.col("id_r").alias("old_id"), "offset",
                       F.col("matched").alias("matched_frames"),
@@ -2044,7 +2120,7 @@ def cached_audio_stream_media(spark, n: int,
 
     root = cache_root or os.environ.get(
         "SPARK_GRAFT_MEDIA_CACHE", "/tmp/fsharp_dataframe_spark_media")
-    path = os.path.join(root, f"audio_stream_n{int(n)}.parquet")
+    path = os.path.join(root, f"audio_stream_n{int(n)}_f{_cache_layout_files()}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(root, exist_ok=True)
@@ -2153,15 +2229,15 @@ def audio_snippet_search(snippets: DataFrame, corpus: DataFrame,
         .select(F.col("aid").alias("id"),
                 F.col("win_idx").alias("idx"), "sh", "q", "qv"))
     cpc = (corpus if corpus_is_piece_table
-           else audio_window_piece_table(corpus,
-                                         max_hamming=max_hamming,
-                                         payload_col=payload_col,
-                                         id_col=id_col))
+           else track_persist(audio_window_piece_table(
+               corpus, max_hamming=max_hamming,
+               payload_col=payload_col, id_col=id_col)))
     cpc = cpc.select(F.col("aid").alias("id"),
                      F.col("win_idx").alias("idx"), "sh", "q", "qv")
     out = _offset_vote_pairs(spc, cpc, stride=1,
                              max_hamming=max_hamming, directional=True,
-                             require_full_left=True)
+                             require_full_left=True,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("snippet_id"),
                       F.col("id_r").alias("clip_id"), "offset",
                       F.col("matched").alias("n_windows"))
@@ -2246,11 +2322,12 @@ def video_snippet_search(snippets: DataFrame, corpus: DataFrame,
                          F.col("frame_idx").alias("idx"),
                          "sh", "q", "qv")
            if corpus_is_piece_table
-           else _video_pieces_std(corpus, every_n, max_hamming,
-                                  payload_col, id_col))
+           else track_persist(_video_pieces_std(
+               corpus, every_n, max_hamming, payload_col, id_col)))
     out = _offset_vote_pairs(spc, cpc, stride=every_n,
                              max_hamming=max_hamming, directional=True,
-                             require_full_left=True)
+                             require_full_left=True,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("snippet_id"),
                       F.col("id_r").alias("clip_id"), "offset",
                       F.col("matched").alias("n_frames"))
@@ -2612,7 +2689,8 @@ def audio_overlap_near_dup(df: DataFrame, hop: int = AFP_HOP,
         .select(F.col("aid").alias("id"),
                 F.col("win_idx").alias("idx"), "sh", "q", "qv"))
     out = _offset_vote_pairs(pieces, pieces, stride=1,
-                             max_hamming=max_hamming, directional=False)
+                             max_hamming=max_hamming, directional=False,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("id_a"),
                       F.col("id_r").alias("id_b"), "offset",
                       F.col("matched").alias("matched_windows"),
@@ -2644,14 +2722,14 @@ def cross_audio_overlap_near_dup(new: DataFrame, existing: DataFrame,
         .select(F.col("aid").alias("id"),
                 F.col("win_idx").alias("idx"), "sh", "q", "qv"))
     epc = (existing if existing_is_piece_table
-           else audio_overlap_piece_table(existing, hop=hop,
-                                          max_hamming=max_hamming,
-                                          payload_col=payload_col,
-                                          id_col=id_col))
+           else track_persist(audio_overlap_piece_table(
+               existing, hop=hop, max_hamming=max_hamming,
+               payload_col=payload_col, id_col=id_col)))
     epc = epc.select(F.col("aid").alias("id"),
                      F.col("win_idx").alias("idx"), "sh", "q", "qv")
     out = _offset_vote_pairs(npc, epc, stride=1,
-                             max_hamming=max_hamming, directional=True)
+                             max_hamming=max_hamming, directional=True,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("new_id"),
                       F.col("id_r").alias("old_id"), "offset",
                       F.col("matched").alias("matched_windows"),
@@ -2682,7 +2760,8 @@ def _check_residues(every_n: int, residues) -> tuple[int, ...]:
 def _offset_vote_pairs_residues(grid: DataFrame, dense: DataFrame,
                                 stride: int, residues,
                                 max_hamming: int,
-                                directional: bool) -> DataFrame:
+                                directional: bool,
+                                n_pieces: int | None = None) -> DataFrame:
     """Offset-vote rollup for the residue-set video tier: the LEFT
     side's positions are the frames ``j ≡ r (mod stride)`` for ``r``
     in ``residues``; the RIGHT side is DENSE (every frame hashed).
@@ -2705,19 +2784,14 @@ def _offset_vote_pairs_residues(grid: DataFrame, dense: DataFrame,
     ANY integer offset aligns — a trim of ANY size is caught at any
     stride, where same-grid matchers are structurally blind to
     non-multiples of the stride."""
-    from pyspark.sql import Window
-
     s = int(stride)
     rs = _check_residues(s, residues)
     votes = _offset_votes(grid, dense, max_hamming, directional)
-    w = Window.partitionBy("id_l", "id_r").orderBy(
-        F.col("matched").desc(), F.col("offset").asc())
-    dom = (votes.withColumn("_rk", F.row_number().over(w))
-           .filter(F.col("_rk") == 1).drop("_rk"))
-    gstat = (grid.select("id", "idx").distinct().groupBy("id")
-             .agg(F.max("idx").alias("_gmax")))
-    cnt_d = (dense.select("id", "idx").distinct().groupBy("id")
-             .agg(F.count("*").alias("_nb")))
+    dom = _dominant_offset(votes)
+    # max(idx) is duplicate-insensitive — the former distinct pre-pass
+    # was a pure extra exchange (r16, guide §2.4)
+    gstat = grid.groupBy("id").agg(F.max("idx").alias("_gmax"))
+    cnt_d = _distinct_idx_counts(dense, n_pieces, "_nb")
     out = (dom
            .join(gstat.withColumnRenamed("id", "id_l"), "id_l")
            .join(cnt_d.withColumnRenamed("id", "id_r"), "id_r"))
@@ -2780,7 +2854,8 @@ def video_near_dup_dual(df: DataFrame, every_n: int = 2,
     out = _offset_vote_pairs_residues(grid, dense, stride=s,
                                       residues=rs,
                                       max_hamming=max_hamming,
-                                      directional=False)
+                                      directional=False,
+                                      n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("id_a"),
                       F.col("id_r").alias("id_b"), "offset",
                       F.col("matched").alias("matched_frames"),
@@ -2819,12 +2894,13 @@ def cross_video_near_dup_dual(new: DataFrame, existing: DataFrame,
                            F.col("frame_idx").alias("idx"),
                            "sh", "q", "qv")
            if existing_is_piece_table
-           else _video_pieces_std(existing, 1, max_hamming,
-                                  payload_col, id_col))
+           else track_persist(_video_pieces_std(
+               existing, 1, max_hamming, payload_col, id_col)))
     out = _offset_vote_pairs_residues(npc, epc, stride=s,
                                       residues=rs,
                                       max_hamming=max_hamming,
-                                      directional=True)
+                                      directional=True,
+                                      n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("new_id"),
                       F.col("id_r").alias("old_id"), "offset",
                       F.col("matched").alias("matched_frames"),
@@ -3038,14 +3114,18 @@ def audio_ber_verify(pairs: DataFrame, media: DataFrame,
 
     import pandas as pd  # noqa: F401
 
-    # finer-than-core partitioning: each task's Arrow batch holds TWO
-    # payloads per row, so a parallelism-sized split can stage
-    # hundreds of MB of bytes per concurrent task — 8x more, smaller
-    # slices bound the in-flight Arrow memory; the extra shuffle
-    # moves only the |pairs|-bounded relation
-    p8 = joined.sparkSession.sparkContext.defaultParallelism * 8
+    # r16 (guide §4.2): in-flight Python memory is bounded per BATCH,
+    # not per partition — Spark 4 caps every Arrow batch at
+    # spark.sql.execution.arrow.maxBytesPerBatch (64 MB default), so
+    # the former 8x-finer-than-core repartition (256 tasks for ~1.7k
+    # pairs at sf0.1) bought no memory safety the batch bound doesn't
+    # already give, while each tiny task paid a Python-worker
+    # round-trip (profiled: verify stages ran 1400-1900 tasks).  One
+    # parallelism-sized exchange of the |pairs|-bounded relation is
+    # the right shape at every scale.
+    pn = joined.sparkSession.sparkContext.defaultParallelism
     return (joined.select(a_col, b_col, "_pa", "_pb")
-            .repartition(p8).mapInPandas(_verify, schema=out_schema))
+            .repartition(pn).mapInPandas(_verify, schema=out_schema))
 
 
 # ----------------------------------------------------------------------
@@ -3246,14 +3326,18 @@ def image_shift_verify(pairs: DataFrame, media: DataFrame,
 
     import pandas as pd  # noqa: F401
 
-    # finer-than-core partitioning: each task's Arrow batch holds TWO
-    # payloads per row, so a parallelism-sized split can stage
-    # hundreds of MB of bytes per concurrent task — 8x more, smaller
-    # slices bound the in-flight Arrow memory; the extra shuffle
-    # moves only the |pairs|-bounded relation
-    p8 = joined.sparkSession.sparkContext.defaultParallelism * 8
+    # r16 (guide §4.2): in-flight Python memory is bounded per BATCH,
+    # not per partition — Spark 4 caps every Arrow batch at
+    # spark.sql.execution.arrow.maxBytesPerBatch (64 MB default), so
+    # the former 8x-finer-than-core repartition (256 tasks for ~1.7k
+    # pairs at sf0.1) bought no memory safety the batch bound doesn't
+    # already give, while each tiny task paid a Python-worker
+    # round-trip (profiled: verify stages ran 1400-1900 tasks).  One
+    # parallelism-sized exchange of the |pairs|-bounded relation is
+    # the right shape at every scale.
+    pn = joined.sparkSession.sparkContext.defaultParallelism
     return (joined.select(a_col, b_col, "_pa", "_pb")
-            .repartition(p8).mapInPandas(_verify, schema=out_schema))
+            .repartition(pn).mapInPandas(_verify, schema=out_schema))
 
 
 def audio_overlap_snippet_search(snippets: DataFrame, corpus: DataFrame,
@@ -3291,15 +3375,15 @@ def audio_overlap_snippet_search(snippets: DataFrame, corpus: DataFrame,
         .select(F.col("aid").alias("id"),
                 F.col("win_idx").alias("idx"), "sh", "q", "qv"))
     cpc = (corpus if corpus_is_piece_table
-           else audio_overlap_piece_table(corpus, hop=hop,
-                                          max_hamming=max_hamming,
-                                          payload_col=payload_col,
-                                          id_col=id_col))
+           else track_persist(audio_overlap_piece_table(
+               corpus, hop=hop, max_hamming=max_hamming,
+               payload_col=payload_col, id_col=id_col)))
     cpc = cpc.select(F.col("aid").alias("id"),
                      F.col("win_idx").alias("idx"), "sh", "q", "qv")
     out = _offset_vote_pairs(spc, cpc, stride=1,
                              max_hamming=max_hamming, directional=True,
-                             require_full_left=True)
+                             require_full_left=True,
+                             n_pieces=max_hamming + 1)
     return out.select(F.col("id_l").alias("snippet_id"),
                       F.col("id_r").alias("clip_id"), "offset",
                       F.col("matched").alias("n_windows"))

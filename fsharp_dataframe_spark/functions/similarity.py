@@ -48,7 +48,9 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     folding); Spark plans the limit as TakeOrderedAndProject — no full
     sort, no shuffle of the data itself.
     """
-    q = F.lit([float(x) for x in query_vec])  # one Literal node
+    from fsharp_dataframe_spark.functions.util import lit_doubles
+
+    q = lit_doubles(query_vec)  # one py4j call, not one per element
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 4).alias("cosine_sim"),
@@ -80,12 +82,20 @@ def lsh_bucket(vec: Column, dim: int, n_bits: int = 16, seed: int = 0) -> Column
     to re-inline when the bucket fed several downstream columns).
     Fold order per plane is unchanged, so buckets are bit-identical to
     _py_bucket's driver-side doubles."""
-    # single Literal nodes (not n_bits·dim CreateArray trees) — same
-    # values, ~1000x fewer expression nodes for the analyzer to walk
-    planes = F.lit([[float(w) for w in _hyperplane_weights(seed, j, dim)]
-                    for j in range(n_bits)])
+    # r16: the r15 comment here claimed F.lit(list) plans a single
+    # Literal node — it does not (PySpark expands it to array(*[lit..]),
+    # one py4j round-trip per element; ADVICE r15).  The real driver
+    # cost was that py4j flood; lit_double_matrix renders the same
+    # values as SQL text parsed JVM-side in ONE call (values and plan
+    # bit-identical after constant folding).
+    from fsharp_dataframe_spark.functions.util import (
+        lit_double_matrix, lit_longs,
+    )
+
+    planes = lit_double_matrix(
+        [_hyperplane_weights(seed, j, dim) for j in range(n_bits)])
     sims = F.transform(planes, lambda p: dot(vec, p))
-    weights = F.lit([1 << j for j in range(n_bits)]).cast("array<bigint>")
+    weights = lit_longs([1 << j for j in range(n_bits)])
     return F.aggregate(
         F.zip_with(sims, weights,
                    lambda s, w: F.when(s > 0, w).otherwise(F.lit(0)).cast("long")),
@@ -216,16 +226,17 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     an argmin over cells — a narrow map, no shuffle.  Downstream ANN
     probes only the query's nearest cells.
     """
-    # ONE Literal node of array<array<double>>, not a CreateArray tree
-    # of k·dim Literal leaves: the values are identical (constant
-    # folding collapsed the tree anyway), but the analyzer/optimizer
-    # walked the k·dim-node tree on every rule pass — at k=8, dim=64
-    # that was measurably seconds of DRIVER time per kmeans iteration
-    # (r15 event-log profile: ivf_train spent 8.5 s in between-job
-    # gaps vs 1.8 s of task work).  A complex-typed Literal also rides
-    # the codegen references[] array instead of the generated source
-    # (the r8 bucketed-substrate discipline).
-    cents = F.lit([[float(x) for x in c] for c in centroids])
+    # r16 (corrects the false r15 claim here — ADVICE r15): F.lit(list)
+    # does NOT plan a single Literal node; PySpark expands it to
+    # array(*[lit(x)...]) with one py4j ROUND-TRIP per element, and
+    # that py4j flood — not analyzer tree walking — was the measured
+    # seconds of driver time per kmeans iteration (r16 lab: 1.9 s for
+    # one 8x64 F.lit under load).  lit_double_matrix renders the same
+    # values as SQL text parsed JVM-side in ONE call; after constant
+    # folding the optimized plan is the identical array Literal.
+    from fsharp_dataframe_spark.functions.util import lit_double_matrix
+
+    cents = lit_double_matrix(centroids)
     sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
     # lambda-let: bind sims once — argmax references it twice, and a
     # bare column reference would re-inline the whole n_cells×dim
@@ -273,31 +284,53 @@ def kmeans_fit(df: DataFrame, k: int = 8, dim: int | None = None,
     """
     if metric != "cosine":
         raise ValueError("only metric='cosine' is implemented")
+    from fsharp_dataframe_spark.functions.util import spread
+
     scale = 10 ** 6
     rows = (df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
     cents = [list(map(float, r[1])) for r in rows]
     dim = dim or len(cents[0])
+    # r16 (guide §2/§6): the argmin + quantize feeding each iteration's
+    # aggregate is interpreted higher-order-function work that runs at
+    # the SCAN's partitioning — a single-file corpus ran every
+    # iteration's whole n·k·dim fold as ONE task (profiled: ivf_train
+    # 14 tasks total, 8c == 32c).  spread() fans the narrow (id, vec)
+    # projection to session parallelism; a no-op at real scale where
+    # the scan already has thousands of splits.  Sums are integer-exact
+    # and argmin is per-row, so results are partition-invariant.
+    body = spread(df.select(id_col, vec_col), id_col, vec_col)
     for _ in range(max_iter):
-        assigned = ivf_assign(df, cents, vec_col)
-        # quantize ONCE per row in a separate projection (one transform
-        # expression), leaving the dim aggregates as plain element_at
-        # sums: inlining round()*cast into each of the dim sum exprs
-        # blows the generated aggregate past the JIT method budget and
-        # measured 3x slower (7.2s vs 2.5s at sf0.1, identical output)
-        q = assigned.select(
+        assigned = ivf_assign(body, cents, vec_col)
+        # r16: the recenter aggregate is posexplode + groupBy(cell, dim)
+        # instead of the former dim-wide column list — same integer
+        # sums per (cell, dim), order-independent, but the plan is
+        # built in a HANDFUL of py4j calls where the 64 sum/element_at/
+        # alias columns cost ~2.5 s of pure Python driver time per
+        # iteration (profiled r16; py4j round-trips, not Catalyst), and
+        # the generated aggregate is one small sum instead of a
+        # dim-wide method.  Scale shape unchanged: partial aggregation
+        # collapses each map task to <= k·dim rows before the shuffle.
+        ex = assigned.select(
             "ivf_cell",
-            F.transform(F.col(vec_col),
-                        lambda x: F.round(x * scale).cast("long")).alias("_qv"))
-        agg = (q.groupBy("ivf_cell").agg(
-            F.count("*").alias("_n"),
-            *[F.sum(F.element_at(F.col("_qv"), i + 1)).alias(f"_s{i}")
-              for i in range(dim)]).collect())
+            F.posexplode(
+                F.transform(F.col(vec_col),
+                            lambda x: F.round(x * scale).cast("long"))
+            ).alias("_d", "_v"))
+        agg = (ex.groupBy("ivf_cell", "_d")
+               .agg(F.sum("_v").alias("_s"), F.count("*").alias("_n"))
+               .collect())
         new_cents = list(cents)
+        sums: dict[int, list] = {}
+        ns: dict[int, int] = {}
         for r in agg:
-            if r["ivf_cell"] is None or r["_n"] == 0:
+            c = r["ivf_cell"]
+            if c is None:
                 continue
-            new_cents[r["ivf_cell"]] = [r[f"_s{i}"] / r["_n"] / scale
-                                        for i in range(dim)]
+            sums.setdefault(c, [0] * dim)[r["_d"]] = r["_s"]
+            ns[c] = r["_n"]
+        for c, s in sums.items():
+            if ns[c] > 0:
+                new_cents[c] = [s[i] / ns[c] / scale for i in range(dim)]
         shift = max(abs(a - b) for c0, c1 in zip(cents, new_cents)
                     for a, b in zip(c0, c1))
         cents = new_cents
@@ -497,16 +530,17 @@ def ivf_knn_join(df: DataFrame, centroids: list[list[float]], k: int = 5,
     in the cell-blocked candidate join BEFORE the top-k, the same
     contract as knn_join_exact(neq_label_col=...) (SQL != semantics:
     NULL labels never match)."""
-    # ONE Literal node of array<array<double>>, not a CreateArray tree
-    # of k·dim Literal leaves: the values are identical (constant
-    # folding collapsed the tree anyway), but the analyzer/optimizer
-    # walked the k·dim-node tree on every rule pass — at k=8, dim=64
-    # that was measurably seconds of DRIVER time per kmeans iteration
-    # (r15 event-log profile: ivf_train spent 8.5 s in between-job
-    # gaps vs 1.8 s of task work).  A complex-typed Literal also rides
-    # the codegen references[] array instead of the generated source
-    # (the r8 bucketed-substrate discipline).
-    cents = F.lit([[float(x) for x in c] for c in centroids])
+    # r16 (corrects the false r15 claim here — ADVICE r15): F.lit(list)
+    # does NOT plan a single Literal node; PySpark expands it to
+    # array(*[lit(x)...]) with one py4j ROUND-TRIP per element, and
+    # that py4j flood — not analyzer tree walking — was the measured
+    # seconds of driver time per kmeans iteration (r16 lab: 1.9 s for
+    # one 8x64 F.lit under load).  lit_double_matrix renders the same
+    # values as SQL text parsed JVM-side in ONE call; after constant
+    # folding the optimized plan is the identical array Literal.
+    from fsharp_dataframe_spark.functions.util import lit_double_matrix
+
+    cents = lit_double_matrix(centroids)
     sims = F.transform(cents, lambda c: cosine(F.col(vec_col), c))
     # top-n_probe cells per vector (probe list), exploded to (vector,
     # probe_cell) rows; the data side is the same vectors keyed by
@@ -950,8 +984,15 @@ def semantic_dedup(df: DataFrame, centroids: list[list[float]],
     # contract).  Qualified l/r aliases keep the self-join unambiguous
     # under the Arrow-batched scorer (the bare-column form trips
     # Spark's self-join attribute dedup inside the pandas UDF).
+    from fsharp_dataframe_spark.functions.util import spread
+
+    # r16: the interpreted-HOF assignment + norm pass runs at the
+    # scan's partitioning (a single-file corpus = ONE task for the
+    # whole n·k·dim fold); spread fans the narrow projection to
+    # session parallelism — no-op at real scale (see kmeans_fit)
     asg = track_persist(
-        ivf_assign(df, centroids, vec_col).select(
+        ivf_assign(spread(df, id_col, vec_col), centroids, vec_col)
+        .select(
             F.col(id_col).cast("long").alias(id_col),
             F.col(vec_col).alias("_v"), norm(F.col(vec_col)).alias("_n"),
             "ivf_cell"))
@@ -976,7 +1017,11 @@ def semantic_assignment_table(df: DataFrame,
     (id, vector, norm, cell) for the landed corpus — written ONCE,
     partitioned by ``ivf_cell`` on disk so tonight's batch join is
     cell-pruned.  The IVF-path sibling of cosine_bucket_table."""
-    return ivf_assign(df, centroids, vec_col).select(
+    from fsharp_dataframe_spark.functions.util import spread
+
+    # r16: interpreted assignment at scan partitioning — see kmeans_fit
+    return ivf_assign(spread(df, id_col, vec_col),
+                      centroids, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"), "ivf_cell")
 

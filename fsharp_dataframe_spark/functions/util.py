@@ -44,6 +44,60 @@ def pin_group_parallelism(df: DataFrame, group_cols) -> DataFrame:
     return df.repartition(n, *group_cols)
 
 
+def _sql_double(x) -> str:
+    """Shortest round-trip decimal of a double as a SQL literal token.
+    repr() is guaranteed shortest-round-trip in Python 3 and Spark's
+    parser feeds it to Java's Double.parseDouble, so the planned value
+    is bit-identical to F.lit(x)."""
+    import math
+
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite literal {x!r} has no SQL form")
+    return repr(v) + "D"
+
+
+def lit_doubles(xs) -> "Column":
+    """array<double> literal in ONE py4j round-trip (OPTIMIZATION r16,
+    guide §7.3 driver-side planning): PySpark's F.lit(list) issues one
+    py4j call per element (array(*[lit(x)...])), which measured ~2 s
+    of pure driver time for an 8x64 centroid matrix under load — the
+    whole literal is instead rendered as SQL text and parsed JVM-side
+    in one F.expr call (milliseconds).  The resolved plan is the same
+    CreateArray(Literal...) tree with bit-identical values, so results
+    are unchanged; only Python-side construction time drops."""
+    from pyspark.sql import functions as F
+
+    vals = [float(x) for x in xs]
+    if not vals:
+        return F.lit([])  # typing corner; never hot
+    return F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
+
+
+def lit_double_matrix(rows) -> "Column":
+    """array<array<double>> literal in ONE py4j round-trip — see
+    lit_doubles (k x dim centroid / hyperplane matrices are the hot
+    sites: 8x64 = 520 py4j calls through F.lit)."""
+    from pyspark.sql import functions as F
+
+    rs = [[float(x) for x in r] for r in rows]
+    if not rs or any(not r for r in rs):
+        return F.lit(rs)  # typing corner; never hot
+    return F.expr("array(" + ",".join(
+        "array(" + ",".join(_sql_double(v) for v in r) + ")"
+        for r in rs) + ")")
+
+
+def lit_longs(xs) -> "Column":
+    """array<bigint> literal in ONE py4j round-trip — see lit_doubles."""
+    from pyspark.sql import functions as F
+
+    vals = [int(x) for x in xs]
+    if not vals:
+        return F.lit([]).cast("array<bigint>")
+    return F.expr("array(" + ",".join(f"{v}L" for v in vals) + ")")
+
+
 def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() + register for release_cached()/cache_scope()."""
     from pyspark import StorageLevel
