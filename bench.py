@@ -90,7 +90,10 @@ LOAD_POLL_SEC = 15
 # per-query steal for contended entries in BENCH_NOTES — so a
 # contaminated recording is self-attributing instead of a
 # three-round argument.
-STEAL_THRESHOLD_PCT = 8.0
+# r16 (VERDICT r15 ask #5): 8% let the r15 driver recording through at
+# probe steal 6.5% and its heavy tail disagreed with the same-code
+# 8-core run by 2x; tightened to 4%.
+STEAL_THRESHOLD_PCT = 4.0
 STEAL_RERUN_CAP = 2  # extra reruns granted when the best run is stolen
 
 
@@ -112,6 +115,18 @@ def _steal_pct(a: tuple[int, int], b: tuple[int, int]) -> float:
 # are {"round": N, "queries": [...] or "all", "change": ...}; keep old
 # entries — the list is the accounting history.
 ACCOUNTING_CHANGES = [
+    {"round": 16, "queries": "all media + embedding fixture consumers",
+     "change": "input-table row counts (documents/embeddings) are "
+               "memoized per session (__spark_entry__._table_count, "
+               "VERDICT r15 ask #4): ~30 queries each opened with a "
+               "driver-synchronized count() job purely to derive "
+               "deterministic fixture ids; the first count per "
+               "(session, dir, table) still runs from parquet — the "
+               "bench's untimed warm-up primes it — and later queries "
+               "reuse the scalar, the session equivalent of catalog "
+               "statistics.  Query results are unchanged; timed "
+               "entries no longer include that one job (~0.1-0.2 s "
+               "each at sf0.1)."},
     {"round": 15, "queries": ["video_offset_dedup", "video_offset_incr",
                               "audio_overlap_dedup", "audio_overlap_incr",
                               "audio_rate_dedup", "video_dual_dedup",
@@ -484,6 +499,16 @@ def _write_notes(timings: dict[str, float], total: float, sf,
            f"from every query timing): {fixture_sec}s."
            if fixture_sec is not None else ""),
         "",
+        "## qv name-mapping recipe (for the driver's parser — r15 ask #8)",
+        "",
+        "The stdout line's `qv` array is positional over the SORTED",
+        "registry query names: `names = sorted(__spark_entry__."
+        "_all_queries())` at the recorded commit; `dict(zip(names, qv))`",
+        "reconstructs the name -> seconds mapping.  `qh` is",
+        "`sha256('\\n'.join(names)).hexdigest()[:10]` — two artifacts are",
+        "positionally comparable iff their `qh` match.  The same mapping,",
+        "already materialized, is the JSON block below.",
+        "",
         "## Per-query wall clock (sec)",
         "",
         "```json",
@@ -594,11 +619,19 @@ def main():
           "(excluded from query timings)", file=sys.stderr)
     from fsharp_dataframe_spark.functions.util import release_cached
 
-    hot = load0 > HOT_LOAD_THRESHOLD
+    # r16 (VERDICT r15 ask #5): a box that exhausted the wait budget —
+    # for load OR for a clean steal probe — is contended even if the
+    # reading dipped at the moment the loop gave up; force the hot-box
+    # min-of-N basis in that case instead of trusting the dip.
+    hot = (load0 > HOT_LOAD_THRESHOLD
+           or waited >= LOAD_WAIT_BUDGET
+           or (probe_steal is not None
+               and probe_steal > STEAL_THRESHOLD_PCT))
     if hot:
-        print(f"# HOT BOX (load0={load0} > {HOT_LOAD_THRESHOLD}): "
-              "min-of-2 for all queries, min-of-3 for the "
-              f">{REPEAT_THRESHOLD}s tail (r11 ask #6)", file=sys.stderr)
+        print(f"# HOT BOX (load0={load0}, waited={waited}s, "
+              f"probe_steal={probe_steal}%): min-of-2 for all queries, "
+              f"min-of-3 for the >{REPEAT_THRESHOLD}s tail "
+              "(r11 ask #6 + r15 ask #5)", file=sys.stderr)
     timings: dict[str, float] = {}
     repeats: dict[str, list[float]] = {}
     steals: dict[str, float] = {}  # steal% of the RECORDED (min) run

@@ -902,22 +902,29 @@ class GroupedSeries:
         return self._agg(agg)
 
     def apply_in_pandas(self, fn, schema,
-                        max_group_rows: int | None = None) -> DataFrame:
+                        max_group_rows: int | None = None,
+                        pin_parallelism: bool = True) -> DataFrame:
         """Whole-group user lambda — the direct analog of the reference's
         valueSelector-sees-whole-group (SURVEY.md §2.11): grouped-map
         Pandas UDF, Arrow-batched.  Each group materializes as ONE
         Arrow batch in one worker, so a pathological hot key fails
         loudly against ``max_group_rows`` (default
-        util.MAX_ARROW_GROUP_ROWS) instead of OOMing the executor."""
+        util.MAX_ARROW_GROUP_ROWS) instead of OOMing the executor.
+
+        ``pin_parallelism``: pin the feeding exchange at session
+        parallelism — AQE's byte-based coalescing under-parallelizes
+        opaque Python group lambdas (r15).  Pass False when the input
+        is ALREADY hash-partitioned on the group columns (e.g. the
+        output of a previous grouped op on the same key): the pin's
+        explicit repartition would force an extra full exchange there
+        (ADVICE r15)."""
         from fsharp_dataframe_spark.functions.util import (
             guard_arrow_group, pin_group_parallelism,
         )
 
-        # pin the feeding exchange at session parallelism: AQE's
-        # byte-based coalescing under-parallelizes opaque Python
-        # group lambdas (r15)
-        return (pin_group_parallelism(self.df, list(self.group_cols))
-                .groupBy(*self.group_cols).applyInPandas(
+        src = (pin_group_parallelism(self.df, list(self.group_cols))
+               if pin_parallelism else self.df)
+        return (src.groupBy(*self.group_cols).applyInPandas(
                     guard_arrow_group(fn, "apply_in_pandas",
                                       max_group_rows),
                     schema))
