@@ -231,21 +231,26 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     the shingle-construction expression into every one of the k
     branches, so tokenization ran k times per row.
     """
+    # r16 (guide §7.3): aggregates rendered as SQL text — the former
+    # Column-built k-ary list cost ~250 py4j round-trips of pure
+    # driver time per call; the parsed expressions are identical
+    # (oracle-re-verified).
     if hash_family == "md5":
-        def perm(i: int):
-            return F.substring(
-                F.md5(F.concat(F.lit(str(i // 4) + "|"), F.col("shingle"))),
-                1 + 8 * (i % 4), 8)
+        def perm_sql(i: int) -> str:
+            return (f"substring(md5(concat('{i // 4}|', shingle)),"
+                    f" {1 + 8 * (i % 4)}, 8)")
     elif hash_family == "xxh64":
-        def perm(i: int):
-            return F.xxhash64(F.concat(F.lit(str(i) + "|"), F.col("shingle")))
+        def perm_sql(i: int) -> str:
+            return f"xxhash64(concat('{i}|', shingle))"
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     sh = shingle_table(df, id_col, text_col, n)
     mins = sh.groupBy(id_col).agg(*[
-        F.min(perm(i)).alias(f"_h{i}") for i in range(k)
+        F.expr(f"min({perm_sql(i)})").alias(f"_h{i}") for i in range(k)
     ])
-    return mins.select(F.col(id_col), F.array(*[f"_h{i}" for i in range(k)]).alias("minhash"))
+    arr = ",".join(f"_h{i}" for i in range(k))
+    return mins.select(F.col(id_col),
+                       F.expr(f"array({arr})").alias("minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -267,7 +272,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     from fsharp_dataframe_spark.functions.util import track_persist
 
     r = k // bands
-    band_hash = F.md5 if hash_family == "md5" else F.xxhash64
     # one row per doc (id + k minhash components): materialize so the
     # band join's two sides and the estimate both read the computed
     # signatures instead of re-running the shingle explode + k-way
@@ -276,12 +280,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     # not
     sigs = track_persist(minhash_signatures(df, id_col, text_col, n, k,
                                             hash_family=hash_family))
+    hf = "md5" if hash_family == "md5" else "xxhash64"
+    band_sqls = ",".join(
+        f"{hf}(concat_ws(','," + ",".join(
+            f"cast(minhash[{b * r + j}] as string)" for j in range(r))
+        + "))"
+        for b in range(bands))
     banded = sigs.select(
         id_col, "minhash",
-        F.posexplode(F.array(*[
-            band_hash(F.concat_ws(",", *[F.col("minhash")[b * r + j].cast("string") for j in range(r)]))
-            for b in range(bands)
-        ])).alias("band", "band_sig"),
+        # SQL-rendered band array (one py4j call — guide §7.3); the
+        # parsed tree is the same hash(concat_ws(casts)) per band
+        F.posexplode(F.expr(f"array({band_sqls})"))
+        .alias("band", "band_sig"),
     )
     l = banded.alias("l")
     rr = banded.alias("r")
@@ -545,34 +555,49 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # sum() would count 42's bits; with the guard, empty docs get
     # all-NULL bit sums (NULL > 0 is NULL → bit 0) and sketch to 0,
     # bit-identical with simhash()'s empty-array fold.
+    # r16 (guide §7.3): the former Column-built form issued ~800 py4j
+    # round-trips per call (64 aggregate columns of ~6 nodes each plus
+    # a 64-term shiftleft/bitwiseOR chain) — pure Python driver time.
+    # The SAME expressions are now rendered as SQL text (one F.expr per
+    # aggregate, one for the whole sketch assembly): identical
+    # functions, identical NULL semantics (if() with a NULL condition
+    # takes the else-branch exactly like when().otherwise()), so
+    # sketches are bit-identical — oracle-re-verified.
     if hash_family == "md5":
         if bits != 64:
             raise ValueError("md5 hash_family supports bits=64 only")
         # bit j < 32 comes from the LOW half (md5 hex chars 9-16), bit
         # j >= 32 from the HIGH half (chars 1-8): each half parses to a
         # 32-bit value via conv(hex, 16, 10), overflow-free in a long.
-        dig = F.md5(F.col("__tok"))
-        hi = F.conv(F.substring(dig, 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(dig, 9, 8), 16, 10).cast("long")
+        ex = ex.selectExpr(
+            f"`{id_col}`", "__tok",
+            "cast(conv(substring(md5(__tok), 1, 8), 16, 10) as bigint)"
+            " as __hi",
+            "cast(conv(substring(md5(__tok), 9, 8), 16, 10) as bigint)"
+            " as __lo")
 
-        def bit(j: int):
-            src = lo if j < 32 else hi
-            return F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
+        def bit_sql(j: int) -> str:
+            src = "__lo" if j < 32 else "__hi"
+            return f"shiftright({src}, {j % 32}) & 1"
     elif hash_family == "xxh64":
-        h = F.when(F.col("__tok").isNotNull(), F.xxhash64(F.col("__tok")))
+        # xxhash64(NULL) is the seed (42), NOT NULL — guard explicitly
+        ex = ex.selectExpr(
+            f"`{id_col}`", "__tok",
+            "if(__tok is not null, xxhash64(__tok),"
+            " cast(null as bigint)) as __h")
 
-        def bit(j: int):
-            return F.shiftright(h, j).bitwiseAND(F.lit(1))
+        def bit_sql(j: int) -> str:
+            return f"shiftright(__h, {j}) & 1"
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
-    aggs = [F.sum(bit(j)).alias(f"__c{j}") for j in range(bits)]
+    aggs = [F.expr(f"sum({bit_sql(j)})").alias(f"__c{j}")
+            for j in range(bits)]
     g = ex.groupBy(id_col).agg(*aggs, F.count(F.col("__tok")).alias("__n"))
-    sketch = F.lit(0).cast("long")
-    for j in range(bits):
-        bit_j = (F.when(F.col(f"__c{j}") * 2 > F.col("__n"), F.lit(1))
-                 .otherwise(F.lit(0)).cast("long"))
-        sketch = sketch.bitwiseOR(F.shiftleft(bit_j, j))
-    return g.select(F.col(id_col), sketch.alias("sh"))
+    sketch = " | ".join(
+        f"shiftleft(if(__c{j} * 2 > __n, 1L, 0L), {j})"
+        for j in range(bits))
+    return g.select(F.col(id_col),
+                    F.expr(f"cast(0 as bigint) | {sketch}").alias("sh"))
 
 
 def pigeonhole_pieces(bits: int, max_hamming: int) -> list[tuple[int, int]]:

@@ -88,6 +88,38 @@ def lit_double_matrix(rows) -> "Column":
         for r in rs) + ")")
 
 
+def lit_array_sql(vals, value_type: str):
+    """array<value_type> literal via ONE F.expr parse, or None when a
+    value has no safe SQL rendering (caller keeps the per-element
+    F.lit path).  Elements render as null / integer / shortest-repr
+    double and the whole array is cast to ``value_type``, so the
+    planned Literal is identical to F.array(*[F.lit(v).cast(t)...])
+    after constant folding — only the py4j call count changes (one vs
+    one per element; guide §7.3)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    toks = []
+    for v in vals:
+        if v is None:
+            toks.append("null")
+        elif isinstance(v, bool):
+            return None
+        elif isinstance(v, int):
+            toks.append(f"{v}L")
+        elif isinstance(v, float):
+            if not math.isfinite(v):
+                return None
+            toks.append(_sql_double(v))
+        else:
+            return None
+    if not toks:
+        return None
+    return F.expr(
+        f"cast(array({','.join(toks)}) as array<{value_type}>)")
+
+
 def lit_longs(xs) -> "Column":
     """array<bigint> literal in ONE py4j round-trip — see lit_doubles."""
     from pyspark.sql import functions as F

@@ -189,7 +189,15 @@ def attach_mapping(df: DataFrame, src: str, mapping: dict, out_col: str,
             vals = [None] * (max(keys) + 1)
             for k, v in mapping.items():
                 vals[k] = v
-            arr = F.array(*[F.lit(v).cast(value_type) for v in vals])
+            from fsharp_dataframe_spark.functions.util import lit_array_sql
+
+            # r16 (guide §7.3): render the folded array in ONE F.expr
+            # parse when the values are numeric — the per-element
+            # F.lit loop was ~2 py4j round-trips per census bucket on
+            # every substrate query; non-numeric values keep that path
+            arr = lit_array_sql(vals, value_type)
+            if arr is None:
+                arr = F.array(*[F.lit(v).cast(value_type) for v in vals])
             # index past the array end (an id the census never saw)
             # returns NULL under try_element_at — same miss semantics
             # as the map lookup below.  Negative ids must be guarded:

@@ -320,7 +320,14 @@ def series_window_dist_bucketed(s: Series, dist, agg: Callable[[Column], Column]
         return s._with_df(out, canonicalize=True)
 
     ocol = F.col(order_col) if integral else F.col(order_col).cast("double")
-    barr = F.array(*[F.lit(c) for c in merged])
+    from fsharp_dataframe_spark.functions.util import lit_array_sql
+
+    # r16 (guide §7.3): one parse instead of one py4j call per cut;
+    # identical double Literals (cuts are approxQuantile floats)
+    barr = (lit_array_sql(merged, "double")
+            if all(type(c) is float for c in merged) else None)
+    if barr is None:
+        barr = F.array(*[F.lit(c) for c in merged])
     b = F.size(F.filter(barr, lambda x: x <= ocol))
     base = df.withColumn("__wb", b).withColumn("__ghost", F.lit(False))
     # ghost: bucket i>=1 starts at merged[i-1]; its rows with
