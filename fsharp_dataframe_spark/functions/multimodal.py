@@ -2996,13 +2996,33 @@ def _pair_payloads(pairs: DataFrame, media: DataFrame,
     ids = (pr.select(F.col(a_col).alias(id_col))
            .unionByName(pr.select(F.col(b_col).alias(id_col)))
            .distinct())
-    sub = media.join(F.broadcast(ids), id_col, "left_semi")
-    pa = sub.select(F.col(id_col).alias(a_col),
-                    F.col(payload_col).alias("_pa"))
-    pb = sub.select(F.col(id_col).alias(b_col),
-                    F.col(payload_col).alias("_pb"))
-    return (pr.join(pa.hint("merge"), a_col, "left")
-            .join(pb.hint("merge"), b_col, "left"))
+    sub = media.join(F.broadcast(ids), id_col, "left_semi").select(
+        F.col(id_col), F.col(payload_col))
+    # r16 (guide §8: move heavy bytes ONCE): the former two sort-merge
+    # joins pushed payload bytes through THREE exchange+sort chains
+    # (each side's payload relation, plus the intermediate already
+    # carrying _pa).  Instead the id-width pair relation is BROADCAST
+    # onto the filtered corpus scan twice (payloads never move for the
+    # attach), each match is tagged with the side it serves, and one
+    # union + groupBy(pair) gathers both payloads — payload bytes
+    # cross exactly ONE exchange, the floor for a pairwise gather.
+    # max() keeps the left-join contract bit-for-bit: a pair whose id
+    # is missing from the media relation gets a NULL side (max over
+    # no rows / NULL literals), and the final left join from the pair
+    # relation restores pairs missing BOTH sides.
+    ptype = media.schema[payload_col].dataType
+    nul = F.lit(None).cast(ptype)
+    pa = (sub.join(F.broadcast(pr), F.col(id_col) == F.col(a_col))
+          .select(a_col, b_col, F.col(payload_col).alias("_pa"),
+                  nul.alias("_pb")))
+    pb = (sub.join(F.broadcast(pr), F.col(id_col) == F.col(b_col))
+          .select(a_col, b_col, nul.alias("_pa"),
+                  F.col(payload_col).alias("_pb")))
+    gathered = (pa.unionByName(pb)
+                .groupBy(a_col, b_col)
+                .agg(F.max("_pa").alias("_pa"),
+                     F.max("_pb").alias("_pb")))
+    return pr.join(gathered, [a_col, b_col], "left")
 
 
 def audio_ber_verify(pairs: DataFrame, media: DataFrame,
