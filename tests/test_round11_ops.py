@@ -473,12 +473,15 @@ def test_cached_audio_media_roundtrip(spark, tmp_path):
     import os
 
     from fsharp_dataframe_spark.functions.multimodal import (
-        audio_fingerprint, cached_audio_media, make_fake_audio_media,
+        _cache_layout_files, audio_fingerprint, cached_audio_media,
+        make_fake_audio_media,
     )
 
     root = str(tmp_path / "media_cache")
     a = cached_audio_media(spark, 16, cache_root=root)
-    path = os.path.join(root, "audio_n16.parquet")
+    # r16: the layout file count is folded into the cache path so a
+    # layout change can never silently reuse a stale-layout cache.
+    path = os.path.join(root, f"audio_n16_f{_cache_layout_files()}.parquet")
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
     b = cached_audio_media(spark, 16, cache_root=root)
@@ -571,12 +574,13 @@ def test_cached_video_media_roundtrip(spark, tmp_path):
     import os
 
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_video_media, make_fake_video_media, video_frame_hashes,
+        _cache_layout_files, cached_video_media, make_fake_video_media,
+        video_frame_hashes,
     )
 
     root = str(tmp_path / "media_cache")
     cached_video_media(spark, 8, cache_root=root)
-    path = os.path.join(root, "video_n8.parquet")
+    path = os.path.join(root, f"video_n8_f{_cache_layout_files()}.parquet")
     mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
     b = cached_video_media(spark, 8, cache_root=root)
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
@@ -671,12 +675,13 @@ def test_cached_dhash_media_roundtrip(spark, tmp_path):
     import os
 
     from fsharp_dataframe_spark.functions.multimodal import (
-        cached_dhash_media, dhash_media, make_fake_dhash_media,
+        _cache_layout_files, cached_dhash_media, dhash_media,
+        make_fake_dhash_media,
     )
 
     root = str(tmp_path / "media_cache")
     a = cached_dhash_media(spark, 32, cache_root=root)
-    path = os.path.join(root, "dhash_n32.parquet")
+    path = os.path.join(root, f"dhash_n32_f{_cache_layout_files()}.parquet")
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
     b = cached_dhash_media(spark, 32, cache_root=root)

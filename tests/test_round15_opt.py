@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from fsharp_dataframe_spark.functions.multimodal import (
-    cached_audio_stream_media, cached_clone, trim_audio_head,
+    CLONE_CACHE_VERSION, _cache_layout_files, cached_audio_stream_media,
+    cached_clone, trim_audio_head,
 )
 
 
@@ -75,7 +76,9 @@ def test_cached_clone_is_write_once(spark, tmp_path):
                          cache_root=root)
     assert calls == [1]
     assert os.path.exists(os.path.join(root,
-                                       f"clone_t100_m4r2_n{n}.parquet",
+                                       f"clone_t100_m4r2_n{n}"
+                                       f"_v{CLONE_CACHE_VERSION}"
+                                       f"_f{_cache_layout_files()}.parquet",
                                        "_SUCCESS"))
     again = cached_clone(spark, f"t100_m4r2_n{n}", builder,
                          cache_root=root)
