@@ -59,14 +59,27 @@ def test_training_mix_deterministic_and_repartition_stable(spark):
 def test_training_mix_temperature_tilts_sample(spark):
     """alpha<1 up-weights rare languages: with a quota smaller than the
     corpus, the rare language's sampled share must exceed its corpus
-    share (deterministic here — fixed corpus, fixed salt)."""
-    df = _docs(spark, n=80)
+    share (deterministic here — fixed corpus, fixed salt).
+
+    The corpus is built here, not from _docs: its ``(i*i) % 4`` lang
+    rule only ever yields two languages at EXACTLY equal shares
+    (squares mod 4 are 0 or 1), so "the rare language" was a tie the
+    old test broke by dict order — collect() row order made it a coin
+    flip per run.  This corpus has real shares 5:2:1 and the rare pick
+    tie-breaks deterministically."""
+    langs = ["en"] * 5 + ["de"] * 2 + ["fr"]
+    rows = []
+    for i in range(80):
+        words = ["w%d" % ((i * 7 + j) % 23) for j in range(5 + (i % 40))]
+        rows.append((i, " ".join(words), langs[i % 8]))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     corpus = {r["lang"]: r["cnt"] for r in
               df.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
     picked = (training_mix(df, 20).select("doc_id", "lang").distinct()
               .groupBy("lang").agg(F.count("*").alias("cnt")).collect())
     got = {r["lang"]: r["cnt"] for r in picked}
-    rare = min(corpus, key=corpus.get)
+    rare = min(sorted(corpus), key=corpus.get)
+    assert corpus[rare] < min(v for k, v in corpus.items() if k != rare)
     tot_c = sum(corpus.values())
     assert got.get(rare, 0) / 20 > corpus[rare] / tot_c
 
