@@ -1434,9 +1434,13 @@ def q_embed_incr_dedup(spark, sf) -> DataFrame:
                                       max_bucket=256)
     new = emb.filter(F.col("vec_id") % 5 == 4)
     old = emb.filter(F.col("vec_id") % 5 != 4)
+    # total_vectors: new + existing partition the table, so the input
+    # row count bounds both matrices — gates the broadcast verify
+    # (r16: no candidate dedup exchange, no vector attach joins)
     return (cross_cosine_near_dup_pairs(new, old, threshold=0.4,
                                         dim=64, n_bits=n_bits,
-                                        n_tables=n_tables)
+                                        n_tables=n_tables,
+                                        total_vectors=n)
             .orderBy("new_id", "old_id"))
 
 

@@ -646,6 +646,89 @@ def lsh_params_for(threshold: float, n_vectors: int, target_recall: float = 0.9,
     return n_bits, min(n_tables, 64)
 
 
+def _vector_matrix(df: DataFrame, id_col: str, vec_col: str, dim: int):
+    """Driver-collected (ids, mat, norms) for the broadcast verify,
+    sorted by id so the worker-side lookup is one np.searchsorted
+    instead of a per-row Python dict probe.  Only valid rows survive
+    (non-NULL id, non-NULL vector of the right length) — absent ids
+    score NaN downstream, matching the join path's NULL propagation.
+    Norms use the same left-to-right fold as norm()/dot_batch so every
+    downstream cosine is bit-identical to the join path."""
+    import numpy as np
+
+    rows = [r for r in df.select(F.col(id_col).cast("long").alias("_id"),
+                                 vec_col).collect()
+            if r[0] is not None and r[1] is not None and len(r[1]) == dim]
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]) \
+        if rows else np.zeros((0, dim))
+    acc = np.zeros(len(rows))
+    for k_ in range(dim):
+        acc = acc + mat[:, k_] * mat[:, k_]
+    norms = np.sqrt(acc)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order], norms[order]
+
+
+def _np_id_lookup(sorted_ids, col):
+    """Vectorized id → row-position lookup (-1 when absent).  The old
+    pandas ``.map(dict)`` probe hashed every id through the Python
+    interpreter — ~2 per candidate pair, the verify stage's dominant
+    cost once the dot products are vectorized."""
+    import numpy as np
+
+    n = len(sorted_ids)
+    if n == 0:
+        return np.full(len(col), -1, dtype=np.int64)
+    j = np.clip(np.searchsorted(sorted_ids, col), 0, n - 1)
+    return np.where(sorted_ids[j] == col, j, -1)
+
+
+def _make_pair_verify(bvar, min_keep: float | None = None):
+    """mapInPandas verifier over broadcast (side_a, side_b) matrices:
+    scores column-0 × column-1 id pairs with the exact dot/(na·nb)
+    fold of dot_batch (bit-identical cosines).  Pairs whose id is
+    absent from its side (NULL/ragged source vectors) score NaN and
+    fall to the caller's >= threshold filter.
+
+    ``min_keep`` is a CONSERVATIVE worker-side pre-filter: candidates
+    score below the caller's threshold in the vast majority (they
+    merely shared a bucket), and returning them across the Python
+    boundary just to be dropped by the JVM-side filter costs ~1 µs/row
+    (guide §4.1 — the boundary, not the math, is the expensive part).
+    Callers pass threshold − 1e-3: any row whose EXACT F.round(sim, 4)
+    could reach the threshold lies within 0.5e-4 of it, so the margin
+    can never drop a qualifying row, and the authoritative
+    round-then-filter still runs JVM-side on the survivors."""
+
+    def _verify(batches):
+        import numpy as np
+
+        (ids_a, mat_a, norms_a), (ids_b, mat_b, norms_b) = bvar.value
+        for pdf in batches:
+            ca, cb = pdf.columns[0], pdf.columns[1]
+            if len(ids_a) == 0 or len(ids_b) == 0:
+                pdf["cosine_sim"] = np.nan
+                yield pdf.iloc[0:0] if min_keep is not None else pdf
+                continue
+            ia = _np_id_lookup(ids_a, pdf[ca].to_numpy())
+            ib = _np_id_lookup(ids_b, pdf[cb].to_numpy())
+            ok = (ia >= 0) & (ib >= 0)
+            va, vb = mat_a[ia], mat_b[ib]
+            s = np.zeros(len(pdf))
+            for k_ in range(va.shape[1]):  # dot_batch's fold order
+                s = s + va[:, k_] * vb[:, k_]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = s / (norms_a[ia] * norms_b[ib])
+            pdf["cosine_sim"] = np.where(ok, s, np.nan)
+            if min_keep is not None:
+                yield pdf[ok & (s >= min_keep)]
+            else:
+                yield pdf
+
+    return _verify
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None = None,
                           n_bits: int = 10, n_tables: int = 6,
                           id_col: str = "vec_id", vec_col: str = "embedding",
@@ -692,63 +775,50 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.9, dim: int | None
     # lsh_topk note) — the downstream bucket join re-distributes anyway
     from fsharp_dataframe_spark.functions.util import track_persist
 
+    from fsharp_dataframe_spark.functions.util import pin_group_parallelism
+
     # (id, tbl, bucket) is 24 bytes × n_tables per vector: materialize
     # so the bucket self-join's two sides reuse one UDF pass over the
-    # corpus instead of hashing every vector through all tables twice
-    buckets = track_persist(df.select(
+    # corpus instead of hashing every vector through all tables twice.
+    # r16: the relation is PINNED on (tbl, bucket) at the session's
+    # shuffle parallelism before it persists.  The relation is
+    # byte-tiny, so the planner broadcast-joins it against itself and
+    # the join runs at the STREAM side's partitioning — which the
+    # cache inherited straight from the few-file parquet scan (plan
+    # evidence plans/r16/embed_near_dup_lsh_before.txt: BroadcastHash-
+    # Join over a 1-partition InMemoryRelation).  The join's quadratic
+    # per-bucket OUTPUT and the map-side dedup aggregate over it
+    # therefore ran as ONE task (measured: 2.7 s of the query's 3.6 s
+    # at sf0.1 with 31 cores idle).  Pinning re-keys the cached layout
+    # at parallelism; bytes and rows are unchanged, so results are
+    # bit-identical, and at real scale (a many-split scan) the
+    # repartition is a no-op-sized exchange of 24-byte rows.
+    buckets = track_persist(pin_group_parallelism(df.select(
         F.col(id_col),
         F.posexplode(lsh_buckets_all(F.col(vec_col), dim, n_bits, n_tables))
          .alias("tbl", "bucket"),
-    ))
+    ), ["tbl", "bucket"]))
     l, r = buckets.alias("l"), buckets.alias("r")
-    cand_ids = (
+    cand_raw = (
         l.join(r, on=["tbl", "bucket"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    # dedup BEFORE the verify on both paths: the Python boundary costs
+    # ~1 µs/row regardless of how vectorized the worker-side math is,
+    # so shipping each pair once beats skipping the dedup exchange —
+    # A/B'd r16: verify-then-dedup read 9.1 s vs 3.7 s at sf0.1, where
+    # collision multiplicity is ~3.2× (the exchange moves 16-byte rows;
+    # the boundary crossing, not the shuffle, is the expensive part —
+    # guide §4.1).
+    cand_ids = cand_raw.dropDuplicates(["id_a", "id_b"])
     if integral_id and n_vectors * dim * 8 <= broadcast_budget_bytes:
-        import numpy as np
-
-        rows = [r for r in df.select(F.col(id_col).cast("long").alias("_id"),
-                                     vec_col).collect()
-                if r[0] is not None and r[1] is not None and len(r[1]) == dim]
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]) \
-            if rows else np.zeros((0, dim))
-        # norms with the same left-to-right fold as norm() / dot_batch
-        acc = np.zeros(len(rows))
-        for k_ in range(dim):
-            acc = acc + mat[:, k_] * mat[:, k_]
-        norms = np.sqrt(acc)
-        bvar = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
-
-        def _verify(batches):
-            b_ids, b_mat, b_norms = bvar.value
-            pos = {int(v): i for i, v in enumerate(b_ids)}
-            for pdf in batches:
-                # NULL/ragged vectors are absent from pos: their pairs
-                # score NaN and fall to the >= threshold filter, like
-                # the join path's NULL propagation
-                ia = pdf["id_a"].map(pos).fillna(-1).astype("int64").to_numpy()
-                ib = pdf["id_b"].map(pos).fillna(-1).astype("int64").to_numpy()
-                ok = (ia >= 0) & (ib >= 0)
-                if len(b_ids) == 0:
-                    pdf["cosine_sim"] = np.nan
-                    yield pdf
-                    continue
-                va, vb = b_mat[ia], b_mat[ib]
-                s = np.zeros(len(pdf))
-                for k_ in range(va.shape[1]):
-                    s = s + va[:, k_] * vb[:, k_]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    s = s / (b_norms[ia] * b_norms[ib])
-                pdf["cosine_sim"] = np.where(ok, s, np.nan)
-                yield pdf
-
+        side = _vector_matrix(df, id_col, vec_col, dim)
+        bvar = df.sparkSession.sparkContext.broadcast((side, side))
         scored = cand_ids.select(F.col("id_a").cast("long"),
                                  F.col("id_b").cast("long")).mapInPandas(
-            _verify, "id_a long, id_b long, cosine_sim double")
+            _make_pair_verify(bvar, min_keep=threshold - 1e-3),
+            "id_a long, id_b long, cosine_sim double")
         return (scored.withColumn("cosine_sim", F.round("cosine_sim", 4))
                 .filter(F.col("cosine_sim") >= threshold)
                 .select(F.col("id_a").cast(id_type).alias("id_a"),
@@ -809,6 +879,8 @@ def cross_cosine_near_dup_pairs(new: DataFrame, existing: DataFrame,
                                 id_col: str = "vec_id",
                                 vec_col: str = "embedding",
                                 existing_buckets: DataFrame | None = None,
+                                total_vectors: int | None = None,
+                                broadcast_budget_bytes: int = 128 << 20,
                                 ) -> DataFrame:
     """Directional (new-batch × landed-corpus) embedding near-dup —
     the incremental-ingest path that completes the discipline across
@@ -845,14 +917,56 @@ def cross_cosine_near_dup_pairs(new: DataFrame, existing: DataFrame,
                                .select(F.col(id_col).alias("old_id")))
                     .withColumn("cosine_sim", F.lit(0.0)))
         dim = len(row[0])
-    nb = cosine_bucket_table(new, dim, n_bits, n_tables, id_col, vec_col)
-    eb = (existing_buckets if existing_buckets is not None
-          else cosine_bucket_table(existing, dim, n_bits, n_tables,
-                                   id_col, vec_col))
-    cand = (nb.alias("n").join(eb.alias("e"), on=["tbl", "bucket"])
-            .select(F.col(f"n.{id_col}").alias("new_id"),
-                    F.col(f"e.{id_col}").alias("old_id"))
-            .dropDuplicates(["new_id", "old_id"]))
+    from fsharp_dataframe_spark.functions.util import pin_group_parallelism
+
+    # pinned on the join key for the same reason as the self path: the
+    # bucket relations are byte-tiny, so the planner broadcast-joins
+    # them and the join runs at the stream side's few-file scan
+    # partitioning — the quadratic per-bucket output ran serial (r16)
+    nb = pin_group_parallelism(
+        cosine_bucket_table(new, dim, n_bits, n_tables, id_col, vec_col),
+        ["tbl", "bucket"])
+    eb = pin_group_parallelism(
+        existing_buckets if existing_buckets is not None
+        else cosine_bucket_table(existing, dim, n_bits, n_tables,
+                                 id_col, vec_col),
+        ["tbl", "bucket"])
+    cand_raw = (nb.alias("n").join(eb.alias("e"), on=["tbl", "bucket"])
+                .select(F.col(f"n.{id_col}").alias("new_id"),
+                        F.col(f"e.{id_col}").alias("old_id")))
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    new_id_type = new.schema[id_col].dataType
+    old_id_type = existing.schema[id_col].dataType
+    integral = all(isinstance(t, (ByteType, ShortType, IntegerType, LongType))
+                   for t in (new_id_type, old_id_type))
+    cand = cand_raw.dropDuplicates(["new_id", "old_id"])
+    if (total_vectors is not None and integral
+            and total_vectors * dim * 8 <= broadcast_budget_bytes):
+        # r16 size-gated broadcast verify, the directional twin of
+        # cosine_near_dup_pairs': when both sides' vector matrices fit
+        # the broadcast budget (``total_vectors`` counts new +
+        # existing — the caller knows it from catalog stats), the
+        # deduped candidates flow into a worker-side numpy verify —
+        # 16 bytes/pair over the wire instead of the two per-side
+        # vector attach joins shipping 2·dim doubles per pair.  The
+        # numpy fold is dot_batch's, so cosines are bit-identical to
+        # the join path below; absent ids (NULL/ragged vectors) score
+        # NaN and drop at the filter exactly as the inner joins drop
+        # them.  Callers that cannot bound the corpus leave
+        # ``total_vectors`` unset and keep the O(pairs) join shape.
+        bvar = new.sparkSession.sparkContext.broadcast(
+            (_vector_matrix(new, id_col, vec_col, dim),
+             _vector_matrix(existing, id_col, vec_col, dim)))
+        scored = cand.select(F.col("new_id").cast("long"),
+                             F.col("old_id").cast("long")).mapInPandas(
+            _make_pair_verify(bvar, min_keep=threshold - 1e-3),
+            "new_id long, old_id long, cosine_sim double")
+        return (scored.withColumn("cosine_sim", F.round("cosine_sim", 4))
+                .filter(F.col("cosine_sim") >= threshold)
+                .select(F.col("new_id").cast(new_id_type).alias("new_id"),
+                        F.col("old_id").cast(old_id_type).alias("old_id"),
+                        "cosine_sim"))
     nv = new.select(F.col(id_col).alias("new_id"),
                     F.col(vec_col).alias("_va"),
                     norm(F.col(vec_col)).alias("_na"))

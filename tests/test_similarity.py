@@ -415,3 +415,36 @@ def test_ivf_index_round_trip_and_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "ivf_cell" in plan.split(
         "PartitionFilters:")[1][:200]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_and_join_verify_paths_agree(spark):
+    """r16 verify-then-dedup: the broadcast verify (no candidate dedup
+    exchange, searchsorted id lookup) must return exactly the join
+    path's rows — self and directional cascades both, including on a
+    corpus with NULL/ragged vectors."""
+    from fsharp_dataframe_spark.functions.similarity import (
+        cosine_near_dup_pairs, cross_cosine_near_dup_pairs,
+    )
+
+    df, _ = _clustered(spark, n_clusters=8, per_cluster=10)
+    dirty = df.unionByName(spark.createDataFrame(
+        [(900, -1, None), (901, -1, [1.0, 2.0])],
+        "vec_id int, cluster int, embedding array<double>")).cache()
+
+    def rows(out):
+        return sorted((r["id_a"] if "id_a" in r.__fields__ else r["new_id"],
+                       r["id_b"] if "id_b" in r.__fields__ else r["old_id"],
+                       r["cosine_sim"]) for r in out.collect())
+
+    bcast = rows(cosine_near_dup_pairs(dirty, threshold=0.9))
+    joined = rows(cosine_near_dup_pairs(dirty, threshold=0.9,
+                                        broadcast_budget_bytes=0))
+    assert bcast == joined and bcast
+
+    new = dirty.filter(F.col("vec_id") % 5 == 4)
+    old = dirty.filter(F.col("vec_id") % 5 != 4)
+    n_total = dirty.count()
+    xb = rows(cross_cosine_near_dup_pairs(new, old, threshold=0.9,
+                                          total_vectors=n_total))
+    xj = rows(cross_cosine_near_dup_pairs(new, old, threshold=0.9))
+    assert xb == xj and xb
