@@ -1372,7 +1372,8 @@ def q_embed_near_dup(spark, sf) -> DataFrame:
     from fsharp_dataframe_spark.functions.similarity import cosine_pairs_exact
 
     emb = load_table(spark, sf, "embeddings")
-    return cosine_pairs_exact(emb, threshold=0.4)
+    n = _table_count(spark, sf, "embeddings")
+    return cosine_pairs_exact(emb, threshold=0.4, dim=64, n_vectors=n)
 
 
 def q_embed_near_dup_lsh(spark, sf) -> DataFrame:

@@ -340,10 +340,90 @@ def kmeans_fit(df: DataFrame, k: int = 8, dim: int | None = None,
 
 
 def cosine_pairs_exact(df: DataFrame, threshold: float = 0.9,
-                       id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       dim: int | None = None,
+                       n_vectors: int | None = None,
+                       broadcast_budget_bytes: int = 128 << 20) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (id_a < id_b, cosine >=
     threshold).  Quadratic — the small-N verification tier; at scale
-    use cosine_near_dup_pairs (bucketed candidates, same verify)."""
+    use cosine_near_dup_pairs (bucketed candidates, same verify).
+
+    Size-gated like knn_join_exact: when the vector matrix fits
+    ``broadcast_budget_bytes`` (and ids are integral), it is shipped
+    once and each partition scores its query rows against the whole
+    matrix in one narrow Arrow pass — the former nested-loop pair join
+    shipped every (va, vb) pair through Arrow (2·dim doubles × n²/2
+    pairs, ~2 GB at 2000×64) just to run the same dot products.  The
+    block fold is dim-ordered exactly like dot_batch, and the worker
+    emits UNROUNDED sims past a conservative threshold−1e-3 margin so
+    the authoritative F.round >= threshold filter still runs JVM-side
+    — results bit-identical to the join path (pinned in
+    tests/test_similarity.py).  Past the gate (or with non-integral
+    ids) the pair-join path below runs unchanged."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if dim is None:
+        row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        dim = len(row[0]) if row is not None else 0
+    if n_vectors is None:
+        n_vectors = df.count()
+    id_type = df.schema[id_col].dataType
+    integral_id = isinstance(id_type, (ByteType, ShortType, IntegerType, LongType))
+    if integral_id and dim and n_vectors * dim * 8 <= broadcast_budget_bytes:
+        import numpy as np
+
+        bvar = df.sparkSession.sparkContext.broadcast(
+            _vector_matrix(df, id_col, vec_col, dim))
+        min_keep = threshold - 1e-3
+
+        def _pairs(batches):
+            import pandas as pd
+
+            b_ids, b_mat, b_norms = bvar.value
+            for pdf in batches:
+                out_a, out_b, out_s = [], [], []
+                q_ids = pdf[id_col].to_numpy()
+                for lo in range(0, len(pdf), 256):
+                    blk = pdf.iloc[lo:lo + 256]
+                    ok = [i for i, v in enumerate(blk[vec_col])
+                          if v is not None and len(v) == dim]
+                    if not ok or len(b_ids) == 0:
+                        continue
+                    A = np.stack([np.asarray(blk[vec_col].iloc[i],
+                                             dtype=np.float64) for i in ok])
+                    qi = q_ids[lo:lo + len(blk)][ok]
+                    qacc = np.zeros(len(ok))
+                    S = np.zeros((len(ok), len(b_ids)))
+                    for d in range(dim):  # dot_batch's fold order
+                        qacc = qacc + A[:, d] * A[:, d]
+                        S = S + A[:, d][:, None] * b_mat[:, d][None, :]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        S = S / (np.sqrt(qacc)[:, None] * b_norms[None, :])
+                    for row, qid in enumerate(qi):
+                        s = S[row]
+                        # id_a < id_b: each unordered pair is emitted
+                        # exactly once, by its smaller-id query row
+                        keep = np.nonzero((b_ids > qid) & ~np.isnan(s)
+                                          & (s >= min_keep))[0]
+                        out_a.extend([qid] * len(keep))
+                        out_b.extend(b_ids[keep])
+                        out_s.extend(s[keep])
+                yield pd.DataFrame({
+                    "id_a": np.asarray(out_a, dtype=np.int64),
+                    "id_b": np.asarray(out_b, dtype=np.int64),
+                    "cosine_sim": np.asarray(out_s, dtype=np.float64)})
+
+        from fsharp_dataframe_spark.functions.util import spread
+
+        scored = spread(df.select(F.col(id_col).cast("long").alias(id_col),
+                                  vec_col)).mapInPandas(
+            _pairs, "id_a long, id_b long, cosine_sim double")
+        return (scored.withColumn("cosine_sim", F.round("cosine_sim", 4))
+                .filter(F.col("cosine_sim") >= threshold)
+                .select(F.col("id_a").cast(id_type).alias("id_a"),
+                        F.col("id_b").cast(id_type).alias("id_b"),
+                        "cosine_sim"))
+
     # norms precomputed ONCE per vector (n rows), not once per pair —
     # dot/(na*nb) is IEEE-identical to cosine() (same fold, same op
     # order) but drops the per-pair aggregate passes from 3 to 1

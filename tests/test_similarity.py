@@ -423,7 +423,8 @@ def test_broadcast_and_join_verify_paths_agree(spark):
     path's rows — self and directional cascades both, including on a
     corpus with NULL/ragged vectors."""
     from fsharp_dataframe_spark.functions.similarity import (
-        cosine_near_dup_pairs, cross_cosine_near_dup_pairs,
+        cosine_near_dup_pairs, cosine_pairs_exact,
+        cross_cosine_near_dup_pairs,
     )
 
     df, _ = _clustered(spark, n_clusters=8, per_cluster=10)
@@ -448,3 +449,8 @@ def test_broadcast_and_join_verify_paths_agree(spark):
                                           total_vectors=n_total))
     xj = rows(cross_cosine_near_dup_pairs(new, old, threshold=0.9))
     assert xb == xj and xb
+
+    eb = rows(cosine_pairs_exact(dirty, threshold=0.9))
+    ej = rows(cosine_pairs_exact(dirty, threshold=0.9,
+                                 broadcast_budget_bytes=0))
+    assert eb == ej and eb
